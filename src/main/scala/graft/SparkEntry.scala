@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every implemented operator has a `queries` entry; SQL-expressible
+  * ones also carry a DuckDB oracle in `oracleSql`.
+  */
 object SparkEntry {
+
+  /** events.parquet carries int64 TIMESTAMP(NANOS), which Spark only
+    * reads with this legacy flag (as raw nanos longs). Runtime-settable,
+    * so any session the driver hands us can be fixed up here. */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  private val allQueries: Seq[Q] =
+    queries_relational ++ queries_graph ++ queries_pipeline
+
+  private def queries_relational = graft.queries.Relational.all
+  private def queries_graph = graft.queries.GraphQueries.all
+  private def queries_pipeline = graft.queries.PipelineQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val q5 = allQueries.find(_.name == "q5_multijoin").get
+    q5.run(configure(spark), "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name ->
+      ((s: SparkSession, dir: String) => q.run(configure(s), dir))).toMap
+
+  /** Equivalent ANSI SQL runnable by DuckDB on the same parquet
+    * tables; queries without an entry get the driver's rows-only check. */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

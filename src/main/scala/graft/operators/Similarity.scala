@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), in three tiers:
+  *
+  *  - [[knnBrute]]: exact all-pairs cosine top-k — the correctness
+  *    baseline and the oracle target.
+  *  - [[knnLsh]]: random-hyperplane LSH — candidates limited to
+  *    vectors sharing a hash-table bucket, exact rerank inside.
+  *  - [[knnIvf]]: inverted-file (coarse-centroid) partitioning with
+  *    Lloyd refinement — probe the nearest `nProbe` cells only.
+  *
+  * Vector math stays in codegen'd `aggregate`/`zip_with` higher-order
+  * functions (doubles) — no UDF boxing in the hot path. Hyperplanes
+  * and centroid seeds are derived from `xxhash64`, so every run is
+  * deterministic.
+  */
+object Similarity {
+
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String, prefix: String): DataFrame =
+    df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}v"))
+      .withColumn(s"${prefix}n",
+        sqrt(expr(s"aggregate(${prefix}v, 0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")))
+
+  private val dot = (a: String, b: String) =>
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)")
+
+  /** Exact cosine top-k: for each row of `queries`, the `k` nearest
+    * rows of `corpus` (self-matches by id excluded). O(|Q|×|C|) — the
+    * baseline; use the LSH/IVF variants when both sides are large.
+    */
+  def knnBrute(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val c = withNorm(corpus, idCol, vecCol, "c")
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * table t, plane p, dimension i. */
+  private def planeExpr(dims: Int, planes: Int, tables: Int): String =
+    // bits(t,p) = sign bits of v·h_{t,p}; bucket id packs the plane signs
+    s"""transform(sequence(0, ${tables - 1}, 1), t ->
+       |  aggregate(sequence(0, ${planes - 1}, 1), 0L, (acc, p) ->
+       |    acc * 2 + CASE WHEN aggregate(sequence(0, ${dims - 1}, 1), 0D,
+       |      (s, i) -> s + CAST(element_at(v, i + 1) AS DOUBLE)
+       |        * ((CAST(xxhash64(t, p, i) % 2001 AS DOUBLE)) / 1000.0)) >= 0
+       |    THEN 1 ELSE 0 END))""".stripMargin.replaceAll("\n", " ")
+
+  /** LSH ANN: `tables` independent hash tables of `planes`
+    * random-hyperplane bits each; candidates = bucket collisions in
+    * any table; exact cosine rerank to top-k within candidates.
+    */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, planes: Int = 8, tables: Int = 4, dims: Int = 64): DataFrame = {
+    val pe = planeExpr(dims, planes, tables)
+    def bucketed(df: DataFrame, prefix: String): DataFrame =
+      withNorm(df, idCol, vecCol, prefix)
+        .withColumn("__bk", expr(pe.replace("element_at(v,", s"element_at(${prefix}v,")))
+        .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
+          posexplode(col("__bk")))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val q = bucketed(queries, "q")
+    val c = bucketed(corpus, "c")
+    val cand = q.join(c, Seq("table", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "qv", "qn", "cid", "cv", "cn").distinct()
+    cand
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** IVF ANN: coarse k-means cells (seeded from the first `nCells`
+    * corpus rows by id, `lloydIters` refinement rounds), queries probe
+    * their `nProbe` nearest cells, exact rerank within probed cells.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 2): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "c").cache()
+    // deterministic seeds: the nCells smallest ids
+    var centroids = c.orderBy("cid").limit(nCells)
+      .select(col("cid").as("cell"), col("cv").as("ctr"))
+      .withColumn("cell", row_number().over(Window.orderBy("cell")) - 1)
+      .localCheckpoint()
+
+    def assign(df: DataFrame, vcol: String): DataFrame =
+      df.crossJoin(broadcast(centroids))
+        .withColumn("dist", expr(
+          s"aggregate(zip_with($vcol, ctr, (x, y) -> (CAST(x AS DOUBLE)-CAST(y AS DOUBLE))*(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))), 0D, (acc, x) -> acc + x)"))
+
+    for (_ <- 1 to lloydIters) {
+      val assigned = assign(c, "cv")
+        .withColumn("rk", row_number().over(Window.partitionBy("cid").orderBy(asc("dist"), asc("cell"))))
+        .filter(col("rk") === 1)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("cv")))
+        .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("ctr"))
+        .localCheckpoint()
+    }
+
+    val corpusCells = assign(c, "cv")
+      .withColumn("rk", row_number().over(Window.partitionBy("cid").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") === 1).select("cell", "cid", "cv", "cn")
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val queryCells = assign(q, "qv")
+      .withColumn("rk", row_number().over(Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") <= nProbe).select("cell", "qid", "qv", "qn")
+
+    queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+}

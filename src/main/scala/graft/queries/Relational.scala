@@ -1,0 +1,421 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Relational / OLAP core: SURVEY.md §2 q1–q28.
+  *
+  * Every query is a declarative DataFrame plan — Catalyst handles
+  * pushdown / pruning / join selection; small dimension tables are
+  * explicitly `broadcast()`ed so the star joins never shuffle the fact
+  * table on a dim key. Numeric output conventions (rounding, BIGINT
+  * casts, epoch-second timestamps) are documented on [[graft.Q]].
+  */
+object Relational {
+
+  /** events with `t` = epoch seconds (the raw column is int64 parquet
+    * NANOS, which Spark reads as long via nanosAsLong — see Tables). */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("t", expr("ts div 1000000000"))
+
+  /** DuckDB mirror of `ev`: exact integer nanos → seconds. */
+  private val evSql =
+    "SELECT *, epoch_ns(ts)//1000000000 AS t FROM events"
+
+  val all: Seq[Q] = Seq(
+
+    Q("q1_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(expr("l_extendedprice*(1-l_discount)")), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity),2) AS sum_qty,
+             |round(sum(l_extendedprice),2) AS sum_base,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |round(avg(l_quantity),4) AS avg_qty,
+             |CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    Q("q2_filter_project",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_size").between(10, 20) && col("p_type").isin("SMALL", "PROMO"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+             |WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('SMALL','PROMO')
+             |ORDER BY p_partkey""".stripMargin)),
+
+    Q("q3_join_agg",
+      (s, d) => Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(expr("l_extendedprice*(1-l_discount)")), 2).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM customer JOIN orders ON c_custkey=o_custkey
+             |JOIN lineitem ON o_orderkey=l_orderkey
+             |WHERE c_mktsegment='BUILDING'
+             |GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q4_semijoin",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey=o_orderkey AND l_quantity > 45)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q5_multijoin",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1999-01-01"),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(expr("l_extendedprice*(1-l_discount)")), 2).as("revenue"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM customer JOIN orders ON c_custkey=o_custkey
+             |JOIN lineitem ON o_orderkey=l_orderkey
+             |JOIN supplier ON l_suppkey=s_suppkey AND s_nationkey=c_nationkey
+             |JOIN nation ON c_nationkey=n_nationkey
+             |JOIN region ON n_regionkey=r_regionkey
+             |WHERE r_name='ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1999-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q6_scan_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01"
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(expr("l_extendedprice*l_discount")), 2).as("revenue")),
+      Some("""SELECT round(sum(l_extendedprice*l_discount),2) AS revenue FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    Q("q7_antijoin",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderdate") >= "2001-01-01"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             |CAST(count(*) AS BIGINT) AS cnt FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey
+             |  AND o_orderdate >= TIMESTAMP '2001-01-01')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q8_distinct_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+             |CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q9_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        val wp = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, d).filter(col("o_custkey") < 50)
+          .select(col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("rn"),
+            rank().over(wp).as("price_rank"),
+            round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+              .as("run_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn,
+             |CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_total
+             |FROM orders WHERE o_custkey < 50
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("q10_topk_pergroup",
+      (s, d) => {
+        val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"), asc("p_partkey"))
+        Tables.part(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("p_brand", "rk", "p_partkey", "p_retailprice")
+          .orderBy("p_brand", "rk")
+      },
+      Some("""SELECT p_brand, CAST(rk AS INT) AS rk, p_partkey, p_retailprice FROM (
+             |  SELECT p_brand, p_partkey, p_retailprice,
+             |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+             |  FROM part) WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin)),
+
+    Q("q11_rollup",
+      (s, d) => {
+        // DataFrame rollup + orderBy on the grouping column trips the
+        // ambiguous-self-join check (the Expand duplicates the
+        // attribute), so route this one through the SQL front end.
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .select("n_name", "c_acctbal")
+          .createOrReplaceTempView("q11_base")
+        s.sql("""SELECT n_name, round(sum(c_acctbal),2) AS sum_bal,
+                |count(*) AS cnt FROM q11_base
+                |GROUP BY ROLLUP(n_name) ORDER BY n_name ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT n_name, round(sum(c_acctbal),2) AS sum_bal,
+             |CAST(count(*) AS BIGINT) AS cnt
+             |FROM customer JOIN nation ON c_nationkey=n_nationkey
+             |GROUP BY ROLLUP(n_name) ORDER BY n_name NULLS FIRST""".stripMargin)),
+
+    Q("q12_case_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_totalprice") > 300000, 1L).otherwise(0L)).as("n_high"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             |CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q13_scalar_subquery",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        c.join(broadcast(c.agg(avg("c_acctbal").as("avg_bal"))))
+          .filter(col("c_acctbal") > col("avg_bal") * 1.8)
+          .select("c_custkey", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) * 1.8
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q14_union_all",
+      (s, d) => Tables.orders(s, d).filter(col("o_totalprice") > 480000)
+        .select(lit("order").as("kind"), col("o_totalprice").as("amount"))
+        .unionAll(Tables.lineitem(s, d).filter(col("l_extendedprice") > 100000)
+          .select(lit("line").as("kind"), col("l_extendedprice").as("amount")))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("cnt"), round(sum("amount"), 2).as("total"))
+        .orderBy("kind"),
+      Some("""SELECT kind, CAST(count(*) AS BIGINT) AS cnt, round(sum(amount),2) AS total
+             |FROM (
+             |  SELECT 'order' AS kind, o_totalprice AS amount FROM orders WHERE o_totalprice > 480000
+             |  UNION ALL
+             |  SELECT 'line' AS kind, l_extendedprice AS amount FROM lineitem WHERE l_extendedprice > 100000
+             |) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q15_having",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .filter(col("total_qty") > 500)
+        .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey, round(sum(l_quantity),2) AS total_qty FROM lineitem
+             |GROUP BY 1 HAVING round(sum(l_quantity),2) > 500 ORDER BY 1""".stripMargin)),
+
+    Q("q16_sort_limit",
+      (s, d) => Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(20),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    Q("q17_correlated_exists",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val natAvg = c.groupBy("c_nationkey").agg(avg("c_acctbal").as("nat_avg"))
+        c.join(broadcast(natAvg), Seq("c_nationkey"))
+          .filter(col("c_acctbal") > col("nat_avg") * 1.9)
+          .select("c_custkey", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal FROM customer c1
+             |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+             |  WHERE c2.c_nationkey = c1.c_nationkey) * 1.9
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q18_pivot",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END),2) AS "F",
+             |round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END),2) AS "O",
+             |round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END),2) AS "P"
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q19_json",
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("k_bucket"),
+      Some("""SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) % 10 AS k_bucket,
+             |CAST(count(*) AS BIGINT) AS cnt, round(sum(value),2) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q20_datetime",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("month"),
+      Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             |CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice),2) AS total
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q21_string_funcs",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_name").like("%5%"))
+        .select(col("c_custkey"),
+          upper(substring(col("c_name"), 1, 10)).as("uname"),
+          concat(col("c_mktsegment"), lit("-"), col("c_nationkey").cast("string")).as("seg_nat"),
+          length(col("c_name")).cast("long").as("name_len"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(substr(c_name,1,10)) AS uname,
+             |c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_nat,
+             |CAST(length(c_name) AS BIGINT) AS name_len
+             |FROM customer WHERE c_name LIKE '%5%' ORDER BY c_custkey""".stripMargin)),
+
+    Q("q22_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+             |round(quantile_cont(l_extendedprice, 0.9),4) AS p90,
+             |round(quantile_cont(l_extendedprice, 0.99),4) AS p99
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q23_windowed_time_agg",
+      (s, d) => ev(s, d)
+        .groupBy(window(timestamp_seconds(col("t")), "1 hour"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("hour_t"), col("cnt"), col("sum_value"))
+        .orderBy("hour_t"),
+      Some(s"""SELECT t - t % 3600 AS hour_t, CAST(count(*) AS BIGINT) AS cnt,
+              |round(sum(value),2) AS sum_value
+              |FROM ($evSql) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q24_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        ev(s, d)
+          .withColumn("pt", lag("t", 1).over(w))
+          .withColumn("brk", when(col("pt").isNull || col("t") - col("pt") > 1800, 1L).otherwise(0L))
+          .withColumn("sid", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_events"), (max("t") - min("t")).as("duration_s"))
+          .orderBy("user_id", "sid")
+      },
+      Some(s"""WITH e AS ($evSql),
+              |l AS (SELECT user_id, event_id, t,
+              |  lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM e),
+              |b AS (SELECT *, CASE WHEN pt IS NULL OR t - pt > 1800 THEN 1 ELSE 0 END AS brk FROM l),
+              |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b)
+              |SELECT user_id, CAST(sid AS BIGINT) AS sid, CAST(count(*) AS BIGINT) AS n_events,
+              |CAST(max(t)-min(t) AS BIGINT) AS duration_s
+              |FROM g GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    Q("q25_asof_join",
+      (s, d) => {
+        val e = ev(s, d)
+        graft.operators.AsofJoin(
+          left = e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "t"),
+          right = e.filter(col("event_type") === "signup")
+            .select(col("user_id"), col("t").as("rt"), col("event_id").as("signup_id")),
+          key = "user_id", leftTime = "t", rightTime = "rt")
+          .select("event_id", "user_id", "signup_id")
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS ($evSql)
+              |SELECT p.event_id, p.user_id,
+              |  (SELECT s.event_id FROM e s
+              |   WHERE s.event_type='signup' AND s.user_id=p.user_id AND s.t <= p.t
+              |   ORDER BY s.t DESC, s.event_id DESC LIMIT 1) AS signup_id
+              |FROM e p WHERE p.event_type='purchase' ORDER BY p.event_id""".stripMargin)),
+
+    Q("q26_range_join",
+      (s, d) => graft.operators.RangeJoin.joinPointInRange(
+        left = Tables.events(s, d)
+          .select(col("event_type"), (col("value") * 50).as("lo"), (col("value") * 50 + 100).as("hi")),
+        right = Tables.orders(s, d).select(col("o_totalprice").as("p")),
+        lo = "lo", hi = "hi", point = "p", bucketWidth = 1000.0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), round(sum("p"), 2).as("sum_price"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |round(sum(o_totalprice),2) AS sum_price
+             |FROM events JOIN orders
+             |  ON o_totalprice BETWEEN value*50 AND value*50+100
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q27_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+             |round(sum(o_totalprice),2) AS total
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    Q("q28_funnel",
+      (s, d) => {
+        val e = ev(s, d)
+        val sgn = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("t").as("signup_t"))
+        val clk = e.filter(col("event_type") === "click")
+          .join(sgn, Seq("user_id")).filter(col("t") > col("signup_t"))
+          .groupBy("user_id").agg(min("t").as("click_t"), min("signup_t").as("signup_t"))
+        val pur = e.filter(col("event_type") === "purchase")
+          .join(clk, Seq("user_id")).filter(col("t") > col("click_t"))
+          .groupBy("user_id").agg(min("t").as("purchase_t"),
+            min("signup_t").as("signup_t"), min("click_t").as("click_t"))
+        pur.select("user_id", "signup_t", "click_t", "purchase_t").orderBy("user_id")
+      },
+      Some(s"""WITH e AS ($evSql),
+              |sgn AS (SELECT user_id, min(t) AS signup_t FROM e WHERE event_type='signup' GROUP BY 1),
+              |clk AS (SELECT e.user_id, min(e.t) AS click_t, min(sgn.signup_t) AS signup_t
+              |  FROM e JOIN sgn ON e.user_id=sgn.user_id
+              |  WHERE e.event_type='click' AND e.t > sgn.signup_t GROUP BY 1),
+              |pur AS (SELECT e.user_id, min(e.t) AS purchase_t, min(clk.signup_t) AS signup_t,
+              |  min(clk.click_t) AS click_t
+              |  FROM e JOIN clk ON e.user_id=clk.user_id
+              |  WHERE e.event_type='purchase' AND e.t > clk.click_t GROUP BY 1)
+              |SELECT user_id, signup_t, click_t, purchase_t FROM pur ORDER BY user_id""".stripMargin))
+  )
+}
