@@ -133,14 +133,13 @@ object Dedup {
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graftbridge.VectorFunctions.{vec_cosine, vec_norm}
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")))
+      .withColumn("nrm", vec_norm(col("v")))
     val a = withNorm.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val b = withNorm.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cosine",
-        expr("aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)")
-          / (col("na") * col("nb")))
+      .withColumn("cosine", vec_cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
   }

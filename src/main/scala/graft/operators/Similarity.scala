@@ -21,13 +21,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  import org.apache.spark.sql.graftbridge.VectorFunctions.{vec_dot, vec_norm}
+
   private def withNorm(df: DataFrame, idCol: String, vecCol: String, prefix: String): DataFrame =
     df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}v"))
-      .withColumn(s"${prefix}n",
-        sqrt(expr(s"aggregate(${prefix}v, 0D, (acc, x) -> acc + CAST(x AS DOUBLE)*CAST(x AS DOUBLE))")))
+      .withColumn(s"${prefix}n", vec_norm(col(s"${prefix}v")))
 
-  private val dot = (a: String, b: String) =>
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)")
+  private val dot = (a: String, b: String) => vec_dot(col(a), col(b))
 
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest
     * rows of `corpus` (self-matches by id excluded). O(|Q|×|C|) — the
@@ -48,26 +48,33 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * table t, plane p, dimension i. */
-  private def planeExpr(dims: Int, planes: Int, tables: Int): String =
-    // bits(t,p) = sign bits of v·h_{t,p}; bucket id packs the plane signs
-    s"""transform(sequence(0, ${tables - 1}, 1), t ->
-       |  aggregate(sequence(0, ${planes - 1}, 1), 0L, (acc, p) ->
-       |    acc * 2 + CASE WHEN aggregate(sequence(0, ${dims - 1}, 1), 0D,
-       |      (s, i) -> s + CAST(element_at(v, i + 1) AS DOUBLE)
-       |        * ((CAST(xxhash64(t, p, i) % 2001 AS DOUBLE)) / 1000.0)) >= 0
-       |    THEN 1 ELSE 0 END))""".stripMargin.replaceAll("\n", " ")
+    * splitmix64 of (table, plane, dim) — no RNG state, reproducible
+    * across runs and partitions. */
+  private def planeComponent(t: Int, p: Int, i: Int): Float = {
+    var z = t.toLong * 0x9E3779B97F4A7C15L + p.toLong * 0xBF58476D1CE4E5B9L + i.toLong + 1L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    ((z & 0xFFFFFL).toDouble / 0x80000L.toDouble - 1.0).toFloat
+  }
 
   /** LSH ANN: `tables` independent hash tables of `planes`
     * random-hyperplane bits each; candidates = bucket collisions in
     * any table; exact cosine rerank to top-k within candidates.
+    * Hyperplanes are literal float arrays, so every sign bit is one
+    * codegen'd [[FloatVecDot]] against a constant — no interpreted
+    * higher-order functions in the bucketing pass.
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, planes: Int = 8, tables: Int = 4, dims: Int = 64): DataFrame = {
-    val pe = planeExpr(dims, planes, tables)
+    def bucketCol(vcol: String, t: Int) =
+      (0 until planes).map { p =>
+        val plane = Array.tabulate(dims)(i => planeComponent(t, p, i))
+        when(vec_dot(col(vcol), typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
     def bucketed(df: DataFrame, prefix: String): DataFrame =
       withNorm(df, idCol, vecCol, prefix)
-        .withColumn("__bk", expr(pe.replace("element_at(v,", s"element_at(${prefix}v,")))
+        .withColumn("__bk", array((0 until tables).map(t => bucketCol(s"${prefix}v", t)): _*))
         .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
           posexplode(col("__bk")))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
@@ -98,10 +105,16 @@ object Similarity {
       .withColumn("cell", row_number().over(Window.orderBy("cell")) - 1)
       .localCheckpoint()
 
-    def assign(df: DataFrame, vcol: String): DataFrame =
-      df.crossJoin(broadcast(centroids))
-        .withColumn("dist", expr(
-          s"aggregate(zip_with($vcol, ctr, (x, y) -> (CAST(x AS DOUBLE)-CAST(y AS DOUBLE))*(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))), 0D, (acc, x) -> acc + x)"))
+    // ||v-c||² = v·v − 2 v·c + c·c, each term a codegen'd vec_dot
+    // (centroids held as float arrays to stay on the fast path).
+    def assign(df: DataFrame, vcol: String): DataFrame = {
+      val cb = broadcast(centroids.withColumn("ctrf", col("ctr").cast("array<float>")))
+      df.crossJoin(cb)
+        .withColumn("dist",
+          vec_dot(col(vcol), col(vcol))
+            - lit(2.0) * vec_dot(col(vcol), col("ctrf"))
+            + vec_dot(col("ctrf"), col("ctrf")))
+    }
 
     for (_ <- 1 to lloydIters) {
       val assigned = assign(c, "cv")
