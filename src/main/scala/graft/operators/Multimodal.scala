@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as
+  * opaque `binary` columns with typed metadata; decode / feature
+  * extraction runs partition-wise over primitive byte arrays (one JVM
+  * pass per batch, no per-row plan re-entry), the Scala analogue of a
+  * vectorized Pandas-UDF stage.
+  *
+  * The actual codec is STUBBED — no image/audio libraries exist in
+  * this environment — with a deterministic fake that derives metadata
+  * and "features" from the bytes. The Spark-side contract (schema,
+  * batch shape, partition-wise execution) is the real, tested part;
+  * swap [[decodeStub]] for a codec binding in production.
+  */
+object Multimodal {
+
+  case class Media(id: Long, fmt: String, width: Int, height: Int,
+                   channels: Int, features: Array[Float])
+
+  /** STUB decoder — deterministic fake standing in for e.g. JPEG
+    * decode. Derives dimensions from the payload and emits `nFeat`
+    * average-pooled byte statistics as the "embedding".
+    */
+  private[operators] def decodeStub(bytes: Array[Byte], nFeat: Int): (Int, Int, Int, Array[Float]) = {
+    val n = bytes.length
+    val width = (n % 64 + 1) * 16
+    val height = (n % 48 + 1) * 9
+    val channels = 3
+    val feats = new Array[Float](nFeat)
+    if (n > 0) {
+      var i = 0
+      while (i < n) {
+        feats(i % nFeat) += (bytes(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      val per = math.max(n / nFeat, 1)
+      var j = 0
+      while (j < nFeat) { feats(j) /= per; j += 1 }
+    }
+    (width, height, channels, feats)
+  }
+
+  private def sniffFmt(bytes: Array[Byte]): String =
+    if (bytes.isEmpty) "empty"
+    else (bytes(0) & 0xFF) % 3 match {
+      case 0 => "img"
+      case 1 => "audio"
+      case _ => "video"
+    }
+
+  /** Decode a binary column partition-wise into typed media rows.
+    * Input df must have (`idCol`: long, `binCol`: binary).
+    */
+  def decode(df: DataFrame, idCol: String, binCol: String, nFeat: Int = 8): Dataset[Media] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        val (w, h, c, f) = decodeStub(b, nFeat)
+        Media(id, sniffFmt(b), w, h, c, f)
+      })
+  }
+}

@@ -27,40 +27,48 @@ object TextAnalysis {
       round(length(regexp_replace(col(textCol), "[^a-z0-9]", "")).cast("double") /
         size(expr(s"regexp_extract_all($textCol, '[a-z0-9]+', 0)")), 4).as("avg_word_len"))
 
-  /** Heuristic quality score in [0,1]: stopword presence (fluency
-    * proxy), moderate length, low punctuation/symbol density.
+  /** Heuristic quality score: stopword presence (fluency proxy),
+    * moderate length, low punctuation/symbol density. All ratios are
+    * emitted as integer basis points (x/10000) computed with integer
+    * division only — float rounding at a 4-decimal boundary differs
+    * between engines by 1 ulp, which flipped `round(x, 4)` on real
+    * data; integer arithmetic is bit-identical everywhere.
+    * quality_bp = 5000·min(ntok,50)/50 + 3000·min(5·nstop/ntok, 1)
+    *            + 2000·(1 − min(10·npunct/len, 1)).
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= "")
-    val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks, t => t.isin(Stopwords.map(lit): _*))).cast("double")
-    val nPunct = (length(col(textCol)) -
-      length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))).cast("double")
-    df.select(col(idCol).as("doc_id"),
-      nTok.cast("long").as("n_tokens"),
-      round(nStop / nTok, 4).as("stop_ratio"),
-      round(nPunct / length(col(textCol)), 4).as("punct_ratio"),
-      round(least(nTok / 50.0, lit(1.0)) * 0.5
-        + least(nStop / nTok * 5.0, lit(1.0)) * 0.3
-        + (lit(1.0) - least(nPunct / length(col(textCol)) * 10.0, lit(1.0))) * 0.2,
-        4).as("quality"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(Stopwords.map(lit): _*))).cast("long")
+    val len = length(col(textCol)).cast("long")
+    val nPunct = len - length(regexp_replace(col(textCol), "[^a-z0-9 ]", "")).cast("long")
+    df.select(col(idCol).as("doc_id"), nTok.as("n_tokens"),
+        nStop.as("__ns"), len.as("__len"), nPunct.as("__np"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("__ns * 10000 div n_tokens").as("stop_bp"),
+        expr("__np * 10000 div __len").as("punct_bp"),
+        expr("""(least(n_tokens, 50) * 200 * 5
+               | + (least(__ns * 5, n_tokens) * 10000 div n_tokens) * 3
+               | + (10000 - (least(__np * 10, __len) * 10000 div __len)) * 2) div 10
+               |""".stripMargin).as("quality_bp"))
   }
 
   /** SQL fragment reproducing [[qualityScore]] for the DuckDB oracle. */
   def qualityScoreSql: String = {
     val stop = inList(Stopwords)
-    s"""SELECT doc_id,
-       |CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
-       |round(len(list_filter(string_split(text, ' '), t -> t <> '' AND t IN ($stop)))
-       |  / CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE), 4) AS stop_ratio,
-       |round((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
-       |  / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-       |round(least(len(list_filter(string_split(text, ' '), t -> t <> '')) / 50.0, 1.0) * 0.5
-       | + least(len(list_filter(string_split(text, ' '), t -> t <> '' AND t IN ($stop)))
-       |     / CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE) * 5.0, 1.0) * 0.3
-       | + (1.0 - least((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
-       |     / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2, 4) AS quality
-       |FROM documents""".stripMargin
+    s"""WITH c AS (SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '' AND t IN ($stop))) AS BIGINT) AS ns,
+       |  CAST(length(text) AS BIGINT) AS l,
+       |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS np
+       |  FROM documents)
+       |SELECT doc_id, n_tokens,
+       |  ns * 10000 // n_tokens AS stop_bp,
+       |  np * 10000 // l AS punct_bp,
+       |  (least(n_tokens, 50) * 200 * 5
+       |   + (least(ns * 5, n_tokens) * 10000 // n_tokens) * 3
+       |   + (10000 - (least(np * 10, l) * 10000 // l)) * 2) // 10 AS quality_bp
+       |FROM c""".stripMargin
   }
 
   /** Character-trigram profiles for a few languages (tiny, embedded —
@@ -69,10 +77,12 @@ object TextAnalysis {
     * heuristic by nature.
     */
   private val profiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", " th", "he ", "ing", " of", "of ", "ed ", " to", "er "),
-    "es" -> Seq(" de", "de ", "la ", " la", "os ", " el", "el ", "ión", "ci", "ent"),
-    "de" -> Seq("en ", "er ", "ch ", " de", "der", "ie ", " di", "die", "sch", "ein"),
-    "fr" -> Seq(" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", "que"),
+    // distinctive grams only — es/fr/de share too much of the generic
+    // "de/la/en" mass for overlapping profiles to separate them
+    "en" -> Seq("the ", " the", "ing ", " of ", " and", " to ", " is ", "ed "),
+    "es" -> Seq(" de ", "ción", " los", " las", " una", " que ", "ado ", "ñ"),
+    "de" -> Seq(" der", " die", " und", "sch", "ung ", "ein", "ich", "cht"),
+    "fr" -> Seq(" le ", " les", " des", " est", "eau", "aux", " une", "oir"),
     "zh" -> Seq("的", "一", "是", "了", "我", "不", "在", "人", "有", "他"))
 
   private val langidF: String => String = { text =>

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequence-file readers for the assembly-side inputs (FASTA/FASTQ) —
+  * the ingest formats of the reference's domain — built on Spark's
+  * distributed text reader, not driver-side parsing.
+  */
+object SequenceSources {
+
+  /** FASTA: records delimited by '>'. Setting the record separator to
+    * ">" makes each record one row regardless of how many lines the
+    * sequence wraps over, so the parse is embarrassingly parallel (no
+    * global line-order window).
+    * Output: (seq_id, description, sequence, length).
+    */
+  def readFasta(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("lineSep", ">").text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        regexp_extract(col("value"), "^(\\S+)", 1).as("seq_id"),
+        trim(regexp_extract(col("value"), "^\\S+[ \\t]*([^\\n]*)", 1)).as("description"),
+        regexp_replace(regexp_replace(col("value"), "^[^\\n]*\\n", ""), "\\s", "")
+          .as("sequence"))
+      .withColumn("length", length(col("sequence")).cast("long"))
+
+  /** FASTQ: rigid 4-line records (@id / seq / + / qual). Needs global
+    * line indices, so this uses zipWithIndex — the one genuinely
+    * order-dependent ingest; at scale, prefer pre-split FASTQ or
+    * FASTA. Output: (seq_id, sequence, quality, length).
+    */
+  def readFastq(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.text(path).select("value").as[String].rdd
+      .zipWithIndex()
+      .map { case (l, i) => (i / 4, i % 4, l) }
+    val grouped = lines
+      .map { case (rec, pos, l) => (rec, Seq(pos -> l)) }
+      .reduceByKey(_ ++ _)
+      .map { case (rec, parts) =>
+        val m = parts.toMap
+        (rec, m.getOrElse(0L, "").stripPrefix("@"),
+          m.getOrElse(1L, ""), m.getOrElse(3L, ""))
+      }
+    grouped.toDF("record", "seq_id", "sequence", "quality")
+      .select(col("seq_id"), col("sequence"), col("quality"),
+        length(col("sequence")).cast("long").as("length"))
+  }
+
+  /** Canonical DNA utilities as columns (codegen'd built-ins). */
+  def reverseComplement(seq: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(reverse(upper(seq)), "ACGT", "TGCA")
+
+  def gcContent(seq: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val up = upper(seq)
+    (length(up) - length(translate(up, "GC", ""))).cast("double") / length(up)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines mirroring the batch operators:
+  * event-time windowed aggregation with watermark, stateful gap
+  * sessionization, and within-watermark dedup. All are
+  * `readStream`-agnostic transforms — tests drive them with
+  * `MemoryStream`, production with kafka/file sources.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window aggregate with a lateness watermark.
+    * State is bounded by the watermark: closed windows are emitted and
+    * dropped, so this runs indefinitely at constant memory per key.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("wstart"), col(keyCol),
+        col("cnt"), col("sum_value"))
+
+  case class Ev(user_id: Long, t: Long, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, start: Long, end: Long, n_events: Long,
+                     sum_value: Double)
+
+  /** Gap-based sessionization over a stream keyed by user: a session
+    * closes when an event arrives more than `gapSeconds` after the
+    * previous one (processing-order within the group; pair with
+    * watermarked sorting upstream for strict event-time order).
+    * Emits closed sessions (Append mode); per-key state is one
+    * [[SessionState]] — constant memory per active user.
+    */
+  def sessionize(events: Dataset[Ev], gapSeconds: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var st = state.getOption.orNull
+          evs.toSeq.sortBy(e => (e.t)).foreach { e =>
+            if (st == null) st = SessionState(e.t, e.t, 1, e.value)
+            else if (e.t - st.last > gapSeconds) {
+              out += Session(uid, st.start, st.last, st.n, st.sum)
+              st = SessionState(e.t, e.t, 1, e.value)
+            } else st = SessionState(st.start, e.t, st.n + 1, st.sum + e.value)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming exact dedup on `idCols` within the watermark horizon —
+    * duplicate suppression state ages out with the watermark. */
+  def dedup(events: DataFrame, tsCol: String, watermark: String,
+            idCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(idCols :+ tsCol)
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.sources.SequenceSources
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed counts with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "key", "value")
+    val agg = StreamingOps.windowedCounts(df, "ts", "key", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    in.addData((t(1), "a", 1.0), (t(2), "a", 2.0), (t(11), "a", 4.0), (t(3), "b", 8.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc")
+      .select("key", "cnt", "sum_value").as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(("a", 2L, 3.0), ("a", 1L, 4.0), ("b", 1L, 8.0)))
+  }
+
+  test("stateful sessionization emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.Ev]
+    val sess = StreamingOps.sessionize(in.toDS(), gapSeconds = 100)
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    in.addData(StreamingOps.Ev(1L, 10L, 1.0), StreamingOps.Ev(1L, 50L, 2.0))
+    q.processAllAvailable()
+    in.addData(StreamingOps.Ev(1L, 500L, 4.0)) // gap > 100 closes first session
+    q.processAllAvailable()
+    val rows = spark.table("sess")
+      .select("user_id", "start", "end", "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, 10L, 50L, 2L, 3.0)))
+  }
+
+  test("streaming dedup suppresses duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "id")
+    val q = StreamingOps.dedup(df, "ts", "10 minutes", Seq("id"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    in.addData((ts, 1L), (ts, 1L), (ts, 2L))
+    q.processAllAvailable()
+    val n = spark.table("dd").count()
+    q.stop()
+    assert(n == 2)
+  }
+}
+
+class SequenceSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fasta reader handles wrapped sequences and descriptions") {
+    val fa = Files.createTempFile("graft", ".fa")
+    Files.writeString(fa,
+      """>seq1 first sequence
+        |ACGT
+        |ACGT
+        |>seq2
+        |GGGGCCCC
+        |""".stripMargin)
+    val df = SequenceSources.readFasta(spark, fa.toString)
+    val rows = df.select("seq_id", "description", "sequence", "length")
+      .as[(String, String, String, Long)].collect().sortBy(_._1)
+    assert(rows(0) == (("seq1", "first sequence", "ACGTACGT", 8L)))
+    assert(rows(1) == (("seq2", "", "GGGGCCCC", 8L)))
+  }
+
+  test("fastq reader groups 4-line records") {
+    val fq = Files.createTempFile("graft", ".fq")
+    Files.writeString(fq,
+      """@r1
+        |ACGTACGT
+        |+
+        |FFFFFFFF
+        |@r2
+        |TTTT
+        |+
+        |!!!!
+        |""".stripMargin)
+    val rows = SequenceSources.readFastq(spark, fq.toString)
+      .select("seq_id", "sequence", "quality", "length")
+      .as[(String, String, String, Long)].collect().sortBy(_._1)
+    assert(rows(0) == (("r1", "ACGTACGT", "FFFFFFFF", 8L)))
+    assert(rows(1) == (("r2", "TTTT", "!!!!", 4L)))
+  }
+
+  test("reverse complement and gc content columns") {
+    val df = Seq("ACGT", "GGCC").toDF("seq")
+      .select(SequenceSources.reverseComplement(col("seq")).as("rc"),
+        SequenceSources.gcContent(col("seq")).as("gc"))
+      .as[(String, Double)].collect()
+    assert(df(0) == (("ACGT", 0.5)))
+    assert(df(1) == (("GGCC", 1.0)))
+  }
+
+  test("csv and json round-trip through graft writers") {
+    val dir = Files.createTempDirectory("graft-io").toString
+    val df = Tables.nation(spark, sfDir)
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    df.write.mode("overwrite").json(s"$dir/json")
+    val c = spark.read.option("header", "true").option("inferSchema", "true").csv(s"$dir/csv")
+    val j = spark.read.json(s"$dir/json")
+    assert(c.count() == df.count() && j.count() == df.count())
+    assert(j.select("n_name").as[String].collect().toSet ==
+      df.select("n_name").as[String].collect().toSet)
+  }
+}
