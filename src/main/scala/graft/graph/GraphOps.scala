@@ -38,10 +38,11 @@ object GraphOps {
     * anti-join to subtract — two shuffles total, no iteration.
     */
   def transitiveReduction(edges: DataFrame): DataFrame = {
-    val e2 = edges.select(col("src").as("mid"), col("dst"))
-    val paths = edges.select(col("src"), col("dst").as("mid"))
+    val e = edges.select("src", "dst").localCheckpoint() // scanned 3×
+    val e2 = e.select(col("src").as("mid"), col("dst"))
+    val paths = e.select(col("src"), col("dst").as("mid"))
       .join(e2, Seq("mid")).select("src", "dst")
-    edges.join(paths, Seq("src", "dst"), "left_anti")
+    e.join(paths, Seq("src", "dst"), "left_anti")
   }
 
   /** One round of dead-end (tip) pruning: drop every edge whose dst
@@ -55,11 +56,12 @@ object GraphOps {
     * error/heterozygosity pattern string-graph assemblers collapse.
     */
   def bubbles(edges: DataFrame): DataFrame = {
-    val interior = degrees(edges)
+    val e = edges.select("src", "dst").localCheckpoint() // scanned 4×
+    val interior = degrees(e)
       .filter(col("indeg") === 1 && col("outdeg") === 1).select("node")
-    val arm = edges.select(col("src").as("u"), col("dst").as("m"))
+    val arm = e.select(col("src").as("u"), col("dst").as("m"))
       .join(interior.withColumnRenamed("node", "m"), Seq("m"))
-      .join(edges.select(col("src").as("m"), col("dst").as("w")), Seq("m"))
+      .join(e.select(col("src").as("m"), col("dst").as("w")), Seq("m"))
     arm.select(col("u"), col("m").as("a"), col("w"))
       .join(arm.select(col("u"), col("m").as("b"), col("w")), Seq("u", "w"))
       .filter(col("a") < col("b"))
@@ -73,11 +75,15 @@ object GraphOps {
     */
   def unitigs(edges: DataFrame): DataFrame = {
     // Restrict to chain edges: src has outdeg 1 and dst has indeg 1.
+    // Materialize once — the loop below would otherwise re-derive the
+    // whole upstream plan (window/joins) on every self-join and
+    // convergence check, turning O(log n) rounds into O(rounds × plan).
     val deg = degrees(edges)
     val chain = edges
       .join(deg.filter(col("outdeg") === 1).select(col("node").as("src")), Seq("src"), "left_semi")
       .join(deg.filter(col("indeg") === 1).select(col("node").as("dst")), Seq("dst"), "left_semi")
       .select("src", "dst")
+      .localCheckpoint()
     val parent = chain.select(col("dst").as("node"), col("src").as("lbl"))
     val heads = vertices(chain).join(parent.select("node"), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("lbl"))
@@ -101,8 +107,12 @@ object GraphOps {
     * hash-to-min scheme — converging in O(log diameter) rounds.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // Materialized once: every iteration (and its convergence check)
+    // joins against sym — recomputing the upstream derivation per
+    // round dominated runtime before this checkpoint.
     val sym = edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint()
     var labels = vertices(sym).select(col("node"), col("node").as("lbl")).localCheckpoint()
     var converged = false
     while (!converged) {
@@ -131,6 +141,7 @@ object GraphOps {
     val canon = edges.select(least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // scanned 3× by the wedge + closing joins
     val wedge = canon.join(canon.select(col("a").as("b"), col("b").as("c")), Seq("b"))
       .filter(col("a") < col("b") && col("b") < col("c"))
     wedge.join(canon.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
@@ -142,12 +153,16 @@ object GraphOps {
     * set). Each iteration: one join + one aggregate shuffle.
     */
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val verts = vertices(edges).localCheckpoint()
+    // Materialize the static inputs once; each iteration joins against
+    // them and must not re-derive the upstream edge plan.
+    val e = edges.select("src", "dst").localCheckpoint()
+    val verts = vertices(e).localCheckpoint()
     val n = verts.count().toDouble
-    val outdeg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     var ranks = verts.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val contribs = edges.join(ranks, col("src") === col("node"))
+      val contribs = e.join(ranks, col("src") === col("node"))
         .join(outdeg.withColumnRenamed("node", "src2"), col("src") === col("src2"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum("c").as("insum"))

@@ -7,10 +7,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: every variant avoids the O(n²) cross join — exact
   * dedup is one hash shuffle on the content digest; MinHash/SimHash
-  * generate candidates by banding (shuffle is O(docs×bands) fixed-width
-  * rows) and only verify within buckets; the n-gram Jaccard join uses
-  * prefix filtering (PPJoin-style) so only documents sharing a rare
-  * prefix token are compared.
+  * generate candidates by banding and only verify within buckets; the
+  * token-set Jaccard join uses PPJoin-style prefix filtering.
+  *
+  * All set-based variants additionally run a *signature-dedup* stage
+  * first: documents with identical distinct-token sets collapse to one
+  * representative (one hash shuffle), pair generation runs over the
+  * distinct sets only, and member pairs are expanded afterward. With
+  * real corpora (and especially near-duplicate-heavy ones — the whole
+  * point of dedup) this removes the quadratic verify work for exact
+  * clones while producing byte-identical output to the naive
+  * formulation.
   */
 object Dedup {
 
@@ -31,105 +38,160 @@ object Dedup {
       .filter(col("tok") =!= "")
       .distinct()
 
-  /** Near-duplicate pairs by token-set Jaccard >= `threshold`, using
-    * prefix filtering: tokens are globally ordered rarest-first and
-    * only the first `|A| - ceil(t*|A|) + 1` tokens of each document
-    * generate join candidates — an exact optimization (no false
-    * negatives) that keeps the token join off the high-frequency
-    * tokens that would otherwise quadratically blow up.
+  /** Signature-dedup stage: collapse identical distinct-token sets.
+    *  - members: (setId, id) — every doc mapped to its set
+    *  - repTok:  (setId, tok) — the set's tokens (via min-id rep)
+    *  - repSize: (setId, sz)
+    */
+  private def tokenSetGroups(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val tok = tokens(df, idCol, textCol)
+    val byDoc = tok.groupBy("id")
+      .agg(xxhash64(to_json(sort_array(collect_list(col("tok"))))).as("setId"),
+        count(lit(1)).as("sz"))
+      .localCheckpoint()
+    val members = byDoc.select("setId", "id")
+    val repIds = byDoc.groupBy("setId").agg(min("id").as("id"), min("sz").as("sz"))
+    val repTok = tok.join(repIds.select("setId", "id"), Seq("id"))
+      .select("setId", "tok").localCheckpoint()
+    (members, repTok, repIds.select("setId", "sz"))
+  }
+
+  /** Doc pairs within one set (a<b), tagged with a constant payload. */
+  private def withinSetPairs(members: DataFrame, payload: (String, org.apache.spark.sql.Column)): DataFrame =
+    members.as("x").join(members.as("y"),
+        col("x.setId") === col("y.setId") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), payload._2.as(payload._1))
+
+  /** Expand set-level pairs (sa, sb, payload) to doc-level (a<b). */
+  private def expandCrossPairs(repPairs: DataFrame, members: DataFrame,
+                               payloadCol: String): DataFrame =
+    repPairs
+      .join(members.select(col("setId").as("sa"), col("id").as("ia")), Seq("sa"))
+      .join(members.select(col("setId").as("sb"), col("id").as("ib")), Seq("sb"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col(payloadCol))
+
+  /** True-Jaccard verification over candidate set pairs; returns
+    * (sa, sb, jaccard) with the threshold applied (unrounded). */
+  private def verifySetJaccard(cand: DataFrame, repTok: DataFrame,
+                               repSize: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(repTok.select(col("setId").as("sa"), col("tok")), Seq("sa"))
+      .join(repTok.select(col("setId").as("sb"), col("tok")), Seq("sb", "tok"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n"))
+      .join(repSize.select(col("setId").as("sa"), col("sz").as("sza")), Seq("sa"))
+      .join(repSize.select(col("setId").as("sb"), col("sz").as("szb")), Seq("sb"))
+      .withColumn("jaccard", col("n").cast("double") / (col("sza") + col("szb") - col("n")))
+      .filter(col("jaccard") >= threshold)
+
+  /** Near-duplicate pairs by token-set Jaccard >= `threshold`:
+    * signature dedup, then PPJoin prefix filtering over the distinct
+    * sets (tokens ordered rarest-first; only the first
+    * `|A| - ceil(t*|A|) + 1` tokens generate candidates — exact, no
+    * false negatives), then verification and member expansion.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double): DataFrame = {
-    val tok = tokens(df, idCol, textCol).cache()
-    val size = tok.groupBy("id").agg(count(lit(1)).as("sz"))
+    val (members, repTok, repSize) = tokenSetGroups(df, idCol, textCol)
 
-    val freq = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
-    val ranked = tok.join(freq, "tok")
+    val freq = repTok.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = repTok.join(freq, "tok")
       .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")
+        org.apache.spark.sql.expressions.Window.partitionBy("setId")
           .orderBy(asc("freq"), asc("tok"))))
-    val prefix = ranked.join(size, "id")
+    val prefix = ranked.join(repSize, "setId")
       .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("id", "tok")
+      .select("setId", "tok")
 
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+        col("a.tok") === col("b.tok") && col("a.setId") < col("b.setId"))
+      .select(col("a.setId").as("sa"), col("b.setId").as("sb")).distinct()
 
-    val inter = cand
-      .join(tok.select(col("id").as("i"), col("tok")), Seq("i"))
-      .join(tok.select(col("id").as("j"), col("tok")), Seq("j", "tok"))
-      .groupBy("i", "j").agg(count(lit(1)).as("n"))
-
-    inter
-      .join(size.select(col("id").as("i"), col("sz").as("szi")), Seq("i"))
-      .join(size.select(col("id").as("j"), col("sz").as("szj")), Seq("j"))
-      .withColumn("jaccard", col("n").cast("double") / (col("szi") + col("szj") - col("n")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("i").as("a"), col("j").as("b"), round(col("jaccard"), 4).as("jaccard"))
+    val cross = expandCrossPairs(
+      verifySetJaccard(cand, repTok, repSize, threshold), members, "jaccard")
+    val within = withinSetPairs(members, "jaccard" -> lit(1.0))
+    cross.union(within)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** MinHash + banded LSH near-duplicate pairs, verified by true
     * Jaccard >= `threshold`. `numHashes` hash slots in `bands` bands;
     * a pair is a candidate when any band signature collides.
+    * Identical token sets share every band trivially, so they are
+    * collapsed first and expanded at the end (same output, none of
+    * the clone-vs-clone verify work).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val tok = tokens(df, idCol, textCol).cache()
+    val (members, repTok, repSize) = tokenSetGroups(df, idCol, textCol)
 
     // minhash slot i = min over tokens of xxhash64(tok, i)
-    val mh = tok
-      .select(col("id"), explode(expr(
+    val mh = repTok
+      .select(col("setId"), explode(expr(
         s"transform(sequence(0, ${numHashes - 1}), i -> struct(i AS i, xxhash64(tok, i) AS h))")).as("s"))
-      .select(col("id"), col("s.i").as("i"), col("s.h").as("h"))
-      .groupBy("id", "i").agg(min("h").as("mh"))
+      .select(col("setId"), col("s.i").as("i"), col("s.h").as("h"))
+      .groupBy("setId", "i").agg(min("h").as("mh"))
 
     // band signature = hash of the band's minhashes in slot order
     val sig = mh.withColumn("band", expr(s"i div $rows"))
-      .groupBy("id", "band")
+      .groupBy("setId", "band")
       .agg(xxhash64(to_json(sort_array(collect_list(struct(col("i"), col("mh")))))).as("sig"))
+      .localCheckpoint()
 
     val cand = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+          col("a.setId") < col("b.setId"))
+      .select(col("a.setId").as("sa"), col("b.setId").as("sb")).distinct()
 
-    verifyJaccard(cand, tok, threshold)
+    val cross = expandCrossPairs(
+      verifySetJaccard(cand, repTok, repSize, threshold), members, "jaccard")
+    val within = withinSetPairs(members, "jaccard" -> lit(1.0))
+    cross.union(within)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** 64-bit SimHash near-duplicate pairs: candidates share at least one
     * of 4 16-bit bands (exact for hamming distance <= 3), verified by
-    * `bit_count(xor) <= maxHamming`.
+    * `bit_count(xor) <= maxHamming`. Signature dedup as above —
+    * identical sets have identical simhash (hamming 0).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val tok = tokens(df, idCol, textCol)
-    val bitSums = tok
-      .select(col("id"), explode(expr(
+    val (members, repTok, _) = tokenSetGroups(df, idCol, textCol)
+    val bitSums = repTok
+      .select(col("setId"), explode(expr(
         "transform(sequence(0, 63), b -> struct(b AS b, CASE WHEN (shiftright(xxhash64(tok), b) & 1) = 1 THEN 1 ELSE -1 END AS v))")).as("s"))
-      .select(col("id"), col("s.b").as("b"), col("s.v").as("v"))
-      .groupBy("id", "b").agg(sum("v").as("sv"))
+      .select(col("setId"), col("s.b").as("b"), col("s.v").as("v"))
+      .groupBy("setId", "b").agg(sum("v").as("sv"))
     val sim = bitSums
-      .groupBy("id")
+      .groupBy("setId")
       .agg(expr("sum(CASE WHEN sv >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+      .localCheckpoint()
 
     val banded = sim.withColumn("band", explode(expr(
       "transform(sequence(0, 3), k -> struct(k AS k, (shiftright(simhash, k*16) & 65535) AS bh))")))
-      .select(col("id"), col("simhash"), col("band.k").as("k"), col("band.bh").as("bh"))
+      .select(col("setId"), col("simhash"), col("band.k").as("k"), col("band.bh").as("bh"))
 
-    banded.as("a").join(banded.as("b"),
-        col("a.k") === col("b.k") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
+    // hamming filter BEFORE distinct: prune candidate volume ahead of
+    // the dedup shuffle (a pair can collide in <= 4 bands)
+    val repPairs = banded.as("a").join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.bh") === col("b.bh") &&
+          col("a.setId") < col("b.setId"))
+      .select(col("a.setId").as("sa"), col("b.setId").as("sb"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+
+    expandCrossPairs(repPairs, members, "hamming")
+      .union(withinSetPairs(members, "hamming" -> lit(0L)))
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine >= `threshold`).
-    * Exact all-pairs formulation for oracle parity; the bucketed scale
-    * path is [[Similarity.lshCandidates]].
+    * Exact all-pairs formulation with codegen'd vector math for
+    * oracle parity; the bucketed scale path is [[Similarity.knnLsh]].
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double): DataFrame = {
@@ -142,20 +204,5 @@ object Dedup {
       .withColumn("cosine", vec_cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
-  }
-
-  /** Shared verification: true Jaccard over candidate pairs. */
-  private def verifyJaccard(cand: DataFrame, tok: DataFrame,
-                            threshold: Double): DataFrame = {
-    val size = tok.groupBy("id").agg(count(lit(1)).as("sz"))
-    cand
-      .join(tok.select(col("id").as("i"), col("tok")), Seq("i"))
-      .join(tok.select(col("id").as("j"), col("tok")), Seq("j", "tok"))
-      .groupBy("i", "j").agg(count(lit(1)).as("n"))
-      .join(size.select(col("id").as("i"), col("sz").as("szi")), Seq("i"))
-      .join(size.select(col("id").as("j"), col("sz").as("szj")), Seq("j"))
-      .withColumn("jaccard", col("n").cast("double") / (col("szi") + col("szj") - col("n")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("i").as("a"), col("j").as("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 }
