@@ -115,7 +115,11 @@ object GraphOps {
       .localCheckpoint()
     var labels = vertices(sym).select(col("node"), col("node").as("lbl")).localCheckpoint()
     var converged = false
-    while (!converged) {
+    var iter = 0
+    // extra rounds past the fixpoint are idempotent, so the (job-
+    // launching) convergence check only runs every other round
+    while (!converged && iter < 64) {
+      iter += 1
       val nbrMin = sym.join(labels, col("src") === col("node"))
         .groupBy(col("dst").as("node")).agg(min("lbl").as("nlbl"))
       val merged = labels.join(nbrMin, Seq("node"), "left")
@@ -125,10 +129,12 @@ object GraphOps {
         .select(col("a.node").as("node"),
           least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"))
         .localCheckpoint()
-      val changed = jumped.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+      if (iter % 2 == 0 || iter >= 62) {
+        val changed = jumped.as("n").join(labels.as("o"), Seq("node"))
+          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+        converged = changed == 0
+      }
       labels = jumped
-      converged = changed == 0
     }
     labels.select(col("node"), col("lbl").as("component"))
   }

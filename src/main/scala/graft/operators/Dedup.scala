@@ -72,18 +72,53 @@ object Dedup {
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col(payloadCol))
 
+  /** Dictionary-encode each distinct token set as a 64-bit mask when
+    * the vocabulary fits (V <= 64): intersection becomes
+    * `bit_count(a & b)` — one codegen'd instruction instead of a
+    * token-level join. Returns None when the vocabulary is too large.
+    * The small-vocab case is exactly the one where token joins
+    * degenerate (every pair shares tokens), so the two paths cover
+    * each other's worst case.
+    */
+  private def setMasks(repTok: DataFrame, repSize: DataFrame): Option[DataFrame] = {
+    val vocab = repTok.select("tok").distinct()
+    if (vocab.count() > 64) None
+    else {
+      val dict = vocab.withColumn("tokid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
+      Some(repTok.join(broadcast(dict), Seq("tok"))
+        .groupBy("setId")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tokid)")).as("mask"))
+        .join(repSize, Seq("setId"))
+        .localCheckpoint())
+    }
+  }
+
   /** True-Jaccard verification over candidate set pairs; returns
-    * (sa, sb, jaccard) with the threshold applied (unrounded). */
+    * (sa, sb, jaccard) with the threshold applied (unrounded).
+    * Uses the bitmask path when available, else the token join. */
   private def verifySetJaccard(cand: DataFrame, repTok: DataFrame,
                                repSize: DataFrame, threshold: Double): DataFrame =
-    cand
-      .join(repTok.select(col("setId").as("sa"), col("tok")), Seq("sa"))
-      .join(repTok.select(col("setId").as("sb"), col("tok")), Seq("sb", "tok"))
-      .groupBy("sa", "sb").agg(count(lit(1)).as("n"))
-      .join(repSize.select(col("setId").as("sa"), col("sz").as("sza")), Seq("sa"))
-      .join(repSize.select(col("setId").as("sb"), col("sz").as("szb")), Seq("sb"))
-      .withColumn("jaccard", col("n").cast("double") / (col("sza") + col("szb") - col("n")))
-      .filter(col("jaccard") >= threshold)
+    setMasks(repTok, repSize) match {
+      case Some(masks) =>
+        cand
+          .join(masks.select(col("setId").as("sa"), col("mask").as("ma"),
+            col("sz").as("sza")), Seq("sa"))
+          .join(masks.select(col("setId").as("sb"), col("mask").as("mb"),
+            col("sz").as("szb")), Seq("sb"))
+          .withColumn("n", expr("CAST(bit_count(ma & mb) AS BIGINT)"))
+          .withColumn("jaccard", col("n").cast("double") / (col("sza") + col("szb") - col("n")))
+          .filter(col("jaccard") >= threshold)
+      case None =>
+        cand
+          .join(repTok.select(col("setId").as("sa"), col("tok")), Seq("sa"))
+          .join(repTok.select(col("setId").as("sb"), col("tok")), Seq("sb", "tok"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("n"))
+          .join(repSize.select(col("setId").as("sa"), col("sz").as("sza")), Seq("sa"))
+          .join(repSize.select(col("setId").as("sb"), col("sz").as("szb")), Seq("sb"))
+          .withColumn("jaccard", col("n").cast("double") / (col("sza") + col("szb") - col("n")))
+          .filter(col("jaccard") >= threshold)
+    }
 
   /** Near-duplicate pairs by token-set Jaccard >= `threshold`:
     * signature dedup, then PPJoin prefix filtering over the distinct
@@ -95,21 +130,34 @@ object Dedup {
                         threshold: Double): DataFrame = {
     val (members, repTok, repSize) = tokenSetGroups(df, idCol, textCol)
 
-    val freq = repTok.groupBy("tok").agg(count(lit(1)).as("freq"))
-    val ranked = repTok.join(freq, "tok")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("setId")
-          .orderBy(asc("freq"), asc("tok"))))
-    val prefix = ranked.join(repSize, "setId")
-      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("setId", "tok")
+    val repPairs = setMasks(repTok, repSize) match {
+      case Some(masks) =>
+        // tiny vocabulary: prefix filtering can't prune (every pair
+        // shares tokens), but popcount over dictionary bitmasks makes
+        // the all-distinct-sets comparison one codegen'd instruction
+        // per pair
+        masks.as("a").join(masks.as("b"), col("a.setId") < col("b.setId"))
+          .select(col("a.setId").as("sa"), col("b.setId").as("sb"),
+            expr("CAST(bit_count(a.mask & b.mask) AS BIGINT)").as("n"),
+            col("a.sz").as("sza"), col("b.sz").as("szb"))
+          .withColumn("jaccard", col("n").cast("double") / (col("sza") + col("szb") - col("n")))
+          .filter(col("jaccard") >= threshold)
+      case None =>
+        val freq = repTok.groupBy("tok").agg(count(lit(1)).as("freq"))
+        val ranked = repTok.join(freq, "tok")
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("setId")
+              .orderBy(asc("freq"), asc("tok"))))
+        val prefix = ranked.join(repSize, "setId")
+          .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+          .select("setId", "tok")
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.tok") === col("b.tok") && col("a.setId") < col("b.setId"))
+          .select(col("a.setId").as("sa"), col("b.setId").as("sb")).distinct()
+        verifySetJaccard(cand, repTok, repSize, threshold)
+    }
 
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.setId") < col("b.setId"))
-      .select(col("a.setId").as("sa"), col("b.setId").as("sb")).distinct()
-
-    val cross = expandCrossPairs(
-      verifySetJaccard(cand, repTok, repSize, threshold), members, "jaccard")
+    val cross = expandCrossPairs(repPairs, members, "jaccard")
     val within = withinSetPairs(members, "jaccard" -> lit(1.0))
     cross.union(within)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))

@@ -127,6 +127,48 @@ object PipelineQueries {
         .orderBy("doc_id", "fp"),
       None),
 
+    Q("t5_bigrams",
+      (s, d) => Tables.documents(s, d)
+        .select(expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(toks)-1, 0)), i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 10)
+        .orderBy("bigram"),
+      Some("""SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |  SELECT s[CAST(i AS INT)] || ' ' || s[CAST(i AS INT)+1] AS bigram FROM (
+             |    SELECT s, unnest(generate_series(1, greatest(len(s)-1, 0))) AS i FROM (
+             |      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS s
+             |      FROM documents)))
+             |GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1""".stripMargin)),
+
+    Q("smp1_hash_sample",
+      // deterministic multiplicative-hash Bernoulli sample (~7%):
+      // reproducible across engines/runs, no RNG state, pushes to scan
+      (s, d) => Tables.lineitem(s, d)
+        .filter(expr("(l_orderkey * 2654435761 + l_linenumber) % 100 < 7"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct("l_orderkey").as("n_orders"),
+          round(sum("l_quantity"), 2).as("sum_qty")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS cnt,
+             |CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             |round(sum(l_quantity),2) AS sum_qty FROM lineitem
+             |WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 7""".stripMargin)),
+
+    Q("smp2_stratified_sample",
+      // per-stratum deterministic rates: downsample the dominant
+      // language, keep the rest — the corpus-rebalancing primitive
+      (s, d) => Tables.documents(s, d)
+        .filter(expr(
+          "(doc_id * 2654435761) % 97 < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)"))
+        .groupBy("lang").agg(count(lit(1)).as("cnt"), min("doc_id").as("first_id"))
+        .orderBy("lang"),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+             |CAST(min(doc_id) AS BIGINT) AS first_id FROM documents
+             |WHERE (doc_id * 2654435761) % 97 < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("m1_binary_meta",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))

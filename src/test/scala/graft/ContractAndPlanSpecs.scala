@@ -16,8 +16,8 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query inventory matches SURVEY §2 counts") {
-    assert(SparkEntry.queries.size == 50)
-    assert(SparkEntry.oracleSql.size == 43)
+    assert(SparkEntry.queries.size == 53)
+    assert(SparkEntry.oracleSql.size == 46)
   }
 }
 
