@@ -1,22 +1,101 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Ckpt
 
-/** Overlap-graph reduction operators — the SORA core (BioHPC/SORA;
-  * the reference mount is empty, so semantics follow the published
-  * string-graph reduction literature: Myers' transitive reduction,
-  * tip/dead-end pruning, bubble detection, unitig/chain compression),
+/** Overlap-graph construction and reduction operators — the SORA core
+  * (BioHPC/SORA; the reference mount is empty, so semantics follow the
+  * published string-graph literature: overlap join, Myers' transitive
+  * reduction, tip clipping, bubble removal, unitig/chain compression),
   * re-expressed as declarative DataFrame plans instead of the
   * original GraphX/Pregel formulation.
   *
-  * All operators take an edge table with `src: long, dst: long`
-  * columns. Every step is an equi-join/aggregate on src or dst, so at
-  * cluster scale each round is one hash shuffle; iterative loops use
-  * `localCheckpoint` to truncate lineage and converge in O(log n)
-  * rounds (pointer jumping), not O(diameter).
+  * All reduction operators take an edge table with `src: long,
+  * dst: long` columns. Every step is an equi-join/aggregate on src or
+  * dst, so at cluster scale each round is one hash shuffle; iterative
+  * loops run through [[iterate]]/[[iterateToFixpoint]] — one shared
+  * primitive that cuts lineage per round ([[graft.Ckpt]]: reliable
+  * checkpoint when configured, localCheckpoint in local mode) and
+  * folds the convergence check into a cheap scan of the just-
+  * checkpointed frame (2 Spark jobs per round, never a separate
+  * re-derivation join).
   */
 object GraphOps {
+
+  // ---------------------------------------------------------------- iteration
+
+  /** Generic bounded iteration with fused convergence: `step` maps the
+    * current frame to the next one PLUS an integer `__changed` column
+    * (1 where the row differs from the previous round). Each round is
+    * exactly two jobs: materialize the checkpoint, then sum
+    * `__changed` over the in-memory/checkpointed blocks. Stops when no
+    * row changed or `maxRounds` is hit.
+    */
+  def iterate(init: DataFrame, maxRounds: Int)(step: DataFrame => DataFrame): DataFrame = {
+    var cur = Ckpt.cut(init)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val next = Ckpt.cut(step(cur))
+      val changed = next.agg(coalesce(sum(col("__changed")), lit(0L))).first().getLong(0)
+      cur = next.drop("__changed")
+      done = changed == 0
+    }
+    cur
+  }
+
+  /** Bounded iteration for monotonically shrinking frames (e.g.
+    * repeated pruning): converges when the row count stops moving.
+    * Same two-jobs-per-round structure as [[iterate]].
+    */
+  def iterateToFixpoint(init: DataFrame, maxRounds: Int)(step: DataFrame => DataFrame): DataFrame = {
+    var cur = Ckpt.cut(init)
+    var prev = -1L
+    var n = cur.count()
+    var round = 0
+    while (n != prev && round < maxRounds) {
+      round += 1
+      prev = n
+      cur = Ckpt.cut(step(cur))
+      n = cur.count()
+    }
+    cur
+  }
+
+  // ------------------------------------------------------------ construction
+
+  /** Overlap-graph construction from reads — the assembler's stage 1.
+    * Emits an edge (src, dst, overlap) when the `overlap`-length
+    * suffix of read `src` equals the same-length prefix of read `dst`,
+    * for overlap in [minOverlap, maxOverlap], keeping the maximum
+    * overlap per pair. The fixed-length suffix/prefix string is the
+    * k-mer anchor AND the verification in one: the join is a pure
+    * equi-join (one hash shuffle per overlap length, all lengths
+    * unioned before the shuffle), no post-verification pass, no false
+    * positives. Low-complexity anchors (poly-A etc.) can create hot
+    * keys at corpus scale — cap them with [[Dedup.capBuckets]]-style
+    * truncation or a complexity filter upstream if the read set is
+    * degenerate.
+    */
+  def overlapEdges(reads: DataFrame, idCol: String, seqCol: String,
+                   minOverlap: Int, maxOverlap: Int): DataFrame = {
+    val r = reads.select(col(idCol).as("id"), col(seqCol).as("seq"))
+    def anchored(subSql: String): DataFrame =
+      r.select(col("id"), col("seq"),
+          explode(expr(s"sequence($minOverlap, $maxOverlap)")).as("v"))
+        .filter(length(col("seq")) >= col("v"))
+        .select(col("id"), col("v"), expr(subSql).as("s"))
+    val sfx = anchored("substring(seq, -v, v)")
+    val pfx = anchored("substring(seq, 1, v)")
+    sfx.as("a").join(pfx.as("b"), col("a.v") === col("b.v") && col("a.s") === col("b.s")
+        && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("src"), col("b.id").as("dst"))
+      .agg(max(col("a.v")).as("overlap"))
+  }
+
+  // ---------------------------------------------------------------- topology
 
   /** Distinct vertices appearing in the edge table. */
   def vertices(edges: DataFrame): DataFrame =
@@ -38,7 +117,7 @@ object GraphOps {
     * anti-join to subtract — two shuffles total, no iteration.
     */
   def transitiveReduction(edges: DataFrame): DataFrame = {
-    val e = edges.select("src", "dst").localCheckpoint() // scanned 3×
+    val e = Ckpt.cut(edges.select("src", "dst")) // scanned 3×
     val e2 = e.select(col("src").as("mid"), col("dst"))
     val paths = e.select(col("src"), col("dst").as("mid"))
       .join(e2, Seq("mid")).select("src", "dst")
@@ -46,17 +125,28 @@ object GraphOps {
   }
 
   /** One round of dead-end (tip) pruning: drop every edge whose dst
-    * has no outgoing edge. Iterate for multi-round trimming.
+    * has no outgoing edge. See [[tipClip]] for the bounded fixpoint.
     */
   def tipRemoval(edges: DataFrame): DataFrame =
     edges.join(edges.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
+
+  /** Tip clipping to (bounded) fixpoint: repeat [[tipRemoval]] until
+    * the edge set stops shrinking or `maxDepth` rounds have run —
+    * i.e. clip dead-end paths up to `maxDepth` edges deep. The bound
+    * is semantic, not just a safety valve: on an acyclic graph the
+    * unbounded fixpoint deletes every edge (every path eventually dies),
+    * while assemblers only clip *short* dead ends; `maxDepth` is that
+    * threshold.
+    */
+  def tipClip(edges: DataFrame, maxDepth: Int): DataFrame =
+    iterateToFixpoint(edges.select("src", "dst"), maxDepth)(tipRemoval)
 
   /** Simple-bubble detection: (u, a, b, w) with edges u→a→w and
     * u→b→w, a<b, and a,b interior (indeg=outdeg=1) — the
     * error/heterozygosity pattern string-graph assemblers collapse.
     */
   def bubbles(edges: DataFrame): DataFrame = {
-    val e = edges.select("src", "dst").localCheckpoint() // scanned 4×
+    val e = Ckpt.cut(edges.select("src", "dst")) // scanned 4×
     val interior = degrees(e)
       .filter(col("indeg") === 1 && col("outdeg") === 1).select("node")
     val arm = e.select(col("src").as("u"), col("dst").as("m"))
@@ -68,73 +158,92 @@ object GraphOps {
       .select("u", "a", "b", "w")
   }
 
-  /** Chain (unitig) compression: label every vertex of every maximal
-    * in/out-degree-1 chain with its chain head. Pointer jumping —
-    * label(v) := label(label(v)) per round — gives O(log chain-length)
-    * rounds; each round is one self-join shuffle.
+  /** Bubble removal: for every detected bubble keep the smallest-id
+    * arm (deterministic survivor) and drop the other arms' edges
+    * (u→arm and arm→w). Detection + one anti-join.
     */
-  def unitigs(edges: DataFrame): DataFrame = {
+  def bubbleRemoval(edges: DataFrame): DataFrame = {
+    val e = Ckpt.cut(edges.select("src", "dst"))
+    val bub = bubbles(e) // (u, a, b, w): b is always a non-minimal arm
+    val rm = bub.select(col("u").as("src"), col("b").as("dst"))
+      .union(bub.select(col("b").as("src"), col("w").as("dst")))
+      .distinct()
+    e.join(rm, Seq("src", "dst"), "left_anti")
+  }
+
+  // ------------------------------------------------------------- compression
+
+  /** Chain labels: for every vertex of every maximal in/out-degree-1
+    * chain, its chain head and its distance (in edges) from that head.
+    * Pointer jumping — label(v) := label(label(v)), dist(v) := dist(v)
+    * + dist(label(v)) — O(log chain-length) rounds, one self-join
+    * shuffle each, convergence fused into the round's action.
+    */
+  def chainLabels(edges: DataFrame): DataFrame = {
     // Restrict to chain edges: src has outdeg 1 and dst has indeg 1.
-    // Materialize once — the loop below would otherwise re-derive the
-    // whole upstream plan (window/joins) on every self-join and
-    // convergence check, turning O(log n) rounds into O(rounds × plan).
     val deg = degrees(edges)
-    val chain = edges
+    val chain = Ckpt.cut(edges
       .join(deg.filter(col("outdeg") === 1).select(col("node").as("src")), Seq("src"), "left_semi")
       .join(deg.filter(col("indeg") === 1).select(col("node").as("dst")), Seq("dst"), "left_semi")
-      .select("src", "dst")
-      .localCheckpoint()
-    val parent = chain.select(col("dst").as("node"), col("src").as("lbl"))
+      .select("src", "dst"))
+    val parent = chain.select(col("dst").as("node"), col("src").as("lbl"), lit(1L).as("dist"))
     val heads = vertices(chain).join(parent.select("node"), Seq("node"), "left_anti")
-      .select(col("node"), col("node").as("lbl"))
-    var labels = heads.union(parent).localCheckpoint()
-    var converged = false
-    while (!converged) {
-      val jumped = labels.as("a")
+      .select(col("node"), col("node").as("lbl"), lit(0L).as("dist"))
+    iterate(heads.union(parent), maxRounds = 64) { labels =>
+      labels.as("a")
         .join(labels.as("b"), col("a.lbl") === col("b.node"), "left")
-        .select(col("a.node").as("node"), coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
-        .localCheckpoint()
-      val changed = jumped.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
-      labels = jumped
-      converged = changed == 0
+        .select(col("a.node").as("node"),
+          coalesce(col("b.lbl"), col("a.lbl")).as("lbl"),
+          (col("a.dist") + coalesce(col("b.dist"), lit(0L))).as("dist"),
+          (coalesce(col("b.lbl"), col("a.lbl")) =!= col("a.lbl")).cast("int").as("__changed"))
     }
-    labels.select(col("node"), col("lbl").as("head"))
   }
+
+  /** Chain (unitig) membership: every chain vertex labeled with its
+    * chain head. */
+  def unitigs(edges: DataFrame): DataFrame =
+    chainLabels(edges).select(col("node"), col("lbl").as("head"))
+
+  /** Unitig sequence emission — the assembler's deliverable: per chain
+    * head, the members' sequences concatenated in chain order. `seqs`
+    * maps node → sequence; `overlap` > 0 drops that many leading
+    * characters from every non-head member (overlap-aware merge for
+    * reads that overlap by a fixed length). One aggregate shuffle over
+    * the chain labels.
+    */
+  def unitigSequences(edges: DataFrame, seqs: DataFrame, overlap: Int = 0): DataFrame =
+    chainLabels(edges)
+      .join(seqs.select(col("node"), col("seq")), Seq("node"))
+      .withColumn("part",
+        when(col("dist") === 0 || lit(overlap) === 0, col("seq"))
+          .otherwise(expr(s"substring(seq, ${overlap + 1})")))
+      .groupBy(col("lbl").as("head"))
+      .agg(count(lit(1)).as("n_nodes"),
+        expr("array_join(transform(array_sort(collect_list(struct(dist, part))), s -> s.part), '')")
+          .as("sequence"))
+
+  // ---------------------------------------------------------------- analysis
 
   /** Connected components over the undirected view of the edge table.
     * Min-label propagation fused with pointer jumping — the
     * hash-to-min scheme — converging in O(log diameter) rounds.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    // Materialized once: every iteration (and its convergence check)
-    // joins against sym — recomputing the upstream derivation per
-    // round dominated runtime before this checkpoint.
-    val sym = edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-      .localCheckpoint()
-    var labels = vertices(sym).select(col("node"), col("node").as("lbl")).localCheckpoint()
-    var converged = false
-    var iter = 0
-    // extra rounds past the fixpoint are idempotent, so the (job-
-    // launching) convergence check only runs every other round
-    while (!converged && iter < 64) {
-      iter += 1
+    val sym = Ckpt.cut(edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val init = vertices(sym).select(col("node"), col("node").as("lbl"))
+    val labels = iterate(init, maxRounds = 64) { labels =>
       val nbrMin = sym.join(labels, col("src") === col("node"))
         .groupBy(col("dst").as("node")).agg(min("lbl").as("nlbl"))
       val merged = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val jumped = merged.as("a")
-        .join(labels.as("b"), col("a.lbl") === col("b.node"), "left")
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("mlbl"))
+      merged.as("a")
+        .join(labels.as("b"), col("a.mlbl") === col("b.node"), "left")
         .select(col("a.node").as("node"),
-          least(col("a.lbl"), coalesce(col("b.lbl"), col("a.lbl"))).as("lbl"))
-        .localCheckpoint()
-      if (iter % 2 == 0 || iter >= 62) {
-        val changed = jumped.as("n").join(labels.as("o"), Seq("node"))
-          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
-        converged = changed == 0
-      }
-      labels = jumped
+          least(col("a.mlbl"), coalesce(col("b.lbl"), col("a.mlbl"))).as("lbl"),
+          (least(col("a.mlbl"), coalesce(col("b.lbl"), col("a.mlbl"))) =!= col("a.old"))
+            .cast("int").as("__changed"))
     }
     labels.select(col("node"), col("lbl").as("component"))
   }
@@ -144,10 +253,9 @@ object GraphOps {
     * joins, the standard distributed formulation.
     */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val canon = edges.select(least(col("src"), col("dst")).as("a"),
+    val canon = Ckpt.cut(edges.select(least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint() // scanned 3× by the wedge + closing joins
+      .filter(col("a") =!= col("b")).distinct()) // scanned 3×
     val wedge = canon.join(canon.select(col("a").as("b"), col("b").as("c")), Seq("b"))
       .filter(col("a") < col("b") && col("b") < col("c"))
     wedge.join(canon.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
@@ -159,24 +267,49 @@ object GraphOps {
     * set). Each iteration: one join + one aggregate shuffle.
     */
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    // Materialize the static inputs once; each iteration joins against
-    // them and must not re-derive the upstream edge plan.
-    val e = edges.select("src", "dst").localCheckpoint()
-    val verts = vertices(e).localCheckpoint()
+    val e = Ckpt.cut(edges.select("src", "dst"))
+    val verts = Ckpt.cut(vertices(e))
     val n = verts.count().toDouble
-    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+    val outdeg = Ckpt.cut(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")))
     var ranks = verts.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, col("src") === col("node"))
         .join(outdeg.withColumnRenamed("node", "src2"), col("src") === col("src2"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum("c").as("insum"))
-      ranks = verts.join(contribs, Seq("node"), "left")
+      ranks = Ckpt.cut(verts.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("insum"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("insum"), lit(0.0))).as("rank")))
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** PageRank in exact integer micro-units (rank × 10¹²), using only
+    * integer division — bit-identical on every ANSI engine, so the
+    * result is oracle-verifiable (floating-point rank sums are
+    * order-dependent and never hash-stable across engines).
+    * rank₀ = R div n;
+    * rankᵢ₊₁(v) = (R·15 div 100) div n
+    *            + 85·Σ_{u→v}(rankᵢ(u) div outdeg(u)) div 100.
+    */
+  def pagerankExact(edges: DataFrame, iters: Int): DataFrame = {
+    val R = 1000000000000L
+    val e = Ckpt.cut(edges.select("src", "dst"))
+    val verts = Ckpt.cut(vertices(e))
+    val n = verts.count()
+    val outdeg = Ckpt.cut(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("od")))
+    val base = (R * 15L / 100L) / n // Scala Long division == SQL integer div (positive operands)
+    var ranks = verts.withColumn("rank_u", lit(R / n))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("rank_u div od").as("c"))
+        .groupBy("node").agg(sum("c").as("insum"))
+      ranks = Ckpt.cut(verts.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("coalesce(insum, CAST(0 AS BIGINT)) * 85 div 100")).as("rank_u")))
+    }
+    ranks.select("node", "rank_u")
   }
 }

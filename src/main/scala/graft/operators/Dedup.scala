@@ -1,14 +1,19 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Ckpt
 
 /** Document deduplication family for large-corpus pipelines.
   *
   * Scale posture: every variant avoids the O(n²) cross join — exact
-  * dedup is one hash shuffle on the content digest; MinHash/SimHash
-  * generate candidates by banding and only verify within buckets; the
-  * token-set Jaccard join uses PPJoin-style prefix filtering.
+  * dedup is one hash shuffle on a 64-bit content digest; MinHash /
+  * SimHash generate candidates by banding with *degenerate-bucket
+  * capping* (a bucket larger than `maxBucket` is deterministically
+  * truncated, so one hot bucket can never go quadratic through the
+  * shuffle); the token-set Jaccard join uses PPJoin-style prefix
+  * filtering.
   *
   * All set-based variants additionally run a *signature-dedup* stage
   * first: documents with identical distinct-token sets collapse to one
@@ -18,18 +23,38 @@ import org.apache.spark.sql.functions._
   * point of dedup) this removes the quadratic verify work for exact
   * clones while producing byte-identical output to the naive
   * formulation.
+  *
+  * Hashing convention: MinHash slots and SimHash bits are derived from
+  * `md5` hex digits rather than an engine-private hash, so a plain-SQL
+  * engine (the DuckDB oracle) can reproduce every signature bit —
+  * the LSH pipelines are verified end-to-end, not rows-only.
+  *
+  * Pair output is for oracle-scale parity; the 100-TB representation
+  * is [[exactClusters]]-style (keep_id, member_id) — a clone cluster
+  * of size c emits c rows, not O(c²) pairs.
   */
 object Dedup {
 
   /** Exact duplicate groups: one row per distinct content with the
-    * surviving (minimum) id and the duplicate count. Grouping key is
-    * the raw content; at 100 TB swap in `xxhash64(content)` as the
-    * shuffle key with a content equality check inside groups.
+    * surviving (minimum) id and the duplicate count. The shuffle key
+    * is `xxhash64(content)` — 8 bytes per row through the exchange
+    * instead of the full document body. (Map-side partial aggregation
+    * still folds same-partition clones before the shuffle.)
     */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.groupBy(col(contentCol))
+    df.groupBy(xxhash64(col(contentCol)).as("__digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
+
+  /** Cluster-table representation of exact dedup: one row per document
+    * with the id that survives its clone cluster (min id over equal
+    * content). O(n) output — the scale-correct form; a million-copy
+    * boilerplate page emits a million rows, not 5·10¹¹ pairs.
+    */
+  def exactClusters(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(col(idCol).as("member_id"), xxhash64(col(contentCol)).as("__digest"))
+      .withColumn("keep_id", min(col("member_id")).over(Window.partitionBy("__digest")))
+      .select("keep_id", "member_id")
 
   /** Distinct (id, token) pairs from whitespace tokenization. */
   private[operators] def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -46,14 +71,13 @@ object Dedup {
   private def tokenSetGroups(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val tok = tokens(df, idCol, textCol)
-    val byDoc = tok.groupBy("id")
+    val byDoc = Ckpt.cut(tok.groupBy("id")
       .agg(xxhash64(to_json(sort_array(collect_list(col("tok"))))).as("setId"),
-        count(lit(1)).as("sz"))
-      .localCheckpoint()
+        count(lit(1)).as("sz")))
     val members = byDoc.select("setId", "id")
     val repIds = byDoc.groupBy("setId").agg(min("id").as("id"), min("sz").as("sz"))
-    val repTok = tok.join(repIds.select("setId", "id"), Seq("id"))
-      .select("setId", "tok").localCheckpoint()
+    val repTok = Ckpt.cut(tok.join(repIds.select("setId", "id"), Seq("id"))
+      .select("setId", "tok"))
     (members, repTok, repIds.select("setId", "sz"))
   }
 
@@ -72,39 +96,50 @@ object Dedup {
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"), col(payloadCol))
 
+  /** Degenerate-bucket cap: keep at most `maxBucket` members per
+    * bucket, deterministically (smallest `ordCol` first). The window
+    * hash-partitions on the bucket key — the same key the candidate
+    * self-join uses, so the exchange is reused and the cap adds no
+    * extra shuffle. A capped bucket loses candidate pairs beyond the
+    * cap (documented recall trade — the standard LSH guard; near-dups
+    * past the cap still pair through their other bands).
+    */
+  private[operators] def capBuckets(df: DataFrame, bucketCols: Seq[String],
+                                    ordCol: String, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) df
+    else df.withColumn("__bn", row_number().over(
+        Window.partitionBy(bucketCols.map(col): _*).orderBy(ordCol)))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
+
   /** Dictionary-encode each distinct token set as a 64-bit mask when
     * the vocabulary fits (V <= 64): intersection becomes
     * `bit_count(a & b)` — one codegen'd instruction instead of a
     * token-level join. Returns None when the vocabulary is too large.
-    * The small-vocab case is exactly the one where token joins
-    * degenerate (every pair shares tokens), so the two paths cover
-    * each other's worst case.
     */
   private def setMasks(repTok: DataFrame, repSize: DataFrame): Option[DataFrame] = {
     val vocab = repTok.select("tok").distinct()
     if (vocab.count() > 64) None
     else {
       val dict = vocab.withColumn("tokid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
-      Some(repTok.join(broadcast(dict), Seq("tok"))
+        Window.orderBy("tok")) - 1)
+      Some(Ckpt.cut(repTok.join(broadcast(dict), Seq("tok"))
         .groupBy("setId")
         .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), tokid)")).as("mask"))
-        .join(repSize, Seq("setId"))
-        .localCheckpoint())
+        .join(repSize, Seq("setId"))))
     }
   }
 
   /** True-Jaccard verification over candidate set pairs; returns
     * (sa, sb, jaccard) with the threshold applied (unrounded).
-    * Uses the bitmask path when available, else the token join. */
-  private def verifySetJaccard(cand: DataFrame, repTok: DataFrame,
-                               repSize: DataFrame, threshold: Double): DataFrame =
-    setMasks(repTok, repSize) match {
-      case Some(masks) =>
+    * Uses the bitmask path when provided, else the token join. */
+  private def verifySetJaccard(cand: DataFrame, repTok: DataFrame, repSize: DataFrame,
+                               masks: Option[DataFrame], threshold: Double): DataFrame =
+    masks match {
+      case Some(m) =>
         cand
-          .join(masks.select(col("setId").as("sa"), col("mask").as("ma"),
+          .join(m.select(col("setId").as("sa"), col("mask").as("ma"),
             col("sz").as("sza")), Seq("sa"))
-          .join(masks.select(col("setId").as("sb"), col("mask").as("mb"),
+          .join(m.select(col("setId").as("sb"), col("mask").as("mb"),
             col("sz").as("szb")), Seq("sb"))
           .withColumn("n", expr("CAST(bit_count(ma & mb) AS BIGINT)"))
           .withColumn("jaccard", col("n").cast("double") / (col("sza") + col("szb") - col("n")))
@@ -120,41 +155,55 @@ object Dedup {
           .filter(col("jaccard") >= threshold)
     }
 
+  /** PPJoin prefix-filter candidate generation: tokens ordered
+    * rarest-first; only the first `|A| - ceil(t*|A|) + 1` tokens of a
+    * set generate candidates — exact, no false negatives. */
+  private def prefixFilterCandidates(repTok: DataFrame, repSize: DataFrame,
+                                     threshold: Double): DataFrame = {
+    val freq = repTok.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val ranked = repTok.join(freq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("setId").orderBy(asc("freq"), asc("tok"))))
+    val prefix = ranked.join(repSize, "setId")
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("setId", "tok")
+    prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.setId") < col("b.setId"))
+      .select(col("a.setId").as("sa"), col("b.setId").as("sb")).distinct()
+  }
+
   /** Near-duplicate pairs by token-set Jaccard >= `threshold`:
-    * signature dedup, then PPJoin prefix filtering over the distinct
-    * sets (tokens ordered rarest-first; only the first
-    * `|A| - ceil(t*|A|) + 1` tokens generate candidates — exact, no
-    * false negatives), then verification and member expansion.
+    * signature dedup, then candidate generation, then verification and
+    * member expansion.
+    *
+    * The all-pairs bitmask fast path is taken only when BOTH the
+    * vocabulary fits 64 bits AND the distinct-set count is at most
+    * `maxMaskSets` — a small vocabulary does not bound the number of
+    * distinct sets, and S² over millions of schema-like sets is death
+    * at corpus scale. Above the bound, prefix filtering generates
+    * candidates (bounded by sets sharing a rare prefix token) and the
+    * bitmask is still used for O(1) verification.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double): DataFrame = {
+                        threshold: Double, maxMaskSets: Long = 8192): DataFrame = {
     val (members, repTok, repSize) = tokenSetGroups(df, idCol, textCol)
+    val masks = setMasks(repTok, repSize)
 
-    val repPairs = setMasks(repTok, repSize) match {
-      case Some(masks) =>
-        // tiny vocabulary: prefix filtering can't prune (every pair
-        // shares tokens), but popcount over dictionary bitmasks makes
-        // the all-distinct-sets comparison one codegen'd instruction
-        // per pair
-        masks.as("a").join(masks.as("b"), col("a.setId") < col("b.setId"))
+    val repPairs = masks match {
+      case Some(m) if m.count() <= maxMaskSets =>
+        // tiny vocabulary AND bounded set count: prefix filtering can't
+        // prune (every pair shares tokens), but popcount over
+        // dictionary bitmasks makes the all-distinct-sets comparison
+        // one codegen'd instruction per pair
+        m.as("a").join(m.as("b"), col("a.setId") < col("b.setId"))
           .select(col("a.setId").as("sa"), col("b.setId").as("sb"),
             expr("CAST(bit_count(a.mask & b.mask) AS BIGINT)").as("n"),
             col("a.sz").as("sza"), col("b.sz").as("szb"))
           .withColumn("jaccard", col("n").cast("double") / (col("sza") + col("szb") - col("n")))
           .filter(col("jaccard") >= threshold)
-      case None =>
-        val freq = repTok.groupBy("tok").agg(count(lit(1)).as("freq"))
-        val ranked = repTok.join(freq, "tok")
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("setId")
-              .orderBy(asc("freq"), asc("tok"))))
-        val prefix = ranked.join(repSize, "setId")
-          .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-          .select("setId", "tok")
-        val cand = prefix.as("a").join(prefix.as("b"),
-            col("a.tok") === col("b.tok") && col("a.setId") < col("b.setId"))
-          .select(col("a.setId").as("sa"), col("b.setId").as("sb")).distinct()
-        verifySetJaccard(cand, repTok, repSize, threshold)
+      case _ =>
+        verifySetJaccard(prefixFilterCandidates(repTok, repSize, threshold),
+          repTok, repSize, masks, threshold)
     }
 
     val cross = expandCrossPairs(repPairs, members, "jaccard")
@@ -164,64 +213,82 @@ object Dedup {
   }
 
   /** MinHash + banded LSH near-duplicate pairs, verified by true
-    * Jaccard >= `threshold`. `numHashes` hash slots in `bands` bands;
-    * a pair is a candidate when any band signature collides.
-    * Identical token sets share every band trivially, so they are
-    * collapsed first and expanded at the end (same output, none of
-    * the clone-vs-clone verify work).
+    * Jaccard >= `threshold`. `numHashes` hash slots in `bands` bands
+    * (`numHashes` must be a multiple of 4·bands); a pair is a
+    * candidate when any band signature collides. Slot hashes are
+    * 32-bit values carved 4-per-digest out of `md5(tok || '_' || g)`
+    * hex — one md5 per 4 slots, and (unlike xxhash64) reproducible by
+    * the plain-SQL oracle engine. Identical token sets share every
+    * band trivially, so they are collapsed first and expanded at the
+    * end; buckets larger than `maxBucket` are capped
+    * (degenerate-bucket guard).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+                      numHashes: Int, bands: Int, threshold: Double,
+                      maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
     val rows = numHashes / bands
     val (members, repTok, repSize) = tokenSetGroups(df, idCol, textCol)
 
-    // minhash slot i = min over tokens of xxhash64(tok, i)
+    // minhash slot i = g*4+j = min over tokens of the j-th 8-hex-digit
+    // word of md5(tok || '_' || g)
     val mh = repTok
-      .select(col("setId"), explode(expr(
-        s"transform(sequence(0, ${numHashes - 1}), i -> struct(i AS i, xxhash64(tok, i) AS h))")).as("s"))
-      .select(col("setId"), col("s.i").as("i"), col("s.h").as("h"))
-      .groupBy("setId", "i").agg(min("h").as("mh"))
+      .select(col("setId"), col("tok"),
+        explode(expr(s"sequence(0, ${numHashes / 4 - 1})")).as("g"))
+      .withColumn("h", md5(concat(col("tok"), lit("_"), col("g").cast("string"))))
+      .select(col("setId"), col("g"), col("h"), explode(expr("sequence(0, 3)")).as("j"))
+      .select(col("setId"), (col("g") * 4 + col("j")).as("i"),
+        expr("CAST(conv(substr(h, j * 8 + 1, 8), 16, 10) AS BIGINT)").as("hv"))
+      .groupBy("setId", "i").agg(min("hv").as("mh"))
 
-    // band signature = hash of the band's minhashes in slot order
-    val sig = mh.withColumn("band", expr(s"i div $rows"))
+    // band signature = the band's minhashes in slot order, as a string
+    // (cross-engine join key; no engine-private hash)
+    val sig = Ckpt.cut(mh.withColumn("band", expr(s"i div $rows"))
       .groupBy("setId", "band")
-      .agg(xxhash64(to_json(sort_array(collect_list(struct(col("i"), col("mh")))))).as("sig"))
-      .localCheckpoint()
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), s -> CAST(s.mh AS STRING)), ',')").as("sig")))
 
-    val cand = sig.as("a").join(sig.as("b"),
+    val capped = capBuckets(sig, Seq("band", "sig"), "setId", maxBucket)
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.setId") < col("b.setId"))
       .select(col("a.setId").as("sa"), col("b.setId").as("sb")).distinct()
 
     val cross = expandCrossPairs(
-      verifySetJaccard(cand, repTok, repSize, threshold), members, "jaccard")
+      verifySetJaccard(cand, repTok, repSize, setMasks(repTok, repSize), threshold),
+      members, "jaccard")
     val within = withinSetPairs(members, "jaccard" -> lit(1.0))
     cross.union(within)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash near-duplicate pairs: candidates share at least one
-    * of 4 16-bit bands (exact for hamming distance <= 3), verified by
-    * `bit_count(xor) <= maxHamming`. Signature dedup as above —
-    * identical sets have identical simhash (hamming 0).
+  /** 60-bit SimHash near-duplicate pairs: candidates share at least
+    * one of 4 15-bit bands (exact for hamming distance <= 3 by
+    * pigeonhole), verified by `bit_count(xor) <= maxHamming`.
+    * Bits come from `md5(tok)` hex digits (oracle-reproducible); 60
+    * bits rather than 64 keeps every value, shift, and sum inside
+    * non-overflowing signed-64 range on any ANSI engine. Signature
+    * dedup as above — identical sets have identical simhash.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val (members, repTok, _) = tokenSetGroups(df, idCol, textCol)
+    // bit b of md5(tok): hex digit b/4, bit b%4 within the digit
     val bitSums = repTok
+      .withColumn("h", md5(col("tok")))
       .select(col("setId"), explode(expr(
-        "transform(sequence(0, 63), b -> struct(b AS b, CASE WHEN (shiftright(xxhash64(tok), b) & 1) = 1 THEN 1 ELSE -1 END AS v))")).as("s"))
+        "transform(sequence(0, 59), b -> struct(b AS b, " +
+          "CASE WHEN (CAST(conv(substr(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS BIGINT) div shiftleft(CAST(1 AS BIGINT), b % 4)) % 2 = 1 THEN 1 ELSE -1 END AS v))")).as("s"))
       .select(col("setId"), col("s.b").as("b"), col("s.v").as("v"))
       .groupBy("setId", "b").agg(sum("v").as("sv"))
-    val sim = bitSums
+    val sim = Ckpt.cut(bitSums
       .groupBy("setId")
-      .agg(expr("sum(CASE WHEN sv >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)").as("simhash"))
-      .localCheckpoint()
+      .agg(expr("sum(CASE WHEN sv >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)").as("simhash")))
 
     val banded = sim.withColumn("band", explode(expr(
-      "transform(sequence(0, 3), k -> struct(k AS k, (shiftright(simhash, k*16) & 65535) AS bh))")))
+      "transform(sequence(0, 3), k -> struct(k AS k, (shiftright(simhash, k*15) & 32767) AS bh))")))
       .select(col("setId"), col("simhash"), col("band.k").as("k"), col("band.bh").as("bh"))
+      .transform(capBuckets(_, Seq("k", "bh"), "setId", maxBucket))
 
     // hamming filter BEFORE distinct: prune candidate volume ahead of
     // the dedup shuffle (a pair can collide in <= 4 bands)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Ckpt
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`), in three tiers:
@@ -10,14 +11,16 @@ import org.apache.spark.sql.expressions.Window
   *  - [[knnBrute]]: exact all-pairs cosine top-k — the correctness
   *    baseline and the oracle target.
   *  - [[knnLsh]]: random-hyperplane LSH — candidates limited to
-  *    vectors sharing a hash-table bucket, exact rerank inside.
+  *    vectors sharing a hash-table bucket (degenerate buckets capped),
+  *    exact rerank inside.
   *  - [[knnIvf]]: inverted-file (coarse-centroid) partitioning with
   *    Lloyd refinement — probe the nearest `nProbe` cells only.
   *
-  * Vector math stays in codegen'd `aggregate`/`zip_with` higher-order
-  * functions (doubles) — no UDF boxing in the hot path. Hyperplanes
-  * and centroid seeds are derived from `xxhash64`, so every run is
-  * deterministic.
+  * Vector math stays in the codegen'd [[org.apache.spark.sql.graftbridge.FloatVecDot]]
+  * (sequential double accumulation) — no UDF boxing in the hot path,
+  * and bit-identical to a plain-SQL engine evaluating the same
+  * expression over `DOUBLE[]` casts. Hyperplane components derive from
+  * `md5` hex digits, so the oracle engine reproduces every bucket bit.
   */
 object Similarity {
 
@@ -47,26 +50,34 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * splitmix64 of (table, plane, dim) — no RNG state, reproducible
-    * across runs and partitions. */
-  private def planeComponent(t: Int, p: Int, i: Int): Float = {
-    var z = t.toLong * 0x9E3779B97F4A7C15L + p.toLong * 0xBF58476D1CE4E5B9L + i.toLong + 1L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    ((z & 0xFFFFFL).toDouble / 0x80000L.toDouble - 1.0).toFloat
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic hyperplane component in [-0.9375, +0.9375]: the
+    * first hex digit of md5("t_p_i") mapped to (digit − 7.5)/8 — a
+    * multiple of 1/16, exactly representable in both float and
+    * double, and computable by any engine with `md5` (the oracle
+    * rebuilds every plane from the same formula). 16 quantization
+    * levels per component is ample for sign-random-projection LSH.
+    */
+  private[operators] def planeComponent(t: Int, p: Int, i: Int): Float = {
+    val d = Integer.parseInt(md5hex(s"${t}_${p}_${i}").substring(0, 1), 16)
+    ((d - 7.5) / 8.0).toFloat
   }
 
   /** LSH ANN: `tables` independent hash tables of `planes`
     * random-hyperplane bits each; candidates = bucket collisions in
-    * any table; exact cosine rerank to top-k within candidates.
-    * Hyperplanes are literal float arrays, so every sign bit is one
-    * codegen'd [[FloatVecDot]] against a constant — no interpreted
-    * higher-order functions in the bucketing pass.
+    * any table (corpus side of each bucket capped at `maxBucket`
+    * members — the degenerate-bucket guard); exact cosine rerank to
+    * top-k within candidates. Hyperplanes are literal float arrays, so
+    * every sign bit is one codegen'd [[FloatVecDot]] against a
+    * constant — no interpreted higher-order functions in the
+    * bucketing pass.
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, planes: Int = 8, tables: Int = 4, dims: Int = 64): DataFrame = {
+             k: Int, planes: Int = 8, tables: Int = 4, dims: Int = 64,
+             maxBucket: Int = 4096): DataFrame = {
     def bucketCol(vcol: String, t: Int) =
       (0 until planes).map { p =>
         val plane = Array.tabulate(dims)(i => planeComponent(t, p, i))
@@ -79,7 +90,7 @@ object Similarity {
           posexplode(col("__bk")))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val q = bucketed(queries, "q")
-    val c = bucketed(corpus, "c")
+    val c = Dedup.capBuckets(bucketed(corpus, "c"), Seq("table", "bucket"), "cid", maxBucket)
     val cand = q.join(c, Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "qv", "qn", "cid", "cv", "cn").distinct()
@@ -95,15 +106,21 @@ object Similarity {
   /** IVF ANN: coarse k-means cells (seeded from the first `nCells`
     * corpus rows by id, `lloydIters` refinement rounds), queries probe
     * their `nProbe` nearest cells, exact rerank within probed cells.
+    *
+    * With `lloydIters = 0` the whole operator is a deterministic
+    * per-row float expression tree (seed centroids + argmin assignment
+    * + rerank) and therefore exactly oracle-verifiable; Lloyd
+    * refinement averages floats across rows, whose sum order is
+    * engine-specific, so refined variants are spec-tested instead.
     */
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 2): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol, "c").cache()
-    // deterministic seeds: the nCells smallest ids
-    var centroids = c.orderBy("cid").limit(nCells)
+    // deterministic seeds: the nCells smallest ids. The global window
+    // runs over nCells rows only (post-limit), not the corpus.
+    var centroids = Ckpt.cut(c.orderBy("cid").limit(nCells)
       .select(col("cid").as("cell"), col("cv").as("ctr"))
-      .withColumn("cell", row_number().over(Window.orderBy("cell")) - 1)
-      .localCheckpoint()
+      .withColumn("cell", row_number().over(Window.orderBy("cell")) - 1))
 
     // ||v-c||² = v·v − 2 v·c + c·c, each term a codegen'd vec_dot
     // (centroids held as float arrays to stay on the fast path).
@@ -120,12 +137,11 @@ object Similarity {
       val assigned = assign(c, "cv")
         .withColumn("rk", row_number().over(Window.partitionBy("cid").orderBy(asc("dist"), asc("cell"))))
         .filter(col("rk") === 1)
-      centroids = assigned
+      centroids = Ckpt.cut(assigned
         .select(col("cell"), posexplode(col("cv")))
         .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
         .groupBy("cell")
-        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("ctr"))
-        .localCheckpoint()
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("ctr")))
     }
 
     val corpusCells = assign(c, "cv")

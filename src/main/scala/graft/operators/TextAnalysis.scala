@@ -71,7 +71,7 @@ object TextAnalysis {
        |FROM c""".stripMargin
   }
 
-  /** Character-trigram profiles for a few languages (tiny, embedded —
+  /** Character-gram profiles for a few languages (tiny, embedded —
     * a real deployment would load trained profiles). Scores are
     * deterministic; accuracy on synthetic word-salad text is
     * heuristic by nature.
@@ -85,30 +85,63 @@ object TextAnalysis {
     "fr" -> Seq(" le ", " les", " des", " est", "eau", "aux", " une", "oir"),
     "zh" -> Seq("的", "一", "是", "了", "我", "不", "在", "人", "有", "他"))
 
-  private val langidF: String => String = { text =>
-    val t = if (text == null) "" else text.toLowerCase
-    val scores = profiles.map { case (lang, grams) =>
-      var s = 0
-      grams.foreach { g =>
-        var idx = t.indexOf(g)
-        while (idx >= 0) { s += 1; idx = t.indexOf(g, idx + 1) }
-      }
-      (lang, s)
+  private val langsSorted: Seq[String] = profiles.keys.toSeq.sorted
+
+  /** Per-language score as a SQL fragment over a lowercased text
+    * column `tcol`: non-overlapping occurrence counts of every profile
+    * gram, summed. `replace`-based counting with integer division is
+    * engine-portable and exact — the same expression runs in Spark and
+    * in the DuckDB oracle.
+    */
+  private def scoreSql(lang: String, tcol: String, intDiv: String): String =
+    profiles(lang).map { g =>
+      val esc = g.replace("'", "''")
+      s"((length($tcol) - length(replace($tcol, '$esc', ''))) $intDiv ${g.length})"
+    }.mkString("(", " + ", ")")
+
+  /** Predict language per document: max profile score, ties broken
+    * alphabetically (CASE evaluated in alphabetical language order).
+    * Pure codegen'd built-ins — no UDF — and expressible verbatim in
+    * the oracle SQL via [[langIdSql]].
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = df
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("__t"))
+      .select(Seq(col("doc_id")) ++
+        langsSorted.map(l => expr(scoreSql(l, "__t", "div")).as(s"s_$l")): _*)
+      .withColumn("__m", greatest(langsSorted.map(l => col(s"s_$l")): _*))
+    val pred = langsSorted.foldRight(lit(null).cast("string")) { (l, rest) =>
+      when(col(s"s_$l") === col("__m"), lit(l)).otherwise(rest)
     }
-    // deterministic: max score, ties broken alphabetically
-    scores.toSeq.sortBy { case (l, s) => (-s, l) }.head._1
+    scored.select(col("doc_id"), pred.as("pred_lang"))
   }
 
-  /** Predict language per document from trigram-profile hits. */
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val f = udf(langidF)
-    df.select(col(idCol).as("doc_id"), f(col(textCol)).as("pred_lang"))
+  /** DuckDB oracle reproducing [[langId]] (`//` integer division). */
+  def langIdSql: String = {
+    val scores = langsSorted.map(l => s"${scoreSql(l, "tt", "//")} AS s_$l").mkString(",\n  ")
+    val caseArms = langsSorted.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    val m = langsSorted.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    s"""WITH t AS (SELECT doc_id, lower(text) AS tt FROM documents),
+       |s AS (SELECT doc_id,
+       |  $scores
+       |  FROM t),
+       |sm AS (SELECT *, $m AS m FROM s)
+       |SELECT doc_id, CASE $caseArms END AS pred_lang FROM sm""".stripMargin
   }
+
+  /** Rolling-hash base for [[fingerprints]]. Small enough that a
+    * k=5-gram polynomial over ASCII char codes never leaves signed-64
+    * range (5·5381⁴·127 ≈ 5.3e17 < 2⁶³) — no wraparound, so any
+    * integer-exact SQL engine reproduces the values bit-for-bit.
+    */
+  val FingerprintBase: Long = 5381L
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): Karp-
     * Rabin rolling hashes of k-grams, minimum per sliding window of
     * `w`, rightmost-min tiebreak, deduplicated. The standard
-    * plagiarism / near-dup sketch.
+    * plagiarism / near-dup sketch. The tight JVM rolling loop (no
+    * boxing) computes exactly the polynomial the [[fingerprintSql]]
+    * oracle evaluates positionally.
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, w: Int = 4): DataFrame = {
@@ -117,7 +150,7 @@ object TextAnalysis {
       else {
         val n = text.length - k + 1
         val hs = new Array[Long](n)
-        val B = 1000003L
+        val B = FingerprintBase
         var pow = 1L
         var i = 0
         while (i < k - 1) { pow *= B; i += 1 }
@@ -144,5 +177,30 @@ object TextAnalysis {
       }
     }
     df.select(col(idCol).as("doc_id"), explode(f(col(textCol))).as("fp"))
+  }
+
+  /** DuckDB oracle reproducing [[fingerprints]]: the k-gram hash as an
+    * explicit positional polynomial (identical values — the rolling
+    * recurrence is algebraically the same polynomial and neither side
+    * overflows), window minimum via a frame of `w` rows, DISTINCT.
+    * The rightmost-min tiebreak affects only which *position* wins,
+    * never the emitted hash value, so plain `min` matches the UDF.
+    */
+  def fingerprintSql(k: Int = 5, w: Int = 4): String = {
+    val B = FingerprintBase
+    val poly = (0 until k).map { j =>
+      val pw = (0 until (k - 1 - j)).foldLeft(1L)((a, _) => a * B)
+      s"CAST(ascii(substr(text, CAST(i AS INT) + $j, 1)) AS BIGINT) * $pw"
+    }.mkString(" + ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, length(text) - ${k - 1} AS n,
+       |    unnest(generate_series(1, length(text) - ${k - 1})) AS i
+       |  FROM documents WHERE length(text) >= $k),
+       |h AS (SELECT doc_id, i, n, $poly AS h FROM pos),
+       |wmin AS (SELECT doc_id, i, n,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |               ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |  FROM h)
+       |SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= n - ${w - 1}""".stripMargin
   }
 }

@@ -6,9 +6,12 @@ import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
 import graft.graph.GraphOps
 
-/** SORA-core graph reduction, exercised against DuckDB oracles on
-  * graphs derived *deterministically* from the relational test tables:
+/** SORA-core graph construction + reduction, exercised against DuckDB
+  * oracles on inputs derived *deterministically* from the relational
+  * test tables:
   *
+  *  - reads: fixed-stride sliding windows over `documents.text`
+  *    (consecutive reads overlap by 15 chars) — overlap-join input.
   *  - chain(+skip) graph: per-customer order chains ordered by
   *    (o_orderdate, o_orderkey); `skip` adds i→i+2 edges, which makes
   *    every skip edge transitively redundant and every (i,i+1,i+2) a
@@ -43,6 +46,24 @@ object GraphQueries {
     s"$base,\n$e"
   }
 
+  /** Deterministic read set: 40-char windows over document text at
+    * stride 25 — consecutive reads of one document overlap by exactly
+    * 15 characters. read id = doc_id·1000 + window index.
+    */
+  private def readsFromDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 40)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, (length(text) - 40) div 25)")).as("i"))
+      .select((col("doc_id") * 1000 + col("i")).as("id"),
+        expr("substring(text, 1 + i * 25, 40)").as("seq"))
+
+  private val readsSql =
+    """r0 AS (SELECT doc_id, text,
+      |  unnest(generate_series(0, (length(text) - 40) // 25)) AS i
+      |  FROM documents WHERE length(text) >= 40),
+      |reads AS (SELECT doc_id * 1000 + i AS id, substr(text, 1 + i * 25, 40) AS seq FROM r0)""".stripMargin
+
   /** Diamond graph: orders row r (0-based, ordered by o_orderkey) emits
     * one edge of diamond j=r/4: u=3j, a=3j+1, b=3j+2, w=3j+3.
     * Note: the global row_number is a test-data derivation device, not
@@ -62,7 +83,53 @@ object GraphQueries {
       |  CASE r%4 WHEN 0 THEN 3*(r//4)+1 WHEN 1 THEN 3*(r//4)+2 ELSE 3*(r//4)+3 END AS dst
       |FROM o)""".stripMargin
 
+  /** Shared DuckDB CTEs for g4/g4b: bubble arms over the diamond graph. */
+  private val bubbleArmsSql =
+    s"""$diamondSql,
+       |deg AS (
+       |  SELECT n.node,
+       |    (SELECT count(*) FROM e WHERE e.src = n.node) AS outdeg,
+       |    (SELECT count(*) FROM e WHERE e.dst = n.node) AS indeg
+       |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n),
+       |interior AS (SELECT node FROM deg WHERE indeg = 1 AND outdeg = 1),
+       |arm AS (
+       |  SELECT e1.src AS u, e1.dst AS m, e2.dst AS w
+       |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+       |  WHERE e1.dst IN (SELECT node FROM interior))""".stripMargin
+
+  /** Unrolled integer-exact PageRank oracle (see GraphOps.pagerankExact). */
+  private def pagerankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT v.node,
+         |  CAST((150000000000 // (SELECT n FROM nn)) + coalesce(s.insum, 0) * 85 // 100 AS BIGINT) AS rank_u
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank_u // od.od) AS insum
+         |    FROM e JOIN r${i - 1} r ON r.node = e.src JOIN outd od ON od.node = e.src
+         |    GROUP BY 1) s ON s.node = v.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${chainSql(true)},
+       |verts AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*) AS n FROM verts),
+       |outd AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_u FROM verts),
+       |$rounds
+       |SELECT node, rank_u FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    Q("g0_overlap",
+      (s, d) => GraphOps.overlapEdges(readsFromDocs(s, d), "id", "seq",
+        minOverlap = 13, maxOverlap = 17).orderBy("src", "dst"),
+      Some(s"""WITH $readsSql,
+              |vs AS (SELECT unnest(generate_series(13, 17)) AS v),
+              |sfx AS (SELECT id, v, substr(seq, length(seq) - v + 1, v) AS s
+              |        FROM reads, vs WHERE length(seq) >= v),
+              |pfx AS (SELECT id, v, substr(seq, 1, v) AS s
+              |        FROM reads, vs WHERE length(seq) >= v)
+              |SELECT sfx.id AS src, pfx.id AS dst, CAST(max(sfx.v) AS BIGINT) AS overlap
+              |FROM sfx JOIN pfx ON sfx.v = pfx.v AND sfx.s = pfx.s AND sfx.id <> pfx.id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("g1_degrees",
       (s, d) => GraphOps.degrees(chainEdges(s, d, withSkip = true)).orderBy("node"),
@@ -91,22 +158,31 @@ object GraphQueries {
               |WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst)
               |ORDER BY src, dst""".stripMargin)),
 
+    Q("g3b_tip_clip",
+      (s, d) => GraphOps.tipClip(chainEdges(s, d, withSkip = false), maxDepth = 3)
+        .orderBy("src", "dst"),
+      Some(s"""WITH ${chainSql(false)},
+              |e1 AS (SELECT a.src, a.dst FROM e a WHERE EXISTS (SELECT 1 FROM e x WHERE x.src = a.dst)),
+              |e2 AS (SELECT a.src, a.dst FROM e1 a WHERE EXISTS (SELECT 1 FROM e1 x WHERE x.src = a.dst)),
+              |e3 AS (SELECT a.src, a.dst FROM e2 a WHERE EXISTS (SELECT 1 FROM e2 x WHERE x.src = a.dst))
+              |SELECT src, dst FROM e3 ORDER BY src, dst""".stripMargin)),
+
     Q("g4_bubbles",
       (s, d) => GraphOps.bubbles(diamondEdges(s, d)).orderBy("u"),
-      Some(s"""WITH $diamondSql,
-              |deg AS (
-              |  SELECT n.node,
-              |    (SELECT count(*) FROM e WHERE e.src = n.node) AS outdeg,
-              |    (SELECT count(*) FROM e WHERE e.dst = n.node) AS indeg
-              |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n),
-              |interior AS (SELECT node FROM deg WHERE indeg = 1 AND outdeg = 1),
-              |arm AS (
-              |  SELECT e1.src AS u, e1.dst AS m, e2.dst AS w
-              |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
-              |  WHERE e1.dst IN (SELECT node FROM interior))
+      Some(s"""WITH $bubbleArmsSql
               |SELECT x.u AS u, x.m AS a, y.m AS b, x.w AS w
               |FROM arm x JOIN arm y ON x.u = y.u AND x.w = y.w AND x.m < y.m
               |ORDER BY 1, 2, 3, 4""".stripMargin)),
+
+    Q("g4b_bubble_removal",
+      (s, d) => GraphOps.bubbleRemoval(diamondEdges(s, d)).orderBy("src", "dst"),
+      Some(s"""WITH $bubbleArmsSql,
+              |pairs AS (SELECT x.u AS u, x.m AS a, y.m AS b, x.w AS w
+              |  FROM arm x JOIN arm y ON x.u = y.u AND x.w = y.w AND x.m < y.m),
+              |rm AS (SELECT u AS src, b AS dst FROM pairs UNION SELECT b, w FROM pairs)
+              |SELECT e.src, e.dst FROM e
+              |WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.src = e.src AND rm.dst = e.dst)
+              |ORDER BY 1, 2""".stripMargin)),
 
     Q("g5_unitigs",
       (s, d) => GraphOps.unitigs(chainEdges(s, d, withSkip = false)).orderBy("node"),
@@ -123,6 +199,29 @@ object GraphQueries {
               |  UNION ALL
               |  SELECT ch.dst, walk.head FROM walk JOIN ch ON ch.src = walk.node)
               |SELECT node, head FROM walk ORDER BY node""".stripMargin)),
+
+    Q("g5b_unitig_seqs",
+      (s, d) => {
+        val e = chainEdges(s, d, withSkip = false)
+        val seqs = GraphOps.vertices(e)
+          .select(col("node"), expr("substring(md5(CAST(node AS STRING)), 1, 8)").as("seq"))
+        GraphOps.unitigSequences(e, seqs).orderBy("head")
+      },
+      Some(s"""WITH RECURSIVE ${chainSql(false)},
+              |outd AS (SELECT src, count(*) c FROM e GROUP BY 1),
+              |ind AS (SELECT dst, count(*) c FROM e GROUP BY 1),
+              |ch AS (SELECT e.src, e.dst FROM e
+              |  JOIN outd ON outd.src = e.src AND outd.c = 1
+              |  JOIN ind ON ind.dst = e.dst AND ind.c = 1),
+              |heads AS (SELECT DISTINCT src AS node FROM ch
+              |  WHERE src NOT IN (SELECT dst FROM ch)),
+              |walk(node, head, dist) AS (
+              |  SELECT node, node, 0 FROM heads
+              |  UNION ALL
+              |  SELECT ch.dst, walk.head, walk.dist + 1 FROM walk JOIN ch ON ch.src = walk.node)
+              |SELECT head, CAST(count(*) AS BIGINT) AS n_nodes,
+              |  string_agg(substr(md5(CAST(node AS VARCHAR)), 1, 8), '' ORDER BY dist) AS sequence
+              |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("g6_connected_components",
       (s, d) => GraphOps.connectedComponents(chainEdges(s, d, withSkip = false))
@@ -146,9 +245,9 @@ object GraphQueries {
               |FROM c c1 JOIN c c2 ON c1.b = c2.a JOIN c c3 ON c3.a = c1.a AND c3.b = c2.b""".stripMargin)),
 
     Q("g8_pagerank",
-      (s, d) => GraphOps.pagerank(chainEdges(s, d, withSkip = true), iters = 5)
+      (s, d) => GraphOps.pagerankExact(chainEdges(s, d, withSkip = true), iters = 5)
         .orderBy("node"),
-      None),
+      Some(pagerankSql(5))),
 
     Q("g9_kmers",
       (s, d) => Tables.documents(s, d)

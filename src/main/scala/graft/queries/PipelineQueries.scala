@@ -5,8 +5,8 @@ import graft.{Q, Tables}
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` /
-  * `embeddings`: dedup family (d1–d5), similarity search (s1–s3),
-  * text analysis (t1–t4), multimodal plumbing (m1).
+  * `embeddings`: dedup family (d1–d6), similarity search (s1–s3),
+  * text analysis (t1–t5), sampling (smp1–2), multimodal plumbing (m1).
   *
   * Thresholds are data-aware: the synthetic corpus has a ~31-token
   * vocabulary (token-set Jaccard is high everywhere, so near-dup means
@@ -17,11 +17,29 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   * `dot/(sqrt(dot_aa)*sqrt(dot_bb))` over `DOUBLE[]` casts so DuckDB
   * evaluates the same double-precision expression tree as the Spark
   * side (its native list_cosine_similarity is float32).
+  *
+  * Oracle hash convention: every sketch (MinHash slots, SimHash bits,
+  * LSH hyperplanes) derives from `md5` hex digits, so the DuckDB
+  * oracles rebuild the identical signatures in plain SQL and the LSH
+  * pipelines are verified end-to-end — candidates, buckets, and
+  * rerank — not rows-only.
   */
 object PipelineQueries {
 
   private val cosSql =
     """ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+
+  private val tokSql =
+    """tok AS (SELECT DISTINCT doc_id, t.tok FROM documents,
+      |    unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> '')""".stripMargin
+
+  /** SQL: parse 8 hex digits of column `h` starting at 1-based
+    * position `j * 8 + 1` into a 32-bit value (mirrors Spark's
+    * `conv(substr(h, j*8+1, 8), 16, 10)`). */
+  private val hex8Sql: String =
+    (0 until 8).map { m =>
+      s"(strpos('0123456789abcdef', substr(h, j * 8 + 1 + $m, 1)) - 1) * ${1L << (4 * (7 - m))}"
+    }.mkString("(", " + ", ")")
 
   val all: Seq[Q] = Seq(
 
@@ -35,8 +53,7 @@ object PipelineQueries {
     Q("d2_dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.95)
         .orderBy("a", "b"),
-      Some("""WITH tok AS (SELECT DISTINCT doc_id, t.tok FROM documents,
-             |    unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''),
+      Some(s"""WITH $tokSql,
              |sz AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),
              |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n
              |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -50,12 +67,47 @@ object PipelineQueries {
     Q("d3_dedup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.95).orderBy("a", "b"),
-      None),
+      Some(s"""WITH $tokSql,
+              |sz AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),
+              |hh AS (SELECT doc_id, g, j, md5(tok || '_' || CAST(g AS VARCHAR)) AS h
+              |  FROM tok,
+              |       (SELECT unnest(generate_series(0, 15)) AS g) gs,
+              |       (SELECT unnest(generate_series(0, 3)) AS j) js),
+              |mh AS (SELECT doc_id, g * 4 + j AS i, min($hex8Sql) AS mh
+              |  FROM hh GROUP BY 1, 2),
+              |sig AS (SELECT doc_id, i // 4 AS band,
+              |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+              |  FROM mh GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+              |  FROM sig x JOIN sig y
+              |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+              |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n
+              |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT c.i AS a, c.j AS b,
+              |  round(n / CAST(sa.c + sb.c - n AS DOUBLE), 4) AS jaccard
+              |FROM cand c JOIN inter ON inter.i = c.i AND inter.j = c.j
+              |JOIN sz sa ON sa.doc_id = c.i JOIN sz sb ON sb.doc_id = c.j
+              |WHERE n / CAST(sa.c + sb.c - n AS DOUBLE) >= 0.95
+              |ORDER BY 1, 2""".stripMargin)),
 
     Q("d4_dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3).orderBy("a", "b"),
-      None),
+      Some(s"""WITH $tokSql,
+              |bits AS (SELECT doc_id, b,
+              |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), b // 4 + 1, 1)) - 1)
+              |               // (1::BIGINT << (b % 4))) % 2 = 1 THEN 1 ELSE -1 END AS v
+              |  FROM tok, (SELECT unnest(generate_series(0, 59)) AS b) bs),
+              |sv AS (SELECT doc_id, b, sum(v) AS sv FROM bits GROUP BY 1, 2),
+              |sim AS (SELECT doc_id,
+              |    CAST(sum(CASE WHEN sv >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+              |  FROM sv GROUP BY 1)
+              |SELECT x.doc_id AS a, y.doc_id AS b,
+              |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+              |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+              |WHERE bit_count(xor(x.sh, y.sh)) <= 3
+              |ORDER BY 1, 2""".stripMargin)),
 
     Q("d5_dedup_embedding",
       (s, d) => Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
@@ -67,6 +119,13 @@ object PipelineQueries {
               |  FROM ce a JOIN ce b ON a.vec_id < b.vec_id)
               |SELECT a, b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.4
               |ORDER BY a, b""".stripMargin)),
+
+    Q("d6_dedup_clusters",
+      (s, d) => Dedup.exactClusters(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("member_id"),
+      Some("""SELECT CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS keep_id,
+             |doc_id AS member_id
+             |FROM documents ORDER BY member_id""".stripMargin)),
 
     Q("s1_knn_brute",
       (s, d) => {
@@ -92,15 +151,68 @@ object PipelineQueries {
         Similarity.knnLsh(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
           .orderBy("query_id", "rk")
       },
-      None),
+      // Full LSH replication: the oracle rebuilds every hyperplane
+      // from the same md5 formula ((digit − 7.5)/8 is a multiple of
+      // 1/16, exact in float and double), recomputes bucket bits with
+      // the identical double expression, and reranks candidates.
+      Some(s"""WITH $cosSql,
+              |comp AS (SELECT t, p, i,
+              |    ((strpos('0123456789abcdef',
+              |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
+              |      - 7.5) / 8 AS c
+              |  FROM (SELECT unnest(generate_series(0, 3)) AS t) ts,
+              |       (SELECT unnest(generate_series(0, 7)) AS p) ps,
+              |       (SELECT unnest(generate_series(0, 63)) AS i) is1),
+              |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
+              |sb AS (SELECT ce.vec_id, planes.t,
+              |    CASE WHEN list_dot_product(ce.v, planes.pl) >= 0
+              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+              |  FROM ce, planes),
+              |bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sb GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+              |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+              |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+              |sc AS (SELECT qid, cid,
+              |  list_dot_product(qv.v, cv.v)
+              |    / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |r AS (SELECT qid, cid, cos,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
     Q("s3_knn_ivf",
+      // lloydIters = 0 keeps the operator a deterministic per-row
+      // float expression tree (exactly oracle-verifiable); Lloyd
+      // refinement averages floats across rows (engine-specific sum
+      // order) and is spec-tested instead.
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        Similarity.knnIvf(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
-          .orderBy("query_id", "rk")
+        Similarity.knnIvf(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, lloydIters = 0).orderBy("query_id", "rk")
       },
-      None),
+      Some(s"""WITH $cosSql,
+              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+              |  FROM (SELECT * FROM ce ORDER BY vec_id LIMIT 16)),
+              |ad AS (SELECT ce.vec_id, seeds.cell,
+              |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.cv)
+              |      + list_dot_product(seeds.cv, seeds.cv) AS dist
+              |  FROM ce, seeds),
+              |crk AS (SELECT vec_id, cell,
+              |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
+              |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
+              |qcells AS (SELECT vec_id AS qid, cell FROM crk WHERE rk <= 2 AND vec_id < 5),
+              |cand AS (SELECT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
+              |sc AS (SELECT qid, cid,
+              |  list_dot_product(qv.v, cv.v)
+              |    / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |r AS (SELECT qid, cid, cos,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
     Q("t1_token_stats",
       (s, d) => TextAnalysis.tokenStats(Tables.documents(s, d), "doc_id", "text")
@@ -120,12 +232,12 @@ object PipelineQueries {
     Q("t3_langid",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
-      None),
+      Some(TextAnalysis.langIdSql + "\nORDER BY doc_id")),
 
     Q("t4_fingerprint",
       (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id", "fp"),
-      None),
+      Some(TextAnalysis.fingerprintSql() + "\nORDER BY doc_id, fp")),
 
     Q("t5_bigrams",
       (s, d) => Tables.documents(s, d)
@@ -145,28 +257,31 @@ object PipelineQueries {
 
     Q("smp1_hash_sample",
       // deterministic multiplicative-hash Bernoulli sample (~7%):
-      // reproducible across engines/runs, no RNG state, pushes to scan
+      // reproducible across engines/runs, no RNG state, pushes to
+      // scan. The key is masked (mod 1000003) BEFORE the multiply so
+      // the product never leaves signed-64 range under ANSI overflow
+      // checking at any SF.
       (s, d) => Tables.lineitem(s, d)
-        .filter(expr("(l_orderkey * 2654435761 + l_linenumber) % 100 < 7"))
+        .filter(expr("((l_orderkey % 1000003) * 2654435761 + l_linenumber) % 100 < 7"))
         .agg(count(lit(1)).as("cnt"),
           countDistinct("l_orderkey").as("n_orders"),
           round(sum("l_quantity"), 2).as("sum_qty")),
       Some("""SELECT CAST(count(*) AS BIGINT) AS cnt,
              |CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
              |round(sum(l_quantity),2) AS sum_qty FROM lineitem
-             |WHERE (l_orderkey * 2654435761 + l_linenumber) % 100 < 7""".stripMargin)),
+             |WHERE ((l_orderkey % 1000003) * 2654435761 + l_linenumber) % 100 < 7""".stripMargin)),
 
     Q("smp2_stratified_sample",
       // per-stratum deterministic rates: downsample the dominant
       // language, keep the rest — the corpus-rebalancing primitive
       (s, d) => Tables.documents(s, d)
         .filter(expr(
-          "(doc_id * 2654435761) % 97 < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)"))
+          "((doc_id % 1000003) * 2654435761) % 97 < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)"))
         .groupBy("lang").agg(count(lit(1)).as("cnt"), min("doc_id").as("first_id"))
         .orderBy("lang"),
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
              |CAST(min(doc_id) AS BIGINT) AS first_id FROM documents
-             |WHERE (doc_id * 2654435761) % 97 < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)
+             |WHERE ((doc_id % 1000003) * 2654435761) % 97 < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("m1_binary_meta",
