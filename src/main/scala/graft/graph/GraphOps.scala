@@ -129,6 +129,7 @@ object GraphOps {
     */
   def tipRemoval(edges: DataFrame): DataFrame =
     edges.join(edges.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
+      .select("src", "dst") // semi-join reorders join-key first; restore contract order
 
   /** Tip clipping to (bounded) fixpoint: repeat [[tipRemoval]] until
     * the edge set stops shrinking or `maxDepth` rounds have run —
@@ -170,6 +171,17 @@ object GraphOps {
       .distinct()
     e.join(rm, Seq("src", "dst"), "left_anti")
   }
+
+  /** The composed end-to-end reduction pipeline — the assembler's
+    * whole middle stage as one operator: transitive reduction, then
+    * tip clipping to the bounded fixpoint, then bubble removal. Feed
+    * it [[overlapEdges]] output; run [[unitigs]] /
+    * [[unitigSequences]] on the result for the final contigs. Each
+    * stage is the operator documented above; composition adds no
+    * extra shuffles beyond their own.
+    */
+  def reducePipeline(edges: DataFrame, tipDepth: Int): DataFrame =
+    bubbleRemoval(tipClip(transitiveReduction(edges), tipDepth))
 
   // ------------------------------------------------------------- compression
 

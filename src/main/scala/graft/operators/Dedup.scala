@@ -104,8 +104,8 @@ object Dedup {
     * cap (documented recall trade — the standard LSH guard; near-dups
     * past the cap still pair through their other bands).
     */
-  private[operators] def capBuckets(df: DataFrame, bucketCols: Seq[String],
-                                    ordCol: String, maxBucket: Int): DataFrame =
+  def capBuckets(df: DataFrame, bucketCols: Seq[String],
+                 ordCol: String, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) df
     else df.withColumn("__bn", row_number().over(
         Window.partitionBy(bucketCols.map(col): _*).orderBy(ordCol)))

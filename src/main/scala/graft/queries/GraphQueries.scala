@@ -66,15 +66,18 @@ object GraphQueries {
 
   /** Diamond graph: orders row r (0-based, ordered by o_orderkey) emits
     * one edge of diamond j=r/4: u=3j, a=3j+1, b=3j+2, w=3j+3.
-    * Note: the global row_number is a test-data derivation device, not
-    * an operator — real edge inputs arrive pre-materialized.
+    * The dense row index comes from `zipWithIndex` over the
+    * range-partitioned sort — two distributed passes, no
+    * single-task global window, same deterministic result at any SF.
     */
-  private def diamondEdges(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select("o_orderkey")
-      .withColumn("r", (row_number().over(Window.orderBy("o_orderkey")) - 1).cast("long"))
+  private def diamondEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d).select("o_orderkey").orderBy("o_orderkey")
+      .rdd.zipWithIndex().map(_._2).toDF("r")
       .select(
         expr("CASE r%4 WHEN 0 THEN 3*(r div 4) WHEN 1 THEN 3*(r div 4) WHEN 2 THEN 3*(r div 4)+1 ELSE 3*(r div 4)+2 END").as("src"),
         expr("CASE r%4 WHEN 0 THEN 3*(r div 4)+1 WHEN 1 THEN 3*(r div 4)+2 ELSE 3*(r div 4)+3 END").as("dst"))
+  }
 
   private val diamondSql =
     """o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS r FROM orders),
@@ -248,6 +251,58 @@ object GraphQueries {
       (s, d) => GraphOps.pagerankExact(chainEdges(s, d, withSkip = true), iters = 5)
         .orderBy("node"),
       Some(pagerankSql(5))),
+
+    Q("g10_reduce_pipeline",
+      // The composed middle stage end-to-end on a graph that exercises
+      // every reduction: chain+skip edges (transitively-redundant skip
+      // edges, dead-end chain tails) unioned with the diamond graph
+      // offset into a disjoint id space (bubbles). Output: unitig
+      // membership of the fully reduced graph.
+      (s, d) => {
+        val e = chainEdges(s, d, withSkip = true)
+          .union(diamondEdges(s, d).select(
+            (col("src") + 10000000L).as("src"), (col("dst") + 10000000L).as("dst")))
+        GraphOps.unitigs(GraphOps.reducePipeline(e, tipDepth = 2)).orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE ${chainSql(true)},
+              |o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS r FROM orders),
+              |ed AS (SELECT
+              |  CASE r%4 WHEN 0 THEN 3*(r//4) WHEN 1 THEN 3*(r//4) WHEN 2 THEN 3*(r//4)+1 ELSE 3*(r//4)+2 END + 10000000 AS src,
+              |  CASE r%4 WHEN 0 THEN 3*(r//4)+1 WHEN 1 THEN 3*(r//4)+2 ELSE 3*(r//4)+3 END + 10000000 AS dst
+              |  FROM o),
+              |eu AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT src, dst FROM ed),
+              |p AS MATERIALIZED (SELECT e1.src AS src, e2.dst AS dst FROM eu e1 JOIN eu e2 ON e1.dst = e2.src),
+              |tr AS MATERIALIZED (SELECT src, dst FROM eu
+              |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.src = eu.src AND p.dst = eu.dst)),
+              |t1 AS MATERIALIZED (SELECT a.src, a.dst FROM tr a WHERE EXISTS (SELECT 1 FROM tr x WHERE x.src = a.dst)),
+              |t2 AS MATERIALIZED (SELECT a.src, a.dst FROM t1 a WHERE EXISTS (SELECT 1 FROM t1 x WHERE x.src = a.dst)),
+              |deg AS MATERIALIZED (
+              |  SELECT n.node,
+              |    (SELECT count(*) FROM t2 WHERE t2.src = n.node) AS outdeg,
+              |    (SELECT count(*) FROM t2 WHERE t2.dst = n.node) AS indeg
+              |  FROM (SELECT src AS node FROM t2 UNION SELECT dst FROM t2) n),
+              |interior AS (SELECT node FROM deg WHERE indeg = 1 AND outdeg = 1),
+              |arm AS MATERIALIZED (
+              |  SELECT e1.src AS u, e1.dst AS m, e2.dst AS w
+              |  FROM t2 e1 JOIN t2 e2 ON e1.dst = e2.src
+              |  WHERE e1.dst IN (SELECT node FROM interior)),
+              |pairs AS (SELECT x.u AS u, x.m AS a, y.m AS b, x.w AS w
+              |  FROM arm x JOIN arm y ON x.u = y.u AND x.w = y.w AND x.m < y.m),
+              |rm AS MATERIALIZED (SELECT u AS src, b AS dst FROM pairs UNION SELECT b, w FROM pairs),
+              |br AS MATERIALIZED (SELECT t2.src, t2.dst FROM t2
+              |  WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.src = t2.src AND rm.dst = t2.dst)),
+              |outd AS (SELECT src, count(*) c FROM br GROUP BY 1),
+              |ind AS (SELECT dst, count(*) c FROM br GROUP BY 1),
+              |ch AS MATERIALIZED (SELECT br.src, br.dst FROM br
+              |  JOIN outd ON outd.src = br.src AND outd.c = 1
+              |  JOIN ind ON ind.dst = br.dst AND ind.c = 1),
+              |heads AS MATERIALIZED (SELECT DISTINCT src AS node FROM ch
+              |  WHERE src NOT IN (SELECT dst FROM ch)),
+              |walk(node, head) AS (
+              |  SELECT node, node FROM heads
+              |  UNION ALL
+              |  SELECT ch.dst, walk.head FROM walk JOIN ch ON ch.src = walk.node)
+              |SELECT node, head FROM walk ORDER BY node""".stripMargin)),
 
     Q("g9_kmers",
       (s, d) => Tables.documents(s, d)

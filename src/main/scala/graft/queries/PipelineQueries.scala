@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 
@@ -254,6 +255,35 @@ object PipelineQueries {
              |      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS s
              |      FROM documents)))
              |GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1""".stripMargin)),
+
+    Q("t6_heavy_hitters",
+      // Exact per-stratum heavy hitters (top tokens per language) —
+      // the corpus-profiling primitive. Two-level aggregate: Spark's
+      // hash agg does map-side partials, so the shuffle carries one
+      // row per (lang, tok) per partition, never raw tokens; the
+      // top-k window shuffles only the aggregated counts. At 100 TB
+      // the same plan holds (count-min sketch is the approximate
+      // alternative when even (lang, tok) cardinality is too large).
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        tf.withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(desc("cnt"), asc("tok"))))
+          .filter(col("rk") <= 5)
+          .select("lang", "rk", "tok", "cnt")
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH tf AS (
+             |  SELECT lang, t.tok, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM documents, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)
+             |  GROUP BY 1, 2),
+             |r AS (SELECT lang, tok, cnt,
+             |  CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS INT) AS rk
+             |  FROM tf)
+             |SELECT lang, rk, tok, cnt FROM r WHERE rk <= 5
+             |ORDER BY lang, rk""".stripMargin)),
 
     Q("smp1_hash_sample",
       // deterministic multiplicative-hash Bernoulli sample (~7%):

@@ -416,6 +416,58 @@ object Relational {
               |  min(clk.click_t) AS click_t
               |  FROM e JOIN clk ON e.user_id=clk.user_id
               |  WHERE e.event_type='purchase' AND e.t > clk.click_t GROUP BY 1)
-              |SELECT user_id, signup_t, click_t, purchase_t FROM pur ORDER BY user_id""".stripMargin))
+              |SELECT user_id, signup_t, click_t, purchase_t FROM pur ORDER BY user_id""".stripMargin)),
+
+    Q("q29_setops",
+      // INTERSECT / EXCEPT: customer retention between consecutive
+      // years. Spark plans both as joins over the distinct key sets —
+      // one shuffle each on o_custkey, no materialized intermediate.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def yr(y: Int) = o
+          .filter(col("o_orderdate") >= s"$y-01-01" && col("o_orderdate") < s"${y + 1}-01-01")
+          .select("o_custkey")
+        yr(1995).intersect(yr(1996)).withColumn("status", lit("retained"))
+          .union(yr(1995).except(yr(1996)).withColumn("status", lit("churned")))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH y95 AS (SELECT o_custkey FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+             |y96 AS (SELECT o_custkey FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+             |SELECT o_custkey, 'retained' AS status
+             |FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+             |UNION ALL
+             |SELECT o_custkey, 'churned' AS status
+             |FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+             |ORDER BY o_custkey""".stripMargin)),
+
+    Q("q30_salted_join",
+      // Skew-hardening pattern, exercised end-to-end: salt the fact
+      // side S ways (deterministic l_linenumber % S — any uniform
+      // per-row value works), replicate the broadcast dim side S ways,
+      // partially aggregate per (key, salt), then merge. A hot supplier
+      // key spreads over S reducers instead of one; the oracle is the
+      // plain unsalted join, proving salting never changes results.
+      (s, d) => {
+        val S = 8
+        val li = Tables.lineitem(s, d)
+          .withColumn("salt", (col("l_linenumber") % S).cast("int"))
+        val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
+          .withColumn("s_salt", explode(expr(s"sequence(0, ${S - 1})")))
+        li.join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") && col("salt") === col("s_salt"))
+          .groupBy("s_suppkey", "s_name", "salt")
+          .agg(sum(expr("l_extendedprice*(1-l_discount)")).as("rev"),
+            count(lit(1)).as("n"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(round(sum("rev"), 2).as("revenue"), sum("n").as("n_items"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |CAST(count(*) AS BIGINT) AS n_items
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   )
 }

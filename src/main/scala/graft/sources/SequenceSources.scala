@@ -26,22 +26,25 @@ object SequenceSources {
       .withColumn("length", length(col("sequence")).cast("long"))
 
   /** FASTQ: rigid 4-line records (@id / seq / + / qual). Needs global
-    * line indices, so this uses zipWithIndex — the one genuinely
-    * order-dependent ingest; at scale, prefer pre-split FASTQ or
-    * FASTA. Output: (seq_id, sequence, quality, length).
+    * line indices, so this uses zipWithIndex (one count pass + one
+    * data pass — inherent to the format's line-position semantics; at
+    * scale prefer pre-split FASTQ or FASTA). Records that straddle a
+    * partition boundary are stitched by one `aggregateByKey` with a
+    * fixed 4-slot array — bounded state per record, no growing-Seq
+    * concatenation, and record-local (never whole-file) memory.
+    * Output: (seq_id, sequence, quality, length).
     */
   def readFastq(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val lines = spark.read.text(path).select("value").as[String].rdd
+    val grouped = spark.read.text(path).select("value").as[String].rdd
       .zipWithIndex()
-      .map { case (l, i) => (i / 4, i % 4, l) }
-    val grouped = lines
-      .map { case (rec, pos, l) => (rec, Seq(pos -> l)) }
-      .reduceByKey(_ ++ _)
-      .map { case (rec, parts) =>
-        val m = parts.toMap
-        (rec, m.getOrElse(0L, "").stripPrefix("@"),
-          m.getOrElse(1L, ""), m.getOrElse(3L, ""))
+      .map { case (l, i) => (i / 4, (i % 4, l)) }
+      .aggregateByKey(new Array[String](4))(
+        (acc, pl) => { acc(pl._1.toInt) = pl._2; acc },
+        (a, b) => { var i = 0; while (i < 4) { if (a(i) == null) a(i) = b(i); i += 1 }; a })
+      .map { case (rec, m) =>
+        (rec, Option(m(0)).getOrElse("").stripPrefix("@"),
+          Option(m(1)).getOrElse(""), Option(m(3)).getOrElse(""))
       }
     grouped.toDF("record", "seq_id", "sequence", "quality")
       .select(col("seq_id"), col("sequence"), col("quality"),

@@ -63,4 +63,13 @@ object StreamingOps {
             idCols: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(idCols :+ tsCol)
+
+  /** Stream-static enrichment: every micro-batch joins the (small)
+    * static dimension via broadcast — no stream-side shuffle, no
+    * state; the standard streaming dimension-lookup shape. Spark
+    * re-plans the static side per batch, so slowly-changing dims
+    * (e.g. a refreshed parquet snapshot) are picked up.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
 }

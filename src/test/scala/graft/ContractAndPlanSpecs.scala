@@ -16,8 +16,9 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query inventory matches SURVEY §2 counts") {
-    assert(SparkEntry.queries.size == 53)
-    assert(SparkEntry.oracleSql.size == 46)
+    assert(SparkEntry.queries.size == 62)
+    // every query carries a DuckDB oracle — no rows-only checks left
+    assert(SparkEntry.oracleSql.size == SparkEntry.queries.size)
   }
 }
 

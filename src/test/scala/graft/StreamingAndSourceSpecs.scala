@@ -42,6 +42,21 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 10L, 50L, 2L, 3.0)))
   }
 
+  test("stream-static enrich joins each batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val stream = in.toDF().toDF("nid", "value")
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("nid", "name")
+    val q = StreamingOps.enrich(stream, dim, Seq("nid"))
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    in.addData((1L, 10.0), (2L, 20.0), (3L, 30.0)) // 3 has no dim row
+    q.processAllAvailable()
+    val rows = spark.table("enr").select("nid", "value", "name")
+      .as[(Long, Double, String)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, 10.0, "alpha"), (2L, 20.0, "beta")))
+  }
+
   test("streaming dedup suppresses duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]
@@ -102,6 +117,39 @@ class SequenceSourceSpec extends SparkSpec {
       .as[(String, Double)].collect()
     assert(df(0) == (("ACGT", 0.5)))
     assert(df(1) == (("GGCC", 1.0)))
+  }
+
+  test("partitioned parquet sink prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val docs = Tables.documents(spark, sfDir)
+    graft.sources.Sinks.writePartitioned(docs, s"$dir/bylang", Seq("lang"))
+    val langs = new java.io.File(s"$dir/bylang").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(langs.forall(_.startsWith("lang=")), s"hive layout expected: $langs")
+    assert(langs.size > 1)
+    val back = spark.read.parquet(s"$dir/bylang").filter(col("lang") === "en")
+    assert(back.count() == docs.filter(col("lang") === "en").count())
+    // the lang filter must resolve to partition pruning, not a data filter
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    assert(plan.contains("lang"), plan.take(2000))
+  }
+
+  test("sorted parquet sink clusters rows for row-group skipping") {
+    val dir = Files.createTempDirectory("graft-sink2").toString
+    val docs = Tables.documents(spark, sfDir)
+    graft.sources.Sinks.writeSorted(docs, s"$dir/sorted", Seq("doc_id"), numFiles = 3)
+    val back = spark.read.parquet(s"$dir/sorted")
+    assert(back.count() == docs.count())
+    // range-partitioned + sorted: every file holds a disjoint doc_id range
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, input_file_name}
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(fmin("doc_id").as("lo"), fmax("doc_id").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.sliding(2).forall {
+      case Array(a, b) => a._3 <= b._2
+      case _ => true
+    }, s"overlapping file ranges: ${ranges.map(r => (r._2, r._3)).toSeq}")
   }
 
   test("csv and json round-trip through graft writers") {
