@@ -232,21 +232,31 @@ object Dedup {
     val (members, repTok, repSize) = tokenSetGroups(df, idCol, textCol)
 
     // minhash slot i = g*4+j = min over tokens of the j-th 8-hex-digit
-    // word of md5(tok || '_' || g)
-    val mh = repTok
-      .select(col("setId"), col("tok"),
-        explode(expr(s"sequence(0, ${numHashes / 4 - 1})")).as("g"))
+    // word of md5(tok || '_' || g). The md5s are computed once per
+    // DISTINCT token (vocab ≪ (set, token) pairs — the token-hash
+    // table is a hash join on tok, never a per-pair recompute), each
+    // token carrying its full `numHashes`-slot vector; the per-set min
+    // is then `numHashes` columnar min() aggregates in ONE shuffle of
+    // the (set, token) pairs, instead of exploding ×numHashes rows
+    // through the exchange.
+    val tokVec = repTok.select("tok").distinct()
+      .select(col("tok"), explode(expr(s"sequence(0, ${numHashes / 4 - 1})")).as("g"))
       .withColumn("h", md5(concat(col("tok"), lit("_"), col("g").cast("string"))))
-      .select(col("setId"), col("g"), col("h"), explode(expr("sequence(0, 3)")).as("j"))
-      .select(col("setId"), (col("g") * 4 + col("j")).as("i"),
-        expr("CAST(conv(substr(h, j * 8 + 1, 8), 16, 10) AS BIGINT)").as("hv"))
-      .groupBy("setId", "i").agg(min("hv").as("mh"))
+      .select(col("tok"), col("g"),
+        expr("transform(sequence(0, 3), j -> CAST(conv(substr(h, j * 8 + 1, 8), 16, 10) AS BIGINT))").as("hv4"))
+      .groupBy("tok")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(g, hv4))), s -> s.hv4))").as("hv"))
+
+    val mins = repTok.join(tokVec, Seq("tok"))
+      .groupBy("setId")
+      .agg(array((0 until numHashes).map(i => min(expr(s"hv[$i]"))): _*).as("mh"))
 
     // band signature = the band's minhashes in slot order, as a string
     // (cross-engine join key; no engine-private hash)
-    val sig = Ckpt.cut(mh.withColumn("band", expr(s"i div $rows"))
-      .groupBy("setId", "band")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), s -> CAST(s.mh AS STRING)), ',')").as("sig")))
+    val sig = Ckpt.cut(mins.select(col("setId"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
+          s"array_join(transform(sequence(0, ${rows - 1}), r -> CAST(mh[b * $rows + r] AS STRING)), ',') AS sig))")).as("bs"))
+      .select(col("setId"), col("bs.band").as("band"), col("bs.sig").as("sig")))
 
     val capped = capBuckets(sig, Seq("band", "sig"), "setId", maxBucket)
     val cand = capped.as("a").join(capped.as("b"),
@@ -273,17 +283,22 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val (members, repTok, _) = tokenSetGroups(df, idCol, textCol)
-    // bit b of md5(tok): hex digit b/4, bit b%4 within the digit
-    val bitSums = repTok
+    // bit b of md5(tok): hex digit b/4, bit b%4 within the digit.
+    // Computed once per DISTINCT token as a ±1 vector (vocab ≪
+    // (set, token) pairs), then summed per set as 60 columnar sum()
+    // aggregates in one shuffle — no ×60 row explosion through the
+    // exchange.
+    val tokBits = repTok.select("tok").distinct()
       .withColumn("h", md5(col("tok")))
-      .select(col("setId"), explode(expr(
-        "transform(sequence(0, 59), b -> struct(b AS b, " +
-          "CASE WHEN (CAST(conv(substr(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS BIGINT) div shiftleft(CAST(1 AS BIGINT), b % 4)) % 2 = 1 THEN 1 ELSE -1 END AS v))")).as("s"))
-      .select(col("setId"), col("s.b").as("b"), col("s.v").as("v"))
-      .groupBy("setId", "b").agg(sum("v").as("sv"))
-    val sim = Ckpt.cut(bitSums
+      .select(col("tok"), expr(
+        "transform(sequence(0, 59), b -> " +
+          "CASE WHEN (CAST(conv(substr(h, CAST(b div 4 AS INT) + 1, 1), 16, 10) AS BIGINT) div shiftleft(CAST(1 AS BIGINT), b % 4)) % 2 = 1 THEN 1 ELSE -1 END)").as("bv"))
+    val bitSums = repTok.join(tokBits, Seq("tok"))
       .groupBy("setId")
-      .agg(expr("sum(CASE WHEN sv >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)").as("simhash")))
+      .agg(array((0 until 60).map(b => sum(expr(s"bv[$b]"))): _*).as("sv"))
+    val sim = Ckpt.cut(bitSums.select(col("setId"), expr(
+      "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) -> " +
+        "acc + CASE WHEN sv[b] >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)").as("simhash")))
 
     val banded = sim.withColumn("band", explode(expr(
       "transform(sequence(0, 3), k -> struct(k AS k, (shiftright(simhash, k*15) & 32767) AS bh))")))

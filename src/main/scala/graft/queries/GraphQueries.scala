@@ -16,7 +16,7 @@ import graft.graph.GraphOps
   *    (o_orderdate, o_orderkey); `skip` adds i→i+2 edges, which makes
   *    every skip edge transitively redundant and every (i,i+1,i+2) a
   *    directed triangle.
-  *  - diamond graph: consecutive diamonds u→{a,b}→w — the canonical
+  *  - diamond graph: disjoint diamonds u→{a,b}→w — the canonical
   *    simple-bubble pattern.
   */
 object GraphQueries {
@@ -64,26 +64,32 @@ object GraphQueries {
       |  FROM documents WHERE length(text) >= 40),
       |reads AS (SELECT doc_id * 1000 + i AS id, substr(text, 1 + i * 25, 40) AS seq FROM r0)""".stripMargin
 
-  /** Diamond graph: orders row r (0-based, ordered by o_orderkey) emits
-    * one edge of diamond j=r/4: u=3j, a=3j+1, b=3j+2, w=3j+3.
-    * The dense row index comes from `zipWithIndex` over the
-    * range-partitioned sort — two distributed passes, no
-    * single-task global window, same deterministic result at any SF.
-    */
-  private def diamondEdges(s: SparkSession, d: String): DataFrame = {
+  /** Dense 0-based row index over orders ordered by o_orderkey —
+    * zipWithIndex over the range-partitioned sort: two distributed
+    * passes, no single-task global window, deterministic at any SF. */
+  private def orderIndex(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d).select("o_orderkey").orderBy("o_orderkey")
       .rdd.zipWithIndex().map(_._2).toDF("r")
+  }
+
+  /** Diamond graph: orders row r (0-based) emits one edge of diamond
+    * j=r/4: u=4j, a=4j+1, b=4j+2, w=4j+3 — DISJOINT id blocks, so
+    * diamonds never chain into one long path and downstream pointer
+    * jumping stays O(1) rounds at any SF.
+    */
+  private def diamondEdges(s: SparkSession, d: String): DataFrame = {
+    orderIndex(s, d)
       .select(
-        expr("CASE r%4 WHEN 0 THEN 3*(r div 4) WHEN 1 THEN 3*(r div 4) WHEN 2 THEN 3*(r div 4)+1 ELSE 3*(r div 4)+2 END").as("src"),
-        expr("CASE r%4 WHEN 0 THEN 3*(r div 4)+1 WHEN 1 THEN 3*(r div 4)+2 ELSE 3*(r div 4)+3 END").as("dst"))
+        expr("CASE r%4 WHEN 0 THEN 4*(r div 4) WHEN 1 THEN 4*(r div 4) WHEN 2 THEN 4*(r div 4)+1 ELSE 4*(r div 4)+2 END").as("src"),
+        expr("CASE r%4 WHEN 0 THEN 4*(r div 4)+1 WHEN 1 THEN 4*(r div 4)+2 ELSE 4*(r div 4)+3 END").as("dst"))
   }
 
   private val diamondSql =
     """o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS r FROM orders),
       |e AS (SELECT
-      |  CASE r%4 WHEN 0 THEN 3*(r//4) WHEN 1 THEN 3*(r//4) WHEN 2 THEN 3*(r//4)+1 ELSE 3*(r//4)+2 END AS src,
-      |  CASE r%4 WHEN 0 THEN 3*(r//4)+1 WHEN 1 THEN 3*(r//4)+2 ELSE 3*(r//4)+3 END AS dst
+      |  CASE r%4 WHEN 0 THEN 4*(r//4) WHEN 1 THEN 4*(r//4) WHEN 2 THEN 4*(r//4)+1 ELSE 4*(r//4)+2 END AS src,
+      |  CASE r%4 WHEN 0 THEN 4*(r//4)+1 WHEN 1 THEN 4*(r//4)+2 ELSE 4*(r//4)+3 END AS dst
       |FROM o)""".stripMargin
 
   /** Shared DuckDB CTEs for g4/g4b: bubble arms over the diamond graph. */
@@ -255,21 +261,28 @@ object GraphQueries {
     Q("g10_reduce_pipeline",
       // The composed middle stage end-to-end on a graph that exercises
       // every reduction: chain+skip edges (transitively-redundant skip
-      // edges, dead-end chain tails) unioned with the diamond graph
-      // offset into a disjoint id space (bubbles). Output: unitig
-      // membership of the fully reduced graph.
+      // edges, dead-end chain tails) unioned with tailed diamonds in a
+      // disjoint id space — ids 8j..8j+6 per diamond: u=0,a=1,b=2,w=3
+      // then a 3-edge tail w→t1→t2→t3. Depth-2 tip clipping consumes
+      // exactly the tail's last two edges, leaving the diamond intact
+      // for bubble removal; every component stays O(1) deep, so the
+      // final unitig pointer jumping is O(1) rounds at any SF. Output:
+      // unitig membership of the fully reduced graph.
       (s, d) => {
-        val e = chainEdges(s, d, withSkip = true)
-          .union(diamondEdges(s, d).select(
-            (col("src") + 10000000L).as("src"), (col("dst") + 10000000L).as("dst")))
+        val tailed = orderIndex(s, d).filter(expr("r % 4 = 0"))
+          .select(expr("8 * (r div 4) + 10000000").as("base"), explode(expr(
+            "array(array(0,1),array(0,2),array(1,3),array(2,3),array(3,4),array(4,5),array(5,6))"))
+            .as("ed"))
+          .select((col("base") + col("ed")(0)).as("src"),
+            (col("base") + col("ed")(1)).as("dst"))
+        val e = chainEdges(s, d, withSkip = true).union(tailed)
         GraphOps.unitigs(GraphOps.reducePipeline(e, tipDepth = 2)).orderBy("node")
       },
       Some(s"""WITH RECURSIVE ${chainSql(true)},
               |o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS r FROM orders),
-              |ed AS (SELECT
-              |  CASE r%4 WHEN 0 THEN 3*(r//4) WHEN 1 THEN 3*(r//4) WHEN 2 THEN 3*(r//4)+1 ELSE 3*(r//4)+2 END + 10000000 AS src,
-              |  CASE r%4 WHEN 0 THEN 3*(r//4)+1 WHEN 1 THEN 3*(r//4)+2 ELSE 3*(r//4)+3 END + 10000000 AS dst
-              |  FROM o),
+              |ed AS (SELECT 8*(r//4) + s.a + 10000000 AS src, 8*(r//4) + s.b + 10000000 AS dst
+              |  FROM o, (VALUES (0,1),(0,2),(1,3),(2,3),(3,4),(4,5),(5,6)) AS s(a,b)
+              |  WHERE r%4 = 0),
               |eu AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT src, dst FROM ed),
               |p AS MATERIALIZED (SELECT e1.src AS src, e2.dst AS dst FROM eu e1 JOIN eu e2 ON e1.dst = e2.src),
               |tr AS MATERIALIZED (SELECT src, dst FROM eu
