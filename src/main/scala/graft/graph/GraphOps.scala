@@ -260,6 +260,23 @@ object GraphOps {
     labels.select(col("node"), col("lbl").as("component"))
   }
 
+  /** k-core pruning over the undirected degree view: repeatedly drop
+    * edges touching a vertex of degree < k until stable (or
+    * `maxRounds`). Each round is one degree aggregate + two
+    * semi-joins — the standard distributed peeling; round count is
+    * bounded by the peeling depth, not graph size.
+    */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame =
+    iterateToFixpoint(edges.select("src", "dst"), maxRounds) { e =>
+      val deg = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      e.join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+    }
+
   /** Undirected triangle count (single row `n_triangles`). Canonical
     * a<b<c orientation — each triangle counted exactly once; two hash
     * joins, the standard distributed formulation.

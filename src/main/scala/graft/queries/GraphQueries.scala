@@ -317,6 +317,30 @@ object GraphQueries {
               |  SELECT ch.dst, walk.head FROM walk JOIN ch ON ch.src = walk.node)
               |SELECT node, head FROM walk ORDER BY node""".stripMargin)),
 
+    Q("g11_kcore",
+      // 4-core of the chain+skip graph (undirected-degree peeling,
+      // 3 bounded rounds): interior chain vertices have total degree
+      // 4, chain ends peel away round by round.
+      (s, d) => GraphOps.kcore(chainEdges(s, d, withSkip = true), k = 4, maxRounds = 3)
+        .orderBy("src", "dst"),
+      Some(s"""WITH ${chainSql(true)},
+              |d1 AS (SELECT node, count(*) AS c FROM
+              |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e) GROUP BY 1),
+              |e1 AS (SELECT src, dst FROM e
+              |  WHERE src IN (SELECT node FROM d1 WHERE c >= 4)
+              |    AND dst IN (SELECT node FROM d1 WHERE c >= 4)),
+              |d2 AS (SELECT node, count(*) AS c FROM
+              |  (SELECT src AS node FROM e1 UNION ALL SELECT dst FROM e1) GROUP BY 1),
+              |e2 AS (SELECT src, dst FROM e1
+              |  WHERE src IN (SELECT node FROM d2 WHERE c >= 4)
+              |    AND dst IN (SELECT node FROM d2 WHERE c >= 4)),
+              |d3 AS (SELECT node, count(*) AS c FROM
+              |  (SELECT src AS node FROM e2 UNION ALL SELECT dst FROM e2) GROUP BY 1),
+              |e3 AS (SELECT src, dst FROM e2
+              |  WHERE src IN (SELECT node FROM d3 WHERE c >= 4)
+              |    AND dst IN (SELECT node FROM d3 WHERE c >= 4))
+              |SELECT src, dst FROM e3 ORDER BY 1, 2""".stripMargin)),
+
     Q("g9_kmers",
       (s, d) => Tables.documents(s, d)
         .select(explode(expr(

@@ -468,6 +468,26 @@ object Relational {
              |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
              |CAST(count(*) AS BIGINT) AS n_items
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    Q("q31_range_frame",
+      // Value-based (RANGE) window frame: per customer, revenue of all
+      // orders within the trailing 30 days of each order — peers at
+      // the same day all see the same frame (vs ROWS frames, q9/q24).
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("days")
+          .rangeBetween(-30, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn("days", datediff(col("o_orderdate"), lit("1995-01-01")))
+          .withColumn("trailing_30d", round(sum("o_totalprice").over(w), 2))
+          .select(col("o_orderkey"), col("o_custkey"), col("trailing_30d"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |round(sum(o_totalprice) OVER (
+             |  PARTITION BY o_custkey
+             |  ORDER BY datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+             |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 }

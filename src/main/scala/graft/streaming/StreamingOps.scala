@@ -72,4 +72,17 @@ object StreamingOps {
     */
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
+
+  /** Stream-stream inner join with watermarks on BOTH sides and a
+    * time-range condition — the combination Spark needs to bound join
+    * state: each side keeps only rows inside its watermark horizon,
+    * and rows pair when `cond` holds (key equality + event-time
+    * range, e.g. `l.ts BETWEEN r.ts AND r.ts + interval`). Without
+    * the range condition the state store grows forever.
+    */
+  def joinStreams(left: DataFrame, lTsCol: String, lWatermark: String,
+                  right: DataFrame, rTsCol: String, rWatermark: String,
+                  cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(lTsCol, lWatermark)
+      .join(right.withWatermark(rTsCol, rWatermark), cond)
 }

@@ -83,6 +83,13 @@ class ReductionPipelineSpec extends SparkSpec {
     assert(u == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 7L -> 1L))
   }
 
+  test("kcore peeling keeps the cycle, drops the tail") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val core = GraphOps.kcore(e, k = 2, maxRounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(core == Set((1L, 2L), (2L, 3L), (3L, 1L)))
+  }
+
   test("exact integer pagerank is symmetric on a cycle and reproducible") {
     val e = edges((1L, 2L), (2L, 3L), (3L, 1L))
     val r1 = GraphOps.pagerankExact(e, iters = 5).as[(Long, Long)].collect().toMap

@@ -57,6 +57,27 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 10.0, "alpha"), (2L, 20.0, "beta")))
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val imp = MemoryStream[(java.sql.Timestamp, Long)]
+    val clk = MemoryStream[(java.sql.Timestamp, Long)]
+    val impressions = imp.toDF().toDF("imp_ts", "imp_ad")
+    val clicks = clk.toDF().toDF("clk_ts", "clk_ad")
+    val joined = StreamingOps.joinStreams(
+      impressions, "imp_ts", "10 minutes",
+      clicks, "clk_ts", "10 minutes",
+      expr("imp_ad = clk_ad AND clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    imp.addData((t(1), 7L), (t(1), 8L))
+    clk.addData((t(3), 7L), (t(9), 8L)) // 8's click arrives past the 5-min bound
+    q.processAllAvailable()
+    val rows = spark.table("ssj").select("imp_ad").as[Long].collect().toSeq
+    q.stop()
+    assert(rows == Seq(7L))
+  }
+
   test("streaming dedup suppresses duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long)]
