@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graftbridge.CheckpointStats
 
 /** Lineage-cut policy for iterative plans.
   *
@@ -19,12 +20,15 @@ object Ckpt {
     val spark = df.sparkSession
     val dir = Option(spark.conf.get("spark.graft.checkpointDir", null))
       .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+    // withFreshStats: replace the inherited (geometrically compounding
+    // across self-join rounds) size estimate with the checkpoint's
+    // real materialized size — see graftbridge.CheckpointStats.
     dir match {
       case Some(d) if d.nonEmpty =>
         if (spark.sparkContext.getCheckpointDir.isEmpty)
           spark.sparkContext.setCheckpointDir(d)
-        df.checkpoint(eager = true)
-      case _ => df.localCheckpoint(eager = true)
+        CheckpointStats.withFreshStats(df.checkpoint(eager = true))
+      case _ => CheckpointStats.withFreshStats(df.localCheckpoint(eager = true))
     }
   }
 }
