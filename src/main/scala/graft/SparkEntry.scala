@@ -13,6 +13,7 @@ object SparkEntry {
     * so any session the driver hands us can be fixed up here. */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    org.apache.spark.sql.graftbridge.GraftFunctions.install(spark)
     spark
   }
 

@@ -292,6 +292,32 @@ object GraphOps {
         .select("src", "dst")
     }
 
+  /** Multi-source BFS: minimum hop distance (≤ `maxDepth`) from any
+    * seed along directed edges, as a (node, depth) table of reached
+    * nodes. Each round relaxes one hop — a hash join on `src` plus a
+    * min-aggregate on `node` — and the fused `__changed` count stops
+    * the loop as soon as the frontier dies, so sparse seed sets on
+    * shallow graphs never pay the full `maxDepth` rounds. `maxDepth`
+    * also bounds emitted depths, keeping the round count (and state
+    * size) fixed no matter how deep the 100-TB graph really is.
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val e = Ckpt.cut(edges.select("src", "dst"))
+    val init = seeds.select(col("node"), lit(0L).as("depth"))
+    iterate(init, maxRounds = maxDepth) { cur =>
+      val cand = cur.join(e, cur("node") === e("src"))
+        .select(e("dst").as("node"), (cur("depth") + 1).as("depth"))
+      val merged = cur.select("node", "depth").unionByName(cand)
+        .groupBy("node").agg(min("depth").as("depth"))
+      merged.join(
+          cur.select(col("node").as("pn"), col("depth").as("pd")),
+          merged("node") === col("pn"), "left")
+        .select(merged("node"), merged("depth"),
+          (col("pd").isNull || col("pd") =!= merged("depth"))
+            .cast("int").as("__changed"))
+    }
+  }
+
   /** Undirected triangle count (single row `n_triangles`). Canonical
     * a<b<c orientation — each triangle counted exactly once; two hash
     * joins, the standard distributed formulation.

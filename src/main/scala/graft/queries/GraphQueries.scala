@@ -353,6 +353,28 @@ object GraphQueries {
              |  SELECT substr(text, CAST(i AS INT), 5) AS kmer FROM (
              |    SELECT text, unnest(generate_series(1, greatest(length(text)-4, 0))) AS i
              |    FROM documents))
-             |GROUP BY 1 HAVING count(*) >= 20 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 HAVING count(*) >= 20 ORDER BY 1""".stripMargin)),
+
+    Q("g12_bfs",
+      // Multi-source BFS over the chain+skip graph from every ~97th
+      // order key: min hop distance ≤ 6 per reached node. The oracle
+      // materializes the edge CTE so the recursive walk doesn't
+      // re-derive it per iteration.
+      (s, d) => {
+        val e = chainEdges(s, d, withSkip = true)
+        val seeds = GraphOps.vertices(e).filter(col("node") % 97 === 0)
+        GraphOps.bfs(e, seeds, maxDepth = 6).orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE ${chainSql(true)},
+              |em AS MATERIALIZED (SELECT src, dst FROM e),
+              |nodes AS MATERIALIZED (
+              |  SELECT DISTINCT src AS node FROM em UNION SELECT DISTINCT dst FROM em),
+              |walk(node, depth) AS (
+              |  SELECT node, 0 FROM nodes WHERE node % 97 = 0
+              |  UNION
+              |  SELECT em.dst, depth + 1 FROM walk JOIN em ON em.src = walk.node
+              |  WHERE depth < 6)
+              |SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM walk
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -330,6 +330,109 @@ object PipelineQueries {
              |  WHEN ascii(substr(text, 1, 1)) % 3 = 1 THEN 'audio' ELSE 'video' END AS fmt,
              |CAST((octet_length(encode(text)) % 64) * 16 AS BIGINT) AS width,
              |CAST((octet_length(encode(text)) % 48) * 9 AS BIGINT) AS height
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("t7_pii_scrub",
+      // PII redaction. The synthetic corpus carries no PII, so a
+      // deterministic contact line is appended per doc before
+      // scrubbing — the regexes then run over real prose + known
+      // matches. Patterns are RE2-safe (no backtracking constructs)
+      // so Java and DuckDB regex engines agree; DuckDB needs the 'g'
+      // flag to match Spark's replace-all semantics.
+      (s, d) => Tables.documents(s, d)
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example or call 555-"),
+          expr("lpad(CAST(doc_id % 10000 AS STRING), 4, '0')")))
+        .select(col("doc_id"),
+          expr("size(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', 0))")
+            .as("n_emails"),
+          expr("size(regexp_extract_all(raw, '555-[0-9]{4}', 0))").as("n_phones"),
+          expr("regexp_replace(regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', " +
+            "'<EMAIL>'), '555-[0-9]{4}', '<PHONE>')").as("scrubbed"))
+        .orderBy("doc_id"),
+      Some("""WITH raw AS (SELECT doc_id,
+             |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or call 555-'
+             |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
+             |  regexp_replace(regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             |    '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+             |FROM raw ORDER BY doc_id""".stripMargin)),
+
+    Q("t8_repetition",
+      // Repetition / diversity metrics per document: type-token ratio
+      // and top-token share in exact integer basis points (the div
+      // trick from t2 — never round a ratio across engines).
+      (s, d) => {
+        val tok = Tables.documents(s, d).select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+        tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").as("total"), count(lit(1)).as("n_distinct"), max("c").as("max_c"))
+          .select(col("doc_id"), col("total"), col("n_distinct"),
+            expr("n_distinct * 10000 div total").as("ttr_bp"),
+            expr("max_c * 10000 div total").as("top_bp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, t.tok FROM documents,
+             |    unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''),
+             |c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+             |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+             |    CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_c
+             |  FROM c GROUP BY 1)
+             |SELECT doc_id, total, n_distinct,
+             |  n_distinct * 10000 // total AS ttr_bp,
+             |  max_c * 10000 // total AS top_bp
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    Q("smp3_weighted_sample",
+      // Length-weighted deterministic Bernoulli sample: acceptance
+      // probability ∝ n_chars (capped at 90%), same overflow-safe
+      // masked multiplicative hash as smp1/smp2.
+      (s, d) => Tables.documents(s, d)
+        .filter(expr(
+          "((doc_id % 1000003) * 2654435761) % 10000 < least(9000, n_chars * 12)"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("first_id"))
+        .orderBy("lang"),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+             |CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |CAST(min(doc_id) AS BIGINT) AS first_id
+             |FROM documents
+             |WHERE ((doc_id % 1000003) * 2654435761) % 10000 < least(9000, n_chars * 12)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("s4_knn_sql",
+      // Brute kNN written entirely in SQL through the registered
+      // vec_dot/vec_cosine functions (GraftFunctions SQL surface) —
+      // same double expression tree as the s1 Column path, so the s1
+      // oracle convention carries over unchanged.
+      (s, d) => {
+        org.apache.spark.sql.graftbridge.GraftFunctions.install(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings_sql")
+        s.sql("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                |    FROM embeddings_sql WHERE vec_id % 97 = 0),
+                |sc AS (SELECT qid, c.vec_id AS cid, vec_cosine(qe, c.embedding) AS cos
+                |  FROM q JOIN embeddings_sql c ON c.vec_id <> qid),
+                |r AS (SELECT qid, cid, cos,
+                |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+                |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+                |  round(cos, 4) AS cosine
+                |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
+      },
+      Some(s"""WITH $cosSql,
+              |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id % 97 = 0),
+              |sc AS (SELECT qid, c.vec_id AS cid,
+              |  list_dot_product(qv, c.v)
+              |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+              |  FROM q JOIN ce c ON c.vec_id <> qid),
+              |r AS (SELECT qid, cid, cos,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine
+              |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
   )
 }

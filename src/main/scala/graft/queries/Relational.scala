@@ -488,6 +488,66 @@ object Relational {
              |  PARTITION BY o_custkey
              |  ORDER BY datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
              |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q32_grouping_sets",
+      // GROUPING SETS — the general form behind rollup (q11) and cube
+      // (q27): two independent single-column groupings plus the grand
+      // total in one pass. Flags never being NULL makes the '*'
+      // coalesce a safe slot marker on both engines.
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT coalesce(l_returnflag, '*') AS rf,
+                |  coalesce(l_linestatus, '*') AS ls,
+                |  count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+                |FROM lineitem_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY rf, ls""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, '*') AS rf,
+             |  coalesce(l_linestatus, '*') AS ls,
+             |  CAST(count(*) AS BIGINT) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY rf, ls""".stripMargin)),
+
+    Q("q33_argminmax",
+      // arg-max/arg-min per group with a deterministic comparator:
+      // (acctbal, custkey) packed into one exact integer (cents ×
+      // 10^8 + key) — ties on acctbal resolve to the larger/smaller
+      // custkey on both engines (bare max_by/arg_max leave ties
+      // engine-defined, and DuckDB arg_max takes no composite key).
+      (s, d) => Tables.customer(s, d)
+        .withColumn("ord",
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+          max_by(col("c_custkey"), col("ord")).as("richest"),
+          min_by(col("c_custkey"), col("ord")).as("poorest"),
+          round(max("c_acctbal"), 2).as("max_bal"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey,
+             |  arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey) AS richest,
+             |  arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 100000000 + c_custkey) AS poorest,
+             |  round(max(c_acctbal), 2) AS max_bal
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q34_array_ops",
+      // array-function pipeline (split → filter → distinct → sort →
+      // slice → join) kept fully inside whole-stage codegen — the
+      // per-document token vocabulary fingerprint.
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("array_join(slice(array_sort(array_distinct(" +
+            "filter(split(text, ' '), x -> x <> ''))), 1, 5), ' ')").as("first5"),
+          expr("size(array_distinct(filter(split(text, ' '), x -> x <> '')))")
+            .as("n_distinct"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  array_to_string(list_sort(list_distinct(
+             |    list_filter(string_split(text, ' '), x -> x <> '')))[1:5], ' ') AS first5,
+             |  CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INT)
+             |    AS n_distinct
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
