@@ -5,18 +5,23 @@ import java.nio.file.{Files, Paths}
 /** Driver-run benchmark: times every `SparkEntry.queries` entry at the
   * SF the driver points at and emits ONE machine-readable JSON line.
   *
-  * Robustness contract (round-2 hardening):
-  *  - each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) and
-  *    records the MINIMUM — this host has documented 40-90s
-  *    virtualization steal stalls, so an n=1 timing can be 20x off;
-  *    min-over-k is the standard way to measure code speed under noise.
+  * Robustness contract (round-3 hardening):
+  *  - INTERLEAVED whole-suite passes: pass 1 runs all queries, then
+  *    pass 2, then pass 3 (`SPARK_GRAFT_BENCH_RUNS`, default 3); the
+  *    per-query MINIMUM across passes is recorded. This host has
+  *    documented 40-90s virtualization-steal stall windows; the
+  *    round-2 back-to-back layout let one sustained window eat all 3
+  *    runs of the same query (326s recorded vs ~110s real).
+  *    Interleaving means a stall window hits *different* queries in
+  *    each pass, so the min survives.
   *  - failures are NOT swallowed: a failed query records `-1`, is
   *    listed in `"failures"`, is printed to stderr with its message,
-  *    and the process exits nonzero.
+  *    and the process exits nonzero. A query that fails in one pass
+  *    is not retried in later passes.
   *  - the JSON line goes to stdout AND to a file
-  *    (`SPARK_GRAFT_BENCH_OUT`, default `/root/repo/bench_out.json`) —
-  *    sbt's `[info]` log decoration corrupted the stdout line for the
-  *    round-1 driver parse (`parsed: null`).
+  *    (`SPARK_GRAFT_BENCH_OUT`, default `/root/repo/bench_out.json`).
+  *    Launch via `scripts/bench.sh` (spark-submit) so stdout carries
+  *    zero sbt `[info]`/`[success]` decoration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,35 +37,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    var failures = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val t = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          None
-        }
-        finally {
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        }
-        t
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (pass <- 1 to runs; (name, fn) <- names if !failed(name)) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (!best.get(name).exists(_ <= t)) best(name) = t
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed += name
+      } finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
-      if (times.isEmpty) { failures ::= name; name -> -1.0 }
-      else name -> times.min
+    }
+    val results = names.map { case (name, _) =>
+      name -> (if (failed(name)) -1.0 else best(name))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"failures":$fs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"interleaved":true,"failures":$fs}"""
     println(json)
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
-    if (failures.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
