@@ -66,32 +66,103 @@ object GraphOps {
 
   // ------------------------------------------------------------ construction
 
-  /** Overlap-graph construction from reads — the assembler's stage 1.
-    * Emits an edge (src, dst, overlap) when the `overlap`-length
-    * suffix of read `src` equals the same-length prefix of read `dst`,
-    * for overlap in [minOverlap, maxOverlap], keeping the maximum
-    * overlap per pair. The fixed-length suffix/prefix string is the
-    * k-mer anchor AND the verification in one: the join is a pure
-    * equi-join (one hash shuffle per overlap length, all lengths
-    * unioned before the shuffle), no post-verification pass, no false
-    * positives. Low-complexity anchors (poly-A etc.) can create hot
-    * keys at corpus scale — cap them with [[Dedup.capBuckets]]-style
-    * truncation or a complexity filter upstream if the read set is
-    * degenerate.
+  /** Overlap-graph construction from reads — the assembler's stage 1,
+    * seed-and-extend formulation. Emits an edge (src, dst, overlap)
+    * when the `overlap`-length suffix of read `src` equals the
+    * same-length prefix of read `dst`, for overlap in
+    * [minOverlap, maxOverlap], keeping the maximum overlap per pair.
+    *
+    * Scale shape (W = maxOverlap − minOverlap + 1, k = minOverlap):
+    * the join anchors on the fixed k-length prefix only. The prefix
+    * side shuffles ONE row per read (anchor + the (W−1)-char tail
+    * needed for verification); the suffix side shuffles W fixed-width
+    * rows per read (k-char anchor at each candidate end position + a
+    * ≤(W−1)-char tail) — NOT W variable-width strings up to the full
+    * read length per side, which is what the naive per-length
+    * formulation costs. Verification (the part of the overlap beyond
+    * the anchor) is fused into the join condition — tail-vs-tail
+    * substring equality on the already-carried columns — so there is
+    * no second pass and no extra shuffle; a length-v overlap exists
+    * iff its k-anchor matches AND the remaining v−k chars match.
+    *
+    * Low-complexity anchors (poly-A runs etc.) are capped in-operator:
+    * both sides run through [[graft.operators.Dedup.capBuckets]] on
+    * the anchor key (`anchorCap` rows per bucket, deterministic
+    * smallest-id-first; 0 disables). The window hash-partitions on the
+    * join key, so the cap reuses the join's exchange. A capped anchor
+    * loses candidate pairs beyond the cap — the standard degenerate-
+    * input guard, same recall trade as the LSH bucket caps.
     */
   def overlapEdges(reads: DataFrame, idCol: String, seqCol: String,
-                   minOverlap: Int, maxOverlap: Int): DataFrame = {
+                   minOverlap: Int, maxOverlap: Int,
+                   anchorCap: Int = 10000): DataFrame = {
+    val k = minOverlap
     val r = reads.select(col(idCol).as("id"), col(seqCol).as("seq"))
-    def anchored(subSql: String): DataFrame =
-      r.select(col("id"), col("seq"),
-          explode(expr(s"sequence($minOverlap, $maxOverlap)")).as("v"))
-        .filter(length(col("seq")) >= col("v"))
-        .select(col("id"), col("v"), expr(subSql).as("s"))
-    val sfx = anchored("substring(seq, -v, v)")
-    val pfx = anchored("substring(seq, 1, v)")
-    sfx.as("a").join(pfx.as("b"), col("a.v") === col("b.v") && col("a.s") === col("b.s")
-        && col("a.id") =!= col("b.id"))
+    val pfxRaw = r.filter(length(col("seq")) >= k)
+      .select(col("id"),
+        expr(s"substring(seq, 1, $k)").as("anchor"),
+        expr(s"substring(seq, ${k + 1}, ${maxOverlap - k})").as("btail"))
+    val sfxRaw = r.select(col("id"), col("seq"),
+        explode(expr(s"sequence($minOverlap, $maxOverlap)")).as("v"))
+      .filter(length(col("seq")) >= col("v"))
+      .select(col("id"), col("v"),
+        expr(s"substring(seq, length(seq) - v + 1, $k)").as("anchor"),
+        expr(s"substring(seq, length(seq) - v + 1 + $k, v - $k)").as("atail"))
+    val pfx = graft.operators.Dedup.capBuckets(pfxRaw, Seq("anchor"), "id", anchorCap)
+    val sfx = graft.operators.Dedup.capBuckets(
+        sfxRaw.withColumn("__ord", col("id") * (maxOverlap + 1) + col("v")),
+        Seq("anchor"), "__ord", anchorCap)
+      .drop("__ord")
+    sfx.as("a").join(pfx.as("b"),
+        col("a.anchor") === col("b.anchor") && col("a.id") =!= col("b.id")
+          && col("a.atail") === expr(s"substring(b.btail, 1, a.v - $k)"))
       .groupBy(col("a.id").as("src"), col("b.id").as("dst"))
+      .agg(max(col("a.v")).as("overlap"))
+  }
+
+  /** Double-strand overlap construction — real sequencing reads
+    * overlap in both orientations, so each read participates as
+    * itself (strand '+') and as its reverse complement (strand '-',
+    * via [[graft.sources.SequenceSources.reverseComplement]]). Emits
+    * the bidirected overlap graph: (src, src_strand, dst, dst_strand,
+    * overlap) whenever the overlap-length suffix of the src
+    * orientation equals the same-length prefix of the dst orientation,
+    * max overlap per oriented pair, self-pairs (same underlying read,
+    * either orientation) excluded. Same seed-and-extend shuffle shape
+    * and hot-anchor cap as [[overlapEdges]] — the oriented input is 2
+    * rows per read, so every cost bound doubles and nothing else
+    * changes.
+    */
+  def overlapEdgesRC(reads: DataFrame, idCol: String, seqCol: String,
+                     minOverlap: Int, maxOverlap: Int,
+                     anchorCap: Int = 10000): DataFrame = {
+    val k = minOverlap
+    val base = reads.select(col(idCol).as("id"), col(seqCol).as("seq"))
+    val r = base.select(col("id"), lit("+").as("strand"), col("seq"))
+      .union(base.select(col("id"), lit("-").as("strand"),
+        graft.sources.SequenceSources.reverseComplement(col("seq"))))
+    val pfxRaw = r.filter(length(col("seq")) >= k)
+      .select(col("id").as("bid"), col("strand").as("bstrand"),
+        expr(s"substring(seq, 1, $k)").as("anchor"),
+        expr(s"substring(seq, ${k + 1}, ${maxOverlap - k})").as("btail"),
+        (col("id") * 2 + when(col("strand") === "-", 1).otherwise(0)).as("__ord"))
+    val sfxRaw = r.select(col("id").as("aid"), col("strand").as("astrand"), col("seq"),
+        explode(expr(s"sequence($minOverlap, $maxOverlap)")).as("v"))
+      .filter(length(col("seq")) >= col("v"))
+      .select(col("aid"), col("astrand"), col("v"),
+        expr(s"substring(seq, length(seq) - v + 1, $k)").as("anchor"),
+        expr(s"substring(seq, length(seq) - v + 1 + $k, v - $k)").as("atail"),
+        ((col("aid") * 2 + when(col("astrand") === "-", 1).otherwise(0))
+          * (maxOverlap + 1) + col("v")).as("__ord"))
+    val pfx = graft.operators.Dedup.capBuckets(pfxRaw, Seq("anchor"), "__ord", anchorCap)
+      .drop("__ord")
+    val sfx = graft.operators.Dedup.capBuckets(sfxRaw, Seq("anchor"), "__ord", anchorCap)
+      .drop("__ord")
+    sfx.as("a").join(pfx.as("b"),
+        col("a.anchor") === col("b.anchor") && col("a.aid") =!= col("b.bid")
+          && col("a.atail") === expr(s"substring(b.btail, 1, a.v - $k)"))
+      .groupBy(col("a.aid").as("src"), col("a.astrand").as("src_strand"),
+        col("b.bid").as("dst"), col("b.bstrand").as("dst_strand"))
       .agg(max(col("a.v")).as("overlap"))
   }
 

@@ -64,6 +64,31 @@ object GraphQueries {
       |  FROM documents WHERE length(text) >= 40),
       |reads AS (SELECT doc_id * 1000 + i AS id, substr(text, 1 + i * 25, 40) AS seq FROM r0)""".stripMargin
 
+  /** DNA-alphabet reads with mixed strands, for double-strand overlap
+    * construction: map each read char to ACGT (char-wise, so the
+    * stride-25/overlap-15 window structure survives the mapping), then
+    * store every odd-id read as its reverse complement. Consecutive
+    * windows of a document now overlap across strands, exercising all
+    * four orientation combinations of [[GraphOps.overlapEdgesRC]].
+    */
+  private val dnaFrom = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+  private val dnaTo = "ACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+
+  private def dnaReads(s: SparkSession, d: String): DataFrame =
+    readsFromDocs(s, d)
+      .select(col("id"), translate(upper(col("seq")), dnaFrom, dnaTo).as("dna"))
+      .select(col("id"),
+        when(col("id") % 2 === 1,
+          graft.sources.SequenceSources.reverseComplement(col("dna")))
+          .otherwise(col("dna")).as("seq"))
+
+  private val dnaReadsSql =
+    s"""$readsSql,
+       |dna AS (SELECT id, translate(upper(seq), '$dnaFrom', '$dnaTo') AS d FROM reads),
+       |rds AS (SELECT id,
+       |  CASE WHEN id % 2 = 1 THEN translate(reverse(d), 'ACGT', 'TGCA') ELSE d END AS seq
+       |  FROM dna)""".stripMargin
+
   /** Dense 0-based row index over orders ordered by o_orderkey —
     * zipWithIndex over the range-partitioned sort: two distributed
     * passes, no single-task global window, deterministic at any SF. */
@@ -139,6 +164,24 @@ object GraphQueries {
               |SELECT sfx.id AS src, pfx.id AS dst, CAST(max(sfx.v) AS BIGINT) AS overlap
               |FROM sfx JOIN pfx ON sfx.v = pfx.v AND sfx.s = pfx.s AND sfx.id <> pfx.id
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("g0b_overlap_rc",
+      (s, d) => GraphOps.overlapEdgesRC(dnaReads(s, d), "id", "seq",
+        minOverlap = 13, maxOverlap = 17)
+        .orderBy("src", "src_strand", "dst", "dst_strand"),
+      Some(s"""WITH $dnaReadsSql,
+              |o AS (SELECT id, '+' AS strand, seq FROM rds UNION ALL
+              |      SELECT id, '-', translate(reverse(seq), 'ACGT', 'TGCA') FROM rds),
+              |vs AS (SELECT unnest(generate_series(13, 17)) AS v),
+              |sfx AS (SELECT id, strand, v, substr(seq, length(seq) - v + 1, v) AS s
+              |        FROM o, vs WHERE length(seq) >= v),
+              |pfx AS (SELECT id, strand, v, substr(seq, 1, v) AS s
+              |        FROM o, vs WHERE length(seq) >= v)
+              |SELECT sfx.id AS src, sfx.strand AS src_strand,
+              |  pfx.id AS dst, pfx.strand AS dst_strand,
+              |  CAST(max(sfx.v) AS BIGINT) AS overlap
+              |FROM sfx JOIN pfx ON sfx.v = pfx.v AND sfx.s = pfx.s AND sfx.id <> pfx.id
+              |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin)),
 
     Q("g1_degrees",
       (s, d) => GraphOps.degrees(chainEdges(s, d, withSkip = true)).orderBy("node"),
