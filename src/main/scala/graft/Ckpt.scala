@@ -25,10 +25,24 @@ object Ckpt {
     // real materialized size — see graftbridge.CheckpointStats.
     dir match {
       case Some(d) if d.nonEmpty =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(d)
+        // setCheckpointDir appends a session UUID; re-point only when
+        // the configured ROOT actually changed (comparing path-only,
+        // since SparkContext stores a scheme-qualified URI).
+        val want = new org.apache.hadoop.fs.Path(d).toUri.getPath
+        val engaged = spark.sparkContext.getCheckpointDir
+          .exists(c => new org.apache.hadoop.fs.Path(c).toUri.getPath.startsWith(want))
+        if (!engaged) spark.sparkContext.setCheckpointDir(d)
         CheckpointStats.withFreshStats(df.checkpoint(eager = true))
       case _ => CheckpointStats.withFreshStats(df.localCheckpoint(eager = true))
     }
   }
+
+  /** Free the storage behind a frame produced by [[cut]] once a later
+    * round has materialized and the frame can never be read again:
+    * reliable-checkpoint files are deleted (Spark itself never cleans
+    * them — a 64-round loop would otherwise keep 64 full copies on
+    * the checkpoint filesystem) and local-checkpoint blocks are
+    * unpersisted. No-op on non-checkpoint frames; never throws.
+    */
+  def release(df: DataFrame): Unit = CheckpointStats.release(df)
 }

@@ -28,22 +28,53 @@ object GraphOps {
   /** Generic bounded iteration with fused convergence: `step` maps the
     * current frame to the next one PLUS an integer `__changed` column
     * (1 where the row differs from the previous round). Each round is
-    * exactly two jobs: materialize the checkpoint, then sum
-    * `__changed` over the in-memory/checkpointed blocks. Stops when no
-    * row changed or `maxRounds` is hit.
+    * ONE job: the convergence sum rides the checkpoint materialization
+    * itself as an `observe` metric (`CollectMetrics` accumulates
+    * during the same action that writes the checkpoint — no second
+    * scan, no second job). If the metric hasn't surfaced within the
+    * wait bound (the listener is asynchronous), a fallback scan of the
+    * just-checkpointed blocks recovers it — never a wrong answer,
+    * at worst the old 2-job round. Stops when no row changed or
+    * `maxRounds` is hit. Round N−1's checkpoint storage is released
+    * ([[Ckpt.release]]) as soon as round N has materialized, so a
+    * long loop holds at most two rounds of state.
     */
   def iterate(init: DataFrame, maxRounds: Int)(step: DataFrame => DataFrame): DataFrame = {
-    var cur = Ckpt.cut(init)
+    var curCut = Ckpt.cut(init) // the checkpoint leaf itself — release() needs it
+    var cur = curCut
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       round += 1
-      val next = Ckpt.cut(step(cur))
-      val changed = next.agg(coalesce(sum(col("__changed")), lit(0L))).first().getLong(0)
-      cur = next.drop("__changed")
+      val obs = org.apache.spark.sql.Observation()
+      val nextCut = Ckpt.cut(step(cur)
+        .observe(obs, coalesce(sum(col("__changed")), lit(0L)).as("c")))
+      val changed = awaitObserved(obs).getOrElse(
+        nextCut.agg(coalesce(sum(col("__changed")), lit(0L))).first().getLong(0))
+      Ckpt.release(curCut)
+      curCut = nextCut
+      cur = nextCut.drop("__changed")
       done = changed == 0
     }
     cur
+  }
+
+  /** Poll an [[org.apache.spark.sql.Observation]] whose observed query
+    * has already executed eagerly; the completion listener is async,
+    * so allow a short grace period before falling back. */
+  private def awaitObserved(obs: org.apache.spark.sql.Observation,
+                            timeoutMs: Long = 2000): Option[Long] = {
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    while (System.nanoTime < deadline) {
+      val m = org.apache.spark.sql.graftbridge.ObservationBridge.getOrEmpty(obs)
+      if (m.nonEmpty) return Some(m("c") match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case other => other.toString.toLong
+      })
+      Thread.sleep(2)
+    }
+    None
   }
 
   /** Bounded iteration for monotonically shrinking frames (e.g.
@@ -58,8 +89,10 @@ object GraphOps {
     while (n != prev && round < maxRounds) {
       round += 1
       prev = n
-      cur = Ckpt.cut(step(cur))
-      n = cur.count()
+      val next = Ckpt.cut(step(cur))
+      n = next.count()
+      Ckpt.release(cur)
+      cur = next
     }
     cur
   }
@@ -315,35 +348,69 @@ object GraphOps {
 
   // ---------------------------------------------------------------- analysis
 
-  /** Connected components over the undirected view of the edge table.
-    * Min-label propagation fused with TWO pointer jumps per round —
-    * the hash-to-min scheme with doubled label chasing: labels only
-    * ever decrease toward the component minimum, so extra jumps are
-    * free correctness-wise and nearly halve the round count (each
-    * round is the dominant cost: checkpoint + convergence scan).
+  /** Connected components over the undirected view of the edge table,
+    * by graph CONTRACTION. Per level:
+    *
+    *  1. every node points at the minimum of itself and its neighbors
+    *     (one aggregate) — a forest whose roots are local minima;
+    *  2. pointer-double the forest to its roots (label-only
+    *     self-joins, no edge table involved — the cheap inner loop);
+    *  3. contract: rewrite every edge onto the endpoints' roots, drop
+    *     self-loops, dedupe — the edge data itself SHRINKS by at
+    *     least half per level (every non-root merges into its root),
+    *     unlike label-propagation schemes where the full edge set is
+    *     rescanned every round;
+    *  4. recurse on the contracted graph, then compose the per-level
+    *     mappings top-down.
+    *
+    * O(log n) levels on any graph (long paths included — min-label
+    * propagation needs diameter-many rounds there); the global
+    * minimum of a component never points elsewhere, so the final
+    * survivor of each component is its minimum id — identical output
+    * to the label-propagation formulation. Edge count per level is
+    * tracked via an `observe` metric on the contraction's own
+    * materialization, so a level costs no separate count job.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = Ckpt.cut(edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    val init = vertices(sym).select(col("node"), col("node").as("lbl"))
-    val labels = iterate(init, maxRounds = 64) { labels =>
-      val nbrMin = sym.join(labels, col("src") === col("node"))
-        .groupBy(col("dst").as("node")).agg(min("lbl").as("nlbl"))
-      val merged = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("m1"))
-      val jumped = merged.as("a")
-        .join(labels.as("b"), col("a.m1") === col("b.node"), "left")
-        .select(col("a.node").as("node"), col("a.old").as("old"),
-          least(col("a.m1"), coalesce(col("b.lbl"), col("a.m1"))).as("m2"))
-      jumped.as("c")
-        .join(labels.as("d"), col("c.m2") === col("d.node"), "left")
-        .select(col("c.node").as("node"),
-          least(col("c.m2"), coalesce(col("d.lbl"), col("c.m2"))).as("lbl"),
-          (least(col("c.m2"), coalesce(col("d.lbl"), col("c.m2"))) =!= col("c.old"))
-            .cast("int").as("__changed"))
+    var g = sym
+    var edgeCount = g.count()
+    var level = 0
+    var mappings = List.empty[DataFrame] // most-contracted level first
+    while (edgeCount > 0 && level < 32) {
+      level += 1
+      val parent = g.groupBy(col("src").as("node")).agg(min("dst").as("nm"))
+        .select(col("node"), least(col("node"), col("nm")).as("lbl"))
+      val roots = iterate(parent, maxRounds = 32) { l =>
+        l.as("a").join(l.as("b"), col("a.lbl") === col("b.node"), "left")
+          .select(col("a.node").as("node"),
+            coalesce(col("b.lbl"), col("a.lbl")).as("lbl"),
+            (coalesce(col("b.lbl"), col("a.lbl")) =!= col("a.lbl"))
+              .cast("int").as("__changed"))
+      }
+      mappings ::= roots
+      val obs = org.apache.spark.sql.Observation()
+      val contracted = g
+        .join(roots.select(col("node").as("src"), col("lbl").as("rs")), Seq("src"))
+        .join(roots.select(col("node").as("dst"), col("lbl").as("rd")), Seq("dst"))
+        .select(col("rs").as("src"), col("rd").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val prevG = g
+      g = Ckpt.cut(contracted.observe(obs, count(lit(1)).as("c")))
+      edgeCount = awaitObserved(obs).getOrElse(g.count())
+      if (prevG ne sym) Ckpt.release(prevG)
     }
-    labels.select(col("node"), col("lbl").as("component"))
+    if (mappings.isEmpty) return vertices(sym).select(col("node"), col("node").as("component"))
+    val ordered = mappings.reverse // level 1 (covers all original nodes) first
+    var comp = ordered.head
+    for (m <- ordered.tail) {
+      comp = comp.as("c").join(m.as("m"), col("c.lbl") === col("m.node"), "left")
+        .select(col("c.node").as("node"),
+          coalesce(col("m.lbl"), col("c.lbl")).as("lbl"))
+    }
+    comp.select(col("node"), col("lbl").as("component"))
   }
 
   /** k-core pruning over the undirected degree view: repeatedly drop
@@ -418,9 +485,11 @@ object GraphOps {
         .join(outdeg.withColumnRenamed("node", "src2"), col("src") === col("src2"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy("node").agg(sum("c").as("insum"))
-      ranks = Ckpt.cut(verts.join(contribs, Seq("node"), "left")
+      val nr = Ckpt.cut(verts.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("insum"), lit(0.0))).as("rank")))
+      Ckpt.release(ranks) // no-op on round 1's non-checkpoint frame
+      ranks = nr
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
@@ -447,9 +516,11 @@ object GraphOps {
         .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("rank_u div od").as("c"))
         .groupBy("node").agg(sum("c").as("insum"))
-      ranks = Ckpt.cut(verts.join(contribs, Seq("node"), "left")
+      val nr = Ckpt.cut(verts.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("coalesce(insum, CAST(0 AS BIGINT)) * 85 div 100")).as("rank_u")))
+      Ckpt.release(ranks) // no-op on round 1's non-checkpoint frame
+      ranks = nr
     }
     ranks.select("node", "rank_u")
   }

@@ -36,13 +36,18 @@ import graft.Ckpt
 object Dedup {
 
   /** Exact duplicate groups: one row per distinct content with the
-    * surviving (minimum) id and the duplicate count. The shuffle key
-    * is `xxhash64(content)` — 8 bytes per row through the exchange
-    * instead of the full document body. (Map-side partial aggregation
-    * still folds same-partition clones before the shuffle.)
+    * surviving (minimum) id and the duplicate count. The group key is
+    * (xxhash64(content), content): the 8-byte digest hash-partitions
+    * the exchange, and grouping additionally on the content itself
+    * makes the merge a true equality check — a 64-bit digest collision
+    * (probable at billions of docs by the birthday bound) can never
+    * silently fuse two distinct documents. Map-side partial
+    * aggregation folds clones before the shuffle, so the content
+    * column crosses the exchange once per distinct content per
+    * partition, not once per row.
     */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.groupBy(xxhash64(col(contentCol)).as("__digest"))
+    df.groupBy(xxhash64(col(contentCol)).as("__digest"), col(contentCol).as("__c"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
@@ -50,10 +55,19 @@ object Dedup {
     * with the id that survives its clone cluster (min id over equal
     * content). O(n) output — the scale-correct form; a million-copy
     * boilerplate page emits a million rows, not 5·10¹¹ pairs.
+    *
+    * Every member row crosses the exchange here (unlike [[exact]],
+    * there is no pre-shuffle fold), so instead of shipping document
+    * bodies the cluster key is the 192-bit composite
+    * (xxhash64, md5) of the content — independent hash families, so a
+    * silent cluster merge needs a simultaneous collision in both:
+    * P ≈ n²/2¹⁹³, about 10⁻³⁹ even at n = 5·10⁹ documents.
     */
   def exactClusters(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.select(col(idCol).as("member_id"), xxhash64(col(contentCol)).as("__digest"))
-      .withColumn("keep_id", min(col("member_id")).over(Window.partitionBy("__digest")))
+    df.select(col(idCol).as("member_id"),
+        xxhash64(col(contentCol)).as("__digest"), md5(col(contentCol)).as("__d2"))
+      .withColumn("keep_id",
+        min(col("member_id")).over(Window.partitionBy("__digest", "__d2")))
       .select("keep_id", "member_id")
 
   /** Distinct (id, token) pairs from whitespace tokenization. */

@@ -129,10 +129,16 @@ object TextAnalysis {
        |SELECT doc_id, CASE $caseArms END AS pred_lang FROM sm""".stripMargin
   }
 
-  /** Rolling-hash base for [[fingerprints]]. Small enough that a
-    * k=5-gram polynomial over ASCII char codes never leaves signed-64
-    * range (5·5381⁴·127 ≈ 5.3e17 < 2⁶³) — no wraparound, so any
-    * integer-exact SQL engine reproduces the values bit-for-bit.
+  /** Rolling-hash base for [[fingerprints]]. Char codes are masked to
+    * 7 bits (`c & 0x7F`) on BOTH engines before entering the
+    * polynomial, so a k=5-gram never leaves signed-64 range
+    * (5·5381⁴·127 ≈ 5.3e17 < 2⁶³) for ANY input — JVM chars are
+    * UTF-16 code units up to 65535, which unmasked would silently wrap
+    * Long here while the oracle's checked BIGINT arithmetic diverges.
+    * With the mask, values are bit-identical across engines for all
+    * BMP text. (Astral-plane chars remain out of contract: the JVM
+    * indexes UTF-16 units, SQL `substr` indexes code points, so the
+    * two sides would disagree on gram *positions*, not arithmetic.)
     */
   val FingerprintBase: Long = 5381L
 
@@ -156,11 +162,11 @@ object TextAnalysis {
         while (i < k - 1) { pow *= B; i += 1 }
         var h = 0L
         i = 0
-        while (i < k) { h = h * B + text.charAt(i); i += 1 }
+        while (i < k) { h = h * B + (text.charAt(i) & 0x7F); i += 1 }
         hs(0) = h
         i = 1
         while (i < n) {
-          h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
+          h = (h - (text.charAt(i - 1) & 0x7F) * pow) * B + (text.charAt(i + k - 1) & 0x7F)
           hs(i) = h
           i += 1
         }
@@ -190,7 +196,7 @@ object TextAnalysis {
     val B = FingerprintBase
     val poly = (0 until k).map { j =>
       val pw = (0 until (k - 1 - j)).foldLeft(1L)((a, _) => a * B)
-      s"CAST(ascii(substr(text, CAST(i AS INT) + $j, 1)) AS BIGINT) * $pw"
+      s"(CAST(ascii(substr(text, CAST(i AS INT) + $j, 1)) AS BIGINT) % 128) * $pw"
     }.mkString(" + ")
     s"""WITH pos AS (
        |  SELECT doc_id, text, length(text) - ${k - 1} AS n,

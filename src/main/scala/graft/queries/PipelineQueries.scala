@@ -215,6 +215,35 @@ object PipelineQueries {
               |  round(cos, 4) AS cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("s3b_knn_ivf_refined",
+      // The PRODUCTION IVF variant (Lloyd-refined centroids) under a
+      // containment oracle. Refined centroids average floats across
+      // rows (sum order is engine-specific), so no SQL engine can
+      // replicate the emitted set bit-for-bit; what IS engine-checkable
+      // is the recall property: every emitted neighbor's true cosine
+      // must reach the query's 10th-exact cosine minus ε = 0.1
+      // (measured worst margin across SFs: −0.032 — 3× headroom). The
+      // exact threshold comes from the brute-force operator, itself
+      // hash-verified end-to-end as s1; the oracle pins the per-query
+      // contract (10 emitted, 10 within bound) — an IVF regression
+      // that under-fills cells or emits out-of-bound neighbors fails
+      // the hash compare.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+        val ivf = Similarity.knnIvf(e, q, "vec_id", "embedding", k = 10, lloydIters = 2)
+        val kth = Similarity.knnBrute(e, q, "vec_id", "embedding", k = 10)
+          .filter(col("rk") === 10).select(col("query_id"), col("cosine").as("kth"))
+        ivf.join(kth, Seq("query_id"))
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_emitted"),
+            sum((col("cosine") >= col("kth") - 0.1).cast("long")).as("n_within_eps"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_emitted,
+             |CAST(10 AS BIGINT) AS n_within_eps
+             |FROM embeddings WHERE vec_id < 5 ORDER BY 1""".stripMargin)),
+
     Q("t1_token_stats",
       (s, d) => TextAnalysis.tokenStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),

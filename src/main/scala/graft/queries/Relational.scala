@@ -136,6 +136,28 @@ object Relational {
              |CAST(count(*) AS BIGINT) AS cnt
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("q8b_approx_distinct",
+      // The 100-TB tier of q8: HyperLogLog++ instead of exact
+      // distinct (no per-key state, one pass, mergeable sketches).
+      // Engines' sketches differ by construction, so the oracle
+      // cannot match the estimate itself; instead the query emits the
+      // exact count AND whether the estimate landed within the
+      // documented ε (rsd 2% → assert |apx−exact| ≤ 5%·exact). The
+      // oracle supplies the exact counts and expects the bound to
+      // hold everywhere — an estimate drifting out of tolerance fails
+      // the hash compare.
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.02).as("apx"),
+          countDistinct("l_partkey").as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("apx") - col("n_exact")) <= col("n_exact") * 0.05).as("within_eps"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+             |true AS within_eps
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("q9_window_rank",
       (s, d) => {
         val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
@@ -316,6 +338,23 @@ object Relational {
              |round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
              |round(quantile_cont(l_extendedprice, 0.9),4) AS p90,
              |round(quantile_cont(l_extendedprice, 0.99),4) AS p99
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q22b_approx_percentile",
+      // The 100-TB tier of q22: GK-sketch approximate percentiles
+      // (bounded memory, mergeable) instead of exact. The estimate is
+      // sketch-specific, so the oracle checks a rank-error bound
+      // instead of the value: approx p50 must land between the exact
+      // p45 and p55 (rank ε = 0.05 ≫ the sketch's configured 1/1000).
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("apx"),
+          expr("percentile(l_extendedprice, 0.45)").as("lo"),
+          expr("percentile(l_extendedprice, 0.55)").as("hi"))
+        .select(col("l_returnflag"),
+          (col("apx") >= col("lo") && col("apx") <= col("hi")).as("within_rank_eps"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, true AS within_rank_eps
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     Q("q23_windowed_time_agg",

@@ -15,8 +15,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * the underlying `ArrayData` (no boxing, no allocation), restoring
   * O(dims) work per pair at JIT speed. Semantics match
   * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0D, +)`
-  * exactly (sequential accumulation in double), so DuckDB's
-  * `list_dot_product` over `DOUBLE[]` casts stays bit-identical.
+  * exactly — sequential accumulation in double, AND the HOF idiom's
+  * null semantics: `zip_with` null-pads the shorter array and any
+  * null element turns the whole sum null, so this expression returns
+  * NULL on unequal lengths or any null element. That exactness is
+  * what lets [[VecDotRewrite]] substitute it into arbitrary user SQL.
+  * DuckDB's `list_dot_product` over `DOUBLE[]` casts stays
+  * bit-identical on the non-null path.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -26,13 +31,22 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  override def nullable: Boolean = true
+
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -44,13 +58,24 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // The element null check is emitted only when an input's element
+      // type is actually nullable, keeping the hot path a pure FMA loop.
+      val nullCheck =
+        if (elemsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

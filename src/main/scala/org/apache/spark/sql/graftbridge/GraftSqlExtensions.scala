@@ -57,7 +57,11 @@ object GraftFunctions {
   * over `array<float>` columns into [[FloatVecDot]]. The HOF tree is
   * CodegenFallback (per-element interpreted dispatch, measured ~400×
   * slower in the all-pairs cosine stage); the rewrite preserves exact
-  * semantics — sequential double accumulation in element order.
+  * semantics — sequential double accumulation in element order, AND
+  * the idiom's null behavior: [[FloatVecDot]] returns NULL on unequal
+  * lengths (zip_with null-pads) and on any null element, so the
+  * substitution is equivalence-preserving on ragged or
+  * null-containing inputs too.
   */
 object VecDotRewrite extends Rule[LogicalPlan] {
 

@@ -52,6 +52,133 @@ class OverlapRCSpec extends SparkSpec {
   }
 }
 
+class VecDotNullSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hof(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> double(x) * double(y)), 0D, (s, x) -> s + x)"
+
+  test("vec_dot matches the HOF idiom on ragged and null-containing arrays") {
+    graft.SparkEntry.queries // force nothing; ensure registration below
+    org.apache.spark.sql.graftbridge.GraftFunctions.install(spark)
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)), // equal lengths
+      (Array(1f, 2f), Array(4f, 5f, 6f)),     // ragged → NULL
+      (Array[Float](), Array[Float]())        // empty → 0.0
+    ).toDF("a", "b")
+    val rows = df.selectExpr(s"vec_dot(a, b) AS nat", s"${hof("a", "b")} AS hof")
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), s"value disagreement: $r")
+    }
+    assert(rows(1).isNullAt(0), "ragged arrays must yield NULL")
+    assert(rows(2).getDouble(0) == 0.0)
+  }
+
+  test("vec_dot yields NULL on null elements, matching the HOF idiom") {
+    val df = spark.sql(
+      "SELECT CAST(array(1.0, NULL, 3.0) AS array<float>) AS a, " +
+        "CAST(array(4.0, 5.0, 6.0) AS array<float>) AS b")
+    val r = df.selectExpr("vec_dot(a, b) AS nat", s"${hof("a", "b")} AS hof").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
+
+class ExactDedupCollisionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups by true content equality, not digest alone") {
+    // No feasible xxhash64 collision to test directly; assert the
+    // grouping CONTRACT instead: distinct contents never merge, equal
+    // contents always do, and counts are exact.
+    val docs = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"), (4L, "gamma"),
+      (5L, "beta")).toDF("id", "content")
+    val groups = graft.operators.Dedup.exact(docs, "id", "content")
+      .as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 2L), (3L, 2L), (4L, 1L)))
+    val clusters = graft.operators.Dedup.exactClusters(docs, "id", "content")
+      .as[(Long, Long)].collect().toSet
+    assert(clusters == Set((1L, 1L), (1L, 2L), (3L, 3L), (3L, 5L), (4L, 4L)))
+  }
+}
+
+class CheckpointReleaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("release deletes reliable checkpoint files; iterate holds ≤2 rounds of state") {
+    import org.apache.spark.sql.graftbridge.CheckpointStats
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-release").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val cut = Ckpt.cut(Seq(1, 2, 3).toDF("x"))
+      val file = CheckpointStats.checkpointFileOf(cut)
+      assert(file.isDefined, "reliable path must be engaged")
+      def exists(f: String) =
+        new java.io.File(new java.net.URI(f).getPath).exists()
+      assert(exists(file.get), "reliable checkpoint must write files")
+      assert(cut.count() == 3L)
+      Ckpt.release(cut)
+      assert(!exists(file.get), "release must delete the checkpoint files")
+
+      // an iterate() loop (5 shrinking rounds) releases every round
+      // but the last: at most 2 rdd-* dirs may remain under the
+      // session's checkpoint root (final round + the convergence
+      // round's frame).
+      val init = Seq((1L, 5L)).toDF("node", "steps")
+      val out = graft.graph.GraphOps.iterate(init, maxRounds = 10) { cur =>
+        cur.select(col("node"), (col("steps") - 1).as("steps"),
+          (col("steps") > 1).cast("int").as("__changed"))
+      }
+      assert(out.as[(Long, Long)].head() == ((1L, 0L)))
+      val uuidRoot = new java.io.File(new java.net.URI(file.get).getPath).getParentFile
+      val rddDirs = Option(uuidRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+      assert(rddDirs.length <= 2,
+        s"iterate must release prior rounds, found ${rddDirs.length} checkpoint dirs")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+}
+
+class AqeSkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("un-salted fact-fact join splits a skewed partition under AQE") {
+    // one hot key (0) carrying ~100k rows on the probe side; thresholds
+    // lowered so the local-mode data qualifies as skewed.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact1 = spark.range(0, 120000)
+        .select(when(col("id") % 6 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-"), col("id")).as("p1"))
+      val fact2 = spark.range(0, 50000)
+        .select((col("id") % 20000).as("k"), concat(lit("x-"), col("id")).as("p2"))
+      val joined = fact1.join(fact2, Seq("k"))
+      // collect() executes THIS dataset's own query execution (count()
+      // or a write would build a different one and leave joined's
+      // adaptive plan unexecuted / non-final)
+      assert(joined.collect().length > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must split the skewed partition; final plan:\n${finalPlan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
+
 class HotAnchorCapSpec extends SparkSpec {
   import spark.implicits._
 
