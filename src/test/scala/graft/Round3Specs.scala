@@ -142,6 +142,50 @@ class CheckpointReleaseSpec extends SparkSpec {
   }
 }
 
+class StreamingSinkDurabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file sink + checkpoint: restart resumes exactly-once (no dupes, no gaps)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-durable")
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    new java.io.File(in).mkdirs()
+    val schema = "id LONG, v LONG"
+
+    def writeInput(name: String, ids: Range): Unit = {
+      val tmp = s"$base/tmp-$name"
+      ids.map(i => (i.toLong, i.toLong * 2)).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      // atomically move the part file in, as a file-source producer would
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".json")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name.json"))
+    }
+
+    def runOnePass(): Unit = {
+      val q = spark.readStream.schema(schema).json(in)
+        .select(col("id"), (col("v") * 10).as("v10"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.stop()
+    }
+
+    writeInput("a", 0 until 50)
+    runOnePass() // processes A, commits offsets + sink metadata, stops
+
+    writeInput("b", 50 until 100)
+    runOnePass() // a NEW query on the same checkpoint must resume after A
+
+    val got = spark.read.parquet(out).select("id", "v10")
+      .as[(Long, Long)].collect().sorted
+    assert(got.length == 100, s"expected exactly 100 rows, got ${got.length}")
+    assert(got.map(_._1).toSeq == (0L until 100L),
+      "restart must neither duplicate nor drop rows")
+    assert(got.forall { case (id, v10) => v10 == id * 20 })
+  }
+}
+
 class AqeSkewJoinSpec extends SparkSpec {
   import spark.implicits._
 
