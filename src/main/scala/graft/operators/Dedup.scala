@@ -227,56 +227,103 @@ object Dedup {
   }
 
   /** MinHash + banded LSH near-duplicate pairs, verified by true
-    * Jaccard >= `threshold`. `numHashes` hash slots in `bands` bands
-    * (`numHashes` must be a multiple of 4·bands); a pair is a
-    * candidate when any band signature collides. Slot hashes are
-    * 32-bit values carved 4-per-digest out of `md5(tok || '_' || g)`
-    * hex — one md5 per 4 slots, and (unlike xxhash64) reproducible by
-    * the plain-SQL oracle engine. Identical token sets share every
-    * band trivially, so they are collapsed first and expanded at the
-    * end; buckets larger than `maxBucket` are capped
-    * (degenerate-bucket guard).
+    * Jaccard >= `threshold`. `numHashes` hash slots in `bands` bands;
+    * a pair is a candidate when any band signature collides. Slots
+    * come from the classic affine permutation family over ONE
+    * md5-derived 31-bit base hash per DISTINCT token:
+    * slot_i = (Aᵢ·h + Bᵢ) mod P with P = 2³¹−1 — every product stays
+    * under 2⁶² (no overflow on any ANSI engine) and the whole
+    * construction is reproducible by the plain-SQL oracle (md5 +
+    * affine arithmetic; no engine-private hash). One md5 per token
+    * instead of numHashes/4 — the permutations are arithmetic, not
+    * digests. Identical token sets share every band trivially, so
+    * they are collapsed first and expanded at the end; buckets larger
+    * than `maxBucket` are capped (degenerate-bucket guard).
     */
+  val MinhashP = 2147483647L // 2³¹ − 1
+
+  /** Deterministic (Aᵢ, Bᵢ) coefficient streams, shared verbatim by
+    * the DuckDB oracle generator so both engines evaluate the exact
+    * same permutations. */
+  def minhashCoeffs(n: Int): (IndexedSeq[Long], IndexedSeq[Long]) = (
+    (1 to n).map { i =>
+      val a = (2654435761L * i + 1013904223L) % MinhashP
+      if (a == 0L) 1L else a
+    },
+    (1 to n).map(i => (1103515245L * i + 12345L) % MinhashP))
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int, bands: Int, threshold: Double,
                       maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
     val rows = numHashes / bands
     val (members, repTok, repSize) = tokenSetGroups(df, idCol, textCol)
 
-    // minhash slot i = g*4+j = min over tokens of the j-th 8-hex-digit
-    // word of md5(tok || '_' || g). The md5s are computed once per
-    // DISTINCT token (vocab ≪ (set, token) pairs — the token-hash
-    // table is a hash join on tok, never a per-pair recompute), each
-    // token carrying its full `numHashes`-slot vector; the per-set min
-    // is then `numHashes` columnar min() aggregates in ONE shuffle of
-    // the (set, token) pairs, instead of exploding ×numHashes rows
-    // through the exchange.
+    // One md5 per DISTINCT token (vocab ≪ (set, token) pairs), first
+    // 8 hex digits → 31-bit base hash; the numHashes slots are affine
+    // permutations of it, evaluated as a codegen'd literal array. The
+    // per-set min is then `numHashes` columnar min() aggregates in
+    // ONE shuffle of the (set, token) pairs — no ×numHashes row
+    // explosion through the exchange.
+    val (ca, cb) = minhashCoeffs(numHashes)
     val tokVec = repTok.select("tok").distinct()
-      .select(col("tok"), explode(expr(s"sequence(0, ${numHashes / 4 - 1})")).as("g"))
-      .withColumn("h", md5(concat(col("tok"), lit("_"), col("g").cast("string"))))
-      .select(col("tok"), col("g"),
-        expr("transform(sequence(0, 3), j -> CAST(conv(substr(h, j * 8 + 1, 8), 16, 10) AS BIGINT))").as("hv4"))
-      .groupBy("tok")
-      .agg(expr("flatten(transform(array_sort(collect_list(struct(g, hv4))), s -> s.hv4))").as("hv"))
+      .withColumn("h0",
+        expr(s"CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT) % $MinhashP"))
+      .select(col("tok"), array((0 until numHashes).map(i =>
+        (lit(ca(i)) * col("h0") + lit(cb(i))) % MinhashP): _*).as("hv"))
 
     val mins = repTok.join(tokVec, Seq("tok"))
       .groupBy("setId")
       .agg(array((0 until numHashes).map(i => min(expr(s"hv[$i]"))): _*).as("mh"))
 
+    // SECOND-LEVEL signature dedup: distinct token sets whose ENTIRE
+    // minhash vector coincides band-collide trivially (tiny-vocab /
+    // near-identical corpora produce thousands of such sets), so
+    // candidate generation runs over DISTINCT signatures only and
+    // set pairs are expanded afterwards. Without this, a degenerate
+    // corpus pushes |sets|²·bands rows through the bucket self-join
+    // and its distinct (measured: 63M pre-distinct rows at sf0.1);
+    // with it, the join sees one row per distinct signature per band
+    // and the expansion is shuffle-free pair enumeration. Output is
+    // byte-identical — signature-sharing sets were all candidates
+    // anyway, and every pair still goes through true-Jaccard verify.
+    // Group membership is capped with the SAME bound as the band
+    // buckets: a signature group is a guaranteed-candidate clique, so
+    // uncapped within/cross-group expansion would be exactly the
+    // quadratic blowup the bucket cap exists to prevent (a million
+    // boilerplate near-dups in one group → 5·10¹¹ pairs). Sets beyond
+    // the cap lose LSH candidacy — the documented recall trade; exact
+    // clones still collapse via the token-set stage above.
+    val sigged = Ckpt.cut(mins.withColumn("sigKey", xxhash64(to_json(col("mh")))))
+    val gmembers = capBuckets(sigged.select("sigKey", "setId"),
+      Seq("sigKey"), "setId", maxBucket)
+    val reps = sigged.withColumn("__rn", row_number().over(
+        Window.partitionBy("sigKey").orderBy("setId")))
+      .filter(col("__rn") === 1).select("sigKey", "mh")
+
     // band signature = the band's minhashes in slot order, as a string
-    // (cross-engine join key; no engine-private hash)
-    val sig = Ckpt.cut(mins.select(col("setId"), explode(expr(
+    // (cross-engine equality; no engine-private hash)
+    val sig = Ckpt.cut(reps.select(col("sigKey"), explode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
           s"array_join(transform(sequence(0, ${rows - 1}), r -> CAST(mh[b * $rows + r] AS STRING)), ',') AS sig))")).as("bs"))
-      .select(col("setId"), col("bs.band").as("band"), col("bs.sig").as("sig")))
+      .select(col("sigKey"), col("bs.band").as("band"), col("bs.sig").as("sig")))
 
-    val capped = capBuckets(sig, Seq("band", "sig"), "setId", maxBucket)
-    val cand = capped.as("a").join(capped.as("b"),
+    val capped = capBuckets(sig, Seq("band", "sig"), "sigKey", maxBucket)
+    val candG = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.setId") < col("b.setId"))
-      .select(col("a.setId").as("sa"), col("b.setId").as("sb")).distinct()
+          col("a.sigKey") < col("b.sigKey"))
+      .select(col("a.sigKey").as("ga"), col("b.sigKey").as("gb")).distinct()
+    // expand signature-group pairs to set pairs; groups partition the
+    // sets, so cross-group + within-group pairs are disjoint — no
+    // dedup pass needed
+    val crossSets = candG
+      .join(gmembers.select(col("sigKey").as("ga"), col("setId").as("xa")), Seq("ga"))
+      .join(gmembers.select(col("sigKey").as("gb"), col("setId").as("xb")), Seq("gb"))
+      .select(least(col("xa"), col("xb")).as("sa"), greatest(col("xa"), col("xb")).as("sb"))
+    val withinSets = gmembers.as("x").join(gmembers.as("y"),
+        col("x.sigKey") === col("y.sigKey") && col("x.setId") < col("y.setId"))
+      .select(col("x.setId").as("sa"), col("y.setId").as("sb"))
+    val cand = crossSets.union(withinSets)
 
     val cross = expandCrossPairs(
       verifySetJaccard(cand, repTok, repSize, setMasks(repTok, repSize), threshold),

@@ -34,13 +34,20 @@ object PipelineQueries {
     """tok AS (SELECT DISTINCT doc_id, t.tok FROM documents,
       |    unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> '')""".stripMargin
 
-  /** SQL: parse 8 hex digits of column `h` starting at 1-based
-    * position `j * 8 + 1` into a 32-bit value (mirrors Spark's
-    * `conv(substr(h, j*8+1, 8), 16, 10)`). */
-  private val hex8Sql: String =
+  /** First 8 hex digits of md5(tok) parsed positionally into a BIGINT
+    * (the minhash base hash; mirrors Spark's `conv(substr(md5(tok),
+    * 1, 8), 16, 10)`). */
+  private val baseHashSql: String =
     (0 until 8).map { m =>
-      s"(strpos('0123456789abcdef', substr(h, j * 8 + 1 + $m, 1)) - 1) * ${1L << (4 * (7 - m))}"
+      s"(strpos('0123456789abcdef', substr(md5(tok), ${m + 1}, 1)) - 1) * ${1L << (4 * (7 - m))}"
     }.mkString("(", " + ", ")")
+
+  /** VALUES list of the affine minhash coefficients — generated from
+    * the SAME arrays the Spark operator uses (Dedup.minhashCoeffs). */
+  private val minhashCoeffSql: String = {
+    val (ca, cb) = Dedup.minhashCoeffs(64)
+    (0 until 64).map(i => s"(${i}, ${ca(i)}, ${cb(i)})").mkString(", ")
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -66,16 +73,23 @@ object PipelineQueries {
              |ORDER BY 1, 2""".stripMargin)),
 
     Q("d3_dedup_minhash_lsh",
+      // maxBucket = 1024: the synthetic corpus is near-dup-saturated
+      // (31-token vocab → band signatures collide across most of the
+      // ~4k distinct token sets), which is exactly the degeneracy the
+      // bucket cap bounds — without it the band self-join is strictly
+      // worse than d2's all-pairs. At the sf0.01 oracle gate there
+      // are ~400 sets, far under the cap, so capped and uncapped
+      // output are identical there.
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.95).orderBy("a", "b"),
+        numHashes = 64, bands = 16, threshold = 0.95, maxBucket = 1024)
+        .orderBy("a", "b"),
       Some(s"""WITH $tokSql,
               |sz AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),
-              |hh AS (SELECT doc_id, g, j, md5(tok || '_' || CAST(g AS VARCHAR)) AS h
-              |  FROM tok,
-              |       (SELECT unnest(generate_series(0, 15)) AS g) gs,
-              |       (SELECT unnest(generate_series(0, 3)) AS j) js),
-              |mh AS (SELECT doc_id, g * 4 + j AS i, min($hex8Sql) AS mh
-              |  FROM hh GROUP BY 1, 2),
+              |th AS (SELECT DISTINCT tok, ($baseHashSql) % ${Dedup.MinhashP} AS h FROM tok),
+              |co AS (SELECT * FROM (VALUES $minhashCoeffSql) AS co(i, ca, cb)),
+              |mh AS (SELECT t.doc_id, co.i,
+              |    min((co.ca * th.h + co.cb) % ${Dedup.MinhashP}) AS mh
+              |  FROM tok t JOIN th ON th.tok = t.tok, co GROUP BY 1, 2),
               |sig AS (SELECT doc_id, i // 4 AS band,
               |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
               |  FROM mh GROUP BY 1, 2),
@@ -243,6 +257,79 @@ object PipelineQueries {
       Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_emitted,
              |CAST(10 AS BIGINT) AS n_within_eps
              |FROM embeddings WHERE vec_id < 5 ORDER BY 1""".stripMargin)),
+
+    Q("p0_corpus_pipeline",
+      // The composed END-TO-END training-data pipeline as one operator
+      // (the corpus-side analog of g10): exact-dedup survivors →
+      // quality filter → language ID → deterministic hash sample →
+      // per-language corpus statistics. Every stage is the
+      // oracle-verified operator it names (d6, t2, t3, smp1's hash
+      // family); composition adds only the doc_id equi-joins, which
+      // co-partition on one key. The oracle replays the whole chain
+      // in SQL via the same shared fragment builders.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = Dedup.exactClusters(docs, "doc_id", "text")
+          .filter(col("keep_id") === col("member_id"))
+          .select(col("member_id").as("doc_id"))
+        TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .join(TextAnalysis.langId(docs, "doc_id", "text"), Seq("doc_id"))
+          .join(keep, Seq("doc_id"), "left_semi")
+          .filter(col("quality_bp") >= 6000)
+          .filter(expr("((doc_id % 1000003) * 2654435761) % 100 < 50"))
+          .groupBy("pred_lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("sum_tokens"),
+            expr("sum(quality_bp) div count(1)").as("avg_quality_bp"))
+          .orderBy("pred_lang")
+      },
+      Some(s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
+              |l AS (${TextAnalysis.langIdSql}),
+              |keep AS (SELECT doc_id FROM (
+              |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS k FROM documents)
+              |  WHERE doc_id = k)
+              |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              |  CAST(sum(quality_bp) // count(*) AS BIGINT) AS avg_quality_bp
+              |FROM q JOIN l USING (doc_id) JOIN keep USING (doc_id)
+              |WHERE quality_bp >= 6000
+              |  AND ((doc_id % 1000003) * 2654435761) % 100 < 50
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t9_tfidf",
+      // Inverted-index term weighting: per-language top-5 tokens by an
+      // integer-scaled tf-idf surrogate, score = tf · (N·10⁴ div df).
+      // Integer division instead of ln(N/df) keeps the ranking
+      // bit-identical on any ANSI engine (log differs in the last ulp
+      // across libm implementations, which flips ties); the surrogate
+      // is order-isomorphic to tf/df weighting for fixed N.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val n = docs.agg(count(lit(1)).as("n"))
+        val df_ = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+        val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+        tf.join(df_, Seq("tok")).crossJoin(broadcast(n))
+          .withColumn("score", expr("tf * ((n * 10000) div df)"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy(desc("score"), asc("tok"))))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("rk"), col("tok"), col("score"))
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang, t.tok FROM documents,
+             |    unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''),
+             |nn AS (SELECT count(*) AS n FROM documents),
+             |dfq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+             |tfq AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+             |sc AS (SELECT lang, tfq.tok, tf * (((SELECT n FROM nn) * 10000) // df) AS score
+             |  FROM tfq JOIN dfq ON dfq.tok = tfq.tok),
+             |r AS (SELECT lang, tok, score,
+             |  row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS rk FROM sc)
+             |SELECT lang, CAST(rk AS INT) AS rk, tok, CAST(score AS BIGINT) AS score
+             |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)),
 
     Q("t1_token_stats",
       (s, d) => TextAnalysis.tokenStats(Tables.documents(s, d), "doc_id", "text")

@@ -158,6 +158,27 @@ object Relational {
              |true AS within_eps
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("q35_ntile_lag",
+      // window-navigation coverage: ntile bucketing + lag/lead offsets
+      // in one pass over the per-customer order history
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        Tables.orders(s, d).filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            round(col("o_totalprice") - coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2)
+              .as("delta_prev"),
+            coalesce(lead("o_orderkey", 1).over(w), lit(-1L)).as("next_key"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(ntile(4) OVER w AS INT) AS quartile,
+             |round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, 0.0), 2) AS delta_prev,
+             |coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key
+             |FROM orders WHERE o_custkey < 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     Q("q9_window_rank",
       (s, d) => {
         val w = Window.partitionBy("o_custkey").orderBy(asc("o_orderdate"), asc("o_orderkey"))

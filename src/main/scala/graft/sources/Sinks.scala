@@ -21,6 +21,26 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Bucketed parquet table: rows are hash-partitioned into `buckets`
+    * files per partition by `bucketCols` AND sorted within each
+    * bucket, registered in the session catalog (bucketBy requires
+    * `saveAsTable` — bucket metadata lives in the catalog, not the
+    * files). Two tables bucketed the same way join WITHOUT ANY
+    * EXCHANGE: each task zips bucket i with bucket i — the
+    * co-located-join layout for fact-fact joins that repeat at 100-TB
+    * scale, where one write-time shuffle amortizes over every
+    * downstream join. (Disable `spark.sql.sources.v2.bucketing` quirks
+    * by matching bucket counts; Spark requires equal counts to elide
+    * the shuffle.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Sorted-within-partitions parquet: rows arrive at the writer
     * ordered by `sortCols`, so parquet row-group min/max statistics
     * become selective — a point/range filter on those columns skips

@@ -142,6 +142,38 @@ class CheckpointReleaseSpec extends SparkSpec {
   }
 }
 
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("co-bucketed tables join with zero exchanges") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    // saveAsTable writes under the session warehouse; use unique names
+    val (ta, tb) = ("graft_bucket_a", "graft_bucket_b")
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.Sinks.writeBucketed(
+        spark.range(0, 10000).select(col("id").as("k"), (col("id") * 2).as("va")),
+        ta, Seq("k"), buckets = 8)
+      graft.sources.Sinks.writeBucketed(
+        spark.range(0, 10000).select(col("id").as("k"), (col("id") * 3).as("vb")),
+        tb, Seq("k"), buckets = 8)
+      val joined = spark.table(ta).join(spark.table(tb), Seq("k"))
+      assert(joined.count() == 10000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle; plan:\n${plan.take(2500)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ta")
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+}
+
 class StreamingSinkDurabilitySpec extends SparkSpec {
   import spark.implicits._
 
