@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators: the steps between a raw
+  * deduplicated document store and model-ready token sequences —
+  * chunking, context-window packing, incremental (batch-over-corpus)
+  * dedup, normalized-text dedup, test-set decontamination, and
+  * rare-token scoring.
+  *
+  * Scale posture (the 100-TB contract for each):
+  *   - [[chunk]] is narrow — each document expands in place, no
+  *     shuffle; output size is input size × (width/stride) overlap
+  *     factor, chosen by the caller.
+  *   - [[pack]] windows per shard, never globally — parallelism is
+  *     the shard count and each shard's running sum is one
+  *     partition's sort, the same contract as real pre-tokenized
+  *     shard layouts.
+  *   - [[incrementalSurvivors]] anti-joins 40-byte digest rows, never
+  *     document bodies; the corpus side is distinct-compacted before
+  *     the exchange.
+  *   - [[decontaminate]] broadcasts the benchmark n-gram set (test
+  *     suites are MBs; the corpus is the 100-TB side and is never
+  *     shuffled — the join is map-side).
+  *   - [[rarityScores]] ranks the vocabulary (bounded, ~10⁷ entries
+  *     at web scale — the one global window here is vocab-sized, not
+  *     corpus-sized) and broadcast-joins ranks back to the token
+  *     stream.
+  */
+object Corpus {
+
+  private def toks(textCol: String): String =
+    s"filter(split($textCol, ' '), x -> x != '')"
+
+  /** Fixed-width token chunking with stride: document → overlapping
+    * windows of `width` tokens starting every `stride` tokens (the
+    * standard context-window slicing step before tokenizer packing).
+    * The final partial window is kept (truncated, `n_tokens` < width).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1, "width and stride must be positive")
+    df.select(col(idCol).as("doc_id"), expr(toks(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, greatest(size(toks), 1), $stride),
+           |  i -> struct(array_join(slice(toks, i, $width), ' ') AS txt,
+           |              size(slice(toks, i, $width)) AS n))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col.txt").as("chunk_text"), col("col.n").cast("long").as("n_tokens"))
+  }
+
+  /** DuckDB mirror of [[chunk]] over `documents` (same slice
+    * semantics: 1-based start, truncating). */
+  def chunkSql(width: Int, stride: Int): String =
+    s"""SELECT doc_id, CAST((i - 1) // $stride AS BIGINT) AS chunk_id,
+       |  array_to_string(s[CAST(i AS INT):CAST(i + ${width - 1} AS INT)], ' ') AS chunk_text,
+       |  CAST(len(s[CAST(i AS INT):CAST(i + ${width - 1} AS INT)]) AS BIGINT) AS n_tokens
+       |FROM (SELECT doc_id, s, unnest(generate_series(1, greatest(len(s), 1), $stride)) AS i
+       |      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS s
+       |            FROM documents))""".stripMargin
+
+  /** Concatenated-stream context-window packing: documents are laid
+    * head-to-tail per shard in id order; `bin` is the index of the
+    * `budget`-token window containing the document's FIRST token and
+    * `bin_offset` its position inside that window. Documents may span
+    * bins — the split itself is [[chunk]]'s job downstream; this
+    * operator is the assignment that makes the split embarrassingly
+    * parallel. */
+  def pack(df: DataFrame, idCol: String, textCol: String,
+           shardCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    // over the RENAMED output columns — the select below rebinds the
+    // caller's idCol/shardCol to doc_id/source before the window runs
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(shardCol).as("source"), col(idCol).as("doc_id"),
+        expr(s"size(${toks(textCol)})").cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"start_tok div $budget").as("bin"),
+        expr(s"start_tok % $budget").as("bin_offset"))
+  }
+
+  /** Incremental dedup: ids of NEW-batch rows whose content does not
+    * already exist in the corpus (`isNew` false side). The anti-join
+    * key is the 192-bit (xxhash64, md5) composite — independent hash
+    * families, so a silent false drop needs a simultaneous collision
+    * in both (P ≈ n²/2¹⁹³); only digests cross the exchange, and the
+    * corpus side is collapsed to distinct digests first. This is the
+    * batch form of the streaming dedup-within-watermark operator. */
+  def incrementalSurvivors(df: DataFrame, idCol: String, contentCol: String,
+                           isNew: Column): DataFrame = {
+    val keyed = df.select(col(idCol).as("doc_id"),
+      xxhash64(col(contentCol)).as("__h1"), md5(col(contentCol)).as("__h2"),
+      isNew.as("__is_new"))
+    val corpus = keyed.filter(!col("__is_new")).select("__h1", "__h2").distinct()
+    keyed.filter(col("__is_new"))
+      .join(corpus, Seq("__h1", "__h2"), "left_anti")
+      .select("doc_id")
+  }
+
+  /** Normalized-text dedup clusters: case-fold, strip non-alphanumerics,
+    * collapse whitespace — then cluster exactly on the normal form
+    * (the boilerplate-tolerant tier between byte-exact d1 and fuzzy
+    * d2–d4). Cluster key is the digest composite of the normal form,
+    * so document bodies never cross the exchange. */
+  def normalizedClusters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    df.select(col(idCol).as("member_id"),
+        xxhash64(norm).as("__h1"), md5(norm).as("__h2"))
+      .withColumn("keep_id",
+        min(col("member_id")).over(Window.partitionBy("__h1", "__h2")))
+      .select("keep_id", "member_id")
+  }
+
+  /** Normalization mirror for oracles (DuckDB regexp_replace needs the
+    * explicit 'g' flag; Spark's replaces all occurrences by default). */
+  val normalizeSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Test-set decontamination (the published n-gram-overlap recipe:
+    * drop training documents sharing any word n-gram with an eval
+    * benchmark). Returns (doc_id, n_contaminated) for every TRAINING
+    * document (`isTest` false) sharing ≥1 distinct n-gram with the
+    * test side. The distinct test n-grams are broadcast — the corpus
+    * stream is filtered map-side and only matching (doc, gram) pairs
+    * reach the counting aggregate. */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                    isTest: Column, n: Int): DataFrame = {
+    require(n >= 1, "n-gram order must be positive")
+    val grams = df.select(col(idCol).as("doc_id"), isTest.as("__is_test"),
+        expr(toks(textCol)).as("toks"))
+      .select(col("doc_id"), col("__is_test"), explode(expr(
+        s"""CASE WHEN size(toks) >= $n
+           |  THEN transform(sequence(1, size(toks) - ${n - 1}),
+           |                 i -> array_join(slice(toks, i, $n), ' '))
+           |  ELSE array() END""".stripMargin)).as("gram"))
+    val test = grams.filter(col("__is_test")).select("gram").distinct()
+    grams.filter(!col("__is_test")).select("doc_id", "gram").distinct()
+      .join(broadcast(test), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  /** Per-document rare-token score: rank the vocabulary by descending
+    * corpus frequency (rank 1 = most common; ties broken by token, so
+    * the rank is total and engine-independent) and sum the rank over
+    * every token INSTANCE in the document. High score = long and/or
+    * rare-heavy — the cheap "informativeness" signal used for corpus
+    * curation. The rank table is vocabulary-sized and broadcast. */
+  def rarityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(expr(toks(textCol))).as("tok"))
+    val ranks = tok.groupBy("tok").agg(count(lit(1)).as("__cnt"))
+      .withColumn("rank", dense_rank()
+        .over(Window.orderBy(col("__cnt").desc, col("tok"))).cast("long"))
+      .select("tok", "rank")
+    tok.join(broadcast(ranks), Seq("tok"))
+      .groupBy("doc_id").agg(sum("rank").as("rarity"))
+  }
+}

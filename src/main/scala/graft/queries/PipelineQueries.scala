@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` /
   * `embeddings`: dedup family (d1–d6), similarity search (s1–s3),
@@ -32,6 +32,11 @@ object PipelineQueries {
 
   private val tokSql =
     """tok AS (SELECT DISTINCT doc_id, t.tok FROM documents,
+      |    unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> '')""".stripMargin
+
+  /** Non-distinct variant: one row per token INSTANCE. */
+  private val tokAllSql =
+    """tokall AS (SELECT doc_id, t.tok FROM documents,
       |    unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> '')""".stripMargin
 
   /** First 8 hex digits of md5(tok) parsed positionally into a BIGINT
@@ -549,6 +554,92 @@ object PipelineQueries {
               |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
               |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
               |  round(cos, 4) AS cosine
-              |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin))
+              |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("c1_chunk",
+      // Context-window slicing: 32-token windows every 24 tokens
+      // (25% overlap), final partial window kept. Narrow plan — the
+      // only exchange is the output ORDER BY.
+      (s, d) => Corpus.chunk(Tables.documents(s, d), "doc_id", "text", 32, 24)
+        .orderBy("doc_id", "chunk_id"),
+      Some(Corpus.chunkSql(32, 24) + "\nORDER BY doc_id, chunk_id")),
+
+    Q("c2_pack",
+      // 512-token context-window packing per source shard: running
+      // token offset in doc-id order → (bin, bin_offset). The window
+      // partitions by shard, so parallelism = shard count and no
+      // global sort exists anywhere in the plan.
+      (s, d) => Corpus.pack(Tables.documents(s, d), "doc_id", "text", "source", 512)
+        .orderBy("source", "doc_id"),
+      Some("""SELECT source, doc_id, n_tokens,
+             |  start_tok // 512 AS bin, start_tok % 512 AS bin_offset
+             |FROM (SELECT source, doc_id, n_tokens,
+             |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+             |  FROM (SELECT source, doc_id,
+             |      CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+             |        AS n_tokens
+             |    FROM documents))
+             |ORDER BY source, doc_id""".stripMargin)),
+
+    Q("d7_dedup_incremental",
+      // Batch-over-corpus dedup: odd doc_ids are the arriving batch,
+      // even ids the standing corpus; emit batch ids whose content is
+      // genuinely new. Digest-composite anti-join — bodies never
+      // shuffle.
+      (s, d) => Corpus.incrementalSurvivors(
+          Tables.documents(s, d), "doc_id", "text", col("doc_id") % 2 === 1)
+        .orderBy("doc_id"),
+      Some("""SELECT d.doc_id FROM documents d
+             |WHERE d.doc_id % 2 = 1 AND NOT EXISTS (
+             |  SELECT 1 FROM documents e WHERE e.doc_id % 2 = 0 AND e.text = d.text)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    Q("d8_dedup_normalized",
+      // Case/punctuation/whitespace-insensitive dedup clusters — the
+      // tier between byte-exact d1/d6 and fuzzy d2–d4.
+      (s, d) => Corpus.normalizedClusters(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("keep_id", "member_id"),
+      Some(s"""SELECT keep_id, member_id FROM (
+              |  SELECT min(doc_id) OVER (PARTITION BY norm) AS keep_id,
+              |         doc_id AS member_id
+              |  FROM (SELECT doc_id, ${Corpus.normalizeSql} AS norm FROM documents))
+              |ORDER BY keep_id, member_id""".stripMargin)),
+
+    Q("d9_decontaminate",
+      // Benchmark decontamination: every 97th document plays the eval
+      // set; training docs sharing any word trigram with it are
+      // flagged with their distinct-overlap count. The trigram order
+      // is 3 (not the published 13) because the synthetic corpus has
+      // a ~31-token vocabulary — at n=13 only byte-clones collide and
+      // the query degenerates to d1.
+      (s, d) => Corpus.decontaminate(
+          Tables.documents(s, d), "doc_id", "text", col("doc_id") % 97 === 0, 3)
+        .orderBy("doc_id"),
+      Some("""WITH g AS (
+             |  SELECT doc_id, doc_id % 97 = 0 AS is_test,
+             |    array_to_string(s[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS gram
+             |  FROM (SELECT doc_id, s, unnest(generate_series(1, len(s) - 2)) AS i
+             |        FROM (SELECT doc_id,
+             |                list_filter(string_split(text, ' '), x -> x <> '') AS s
+             |              FROM documents)
+             |        WHERE len(s) >= 3)),
+             |t AS (SELECT DISTINCT gram FROM g WHERE is_test),
+             |tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE NOT is_test)
+             |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+             |FROM tr JOIN t USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t10_rarity",
+      // Rare-token informativeness score: vocabulary ranked by
+      // descending corpus frequency (total order — ties broken by
+      // token), rank summed over each document's token instances.
+      (s, d) => Corpus.rarityScores(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH $tokAllSql,
+              |r AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY c DESC, tok) AS BIGINT)
+              |        AS rank
+              |      FROM (SELECT tok, count(*) AS c FROM tokall GROUP BY 1))
+              |SELECT t.doc_id, CAST(sum(r.rank) AS BIGINT) AS rarity
+              |FROM tokall t JOIN r USING (tok) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -608,6 +608,43 @@ object Relational {
              |    list_filter(string_split(text, ' '), x -> x <> '')))[1:5], ' ') AS first5,
              |  CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS INT)
              |    AS n_distinct
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("q36_multi_distinct",
+      // Several COUNT(DISTINCT) over different columns in one
+      // aggregate — Catalyst plans this with Expand (one stream per
+      // distinct column) feeding a shared hash aggregate; the shuffle
+      // carries (group, expand-tag, value) partials, never raw rows
+      // twice.
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_part,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supp,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q37_unpivot",
+      // Wide→long reshaping via Dataset.unpivot (Spark's UNPIVOT) —
+      // narrow (each row expands in place, no shuffle before the
+      // output sort).
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          round(col("p_retailprice"), 2).as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+             |FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'retailprice' AS metric, round(p_retailprice, 2) AS value
+             |FROM part
+             |ORDER BY p_partkey, metric""".stripMargin))
   )
 }
