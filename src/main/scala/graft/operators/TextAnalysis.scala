@@ -209,4 +209,63 @@ object TextAnalysis {
        |  FROM h)
        |SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= n - ${w - 1}""".stripMargin
   }
+
+  /** Count–min-sketch heavy hitters — the approximate tier behind
+    * [[t6]]'s exact per-group top-k, for when even (group, token)
+    * cardinality exceeds memory at 100 TB. The sketch is the ONLY
+    * corpus-wide aggregate: `depth`×`width` cells, built with map-side
+    * partial aggregation so the shuffle carries at most depth·width
+    * rows per partition regardless of corpus size; estimates then come
+    * from a broadcast of the (tiny) finished sketch. Hashes follow the
+    * house md5-affine convention (Dedup.minhashCoeffs), so the sketch —
+    * and therefore every estimate — is bit-reproducible in the DuckDB
+    * oracle. CMS guarantees est ≥ true count; ties and ordering are
+    * broken by token, so top-k is deterministic on any engine.
+    */
+  def cmsHeavyHitters(df: DataFrame, textCol: String,
+                      depth: Int, width: Int, k: Int): DataFrame = {
+    val (ca, cb) = Dedup.minhashCoeffs(depth)
+    val P = Dedup.MinhashP
+    def cellCols = array((0 until depth).map(j =>
+      (lit(ca(j)) * col("h0") + lit(cb(j))) % P % width): _*)
+    val tok = df.select(
+      explode(expr(s"filter(split($textCol, ' '), x -> x != '')")).as("tok"))
+    val hashed = tok.withColumn("h0",
+      expr(s"CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT) % $P"))
+    val cells = hashed
+      .select(posexplode(cellCols).as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+    hashed.distinct()
+      .select(col("tok"), posexplode(cellCols).as(Seq("j", "cell")))
+      .join(broadcast(cells), Seq("j", "cell"))
+      .groupBy("tok").agg(min("cnt").as("est"))
+      .orderBy(col("est").desc, col("tok"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[cmsHeavyHitters]] over `documents.text`. */
+  def cmsHeavyHittersSql(depth: Int, width: Int, k: Int): String = {
+    val (ca, cb) = Dedup.minhashCoeffs(depth)
+    val P = Dedup.MinhashP
+    val coefValues = (0 until depth).map(j => s"(${ca(j)}, ${cb(j)})").mkString(", ")
+    // md5 first 8 hex digits parsed positionally into a BIGINT (DuckDB
+    // has no conv()) — identical to PipelineQueries.baseHashSql.
+    val baseHash = (0 until 8).map { m =>
+      s"(strpos('0123456789abcdef', substr(md5(tok), ${m + 1}, 1)) - 1) * ${1L << (4 * (7 - m))}"
+    }.mkString("(", " + ", ")")
+    s"""WITH tokall AS (SELECT t.tok FROM documents,
+       |    unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''),
+       |h AS (SELECT tok, $baseHash % $P AS h0 FROM tokall),
+       |coef(a, b) AS (VALUES $coefValues),
+       |cells AS (SELECT a, b, ((a * h0 + b) % $P) % $width AS cell,
+       |    count(*) AS cnt
+       |  FROM h CROSS JOIN coef GROUP BY 1, 2, 3),
+       |est AS (SELECT v.tok, min(c.cnt) AS est
+       |  FROM (SELECT DISTINCT tok, h0 FROM h) v CROSS JOIN coef
+       |  JOIN cells c ON c.a = coef.a AND c.b = coef.b
+       |    AND c.cell = ((coef.a * v.h0 + coef.b) % $P) % $width
+       |  GROUP BY 1)
+       |SELECT tok, CAST(est AS BIGINT) AS est FROM est
+       |ORDER BY est DESC, tok LIMIT $k""".stripMargin
+  }
 }

@@ -406,6 +406,17 @@ object PipelineQueries {
              |SELECT lang, rk, tok, cnt FROM r WHERE rk <= 5
              |ORDER BY lang, rk""".stripMargin)),
 
+    Q("t6b_heavy_hitters_cms",
+      // The approximate tier t6's comment promises: count-min-sketch
+      // heavy hitters. depth=4 × width=1024 cells are the only
+      // corpus-wide aggregate; estimates come from a broadcast of the
+      // finished sketch. md5-affine hashing (the minhash convention)
+      // makes the whole sketch bit-reproducible in DuckDB, so the
+      // oracle verifies construction, estimation, and top-k — not
+      // rows-only.
+      (s, d) => TextAnalysis.cmsHeavyHitters(Tables.documents(s, d), "text", 4, 1024, 25),
+      Some(TextAnalysis.cmsHeavyHittersSql(4, 1024, 25))),
+
     Q("smp1_hash_sample",
       // deterministic multiplicative-hash Bernoulli sample (~7%):
       // reproducible across engines/runs, no RNG state, pushes to

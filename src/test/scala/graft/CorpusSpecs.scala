@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Corpus
+import graft.operators.{Corpus, TextAnalysis}
 
 /** Training-corpus preparation operators (Corpus.scala): chunking,
   * packing, incremental dedup, normalized dedup, decontamination,
@@ -127,5 +127,27 @@ class DecontaminateRaritySpec extends SparkSpec {
     // singleton tokens rank 2..6 → doc 4 scores 2+3+4+5+6 = 20
     assert(got(1L) == 5L && got(4L) == 20L)
     assert(got(4L) > got(1L))
+  }
+}
+
+class CmsSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CMS estimates dominate true counts and rank the true heavy hitter first") {
+    // skewed synthetic stream: "hot" 50×, "warm" 10×, 40 singletons
+    val words = Seq.fill(50)("hot") ++ Seq.fill(10)("warm") ++
+      (1 to 40).map(i => s"cold$i")
+    val df = Seq(words.mkString(" ")).toDF("txt")
+    val est = TextAnalysis.cmsHeavyHitters(df, "txt", 4, 1024, 100)
+      .as[(String, Long)].collect()
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    est.foreach { case (tok, e) =>
+      assert(e >= exact(tok), s"CMS must never underestimate: $tok $e < ${exact(tok)}")
+    }
+    assert(est.head == (("hot", 50L)))
+    // 51 distinct tokens into 4×1024 cells: collisions possible but
+    // the min-over-depth must keep every estimate within the sketch
+    // guarantee ε·N = N/width ≈ 0.1 — i.e. exact here
+    est.foreach { case (tok, e) => assert(e == exact(tok), s"$tok inflated: $e") }
   }
 }

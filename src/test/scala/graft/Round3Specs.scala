@@ -285,3 +285,35 @@ class HotAnchorCapSpec extends SparkSpec {
     assert(uncapped.size >= 20, "consecutive windows must overlap")
   }
 }
+
+class RuntimeBloomFilterSpec extends SparkSpec {
+
+  test("selective dim filter injects a runtime bloom filter into the fact scan side") {
+    // The 100-TB posture for un-broadcastable semijoin shapes: Spark's
+    // InjectRuntimeFilter builds a bloom filter from the filtered
+    // creation side and pushes might_contain onto the probe side, so
+    // the big scan discards non-matching rows BEFORE the shuffle.
+    // Thresholds lowered so local-mode parquet qualifies.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables.orders(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val lineitem = Tables.lineitem(spark, sfDir)
+      val joined = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"runtime bloom filter must be injected; optimized plan:\n${optimized.take(3000)}")
+      assert(joined.count() > 0L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
