@@ -17,30 +17,37 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** `featSums(j)` = Σ of byte values at positions ≡ j (mod nFeat) —
+    * the exact-integer companion to the float `features`, so the
+    * decode stage itself can be verified against a SQL oracle (float
+    * pooling order is engine-specific; integer sums are not). */
   case class Media(id: Long, fmt: String, width: Int, height: Int,
-                   channels: Int, features: Array[Float])
+                   channels: Int, features: Array[Float], featSums: Array[Long])
 
   /** STUB decoder — deterministic fake standing in for e.g. JPEG
     * decode. Derives dimensions from the payload and emits `nFeat`
     * average-pooled byte statistics as the "embedding".
     */
-  private[operators] def decodeStub(bytes: Array[Byte], nFeat: Int): (Int, Int, Int, Array[Float]) = {
+  private[operators] def decodeStub(bytes: Array[Byte], nFeat: Int): (Int, Int, Int, Array[Float], Array[Long]) = {
     val n = bytes.length
     val width = (n % 64 + 1) * 16
     val height = (n % 48 + 1) * 9
     val channels = 3
     val feats = new Array[Float](nFeat)
+    val sums = new Array[Long](nFeat)
     if (n > 0) {
       var i = 0
       while (i < n) {
-        feats(i % nFeat) += (bytes(i) & 0xFF) / 255.0f
+        val b = bytes(i) & 0xFF
+        feats(i % nFeat) += b / 255.0f
+        sums(i % nFeat) += b
         i += 1
       }
       val per = math.max(n / nFeat, 1)
       var j = 0
       while (j < nFeat) { feats(j) /= per; j += 1 }
     }
-    (width, height, channels, feats)
+    (width, height, channels, feats, sums)
   }
 
   private def sniffFmt(bytes: Array[Byte]): String =
@@ -60,8 +67,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val b = if (bytes == null) Array.empty[Byte] else bytes
-        val (w, h, c, f) = decodeStub(b, nFeat)
-        Media(id, sniffFmt(b), w, h, c, f)
+        val (w, h, c, f, sums) = decodeStub(b, nFeat)
+        Media(id, sniffFmt(b), w, h, c, f, sums)
       })
   }
 }

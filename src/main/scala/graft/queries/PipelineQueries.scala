@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
-import graft.operators.{Corpus, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` /
   * `embeddings`: dedup family (d1–d6), similarity search (s1–s3),
@@ -463,6 +463,44 @@ object PipelineQueries {
              |CAST((octet_length(encode(text)) % 64) * 16 AS BIGINT) AS width,
              |CAST((octet_length(encode(text)) % 48) * 9 AS BIGINT) AS height
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("m2_media_features",
+      // The partition-wise DECODE stage itself (Multimodal.decode →
+      // mapPartitions over primitive byte arrays), oracle-verified:
+      // the stub codec's integer feature sums (Σ byte value per
+      // position-mod-4 slot) are replayed positionally in SQL. The
+      // float pooled features ride the same loop but stay out of the
+      // oracle (float accumulation order is engine-specific).
+      (s, d) => {
+        val payload = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        Multimodal.decode(payload, "doc_id", "payload", nFeat = 4)
+          .select(col("id").as("doc_id"), col("fmt"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("featSums")(0).as("f0"), col("featSums")(1).as("f1"),
+            col("featSums")(2).as("f2"), col("featSums")(3).as("f3"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+             |        FROM documents),
+             |s AS (SELECT doc_id, (i - 1) % 4 AS j,
+             |        ascii(substr(text, CAST(i AS INT), 1)) AS v
+             |      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+             |            FROM b)),
+             |f AS (SELECT doc_id,
+             |        CAST(sum(CASE WHEN j = 0 THEN v ELSE 0 END) AS BIGINT) AS f0,
+             |        CAST(sum(CASE WHEN j = 1 THEN v ELSE 0 END) AS BIGINT) AS f1,
+             |        CAST(sum(CASE WHEN j = 2 THEN v ELSE 0 END) AS BIGINT) AS f2,
+             |        CAST(sum(CASE WHEN j = 3 THEN v ELSE 0 END) AS BIGINT) AS f3
+             |      FROM s GROUP BY 1)
+             |SELECT b.doc_id,
+             |  CASE ascii(substr(text, 1, 1)) % 3 WHEN 0 THEN 'img'
+             |    WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+             |  CAST((n % 64 + 1) * 16 AS BIGINT) AS width,
+             |  CAST((n % 48 + 1) * 9 AS BIGINT) AS height,
+             |  f0, f1, f2, f3
+             |FROM b JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     Q("t7_pii_scrub",
       // PII redaction. The synthetic corpus carries no PII, so a

@@ -85,4 +85,44 @@ object StreamingOps {
                   cond: org.apache.spark.sql.Column): DataFrame =
     left.withWatermark(lTsCol, lWatermark)
       .join(right.withWatermark(rTsCol, rWatermark), cond)
+
+  /** Streaming corpus ingestion with dedup against EVERYTHING seen so
+    * far — the unbounded-horizon complement of [[dedup]] (whose state
+    * ages out with the watermark). Each micro-batch anti-joins its
+    * content digests against a persistent digest store (the streaming
+    * form of `Corpus.incrementalSurvivors`), collapses within-batch
+    * clones to the min id, appends survivors to `outPath` and their
+    * digests to `storePath`. The store holds 192-bit digests only —
+    * ~40 bytes/document, so a 10¹⁰-document corpus keeps state in
+    * ~400 GB of parquet, not in the executor state store.
+    * foreachBatch is at-least-once on restart; pair with batch-id
+    * idempotent sinks (or overwrite-by-batch partitioning) when the
+    * output must be exactly-once.
+    */
+  def incrementalDedupSink(docs: DataFrame, idCol: String, contentCol: String,
+                           storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val keyed = batch.select(col(idCol), col(contentCol),
+          xxhash64(col(contentCol)).as("__h1"), md5(col(contentCol)).as("__h2"))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val seen =
+          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+            spark.read.parquet(storePath)
+          else keyed.select("__h1", "__h2").limit(0)
+        val survivors = keyed
+          .join(seen, Seq("__h1", "__h2"), "left_anti")
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("__h1", "__h2").orderBy(idCol)))
+          .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint(true) // two sinks below — compute once
+        survivors.select(col(idCol), col(contentCol))
+          .write.mode("append").parquet(outPath)
+        survivors.select("__h1", "__h2").write.mode("append").parquet(storePath)
+        ()
+    }
 }

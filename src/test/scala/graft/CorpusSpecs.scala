@@ -151,3 +151,27 @@ class CmsSketchSpec extends SparkSpec {
     est.foreach { case (tok, e) => assert(e == exact(tok), s"$tok inflated: $e") }
   }
 }
+
+class StreamingIncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch dedup-against-all-history drops cross-batch and in-batch clones") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val (store, out, ckpt) = (s"$dir/store", s"$dir/out", s"$dir/ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.incrementalDedupSink(
+        in.toDF().toDF("id", "txt"), "id", "txt", store, out)
+      .option("checkpointLocation", ckpt).start()
+    in.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // 3 clones 1 in-batch
+    q.processAllAvailable()
+    in.addData((4L, "beta"), (5L, "gamma"), (6L, "alpha")) // 4,6 seen in batch 1
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "alpha"), (2L, "beta"), (5L, "gamma")),
+      s"survivors wrong: $got")
+    // the store carries exactly one digest row per distinct content
+    assert(spark.read.parquet(store).distinct().count() == 3L)
+  }
+}
