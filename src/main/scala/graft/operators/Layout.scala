@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout keys. Sorting by a space-filling
+  * curve (Morton / z-order) clusters rows that are close in BOTH key
+  * dimensions into the same files and row groups, so parquet min/max
+  * statistics stay selective for predicates on EITHER column — the
+  * standard layout answer when one table serves several filter
+  * columns at 100-TB scale and single-column range sorting
+  * (Sinks.writeSorted) can only favor one of them.
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of two non-negative
+    * longs: bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
+    * Pure codegen'd integer ops — stays inside whole-stage codegen.
+    */
+  def zorderKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .plus(shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** SQL mirror of [[zorderKey]] in div/mod arithmetic (no engine-
+    * specific bit operators): `intDiv` is `div` for Spark SQL, `//`
+    * for DuckDB. */
+  def zorderSql(a: String, b: String, bits: Int, intDiv: String): String = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      val p = 1L << i
+      s"((($a) $intDiv $p) % 2) * ${1L << (2 * i)} + ((($b) $intDiv $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+  }
+}

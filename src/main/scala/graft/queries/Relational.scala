@@ -645,6 +645,28 @@ object Relational {
              |UNION ALL
              |SELECT p_partkey, 'retailprice' AS metric, round(p_retailprice, 2) AS value
              |FROM part
-             |ORDER BY p_partkey, metric""".stripMargin))
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
+    Q("q38_zorder",
+      // Morton (z-order) curve key over two filter dimensions — the
+      // layout primitive behind Sinks.writeZordered (two-dimensional
+      // file/row-group clustering). Key arithmetic is pure codegen'd
+      // integer ops; the oracle evaluates the same interleave in
+      // div/mod form.
+      (s, d) => {
+        val keyed = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_partkey") % 1024).as("px"), (col("l_suppkey") % 1024).as("sx"))
+        keyed.withColumn("z", graft.operators.Layout.zorderKey(col("px"), col("sx"), 10))
+          .orderBy("z", "l_orderkey", "l_linenumber")
+          .limit(20)
+          .select("l_orderkey", "l_linenumber", "px", "sx", "z")
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber, px, sx,
+              |  ${graft.operators.Layout.zorderSql("px", "sx", 10, "//")} AS z
+              |FROM (SELECT l_orderkey, l_linenumber,
+              |        l_partkey % 1024 AS px, l_suppkey % 1024 AS sx
+              |      FROM lineitem)
+              |ORDER BY z, l_orderkey, l_linenumber LIMIT 20""".stripMargin))
   )
 }

@@ -52,4 +52,21 @@ object Sinks {
     df.repartitionByRange(numFiles, sortCols.map(df.col): _*)
       .sortWithinPartitions(sortCols.map(df.col): _*)
       .write.mode("overwrite").parquet(path)
+
+  /** Z-order-clustered parquet: rows range-partitioned and sorted by
+    * the Morton interleave of two filter columns, so file and
+    * row-group min/max stats stay selective for predicates on EITHER
+    * column (the two-dimensional upgrade of [[writeSorted]]). One
+    * range shuffle on the curve key; the key itself is dropped from
+    * the files.
+    */
+  def writeZordered(df: DataFrame, path: String, colA: String, colB: String,
+                    bits: Int, numFiles: Int): Unit = {
+    val keyed = df.withColumn("__z",
+      graft.operators.Layout.zorderKey(df.col(colA), df.col(colB), bits))
+    keyed.repartitionByRange(numFiles, keyed.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+import graft.sources.Sinks
+
+class ZorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refInterleave(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+
+  test("zorderKey matches the reference bit interleave") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 1023L), (512L, 7L))
+    val got = pts.toDF("a", "b")
+      .withColumn("z", Layout.zorderKey(col("a"), col("b"), 10))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == refInterleave(a, b, 10), s"interleave($a, $b)")
+    }
+  }
+
+  test("z-order clustering concentrates a 2-D box query into few files") {
+    // 64×64 grid, 4 rows per cell. After z-order clustering into 16
+    // files, an 8×8 corner box (a contiguous z-range) touches few
+    // files; under a one-dimensional x-sort, the same box's rows
+    // spread across every x-slice file that intersects x<8 — but a
+    // filter on Y ALONE hits all 16 files, while z-order still prunes.
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val grid = spark.range(0, 64 * 64 * 4)
+      .select((col("id") % 64).as("x"), ((col("id") / 64) % 64).cast("long").as("y"),
+        col("id").as("payload"))
+    Sinks.writeZordered(grid, s"$dir/z", "x", "y", 6, 16)
+    Sinks.writeSorted(grid, s"$dir/x", Seq("x"), 16)
+
+    def filesTouched(path: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(cond)
+        .select(input_file_name()).distinct().count()
+
+    val box = col("x") < 8 && col("y") < 8
+    val zBox = filesTouched(s"$dir/z", box)
+    assert(zBox <= 4, s"z-order box query touched $zBox of 16 files")
+
+    // row-group/file stats only help when the data is clustered on the
+    // filtered dimension: y-only predicate under x-sort reads rows
+    // from every file, under z-order from a minority of files
+    val yOnly = col("y") < 8
+    val zY = filesTouched(s"$dir/z", yOnly)
+    val xY = filesTouched(s"$dir/x", yOnly)
+    assert(xY == 16L, s"x-sorted layout must spread y-rows over all files, got $xY")
+    assert(zY <= 8, s"z-order must cluster y-rows into a minority of files, got $zY")
+  }
+}
+
+class OrcRoundTripSpec extends SparkSpec {
+
+  test("ORC write/read round-trips schema and values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val docs = Tables.documents(spark, sfDir).limit(100)
+    docs.write.mode("overwrite").orc(s"$dir/docs")
+    val back = spark.read.orc(s"$dir/docs")
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+}
