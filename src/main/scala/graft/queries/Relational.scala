@@ -667,6 +667,31 @@ object Relational {
               |FROM (SELECT l_orderkey, l_linenumber,
               |        l_partkey % 1024 AS px, l_suppkey % 1024 AS sx
               |      FROM lineitem)
-              |ORDER BY z, l_orderkey, l_linenumber LIMIT 20""".stripMargin))
+              |ORDER BY z, l_orderkey, l_linenumber LIMIT 20""".stripMargin)),
+
+    Q("q39_topk_agg",
+      // q10's top-k-per-group semantics through the typed TopKAgg
+      // Aggregator instead of a window: the aggregate keeps ≤ k pairs
+      // per group per partition (ObjectHashAggregate with map-side
+      // partials), so shuffle volume and state are bounded by
+      // k·groups — the 100-TB form of top-k, where the window variant
+      // sorts every group row through the exchange. The oracle is the
+      // window form: both must produce identical rows.
+      (s, d) => {
+        val topk = udaf(graft.functions.TopKAgg(5))
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(topk(round(col("l_extendedprice"), 2), col("l_orderkey")).as("top"))
+          .select(col("l_returnflag"), posexplode(col("top")))
+          .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rk"),
+            col("col._1").as("price"), col("col._2").as("l_orderkey"))
+          .orderBy("l_returnflag", "rk")
+      },
+      Some("""SELECT l_returnflag, rk, price, l_orderkey FROM (
+             |  SELECT l_returnflag, round(l_extendedprice, 2) AS price, l_orderkey,
+             |    CAST(row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY round(l_extendedprice, 2) DESC, l_orderkey) AS INT) AS rk
+             |  FROM lineitem)
+             |WHERE rk <= 5 ORDER BY l_returnflag, rk""".stripMargin))
   )
 }

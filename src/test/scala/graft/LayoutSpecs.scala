@@ -64,3 +64,28 @@ class OrcRoundTripSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 }
+
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TopKAgg insert/merge keep the (value desc, id asc) total order under any split") {
+    val agg = graft.functions.TopKAgg(3)
+    val rows = Seq((5.0, 2L), (5.0, 1L), (7.0, 9L), (1.0, 4L), (7.0, 3L), (6.0, 8L))
+    val expected = Seq((7.0, 3L), (7.0, 9L), (6.0, 8L))
+    // every 2-way split of the rows must merge to the same top-3
+    for (mask <- 0 until (1 << rows.size)) {
+      val (a, b) = rows.zipWithIndex.partition { case (_, i) => (mask & (1 << i)) != 0 }
+      val bufA = a.map(_._1).foldLeft(agg.zero)(agg.reduce)
+      val bufB = b.map(_._1).foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(bufA, bufB)) == expected, s"mask=$mask")
+    }
+  }
+
+  test("q39 plan aggregates with map-side partials, not a window sort") {
+    val df = graft.SparkEntry.queries("q39_topk_agg")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+    assert(plan.contains("partial_topkagg"), s"expected map-side partial agg:\n$plan")
+    assert(!plan.contains("Window"), s"top-k agg must not fall back to a window:\n$plan")
+  }
+}
