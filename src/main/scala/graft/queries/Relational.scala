@@ -692,6 +692,34 @@ object Relational {
              |    CAST(row_number() OVER (PARTITION BY l_returnflag
              |      ORDER BY round(l_extendedprice, 2) DESC, l_orderkey) AS INT) AS rk
              |  FROM lineitem)
-             |WHERE rk <= 5 ORDER BY l_returnflag, rk""".stripMargin))
+             |WHERE rk <= 5 ORDER BY l_returnflag, rk""".stripMargin)),
+
+    Q("q40_full_outer",
+      // FULL OUTER join with null-producing rows on BOTH sides:
+      // high-balance customers vs big urgent orders — customers
+      // without qualifying orders and orders whose customer misses
+      // the balance cut both survive with nulls. Sort-merge shape
+      // (full outer can't broadcast); COALESCE keys keep the output
+      // deterministic.
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        val o = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 350000 && col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("bal"), col("o_orderkey"), col("price"))
+          .orderBy(col("custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+             |  c.bal, o.o_orderkey, o.price
+             |FROM (SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+             |      WHERE c_acctbal > 9000) c
+             |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+             |      FROM orders
+             |      WHERE o_totalprice > 350000 AND o_orderpriority = '1-URGENT') o
+             |ON c.c_custkey = o.o_custkey
+             |ORDER BY custkey, o_orderkey""".stripMargin))
   )
 }
