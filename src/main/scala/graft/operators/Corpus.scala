@@ -144,6 +144,39 @@ object Corpus {
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** The composed model-ready export: tokenize → dictionary-encode
+    * (token id = frequency rank, the classic vocab ordering) →
+    * per-document id sequence in position order → concatenated-stream
+    * packing into `budget`-token context windows per shard. One
+    * corpus-wide aggregate builds the vocabulary (vocab-sized,
+    * broadcast back); the id-sequence assembly is one grouped
+    * aggregate per document; packing adds the per-shard window. The
+    * id sequence is emitted as a CSV string — the cross-engine-stable
+    * surface for the oracle (array columns don't hash portably).
+    */
+  def tokenizePack(df: DataFrame, idCol: String, textCol: String,
+                   shardCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val tok = df.select(col(shardCol).as("source"), col(idCol).as("doc_id"),
+      posexplode(expr(toks(textCol))).as(Seq("pos", "tok")))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("__cnt"))
+      .withColumn("rank", dense_rank()
+        .over(Window.orderBy(col("__cnt").desc, col("tok"))).cast("long"))
+      .select("tok", "rank")
+    val seqs = tok.join(broadcast(vocab), Seq("tok"))
+      .groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, rank))), x -> CAST(x.rank AS STRING)), ',')")
+          .as("ids_csv"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    seqs.withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("source"), col("doc_id"),
+        expr(s"start_tok div $budget").as("bin"),
+        expr(s"start_tok % $budget").as("bin_offset"),
+        col("n_tokens"), col("ids_csv"))
+  }
+
   /** Per-document rare-token score: rank the vocabulary by descending
     * corpus frequency (rank 1 = most common; ties broken by token, so
     * the rank is total and engine-independent) and sum the rank over

@@ -678,6 +678,32 @@ object PipelineQueries {
              |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
              |FROM tr JOIN t USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("p1_tokenize_pack",
+      // The composed model-ready export (second flagship pipeline
+      // beside p0): tokenize → frequency-rank vocabulary ids →
+      // position-ordered id sequences → 512-token context-window
+      // packing per shard. The oracle replays every stage in SQL —
+      // the emitted CSV id streams must match byte-for-byte.
+      (s, d) => Corpus.tokenizePack(Tables.documents(s, d), "doc_id", "text", "source", 512)
+        .orderBy("source", "doc_id"),
+      Some("""WITH tok AS (SELECT source, doc_id, i AS pos, s[CAST(i AS INT)] AS tok
+             |  FROM (SELECT source, doc_id, s, unnest(generate_series(1, len(s))) AS i
+             |        FROM (SELECT source, doc_id,
+             |                list_filter(string_split(text, ' '), x -> x <> '') AS s
+             |              FROM documents))),
+             |r AS (SELECT tok, dense_rank() OVER (ORDER BY c DESC, tok) AS rank
+             |      FROM (SELECT tok, count(*) AS c FROM tok GROUP BY 1)),
+             |d AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |        string_agg(CAST(rank AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+             |      FROM tok JOIN r USING (tok) GROUP BY 1, 2),
+             |p AS (SELECT source, doc_id, n_tokens, ids_csv,
+             |        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+             |      FROM d)
+             |SELECT source, doc_id, start_tok // 512 AS bin,
+             |  start_tok % 512 AS bin_offset, n_tokens, ids_csv
+             |FROM p ORDER BY source, doc_id""".stripMargin)),
+
     Q("t10_rarity",
       // Rare-token informativeness score: vocabulary ranked by
       // descending corpus frequency (total order — ties broken by

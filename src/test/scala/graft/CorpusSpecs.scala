@@ -175,3 +175,18 @@ class StreamingIncrementalDedupSpec extends SparkSpec {
     assert(spark.read.parquet(store).distinct().count() == 3L)
   }
 }
+
+class TokenizePackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenize-pack: frequency-ranked ids in position order, stream-packed bins") {
+    // freq: a×4 → id 1; b, c ×1 each → ids 2, 3 (count desc, token asc)
+    val df = Seq((1L, "b a c a", "S"), (2L, "a a", "S")).toDF("id", "txt", "src")
+    val got = Corpus.tokenizePack(df, "id", "txt", "src", 3).orderBy("doc_id")
+      .select("doc_id", "bin", "bin_offset", "n_tokens", "ids_csv")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got(0) == ((1L, 0L, 0L, 4L, "2,1,3,1")))
+    // doc 2 starts at token offset 4 of the shard stream: bin 1, offset 1
+    assert(got(1) == ((2L, 1L, 1L, 2L, "1,1")))
+  }
+}
