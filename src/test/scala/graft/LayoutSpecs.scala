@@ -89,3 +89,27 @@ class TopKAggSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"top-k agg must not fall back to a window:\n$plan")
   }
 }
+
+class StreamingTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TopKAgg runs as a streaming aggregate with bounded per-group state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double, Long)]
+    val topk = udaf(graft.functions.TopKAgg(2))
+    val agg = in.toDF().toDF("g", "v", "id")
+      .groupBy("g").agg(topk(col("v"), col("id")).as("top"))
+    val q = agg.writeStream.format("memory").queryName("stk")
+      .outputMode("complete").start()
+    in.addData(("a", 5.0, 1L), ("a", 7.0, 2L), ("b", 1.0, 3L))
+    q.processAllAvailable()
+    in.addData(("a", 6.0, 4L), ("b", 9.0, 5L)) // 6.0 evicts 5.0 from a's top-2
+    q.processAllAvailable()
+    val got = spark.table("stk")
+      .select(col("g"), expr("transform(top, x -> x._2)").as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    q.stop()
+    assert(got("a") == Seq(2L, 4L), s"got $got")
+    assert(got("b") == Seq(5L, 3L), s"got $got")
+  }
+}
