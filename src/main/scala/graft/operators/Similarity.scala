@@ -103,6 +103,41 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Embedding near-duplicate PAIRS through the same hyperplane
+    * bucketing as [[knnLsh]] — the scale path that replaces
+    * `Dedup.embeddingCosinePairs`' all-pairs baseline: candidates are
+    * bucket collisions in any table (capped), then exact cosine ≥
+    * `threshold` rerank. Shuffle volume is O(vectors × tables)
+    * fixed-width rows + capped within-bucket pairs — never O(n²).
+    * Recall trade: a near-dup pair colliding in NO table is missed
+    * (standard sign-random-projection guarantee; raise `tables` to
+    * tighten).
+    */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, planes: Int = 8, tables: Int = 4,
+                        dims: Int = 64, maxBucket: Int = 4096): DataFrame = {
+    def bucketCol(vcol: String, t: Int) =
+      (0 until planes).map { p =>
+        val plane = Array.tabulate(dims)(i => planeComponent(t, p, i))
+        when(vec_dot(col(vcol), typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val b = Dedup.capBuckets(
+      withNorm(df, idCol, vecCol, "c")
+        .withColumn("__bk", array((0 until tables).map(t => bucketCol("cv", t)): _*))
+        .select(col("cid"), col("cv"), col("cn"), posexplode(col("__bk")))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket"),
+      Seq("table", "bucket"), "cid", maxBucket)
+    b.as("x").join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.cid") < col("y.cid"))
+      .select(col("x.cid").as("a"), col("x.cv").as("va"), col("x.cn").as("na"),
+        col("y.cid").as("b"), col("y.cv").as("vb"), col("y.cn").as("nb"))
+      .distinct()
+      .withColumn("cosine", dot("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** IVF ANN: coarse k-means cells (seeded from the first `nCells`
     * corpus rows by id, `lloydIters` refinement rounds), queries probe
     * their `nProbe` nearest cells, exact rerank within probed cells.

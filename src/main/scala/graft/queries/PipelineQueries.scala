@@ -140,6 +140,39 @@ object PipelineQueries {
               |SELECT a, b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.4
               |ORDER BY a, b""".stripMargin)),
 
+    Q("d5b_dedup_embedding_lsh",
+      // The SCALE path for embedding near-dup pairs (d5 is the
+      // all-pairs oracle baseline): hyperplane-bucket collisions →
+      // capped buckets → exact cosine rerank. The oracle rebuilds
+      // every hyperplane from the md5 formula and replays bucketing +
+      // rerank, so candidate generation itself is hash-verified.
+      (s, d) => Similarity.embeddingLshPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("a", "b"),
+      Some(s"""WITH $cosSql,
+              |comp AS (SELECT t, p, i,
+              |    ((strpos('0123456789abcdef',
+              |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
+              |      - 7.5) / 8 AS c
+              |  FROM (SELECT unnest(generate_series(0, 3)) AS t) ts,
+              |       (SELECT unnest(generate_series(0, 7)) AS p) ps,
+              |       (SELECT unnest(generate_series(0, 63)) AS i) is1),
+              |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
+              |sb AS (SELECT ce.vec_id, planes.t,
+              |    CASE WHEN list_dot_product(ce.v, planes.pl) >= 0
+              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+              |  FROM ce, planes),
+              |bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sb GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+              |  FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+              |    AND x.vec_id < y.vec_id),
+              |sc AS (SELECT a, b,
+              |  list_dot_product(av.v, bv.v)
+              |    / (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) AS cos
+              |  FROM cand JOIN ce av ON av.vec_id = a JOIN ce bv ON bv.vec_id = b)
+              |SELECT a, b, round(cos, 4) AS cosine FROM sc WHERE cos >= 0.4
+              |ORDER BY a, b""".stripMargin)),
+
     Q("d6_dedup_clusters",
       (s, d) => Dedup.exactClusters(Tables.documents(s, d), "doc_id", "text")
         .orderBy("member_id"),

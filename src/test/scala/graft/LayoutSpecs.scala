@@ -113,3 +113,32 @@ class StreamingTopKSpec extends SparkSpec {
     assert(got("b") == Seq(5L, 3L), s"got $got")
   }
 }
+
+class EmbeddingLshPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LSH pair dedup finds every true near-duplicate cluster member") {
+    // 3 clusters of 4 near-identical vectors (tiny deterministic
+    // perturbations, cosine ≈ 0.9999) + 20 random vectors: sign
+    // projections are stable under small perturbations, so every
+    // within-cluster pair must collide in at least one table.
+    val rng = new scala.util.Random(7)
+    val dims = 64
+    def base() = Array.fill(dims)(rng.nextGaussian().toFloat)
+    val clusters = (0 until 3).map(_ => base())
+    val members = for {
+      (c, ci) <- clusters.zipWithIndex
+      j <- 0 until 4
+    } yield ((ci * 4 + j).toLong, c.map(x => x + 0.001f * (j + 1)))
+    val noise = (100 until 120).map(i => (i.toLong, base()))
+    val df = (members ++ noise).toDF("vec_id", "embedding")
+    val pairs = graft.operators.Similarity
+      .embeddingLshPairs(df, "vec_id", "embedding", 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      ci <- 0 until 3; i <- 0 until 4; j <- (i + 1) until 4
+    } yield ((ci * 4 + i).toLong, (ci * 4 + j).toLong)).toSet
+    assert(pairs == expected,
+      s"missed: ${expected -- pairs}; spurious: ${pairs -- expected}")
+  }
+}
