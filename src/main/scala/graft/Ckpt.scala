@@ -37,6 +37,30 @@ object Ckpt {
     }
   }
 
+  /** [[cut]] elided when the frame is ALREADY a materialized
+    * checkpoint leaf (or a bare column projection over one):
+    * re-checkpointing re-writes the whole frame — at cluster scale a
+    * redundant full pass of the edge table to the checkpoint
+    * filesystem every time composed operators (transitive-reduce →
+    * tip-clip → bubble-remove → unitigs) hand each other frames their
+    * previous stage just materialized. Only for stage-boundary cuts
+    * whose frames are never released mid-operator; iterative rounds
+    * keep plain [[cut]] so release() bookkeeping stays
+    * one-frame-per-checkpoint.
+    */
+  def cutLight(df: DataFrame): DataFrame =
+    if (isMaterializedLeaf(df.queryExecution.analyzed)) df else cut(df)
+
+  private def isMaterializedLeaf(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.Project(pl, child)
+        if pl.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+      isMaterializedLeaf(child)
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      lr.rdd.isCheckpointed // true for reliable AND local checkpoints
+    case _ => false
+  }
+
   /** Free the storage behind a frame produced by [[cut]] once a later
     * round has materialized and the frame can never be read again:
     * reliable-checkpoint files are deleted (Spark itself never cleans

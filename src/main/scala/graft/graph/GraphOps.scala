@@ -221,7 +221,7 @@ object GraphOps {
     * anti-join to subtract — two shuffles total, no iteration.
     */
   def transitiveReduction(edges: DataFrame): DataFrame = {
-    val e = Ckpt.cut(edges.select("src", "dst")) // scanned 3×
+    val e = Ckpt.cutLight(edges.select("src", "dst")) // scanned 3×
     val e2 = e.select(col("src").as("mid"), col("dst"))
     val paths = e.select(col("src"), col("dst").as("mid"))
       .join(e2, Seq("mid")).select("src", "dst")
@@ -251,7 +251,7 @@ object GraphOps {
     * error/heterozygosity pattern string-graph assemblers collapse.
     */
   def bubbles(edges: DataFrame): DataFrame = {
-    val e = Ckpt.cut(edges.select("src", "dst")) // scanned 4×
+    val e = Ckpt.cutLight(edges.select("src", "dst")) // scanned 4×
     val interior = degrees(e)
       .filter(col("indeg") === 1 && col("outdeg") === 1).select("node")
     val arm = e.select(col("src").as("u"), col("dst").as("m"))
@@ -268,7 +268,7 @@ object GraphOps {
     * (u→arm and arm→w). Detection + one anti-join.
     */
   def bubbleRemoval(edges: DataFrame): DataFrame = {
-    val e = Ckpt.cut(edges.select("src", "dst"))
+    val e = Ckpt.cutLight(edges.select("src", "dst"))
     val bub = bubbles(e) // (u, a, b, w): b is always a non-minimal arm
     val rm = bub.select(col("u").as("src"), col("b").as("dst"))
       .union(bub.select(col("b").as("src"), col("w").as("dst")))
@@ -440,7 +440,7 @@ object GraphOps {
     * size) fixed no matter how deep the 100-TB graph really is.
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
-    val e = Ckpt.cut(edges.select("src", "dst"))
+    val e = Ckpt.cutLight(edges.select("src", "dst"))
     val init = seeds.select(col("node"), lit(0L).as("depth"))
     iterate(init, maxRounds = maxDepth) { cur =>
       val cand = cur.join(e, cur("node") === e("src"))
@@ -475,7 +475,7 @@ object GraphOps {
     * set). Each iteration: one join + one aggregate shuffle.
     */
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val e = Ckpt.cut(edges.select("src", "dst"))
+    val e = Ckpt.cutLight(edges.select("src", "dst"))
     val verts = Ckpt.cut(vertices(e))
     val n = verts.count().toDouble
     val outdeg = Ckpt.cut(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")))
@@ -504,7 +504,7 @@ object GraphOps {
     */
   def pagerankExact(edges: DataFrame, iters: Int): DataFrame = {
     val R = 1000000000000L
-    val e = Ckpt.cut(edges.select("src", "dst"))
+    val e = Ckpt.cutLight(edges.select("src", "dst"))
     val verts = Ckpt.cut(vertices(e))
     val n = verts.count()
     val outdeg = Ckpt.cut(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("od")))
