@@ -720,6 +720,75 @@ object Relational {
              |      FROM orders
              |      WHERE o_totalprice > 350000 AND o_orderpriority = '1-URGENT') o
              |ON c.c_custkey = o.o_custkey
-             |ORDER BY custkey, o_orderkey""".stripMargin))
+             |ORDER BY custkey, o_orderkey""".stripMargin)),
+
+    Q("q41_cdc_diff",
+      // Batch CDC via Snapshot.diff: two derived snapshots of the
+      // customer dimension (every 5th key missing from old = inserts,
+      // every 7th missing from new = deletes, every 3rd balance
+      // bumped = updates); emit one row per changed key with the
+      // MERGE action and old/new values. Sort-merge full-outer;
+      // unchanged keys filtered before the output exchange.
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        val prev = c.filter(col("c_custkey") % 5 =!= 0)
+        val next = c.filter(col("c_custkey") % 7 =!= 0)
+          .withColumn("bal", when(col("c_custkey") % 3 === 0,
+            round(col("bal") + 100, 2)).otherwise(col("bal")))
+        graft.operators.Snapshot.diff(prev, next, Seq("c_custkey"), Seq("bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+             |    CASE WHEN o.c_custkey IS NULL THEN 'insert'
+             |         WHEN n.c_custkey IS NULL THEN 'delete'
+             |         WHEN o.bal IS DISTINCT FROM n.bal THEN 'update'
+             |         ELSE 'unchanged' END AS action,
+             |    o.bal AS old_bal, n.bal AS new_bal
+             |  FROM (SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+             |        WHERE c_custkey % 5 <> 0) o
+             |  FULL OUTER JOIN (
+             |    SELECT c_custkey,
+             |      CASE WHEN c_custkey % 3 = 0 THEN round(round(c_acctbal, 2) + 100, 2)
+             |           ELSE round(c_acctbal, 2) END AS bal
+             |    FROM customer WHERE c_custkey % 7 <> 0) n
+             |  ON o.c_custkey = n.c_custkey)
+             |WHERE action <> 'unchanged' ORDER BY c_custkey""".stripMargin)),
+
+    Q("q42_histogram",
+      // Equal-width histogram with a capped tail bucket — the
+      // profiling primitive; one hash aggregate, map-side partials.
+      (s, d) => Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / 50000), lit(9))
+          .cast("long").as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("bucket"),
+      Some("""SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q43_gapfill",
+      // Time-series regularization (TimeSeries.gapFill): hourly grid
+      // per user from its own span, observations joined back,
+      // forward-fill via last(ignoreNulls) over an ordered per-key
+      // window. Parallelism = key count; no global sort.
+      (s, d) => graft.operators.TimeSeries.gapFill(
+          ev(s, d).filter(col("user_id") < 10), "user_id", "t", "value", 3600)
+        .orderBy("key", "slot"),
+      Some(s"""WITH e AS ($evSql),
+              |obs AS (SELECT user_id AS key, t // 3600 AS slot,
+              |    round(sum(value), 2) AS v
+              |  FROM e WHERE user_id < 10 GROUP BY 1, 2),
+              |grid AS (SELECT key, unnest(generate_series(lo, hi)) AS slot
+              |  FROM (SELECT key, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1)),
+              |j AS (SELECT g.key, g.slot, obs.v
+              |  FROM grid g LEFT JOIN obs ON obs.key = g.key AND obs.slot = g.slot)
+              |SELECT key, slot, v,
+              |  last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY slot
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+              |FROM j ORDER BY key, slot""".stripMargin))
   )
 }

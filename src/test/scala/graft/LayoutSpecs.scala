@@ -142,3 +142,39 @@ class EmbeddingLshPairsSpec extends SparkSpec {
       s"missed: ${expected -- pairs}; spurious: ${pairs -- expected}")
   }
 }
+
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("diff emits insert/delete/update with null-safe comparison") {
+    val prev = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
+      .toDF("k", "v")
+    val next = Seq((2L, Some(25.0)), (3L, Some(30.0)), (4L, Some(40.0)), (5L, None))
+      .toDF("k", "v")
+    val got = graft.operators.Snapshot.diff(prev, next, Seq("k"), Seq("v"))
+      .select("k", "action").as[(Long, String)].collect().toMap
+    // 1 deleted, 2 value-changed, 3 NULL→30 (null-safe: update),
+    // 4 unchanged (absent), 5 inserted with NULL value
+    assert(got == Map(1L -> "delete", 2L -> "update", 3L -> "update", 5L -> "insert"))
+  }
+}
+
+class GapFillSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFill generates the per-key grid and forward-fills gaps") {
+    // key A observes slots 100 and 103 (t = slot*10): grid 100..103,
+    // 101/102 filled from 100; key B a single slot — no gaps.
+    val df = Seq((1L, 1000L, 5.0), (1L, 1005L, 2.0), (1L, 1030L, 9.0),
+      (2L, 555L, 1.0)).toDF("id", "ts", "value")
+    val got = graft.operators.TimeSeries.gapFill(df, "id", "ts", "value", 10)
+      .select("key", "slot", "v", "filled")
+      .as[(Long, Long, Option[Double], Double)].collect().toSet
+    assert(got == Set(
+      (1L, 100L, Some(7.0), 7.0), // two observations summed in-slot
+      (1L, 101L, None, 7.0),
+      (1L, 102L, None, 7.0),
+      (1L, 103L, Some(9.0), 9.0),
+      (2L, 55L, Some(1.0), 1.0)))
+  }
+}
