@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Ckpt
 
@@ -345,6 +346,27 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"),
         expr("array_join(transform(array_sort(collect_list(struct(dist, part))), s -> s.part), '')")
           .as("sequence"))
+
+  /** Assembly summary statistics — the assembler's report card:
+    * contig count, total/max length, and N50 (the largest length L
+    * such that contigs ≥ L cover at least half the assembly). The
+    * ordered cumulative pass runs on the contig LENGTH table —
+    * contigs ≪ reads by construction, so the single-partition window
+    * is a final small-data reduce, not a corpus-scale sort.
+    */
+  def assemblyStats(contigs: DataFrame, seqCol: String): DataFrame = {
+    val lens = Ckpt.cut(contigs.select(length(col(seqCol)).cast("long").as("len")))
+    val cumW = Window.orderBy(col("len").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n50 = lens
+      .withColumn("cum", sum("len").over(cumW))
+      .withColumn("total", sum("len").over(Window.partitionBy(lit(1))))
+      .filter(col("cum") * 2 >= col("total"))
+      .agg(max("len").as("n50"))
+    lens.agg(count(lit(1)).as("n_contigs"), sum("len").as("total_len"),
+        max("len").as("max_len"))
+      .crossJoin(n50)
+  }
 
   // ---------------------------------------------------------------- analysis
 

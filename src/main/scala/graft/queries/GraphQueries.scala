@@ -275,6 +275,43 @@ object GraphQueries {
               |  string_agg(substr(md5(CAST(node AS VARCHAR)), 1, 8), '' ORDER BY dist) AS sequence
               |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("g13_assembly_stats",
+      // The assembler's report card over the emitted contigs: count,
+      // total/max length, N50. The cumulative pass runs over contig
+      // LENGTHS (contigs ≪ reads — a final reduce, not a data-scale
+      // sort).
+      (s, d) => {
+        val e = chainEdges(s, d, withSkip = false)
+        val seqs = GraphOps.vertices(e)
+          .select(col("node"), expr("substring(md5(CAST(node AS STRING)), 1, 8)").as("seq"))
+        GraphOps.assemblyStats(GraphOps.unitigSequences(e, seqs), "sequence")
+      },
+      Some(s"""WITH RECURSIVE ${chainSql(false)},
+              |outd AS (SELECT src, count(*) c FROM e GROUP BY 1),
+              |ind AS (SELECT dst, count(*) c FROM e GROUP BY 1),
+              |ch AS (SELECT e.src, e.dst FROM e
+              |  JOIN outd ON outd.src = e.src AND outd.c = 1
+              |  JOIN ind ON ind.dst = e.dst AND ind.c = 1),
+              |heads AS (SELECT DISTINCT src AS node FROM ch
+              |  WHERE src NOT IN (SELECT dst FROM ch)),
+              |walk(node, head, dist) AS (
+              |  SELECT node, node, 0 FROM heads
+              |  UNION ALL
+              |  SELECT ch.dst, walk.head, walk.dist + 1 FROM walk JOIN ch ON ch.src = walk.node),
+              |ctg AS (SELECT head,
+              |    string_agg(substr(md5(CAST(node AS VARCHAR)), 1, 8), '' ORDER BY dist) AS sequence
+              |  FROM walk GROUP BY 1),
+              |lens AS (SELECT CAST(length(sequence) AS BIGINT) AS len FROM ctg),
+              |cums AS (SELECT len,
+              |    sum(len) OVER (ORDER BY len DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              |    sum(len) OVER () AS total
+              |  FROM lens)
+              |SELECT CAST(count(*) AS BIGINT) AS n_contigs,
+              |  CAST(sum(len) AS BIGINT) AS total_len,
+              |  CAST(max(len) AS BIGINT) AS max_len,
+              |  (SELECT CAST(max(len) AS BIGINT) FROM cums WHERE cum * 2 >= total) AS n50
+              |FROM lens""".stripMargin)),
+
     Q("g6_connected_components",
       (s, d) => GraphOps.connectedComponents(chainEdges(s, d, withSkip = false))
         .orderBy("node"),

@@ -178,3 +178,21 @@ class GapFillSpec extends SparkSpec {
       (2L, 55L, Some(1.0), 1.0)))
   }
 }
+
+class AssemblyStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("N50 is the largest length whose desc-cumulative sum covers half the assembly") {
+    // lengths 10,9,5,3,3 → total 30; cum desc: 10,19 → N50 = 9
+    val contigs = Seq("a" * 10, "b" * 9, "c" * 5, "d" * 3, "e" * 3).toDF("seq")
+    val row = graft.graph.GraphOps.assemblyStats(contigs, "seq")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row == ((5L, 30L, 10L, 9L)))
+  }
+
+  test("single-contig assembly: N50 equals the contig length") {
+    val row = graft.graph.GraphOps.assemblyStats(Seq("x" * 7).toDF("seq"), "seq")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row == ((1L, 7L, 7L, 7L)))
+  }
+}
