@@ -590,6 +590,28 @@ object PipelineQueries {
              |  max_c * 10000 // total AS top_bp
              |FROM a ORDER BY doc_id""".stripMargin)),
 
+    Q("smp4_bottomk_sample",
+      // Bottom-k (order-statistics) uniform sample: the k documents
+      // with the smallest md5-derived hash — a coordination-free
+      // exact-size uniform sample (each partition contributes its
+      // local bottom-k; only k rows per partition reach the final
+      // merge). The same sketch family (k minimum values) underlies
+      // distinct-count and set-similarity estimation. House md5 hash
+      // so the oracle replays the ranking exactly.
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+            .as("hk"))
+        .orderBy("hk", "doc_id").limit(25)
+        .select("doc_id", "lang", "hk"),
+      Some(s"""SELECT doc_id, lang, hk FROM (
+              |  SELECT doc_id, lang,
+              |    ${(0 until 8).map { m =>
+                     s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${m + 1}, 1)) - 1) * ${1L << (4 * (7 - m))}"
+                   }.mkString("(", " + ", ")")} AS hk
+              |  FROM documents)
+              |ORDER BY hk, doc_id LIMIT 25""".stripMargin)),
+
     Q("smp3_weighted_sample",
       // Length-weighted deterministic Bernoulli sample: acceptance
       // probability ∝ n_chars (capped at 90%), same overflow-safe

@@ -789,6 +789,30 @@ object Relational {
               |SELECT key, slot, v,
               |  last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY slot
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-              |FROM j ORDER BY key, slot""".stripMargin))
+              |FROM j ORDER BY key, slot""".stripMargin)),
+
+    Q("q44_distribution_rank",
+      // Distribution window functions: percent_rank and cume_dist per
+      // nation over a unique ordering (bal, custkey) — both are pure
+      // integer-rank arithmetic divided once, so the doubles are
+      // bit-identical on any engine.
+      (s, d) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("bal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .filter(col("c_nationkey") < 5)
+          .select(col("c_nationkey"), col("c_custkey"),
+            round(col("c_acctbal"), 2).as("bal"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .orderBy("c_nationkey", "bal", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey, bal,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd
+             |FROM (SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal
+             |      FROM customer WHERE c_nationkey < 5)
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal, c_custkey)
+             |ORDER BY c_nationkey, bal, c_custkey""".stripMargin))
   )
 }
