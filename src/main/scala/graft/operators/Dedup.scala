@@ -333,6 +333,76 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Directed prefix-filter candidates for containment: if
+    * |Tᵢ ∩ Tₒ| ≥ θ·|Tᵢ| then the rarest-first prefix of Tᵢ of size
+    * |Tᵢ| − ⌈θ·|Tᵢ|⌉ + 1 must intersect Tₒ — so only the needle
+    * side's prefix probes the full token index. Exact: no false
+    * negatives. */
+  private def containmentPrefixCandidates(repTok: DataFrame, repSize: DataFrame,
+                                          threshold: Double): DataFrame = {
+    val freq = repTok.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val prefix = repTok.join(freq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("setId").orderBy(asc("freq"), asc("tok"))))
+      .join(repSize, "setId")
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("setId").as("si"), col("tok"))
+    prefix.join(repTok.select(col("setId").as("so"), col("tok")), Seq("tok"))
+      .filter(col("si") =!= col("so"))
+      .select("si", "so").distinct()
+  }
+
+  /** Asymmetric containment near-dup pairs — quote/subset detection:
+    * (needle_id, hay_id, containment) for every ordered doc pair with
+    * |T(needle) ∩ T(hay)| / |T(needle)| ≥ `threshold`. The symmetric
+    * Jaccard of [[ngramJaccardPairs]] misses a short document quoted
+    * inside a long one (the union dilutes); containment is the
+    * measure corpus pipelines use for that case. Same machinery:
+    * signature dedup first, directed prefix-filter candidates (the
+    * needle's rarest-prefix probes the token index), popcount
+    * verification when the vocabulary fits 64 bits, token-join
+    * otherwise. Identical-set clones are mutual containment 1.0 and
+    * expand pair-enumeration-only (no join).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, maxMaskSets: Long = 8192): DataFrame = {
+    val (members, repTok, repSize) = tokenSetGroups(df, idCol, textCol)
+    val masks = setMasks(repTok, repSize)
+    val cand = masks match {
+      case Some(m) if m.count() <= maxMaskSets =>
+        m.select(col("setId").as("si"))
+          .join(m.select(col("setId").as("so")), col("si") =!= col("so"))
+      case _ => containmentPrefixCandidates(repTok, repSize, threshold)
+    }
+    val verified = (masks match {
+      case Some(m) =>
+        cand
+          .join(m.select(col("setId").as("si"), col("mask").as("mi"),
+            col("sz").as("szi")), Seq("si"))
+          .join(m.select(col("setId").as("so"), col("mask").as("mo")), Seq("so"))
+          .withColumn("n", expr("CAST(bit_count(mi & mo) AS BIGINT)"))
+      case None =>
+        cand
+          .join(repTok.select(col("setId").as("si"), col("tok")), Seq("si"))
+          .join(repTok.select(col("setId").as("so"), col("tok")), Seq("so", "tok"))
+          .groupBy("si", "so").agg(count(lit(1)).as("n"))
+          .join(repSize.select(col("setId").as("si"), col("sz").as("szi")), Seq("si"))
+    })
+      .withColumn("containment", col("n").cast("double") / col("szi"))
+      .filter(col("containment") >= threshold)
+    val cross = verified
+      .join(members.select(col("setId").as("si"), col("id").as("needle_id")), Seq("si"))
+      .join(members.select(col("setId").as("so"), col("id").as("hay_id")), Seq("so"))
+      .select("needle_id", "hay_id", "containment")
+    val within = members.as("x").join(members.as("y"),
+        col("x.setId") === col("y.setId") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("needle_id"), col("y.id").as("hay_id"),
+        lit(1.0).as("containment"))
+    cross.union(within)
+      .select(col("needle_id"), col("hay_id"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** 60-bit SimHash near-duplicate pairs: candidates share at least
     * one of 4 15-bit bands (exact for hamming distance <= 3 by
     * pigeonhole), verified by `bit_count(xor) <= maxHamming`.

@@ -140,6 +140,24 @@ object PipelineQueries {
               |SELECT a, b, round(cos, 4) AS cosine FROM p WHERE cos >= 0.4
               |ORDER BY a, b""".stripMargin)),
 
+    Q("d10_containment",
+      // Asymmetric containment (quote/subset detection): ordered
+      // pairs where ≥ 99% of the needle's distinct tokens appear in
+      // the hay — the case symmetric Jaccard dilutes away. θ = 0.99
+      // with a ≤ 31-token vocabulary means exact subset.
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", 0.99)
+        .orderBy("needle_id", "hay_id"),
+      Some(s"""WITH $tokSql,
+              |sz AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),
+              |inter AS (SELECT a.doc_id AS i, b.doc_id AS o, count(*) AS n
+              |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT i AS needle_id, o AS hay_id,
+              |  round(n / CAST(si.c AS DOUBLE), 4) AS containment
+              |FROM inter JOIN sz si ON si.doc_id = i
+              |WHERE n / CAST(si.c AS DOUBLE) >= 0.99
+              |ORDER BY needle_id, hay_id""".stripMargin)),
+
     Q("d5b_dedup_embedding_lsh",
       // The SCALE path for embedding near-dup pairs (d5 is the
       // all-pairs oracle baseline): hyperplane-bucket collisions →

@@ -196,3 +196,25 @@ class AssemblyStatsSpec extends SparkSpec {
     assert(row == ((1L, 7L, 7L, 7L)))
   }
 }
+
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containment flags a short doc quoted in a long one where jaccard misses it") {
+    val needle = "alpha beta gamma"
+    val hay = needle + " " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, needle), (2L, hay)).toDF("id", "txt")
+    val cont = graft.operators.Dedup.containmentPairs(df, "id", "txt", 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont == Set((1L, 2L, 1.0)), s"got $cont") // directed: needle ⊂ hay only
+    // symmetric jaccard = 3/33 — invisible to the d2 operator
+    assert(graft.operators.Dedup.ngramJaccardPairs(df, "id", "txt", 0.5).count() == 0L)
+  }
+
+  test("identical docs are mutual containment 1.0, both directions") {
+    val df = Seq((1L, "x y z"), (2L, "x y z")).toDF("id", "txt")
+    val got = graft.operators.Dedup.containmentPairs(df, "id", "txt", 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+  }
+}
