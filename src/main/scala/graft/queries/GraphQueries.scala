@@ -435,6 +435,27 @@ object GraphQueries {
              |    FROM documents))
              |GROUP BY 1 HAVING count(*) >= 20 ORDER BY 1""".stripMargin)),
 
+    Q("g9b_kmer_spectrum",
+      // k-mer spectrum (counts-of-counts) — the coverage-histogram
+      // diagnostic assemblers read error rates and repeat content
+      // from. Two nested aggregates; the second input is
+      // vocabulary-sized.
+      (s, d) => Tables.documents(s, d)
+        .select(explode(expr(
+          "transform(sequence(1, greatest(length(text)-4, 0)), i -> substring(text, i, 5))"))
+          .as("kmer"))
+        .groupBy("kmer").agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cnt").as("multiplicity"))
+        .agg(count(lit(1)).as("n_kmers"))
+        .orderBy("multiplicity"),
+      Some("""SELECT cnt AS multiplicity, CAST(count(*) AS BIGINT) AS n_kmers FROM (
+             |  SELECT kmer, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |    SELECT substr(text, CAST(i AS INT), 5) AS kmer FROM (
+             |      SELECT text, unnest(generate_series(1, greatest(length(text)-4, 0))) AS i
+             |      FROM documents))
+             |  GROUP BY 1)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("g12_bfs",
       // Multi-source BFS over the chain+skip graph from every ~97th
       // order key: min hop distance ≤ 6 per reached node. The oracle

@@ -59,4 +59,23 @@ object SequenceSources {
     val up = upper(seq)
     (length(up) - length(translate(up, "GC", ""))).cast("double") / length(up)
   }
+
+  /** 3'-end quality trimming — the standard FASTQ preprocessing step:
+    * drop the read's trailing bases whose phred score (ASCII − 33)
+    * is below `minPhred`, i.e. keep up to the LAST base meeting the
+    * threshold. Pure per-row declarative expressions (no UDF, stays
+    * in codegen); a read with no qualifying base trims to empty.
+    * Input df needs (`seqCol`, `qualCol`) as produced by
+    * [[readFastq]].
+    */
+  def trimLowQuality(df: org.apache.spark.sql.DataFrame, seqCol: String,
+                     qualCol: String, minPhred: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("__keep", expr(
+        s"""coalesce(array_max(transform(sequence(1, greatest(length($qualCol), 1)),
+           |  i -> CASE WHEN ascii(substring($qualCol, i, 1)) - 33 >= $minPhred
+           |       THEN i ELSE 0 END)), 0)""".stripMargin))
+      .withColumn("trimmed_seq", expr(s"substring($seqCol, 1, __keep)"))
+      .withColumn("trimmed_qual", expr(s"substring($qualCol, 1, __keep)"))
+      .withColumn("trimmed_length", col("__keep").cast("long"))
+      .drop("__keep")
 }

@@ -218,3 +218,23 @@ class ContainmentSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
   }
 }
+
+class QualityTrimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("3' quality trim keeps through the last base meeting the threshold") {
+    // phred: 'I' = 40, '#' = 2; minPhred 20 keeps up to the last 'I'
+    val df = Seq(
+      ("r1", "ACGTACGT", "IIII##I#"), // last good at pos 7
+      ("r2", "ACGT", "####"),         // nothing qualifies → empty
+      ("r3", "ACGT", "IIII")          // untouched
+    ).toDF("seq_id", "sequence", "quality")
+    val got = graft.sources.SequenceSources
+      .trimLowQuality(df, "sequence", "quality", 20)
+      .select("seq_id", "trimmed_seq", "trimmed_qual", "trimmed_length")
+      .as[(String, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("r1") == (("r1", "ACGTACG", "IIII##I", 7L)))
+    assert(got("r2") == (("r2", "", "", 0L)))
+    assert(got("r3") == (("r3", "ACGT", "IIII", 4L)))
+  }
+}
