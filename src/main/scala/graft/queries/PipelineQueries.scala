@@ -777,6 +777,27 @@ object PipelineQueries {
              |  start_tok % 512 AS bin_offset, n_tokens, ids_csv
              |FROM p ORDER BY source, doc_id""".stripMargin)),
 
+    Q("t11_inverted_index",
+      // Inverted index (token → document-frequency + ordered posting
+      // list) — the retrieval primitive. The grouped form here is the
+      // vocabulary-sized profiling surface; at corpus scale the
+      // (token, doc) pair table IS the index (posting lists for hot
+      // tokens don't belong in one row) and this aggregate is its
+      // compaction for the tail. Postings emitted as CSV — the
+      // cross-engine-stable hash surface.
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"),
+          expr("array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+            .as("postings"))
+        .orderBy("tok"),
+      Some(s"""WITH $tokSql
+              |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+              |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+              |FROM tok GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("t10_rarity",
       // Rare-token informativeness score: vocabulary ranked by
       // descending corpus frequency (total order — ties broken by
