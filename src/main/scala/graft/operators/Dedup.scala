@@ -121,7 +121,16 @@ object Dedup {
   def capBuckets(df: DataFrame, bucketCols: Seq[String],
                  ordCol: String, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) df
-    else df.withColumn("__bn", row_number().over(
+    // The explicit partition count pins this exchange: AQE's
+    // coalescing is byte-based, and the bucket rows here are tiny on
+    // the wire but CPU-heavy downstream (pair enumeration + verify) —
+    // left to AQE they collapse to one partition and the verify stage
+    // serializes (measured: 4.3s single-task vs 1.3s across 32).
+    // The window and the candidate self-join both reuse this one
+    // exchange.
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+        bucketCols.map(col): _*)
+      .withColumn("__bn", row_number().over(
         Window.partitionBy(bucketCols.map(col): _*).orderBy(ordCol)))
       .filter(col("__bn") <= maxBucket).drop("__bn")
 
