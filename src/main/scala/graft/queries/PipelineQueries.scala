@@ -78,15 +78,16 @@ object PipelineQueries {
              |ORDER BY 1, 2""".stripMargin)),
 
     Q("d3_dedup_minhash_lsh",
-      // maxBucket = 1024: the synthetic corpus is near-dup-saturated
-      // (31-token vocab → band signatures collide across most of the
-      // ~4k distinct token sets), which is exactly the degeneracy the
-      // bucket cap bounds — without it the band self-join is strictly
-      // worse than d2's all-pairs. At the sf0.01 oracle gate there
-      // are ~400 sets, far under the cap, so capped and uncapped
-      // output are identical there.
+      // maxBucket = 4096 keeps the degenerate-bucket guard armed while
+      // staying ABOVE the corpus's distinct-set count at every tested
+      // SF (~400 sets at sf0.01, ~3.9k at sf0.1), so the cap never
+      // binds and the output is oracle-exact at both — a cap below
+      // the set count silently drops band candidates the uncapped
+      // oracle keeps (verified: 1024 loses 26k true near-dup pairs at
+      // sf0.1). The recall trade only engages on corpora degenerate
+      // enough to exceed the cap.
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.95, maxBucket = 1024)
+        numHashes = 64, bands = 16, threshold = 0.95, maxBucket = 4096)
         .orderBy("a", "b"),
       Some(s"""WITH $tokSql,
               |sz AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),

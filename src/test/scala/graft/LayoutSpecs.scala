@@ -238,3 +238,51 @@ class QualityTrimSpec extends SparkSpec {
     assert(got("r3") == (("r3", "ACGT", "IIII", 4L)))
   }
 }
+
+class ContainmentPrefixPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prefix-filter branch (vocab > 64): directed candidates + token-join verify") {
+    // 70-token hay vocabulary → no 64-bit masks → prefix candidates
+    // with the token-join verifier. needle ⊂ hay1 only.
+    val hay1 = (1 to 70).map(i => s"tk$i").mkString(" ")
+    val hay2 = (100 to 160).map(i => s"tk$i").mkString(" ")
+    val needle = "tk1 tk2 tk3"
+    val df = Seq((1L, needle), (2L, hay1), (3L, hay2)).toDF("id", "txt")
+    val got = graft.operators.Dedup.containmentPairs(df, "id", "txt", 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0)), s"got $got")
+  }
+
+  test("prefix-filter branch finds partial containment at sub-1.0 thresholds") {
+    val hay = (1 to 70).map(i => s"tk$i").mkString(" ")
+    val needle = "tk1 tk2 tk3 zz1"                      // 3 of 4 in hay
+    val df = Seq((1L, needle), (2L, hay)).toDF("id", "txt")
+    val got = graft.operators.Dedup.containmentPairs(df, "id", "txt", 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.75)), s"got $got")
+  }
+}
+
+class ContainmentBranchEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("containment: prefix-filter path equals the mask all-pairs path") {
+    val rng = new scala.util.Random(11)
+    val vocab = (1 to 40).map(i => s"v$i")
+    val docs = (1L to 30L).map { id =>
+      (id, rng.shuffle(vocab).take(3 + rng.nextInt(12)).mkString(" "))
+    }.toDF("id", "txt")
+    def run(maxMaskSets: Long) =
+      graft.operators.Dedup.containmentPairs(docs, "id", "txt", 0.7, maxMaskSets)
+        .as[(Long, Long, Double)].collect().toSet
+    // maxMaskSets = 0 forces the directed prefix-filter candidate
+    // path (popcount verify either way — the token-join verifier is
+    // ContainmentPrefixPathSpec's >64-vocab case); default takes the
+    // all-pairs mask path
+    val prefix = run(0L)
+    val masks = run(8192L)
+    assert(prefix == masks, s"branch divergence: ${prefix.diff(masks)} / ${masks.diff(prefix)}")
+    assert(masks.nonEmpty, "corpus must produce containment pairs for the test to bite")
+  }
+}
