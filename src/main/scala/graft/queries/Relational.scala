@@ -515,17 +515,24 @@ object Relational {
           .withColumn("salt", (col("l_linenumber") % S).cast("int"))
         val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
           .withColumn("s_salt", explode(expr(s"sequence(0, ${S - 1})")))
+        // revenue in exact integer units (price cents × discount
+        // percent points): the two-level salted sum is then bit-equal
+        // to ANY summation order on ANY engine — float partial sums
+        // wobble in the last bit exactly when salting reorders them
         li.join(broadcast(sup),
             col("l_suppkey") === col("s_suppkey") && col("salt") === col("s_salt"))
           .groupBy("s_suppkey", "s_name", "salt")
-          .agg(sum(expr("l_extendedprice*(1-l_discount)")).as("rev"),
+          .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))")).as("rev_units"),
             count(lit(1)).as("n"))
           .groupBy("s_suppkey", "s_name")
-          .agg(round(sum("rev"), 2).as("revenue"), sum("n").as("n_items"))
+          .agg(round(sum("rev_units") / 10000.0, 2).as("revenue"), sum("n").as("n_items"))
           .orderBy("s_suppkey")
       },
       Some("""SELECT s_suppkey, s_name,
-             |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             |  (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0, 2)
+             |  AS revenue,
              |CAST(count(*) AS BIGINT) AS n_items
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
