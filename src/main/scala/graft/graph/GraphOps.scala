@@ -478,6 +478,34 @@ object GraphOps {
     }
   }
 
+  /** Topological layering of a DAG: `layer(v)` = length of the
+    * longest directed path ENDING at v (sources sit at layer 0) —
+    * the scheduling/stratification primitive (assembly graphs use it
+    * to order contig joins; dataflow DAGs use it for stage waves).
+    * The dual of [[bfs]]: max-relaxation instead of min, seeded at
+    * every vertex. Each round relaxes one hop (hash join on `src` +
+    * max-aggregate); the fused `__changed` count stops as soon as
+    * labels stabilize, and `maxDepth` bounds the rounds — on a graph
+    * with a cycle the unbounded recursion never terminates, so the
+    * bound is the semantic guard, not just a safety valve.
+    */
+  def topoLayers(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val e = Ckpt.cutLight(edges.select("src", "dst"))
+    val init = vertices(e).select(col("node"), lit(0L).as("layer"))
+    iterate(init, maxRounds = maxDepth) { cur =>
+      val cand = cur.join(e, cur("node") === e("src"))
+        .select(e("dst").as("node"), (cur("layer") + 1).as("layer"))
+      val merged = cur.select("node", "layer").unionByName(cand)
+        .groupBy("node").agg(max("layer").as("layer"))
+      merged.join(
+          cur.select(col("node").as("pn"), col("layer").as("pl")),
+          merged("node") === col("pn"), "left")
+        .select(merged("node"), merged("layer"),
+          (col("pl").isNull || col("pl") =!= merged("layer"))
+            .cast("int").as("__changed"))
+    }
+  }
+
   /** Undirected triangle count (single row `n_triangles`). Canonical
     * a<b<c orientation — each triangle counted exactly once; two hash
     * joins, the standard distributed formulation.

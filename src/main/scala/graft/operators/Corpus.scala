@@ -177,6 +177,36 @@ object Corpus {
         col("n_tokens"), col("ids_csv"))
   }
 
+  /** Weighted corpus mixing — the sampling-ratio step that turns a
+    * raw document store into a training mixture: each stratum (source,
+    * language, quality tier…) gets a target weight in basis points
+    * (10000 = exactly one epoch). Weight < 10000 downsamples
+    * (deterministic Bernoulli on the overflow-masked multiplicative
+    * hash — the smp1 family); weight > 10000 UPSAMPLES by repetition:
+    * every document emits floor(w/10000) full copies plus one more
+    * with probability (w mod 10000)/10000, each tagged with its
+    * repetition index `rep` so downstream shuffling can interleave
+    * epochs. Narrow plan — each row expands in place (explode over a
+    * ≤ ceil(w) sequence), no shuffle; deterministic, so re-runs and
+    * retried tasks emit identical mixtures at any scale.
+    */
+  def mixSources(df: DataFrame, idCol: String, stratumCol: String,
+                 weightsBp: Map[String, Long], defaultBp: Long): DataFrame = {
+    require((defaultBp +: weightsBp.values.toSeq).forall(_ >= 0), "weights must be >= 0")
+    // resolved against the RENAMED stratum column — the select below
+    // rebinds the caller's column before the weight case runs
+    val wcol = weightsBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp)) {
+      case (acc, (k, v)) => when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    df.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
+      .withColumn("__w", wcol)
+      .withColumn("rep",
+        explode(expr("sequence(1, greatest(CAST((__w + 9999) div 10000 AS INT), 1))")))
+      .filter(col("rep") * 10000 <= col("__w") ||
+        expr("((doc_id % 1000003) * 2654435761 + rep) % 10000 < __w % 10000"))
+      .select(col("doc_id"), col("stratum"), col("rep").cast("long").as("rep"))
+  }
+
   /** Per-document rare-token score: rank the vocabulary by descending
     * corpus frequency (rank 1 = most common; ties broken by token, so
     * the rank is total and engine-independent) and sum the rank over

@@ -264,6 +264,22 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int, bands: Int, threshold: Double,
                       maxBucket: Int = 4096): DataFrame = {
+    val (members, repPairs) = minhashSetPairs(df, idCol, textCol,
+      numHashes, bands, threshold, maxBucket)
+    val cross = expandCrossPairs(repPairs, members, "jaccard")
+    val within = withinSetPairs(members, "jaccard" -> lit(1.0))
+    cross.union(within)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Set-level core of [[minhashLshPairs]]: returns (members, verified
+    * set pairs (sa, sb, jaccard)). Shared by the pair-emitting oracle
+    * surface and the [[fuzzyClusters]] scale path, which must never
+    * expand a clone cluster into O(c²) doc pairs.
+    */
+  private def minhashSetPairs(df: DataFrame, idCol: String, textCol: String,
+                              numHashes: Int, bands: Int, threshold: Double,
+                              maxBucket: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val (members, repTok, repSize) = tokenSetGroups(df, idCol, textCol)
@@ -334,12 +350,43 @@ object Dedup {
       .select(col("x.setId").as("sa"), col("y.setId").as("sb"))
     val cand = crossSets.union(withinSets)
 
-    val cross = expandCrossPairs(
-      verifySetJaccard(cand, repTok, repSize, setMasks(repTok, repSize), threshold),
-      members, "jaccard")
-    val within = withinSetPairs(members, "jaccard" -> lit(1.0))
-    cross.union(within)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+    (members,
+      verifySetJaccard(cand, repTok, repSize, setMasks(repTok, repSize), threshold))
+  }
+
+  /** Fuzzy-dedup CLUSTER table — the 100-TB deliverable of MinHash
+    * dedup: (keep_id, member_id) for EVERY document, where keep_id is
+    * the minimum doc id of the document's near-duplicate component
+    * (connected components over the verified Jaccard-similarity graph
+    * of [[minhashLshPairs]], transitively closed: A~B and B~C cluster
+    * A,B,C together even when A and C never band-collide).
+    *
+    * Scale shape: everything runs at the DISTINCT-TOKEN-SET level —
+    * candidate generation, verification, and the component
+    * contraction ([[graft.graph.GraphOps.connectedComponents]],
+    * O(log n) levels) see one node per distinct set, and the final
+    * member join expands each set's component label to its documents
+    * in one hash join. A million-copy boilerplate cluster therefore
+    * costs O(c) rows end-to-end, never the O(c²) pairs the
+    * pair-emitting surface would produce. Documents with no tokens
+    * pass through as singletons.
+    */
+  def fuzzyClusters(df: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int, bands: Int, threshold: Double,
+                    maxBucket: Int = 4096): DataFrame = {
+    val (members, repPairs) = minhashSetPairs(df, idCol, textCol,
+      numHashes, bands, threshold, maxBucket)
+    val comp = graft.graph.GraphOps.connectedComponents(
+      repPairs.select(col("sa").as("src"), col("sb").as("dst")))
+    val clustered = members
+      .join(comp.withColumnRenamed("node", "setId"), Seq("setId"), "left")
+      .withColumn("grp", coalesce(col("component"), col("setId")))
+      .withColumn("keep_id", min("id").over(Window.partitionBy("grp")))
+      .select(col("keep_id"), col("id").as("member_id"))
+    val tokenless = df.select(col(idCol).as("member_id"))
+      .join(members.select(col("id").as("member_id")), Seq("member_id"), "left_anti")
+      .select(col("member_id").as("keep_id"), col("member_id"))
+    clustered.unionByName(tokenless)
   }
 
   /** Directed prefix-filter candidates for containment: if

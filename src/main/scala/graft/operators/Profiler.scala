@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the data-quality pass every ingestion pipeline
+  * runs before trusting a new drop: per-column null counts, distinct
+  * cardinality, and min/max ranges.
+  *
+  * Scale shape: ONE aggregate job over the table computes every
+  * column's statistics together (the multiple COUNT(DISTINCT)s are
+  * Expand-planned with map-side partials — q36's shape — so the
+  * shuffle carries per-partition partials, never raw rows), and the
+  * resulting single wide row unpivots in place. Profiling a 100-TB
+  * table is exactly one pass regardless of how many columns are
+  * profiled. For cardinalities where exact distinct is too hot,
+  * swap `countDistinct` for `approx_count_distinct` (the q8b tier).
+  */
+object Profiler {
+
+  /** Per-column profile of `cols`: (col_name, n_rows, n_nulls,
+    * n_distinct, min_val, max_val), min/max rendered as strings so
+    * heterogeneous column types share one output schema. Callers
+    * should pre-cast float columns to an exact type (decimal/cents)
+    * — float-to-string rendering is engine-specific.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+}

@@ -34,4 +34,27 @@ object Snapshot {
           Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))): _*)
       .filter(col("action") =!= "unchanged")
   }
+
+  /** MERGE — apply a [[diff]]-shaped action table onto a base
+    * snapshot, producing the next snapshot: `delete` rows vanish,
+    * `update` rows take their new values, `insert` rows appear.
+    * `applyDiff(old, diff(old, new)) == new` by construction (the
+    * round-trip the q45 oracle pins).
+    *
+    * Scale shape: one anti-join of the base against the diff's keys
+    * (both hash-partition on the key — no broadcast assumption; a
+    * CDC batch can be arbitrarily large) plus a union with the
+    * surviving new-value rows. The base never rewrites rows whose
+    * keys the diff doesn't touch — the MERGE contract that makes
+    * incremental snapshot maintenance O(changes), not O(table).
+    */
+  def applyDiff(base: DataFrame, diff: DataFrame,
+                keys: Seq[String], compare: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val untouched = base.select((keys ++ compare).map(col): _*)
+      .join(diff.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = diff.filter(col("action") =!= "delete")
+      .select(keys.map(col) ++ compare.map(c => col(s"new_$c").as(c)): _*)
+    untouched.unionByName(upserts)
+  }
 }

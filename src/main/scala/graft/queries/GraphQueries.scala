@@ -131,6 +131,26 @@ object GraphQueries {
        |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
        |  WHERE e1.dst IN (SELECT node FROM interior))""".stripMargin
 
+  /** Tailed diamonds in a disjoint id space — ids 8j..8j+6 per
+    * diamond: u=0, a=1, b=2, w=3, then a 3-edge tail w→t1→t2→t3.
+    * Fixed depth (longest path = 5 edges) at ANY scale factor, so
+    * bounded-round operators (tip clipping, topological layering)
+    * exercise real structure without SF-dependent round counts.
+    */
+  private def tailedDiamondEdges(s: SparkSession, d: String): DataFrame =
+    orderIndex(s, d).filter(expr("r % 4 = 0"))
+      .select(expr("8 * (r div 4) + 10000000").as("base"), explode(expr(
+        "array(array(0,1),array(0,2),array(1,3),array(2,3),array(3,4),array(4,5),array(5,6))"))
+        .as("ed"))
+      .select((col("base") + col("ed")(0)).as("src"),
+        (col("base") + col("ed")(1)).as("dst"))
+
+  private val tailedDiamondSql =
+    """o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS r FROM orders),
+      |ed AS (SELECT 8*(r//4) + s.a + 10000000 AS src, 8*(r//4) + s.b + 10000000 AS dst
+      |  FROM o, (VALUES (0,1),(0,2),(1,3),(2,3),(3,4),(4,5),(5,6)) AS s(a,b)
+      |  WHERE r%4 = 0)""".stripMargin
+
   /** Unrolled integer-exact PageRank oracle (see GraphOps.pagerankExact). */
   private def pagerankSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
@@ -349,20 +369,11 @@ object GraphQueries {
       // final unitig pointer jumping is O(1) rounds at any SF. Output:
       // unitig membership of the fully reduced graph.
       (s, d) => {
-        val tailed = orderIndex(s, d).filter(expr("r % 4 = 0"))
-          .select(expr("8 * (r div 4) + 10000000").as("base"), explode(expr(
-            "array(array(0,1),array(0,2),array(1,3),array(2,3),array(3,4),array(4,5),array(5,6))"))
-            .as("ed"))
-          .select((col("base") + col("ed")(0)).as("src"),
-            (col("base") + col("ed")(1)).as("dst"))
-        val e = chainEdges(s, d, withSkip = true).union(tailed)
+        val e = chainEdges(s, d, withSkip = true).union(tailedDiamondEdges(s, d))
         GraphOps.unitigs(GraphOps.reducePipeline(e, tipDepth = 2)).orderBy("node")
       },
       Some(s"""WITH RECURSIVE ${chainSql(true)},
-              |o AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS r FROM orders),
-              |ed AS (SELECT 8*(r//4) + s.a + 10000000 AS src, 8*(r//4) + s.b + 10000000 AS dst
-              |  FROM o, (VALUES (0,1),(0,2),(1,3),(2,3),(3,4),(4,5),(5,6)) AS s(a,b)
-              |  WHERE r%4 = 0),
+              |$tailedDiamondSql,
               |eu AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT src, dst FROM ed),
               |p AS MATERIALIZED (SELECT e1.src AS src, e2.dst AS dst FROM eu e1 JOIN eu e2 ON e1.dst = e2.src),
               |tr AS MATERIALIZED (SELECT src, dst FROM eu
@@ -476,6 +487,24 @@ object GraphQueries {
               |  SELECT em.dst, depth + 1 FROM walk JOIN em ON em.src = walk.node
               |  WHERE depth < 6)
               |SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM walk
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("g14_topo_layers",
+      // Topological layering of the tailed-diamond DAG: layer(v) =
+      // longest directed path ending at v (max-relaxation dual of
+      // g12's BFS min). The graph's depth is 5 at any SF, so maxDepth
+      // = 8 strictly bounds the rounds and the recursive oracle walk.
+      (s, d) => GraphOps.topoLayers(tailedDiamondEdges(s, d), maxDepth = 8)
+        .orderBy("node"),
+      Some(s"""WITH RECURSIVE $tailedDiamondSql,
+              |nodes AS (SELECT DISTINCT src AS node FROM ed
+              |          UNION SELECT DISTINCT dst FROM ed),
+              |walk(node, d) AS (
+              |  SELECT node, 0 FROM nodes
+              |  UNION
+              |  SELECT ed.dst, walk.d + 1 FROM walk JOIN ed ON ed.src = walk.node
+              |  WHERE walk.d < 8)
+              |SELECT node, CAST(max(d) AS BIGINT) AS layer FROM walk
               |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

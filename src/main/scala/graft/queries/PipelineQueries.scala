@@ -54,6 +54,33 @@ object PipelineQueries {
     (0 until 64).map(i => s"(${i}, ${ca(i)}, ${cb(i)})").mkString(", ")
   }
 
+  /** Shared CTE chain rebuilding the MinHash-LSH near-dup DOC pairs
+    * end-to-end (signatures, banding, candidates, true-Jaccard) —
+    * terminal CTE `prs(a, b, jac)` carries the UNROUNDED jaccard of
+    * every band-colliding pair. d3 selects the thresholded pairs;
+    * d11 runs connected components over them. */
+  private val minhashPairsSql: String =
+    s"""$tokSql,
+       |sz AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),
+       |th AS (SELECT DISTINCT tok, ($baseHashSql) % ${Dedup.MinhashP} AS h FROM tok),
+       |co AS (SELECT * FROM (VALUES $minhashCoeffSql) AS co(i, ca, cb)),
+       |mh AS (SELECT t.doc_id, co.i,
+       |    min((co.ca * th.h + co.cb) % ${Dedup.MinhashP}) AS mh
+       |  FROM tok t JOIN th ON th.tok = t.tok, co GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, i // 4 AS band,
+       |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+       |  FROM sig x JOIN sig y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n
+       |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |prs AS (SELECT c.i AS a, c.j AS b,
+       |    n / CAST(sa.c + sb.c - n AS DOUBLE) AS jac
+       |  FROM cand c JOIN inter ON inter.i = c.i AND inter.j = c.j
+       |  JOIN sz sa ON sa.doc_id = c.i JOIN sz sb ON sb.doc_id = c.j)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("d1_dedup_exact",
@@ -89,28 +116,36 @@ object PipelineQueries {
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.95, maxBucket = 4096)
         .orderBy("a", "b"),
-      Some(s"""WITH $tokSql,
-              |sz AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),
-              |th AS (SELECT DISTINCT tok, ($baseHashSql) % ${Dedup.MinhashP} AS h FROM tok),
-              |co AS (SELECT * FROM (VALUES $minhashCoeffSql) AS co(i, ca, cb)),
-              |mh AS (SELECT t.doc_id, co.i,
-              |    min((co.ca * th.h + co.cb) % ${Dedup.MinhashP}) AS mh
-              |  FROM tok t JOIN th ON th.tok = t.tok, co GROUP BY 1, 2),
-              |sig AS (SELECT doc_id, i // 4 AS band,
-              |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
-              |  FROM mh GROUP BY 1, 2),
-              |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
-              |  FROM sig x JOIN sig y
-              |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-              |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n
-              |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
-              |  GROUP BY 1, 2)
-              |SELECT c.i AS a, c.j AS b,
-              |  round(n / CAST(sa.c + sb.c - n AS DOUBLE), 4) AS jaccard
-              |FROM cand c JOIN inter ON inter.i = c.i AND inter.j = c.j
-              |JOIN sz sa ON sa.doc_id = c.i JOIN sz sb ON sb.doc_id = c.j
-              |WHERE n / CAST(sa.c + sb.c - n AS DOUBLE) >= 0.95
+      Some(s"""WITH $minhashPairsSql
+              |SELECT a, b, round(jac, 4) AS jaccard FROM prs WHERE jac >= 0.95
               |ORDER BY 1, 2""".stripMargin)),
+
+    Q("d11_fuzzy_clusters",
+      // The fuzzy-dedup CLUSTER table — what a 100-TB pipeline
+      // actually materializes from MinHash dedup: every document
+      // labeled with the minimum doc id of its near-duplicate
+      // component (connected components over the verified d3 pair
+      // graph, so A~B~C clusters transitively even when A and C never
+      // band-collide). Runs entirely at the distinct-token-set level
+      // (O(docs) output, never O(c²) pairs); the oracle replays
+      // signatures, banding, verification, AND the transitive closure
+      // via recursive SQL.
+      (s, d) => Dedup.fuzzyClusters(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.95, maxBucket = 4096)
+        .orderBy("member_id"),
+      Some(s"""WITH RECURSIVE $minhashPairsSql,
+              |pr AS (SELECT a, b FROM prs WHERE jac >= 0.95),
+              |e2 AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+              |cnodes AS (SELECT DISTINCT x AS node FROM e2),
+              |walk(node, lbl) AS (
+              |  SELECT node, node FROM cnodes
+              |  UNION
+              |  SELECT e2.y, walk.lbl FROM walk JOIN e2 ON e2.x = walk.node
+              |  WHERE walk.lbl < e2.y),
+              |cc AS (SELECT node, min(lbl) AS component FROM walk GROUP BY 1)
+              |SELECT coalesce(cc.component, dd.doc_id) AS keep_id, dd.doc_id AS member_id
+              |FROM documents dd LEFT JOIN cc ON cc.node = dd.doc_id
+              |ORDER BY member_id""".stripMargin)),
 
     Q("d4_dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
@@ -810,6 +845,93 @@ object PipelineQueries {
               |        AS rank
               |      FROM (SELECT tok, count(*) AS c FROM tokall GROUP BY 1))
               |SELECT t.doc_id, CAST(sum(r.rank) AS BIGINT) AS rarity
-              |FROM tokall t JOIN r USING (tok) GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM tokall t JOIN r USING (tok) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("c3_mix",
+      // Weighted corpus mixing (Corpus.mixSources): per-language
+      // target weights in basis points — en downsampled to 0.5
+      // epochs, zh UPSAMPLED to 2.3 (2 full copies + a 30%
+      // deterministic-Bernoulli third), everything else exactly 1.0.
+      // Each emitted row carries its repetition index. Narrow plan —
+      // rows expand in place, the only exchange is the output sort.
+      (s, d) => Corpus.mixSources(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 5000L, "zh" -> 23000L), defaultBp = 10000L)
+        .orderBy("doc_id", "rep"),
+      Some("""SELECT doc_id, stratum, rep FROM (
+             |  SELECT doc_id, stratum, w,
+             |    unnest(generate_series(1, greatest((w + 9999) // 10000, 1))) AS rep
+             |  FROM (SELECT doc_id, lang AS stratum,
+             |      CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'zh' THEN 23000
+             |           ELSE 10000 END AS w
+             |    FROM documents))
+             |WHERE rep * 10000 <= w
+             |   OR ((doc_id % 1000003) * 2654435761 + rep) % 10000 < w % 10000
+             |ORDER BY doc_id, rep""".stripMargin)),
+
+    Q("c4_shard",
+      // Deterministic export sharding: md5-hash doc ids into 16
+      // shards (coordination-free, stable under task retries — the
+      // smp4 hash family) and emit the per-shard MANIFEST (doc count,
+      // token mass, id range) a training-export job publishes beside
+      // its files to prove balance. One narrow projection + one
+      // 16-group aggregate.
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 16")
+            .as("shard"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("n_tokens"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("shard"),
+      Some(s"""SELECT hk % 16 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              |  CAST(min(doc_id) AS BIGINT) AS min_id,
+              |  CAST(max(doc_id) AS BIGINT) AS max_id
+              |FROM (SELECT doc_id,
+              |    ${(0 until 8).map { m =>
+                     s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${m + 1}, 1)) - 1) * ${1L << (4 * (7 - m))}"
+                   }.mkString("(", " + ", ")")} AS hk,
+              |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+              |  FROM documents)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t12_lm_score",
+      // Bigram language-model document scoring — the cheap
+      // perplexity-style quality signal: train bigram transition
+      // counts on the corpus itself, score each document by
+      // Σ floor(10⁴·c(w1,w2)/c(w1·)) over its bigram instances
+      // (integer-scaled conditional frequency — exact integer
+      // division keeps the score bit-identical on any ANSI engine;
+      // ln-space scores differ in the last ulp). Count tables are
+      // vocabulary-sized; Spark broadcasts them when they fit and
+      // falls back to hash joins when a real corpus's bigram
+      // vocabulary doesn't.
+      (s, d) => {
+        val bi = Tables.documents(s, d)
+          .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, greatest(size(toks)-1, 0)), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cw = bi.groupBy("w1").agg(count(lit(1)).as("cw"))
+        val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        bi.join(cb, Seq("w1", "w2")).join(cw, Seq("w1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(expr("(cb * 10000) div cw")).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bi AS (
+             |  SELECT doc_id, s[CAST(i AS INT)] AS w1, s[CAST(i AS INT)+1] AS w2
+             |  FROM (SELECT doc_id, s, unnest(generate_series(1, greatest(len(s)-1, 0))) AS i
+             |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS s
+             |              FROM documents))),
+             |cw AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw FROM bi GROUP BY 1),
+             |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bi GROUP BY 1, 2)
+             |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum((cb * 10000) // cw) AS BIGINT) AS lm_score
+             |FROM bi JOIN cb USING (w1, w2) JOIN cw USING (w1)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -820,6 +820,149 @@ object Relational {
              |FROM (SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal
              |      FROM customer WHERE c_nationkey < 5)
              |WINDOW w AS (PARTITION BY c_nationkey ORDER BY bal, c_custkey)
-             |ORDER BY c_nationkey, bal, c_custkey""".stripMargin))
+             |ORDER BY c_nationkey, bal, c_custkey""".stripMargin)),
+
+    Q("q45_merge_upsert",
+      // MERGE (apply CDC): Snapshot.applyDiff replays q41's action
+      // table onto the old snapshot — deletes vanish, updates take new
+      // values, inserts appear. The oracle derives the NEW snapshot
+      // directly, so the hash compare pins the round-trip law
+      // applyDiff(old, diff(old, new)) == new exactly.
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        val prev = c.filter(col("c_custkey") % 5 =!= 0)
+        val next = c.filter(col("c_custkey") % 7 =!= 0)
+          .withColumn("bal", when(col("c_custkey") % 3 === 0,
+            round(col("bal") + 100, 2)).otherwise(col("bal")))
+        graft.operators.Snapshot.applyDiff(prev,
+          graft.operators.Snapshot.diff(prev, next, Seq("c_custkey"), Seq("bal")),
+          Seq("c_custkey"), Seq("bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_custkey % 3 = 0 THEN round(round(c_acctbal, 2) + 100, 2)
+             |       ELSE round(c_acctbal, 2) END AS bal
+             |FROM customer WHERE c_custkey % 7 <> 0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q46_lateral_explode",
+      // Nest → unnest round trip (LATERAL VIEW posexplode): per-order
+      // sorted quantity array, positional explode of the first three
+      // — the array-collect side stays one hash aggregate, the
+      // explode is narrow.
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+        .select(col("l_orderkey"), posexplode(col("qs")))
+        .filter(col("pos") < 3)
+        .select(col("l_orderkey"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("qty"))
+        .orderBy("l_orderkey", "pos"),
+      Some("""SELECT l_orderkey, i AS pos, qs[CAST(i AS INT)] AS qty FROM (
+             |  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+             |  FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY 1),
+             |  unnest(generate_series(1, least(len(qs), 3))) AS t(i)
+             |ORDER BY l_orderkey, pos""".stripMargin)),
+
+    Q("q47_window_nav",
+      // Frame-navigation window functions over the full partition
+      // frame: first / last / second order per customer alongside
+      // every row — one window pass, deterministic (date, key)
+      // ordering.
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d).filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first("o_orderkey").over(w).as("first_key"),
+            last("o_orderkey").over(w).as("last_key"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  first_value(o_orderkey) OVER w AS first_key,
+             |  last_value(o_orderkey) OVER w AS last_key,
+             |  nth_value(o_orderkey, 2) OVER w AS second_key
+             |FROM orders WHERE o_custkey < 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("q48_setops_all",
+      // Multiset set operations (INTERSECT ALL / EXCEPT ALL) — q29's
+      // bag-semantics complement: per-customer order MULTIPLICITY is
+      // preserved (a customer with 3 orders in '95 and 1 in '96 keeps
+      // 1 'both' + 2 'only95' rows). Output grouped to counts — the
+      // deterministic surface of a multiset.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def yr(y: Int) = o
+          .filter(col("o_orderdate") >= s"$y-01-01" && col("o_orderdate") < s"${y + 1}-01-01")
+          .select("o_custkey")
+        yr(1995).intersectAll(yr(1996)).withColumn("status", lit("both"))
+          .union(yr(1995).exceptAll(yr(1996)).withColumn("status", lit("only95")))
+          .groupBy("o_custkey", "status").agg(count(lit(1)).as("n"))
+          .orderBy("o_custkey", "status")
+      },
+      Some("""WITH y95 AS (SELECT o_custkey FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+             |y96 AS (SELECT o_custkey FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+             |i AS (SELECT o_custkey FROM y95 INTERSECT ALL SELECT o_custkey FROM y96),
+             |x AS (SELECT o_custkey FROM y95 EXCEPT ALL SELECT o_custkey FROM y96)
+             |SELECT o_custkey, status, n FROM (
+             |  SELECT o_custkey, 'both' AS status, CAST(count(*) AS BIGINT) AS n
+             |  FROM i GROUP BY 1
+             |  UNION ALL
+             |  SELECT o_custkey, 'only95' AS status, CAST(count(*) AS BIGINT) AS n
+             |  FROM x GROUP BY 1)
+             |ORDER BY o_custkey, status""".stripMargin)),
+
+    Q("prof1_column_profile",
+      // One-pass table profiling (Profiler.profile): null counts,
+      // distinct cardinality, min/max per column in a single
+      // aggregate job (Expand-planned distincts, map-side partials).
+      // The price column is profiled in exact integer cents — float
+      // min/max stringify engine-specifically.
+      (s, d) => graft.operators.Profiler.profile(
+          Tables.orders(s, d).select(
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderpriority"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("o_price_cents")),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_date", "o_price_cents"))
+        .orderBy("col_name"),
+      Some("""WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             |    strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS o_price_cents
+             |  FROM orders),
+             |p AS (
+             |  SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS nn,
+             |    count(DISTINCT o_orderkey) AS nd,
+             |    CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+             |    CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM b
+             |  UNION ALL
+             |  SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+             |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM b
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', count(o_orderstatus), count(DISTINCT o_orderstatus),
+             |    min(o_orderstatus), max(o_orderstatus) FROM b
+             |  UNION ALL
+             |  SELECT 'o_orderpriority', count(o_orderpriority), count(DISTINCT o_orderpriority),
+             |    min(o_orderpriority), max(o_orderpriority) FROM b
+             |  UNION ALL
+             |  SELECT 'o_date', count(o_date), count(DISTINCT o_date),
+             |    min(o_date), max(o_date) FROM b
+             |  UNION ALL
+             |  SELECT 'o_price_cents', count(o_price_cents), count(DISTINCT o_price_cents),
+             |    CAST(min(o_price_cents) AS VARCHAR), CAST(max(o_price_cents) AS VARCHAR) FROM b)
+             |SELECT col_name, (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_rows,
+             |  (SELECT count(*) FROM b) - nn AS n_nulls,
+             |  CAST(nd AS BIGINT) AS n_distinct, min_val, max_val
+             |FROM p ORDER BY col_name""".stripMargin))
   )
 }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
+import graft.operators.{Corpus, Dedup, Profiler, Snapshot}
+
+/** Round-4 additions: fuzzy-dedup cluster table, CDC MERGE apply,
+  * weighted corpus mixing, topological layering, table profiling.
+  */
+class FuzzyClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitive closure: A~B and B~C cluster together even when A and C differ more") {
+    // B shares 19/20 tokens with both A and C, but A and C share only
+    // 18/20 → jaccard(A,C) ≈ 0.857 is BELOW the 0.9 threshold while
+    // A~B and B~C are above it. The cluster table must still put all
+    // three in one component (keep_id = min id), which the pair
+    // surface alone cannot express.
+    val base = (1 to 20).map(i => s"w$i")
+    val a = base.mkString(" ")                                // w1..w20
+    val b = (base.tail :+ "x1").mkString(" ")                 // w2..w20, x1
+    val c = (base.tail :+ "x2").mkString(" ")                 // w2..w20, x2
+    val docs = Seq((10L, a), (20L, b), (30L, c)).toDF("doc_id", "text")
+    val clusters = Dedup.fuzzyClusters(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(clusters == Set((10L, 10L), (10L, 20L), (10L, 30L)))
+  }
+
+  test("singletons and exact clones: one row per doc, clones share min id") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different words here"), (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.fuzzyClusters(docs, "doc_id", "text", 64, 16, 0.9)
+      .as[(Long, Long)].collect().toSet
+    // O(n) cluster table: exactly one row per document, tokenless doc
+    // 4 survives as its own singleton
+    assert(out == Set((1L, 1L), (1L, 2L), (3L, 3L), (4L, 4L)))
+  }
+}
+
+class ApplyDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyDiff(old, diff(old, new)) == new for inserts, updates, deletes") {
+    val old_ = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val new_ = Seq((2L, "b", 25.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "v") // 1 deleted, 2 updated, 4 inserted
+    val d = Snapshot.diff(old_, new_, Seq("k"), Seq("name", "v"))
+    val applied = Snapshot.applyDiff(old_, d, Seq("k"), Seq("name", "v"))
+    assert(applied.as[(Long, String, Double)].collect().toSet ==
+      new_.as[(Long, String, Double)].collect().toSet)
+    // and the re-diff of the applied snapshot against new is empty
+    assert(Snapshot.diff(applied, new_, Seq("k"), Seq("name", "v")).count() == 0L)
+  }
+
+  test("empty diff leaves the snapshot untouched") {
+    val snap = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val d = Snapshot.diff(snap, snap, Seq("k"), Seq("v"))
+    assert(d.count() == 0L)
+    assert(Snapshot.applyDiff(snap, d, Seq("k"), Seq("v"))
+      .as[(Long, Double)].collect().toSet == Set((1L, 1.0), (2L, 2.0)))
+  }
+}
+
+class MixSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 100L).map(i =>
+    (i, if (i <= 50) "big" else "rare")).toDF("id", "src")
+
+  test("integer weights replicate exactly; zero weight drops the stratum") {
+    val out = Corpus.mixSources(docs, "id", "src",
+      Map("big" -> 0L, "rare" -> 20000L), defaultBp = 10000L)
+    val byStr = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(!byStr.contains("big"))           // weight 0 → dropped entirely
+    assert(byStr("rare") == 100L)            // 50 docs × exactly 2 epochs
+    assert(out.filter(col("stratum") === "rare").groupBy("doc_id").count()
+      .filter(col("count") =!= 2).count() == 0L)
+  }
+
+  test("fractional weight emits a deterministic intermediate fraction") {
+    val run = () => Corpus.mixSources(docs, "id", "src",
+      Map("big" -> 5000L), defaultBp = 10000L)
+    val n = run().filter(col("stratum") === "big").count()
+    assert(n > 5 && n < 45, s"~50% of 50 docs expected, got $n") // Bernoulli(0.5)
+    // deterministic: byte-identical on re-run (task retries at scale)
+    assert(run().collect().toSet == run().collect().toSet)
+  }
+
+  test("upsampled reps carry distinct repetition indices") {
+    val reps = Corpus.mixSources(docs.filter(col("id") === 60), "id", "src",
+      Map("rare" -> 30000L), defaultBp = 10000L)
+      .select("rep").as[Long].collect().sorted
+    assert(reps.sameElements(Array(1L, 2L, 3L)))
+  }
+}
+
+class TopoLayersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("layer = longest path ending at the node") {
+    // diamond with a tail: 0→{1,2}→3→4, plus shortcut 0→3
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (0L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val layers = GraphOps.topoLayers(e, maxDepth = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(layers == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("maxDepth bounds the rounds on a cyclic graph (termination guard)") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val layers = GraphOps.topoLayers(e, maxDepth = 4)
+      .as[(Long, Long)].collect().toMap
+    // a cycle has no topological layering; the bound just stops the
+    // relaxation — every label is ≤ maxDepth and the call terminates
+    assert(layers.size == 3 && layers.values.forall(_ <= 4L))
+  }
+}
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nulls, distincts, and ranges per column in one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("c")), (None, Some("a")))
+      .toDF("num", "str")
+    val p = Profiler.profile(df, Seq("num", "str"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("num") == ("num", 4L, 1L, 2L, "1", "2"))
+    assert(p("str") == ("str", 4L, 1L, 2L, "a", "c"))
+  }
+
+  test("profile is a single aggregate job (no per-column rescan)") {
+    val df = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val plan = Profiler.profile(df, Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+      .queryExecution.executedPlan.toString
+    // one scan of the input: the three distincts ride one Expand
+    assert("(?i)scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+}
