@@ -71,4 +71,38 @@ object Multimodal {
         Media(id, sniffFmt(b), w, h, c, f, sums)
       })
   }
+
+  /** One sampled frame: exact-integer per-frame statistics (the float
+    * embedding of a real frame featurizer would ride the same row —
+    * integer sums are what a SQL oracle can verify). */
+  case class Frame(id: Long, frame_idx: Int, n_bytes: Int, byte_sum: Long)
+
+  /** Frame sampling over a video-like payload: the byte stream is a
+    * sequence of fixed-`frameBytes` frames (last one possibly
+    * partial); emit every `stride`-th frame with its byte count and
+    * exact byte sum. Same partition-wise primitive-array execution as
+    * [[decode]] — one JVM pass per batch, no per-row plan re-entry —
+    * with the frame-split arithmetic standing in for a container
+    * demuxer (the codec stub contract documented above). Narrow: each
+    * payload expands in place; output is input × sampled-frame count.
+    */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+                  frameBytes: Int, stride: Int): Dataset[Frame] = {
+    require(frameBytes >= 1 && stride >= 1, "frameBytes and stride must be positive")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        val nFrames = (b.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames, stride).map { fi =>
+          val start = fi * frameBytes
+          val end = math.min(start + frameBytes, b.length)
+          var s = 0L
+          var i = start
+          while (i < end) { s += b(i) & 0xFF; i += 1 }
+          Frame(id, fi, end - start, s)
+        }
+      })
+  }
 }

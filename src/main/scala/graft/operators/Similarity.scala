@@ -138,6 +138,98 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Deterministic PQ codebook component — same md5 family as
+    * [[planeComponent]], namespaced `pq_m_c_i`: subspace `m`,
+    * centroid `c`, dimension `i` → a multiple of 1/16 in
+    * [-0.9375, +0.9375], exactly representable in float AND double,
+    * rebuildable by any engine with `md5`. */
+  private[operators] def pqComponent(m: Int, c: Int, i: Int): Float = {
+    val d = Integer.parseInt(md5hex(s"pq_${m}_${c}_${i}").substring(0, 1), 16)
+    ((d - 7.5) / 8.0).toFloat
+  }
+
+  /** Product-quantization ANN — the COMPRESSION tier: each `dims`-dim
+    * vector is encoded as `m` 4-bit codes (one per `dims/m`-dim
+    * subspace, nearest of `ksub` codebook centroids by L2), so a
+    * 64-dim float vector stores in 8 bytes — the representation a
+    * 100-TB vector store actually scans. Search reconstructs each
+    * corpus vector from its codes (codebook lookup — the asymmetric
+    * distance computation surface), ranks by query-to-reconstruction
+    * cosine, and reranks the top `rerank·k` candidates with the
+    * full-precision vectors.
+    *
+    * Everything is a per-row expression tree over md5-derived exact
+    * codebook literals — argmin encode (ties to the smaller centroid
+    * id), codebook lookup, fixed-order dot products — so the whole
+    * pipeline (codes, reconstructions, candidate cut, rerank) is
+    * bit-reproducible by the plain-SQL oracle; no cross-row float
+    * aggregation anywhere. Scale shape: encode is narrow (one pass,
+    * no shuffle); search shuffles only the top-R candidate rows per
+    * query into the rerank.
+    */
+  def knnPq(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+            k: Int, m: Int = 8, ksub: Int = 16, dims: Int = 64,
+            rerank: Int = 4): DataFrame = {
+    require(dims % m == 0, "m must divide dims")
+    val sub = dims / m
+    // codebook as Scala constants: per (m, c) the centroid float array
+    // and its exact self-dot (components are multiples of 1/16 —
+    // sums of 8 squares are exact in double on any engine)
+    val cbook = Array.tabulate(m, ksub)((mi, ci) =>
+      Array.tabulate(sub)(i => pqComponent(mi, ci, i)))
+    def cc(mi: Int, ci: Int): Double =
+      cbook(mi)(ci).foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+
+    // encode: argmin_c (−2·v_sub·ctr + ctr·ctr) per subspace — the
+    // common v_sub·v_sub term cannot change the argmin and is dropped;
+    // array_sort on (score, c) structs breaks float ties toward the
+    // smaller centroid id, mirroring the oracle's (d, c) row_number
+    val codesCol = array((0 until m).map { mi =>
+      expr(s"array_sort(array(${(0 until ksub).map { ci =>
+        s"struct(__d_${mi}_$ci AS d, $ci AS c)"
+      }.mkString(", ")}))[0].c")
+    }: _*)
+    def encoded(df: DataFrame, prefix: String): DataFrame = {
+      val withSubs = (0 until m).foldLeft(
+        df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}v"))) {
+        (d, mi) => d.withColumn(s"__sub_$mi", expr(s"slice(${prefix}v, ${mi * sub + 1}, $sub)"))
+      }
+      val withDists = (0 until m).foldLeft(withSubs) { (d, mi) =>
+        (0 until ksub).foldLeft(d) { (dd, ci) =>
+          dd.withColumn(s"__d_${mi}_$ci",
+            lit(-2.0) * vec_dot(col(s"__sub_$mi"), typedLit(cbook(mi)(ci))) + lit(cc(mi, ci)))
+        }
+      }
+      withDists.withColumn(s"${prefix}codes", codesCol)
+        .select(col(s"${prefix}id"), col(s"${prefix}codes"))
+    }
+
+    // reconstruct from codes: codebook literal (array<array<array<float>>>),
+    // flatten the per-subspace centroid lookups in subspace order
+    val cbookLit = typedLit(cbook.map(_.map(_.toSeq).toSeq).toSeq)
+    val recon = encoded(corpus, "c")
+      .withColumn("__cb", cbookLit)
+      .withColumn("crv", expr(
+        s"CAST(flatten(transform(sequence(0, ${m - 1}), mi -> __cb[mi][ccodes[mi]])) AS ARRAY<FLOAT>)"))
+      .select(col("cid"), col("crv"))
+      .withColumn("crn", vec_norm(col("crv")))
+
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val cand = q.join(recon, col("qid") =!= col("cid"))
+      .withColumn("apx", dot("qv", "crv") / (col("qn") * col("crn")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
+      .filter(col("ark") <= rerank * k)
+      .select("qid", "qv", "qn", "cid", "apx")
+    cand.join(withNorm(corpus, idCol, vecCol, "c"), Seq("cid"))
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), round(col("apx"), 4).as("apx_cosine"))
+  }
+
   /** IVF ANN: coarse k-means cells (seeded from the first `nCells`
     * corpus rows by id, `lloydIters` refinement rounds), queries probe
     * their `nProbe` nearest cells, exact rerank within probed cells.

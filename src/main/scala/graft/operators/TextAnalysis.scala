@@ -222,6 +222,26 @@ object TextAnalysis {
     * oracle. CMS guarantees est ≥ true count; ties and ordering are
     * broken by token, so top-k is deterministic on any engine.
     */
+  /** The raw depth×width CELL table of the count-min sketch over the
+    * whitespace token stream: (j, cell, cnt) — the mergeable (linear)
+    * representation. CMS of a union is the cell-wise SUM of the
+    * parts' cells, so incremental/streaming maintenance is a
+    * grouped sum over at most depth·width rows per part
+    * ([[graft.streaming.StreamingOps.cmsSink]]); same md5-affine
+    * hash family as [[cmsHeavyHitters]], so stored cells stay
+    * bit-reproducible across engines and batches.
+    */
+  def cmsCells(df: DataFrame, textCol: String, depth: Int, width: Int): DataFrame = {
+    val (ca, cb) = Dedup.minhashCoeffs(depth)
+    val P = Dedup.MinhashP
+    df.select(explode(expr(s"filter(split($textCol, ' '), x -> x != '')")).as("tok"))
+      .withColumn("h0",
+        expr(s"CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT) % $P"))
+      .select(posexplode(array((0 until depth).map(j =>
+        (lit(ca(j)) * col("h0") + lit(cb(j))) % P % width): _*)).as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
   def cmsHeavyHitters(df: DataFrame, textCol: String,
                       depth: Int, width: Int, k: Int): DataFrame = {
     val (ca, cb) = Dedup.minhashCoeffs(depth)

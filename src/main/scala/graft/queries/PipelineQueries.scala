@@ -589,6 +589,34 @@ object PipelineQueries {
              |  f0, f1, f2, f3
              |FROM b JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    Q("m3_frame_sample",
+      // Frame sampling over video-like payloads (Multimodal
+      // .frameSample): 32-byte frames, every 2nd sampled, exact
+      // per-frame byte sums — the partition-wise demux/sample stage
+      // of a multimodal pipeline, oracle-verified positionally (the
+      // ascii-byte identity m1/m2 established for this corpus).
+      (s, d) => {
+        val payload = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        Multimodal.frameSample(payload, "doc_id", "payload", frameBytes = 32, stride = 2)
+          .select(col("id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("n_bytes").cast("long").as("n_bytes"), col("byte_sum"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+             |        FROM documents),
+             |f AS (SELECT doc_id, text, n,
+             |        unnest(generate_series(0, (n + 31) // 32 - 1)) AS fi
+             |      FROM b WHERE n > 0),
+             |sel AS (SELECT doc_id, text, fi, least(n - fi * 32, 32) AS nb
+             |        FROM f WHERE fi % 2 = 0),
+             |pos AS (SELECT doc_id, fi, nb,
+             |        ascii(substr(text, CAST(fi * 32 + i AS INT), 1)) AS v
+             |      FROM sel, unnest(generate_series(1, nb)) AS t(i))
+             |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+             |  CAST(nb AS BIGINT) AS n_bytes, CAST(sum(v) AS BIGINT) AS byte_sum
+             |FROM pos GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)),
+
     Q("t7_pii_scrub",
       // PII redaction. The synthetic corpus carries no PII, so a
       // deterministic contact line is appended per doc before
@@ -683,6 +711,58 @@ object PipelineQueries {
              |FROM documents
              |WHERE ((doc_id % 1000003) * 2654435761) % 10000 < least(9000, n_chars * 12)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("s5_knn_pq",
+      // Product-quantization ANN — the compression tier: 64-dim
+      // floats stored as 8 4-bit codes (8 bytes/vector), search over
+      // codebook reconstructions, top-40 candidates reranked at full
+      // precision. The codebook is md5-derived (multiples of 1/16 —
+      // exact in float and double), every stage is a per-row
+      // fixed-order expression tree, so the oracle rebuilds codes,
+      // reconstructions, candidate cut, AND rerank bit-for-bit.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnPq(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10).orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $cosSql,
+              |pqc AS (SELECT mr.m, cr.c, ir.i,
+              |    ((strpos('0123456789abcdef',
+              |        substr(md5('pq_' || CAST(mr.m AS VARCHAR) || '_' || CAST(cr.c AS VARCHAR) || '_' || CAST(ir.i AS VARCHAR)), 1, 1)) - 1)
+              |      - 7.5) / 8 AS comp
+              |  FROM (SELECT unnest(generate_series(0, 7)) AS m) mr,
+              |       (SELECT unnest(generate_series(0, 15)) AS c) cr,
+              |       (SELECT unnest(generate_series(0, 7)) AS i) ir),
+              |cb AS (SELECT m, c, list(comp ORDER BY i) AS cl FROM pqc GROUP BY 1, 2),
+              |sb AS (SELECT vec_id, mr.m, v[mr.m*8+1 : mr.m*8+8] AS sv
+              |  FROM ce, (SELECT unnest(generate_series(0, 7)) AS m) mr),
+              |dist AS (SELECT vec_id, sb.m, cb.c,
+              |    -2 * list_dot_product(sv, cl) + list_dot_product(cl, cl) AS d
+              |  FROM sb JOIN cb ON cb.m = sb.m),
+              |codes AS (SELECT vec_id, m, c AS code FROM (
+              |    SELECT vec_id, m, c, d,
+              |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rk
+              |    FROM dist) WHERE rk = 1),
+              |recon AS (SELECT codes.vec_id, flatten(list(cb.cl ORDER BY codes.m)) AS rv
+              |  FROM codes JOIN cb ON cb.m = codes.m AND cb.c = codes.code GROUP BY 1),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
+              |ax AS (SELECT qid, recon.vec_id AS cid,
+              |    list_dot_product(qv, rv)
+              |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS apx
+              |  FROM q JOIN recon ON recon.vec_id <> qid),
+              |cand AS (SELECT qid, cid, apx FROM (
+              |    SELECT qid, cid, apx,
+              |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
+              |    FROM ax) WHERE ark <= 40),
+              |sc AS (SELECT qid, cid, apx,
+              |    list_dot_product(qv.v, cv.v)
+              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |r AS (SELECT qid, cid, cos, apx,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
     Q("s4_knn_sql",
       // Brute kNN written entirely in SQL through the registered

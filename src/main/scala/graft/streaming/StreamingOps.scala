@@ -125,4 +125,38 @@ object StreamingOps {
         survivors.select("__h1", "__h2").write.mode("append").parquet(storePath)
         ()
     }
+
+  /** Streaming count-min-sketch maintenance — corpus-wide token
+    * frequencies over the WHOLE stream history at constant state.
+    * CMS is a LINEAR sketch: the sketch of a union is the cell-wise
+    * sum of the parts' sketches, so each micro-batch builds its own
+    * depth×width cell table ([[graft.operators.TextAnalysis.cmsCells]],
+    * md5-affine hashes — bit-reproducible across batches and engines)
+    * and merges it into the persistent store with one grouped sum
+    * over ≤ 2·depth·width rows. The store answers any-time frequency
+    * queries (est = min over rows j of cell[(j, hash_j(tok))], always
+    * ≥ the true count) no matter how many tokens have streamed by.
+    * foreachBatch is at-least-once on restart; re-merging a replayed
+    * batch can only over-count — the CMS upper-bound contract
+    * survives.
+    */
+  def cmsSink(docs: DataFrame, textCol: String, depth: Int, width: Int,
+              storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cells = graft.operators.TextAnalysis.cmsCells(batch, textCol, depth, width)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+            cells.unionByName(spark.read.parquet(storePath))
+              .groupBy("j", "cell").agg(sum("cnt").as("cnt"))
+          else cells
+        // materialize BEFORE the overwrite — the plan reads the very
+        // files the write replaces
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(storePath)
+        ()
+    }
 }

@@ -96,6 +96,38 @@ class MixSourcesSpec extends SparkSpec {
   }
 }
 
+class KnnPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PQ search emits k full-precision-ranked neighbors whose cosines match brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 3)
+    val pq = operators.Similarity.knnPq(e, q, "vec_id", "embedding", k = 5)
+      .as[(Long, Int, Long, Double, Double)].collect()
+    assert(pq.count(_._1 >= 0) == 15, "3 queries x k=5")
+    // the rerank is full-precision: every emitted cosine must equal
+    // the brute-force cosine of the same (query, neighbor) pair
+    val brute = operators.Similarity.knnBrute(e, q, "vec_id", "embedding", k = 500)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    pq.foreach { case (qid, _, cid, cos, _) =>
+      assert(brute((qid, cid)) == cos, s"($qid,$cid): $cos vs ${brute((qid, cid))}")
+    }
+    // per query, rk ordering follows exact cosine descending
+    pq.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).sameElements(sorted.map(_._4).sortBy(-(_: Double))))
+    }
+  }
+
+  test("PQ encode is deterministic: identical output across runs") {
+    val e = Tables.embeddings(spark, sfDir)
+    val run = () => operators.Similarity.knnPq(e, e.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 5).collect().toSet
+    assert(run() == run())
+  }
+}
+
 class TopoLayersSpec extends SparkSpec {
   import spark.implicits._
 
@@ -115,6 +147,48 @@ class TopoLayersSpec extends SparkSpec {
     // a cycle has no topological layering; the bound just stops the
     // relaxation — every label is ≤ maxDepth and the call terminates
     assert(layers.size == 3 && layers.values.forall(_ <= 4L))
+  }
+}
+
+class StreamingCmsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch CMS merge: whole-history estimates from constant state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val (store, ckpt) = (s"$dir/store", s"$dir/ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = graft.streaming.StreamingOps.cmsSink(
+        in.toDF().toDF("txt"), "txt", 4, 1024, store)
+      .option("checkpointLocation", ckpt).start()
+    in.addData("hot hot warm", "hot cold1")
+    q.processAllAvailable()
+    in.addData("hot warm cold2")
+    q.processAllAvailable()
+    q.stop()
+    val cells = spark.read.parquet(store)
+      .as[(Int, Long, Long)].collect()
+    // constant state: only touched cells persist, bounded by depth×width
+    assert(cells.length <= 4 * 1024)
+    // the sketch is LINEAR: each depth row's cells sum to the total
+    // token count across ALL batches (8 tokens over 3 documents)
+    val byJ = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byJ == Map(0 -> 8L, 1 -> 8L, 2 -> 8L, 3 -> 8L), byJ.toString)
+    // point estimates from the merged store (min over depth rows)
+    // reproduce the exact whole-history counts at this sketch size
+    val (ca, cb) = operators.Dedup.minhashCoeffs(4)
+    val P = operators.Dedup.MinhashP
+    val cellMap = cells.map(c => (c._1, c._2) -> c._3).toMap
+    def estimate(tok: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h0 = java.lang.Long.parseLong(md5.substring(0, 8), 16) % P
+      (0 until 4).map(j => cellMap.getOrElse((j, (ca(j) * h0 + cb(j)) % P % 1024), 0L)).min
+    }
+    assert(estimate("hot") == 4L)
+    assert(estimate("warm") == 2L)
+    assert(estimate("cold1") == 1L)
+    assert(estimate("never-seen") == 0L)
   }
 }
 
