@@ -80,18 +80,25 @@ object GraphOps {
 
   /** Bounded iteration for monotonically shrinking frames (e.g.
     * repeated pruning): converges when the row count stops moving.
-    * Same two-jobs-per-round structure as [[iterate]].
+    * The count rides the checkpoint materialization itself as an
+    * `observe` metric — the same single-action-per-round structure as
+    * [[iterate]]; the fallback count() job only fires if the async
+    * metric hasn't surfaced in time (never a wrong answer).
     */
   def iterateToFixpoint(init: DataFrame, maxRounds: Int)(step: DataFrame => DataFrame): DataFrame = {
-    var cur = Ckpt.cut(init)
+    def cutCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cut = Ckpt.cut(df.observe(obs, count(lit(1)).as("c")))
+      (cut, awaitObserved(obs).getOrElse(cut.count()))
+    }
+    var (cur, n) = cutCounted(init)
     var prev = -1L
-    var n = cur.count()
     var round = 0
     while (n != prev && round < maxRounds) {
       round += 1
       prev = n
-      val next = Ckpt.cut(step(cur))
-      n = next.count()
+      val (next, m) = cutCounted(step(cur))
+      n = m
       Ckpt.release(cur)
       cur = next
     }

@@ -192,6 +192,39 @@ class StreamingCmsSpec extends SparkSpec {
   }
 }
 
+class FixpointJobBudgetSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Same public status-tracker measurement as IterateJobBudgetSpec. */
+  private def countJobs(body: => Unit): Int = {
+    val group = s"fixpoint-budget-${System.nanoTime()}"
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup(group, "count jobs")
+    try body finally {
+      spark.sparkContext.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+    spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  test("iterateToFixpoint's convergence count rides the checkpoint job") {
+    val init = (1L to 8L).toDF("x")
+    var rounds = 0
+    val fused = countJobs {
+      graft.graph.GraphOps.iterateToFixpoint(init, maxRounds = 10) { df =>
+        rounds += 1
+        df.filter(col("x") > rounds * 2) // shrinks 3 rounds, then stable
+      }.count()
+    }
+    // convergence at rounds 4 (8→6→4→2... wait for equality) — just
+    // pin the job budget relative to the round count: one cut job per
+    // round + initial cut + the final count(), with NO separate
+    // count job per round (the pre-fusion structure cost 2/round)
+    assert(fused <= rounds + 2, s"$fused jobs for $rounds rounds")
+  }
+}
+
 class ProfilerSpec extends SparkSpec {
   import spark.implicits._
 
