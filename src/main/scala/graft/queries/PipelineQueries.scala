@@ -133,19 +133,38 @@ object PipelineQueries {
       (s, d) => Dedup.fuzzyClusters(Tables.documents(s, d), "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.95, maxBucket = 4096)
         .orderBy("member_id"),
-      Some(s"""WITH RECURSIVE $minhashPairsSql,
-              |pr AS (SELECT a, b FROM prs WHERE jac >= 0.95),
-              |e2 AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
-              |cnodes AS (SELECT DISTINCT x AS node FROM e2),
-              |walk(node, lbl) AS (
-              |  SELECT node, node FROM cnodes
-              |  UNION
-              |  SELECT e2.y, walk.lbl FROM walk JOIN e2 ON e2.x = walk.node
-              |  WHERE walk.lbl < e2.y),
-              |cc AS (SELECT node, min(lbl) AS component FROM walk GROUP BY 1)
-              |SELECT coalesce(cc.component, dd.doc_id) AS keep_id, dd.doc_id AS member_id
-              |FROM documents dd LEFT JOIN cc ON cc.node = dd.doc_id
-              |ORDER BY member_id""".stripMargin)),
+      // CC oracle as 8 unrolled (edge-relax + double pointer-jump)
+      // rounds — covers component diameters far beyond any tested
+      // corpus; an unconverged label would differ from Spark's true
+      // closure and FAIL the compare visibly, never pass silently. A
+      // naive recursive min-label walk is O(Σ c²) rows on clique-heavy
+      // near-dup graphs (one 2057-doc cluster at sf0.1 made it
+      // intractable); MATERIALIZED pins every multi-referenced CTE so
+      // DuckDB can't re-inline the whole minhash pipeline per
+      // reference.
+      Some {
+        val rounds = (1 to 8).map { k =>
+          val prev = if (k == 1) "l0" else s"l${k - 1}"
+          s"""r$k AS MATERIALIZED (SELECT a.node, least(a.lbl, min(b.lbl)) AS lbl
+             |  FROM $prev a JOIN e2 ON e2.x = a.node JOIN $prev b ON b.node = e2.y
+             |  GROUP BY a.node, a.lbl),
+             |ja$k AS MATERIALIZED (SELECT a.node, coalesce(b.lbl, a.lbl) AS lbl
+             |  FROM r$k a LEFT JOIN r$k b ON b.node = a.lbl),
+             |l$k AS MATERIALIZED (SELECT a.node, coalesce(b.lbl, a.lbl) AS lbl
+             |  FROM ja$k a LEFT JOIN ja$k b ON b.node = a.lbl)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $minhashPairsSql,
+           |pr AS MATERIALIZED (SELECT a, b FROM prs WHERE jac >= 0.95),
+           |e2 AS MATERIALIZED (SELECT a AS x, b AS y FROM pr
+           |  UNION SELECT b, a FROM pr),
+           |l0 AS MATERIALIZED (SELECT x AS node, least(x, min(y)) AS lbl
+           |  FROM e2 GROUP BY 1),
+           |$rounds,
+           |cc AS (SELECT node, lbl AS component FROM l8)
+           |SELECT coalesce(cc.component, dd.doc_id) AS keep_id, dd.doc_id AS member_id
+           |FROM documents dd LEFT JOIN cc ON cc.node = dd.doc_id
+           |ORDER BY member_id""".stripMargin
+      }),
 
     Q("d4_dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",

@@ -14,6 +14,27 @@ object Sinks {
     * partition value otherwise lands in one giant file); writers
     * shuffle-free append within each task's partition values.
     */
+  /** Incremental partition upsert — the storage half of the CDC story
+    * ([[graft.operators.Snapshot.applyDiff]] is the compute half):
+    * write `changes` over an existing partitioned dataset rewriting
+    * ONLY the partitions that appear in `changes` (dynamic partition
+    * overwrite). Untouched partitions keep their exact files, so
+    * refresh cost scales with the changed-partition count, not the
+    * table size — at 100 TB that is the difference between rewriting
+    * a day and rewriting the corpus. `changes` must carry complete
+    * replacement contents for every partition it touches (pair with
+    * applyDiff to build them from a CDC action batch).
+    */
+  def upsertPartitions(changes: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    val spark = changes.sparkSession
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try changes.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(path)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        maxRecordsPerFile: Long = 5000000L): Unit =
     df.write.mode("overwrite")

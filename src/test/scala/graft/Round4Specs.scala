@@ -150,6 +150,30 @@ class TopoLayersSpec extends SparkSpec {
   }
 }
 
+class UpsertPartitionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dynamic partition overwrite touches only the changed partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val base = Seq((1L, "a", 0), (2L, "b", 0), (3L, "c", 1), (4L, "d", 2))
+      .toDF("k", "v", "p")
+    graft.sources.Sinks.upsertPartitions(base, dir, Seq("p"))
+    def files(p: Int) = {
+      val d = new java.io.File(s"$dir/p=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toSet
+    }
+    val p1Before = files(1); val p2Before = files(2)
+    // replace partition 0's contents only
+    graft.sources.Sinks.upsertPartitions(
+      Seq((1L, "a2", 0), (5L, "e", 0)).toDF("k", "v", "p"), dir, Seq("p"))
+    assert(files(1) == p1Before, "untouched partition 1 was rewritten")
+    assert(files(2) == p2Before, "untouched partition 2 was rewritten")
+    val got = spark.read.parquet(dir).as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "a2", 0), (5L, "e", 0), (3L, "c", 1), (4L, "d", 2)))
+  }
+}
+
 class StreamingCmsSpec extends SparkSpec {
   import spark.implicits._
 
