@@ -74,6 +74,35 @@ object Sinks {
       .sortWithinPartitions(sortCols.map(df.col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction — the standing operational task of any
+    * long-lived 100-TB dataset: streaming appends, partition upserts,
+    * and per-task writers accumulate files far below the efficient
+    * scan size (each file costs a task, an open, a footer read).
+    * Rewrites `path` into ⌈bytes / targetFileBytes⌉ files and swaps
+    * the result in via two filesystem renames (write-aside then
+    * swap — never a read-and-overwrite of the same path in one job;
+    * the old data survives any crash before the final rename).
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val summary = fs.getContentSummary(p)
+    val nFiles = math.max(1L, (summary.getLength + targetFileBytes - 1) / targetFileBytes).toInt
+    val before = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(p, old)
+    fs.rename(tmp, p)
+    fs.delete(old, true)
+    val after = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    (before, after)
+  }
+
   /** Z-order-clustered parquet: rows range-partitioned and sorted by
     * the Morton interleave of two filter columns, so file and
     * row-group min/max stats stay selective for predicates on EITHER

@@ -174,6 +174,66 @@ class UpsertPartitionsSpec extends SparkSpec {
   }
 }
 
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact rewrites a fragmented dataset into few files, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    (1L to 1000L).toDF("x").repartition(50).write.parquet(dir)
+    val (before, after) = graft.sources.Sinks.compact(spark, dir,
+      targetFileBytes = 64L * 1024 * 1024)
+    assert(before == 50, s"expected 50 input files, saw $before")
+    assert(after <= 2, s"expected <=2 compacted files, saw $after")
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+      == (1L to 1000L).toSeq)
+    // no working directories left behind
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles().map(_.getName).toSet == Set("t"))
+  }
+}
+
+class CorruptRecordIngestionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("malformed JSON rows land in the corrupt-record column, never fail the job") {
+    // 100-TB ingestion posture: a handful of bad rows must not kill a
+    // million-file load; they must be quarantined and countable.
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(s"$dir/part.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 BROKEN
+        |{"id": 3, "v": "fine"}
+        |""".stripMargin)
+    val df = spark.read
+      .schema("id LONG, v STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache() // corrupt-record column can't be queried alone unless materialized
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("_corrupt_record").isNull).select("id")
+      .as[Long].collect().toSet == Set(1L, 3L))
+    df.unpersist()
+  }
+}
+
+class ShuffleHashHintSpec extends SparkSpec {
+
+  test("SHUFFLE_HASH hint picks hash join over sort-merge for a mid-size build side") {
+    // the 100-TB middle tier: a dimension too big to broadcast still
+    // shouldn't pay two sorts — hash-build the smaller side per
+    // shuffle partition
+    val orders = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val plan = orders.join(cust.hint("SHUFFLE_HASH"),
+        orders("o_custkey") === cust("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "hint ignored: SMJ planned")
+  }
+}
+
 class StreamingCmsSpec extends SparkSpec {
   import spark.implicits._
 
