@@ -81,6 +81,36 @@ object PipelineQueries {
        |  FROM cand c JOIN inter ON inter.i = c.i AND inter.j = c.j
        |  JOIN sz sa ON sa.doc_id = c.i JOIN sz sb ON sb.doc_id = c.j)""".stripMargin
 
+  /** Connected components over the thresholded pair graph, as 8
+    * unrolled (edge-relax + double pointer-jump) rounds ending in
+    * `cc(node, component)` — covers component diameters far beyond
+    * any tested corpus, and an unconverged label would FAIL the
+    * compare visibly (differ from Spark's true closure), never pass
+    * silently. A naive recursive min-label walk is O(Σ c²) rows on
+    * clique-heavy near-dup graphs (one 2057-doc cluster at sf0.1
+    * made it intractable); MATERIALIZED pins every multi-referenced
+    * CTE so DuckDB can't re-inline the whole upstream minhash
+    * pipeline per reference. */
+  private val fuzzyCcSql: String = {
+    val rounds = (1 to 8).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""r$k AS MATERIALIZED (SELECT a.node, least(a.lbl, min(b.lbl)) AS lbl
+         |  FROM $prev a JOIN e2 ON e2.x = a.node JOIN $prev b ON b.node = e2.y
+         |  GROUP BY a.node, a.lbl),
+         |ja$k AS MATERIALIZED (SELECT a.node, coalesce(b.lbl, a.lbl) AS lbl
+         |  FROM r$k a LEFT JOIN r$k b ON b.node = a.lbl),
+         |l$k AS MATERIALIZED (SELECT a.node, coalesce(b.lbl, a.lbl) AS lbl
+         |  FROM ja$k a LEFT JOIN ja$k b ON b.node = a.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""pr AS MATERIALIZED (SELECT a, b FROM prs WHERE jac >= 0.95),
+       |e2 AS MATERIALIZED (SELECT a AS x, b AS y FROM pr
+       |  UNION SELECT b, a FROM pr),
+       |l0 AS MATERIALIZED (SELECT x AS node, least(x, min(y)) AS lbl
+       |  FROM e2 GROUP BY 1),
+       |$rounds,
+       |cc AS (SELECT node, lbl AS component FROM l8)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("d1_dedup_exact",
@@ -133,38 +163,11 @@ object PipelineQueries {
       (s, d) => Dedup.fuzzyClusters(Tables.documents(s, d), "doc_id", "text",
         numHashes = 64, bands = 16, threshold = 0.95, maxBucket = 4096)
         .orderBy("member_id"),
-      // CC oracle as 8 unrolled (edge-relax + double pointer-jump)
-      // rounds — covers component diameters far beyond any tested
-      // corpus; an unconverged label would differ from Spark's true
-      // closure and FAIL the compare visibly, never pass silently. A
-      // naive recursive min-label walk is O(Σ c²) rows on clique-heavy
-      // near-dup graphs (one 2057-doc cluster at sf0.1 made it
-      // intractable); MATERIALIZED pins every multi-referenced CTE so
-      // DuckDB can't re-inline the whole minhash pipeline per
-      // reference.
-      Some {
-        val rounds = (1 to 8).map { k =>
-          val prev = if (k == 1) "l0" else s"l${k - 1}"
-          s"""r$k AS MATERIALIZED (SELECT a.node, least(a.lbl, min(b.lbl)) AS lbl
-             |  FROM $prev a JOIN e2 ON e2.x = a.node JOIN $prev b ON b.node = e2.y
-             |  GROUP BY a.node, a.lbl),
-             |ja$k AS MATERIALIZED (SELECT a.node, coalesce(b.lbl, a.lbl) AS lbl
-             |  FROM r$k a LEFT JOIN r$k b ON b.node = a.lbl),
-             |l$k AS MATERIALIZED (SELECT a.node, coalesce(b.lbl, a.lbl) AS lbl
-             |  FROM ja$k a LEFT JOIN ja$k b ON b.node = a.lbl)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $minhashPairsSql,
-           |pr AS MATERIALIZED (SELECT a, b FROM prs WHERE jac >= 0.95),
-           |e2 AS MATERIALIZED (SELECT a AS x, b AS y FROM pr
-           |  UNION SELECT b, a FROM pr),
-           |l0 AS MATERIALIZED (SELECT x AS node, least(x, min(y)) AS lbl
-           |  FROM e2 GROUP BY 1),
-           |$rounds,
-           |cc AS (SELECT node, lbl AS component FROM l8)
-           |SELECT coalesce(cc.component, dd.doc_id) AS keep_id, dd.doc_id AS member_id
-           |FROM documents dd LEFT JOIN cc ON cc.node = dd.doc_id
-           |ORDER BY member_id""".stripMargin
-      }),
+      Some(s"""WITH $minhashPairsSql,
+              |$fuzzyCcSql
+              |SELECT coalesce(cc.component, dd.doc_id) AS keep_id, dd.doc_id AS member_id
+              |FROM documents dd LEFT JOIN cc ON cc.node = dd.doc_id
+              |ORDER BY member_id""".stripMargin)),
 
     Q("d4_dedup_simhash",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
@@ -252,6 +255,40 @@ object PipelineQueries {
       Some("""SELECT CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS keep_id,
              |doc_id AS member_id
              |FROM documents ORDER BY member_id""".stripMargin)),
+
+    Q("d12_dedup_funnel",
+      // The dedup FUNNEL — the tiers composed the way a production
+      // corpus pipeline runs them, reported as one row of survivor
+      // counts: raw docs → byte-exact survivors → normalized-text
+      // survivors → fuzzy (MinHash component) survivors. Each tier is
+      // its oracle-verified operator (d6, d8, d11); the funnel pins
+      // their composition and the monotone survivor shrinkage.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def survivors(cl: org.apache.spark.sql.DataFrame) =
+          cl.filter(col("keep_id") === col("member_id"))
+            .agg(count(lit(1)).as("n"))
+        docs.agg(count(lit(1)).as("n_raw"))
+          .crossJoin(survivors(Dedup.exactClusters(docs, "doc_id", "text"))
+            .withColumnRenamed("n", "n_exact"))
+          .crossJoin(survivors(Corpus.normalizedClusters(docs, "doc_id", "text"))
+            .withColumnRenamed("n", "n_norm"))
+          .crossJoin(survivors(Dedup.fuzzyClusters(docs, "doc_id", "text",
+            numHashes = 64, bands = 16, threshold = 0.95, maxBucket = 4096))
+            .withColumnRenamed("n", "n_fuzzy"))
+      },
+      Some(s"""WITH $minhashPairsSql,
+              |$fuzzyCcSql
+              |SELECT
+              |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_raw,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM
+              |    (SELECT min(doc_id) FROM documents GROUP BY text)) AS n_exact,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM
+              |    (SELECT min(doc_id) FROM documents
+              |     GROUP BY ${Corpus.normalizeSql})) AS n_norm,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM documents dd
+              |   LEFT JOIN cc ON cc.node = dd.doc_id
+              |   WHERE coalesce(cc.component, dd.doc_id) = dd.doc_id) AS n_fuzzy""".stripMargin)),
 
     Q("s1_knn_brute",
       (s, d) => {

@@ -234,6 +234,38 @@ class ShuffleHashHintSpec extends SparkSpec {
   }
 }
 
+class StreamingBackfillSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AvailableNow + maxFilesPerTrigger drains a backlog in bounded batches, then stops") {
+    // the 100-TB bootstrap posture: point the streaming pipeline at a
+    // huge existing directory and let it catch up in bounded
+    // micro-batches (no unbounded first batch), terminating when the
+    // backlog is drained — same code path the live stream then uses.
+    val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    val (src, ckpt) = (s"$dir/src", s"$dir/ckpt")
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, s"doc$i")).toDF("id", "txt").write.mode("append").parquet(src)
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .schema("id LONG, txt STRING")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes += b.count(); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(batchSizes.sum == 6L, s"rows lost/duplicated: $batchSizes")
+    assert(batchSizes.length >= 3, s"backlog not bounded into batches: $batchSizes")
+    assert(batchSizes.forall(_ <= 2L), s"a batch exceeded the file cap: $batchSizes")
+  }
+}
+
 class StreamingCmsSpec extends SparkSpec {
   import spark.implicits._
 
