@@ -921,6 +921,108 @@ object Relational {
              |  FROM x GROUP BY 1)
              |ORDER BY o_custkey, status""".stripMargin)),
 
+    Q("q49_cohort_retention",
+      // Cohort retention over the events stream: cohort = the user's
+      // first-activity week, cell (cohort, weeks_since) = distinct
+      // users still active that many weeks later. The cohort table is
+      // a per-user aggregate of the SAME frame joined back on
+      // user_id — both sides arrive hash-partitioned on user_id so
+      // the join reuses the aggregation's exchange; no broadcast
+      // needed (the cohort side is one row per user and grows with
+      // the corpus). All-integer week arithmetic.
+      (s, d) => {
+        val w = ev(s, d).select(col("user_id"), expr("t div 604800").as("wk"))
+        val cohort = w.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+        w.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            (col("wk") - col("cohort_wk")).as("weeks_since"))
+          .agg(countDistinct("user_id").as("active_users"))
+          .orderBy("cohort_wk", "weeks_since")
+      },
+      Some(s"""WITH e AS ($evSql),
+              |w AS (SELECT user_id, t//604800 AS wk FROM e),
+              |c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1)
+              |SELECT c.cohort_wk, w.wk - c.cohort_wk AS weeks_since,
+              |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS active_users
+              |FROM w JOIN c ON w.user_id = c.user_id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q50_moving_window_anomaly",
+      // Trailing moving-window anomaly flag on per-user daily event
+      // counts: a 7-day RANGE frame (value-based, so calendar gaps
+      // shrink the window rather than stretching it) and an
+      // all-integer spike test cnt·|W| > 2·Σ(W) — no float ratio, so
+      // the flag is bit-stable on any engine and any partial-agg
+      // order. One shuffle to daily counts, then a per-user window;
+      // parallelism is the user count.
+      (s, d) => {
+        val daily = ev(s, d).filter(col("user_id") < 100)
+          .select(col("user_id"), expr("t div 86400").as("day"))
+          .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+        daily
+          .withColumn("win_sum", sum("cnt").over(w))
+          .withColumn("win_n", count(lit(1)).over(w))
+          .withColumn("hot",
+            (col("cnt") * col("win_n") > col("win_sum") * 2).cast("int"))
+          .orderBy("user_id", "day")
+      },
+      Some(s"""WITH e AS ($evSql),
+              |d AS (SELECT user_id, t//86400 AS day,
+              |    CAST(count(*) AS BIGINT) AS cnt
+              |  FROM e WHERE user_id < 100 GROUP BY 1, 2)
+              |SELECT user_id, day, cnt,
+              |  CAST(sum(cnt) OVER w AS BIGINT) AS win_sum,
+              |  CAST(count(*) OVER w AS BIGINT) AS win_n,
+              |  CAST(CASE WHEN cnt * (count(*) OVER w) > 2 * (sum(cnt) OVER w)
+              |       THEN 1 ELSE 0 END AS INT) AS hot
+              |FROM d
+              |WINDOW w AS (PARTITION BY user_id ORDER BY day
+              |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+              |ORDER BY user_id, day""".stripMargin)),
+
+    Q("q51_skyline",
+      // 2-D skyline (Pareto frontier) of high-value urgent orders:
+      // points (order day, price cents) not dominated by any other
+      // point that is ≥ in both dimensions and > in one. Spark side
+      // is the O(n log n) sweep — sort days DESCENDING, a point
+      // survives iff its price exceeds the running max over strictly
+      // later days (RANGE frame to -1) and is its own day's max.
+      // The oracle is the QUADRATIC NOT-EXISTS definition, so the
+      // sweep's correctness is checked against the spec itself, not
+      // a mirror of the algorithm. Exact integer cents throughout.
+      // Scale: the raw candidate set first collapses to one max per
+      // day (map-side-combine aggregate, fully parallel), so the
+      // single-partition sweep window only ever sees
+      // calendar-day-many rows — bounded by the horizon, not the
+      // data volume.
+      (s, d) => {
+        val dayMax = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 400000 && col("o_orderpriority") === "1-URGENT")
+          .select(
+            datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long").as("day"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .groupBy("day").agg(max("cents").as("cents"))
+        val later = Window.orderBy(col("day").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        dayMax
+          .withColumn("max_later", max("cents").over(later))
+          .filter(col("cents") > coalesce(col("max_later"), lit(-1L)))
+          .select("day", "cents")
+          .orderBy("day")
+      },
+      Some("""WITH c AS (SELECT DISTINCT
+             |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders
+             |  WHERE o_totalprice > 400000 AND o_orderpriority = '1-URGENT')
+             |SELECT day, cents FROM c p
+             |WHERE NOT EXISTS (SELECT 1 FROM c q
+             |  WHERE q.day >= p.day AND q.cents >= p.cents
+             |    AND (q.day > p.day OR q.cents > p.cents))
+             |ORDER BY day""".stripMargin)),
+
     Q("prof1_column_profile",
       // One-pass table profiling (Profiler.profile): null counts,
       // distinct cardinality, min/max per column in a single
