@@ -522,4 +522,60 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Near-duplicate pairs by RELATIVE edit distance: candidates are
+    * documents sharing a winnowed long-gram fingerprint
+    * ([[TextAnalysis.fingerprintsMod]] — any shared substring of
+    * length ≥ k+w−1 guarantees candidacy), verified by exact
+    * Levenshtein with the all-integer test dist·denom ≤ num·max(len).
+    * The verify step is the expensive O(len²) part, so it runs only
+    * on fingerprint-colliding pairs — the classic
+    * sketch-then-verify split; the threshold is a ratio of BIGINTs,
+    * bit-stable on any engine. Buckets above `maxBucket` are capped
+    * (degenerate-bucket guard, armed above the tested corpus
+    * degeneracy so the oracle — which never caps — agrees at every
+    * tested SF).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 20, w: Int = 8,
+                        num: Int = 1, denom: Int = 5,
+                        maxBucket: Int = 4096): DataFrame = {
+    val fp = TextAnalysis.fingerprintsMod(df, idCol, textCol, k, w)
+    val capped = capBuckets(fp, Seq("fp"), "doc_id", maxBucket)
+    val cand = capped.as("fa").join(capped.as("fb"),
+        col("fa.fp") === col("fb.fp") && col("fa.doc_id") < col("fb.doc_id"))
+      .select(col("fa.doc_id").as("a"), col("fb.doc_id").as("b"))
+      .distinct()
+    val t = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    cand
+      .join(t.as("ta"), col("a") === col("ta.id"))
+      .join(t.as("tb"), col("b") === col("tb.id"))
+      .select(col("a"), col("b"),
+        levenshtein(col("ta.txt"), col("tb.txt")).cast("long").as("dist"),
+        greatest(length(col("ta.txt")), length(col("tb.txt"))).cast("long").as("mx"))
+      .filter(col("dist") * denom <= col("mx") * num)
+      .select("a", "b", "dist")
+  }
+
+  /** Per-document duplicated-substring profile (the Lee et al. 2022
+    * "Deduplicating Training Data" diagnostic, winnowing-sketched):
+    * for each document, how many of its winnowed long-gram
+    * fingerprints also occur in at least one OTHER document, and the
+    * duplication ratio in integer basis points. Two shuffles total —
+    * fingerprint document-frequency (map-side combined), then the
+    * per-doc rollup — both keyed small; no pair enumeration at all,
+    * so the plan is linear in corpus size regardless of how
+    * duplicative the corpus is.
+    */
+  def substringDupProfile(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 20, w: Int = 8): DataFrame = {
+    val fp = TextAnalysis.fingerprintsMod(df, idCol, textCol, k, w)
+    // fp is already distinct per (doc, fp) → plain count is doc frequency
+    val freq = fp.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+    fp.join(freq, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_bp", expr("n_shared * 10000 div n_fp"))
+  }
 }

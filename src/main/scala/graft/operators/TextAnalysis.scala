@@ -210,6 +210,85 @@ object TextAnalysis {
        |SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= n - ${w - 1}""".stripMargin
   }
 
+  /** Modulus for the LONG-gram fingerprint variant: 2³¹ − 1 (the
+    * house prime, same as Dedup.MinhashP). [[fingerprints]]' plain
+    * polynomial only stays in signed-64 range up to k=5
+    * (127·5381⁴·5 ≈ 5·10¹⁷); past that the hash must live in a
+    * modular ring BOTH engines can evaluate exactly. With mod-P
+    * coefficients every SQL-side product is ≤ 127·(P−1) ≈ 2.7·10¹¹
+    * and the k-term sum ≤ k·2.7·10¹¹ — overflow-free for any k that
+    * fits a document. */
+  val FingerprintP: Long = 2147483647L
+
+  /** Winnowing fingerprints over LONG k-grams (k > 5): Karp-Rabin
+    * rolling hash in the mod-P ring, minimum per sliding window of
+    * `w`, deduplicated. Same contract as [[fingerprints]]; the
+    * modular rolling recurrence equals the positional polynomial
+    * mod P (ring homomorphism), so [[fingerprintModSql]] reproduces
+    * the values bit-for-bit. Shared substrings of length ≥ k+w−1
+    * are guaranteed to share a fingerprint (Schleimer et al. 2003) —
+    * the scale path for substring-level dedup: sketch size is
+    * ~n/w per doc, not n.
+    */
+  def fingerprintsMod(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, w: Int): DataFrame = {
+    val f = udf { text: String =>
+      if (text == null || text.length < k + w - 1) Array.empty[Long]
+      else {
+        val P = FingerprintP
+        val B = FingerprintBase
+        val n = text.length - k + 1
+        val hs = new Array[Long](n)
+        var pow = 1L
+        var i = 0
+        while (i < k - 1) { pow = pow * B % P; i += 1 }
+        var h = 0L
+        i = 0
+        while (i < k) { h = (h * B + (text.charAt(i) & 0x7F)) % P; i += 1 }
+        hs(0) = h
+        i = 1
+        while (i < n) {
+          val t = Math.floorMod(h - (text.charAt(i - 1) & 0x7F) * pow, P)
+          h = (t * B + (text.charAt(i + k - 1) & 0x7F)) % P
+          hs(i) = h
+          i += 1
+        }
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var s = 0
+        while (s + w <= n) {
+          var mi = s
+          var j = s + 1
+          while (j < s + w) { if (hs(j) <= hs(mi)) mi = j; j += 1 }
+          out += hs(mi)
+          s += 1
+        }
+        out.toArray
+      }
+    }
+    df.select(col(idCol).as("doc_id"), explode(f(col(textCol))).as("fp"))
+  }
+
+  /** DuckDB mirror of [[fingerprintsMod]]: positional polynomial with
+    * precomputed B^j mod P coefficients, reduced mod P once per gram. */
+  def fingerprintModSql(k: Int, w: Int): String = {
+    val P = FingerprintP
+    val B = FingerprintBase
+    val pows = Array.iterate(1L, k)(_ * B % P).reverse // B^(k-1-j) mod P
+    val poly = (0 until k).map { j =>
+      s"(CAST(ascii(substr(text, CAST(i AS INT) + $j, 1)) AS BIGINT) % 128) * ${pows(j)}"
+    }.mkString(" + ")
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, length(text) - ${k - 1} AS n,
+       |    unnest(generate_series(1, length(text) - ${k - 1})) AS i
+       |  FROM documents WHERE length(text) >= ${k + w - 1}),
+       |h AS (SELECT doc_id, i, n, ($poly) % $P AS h FROM pos),
+       |wmin AS (SELECT doc_id, i, n,
+       |  min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |               ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |  FROM h)
+       |SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= n - ${w - 1}""".stripMargin
+  }
+
   /** Count–min-sketch heavy hitters — the approximate tier behind
     * [[t6]]'s exact per-group top-k, for when even (group, token)
     * cardinality exceeds memory at 100 TB. The sketch is the ONLY

@@ -290,6 +290,49 @@ object PipelineQueries {
               |   LEFT JOIN cc ON cc.node = dd.doc_id
               |   WHERE coalesce(cc.component, dd.doc_id) = dd.doc_id) AS n_fuzzy""".stripMargin)),
 
+    Q("d13_dedup_editdist",
+      // Edit-distance near-dup tier: winnowed LONG-gram (k=20, w=8,
+      // mod-P rolling hash) fingerprint collisions generate
+      // candidates — any shared 27-char substring guarantees
+      // candidacy — then exact Levenshtein verifies at ≤20% relative
+      // distance with a pure-BIGINT ratio test. The oracle replays
+      // the identical mod-P polynomial, window-min winnowing, and
+      // DuckDB's own levenshtein — candidates AND verification are
+      // cross-engine-checked end-to-end.
+      (s, d) => Dedup.editDistancePairs(Tables.documents(s, d),
+          "doc_id", "text", k = 20, w = 8, num = 1, denom = 5,
+          maxBucket = 4096)
+        .orderBy("a", "b"),
+      Some(s"""WITH f AS (${TextAnalysis.fingerprintModSql(20, 8)}),
+              |cand AS (SELECT DISTINCT fa.doc_id AS a, fb.doc_id AS b
+              |  FROM f fa JOIN f fb ON fa.fp = fb.fp AND fa.doc_id < fb.doc_id),
+              |v AS (SELECT c.a, c.b,
+              |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+              |    CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS mx
+              |  FROM cand c JOIN documents ta ON ta.doc_id = c.a
+              |              JOIN documents tb ON tb.doc_id = c.b)
+              |SELECT a, b, dist FROM v WHERE dist * 5 <= mx * 1
+              |ORDER BY a, b""".stripMargin)),
+
+    Q("d14_substring_profile",
+      // Duplicated-substring profile (Lee et al. 2022's exact-
+      // substring diagnostic, winnowing-sketched): per document, how
+      // many winnowed 20-gram fingerprints occur in ≥1 other doc,
+      // and the duplication ratio in integer basis points. No pair
+      // enumeration — two keyed aggregates, linear in corpus size
+      // however duplicative the corpus is (the d13 candidate graph
+      // can go quadratic on templated corpora; this profile cannot).
+      (s, d) => Dedup.substringDupProfile(Tables.documents(s, d),
+          "doc_id", "text", k = 20, w = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH f AS (${TextAnalysis.fingerprintModSql(20, 8)}),
+              |dfc AS (SELECT fp, count(*) AS ndocs FROM f GROUP BY 1),
+              |p AS (SELECT fo.doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+              |    CAST(sum(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+              |  FROM f fo JOIN dfc d ON fo.fp = d.fp GROUP BY 1)
+              |SELECT doc_id, n_fp, n_shared, n_shared * 10000 // n_fp AS dup_bp
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
     Q("s1_knn_brute",
       (s, d) => {
         val e = Tables.embeddings(s, d)

@@ -74,3 +74,69 @@ class SkylineSpec extends SparkSpec {
     }
   }
 }
+
+class FingerprintModSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(text: String, k: Int, w: Int): Set[Long] = {
+    val P = graft.operators.TextAnalysis.FingerprintP
+    val B = graft.operators.TextAnalysis.FingerprintBase
+    if (text.length < k + w - 1) Set.empty
+    else {
+      val hs = text.sliding(k).map(g =>
+        g.foldLeft(0L)((h, c) => (h * B + (c & 0x7F)) % P)).toArray
+      hs.sliding(w).map(_.min).toSet
+    }
+  }
+
+  test("mod-P rolling hash equals the positional polynomial; winnowing guarantee holds") {
+    val shared = "this exact run of characters is quite long indeed"
+    val docs = Seq(
+      1L -> s"prefix one $shared suffix alpha",
+      2L -> s"a different beginning $shared and ending",
+      3L -> "completely unrelated content with zero overlap at all xyzzy")
+    val df = docs.toDF("doc_id", "text")
+    val fp = graft.operators.TextAnalysis.fingerprintsMod(df, "doc_id", "text", 20, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fp.groupBy(_._1).map { case (d, v) => d -> v.map(_._2).toSet }
+    docs.foreach { case (id, text) =>
+      assert(byDoc.getOrElse(id, Set.empty) == naive(text, 20, 8), s"doc $id")
+    }
+    // shared is 50 chars ≥ k+w−1=27 → docs 1 and 2 must collide
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+  }
+}
+
+class EditDistanceDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint candidates verified by relative Levenshtein") {
+    val base = "the quick brown fox jumps over the lazy dog again and again and again"
+    val docs = Seq(
+      1L -> base,
+      2L -> base.replace("quick", "quack"),          // 1 edit, ~1.5%
+      3L -> base.replace("again and again and again", "never ever at all whatsoever"), // big tail edit
+      4L -> "something entirely different that shares no long substring here")
+    val out = graft.operators.Dedup.editDistancePairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k = 20, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(out.find(t => t._1 == 1L && t._2 == 2L).get._3 == 1L)
+    // doc 3 shares a long prefix (candidate) but fails the 20% verify
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+    out.foreach { case (a, b, _) => assert(a < b) }
+  }
+
+  test("substring profile: unique docs score 0, clones score 10000") {
+    val t1 = "every one of these characters appears exactly once in the corpus"
+    val t3 = "zz completely disjoint text with its own private characters qqq zz"
+    val docs = Seq(1L -> t1, 2L -> t1, 3L -> t3)
+    val p = graft.operators.Dedup.substringDupProfile(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k = 20, w = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p(1L)._3 == 10000L && p(2L)._3 == 10000L)
+    assert(p(3L)._2 == 0L && p(3L)._3 == 0L)
+  }
+}
