@@ -581,4 +581,113 @@ object GraphOps {
     }
     ranks.select("node", "rank_u")
   }
+
+  /** Weighted single-source(-set) shortest paths (Bellman-Ford):
+    * minimum distance from any seed along directed weighted edges
+    * `(src, dst, w)`. [[bfs]]'s weighted generalization — each round
+    * relaxes one hop (hash join on `src` + min-aggregate) and the
+    * fused `__changed` count stops the loop at the true fixpoint, so
+    * the round count is the hop-diameter of the optimal-path forest,
+    * not `maxRounds`. Negative weights are NOT supported (no cycle
+    * detection); `maxRounds` is the semantic guard on adversarial
+    * graphs, exactly as in [[topoLayers]].
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int): DataFrame = {
+    val e = Ckpt.cutLight(edges.select("src", "dst", "w"))
+    val init = seeds.select(col("node"), lit(0L).as("dist"))
+    iterate(init, maxRounds) { cur =>
+      val cand = cur.join(e, cur("node") === e("src"))
+        .select(e("dst").as("node"), (cur("dist") + e("w")).as("dist"))
+      val merged = cur.select("node", "dist").unionByName(cand)
+        .groupBy("node").agg(min("dist").as("dist"))
+      merged.join(
+          cur.select(col("node").as("pn"), col("dist").as("pd")),
+          merged("node") === col("pn"), "left")
+        .select(merged("node"), merged("dist"),
+          (col("pd").isNull || col("pd") =!= merged("dist"))
+            .cast("int").as("__changed"))
+    }
+  }
+
+  /** Min-label propagation to fixpoint along directed edges: lbl(v) =
+    * min over ancestors(v) ∪ {v}. Building block of [[scc]] (forward
+    * on the graph, forward on the reversed graph = backward). */
+  private def minLabelFixpoint(nodes: DataFrame, e: DataFrame,
+                               maxRounds: Int): DataFrame =
+    iterate(nodes.select(col("node"), col("node").as("lbl")), maxRounds) { cur =>
+      val cand = cur.join(e, cur("node") === e("src"))
+        .select(e("dst").as("node"), cur("lbl"))
+      val merged = cur.select("node", "lbl").unionByName(cand)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+      merged.join(
+          cur.select(col("node").as("pn"), col("lbl").as("pl")),
+          merged("node") === col("pn"), "left")
+        .select(merged("node"), merged("lbl"),
+          (col("pl").isNull || col("pl") =!= merged("lbl"))
+            .cast("int").as("__changed"))
+    }
+
+  /** Strongly connected components of a directed graph, labeled by
+    * their minimum member: trim + forward/backward min-label peeling
+    * (the distributed FW-BW/coloring family — Hong et al. PPoPP'13,
+    * Slota et al. IPDPS'14 — with min-label as the pivot rule).
+    *
+    * Per outer round: (1) TRIM — iteratively drop edges whose source
+    * has no incoming edge or whose target has no outgoing edge; every
+    * vertex peeled this way provably lies on no cycle, so it settles
+    * as a singleton. DAG regions die here in diameter-many cheap
+    * rounds, never reaching the expensive phase. (2) On the surviving
+    * 1-in-1-out core, f = min-label fixpoint forward and b = the same
+    * on the reversed graph; `f(v) = b(v) = p` certifies p reaches v
+    * AND v reaches p, i.e. v ∈ SCC(p) — those vertices settle with
+    * label p (an SCC's members share f and b, so whole SCCs settle
+    * atomically). At least the SCC of each weak component's minimum
+    * vertex settles per round, and settled vertices leave the graph.
+    *
+    * Any vertex still unsettled after `maxOuter` rounds is emitted
+    * with scc = −1: visibly wrong under an oracle compare, never
+    * silently plausible (the house non-convergence convention).
+    */
+  def scc(edges: DataFrame, maxOuter: Int = 4, maxInner: Int = 32): DataFrame = {
+    var e = Ckpt.cut(edges.select("src", "dst").distinct())
+    var active = Ckpt.cut(vertices(e).select("node"))
+    var activeCount = active.count()
+    var parts = List.empty[DataFrame]
+    var outer = 0
+    while (activeCount > 0 && outer < maxOuter) {
+      outer += 1
+      val core = iterateToFixpoint(e, maxInner) { ed =>
+        val srcs = ed.select(col("src").as("n")).distinct()
+        val dsts = ed.select(col("dst").as("n")).distinct()
+        ed.join(dsts.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
+          .join(srcs.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst")
+      }
+      val coreNodes = Ckpt.cut(vertices(core).select("node"))
+      // vertices trimmed away lie on no cycle → singleton SCCs.
+      // Materialized NOW: `active`'s checkpoint is released at the end
+      // of this round, so the part must not stay a lazy view over it.
+      parts ::= Ckpt.cut(active.join(coreNodes, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("scc")))
+      val f = minLabelFixpoint(coreNodes, core, maxInner)
+      val b = minLabelFixpoint(coreNodes,
+        core.select(col("dst").as("src"), col("src").as("dst")), maxInner)
+      val settled = Ckpt.cut(
+        f.as("f").join(b.as("b"), col("f.node") === col("b.node"))
+          .filter(col("f.lbl") === col("b.lbl"))
+          .select(col("f.node").as("node"), col("f.lbl").as("scc")))
+      parts ::= settled
+      val prevActive = active
+      active = Ckpt.cut(coreNodes.join(settled, Seq("node"), "left_anti"))
+      activeCount = active.count()
+      Ckpt.release(prevActive)
+      val prevE = e
+      e = Ckpt.cut(
+        core.join(settled.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(settled.select(col("node").as("dst")), Seq("dst"), "left_anti"))
+      Ckpt.release(prevE)
+    }
+    val leftover = active.select(col("node"), lit(-1L).as("scc"))
+    (leftover :: parts).reduce(_.unionByName(_))
+  }
 }

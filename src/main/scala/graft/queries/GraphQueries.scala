@@ -505,6 +505,123 @@ object GraphQueries {
               |  SELECT ed.dst, walk.d + 1 FROM walk JOIN ed ON ed.src = walk.node
               |  WHERE walk.d < 8)
               |SELECT node, CAST(max(d) AS BIGINT) AS layer FROM walk
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("g15_scc",
+      // Strongly connected components on the chain+skip graph with a
+      // last→first BACK EDGE added for even-custkey chains: even
+      // chains become one cycle SCC each, odd chains stay all-
+      // singleton — both phases of GraphOps.scc (trim peels the DAG
+      // chains, forward/backward min-label settles the cycles) are
+      // exercised. The oracle is DEFINITIONAL: a recursive transitive
+      // closure, mutual-reachability pairs, min per vertex — no
+      // mirror of the peeling algorithm at all.
+      (s, d) => {
+        val base = chainEdges(s, d, withSkip = true)
+        val wAsc = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("k"))
+        val wDesc = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("k").desc)
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_orderdate"))
+          .withColumn("ra", row_number().over(wAsc))
+          .withColumn("rd", row_number().over(wDesc))
+        val heads = o.filter(col("ra") === 1).select(col("o_custkey"), col("k").as("head"))
+        val tails = o.filter(col("rd") === 1).select(col("o_custkey"), col("k").as("tail"))
+        val back = heads.join(tails, "o_custkey")
+          .filter(col("o_custkey") % 2 === 0 && col("tail") =!= col("head"))
+          .select(col("tail").as("src"), col("head").as("dst"))
+        GraphOps.scc(base.union(back)).orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE ${chainSql(true)},
+              |rk AS (SELECT o_orderkey AS k, o_custkey,
+              |    row_number() OVER (PARTITION BY o_custkey
+              |      ORDER BY o_orderdate, o_orderkey) AS ra,
+              |    row_number() OVER (PARTITION BY o_custkey
+              |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rd
+              |  FROM orders),
+              |bk AS (SELECT l.k AS src, f.k AS dst
+              |  FROM (SELECT o_custkey, k FROM rk WHERE rd = 1) l
+              |  JOIN (SELECT o_custkey, k FROM rk WHERE ra = 1) f USING (o_custkey)
+              |  WHERE l.o_custkey % 2 = 0 AND l.k <> f.k),
+              |e2 AS MATERIALIZED (SELECT src, dst FROM e
+              |  UNION ALL SELECT src, dst FROM bk),
+              |reach AS (SELECT src AS a, dst AS b FROM e2
+              |  UNION
+              |  SELECT r.a, e2.dst FROM reach r JOIN e2 ON e2.src = r.b),
+              |nodes AS (SELECT src AS v FROM e2 UNION SELECT dst FROM e2),
+              |mutual AS (SELECT r1.a AS v, r1.b AS u
+              |  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
+              |SELECT n.v AS node, least(n.v, coalesce(min(m.u), n.v)) AS scc
+              |FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+              |GROUP BY n.v ORDER BY node""".stripMargin)),
+
+    Q("g16_sssp",
+      // Weighted shortest paths over chain+skip edges (weight =
+      // (src+dst)%7+1, deterministic on both engines), seeded at
+      // every chain head (vertices with no incoming edge). The skip
+      // edges make weight-optimal paths genuinely diverge from
+      // hop-optimal BFS. Oracle: 26 unrolled Bellman-Ford relax
+      // rounds over MATERIALIZED CTEs — beyond the 24-hop worst
+      // chain at any tested SF, and an unconverged distance would
+      // FAIL the compare visibly, never pass silently.
+      (s, d) => {
+        val e = chainEdges(s, d, withSkip = true)
+          .withColumn("w", (col("src") + col("dst")) % 7 + 1)
+        val heads = e.select(col("src").as("node")).distinct()
+          .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+        GraphOps.sssp(e, heads, maxRounds = 32).orderBy("node")
+      },
+      Some(s"""WITH ${chainSql(true)},
+              |$ssspRelaxSql
+              |SELECT node, dist FROM d26 ORDER BY node""".stripMargin)),
+
+    Q("g17_read_correction",
+      // k-mer-spectrum read classification (the error-correction
+      // front end of a BFC/Quake-style assembler pass): count every
+      // 15-mer across all reads, flag per read how many of its
+      // 15-mers are singletons in the corpus ("weak" — a sequencing
+      // error corrupts up to k consecutive k-mers), and mark reads
+      // with zero weak k-mers solid. Two keyed aggregates over the
+      // exploded k-mer stream — linear, no pair work; the spectrum
+      // side is vocabulary-sized after the map-side combine.
+      (s, d) => {
+        val km = readsFromDocs(s, d).select(col("id"),
+          explode(expr("transform(sequence(1, 26), i -> substring(seq, i, 15))"))
+            .as("kmer"))
+        val spectrum = km.groupBy("kmer").agg(count(lit(1)).as("c"))
+        km.join(spectrum, "kmer")
+          .groupBy("id")
+          .agg(count(lit(1)).as("n_kmers"),
+            sum(when(col("c") < 2, 1L).otherwise(0L)).as("n_weak"))
+          .withColumn("solid", (col("n_weak") === 0).cast("int"))
+          .orderBy("id")
+      },
+      Some(s"""WITH $readsSql,
+              |km AS (SELECT id, substr(seq, CAST(i AS INT), 15) AS kmer FROM (
+              |  SELECT id, seq, unnest(generate_series(1, 26)) AS i FROM reads)),
+              |sp AS (SELECT kmer, count(*) AS c FROM km GROUP BY 1)
+              |SELECT km.id, CAST(count(*) AS BIGINT) AS n_kmers,
+              |  CAST(sum(CASE WHEN sp.c < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_weak,
+              |  CAST(CASE WHEN sum(CASE WHEN sp.c < 2 THEN 1 ELSE 0 END) = 0
+              |       THEN 1 ELSE 0 END AS INT) AS solid
+              |FROM km JOIN sp USING (kmer)
+              |GROUP BY km.id ORDER BY km.id""".stripMargin))
   )
+
+  /** 26 unrolled Bellman-Ford relax rounds (g16's oracle): d_r(v) =
+    * min(d_{r-1}(v), min over u→v of d_{r-1}(u)+w). Materialized so
+    * DuckDB can't re-inline the whole upstream chain per round. */
+  private def ssspRelaxSql: String = {
+    val rounds = (1 to 26).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT ew.dst AS node, p.dist + ew.w AS dist
+         |  FROM d${k - 1} p JOIN ew ON ew.src = p.node) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""ew AS MATERIALIZED (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM e),
+       |heads AS (SELECT DISTINCT src AS node FROM ew
+       |  WHERE src NOT IN (SELECT dst FROM ew)),
+       |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM heads),
+       |$rounds""".stripMargin
+  }
 }

@@ -140,3 +140,57 @@ class EditDistanceDedupSpec extends SparkSpec {
     assert(p(3L)._2 == 0L && p(3L)._3 == 0L)
   }
 }
+
+class SccSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two cycles joined by a path: cycles settle, bridge nodes are singletons") {
+    // cycle A {1,2,3}, bridge 3→10→11→4, cycle B {4,5,6}, tip 20→1.
+    // Round 1 can only settle cycle A (cycle B sees A's smaller labels
+    // through the bridge, f≠b); cycle B needs the second peel round —
+    // this pins the outer loop, not just one fw/bw pass.
+    val edges = Seq(
+      1L -> 2L, 2L -> 3L, 3L -> 1L,
+      3L -> 10L, 10L -> 11L, 11L -> 4L,
+      4L -> 5L, 5L -> 6L, 6L -> 4L,
+      20L -> 1L).toDF("src", "dst")
+    val out = graft.graph.GraphOps.scc(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L,
+      10L -> 10L, 11L -> 11L, 20L -> 20L)
+    assert(out == expected)
+  }
+
+  test("pure DAG: every vertex is its own SCC (all settled by trim)") {
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L).toDF("src", "dst")
+    val out = graft.graph.GraphOps.scc(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+}
+
+class SsspSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weighted relaxation beats hop-optimal paths") {
+    // 1→2→3 costs 1+1=2; direct 1→3 costs 5 → weighted picks the
+    // 2-hop path where BFS would pick the 1-hop edge.
+    val edges = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L),
+      (3L, 4L, 2L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val out = graft.graph.GraphOps.sssp(edges, seeds, maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L))
+  }
+
+  test("unreachable vertices are absent; multi-seed takes the min") {
+    val edges = Seq((1L, 2L, 3L), (5L, 2L, 1L), (8L, 9L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L, 5L).toDF("node")
+    val out = graft.graph.GraphOps.sssp(edges, seeds, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 5L -> 0L, 2L -> 1L))
+  }
+}
