@@ -86,6 +86,110 @@ object StreamingOps {
     left.withWatermark(lTsCol, lWatermark)
       .join(right.withWatermark(rTsCol, rWatermark), cond)
 
+  /** Native session-window streaming aggregation: Spark's
+    * `session_window` builds dynamic-gap windows in the state store
+    * itself (merging as events arrive, closing when the watermark
+    * passes gap past the last event) — the engine-managed
+    * counterpart of the hand-rolled [[sessionize]] state machine.
+    * Append mode emits each session exactly once, closed; state per
+    * key is the set of OPEN sessions only, so this runs indefinitely
+    * at watermark-bounded memory. Prefer this when the per-session
+    * output is plain aggregates; drop to [[sessionize]] only for
+    * custom state transitions the built-in can't express.
+    */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+                       gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Sliding (hopping) event-time windows: each event lands in
+    * len/slide overlapping windows — the streaming moving-average
+    * shape. Same watermark-bounded state contract as
+    * [[windowedCounts]]; the multiplication of state is the
+    * len/slide factor, chosen by the caller, not data-dependent.
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    windowLen: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("window.start").as("wstart"), col(keyCol),
+        col("cnt"), col("sum_value"))
+
+  /** Exact streaming dedup on `idCols` with state aged out by the
+    * watermark but WITHOUT requiring the event-time column in the
+    * key: `dropDuplicatesWithinWatermark` keeps one state row per
+    * distinct `idCols` value and expires it once the watermark
+    * passes the first-seen event time + delay — so a replayed or
+    * late clone with a DIFFERENT timestamp is still suppressed
+    * (the plain [[dedup]] keyed on id+ts would emit it). The right
+    * primitive for at-least-once upstream ingestion.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           watermark: String, idCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-stream LEFT OUTER interval join: same bounded-state
+    * contract as [[joinStreams]] (watermarks both sides + an
+    * event-time range in `cond`), but unmatched left rows are
+    * emitted with nulls once the watermark proves no match can
+    * arrive — the streaming form of "impressions without a click".
+    * Outer results are therefore delayed by the watermark horizon;
+    * that latency is the price of a correct null, not a bug.
+    */
+  def joinStreamsOuter(left: DataFrame, lTsCol: String, lWatermark: String,
+                       right: DataFrame, rTsCol: String, rWatermark: String,
+                       cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(lTsCol, lWatermark)
+      .join(right.withWatermark(rTsCol, rWatermark), cond, "left_outer")
+
+  /** Streaming CDC apply: each micro-batch is a keyed changeset
+    * (latest-wins upsert; a row with `deleteCol` true removes the
+    * key) merged into a persistent parquet snapshot — the streaming
+    * MERGE counterpart of the batch `Snapshot.applyDiff`. Within a
+    * batch the newest `ordCol` wins per key; across batches the
+    * store is rewritten with the merged survivors. The store
+    * rewrite is full-file here; at cluster scale the same logic
+    * rides `Layout.upsertPartitioned` so only touched partitions
+    * rewrite. foreachBatch is at-least-once: replaying a batch
+    * re-applies the same upserts — idempotent by construction
+    * (latest-wins on the same data), so the snapshot converges.
+    */
+  def cdcMergeSink(changes: DataFrame, keyCols: Seq[String], ordCol: String,
+                   deleteCol: String, storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val existing =
+          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+            spark.read.parquet(storePath)
+              .withColumn(deleteCol, lit(false))
+              .withColumn("__old", lit(1))
+          else batch.withColumn("__old", lit(1)).limit(0)
+        val merged = batch.withColumn("__old", lit(0))
+          .unionByName(existing)
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols.map(col): _*)
+              .orderBy(col("__old"), col(ordCol).desc)))
+          .filter(col("__rn") === 1 && !col(deleteCol))
+          .drop("__rn", "__old", deleteCol)
+        // materialize BEFORE the overwrite — the plan reads the very
+        // files the write replaces
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(storePath)
+        ()
+    }
+
   /** Streaming corpus ingestion with dedup against EVERYTHING seen so
     * far — the unbounded-horizon complement of [[dedup]] (whose state
     * ages out with the watermark). Each micro-batch anti-joins its

@@ -185,3 +185,93 @@ class SequenceSourceSpec extends SparkSpec {
       df.select("n_name").as[String].collect().toSet)
   }
 }
+
+class StreamingDepthSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("native session_window merges and closes gap sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "key", "value")
+    val q = StreamingOps.sessionWindowAgg(df, "ts", "key", "5 minutes", "2 minutes")
+      .writeStream.format("memory").queryName("sw").outputMode("append").start()
+    in.addData((t(1), "a", 1.0), (t(3), "a", 2.0), (t(2), "b", 8.0))
+    q.processAllAvailable()
+    // advance the watermark far past the open sessions to close them
+    in.addData((t(40), "z", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("sw").select("key", "n_events", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(("a", 2L, 3.0), ("b", 1L, 8.0)))
+  }
+
+  test("sliding windows land each event in len/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "key", "value")
+    val q = StreamingOps.slidingCounts(df, "ts", "key", "10 minutes", "5 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("sl").outputMode("complete").start()
+    in.addData((t(7), "a", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sl").select("wstart", "cnt")
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    q.stop()
+    // 00:07 falls in [00:00,00:10) and [00:05,00:15)
+    assert(rows == Set((t(0), 1L), (t(5), 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses clones with different timestamps") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "id")
+    val q = StreamingOps.dedupWithinWatermark(df, "ts", "10 minutes", Seq("id"))
+      .writeStream.format("memory").queryName("ddw").outputMode("append").start()
+    in.addData((t(1), 1L), (t(3), 1L), (t(2), 2L)) // same id, DIFFERENT ts
+    q.processAllAvailable()
+    val n = spark.table("ddw").count()
+    q.stop()
+    assert(n == 2) // keyed dedup on id+ts would have emitted 3
+  }
+
+  test("left-outer interval join emits unmatched rows with nulls after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val imp = MemoryStream[(java.sql.Timestamp, Long)]
+    val clk = MemoryStream[(java.sql.Timestamp, Long)]
+    val joined = StreamingOps.joinStreamsOuter(
+      imp.toDF().toDF("imp_ts", "imp_ad"), "imp_ts", "5 minutes",
+      clk.toDF().toDF("clk_ts", "clk_ad"), "clk_ts", "5 minutes",
+      expr("imp_ad = clk_ad AND clk_ts BETWEEN imp_ts AND imp_ts + INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjo")
+      .outputMode("append").start()
+    imp.addData((t(1), 7L), (t(1), 8L))
+    clk.addData((t(3), 7L))
+    q.processAllAvailable()
+    // push both watermarks far ahead so ad 8's no-match is provable
+    imp.addData((t(50), 99L)); clk.addData((t(50), 99L))
+    q.processAllAvailable()
+    val rows = spark.table("ssjo").select("imp_ad", "clk_ad")
+      .as[(Long, Option[Long])].collect().toSet
+    q.stop()
+    assert(rows.contains((7L, Some(7L))))
+    assert(rows.contains((8L, None)))
+  }
+
+  test("cdc merge sink: latest-wins upsert and delete converge the snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("cdcmerge").toString + "/store"
+    val in = MemoryStream[(Long, String, Long, Boolean)]
+    val df = in.toDF().toDF("k", "v", "seq", "del")
+    val q = StreamingOps.cdcMergeSink(df, Seq("k"), "seq", "del", dir).start()
+    in.addData((1L, "a1", 1L, false), (2L, "b1", 1L, false))
+    q.processAllAvailable()
+    in.addData((1L, "a2", 2L, false), (2L, "x", 2L, true), (3L, "c1", 1L, false))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(dir).select("k", "v")
+      .as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a2"), (3L, "c1")))
+  }
+}
