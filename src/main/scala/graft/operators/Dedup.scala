@@ -570,9 +570,12 @@ object Dedup {
   def substringDupProfile(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 20, w: Int = 8): DataFrame = {
     val fp = TextAnalysis.fingerprintsMod(df, idCol, textCol, k, w)
-    // fp is already distinct per (doc, fp) → plain count is doc frequency
-    val freq = fp.groupBy("fp").agg(count(lit(1)).as("ndocs"))
-    fp.join(freq, "fp")
+    // doc frequency as a count-over-partition instead of
+    // aggregate+join-back: ONE exchange on fp carries both (fp is
+    // already distinct per (doc, fp), so the partition size IS the
+    // doc frequency); the join formulation shuffles the fingerprint
+    // stream twice and runs the hashing UDF once per branch
+    fp.withColumn("ndocs", count(lit(1)).over(Window.partitionBy("fp")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_fp"),
         sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))

@@ -587,8 +587,10 @@ object GraphQueries {
         val km = readsFromDocs(s, d).select(col("id"),
           explode(expr("transform(sequence(1, 26), i -> substring(seq, i, 15))"))
             .as("kmer"))
-        val spectrum = km.groupBy("kmer").agg(count(lit(1)).as("c"))
-        km.join(spectrum, "kmer")
+        // spectrum count as count-over-partition: ONE exchange on
+        // kmer, no aggregate+join-back (which would shuffle the
+        // k-mer stream twice and explode the reads once per branch)
+        km.withColumn("c", count(lit(1)).over(Window.partitionBy("kmer")))
           .groupBy("id")
           .agg(count(lit(1)).as("n_kmers"),
             sum(when(col("c") < 2, 1L).otherwise(0L)).as("n_weak"))

@@ -932,8 +932,12 @@ object Relational {
       // the corpus). All-integer week arithmetic.
       (s, d) => {
         val w = ev(s, d).select(col("user_id"), expr("t div 604800").as("wk"))
-        val cohort = w.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-        w.join(cohort, "user_id")
+        // min-over-partition instead of aggregate+self-join: ONE
+        // exchange on user_id carries both the cohort derivation and
+        // the event rows (the join formulation shuffles twice and
+        // scans twice)
+        val cohort = min("wk").over(Window.partitionBy("user_id"))
+        w.withColumn("cohort_wk", cohort)
           .groupBy(col("cohort_wk"),
             (col("wk") - col("cohort_wk")).as("weeks_since"))
           .agg(countDistinct("user_id").as("active_users"))
