@@ -72,6 +72,41 @@ object Multimodal {
       })
   }
 
+  /** Perceptual-hash near-duplicate pairs over a binary media column:
+    * a 60-bit AVERAGE HASH (aHash) per payload — bit j set iff the
+    * j-th positional byte-group sum exceeds the global mean, the
+    * integer compare `sums[j]·60 > total` so the hash is
+    * bit-reproducible in plain SQL — then banded hamming-LSH exactly
+    * like text SimHash: 4 bands × 15 bits generate candidates (a
+    * pair within hamming ≤ 3 of 60 bits shares ≥ 1 intact band by
+    * pigeonhole), capped buckets, popcount verification. The decode
+    * stage is the [[decode]] stub; swap in a real image codec and
+    * the group sums become downsampled luma — the plumbing, banding,
+    * and verification stay identical.
+    */
+  def perceptualHashPairs(df: DataFrame, idCol: String, binCol: String,
+                          maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val media = decode(df, idCol, binCol, nFeat = 60).toDF()
+    val ph = media.select(col("id"),
+        expr("aggregate(featSums, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("total"),
+        col("featSums"))
+      .select(col("id"), expr(
+        "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) -> " +
+          "acc + CASE WHEN featSums[j] * 60 > total " +
+          "THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)").as("ph"))
+    val banded = ph.withColumn("band", explode(expr(
+        "transform(sequence(0, 3), k -> struct(k AS k, (shiftright(ph, k*15) & 32767) AS bh))")))
+      .select(col("id"), col("ph"), col("band.k").as("k"), col("band.bh").as("bh"))
+      .transform(Dedup.capBuckets(_, Seq("k", "bh"), "id", maxBucket))
+    banded.as("a").join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        expr("CAST(bit_count(a.ph ^ b.ph) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** One sampled frame: exact-integer per-frame statistics (the float
     * embedding of a real frame featurizer would ride the same row —
     * integer sums are what a SQL oracle can verify). */

@@ -57,4 +57,25 @@ object Snapshot {
       .select(keys.map(col) ++ compare.map(c => col(s"new_$c").as(c)): _*)
     untouched.unionByName(upserts)
   }
+
+  /** Incremental AGGREGATE maintenance — the materialized-view form
+    * of CDC: fold (count, sum) DELTA rows into a previous aggregate
+    * table without touching the base data. Union + re-aggregate on
+    * the group key: one exchange sized by |agg table| + |delta|,
+    * never by the underlying fact table — recompute cost is
+    * O(changes + groups), the whole point of keeping the aggregate
+    * incremental at 100 TB. Groups whose count reaches zero vanish
+    * (the delete-last-row case); count and sum columns must be the
+    * linear (summable) kind — avg/percentile need their linear
+    * decompositions maintained instead.
+    */
+  def mergeAggDeltas(prevAgg: DataFrame, deltas: DataFrame,
+                     keys: Seq[String], cntCol: String,
+                     sumCols: Seq[String]): DataFrame =
+    prevAgg.select((keys ++ (cntCol +: sumCols)).map(col): _*)
+      .unionByName(deltas.select((keys ++ (cntCol +: sumCols)).map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(cntCol).as(cntCol),
+        sumCols.map(c => sum(c).as(c)): _*)
+      .filter(col(cntCol) > 0)
 }

@@ -91,8 +91,13 @@ object PipelineQueries {
     * made it intractable); MATERIALIZED pins every multi-referenced
     * CTE so DuckDB can't re-inline the whole upstream minhash
     * pipeline per reference. */
-  private val fuzzyCcSql: String = {
-    val rounds = (1 to 8).map { k =>
+  /** Unrolled connected-components rounds over an `e2(x, y)`
+    * symmetric edge CTE the caller must define: l0 seed, `n` rounds
+    * of edge-relax + double pointer-jump, terminal `cc(node,
+    * component)`. Shared by d11/d12 (minhash pair graph) and s6
+    * (embedding epsilon graph). */
+  private def ccFromE2Sql(n: Int): String = {
+    val rounds = (1 to n).map { k =>
       val prev = if (k == 1) "l0" else s"l${k - 1}"
       s"""r$k AS MATERIALIZED (SELECT a.node, least(a.lbl, min(b.lbl)) AS lbl
          |  FROM $prev a JOIN e2 ON e2.x = a.node JOIN $prev b ON b.node = e2.y
@@ -102,14 +107,17 @@ object PipelineQueries {
          |l$k AS MATERIALIZED (SELECT a.node, coalesce(b.lbl, a.lbl) AS lbl
          |  FROM ja$k a LEFT JOIN ja$k b ON b.node = a.lbl)""".stripMargin
     }.mkString(",\n")
+    s"""l0 AS MATERIALIZED (SELECT x AS node, least(x, min(y)) AS lbl
+       |  FROM e2 GROUP BY 1),
+       |$rounds,
+       |cc AS (SELECT node, lbl AS component FROM l$n)""".stripMargin
+  }
+
+  private val fuzzyCcSql: String =
     s"""pr AS MATERIALIZED (SELECT a, b FROM prs WHERE jac >= 0.95),
        |e2 AS MATERIALIZED (SELECT a AS x, b AS y FROM pr
        |  UNION SELECT b, a FROM pr),
-       |l0 AS MATERIALIZED (SELECT x AS node, least(x, min(y)) AS lbl
-       |  FROM e2 GROUP BY 1),
-       |$rounds,
-       |cc AS (SELECT node, lbl AS component FROM l8)""".stripMargin
-  }
+       |${ccFromE2Sql(8)}""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -862,6 +870,70 @@ object PipelineQueries {
               |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
               |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("s6_embedding_clusters",
+      // Embedding density clustering for curation: the epsilon-ball
+      // cosine graph (d5's verified pairs) closed under connectivity
+      // — single-linkage clusters labeled by their minimum member,
+      // every vector present (singletons self-labeled). Clustering
+      // runs on GraphOps.connectedComponents (contraction, O(log n)
+      // levels); at corpus scale the pair input swaps to the d5b LSH
+      // path unchanged. Oracle: explicit-double cosine pairs +
+      // unrolled relax/pointer-jump CC — the same closure convention
+      // d11 established.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val pairs = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", 0.4)
+        val comp = graft.graph.GraphOps.connectedComponents(
+          pairs.select(col("a").as("src"), col("b").as("dst")))
+        e.select(col("vec_id"))
+          .join(comp.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+          .select(coalesce(col("component"), col("vec_id")).as("cluster_id"),
+            col("vec_id"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $cosSql,
+              |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+              |  FROM ce a JOIN ce b ON a.vec_id < b.vec_id
+              |  WHERE list_dot_product(a.v, b.v)
+              |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+              |e2 AS MATERIALIZED (SELECT a AS x, b AS y FROM p
+              |  UNION SELECT b, a FROM p),
+              |${ccFromE2Sql(16)}
+              |SELECT coalesce(cc.component, ce.vec_id) AS cluster_id, ce.vec_id
+              |FROM ce LEFT JOIN cc ON cc.node = ce.vec_id
+              |ORDER BY vec_id""".stripMargin)),
+
+    Q("m4_phash_dedup",
+      // Perceptual-hash near-dup over the binary media column: 60-bit
+      // average hash (bit j = positional byte-group sum j above the
+      // payload mean, exact-integer compare), 4×15-bit hamming-LSH
+      // bands (pigeonhole-complete for hamming ≤ 3), capped buckets,
+      // popcount verify — image dedup plumbing with the stub codec;
+      // a real decoder swaps in under the same banding/verify. The
+      // oracle replays hash, bands, candidates, and verification.
+      (s, d) => Multimodal.perceptualHashPairs(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "doc_id", "payload", maxHamming = 3)
+        .orderBy("a", "b"),
+      Some("""WITH s AS (SELECT doc_id, (i - 1) % 60 AS j,
+             |    ascii(substr(text, CAST(i AS INT), 1)) AS v
+             |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+             |        FROM documents)),
+             |g AS (SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS sj FROM s GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tv FROM s GROUP BY 1),
+             |ph AS (SELECT g.doc_id,
+             |    CAST(sum(CASE WHEN sj * 60 > tv
+             |         THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS ph
+             |  FROM g JOIN tot ON tot.doc_id = g.doc_id GROUP BY 1),
+             |bd AS (SELECT doc_id, k, (ph >> (k*15)) & 32767 AS bh, ph
+             |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS k) ks),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.ph AS pa, y.ph AS pb
+             |  FROM bd x JOIN bd y ON x.k = y.k AND x.bh = y.bh AND x.doc_id < y.doc_id)
+             |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+             |ORDER BY a, b""".stripMargin)),
 
     Q("s4_knn_sql",
       // Brute kNN written entirely in SQL through the registered

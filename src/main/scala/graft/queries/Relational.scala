@@ -1027,6 +1027,47 @@ object Relational {
              |    AND (q.day > p.day OR q.cents > p.cents))
              |ORDER BY day""".stripMargin)),
 
+    Q("q52_incremental_agg",
+      // Incremental AGGREGATE maintenance (materialized-view CDC):
+      // the per-nation (count, sum-of-cents) aggregate of the q41
+      // snapshot pair is maintained from the PREVIOUS aggregate plus
+      // the Snapshot.diff action table — every diff row becomes a
+      // delete-side and/or insert-side delta, folded in by
+      // Snapshot.mergeAggDeltas (union + re-aggregate, one exchange
+      // sized by |groups| + |changes|, never the base table). The
+      // oracle RECOMPUTES the aggregate from the new snapshot
+      // directly — incremental ≡ recompute is the invariant under
+      // test, not a mirror.
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        val prev = c.filter(col("c_custkey") % 5 =!= 0)
+        val next = c.filter(col("c_custkey") % 7 =!= 0)
+          .withColumn("cents", when(col("c_custkey") % 3 === 0,
+            col("cents") + 10000L).otherwise(col("cents")))
+        val prevAgg = prev.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        val diff = graft.operators.Snapshot.diff(prev, next,
+          Seq("c_custkey"), Seq("c_nationkey", "cents"))
+        val deltas = diff.filter(col("action").isin("delete", "update"))
+          .select(col("old_c_nationkey").as("c_nationkey"),
+            lit(-1L).as("n"), (-col("old_cents")).as("s"))
+          .unionByName(diff.filter(col("action").isin("insert", "update"))
+            .select(col("new_c_nationkey").as("c_nationkey"),
+              lit(1L).as("n"), col("new_cents").as("s")))
+        graft.operators.Snapshot.mergeAggDeltas(prevAgg, deltas,
+            Seq("c_nationkey"), "n", Seq("s"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH next AS (SELECT c_custkey, c_nationkey,
+             |    CASE WHEN c_custkey % 3 = 0
+             |         THEN CAST(round(c_acctbal * 100) AS BIGINT) + 10000
+             |         ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS cents
+             |  FROM customer WHERE c_custkey % 7 <> 0)
+             |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS s
+             |FROM next GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("prof1_column_profile",
       // One-pass table profiling (Profiler.profile): null counts,
       // distinct cardinality, min/max per column in a single

@@ -194,3 +194,40 @@ class SsspSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 5L -> 0L, 2L -> 1L))
   }
 }
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeAggDeltas: incremental maintenance equals recompute, empty groups vanish") {
+    val prevRows = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
+    val prev = prevRows.toDF("k", "v")
+    val nextRows = Seq((1L, 10L), (1L, 25L), (4L, 9L)) // 20→25 upd, del k=2/k=3, ins k=4
+    val prevAgg = prev.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val deltas = Seq(
+      (1L, -1L, -20L), (1L, 1L, 25L), // update as del+ins
+      (2L, -1L, -5L), (3L, -1L, -7L), // deletes
+      (4L, 1L, 9L)).toDF("k", "n", "s")
+    val out = graft.operators.Snapshot.mergeAggDeltas(prevAgg, deltas, Seq("k"), "n", Seq("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val recomputed = nextRows.toDF("k", "v").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == recomputed)
+    assert(!out.exists(_._1 == 2L)) // zero-count group dropped
+  }
+}
+
+class PerceptualHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clone payloads pair at hamming 0; unrelated payloads don't pair") {
+    val base = ("A" * 40) + ("z" * 40) + ("A" * 40) // strong positional structure
+    val other = ("0" * 25) + ("Z" * 95)             // different shape entirely
+    val docs = Seq(1L -> base, 2L -> base, 3L -> other)
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = graft.operators.Multimodal.perceptualHashPairs(docs, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((1L, 2L, 0L)))
+  }
+}
