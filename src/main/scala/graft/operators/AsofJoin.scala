@@ -49,4 +49,58 @@ object AsofJoin {
     val rightCols = payloadCols.map(c => col(s"__m.$c").as(c))
     matched.select(leftCols ++ rightCols: _*)
   }
+
+  /** Direction- and tolerance-generalized as-of join (the pandas
+    * `merge_asof(direction=, tolerance=)` surface) with the SAME
+    * single-shuffle union+window shape as [[apply]]:
+    *
+    *  - `forward = false`: latest right row with rightTime <=
+    *    leftTime (backward — [[apply]]'s semantics);
+    *  - `forward = true`: earliest right row with rightTime >=
+    *    leftTime, implemented by negating the time axis — the one
+    *    window pass is direction-agnostic;
+    *  - `tolerance`: matches farther than this many time units away
+    *    null out (applied AFTER the match: nearest-row semantics,
+    *    not nearest-within-window — exactly merge_asof).
+    *
+    * Tie-break at the boundary time is the greatest payload struct in
+    * both directions (deterministic on any engine; mirror in SQL
+    * with `ORDER BY t DESC/ASC, payload DESC LIMIT 1`).
+    */
+  def directed(left: DataFrame, right: DataFrame,
+               key: String, leftTime: String, rightTime: String,
+               forward: Boolean, tolerance: Option[Long] = None): DataFrame = {
+    val f = if (forward) -1L else 1L
+    val payloadCols = right.columns.filterNot(_ == key).toSeq
+    val payload = struct((rightTime +: payloadCols.filterNot(_ == rightTime))
+      .map(c => col(c)): _*)
+
+    val r = right.select(col(key), (col(rightTime).cast("long") * f).as("__time"),
+      payload.as("__rp"), lit(1).as("__isR"))
+    val l = left.select(col(key), (col(leftTime).cast("long") * f).as("__time"),
+      lit(null).cast(r.schema("__rp").dataType).as("__rp"), lit(0).as("__isR"),
+      struct(left.columns.map(col): _*).as("__lrow"))
+
+    val unioned = l.unionByName(r.withColumn("__lrow",
+      lit(null).cast(l.schema("__lrow").dataType)), allowMissingColumns = false)
+
+    val w = Window.partitionBy(key)
+      .orderBy(col("__time").asc, col("__isR").desc, col("__rp").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = unioned
+      .withColumn("__m", last("__rp", ignoreNulls = true).over(w))
+      .filter(col("__isR") === 0)
+
+    val lt = col(s"__lrow.$leftTime").cast("long")
+    val rt = col(s"__m.$rightTime").cast("long")
+    val gap = if (forward) rt - lt else lt - rt
+    val ok = tolerance
+      .map(tol => col("__m").isNotNull && gap <= tol)
+      .getOrElse(col("__m").isNotNull)
+
+    val leftCols = left.columns.map(c => col(s"__lrow.$c").as(c)).toSeq
+    val rightCols = payloadCols.map(c => when(ok, col(s"__m.$c")).as(c))
+    matched.select((leftCols ++ rightCols :+ when(ok, gap).as("asof_gap")): _*)
+  }
 }

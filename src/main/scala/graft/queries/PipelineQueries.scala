@@ -871,6 +871,45 @@ object PipelineQueries {
               |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("t13_code_prose",
+      // Code-vs-prose classification by character-class composition —
+      // the standard cheap filter a training-data pipeline runs
+      // before language-specific tooling. All-integer basis points
+      // via the translate-and-measure idiom (length minus length
+      // after deleting the class), one narrow projection pass, no
+      // shuffle at all until the output sort.
+      (s, d) => {
+        // `div`, not `/`: Column./ is DOUBLE division in Spark — the
+        // oracle's `//` is integer division, and only `div` matches it
+        def classBp(chars: String) = expr(
+          s"(CAST(length(text) - length(translate(text, '$chars', '')) AS BIGINT)" +
+            s" * 10000) div length(text)")
+        Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"),
+            classBp(";{}()=<>[]|&#").as("sym_bp"),
+            classBp("0123456789").as("digit_bp"),
+            classBp(" ").as("space_bp"))
+          .withColumn("is_code",
+            (col("sym_bp") > 150 || col("digit_bp") > 1500).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  (length(text) - length(translate(text, ';{}()=<>[]|&#', ''))) * 10000
+             |    // length(text) AS sym_bp,
+             |  (length(text) - length(translate(text, '0123456789', ''))) * 10000
+             |    // length(text) AS digit_bp,
+             |  (length(text) - length(translate(text, ' ', ''))) * 10000
+             |    // length(text) AS space_bp,
+             |  CAST(CASE WHEN
+             |    (length(text) - length(translate(text, ';{}()=<>[]|&#', ''))) * 10000
+             |      // length(text) > 150
+             |    OR (length(text) - length(translate(text, '0123456789', ''))) * 10000
+             |      // length(text) > 1500
+             |    THEN 1 ELSE 0 END AS INT) AS is_code
+             |FROM documents WHERE length(text) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("s6_embedding_clusters",
       // Embedding density clustering for curation: the epsilon-ball
       // cosine graph (d5's verified pairs) closed under connectivity

@@ -1027,6 +1027,44 @@ object Relational {
              |    AND (q.day > p.day OR q.cents > p.cents))
              |ORDER BY day""".stripMargin)),
 
+    Q("q53_asof_forward_tolerance",
+      // Direction+tolerance as-of (pandas merge_asof(direction=
+      // 'forward', tolerance=1d)): for each signup, the EARLIEST
+      // purchase by the same user within one day — conversion-time
+      // attribution. Same single-shuffle union+window shape as q25's
+      // backward as-of (the time axis is negated, the window pass is
+      // direction-agnostic); matches beyond tolerance null out AFTER
+      // the nearest-match selection, exactly merge_asof. Tie-break
+      // at equal times = greatest payload, mirrored in the oracle's
+      // ORDER BY t ASC, event_id DESC.
+      (s, d) => {
+        val e = ev(s, d)
+        graft.operators.AsofJoin.directed(
+          left = e.filter(col("event_type") === "signup")
+            .select("event_id", "user_id", "t"),
+          right = e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("t").as("rt"), col("event_id").as("purchase_id")),
+          key = "user_id", leftTime = "t", rightTime = "rt",
+          forward = true, tolerance = Some(86400L))
+          .select("event_id", "user_id", "purchase_id", "asof_gap")
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS ($evSql),
+              |s AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'signup'),
+              |m AS (SELECT sid, purchase_id, gap FROM (
+              |    SELECT s.event_id AS sid, p.event_id AS purchase_id,
+              |      p.t - s.t AS gap,
+              |      row_number() OVER (PARTITION BY s.event_id
+              |        ORDER BY p.t ASC, p.event_id DESC) AS rk
+              |    FROM s JOIN e p ON p.event_type = 'purchase'
+              |      AND p.user_id = s.user_id AND p.t >= s.t)
+              |  WHERE rk = 1)
+              |SELECT s.event_id, s.user_id,
+              |  CASE WHEN m.gap <= 86400 THEN m.purchase_id END AS purchase_id,
+              |  CASE WHEN m.gap <= 86400 THEN m.gap END AS asof_gap
+              |FROM s LEFT JOIN m ON m.sid = s.event_id
+              |ORDER BY s.event_id""".stripMargin)),
+
     Q("q52_incremental_agg",
       // Incremental AGGREGATE maintenance (materialized-view CDC):
       // the per-nation (count, sum-of-cents) aggregate of the q41

@@ -231,3 +231,66 @@ class PerceptualHashSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 2L, 0L)))
   }
 }
+
+class AsofDirectedPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(7)
+  private val lefts = (0 until 300).map(i =>
+    (i.toLong, rng.nextInt(8).toLong, rng.nextInt(1000).toLong)) // (lid, key, t)
+  private val rights = (0 until 300).map(i =>
+    (1000L + i, rng.nextInt(8).toLong, rng.nextInt(1000).toLong)) // (rid, key, rt)
+
+  test("directed(backward, no tolerance) is exactly apply()") {
+    val l = lefts.toDF("lid", "k", "t")
+    val r = rights.toDF("rid", "k", "rt").select("k", "rt", "rid")
+    val base = graft.operators.AsofJoin(l, r, "k", "t", "rt")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    val dir = graft.operators.AsofJoin.directed(l, r, "k", "t", "rt",
+        forward = false, tolerance = None)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(base == dir)
+    assert(base.nonEmpty)
+  }
+
+  test("forward matches the naive nearest-following-row definition, tolerance masks") {
+    val l = lefts.toDF("lid", "k", "t")
+    val r = rights.toDF("rid", "k", "rt").select("k", "rt", "rid")
+    val tol = 50L
+    val out = graft.operators.AsofJoin.directed(l, r, "k", "t", "rt",
+        forward = true, tolerance = Some(tol))
+      .select("lid", "rid", "asof_gap")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    for ((lid, k, t) <- lefts) {
+      val cands = rights.filter(x => x._2 == k && x._3 >= t)
+      val expected =
+        if (cands.isEmpty) (None, None)
+        else {
+          // nearest rt; tie-break greatest payload struct (rt, rid)
+          val best = cands.minBy(x => (x._3, -x._1))
+          if (best._3 - t <= tol) (Some(best._1), Some(best._3 - t)) else (None, None)
+        }
+      assert(out(lid) == expected, s"left $lid (k=$k,t=$t)")
+    }
+  }
+}
+
+class SsspBfsEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sssp with unit weights equals bfs hop depth on a random graph") {
+    val rng = new scala.util.Random(11)
+    val edges = (0 until 400).map(_ =>
+      (rng.nextInt(120).toLong, rng.nextInt(120).toLong)).filter(e => e._1 != e._2).distinct
+    val e = edges.toDF("src", "dst")
+    val seeds = Seq(0L, 7L, 63L).toDF("node")
+    val viaBfs = graft.graph.GraphOps.bfs(e, seeds, maxDepth = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaSssp = graft.graph.GraphOps.sssp(
+        e.withColumn("w", lit(1L)), seeds, maxRounds = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBfs == viaSssp)
+    assert(viaBfs.nonEmpty)
+  }
+}
