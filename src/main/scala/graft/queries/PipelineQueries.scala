@@ -42,10 +42,15 @@ object PipelineQueries {
   /** First 8 hex digits of md5(tok) parsed positionally into a BIGINT
     * (the minhash base hash; mirrors Spark's `conv(substr(md5(tok),
     * 1, 8), 16, 10)`). */
-  private val baseHashSql: String =
+  private def baseHashSqlOf(e: String): String =
     (0 until 8).map { m =>
-      s"(strpos('0123456789abcdef', substr(md5(tok), ${m + 1}, 1)) - 1) * ${1L << (4 * (7 - m))}"
+      s"(strpos('0123456789abcdef', substr(md5($e), ${m + 1}, 1)) - 1) * ${1L << (4 * (7 - m))}"
     }.mkString("(", " + ", ")")
+
+  private val baseHashSql: String = baseHashSqlOf("tok")
+
+  /** House base hash of the doc id itself (split assignment). */
+  private val docIdBaseHashSql: String = baseHashSqlOf("CAST(doc_id AS VARCHAR)")
 
   /** VALUES list of the affine minhash coefficients — generated from
     * the SAME arrays the Spark operator uses (Dedup.minhashCoeffs). */
@@ -626,6 +631,33 @@ object PipelineQueries {
              |CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
              |round(sum(l_quantity),2) AS sum_qty FROM lineitem
              |WHERE ((l_orderkey % 1000003) * 2654435761 + l_linenumber) % 100 < 7""".stripMargin)),
+
+    Q("smp5_train_test_split",
+      // Deterministic train/validation/test assignment — the split a
+      // training pipeline must reproduce bit-for-bit across reruns
+      // and engines: md5 of the doc id → 31-bit house base hash →
+      // percent bucket → 80/10/10. Assignment is a pure projection
+      // (no shuffle, no RNG state, survives repartitioning and
+      // retries); the per-(lang, split) rollup checks the strata
+      // stay proportional under the hash. Same md5-affine convention
+      // as every other sketch, so the oracle replays it exactly.
+      (s, d) => {
+        val pct = expr(
+          s"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)" +
+            s" % ${Dedup.MinhashP} % 100")
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(pct < 80, "train").when(pct < 90, "valid").otherwise("test"))
+          .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""WITH a AS (SELECT lang,
+              |    CASE WHEN pct < 80 THEN 'train'
+              |         WHEN pct < 90 THEN 'valid' ELSE 'test' END AS split
+              |  FROM (SELECT lang, ($docIdBaseHashSql) % ${Dedup.MinhashP} % 100 AS pct
+              |        FROM documents))
+              |SELECT lang, split, CAST(count(*) AS BIGINT) AS n
+              |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("smp2_stratified_sample",
       // per-stratum deterministic rates: downsample the dominant

@@ -1106,6 +1106,82 @@ object Relational {
              |  CAST(sum(cents) AS BIGINT) AS s
              |FROM next GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("q54_interval_coalesce",
+      // Interval coalescing (gaps-and-islands): each event opens a
+      // [t, t+900] interval; overlapping intervals per user merge
+      // into islands. The island id is a running SUM of new-island
+      // flags, where a flag compares the interval start against the
+      // running MAX of all previous ends — two stacked window
+      // passes over ONE per-user exchange, the canonical distributed
+      // formulation (no self-join, no recursion). All integer.
+      (s, d) => {
+        val iv = ev(s, d).filter(col("user_id") < 40)
+          .select(col("user_id"), col("t").as("s"), (col("t") + 900L).as("e"))
+          .distinct()
+        val wOrd = Window.partitionBy("user_id").orderBy("s", "e")
+        val prevMaxEnd = max("e").over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+        val flagged = iv.withColumn("new_island",
+          (col("s") > coalesce(prevMaxEnd, lit(-1L))).cast("long"))
+        flagged.withColumn("island", sum("new_island").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "island")
+          .agg(min("s").as("start"), max("e").as("end"), count(lit(1)).as("n_merged"))
+          .select("user_id", "start", "end", "n_merged")
+          .orderBy("user_id", "start")
+      },
+      Some(s"""WITH e AS ($evSql),
+              |iv AS (SELECT DISTINCT user_id, t AS s, t + 900 AS e
+              |  FROM e WHERE user_id < 40),
+              |f AS (SELECT user_id, s, e,
+              |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id ORDER BY s, e
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              |      THEN 1 ELSE 0 END AS new_island
+              |  FROM iv),
+              |g AS (SELECT user_id, s, e,
+              |    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              |  FROM f)
+              |SELECT user_id, min(s) AS start, max(e) AS "end",
+              |  CAST(count(*) AS BIGINT) AS n_merged
+              |FROM g GROUP BY user_id, island
+              |ORDER BY user_id, start""".stripMargin)),
+
+    Q("q55_streaks",
+      // Longest consecutive-day activity streak per user — the
+      // day − dense_rank constant-difference trick: within a user,
+      // consecutive days share (day − rank), so streaks fall out of
+      // one more groupBy. Two shuffles total (daily distinct + the
+      // streak rollup rides the same user partitioning). Tie-break:
+      // the earliest longest streak.
+      (s, d) => {
+        val daily = ev(s, d).filter(col("user_id") < 100)
+          .select(col("user_id"), expr("t div 86400").as("day")).distinct()
+        val rk = row_number().over(Window.partitionBy("user_id").orderBy("day"))
+        val streaks = daily.withColumn("grp", col("day") - rk)
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+        streaks.withColumn("best", row_number().over(
+            Window.partitionBy("user_id").orderBy(col("len").desc, col("start_day"))))
+          .filter(col("best") === 1)
+          .select("user_id", "len", "start_day")
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS ($evSql),
+              |daily AS (SELECT DISTINCT user_id, t // 86400 AS day
+              |  FROM e WHERE user_id < 100),
+              |g AS (SELECT user_id, day,
+              |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+              |  FROM daily),
+              |st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+              |    min(day) AS start_day
+              |  FROM g GROUP BY 1, 2),
+              |r AS (SELECT user_id, len, start_day,
+              |    row_number() OVER (PARTITION BY user_id
+              |      ORDER BY len DESC, start_day) AS best
+              |  FROM st)
+              |SELECT user_id, len, start_day FROM r WHERE best = 1
+              |ORDER BY user_id""".stripMargin)),
+
     Q("prof1_column_profile",
       // One-pass table profiling (Profiler.profile): null counts,
       // distinct cardinality, min/max per column in a single

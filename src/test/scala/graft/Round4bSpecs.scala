@@ -294,3 +294,48 @@ class SsspBfsEquivalenceSpec extends SparkSpec {
     assert(viaBfs.nonEmpty)
   }
 }
+
+class IslandsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coalesced intervals are disjoint, ordered, and cover every input") {
+    val rows = SparkEntry.queries("q54_interval_coalesce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1) // strict gap
+        case _ =>
+      }
+      rs.foreach { case (_, s, e, n) => assert(e > s && n >= 1) }
+    }
+    // island event counts add up to the user's distinct interval count
+    val iv = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000").as("t"))
+      .filter(col("user_id") < 40).select(col("user_id"), col("t")).distinct()
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = rows.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._4).sum }
+    assert(byUser == iv)
+  }
+
+  test("streaks match a naive per-user re-derivation") {
+    val out = SparkEntry.queries("q55_streaks")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+      .filter(col("user_id") < 100).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    days.groupBy(_._1).foreach { case (u, ds) =>
+      val sorted = ds.map(_._2).sorted
+      // fold into (start, len) runs of consecutive days
+      val runs = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, l) :: tail, d) if d == s + l => (s, l + 1) :: tail
+        case (acc, d) => (d, 1L) :: acc
+      }
+      val best = runs.map { case (s, l) => (l, s) }.sortBy(t => (-t._1, t._2)).head
+      assert(out(u) == best, s"user $u")
+    }
+  }
+}
