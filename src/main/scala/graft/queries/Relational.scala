@@ -1182,6 +1182,128 @@ object Relational {
               |SELECT user_id, len, start_day FROM r WHERE best = 1
               |ORDER BY user_id""".stripMargin)),
 
+    Q("q56_string_agg",
+      // Ordered string aggregation (LISTAGG/STRING_AGG): per-nation
+      // market segments as one sorted comma-joined string. Sorting
+      // INSIDE the aggregate (sort_array before joining) makes the
+      // result order-insensitive to partial-aggregation order — the
+      // only way a distributed listagg is deterministic.
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segs"),
+          countDistinct("c_mktsegment").as("n_segs"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey,
+             |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+             |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segs
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q57_equidepth_histogram",
+      // Equi-DEPTH histogram (quantile binning) — q42's equal-width
+      // complement, the profiling primitive behind range partitioning
+      // choices: ntile(8) over exact integer cents, per-bin count +
+      // bounds. The ntile window is a global sort at local scale; a
+      // cluster derives the same bounds from range-partition stats
+      // (approx_percentile) instead — documented trade, same output
+      // contract.
+      (s, d) => {
+        val w = Window.orderBy(col("cents"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .withColumn("bin", ntile(8).over(w).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("cnt"), min("cents").as("lo"), max("cents").as("hi"))
+          .orderBy("bin")
+      },
+      Some("""WITH b AS (SELECT o_orderkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |n AS (SELECT cents,
+             |    CAST(ntile(8) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS bin
+             |  FROM b)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+             |  min(cents) AS lo, max(cents) AS hi
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q58_sequence_gaps",
+      // Sequence-gap detection (data-quality audit): ranges of
+      // missing o_orderkey values, found with one lead() pass over
+      // the sorted key stream — no generate_series over the domain
+      // (which would be the data-scale anti-pattern at 100 TB).
+      // Audited stream: urgent orders only, whose keys are sparse in
+      // the full domain — the filter is the realistic shape (audit a
+      // partition/tenant's keys), and it guarantees real gaps at
+      // every SF. The global sort window is the local[32] form; at
+      // cluster scale the same lead() runs inside range partitions
+      // with one boundary row exchanged per partition.
+      (s, d) => {
+        val w = Window.orderBy("o_orderkey")
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+          .withColumn("nxt", lead("o_orderkey", 1).over(w))
+          .filter(col("nxt") > col("o_orderkey") + 1)
+          .select((col("o_orderkey") + 1).as("gap_start"),
+            (col("nxt") - 1).as("gap_end"),
+            (col("nxt") - col("o_orderkey") - 1).as("n_missing"))
+          .orderBy("gap_start")
+      },
+      Some("""WITH s AS (SELECT o_orderkey,
+             |    lead(o_orderkey, 1) OVER (ORDER BY o_orderkey) AS nxt
+             |  FROM orders WHERE o_orderpriority = '1-URGENT')
+             |SELECT o_orderkey + 1 AS gap_start, nxt - 1 AS gap_end,
+             |  nxt - o_orderkey - 1 AS n_missing
+             |FROM s WHERE nxt > o_orderkey + 1
+             |ORDER BY gap_start""".stripMargin)),
+
+    Q("q59_attribution",
+      // Multi-touch attribution: every purchase splits 10000 basis
+      // points of credit EQUALLY across the user's click/view touches
+      // in the preceding 24h (integer division, remainder to the
+      // LATEST touch so credit sums exactly to 10000 per converted
+      // purchase), then credit rolls up per touch type. Range join on
+      // the user key + time window, credit arithmetic all-integer.
+      (s, d) => {
+        val e = ev(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("pid"), col("t").as("pt"))
+        val touches = e.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_type").as("touch"),
+            col("event_id").as("tid"), col("t").as("tt"))
+        val joined = purchases.join(touches, Seq("user_id"))
+          .filter(col("tt") <= col("pt") && col("tt") > col("pt") - 86400L)
+        val w = Window.partitionBy("pid")
+        val ranked = joined
+          .withColumn("n_touch", count(lit(1)).over(w))
+          .withColumn("latest", row_number().over(
+            w.orderBy(col("tt").desc, col("tid").desc)))
+        ranked
+          .withColumn("credit",
+            expr("10000 div n_touch") +
+              when(col("latest") === 1, expr("10000 % n_touch")).otherwise(0L))
+          .groupBy("touch")
+          .agg(sum("credit").as("credit_bp"), countDistinct("pid").as("n_purchases"))
+          .orderBy("touch")
+      },
+      Some(s"""WITH e AS ($evSql),
+              |p AS (SELECT user_id, event_id AS pid, t AS pt FROM e
+              |  WHERE event_type = 'purchase'),
+              |tc AS (SELECT user_id, event_type AS touch, event_id AS tid, t AS tt
+              |  FROM e WHERE event_type IN ('click', 'view')),
+              |j AS (SELECT p.pid, tc.touch, tc.tid, tc.tt FROM p JOIN tc USING (user_id)
+              |  WHERE tc.tt <= p.pt AND tc.tt > p.pt - 86400),
+              |r AS (SELECT pid, touch,
+              |    count(*) OVER (PARTITION BY pid) AS n_touch,
+              |    row_number() OVER (PARTITION BY pid ORDER BY tt DESC, tid DESC) AS latest
+              |  FROM j)
+              |SELECT touch,
+              |  CAST(sum(10000 // n_touch
+              |    + CASE WHEN latest = 1 THEN 10000 % n_touch ELSE 0 END) AS BIGINT)
+              |    AS credit_bp,
+              |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases
+              |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("prof1_column_profile",
       // One-pass table profiling (Profiler.profile): null counts,
       // distinct cardinality, min/max per column in a single

@@ -339,3 +339,26 @@ class IslandsSpec extends SparkSpec {
     }
   }
 }
+
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("credit conserves: exactly 10000 bp per converted purchase") {
+    val rows = SparkEntry.queries("q59_attribution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totalCredit = rows.map(_._2).sum
+    // distinct purchases with >=1 touch in window (union across touch
+    // types can overlap, so recount from the raw table)
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000000000").as("t"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("t").as("pt"))
+    val tc = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("t").as("tt"))
+    val converted = p.join(tc, Seq("user_id"))
+      .filter(col("tt") <= col("pt") && col("tt") > col("pt") - 86400L)
+      .select("pid").distinct().count()
+    assert(totalCredit == 10000L * converted)
+  }
+}
