@@ -606,8 +606,117 @@ object GraphQueries {
               |  CAST(CASE WHEN sum(CASE WHEN sp.c < 2 THEN 1 ELSE 0 END) = 0
               |       THEN 1 ELSE 0 END AS INT) AS solid
               |FROM km JOIN sp USING (kmer)
-              |GROUP BY km.id ORDER BY km.id""".stripMargin))
+              |GROUP BY km.id ORDER BY km.id""".stripMargin)),
+
+    Q("g18_coverage_pileup",
+      // Coverage pileup — the assembler's per-position depth
+      // profile, computed the SCALABLE way: each read contributes a
+      // +1 delta at its start and a −1 past its end, deltas
+      // aggregate per (doc, pos), and one per-doc prefix-sum window
+      // turns them into constant-depth segments (segment length =
+      // distance to the next delta). Work is O(reads + breakpoints),
+      // NEVER O(genome length × coverage) — the oracle, by contrast,
+      // IS the naive per-position count, so the diff-array trick is
+      // verified against the definition. Output: positions at each
+      // depth per document.
+      (s, d) => {
+        val rd = readsFromDocs(s, d).select(
+          expr("id div 1000").as("doc_id"), expr("id % 1000").as("i"))
+        val deltas = rd.select(col("doc_id"), (col("i") * 25 + 1).as("pos"),
+            lit(1L).as("dlt"))
+          .unionByName(rd.select(col("doc_id"), (col("i") * 25 + 41).as("pos"),
+            lit(-1L).as("dlt")))
+          .groupBy("doc_id", "pos").agg(sum("dlt").as("dlt"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        deltas
+          .withColumn("depth", sum("dlt").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("nextPos", lead("pos", 1).over(w))
+          .filter(col("nextPos").isNotNull && col("depth") > 0)
+          .select(col("doc_id"), col("depth"),
+            (col("nextPos") - col("pos")).as("n_pos"))
+          .groupBy("doc_id", "depth").agg(sum("n_pos").as("n_positions"))
+          .orderBy("doc_id", "depth")
+      },
+      Some(s"""WITH $readsSql,
+              |rd AS (SELECT doc_id, i, 1 + i * 25 AS s, i * 25 + 40 AS e FROM r0),
+              |pos AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS p
+              |  FROM documents WHERE length(text) >= 40),
+              |cov AS (SELECT pos.doc_id, pos.p, CAST(count(*) AS BIGINT) AS depth
+              |  FROM pos JOIN rd ON rd.doc_id = pos.doc_id
+              |    AND pos.p BETWEEN rd.s AND rd.e
+              |  GROUP BY 1, 2)
+              |SELECT doc_id, depth, CAST(count(*) AS BIGINT) AS n_positions
+              |FROM cov GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("g19_random_walks",
+      // Deterministic "random" walk sampling (node2vec-style corpus
+      // generation for graph embeddings): from every ~97th vertex,
+      // 4 steps, each step choosing the neighbor minimizing the
+      // house hash of (step, current, neighbor) — reproducible on
+      // any engine, across retries, with no RNG state, exactly like
+      // the smp-family samplers. One hash-join + per-walker top-1
+      // window per step; steps are a FIXED unrolled loop (no
+      // fixpoint machinery for a bounded walk). Walks that hit a
+      // sink stop early.
+      (s, d) => {
+        val e = chainEdges(s, d, withSkip = true)
+        val seeds = GraphOps.vertices(e).filter(col("node") % 97 === 0)
+        var walk = seeds.select(col("node").as("seed"), col("node").as("cur"))
+        val parts = scala.collection.mutable.ArrayBuffer(
+          walk.select(col("seed"), lit(0L).as("step"), col("cur").as("node")))
+        for (st <- 1 to 4) {
+          val nb = walk.join(e, walk("cur") === e("src"))
+            .select(col("seed"), col("dst"),
+              expr(houseHashExpr(
+                s"concat(CAST($st AS STRING), '_', CAST(cur AS STRING), '_', CAST(dst AS STRING))"))
+                .as("h"))
+          val w = Window.partitionBy("seed").orderBy(col("h"), col("dst"))
+          walk = nb.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("seed"), col("dst").as("cur"))
+          parts += walk.select(col("seed"), lit(st.toLong).as("step"),
+            col("cur").as("node"))
+        }
+        parts.reduce(_.unionByName(_)).orderBy("seed", "step")
+      },
+      Some {
+        val steps = (1 to 4).map { st =>
+          val h = houseHashSql(
+            s"CAST($st AS VARCHAR) || '_' || CAST(w${st - 1}.cur AS VARCHAR) || '_' || CAST(e.dst AS VARCHAR)")
+          s"""w$st AS MATERIALIZED (SELECT seed, cur FROM (
+             |  SELECT w${st - 1}.seed, e.dst AS cur,
+             |    row_number() OVER (PARTITION BY w${st - 1}.seed
+             |      ORDER BY $h, e.dst) AS rn
+             |  FROM w${st - 1} JOIN e ON e.src = w${st - 1}.cur) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${chainSql(true)},
+           |nodes AS (SELECT DISTINCT src AS node FROM e
+           |  UNION SELECT DISTINCT dst FROM e),
+           |w0 AS MATERIALIZED (SELECT node AS seed, node AS cur FROM nodes
+           |  WHERE node % 97 = 0),
+           |$steps
+           |SELECT seed, CAST(step AS BIGINT) AS step, node FROM (
+           |  SELECT seed, 0 AS step, cur AS node FROM w0
+           |  UNION ALL SELECT seed, 1, cur FROM w1
+           |  UNION ALL SELECT seed, 2, cur FROM w2
+           |  UNION ALL SELECT seed, 3, cur FROM w3
+           |  UNION ALL SELECT seed, 4, cur FROM w4)
+           |ORDER BY seed, step""".stripMargin
+      })
   )
+
+  /** Spark/DuckDB pair for the 31-bit house hash of a string
+    * expression (md5 → first 8 hex digits → BIGINT) — the same
+    * convention the minhash/LSH family uses, here for deterministic
+    * walk-step choices. */
+  private def houseHashExpr(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 8), 16, 10) AS BIGINT)"
+
+  private def houseHashSql(e: String): String =
+    (0 until 8).map { m =>
+      s"(strpos('0123456789abcdef', substr(md5($e), ${m + 1}, 1)) - 1) * ${1L << (4 * (7 - m))}"
+    }.mkString("(", " + ", ")")
 
   /** 26 unrolled Bellman-Ford relax rounds (g16's oracle): d_r(v) =
     * min(d_{r-1}(v), min over u→v of d_{r-1}(u)+w). Materialized so

@@ -362,3 +362,43 @@ class AttributionSpec extends SparkSpec {
     assert(totalCredit == 10000L * converted)
   }
 }
+
+class PileupWalkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pileup mass equals total read bases (40 per read)") {
+    val rows = SparkEntry.queries("g18_coverage_pileup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mass = rows.map(r => r._2 * r._3).sum
+    val nReads = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 40)
+      .select(expr("(length(text) - 40) div 25 + 1").as("n"))
+      .agg(sum("n")).first().getLong(0)
+    assert(mass == 40L * nReads)
+    rows.foreach { case (_, depth, np) => assert(depth >= 1 && np >= 1) }
+  }
+
+  test("every walk step follows a real edge and the walk is reproducible") {
+    val q = SparkEntry.queries("g19_random_walks")
+    val out = q(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val again = q(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.sameElements(again.sorted)) // deterministic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "k")
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("n1", lead("k", 1).over(w)).withColumn("n2", lead("k", 2).over(w))
+    val edges = (o.filter(col("n1").isNotNull).select(col("k"), col("n1").as("n")) unionByName
+      o.filter(col("n2").isNotNull).select(col("k"), col("n2").as("n")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.groupBy(_._1).values.foreach { steps =>
+      val path = steps.sortBy(_._2).map(_._3)
+      path.sliding(2).foreach {
+        case Array(a, b) => assert(edges.contains((a, b)), s"$a->$b not an edge")
+        case _ =>
+      }
+    }
+  }
+}
