@@ -272,6 +272,36 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Per-set minhash signature vectors. One md5 per DISTINCT token
+    * (vocab ≪ (set, token) pairs), first 8 hex digits → 31-bit base
+    * hash; the numHashes slots are affine permutations of it,
+    * evaluated as a codegen'd literal array. The per-set min is then
+    * `numHashes` columnar min() aggregates in ONE shuffle of the
+    * (set, token) pairs — no ×numHashes row explosion through the
+    * exchange. */
+  private def setMinhashes(repTok: DataFrame, numHashes: Int): DataFrame = {
+    val (ca, cb) = minhashCoeffs(numHashes)
+    val tokVec = repTok.select("tok").distinct()
+      .withColumn("h0",
+        expr(s"CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT) % $MinhashP"))
+      .select(col("tok"), array((0 until numHashes).map(i =>
+        (lit(ca(i)) * col("h0") + lit(cb(i))) % MinhashP): _*).as("hv"))
+    repTok.join(tokVec, Seq("tok"))
+      .groupBy("setId")
+      .agg(array((0 until numHashes).map(i => min(expr(s"hv[$i]"))): _*).as("mh"))
+  }
+
+  /** Banded LSH signature rows (setId, band, sig) from per-set
+    * minhash vectors — band signature = the band's slots in order as
+    * a string (cross-engine equality; no engine-private hash). */
+  private def bandRows(mins: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    mins.select(col("setId"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
+          s"array_join(transform(sequence(0, ${rows - 1}), r -> CAST(mh[b * $rows + r] AS STRING)), ',') AS sig))")).as("bs"))
+      .select(col("setId"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** Set-level core of [[minhashLshPairs]]: returns (members, verified
     * set pairs (sa, sb, jaccard)). Shared by the pair-emitting oracle
     * surface and the [[fuzzyClusters]] scale path, which must never
@@ -290,16 +320,7 @@ object Dedup {
     // per-set min is then `numHashes` columnar min() aggregates in
     // ONE shuffle of the (set, token) pairs — no ×numHashes row
     // explosion through the exchange.
-    val (ca, cb) = minhashCoeffs(numHashes)
-    val tokVec = repTok.select("tok").distinct()
-      .withColumn("h0",
-        expr(s"CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT) % $MinhashP"))
-      .select(col("tok"), array((0 until numHashes).map(i =>
-        (lit(ca(i)) * col("h0") + lit(cb(i))) % MinhashP): _*).as("hv"))
-
-    val mins = repTok.join(tokVec, Seq("tok"))
-      .groupBy("setId")
-      .agg(array((0 until numHashes).map(i => min(expr(s"hv[$i]"))): _*).as("mh"))
+    val mins = setMinhashes(repTok, numHashes)
 
     // SECOND-LEVEL signature dedup: distinct token sets whose ENTIRE
     // minhash vector coincides band-collide trivially (tiny-vocab /
@@ -387,6 +408,54 @@ object Dedup {
       .join(members.select(col("id").as("member_id")), Seq("member_id"), "left_anti")
       .select(col("member_id").as("keep_id"), col("member_id"))
     clustered.unionByName(tokenless)
+  }
+
+  /** INCREMENTAL MinHash near-dup pairs — the fuzzy complement of the
+    * exact-digest incremental tier: every verified pair that touches
+    * the NEW batch, without enumerating existing×existing candidates.
+    * The batch's band rows PROBE the full band index (in production
+    * the existing side's signatures are the persisted LSH index —
+    * only the probe side is computed fresh; here both derive from
+    * their frames, the join shape is the same): candidates =
+    * batch-side buckets ⋈ all buckets, so candidate volume scales
+    * with |batch| · bucket-width, not |corpus|². Verification,
+    * thresholds, caps, and clone expansion are identical to
+    * [[minhashLshPairs]] — output equals the full run filtered to
+    * pairs touching the batch (the invariant the oracle pins, via
+    * the full pair CTE filtered on the batch predicate).
+    */
+  def incrementalMinhashPairs(existing: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int, bands: Int, threshold: Double,
+                              maxBucket: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val tagged = existing.select(col(idCol), col(textCol)).withColumn("__new", lit(0))
+      .unionByName(batch.select(col(idCol), col(textCol)).withColumn("__new", lit(1)))
+    val (members, repTok, repSize) = tokenSetGroups(tagged, idCol, textCol)
+    val flags = tagged.select(col(idCol).as("id"), col("__new"))
+    val newSets = members.join(flags, Seq("id"))
+      .groupBy("setId").agg(max("__new").as("hasNew"))
+
+    val sig = Ckpt.cut(bandRows(setMinhashes(repTok, numHashes), numHashes, bands))
+    val capped = capBuckets(sig, Seq("band", "sig"), "setId", maxBucket)
+    val probe = capped.join(
+      newSets.filter(col("hasNew") === 1).select("setId"), Seq("setId"), "left_semi")
+    val cand = probe.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.setId") =!= col("b.setId"))
+      .select(least(col("a.setId"), col("b.setId")).as("sa"),
+        greatest(col("a.setId"), col("b.setId")).as("sb"))
+      .distinct()
+    val verified = verifySetJaccard(cand, repTok, repSize,
+      setMasks(repTok, repSize), threshold)
+
+    val cross = expandCrossPairs(verified, members, "jaccard")
+    val within = withinSetPairs(members, "jaccard" -> lit(1.0))
+    cross.union(within)
+      .join(flags.select(col("id").as("a"), col("__new").as("na")), Seq("a"))
+      .join(flags.select(col("id").as("b"), col("__new").as("nb")), Seq("b"))
+      .filter(col("na") === 1 || col("nb") === 1)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Directed prefix-filter candidates for containment: if

@@ -346,6 +346,28 @@ object PipelineQueries {
               |SELECT doc_id, n_fp, n_shared, n_shared * 10000 // n_fp AS dup_bp
               |FROM p ORDER BY doc_id""".stripMargin)),
 
+    Q("d15_dedup_fuzzy_incremental",
+      // Incremental FUZZY dedup — d7's exact-digest tier generalized
+      // to MinHash: a new batch (doc_id % 10 = 0) probes the corpus
+      // band index; candidates scale with |batch|·bucket-width, not
+      // |corpus|². The oracle replays the FULL minhash pair pipeline
+      // and filters to pairs touching the batch — pinning the
+      // incremental ≡ full-filtered invariant (the fuzzy analogue of
+      // q52's incremental ≡ recompute).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalMinhashPairs(
+            existing = docs.filter(col("doc_id") % 10 =!= 0),
+            batch = docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.95,
+            maxBucket = 4096)
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH $minhashPairsSql
+              |SELECT a, b, round(jac, 4) AS jaccard FROM prs
+              |WHERE jac >= 0.95 AND (a % 10 = 0 OR b % 10 = 0)
+              |ORDER BY a, b""".stripMargin)),
+
     Q("s1_knn_brute",
       (s, d) => {
         val e = Tables.embeddings(s, d)

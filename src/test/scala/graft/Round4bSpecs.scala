@@ -402,3 +402,23 @@ class PileupWalkSpec extends SparkSpec {
     }
   }
 }
+
+class IncrementalMinhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental probe equals the full run filtered to batch-touching pairs") {
+    val docs = Tables.documents(spark, sfDir)
+    val full = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.95)
+      .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+      .select("a", "b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val inc = graft.operators.Dedup.incrementalMinhashPairs(
+        existing = docs.filter(col("doc_id") % 10 =!= 0),
+        batch = docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+}
