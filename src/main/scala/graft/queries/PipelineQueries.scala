@@ -1240,6 +1240,59 @@ object PipelineQueries {
               |  FROM documents)
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("c5_curriculum",
+      // Curriculum construction: documents ranked by the t2 quality
+      // score, cut into 4 equal-depth curriculum stages (ntile over
+      // (score, doc_id) — the unique tie-break makes stage
+      // assignment deterministic), per-stage manifest with token
+      // mass and score bounds. The global ntile window is the
+      // local[32] form; a cluster derives the 3 stage boundaries
+      // from range-partition statistics and assigns by comparison —
+      // same output contract, no global sort.
+      (s, d) => {
+        val scored = TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
+        val w = Window.orderBy(col("quality_bp"), col("doc_id"))
+        scored
+          .withColumn("stage", ntile(4).over(w).cast("long"))
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+            min("quality_bp").as("min_q"), max("quality_bp").as("max_q"))
+          .orderBy("stage")
+      },
+      Some(s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
+              |st AS (SELECT n_tokens, quality_bp,
+              |    CAST(ntile(4) OVER (ORDER BY quality_bp, doc_id) AS BIGINT) AS stage
+              |  FROM q)
+              |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+              |  min(quality_bp) AS min_q, max(quality_bp) AS max_q
+              |FROM st GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t14_cooccurrence",
+      // Token co-occurrence network (PMI numerator): unordered
+      // within-document token pairs weighted by document frequency,
+      // kept at support ≥ 20 docs. Pairs enumerate per doc from the
+      // DISTINCT token set (the d2 prefix machinery's little
+      // sibling); at real vocabulary sizes the same query runs after
+      // a frequency cut on the token list — the standard co-occurrence
+      // recipe. One pair-exchange, map-side combined.
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "").distinct()
+        tok.as("x").join(tok.as("y"),
+            col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
+          .groupBy(col("x.tok").as("w1"), col("y.tok").as("w2"))
+          .agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 20)
+          .orderBy("w1", "w2")
+      },
+      Some(s"""WITH $tokSql
+              |SELECT a.tok AS w1, b.tok AS w2, CAST(count(*) AS BIGINT) AS n_docs
+              |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+              |GROUP BY 1, 2 HAVING count(*) >= 20
+              |ORDER BY 1, 2""".stripMargin)),
+
     Q("t12_lm_score",
       // Bigram language-model document scoring — the cheap
       // perplexity-style quality signal: train bigram transition
