@@ -1304,6 +1304,67 @@ object Relational {
               |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases
               |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("q60_group_share",
+      // Group share of a global total (the TPC-H Q11 pattern):
+      // nations whose customers hold ≥ 4.2% of worldwide account
+      // balance, in exact integer cents. The global total is a
+      // one-row aggregate CROSS-joined (broadcast) into the per-group
+      // aggregate — never a correlated per-row subquery; the
+      // share test multiplies through (bal·10⁴ ≥ 420·total) so no
+      // division or float enters the predicate.
+      (s, d) => {
+        val cents = Tables.customer(s, d).select(col("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        val perNation = cents.groupBy("c_nationkey").agg(sum("cents").as("bal"))
+        val total = cents.agg(sum("cents").as("total"))
+        perNation.crossJoin(broadcast(total))
+          .filter(col("bal") * 10000 >= col("total") * 420)
+          .withColumn("share_bp", expr("bal * 10000 div total"))
+          .select("c_nationkey", "bal", "share_bp")
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH c AS (SELECT c_nationkey,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+             |pn AS (SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS bal
+             |  FROM c GROUP BY 1),
+             |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM c)
+             |SELECT c_nationkey, bal, bal * 10000 // total AS share_bp
+             |FROM pn, t WHERE bal * 10000 >= total * 420
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    Q("q61_concentration",
+      // Revenue concentration: what share of total order value the
+      // top-decile customers hold — the Pareto/inequality audit.
+      // Per-customer totals, decile cut by ntile (unique tie-break),
+      // exact integer cents, one final one-row rollup; the share
+      // leaves integer space only in the last projection.
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .groupBy("o_custkey").agg(sum("cents").as("rev"))
+        val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+        perCust.withColumn("decile", ntile(10).over(w))
+          .agg(
+            sum(when(col("decile") === 1, col("rev")).otherwise(0L)).as("top_rev"),
+            sum("rev").as("total_rev"),
+            sum(when(col("decile") === 1, 1L).otherwise(0L)).as("n_top"),
+            count(lit(1)).as("n_cust"))
+          .withColumn("top_share_bp", expr("top_rev * 10000 div total_rev"))
+      },
+      Some("""WITH pc AS (SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+             |  FROM orders GROUP BY 1),
+             |d AS (SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+             |  FROM pc)
+             |SELECT CAST(sum(CASE WHEN decile = 1 THEN rev ELSE 0 END) AS BIGINT) AS top_rev,
+             |  CAST(sum(rev) AS BIGINT) AS total_rev,
+             |  CAST(sum(CASE WHEN decile = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+             |  CAST(count(*) AS BIGINT) AS n_cust,
+             |  CAST(sum(CASE WHEN decile = 1 THEN rev ELSE 0 END) AS BIGINT) * 10000
+             |    // CAST(sum(rev) AS BIGINT) AS top_share_bp
+             |FROM d""".stripMargin)),
+
     Q("prof1_column_profile",
       // One-pass table profiling (Profiler.profile): null counts,
       // distinct cardinality, min/max per column in a single
