@@ -622,10 +622,12 @@ object GraphQueries {
       (s, d) => {
         val rd = readsFromDocs(s, d).select(
           expr("id div 1000").as("doc_id"), expr("id % 1000").as("i"))
-        val deltas = rd.select(col("doc_id"), (col("i") * 25 + 1).as("pos"),
-            lit(1L).as("dlt"))
-          .unionByName(rd.select(col("doc_id"), (col("i") * 25 + 41).as("pos"),
-            lit(-1L).as("dlt")))
+        // both breakpoints explode from one row — ONE scan, not a
+        // two-branch union that reads the reads twice
+        val deltas = rd.select(col("doc_id"), explode(array(
+            struct((col("i") * 25 + 1).as("pos"), lit(1L).as("dlt")),
+            struct((col("i") * 25 + 41).as("pos"), lit(-1L).as("dlt")))).as("x"))
+          .select(col("doc_id"), col("x.pos").as("pos"), col("x.dlt").as("dlt"))
           .groupBy("doc_id", "pos").agg(sum("dlt").as("dlt"))
         val w = Window.partitionBy("doc_id").orderBy("pos")
         deltas
@@ -660,9 +662,14 @@ object GraphQueries {
       // fixpoint machinery for a bounded walk). Walks that hit a
       // sink stop early.
       (s, d) => {
-        val e = chainEdges(s, d, withSkip = true)
+        // edges cut ONCE and each step's frontier cut as it's built:
+        // without the cuts, step N's lazy lineage re-derives steps
+        // 1..N−1 AND the edge windows per union branch (measured 40
+        // parquet scans for the 5-branch output; with cuts, one)
+        val e = graft.Ckpt.cutLight(chainEdges(s, d, withSkip = true))
         val seeds = GraphOps.vertices(e).filter(col("node") % 97 === 0)
-        var walk = seeds.select(col("node").as("seed"), col("node").as("cur"))
+        var walk = graft.Ckpt.cut(
+          seeds.select(col("node").as("seed"), col("node").as("cur")))
         val parts = scala.collection.mutable.ArrayBuffer(
           walk.select(col("seed"), lit(0L).as("step"), col("cur").as("node")))
         for (st <- 1 to 4) {
@@ -672,9 +679,9 @@ object GraphQueries {
                 s"concat(CAST($st AS STRING), '_', CAST(cur AS STRING), '_', CAST(dst AS STRING))"))
                 .as("h"))
           val w = Window.partitionBy("seed").orderBy(col("h"), col("dst"))
-          walk = nb.withColumn("rn", row_number().over(w))
+          walk = graft.Ckpt.cut(nb.withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1)
-            .select(col("seed"), col("dst").as("cur"))
+            .select(col("seed"), col("dst").as("cur")))
           parts += walk.select(col("seed"), lit(st.toLong).as("step"),
             col("cur").as("node"))
         }
