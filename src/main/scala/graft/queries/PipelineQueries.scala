@@ -778,6 +778,67 @@ object PipelineQueries {
              |  CAST(nb AS BIGINT) AS n_bytes, CAST(sum(v) AS BIGINT) AS byte_sum
              |FROM pos GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)),
 
+    Q("m5_av_sync",
+      // A/V stream alignment — the multimodal join: "video" frames
+      // (32-byte frames, every 2nd) matched to the nearest preceding
+      // "audio" frame (16-byte frames, every 3rd) of the SAME
+      // payload by byte-offset timestamp, tolerance 64 bytes — a
+      // backward as-of join per media id, the exact shape real
+      // frame-PTS alignment takes. Composes the frameSample demux
+      // with AsofJoin.directed; exact-integer byte sums ride along
+      // so the oracle verifies the full demux+align pipeline.
+      (s, d) => {
+        val payload = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val video = Multimodal.frameSample(payload, "doc_id", "payload", 32, 2)
+          .toDF().select(col("id"), col("frame_idx").cast("long").as("vidx"),
+            (col("frame_idx") * 32).cast("long").as("vts"),
+            col("byte_sum").as("v_sum"))
+        val audio = Multimodal.frameSample(payload, "doc_id", "payload", 16, 3)
+          .toDF().select(col("id"),
+            (col("frame_idx") * 16).cast("long").as("ats"),
+            col("frame_idx").cast("long").as("aidx"),
+            col("byte_sum").as("a_sum"))
+        graft.operators.AsofJoin.directed(video, audio, "id", "vts", "ats",
+            forward = false, tolerance = Some(64L))
+          .select(col("id").as("doc_id"), col("vidx"), col("v_sum"),
+            col("aidx"), col("a_sum"), col("asof_gap"))
+          .orderBy("doc_id", "vidx")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+             |        FROM documents),
+             |vf AS (SELECT doc_id, fi AS vidx, fi * 32 AS vts,
+             |    least(n - fi * 32, 32) AS nb, text
+             |  FROM (SELECT doc_id, text, n,
+             |        unnest(generate_series(0, (n + 31) // 32 - 1)) AS fi
+             |      FROM b WHERE n > 0) WHERE fi % 2 = 0),
+             |vs AS (SELECT doc_id, vidx, vts, CAST(sum(v) AS BIGINT) AS v_sum
+             |  FROM (SELECT doc_id, vidx, vts, nb,
+             |      ascii(substr(text, CAST(vts + i AS INT), 1)) AS v
+             |    FROM vf, unnest(generate_series(1, nb)) AS t(i))
+             |  GROUP BY 1, 2, 3),
+             |af AS (SELECT doc_id, fi AS aidx, fi * 16 AS ats,
+             |    least(n - fi * 16, 16) AS nb, text
+             |  FROM (SELECT doc_id, text, n,
+             |        unnest(generate_series(0, (n + 15) // 16 - 1)) AS fi
+             |      FROM b WHERE n > 0) WHERE fi % 3 = 0),
+             |asum AS (SELECT doc_id, aidx, ats, CAST(sum(v) AS BIGINT) AS a_sum
+             |  FROM (SELECT doc_id, aidx, ats, nb,
+             |      ascii(substr(text, CAST(ats + i AS INT), 1)) AS v
+             |    FROM af, unnest(generate_series(1, nb)) AS t(i))
+             |  GROUP BY 1, 2, 3),
+             |m AS (SELECT vs.doc_id, vs.vidx, vs.v_sum, a.aidx, a.a_sum,
+             |    vs.vts - a.ats AS gap,
+             |    row_number() OVER (PARTITION BY vs.doc_id, vs.vidx
+             |      ORDER BY a.ats DESC, a.aidx DESC, a.a_sum DESC) AS rk
+             |  FROM vs LEFT JOIN asum a ON a.doc_id = vs.doc_id AND a.ats <= vs.vts)
+             |SELECT doc_id, vidx, v_sum,
+             |  CASE WHEN gap <= 64 THEN aidx END AS aidx,
+             |  CASE WHEN gap <= 64 THEN a_sum END AS a_sum,
+             |  CASE WHEN gap <= 64 THEN gap END AS asof_gap
+             |FROM m WHERE rk = 1
+             |ORDER BY doc_id, vidx""".stripMargin)),
+
     Q("t7_pii_scrub",
       // PII redaction. The synthetic corpus carries no PII, so a
       // deterministic contact line is appended per doc before

@@ -422,3 +422,23 @@ class IncrementalMinhashSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 }
+
+class Round4PlanSpec extends SparkSpec {
+
+  private def scans(name: String): Int = {
+    val plan = SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    "(?i)scan parquet".r.findAllIn(plan).size
+  }
+
+  test("single-exchange rewrites stay single-scan") {
+    // q49/g17/g18 were rewritten from aggregate+join-back (2 scans)
+    // to one-pass window forms; d14 likewise. Guard the plan shape —
+    // a regression here doubles the scan cost silently.
+    assert(scans("q49_cohort_retention") == 1)
+    assert(scans("g17_read_correction") == 1)
+    assert(scans("g18_coverage_pileup") == 1)
+    assert(scans("d14_substring_profile") == 1)
+    assert(scans("t13_code_prose") == 1)
+  }
+}
