@@ -51,6 +51,23 @@ object SequenceSources {
         length(col("sequence")).cast("long").as("length"))
   }
 
+  /** BED-style interval files (chrom, start, end[, name, score]):
+    * tab-separated, 0-based half-open intervals, '#'/track/browser
+    * header lines skipped — the genomics region format every
+    * coverage/annotation pipeline exchanges. Plain distributed CSV
+    * read (splittable, pushdown-friendly); missing optional columns
+    * come back NULL. Output: (chrom, start, end, name, score) with
+    * `span` = end − start.
+    */
+  def readBed(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("sep", "\t").option("comment", "#")
+      .schema("chrom STRING, start BIGINT, end BIGINT, name STRING, score BIGINT")
+      .csv(path)
+    raw.filter(!col("chrom").isin("track", "browser") && col("start").isNotNull)
+      .withColumn("span", col("end") - col("start"))
+  }
+
   /** Canonical DNA utilities as columns (codegen'd built-ins). */
   def reverseComplement(seq: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     translate(reverse(upper(seq)), "ACGT", "TGCA")

@@ -57,6 +57,51 @@ object StreamingOps {
       }
   }
 
+  case class TsEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Gap sessionization with EVENT-TIME TIMEOUT: unlike
+    * [[sessionize]] (which only closes a session when a LATER event
+    * from the same user arrives — the last session per user never
+    * emits), this registers an event-time timeout at
+    * last-event + gap, so the watermark itself flushes idle
+    * sessions. The complete-emission contract a production
+    * sessionizer needs: every session eventually appears, users who
+    * go quiet included; state per user is one open session, freed on
+    * timeout.
+    */
+  def sessionizeWithTimeout(events: Dataset[TsEv], gapSeconds: Long,
+                            watermark: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[TsEv], state: GroupState[SessionState]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            // watermark passed last+gap: flush and free
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(uid, st.start, st.last, st.n, st.sum))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption.orNull
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime / 1000L
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.last > gapSeconds) {
+                out += Session(uid, st.start, st.last, st.n, st.sum)
+                st = SessionState(t, t, 1, e.value)
+              } else st = SessionState(st.start, t, st.n + 1, st.sum + e.value)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp((st.last + gapSeconds) * 1000L + 1)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup on `idCols` within the watermark horizon —
     * duplicate suppression state ages out with the watermark. */
   def dedup(events: DataFrame, tsCol: String, watermark: String,

@@ -275,3 +275,46 @@ class StreamingDepthSpec extends SparkSpec {
     assert(rows == Set((1L, "a2"), (3L, "c1")))
   }
 }
+
+class SessionTimeoutAndBedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("event-time timeout flushes the idle user's last session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.TsEv]
+    val q = StreamingOps.sessionizeWithTimeout(in.toDS(), gapSeconds = 120, "1 minute")
+      .writeStream.format("memory").queryName("swt").outputMode("append").start()
+    in.addData(StreamingOps.TsEv(1L, t(1), 1.0), StreamingOps.TsEv(1L, t(2), 2.0))
+    q.processAllAvailable()
+    // user 1 goes silent; only OTHER users' events advance the watermark
+    in.addData(StreamingOps.TsEv(2L, t(30), 5.0))
+    q.processAllAvailable()
+    in.addData(StreamingOps.TsEv(2L, t(31), 6.0))
+    q.processAllAvailable()
+    val rows = spark.table("swt")
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    q.stop()
+    // user 1's session was emitted by TIMEOUT, not by a later event
+    assert(rows.contains((1L, 2L, 3.0)))
+  }
+
+  test("bed reader: header skipping, optional columns, span") {
+    val bed = Files.createTempFile("graft", ".bed")
+    Files.writeString(bed, Seq(
+      "# comment line",
+      "chr1\t100\t250\tpeak1\t7",
+      "chr1\t300\t340\tpeak2\t2",
+      "chr2\t0\t50").mkString("\n"))
+    val df = SequenceSources.readBed(spark, bed.toString)
+    val rows = df.select("chrom", "start", "end", "name", "span")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), r.getLong(4))).toSet
+    assert(rows == Set(
+      ("chr1", 100L, 250L, Some("peak1"), 150L),
+      ("chr1", 300L, 340L, Some("peak2"), 40L),
+      ("chr2", 0L, 50L, None, 50L)))
+  }
+}
