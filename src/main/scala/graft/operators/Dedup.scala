@@ -611,10 +611,21 @@ object Dedup {
                         maxBucket: Int = 4096): DataFrame = {
     val fp = TextAnalysis.fingerprintsMod(df, idCol, textCol, k, w)
     val capped = capBuckets(fp, Seq("fp"), "doc_id", maxBucket)
-    val cand = capped.as("fa").join(capped.as("fb"),
-        col("fa.fp") === col("fb.fp") && col("fa.doc_id") < col("fb.doc_id"))
-      .select(col("fa.doc_id").as("a"), col("fb.doc_id").as("b"))
-      .distinct()
+    // Pair dedup via capBuckets(·, 1) — NOT .distinct(): pair rows
+    // are tiny on the wire but each costs an O(len²) Levenshtein
+    // downstream, and AQE's byte-based coalescing collapsed the
+    // distinct output to ONE partition (measured 109s single-task vs
+    // 6s across 32 at sf0.1). A plain explicit repartition doesn't
+    // survive either — the Levenshtein FILTER pushes below it into
+    // the collapsed map side, and under a broadcast-probe the
+    // exchange converts to a local read. capBuckets' pinned exchange
+    // + window consumes the distribution, so the verify provably
+    // runs at full width.
+    val cand = capBuckets(
+      capped.as("fa").join(capped.as("fb"),
+          col("fa.fp") === col("fb.fp") && col("fa.doc_id") < col("fb.doc_id"))
+        .select(col("fa.doc_id").as("a"), col("fb.doc_id").as("b")),
+      Seq("a", "b"), "a", 1)
     val t = df.select(col(idCol).as("id"), col(textCol).as("txt"))
     cand
       .join(t.as("ta"), col("a") === col("ta.id"))
