@@ -710,8 +710,38 @@ object GraphQueries {
            |  UNION ALL SELECT seed, 3, cur FROM w3
            |  UNION ALL SELECT seed, 4, cur FROM w4)
            |ORDER BY seed, step""".stripMargin
-      })
+      }),
+
+    twoHopQ
   )
+
+  // lazy: declared below `all`, which references it — a strict val
+  // would still be null when `all` initializes
+  private lazy val twoHopQ = Q("g20_two_hop",
+    // 2-hop neighborhood size (friend-of-friend count): distinct
+    // vertices reachable in exactly ≤2 directed hops, excluding self.
+    // One self-join on the shared edge exchange + a distinct-count —
+    // the degree-of-separation staple. At scale the join explodes by
+    // the average out-degree; hot intermediate vertices are exactly
+    // the capBuckets candidates (assembly graphs: bounded degree, so
+    // uncapped here).
+    (s, d) => {
+      val e = chainEdges(s, d, withSkip = true)
+      val oneHop = e.select(col("src"), col("dst"))
+      val twoHop = oneHop.as("x").join(oneHop.as("y"),
+          col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      oneHop.union(twoHop)
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(countDistinct("dst").as("n_within_2"))
+        .orderBy("node")
+    },
+    Some(s"""WITH ${chainSql(true)},
+            |h2 AS (SELECT x.src, y.dst FROM e x JOIN e y ON x.dst = y.src
+            |  UNION ALL SELECT src, dst FROM e)
+            |SELECT src AS node, CAST(count(DISTINCT dst) AS BIGINT) AS n_within_2
+            |FROM h2 WHERE src <> dst GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Spark/DuckDB pair for the 31-bit house hash of a string
     * expression (md5 → first 8 hex digits → BIGINT) — the same

@@ -275,6 +275,30 @@ object StreamingOps {
         ()
     }
 
+  /** Exactly-once-by-batch-id file sink: foreachBatch is
+    * at-least-once on restart (the last uncommitted batch replays),
+    * so every foreachBatch pipeline whose output must not duplicate
+    * needs an idempotence layer. This one writes each micro-batch to
+    * `outPath/batch_id=<id>` with dynamic partition OVERWRITE — a
+    * replayed batch id rewrites its own partition byte-for-byte
+    * instead of appending a second copy, and readers of `outPath`
+    * see exactly-once data whether or not a restart happened. The
+    * check is O(1) metadata, no read of prior output; downstream
+    * readers get batch-id partition pruning for free.
+    */
+  def idempotentBatchSink(docs: DataFrame, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+    }
+
   /** Streaming count-min-sketch maintenance — corpus-wide token
     * frequencies over the WHOLE stream history at constant state.
     * CMS is a LINEAR sketch: the sketch of a union is the cell-wise

@@ -318,3 +318,34 @@ class SessionTimeoutAndBedSpec extends SparkSpec {
       ("chr2", 0L, 50L, None, 50L)))
   }
 }
+
+class IdempotentBatchSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("replaying a batch id overwrites its partition instead of appending") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("idemsink").toString + "/out"
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("id", "v")
+    val q = StreamingOps.idempotentBatchSink(df, dir).start()
+    in.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    in.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val before = spark.read.parquet(dir).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(before == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // simulate an at-least-once REPLAY of batch 1: same data, same id
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    Seq((3L, "c")).toDF("id", "v").withColumn("batch_id", lit(1L))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+    val after = spark.read.parquet(dir).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(after == before) // no duplicate row appeared
+    // and only the replayed partition was touched
+    val parts = spark.read.parquet(dir).select("batch_id").distinct()
+      .as[Long].collect().toSet
+    assert(parts == Set(0L, 1L))
+  }
+}
