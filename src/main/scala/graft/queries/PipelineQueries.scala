@@ -1089,6 +1089,36 @@ object PipelineQueries {
              |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
              |ORDER BY a, b""".stripMargin)),
 
+    Q("s7_radius_search",
+      // Radius (range) similarity search — kNN's fixed-threshold
+      // complement: ALL neighbors with cosine ≥ θ per query vector,
+      // ordered. Same codegen'd vector math as s1; at corpus scale
+      // the candidate cut swaps to the LSH/IVF tiers unchanged (a
+      // radius is a rank-free cut, so no re-rank pass is needed).
+      (s, d) => {
+        import org.apache.spark.sql.graftbridge.VectorFunctions.{vec_cosine, vec_norm}
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", vec_norm(col("v")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        q.join(e, col("vec_id") =!= col("query_id"))
+          .withColumn("cosine", vec_cosine(col("qv"), col("v"), col("qn"), col("nrm")))
+          .filter(col("cosine") >= 0.35)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(col("cosine"), 4).as("cosine"))
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some(s"""WITH $cosSql,
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM ce WHERE vec_id < 5),
+              |sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+              |  list_dot_product(qv, c.v)
+              |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+              |  FROM q JOIN ce c ON c.vec_id <> query_id)
+              |SELECT query_id, neighbor_id, round(cos, 4) AS cosine
+              |FROM sc WHERE cos >= 0.35
+              |ORDER BY query_id, neighbor_id""".stripMargin)),
+
     Q("s4_knn_sql",
       // Brute kNN written entirely in SQL through the registered
       // vec_dot/vec_cosine functions (GraftFunctions SQL surface) —

@@ -1365,6 +1365,61 @@ object Relational {
              |    // CAST(sum(rev) AS BIGINT) AS top_share_bp
              |FROM d""".stripMargin)),
 
+    Q("q62_mode",
+      // Per-group MODE with a deterministic tie-break (smallest value
+      // wins) — mode() builtins leave ties engine-defined, so the
+      // portable form is argmax over counted values: count per
+      // (group, value), then one window pass ordered (count DESC,
+      // value ASC). Two exchanges, both keyed.
+      (s, d) => {
+        val counted = Tables.customer(s, d)
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("cnt").desc, col("c_mktsegment"))
+        counted.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("c_nationkey"), col("c_mktsegment").as("mode_seg"), col("cnt"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH c AS (SELECT c_nationkey, c_mktsegment,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM customer GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+             |    ORDER BY cnt DESC, c_mktsegment) AS rn FROM c)
+             |SELECT c_nationkey, c_mktsegment AS mode_seg, cnt
+             |FROM r WHERE rn = 1 ORDER BY c_nationkey""".stripMargin)),
+
+    Q("q63_transition_matrix",
+      // First-order behavior transitions (the Markov-chain builder):
+      // per user, each event's type paired with the NEXT event's type
+      // by time (event_id tie-break), counted into the
+      // from→to matrix with integer row-share basis points. One
+      // per-user window pass + one matrix-sized aggregate.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val trans = ev(s, d)
+          .select(col("user_id"), col("event_id"), col("t"), col("event_type"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        trans.withColumn("row_bp",
+            expr("n * 10000 div sum(n) OVER (PARTITION BY from_type)"))
+          .orderBy("from_type", "to_type")
+      },
+      Some(s"""WITH e AS ($evSql),
+              |t AS (SELECT event_type,
+              |    lead(event_type, 1) OVER (PARTITION BY user_id
+              |      ORDER BY t, event_id) AS next_type
+              |  FROM e),
+              |m AS (SELECT event_type AS from_type, next_type AS to_type,
+              |    CAST(count(*) AS BIGINT) AS n
+              |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+              |SELECT from_type, to_type, n,
+              |  n * 10000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_bp
+              |FROM m ORDER BY from_type, to_type""".stripMargin)),
+
     Q("prof1_column_profile",
       // One-pass table profiling (Profiler.profile): null counts,
       // distinct cardinality, min/max per column in a single
