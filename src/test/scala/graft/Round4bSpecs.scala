@@ -442,3 +442,73 @@ class Round4PlanSpec extends SparkSpec {
     assert(scans("t13_code_prose") == 1)
   }
 }
+
+class RandomDataPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(99)
+
+  test("interval coalescing on random intervals equals a naive sweep merge") {
+    val iv = (0 until 400).map { _ =>
+      val s = rng.nextInt(500).toLong
+      (rng.nextInt(6).toLong, s, s + 1 + rng.nextInt(40))
+    }.distinct
+    val df = iv.toDF("k", "s", "e")
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("s", "e")
+    val prevMaxEnd = max("e").over(wOrd.rowsBetween(Long.MinValue, -1))
+    val out = df
+      .withColumn("ni", (col("s") > coalesce(prevMaxEnd, lit(-1L))).cast("long"))
+      .withColumn("island", sum("ni").over(wOrd.rowsBetween(Long.MinValue, 0)))
+      .groupBy("k", "island").agg(min("s").as("s"), max("e").as("e"))
+      .select("k", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // naive per-key sweep
+    val expected = iv.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.map(t => (t._2, t._3)).sortBy(identity)
+      val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((cs, ce) :: tail, (s, e)) if s <= ce => (cs, math.max(ce, e)) :: tail
+        case (acc, (s, e)) => (s, e) :: acc
+      }
+      merged.map { case (s, e) => (k, s, e) }
+    }.toSet
+    assert(out == expected)
+  }
+
+  test("mergeAggDeltas equals recompute for random diffs, repeatedly") {
+    for (trial <- 1 to 3) {
+      val r = new scala.util.Random(trial)
+      val prev = (0 until 200).map(_ => (r.nextInt(20).toLong, r.nextInt(100).toLong))
+      // random mutation: drop ~1/3, keep ~1/3, modify ~1/3, add new rows
+      val kept = prev.zipWithIndex.collect { case (row, i) if i % 3 == 0 => row }
+      val modified = prev.zipWithIndex.collect { case ((k, v), i) if i % 3 == 1 => (k, v + 7) }
+      val added = (0 until 60).map(_ => (r.nextInt(25).toLong, r.nextInt(100).toLong))
+      val next = kept ++ modified ++ added
+      val prevAgg = prev.toDF("k", "v").groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      val deltas =
+        prev.map { case (k, v) => (k, -1L, -v) }.toDF("k", "n", "s")
+          .unionByName(next.map { case (k, v) => (k, 1L, v) }.toDF("k", "n", "s"))
+      val out = graft.operators.Snapshot.mergeAggDeltas(prevAgg, deltas, Seq("k"), "n", Seq("s"))
+        .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2))).toSet
+      val expected = next.toDF("k", "v").groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2))).toSet
+      assert(out == expected, s"trial $trial")
+    }
+  }
+
+  test("skyline sweep equals the quadratic definition on random points") {
+    val pts = (0 until 300).map(_ => (rng.nextInt(60).toLong, rng.nextInt(1000).toLong)).distinct
+    val dayMax = pts.toDF("day", "cents").groupBy("day").agg(max("cents").as("cents"))
+    val later = org.apache.spark.sql.expressions.Window.orderBy(col("day").desc)
+      .rangeBetween(Long.MinValue, -1)
+    val out = dayMax.withColumn("ml", max("cents").over(later))
+      .filter(col("cents") > coalesce(col("ml"), lit(-1L)))
+      .select("day", "cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = pts.filter { case (d1, c1) =>
+      !pts.exists { case (d2, c2) => d2 >= d1 && c2 >= c1 && (d2 > d1 || c2 > c1) }
+    }.toSet
+    assert(out == expected)
+  }
+}
