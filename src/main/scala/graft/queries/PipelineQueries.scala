@@ -1384,6 +1384,39 @@ object PipelineQueries {
               |GROUP BY 1, 2 HAVING count(*) >= 20
               |ORDER BY 1, 2""".stripMargin)),
 
+    Q("t15_bpe_merges",
+      // Tokenizer TRAINING primitive — one BPE iteration: count
+      // adjacent symbol pairs across all token instances (characters
+      // as the initial alphabet) and emit the top-20 merge
+      // candidates, count-desc with lexicographic tie-break. The
+      // pair counting is the whole cost of BPE training at corpus
+      // scale; each further merge round is this same job over the
+      // re-segmented stream. Explode is narrow; one pair-keyed
+      // aggregate; top-k over the (tiny) distinct-pair table.
+      (s, d) => {
+        val pairs = Tables.documents(s, d)
+          .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+          .select(explode(expr(
+            "transform(sequence(1, greatest(length(w) - 1, 0)), " +
+              "i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        pairs.withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("a"), col("b"))))
+          .filter(col("rk") <= 20)
+          .select(col("rk").cast("long").as("rk"), col("a"), col("b"), col("cnt"))
+          .orderBy("rk")
+      },
+      Some(s"""WITH $tokAllSql,
+              |pr AS (SELECT substr(tok, CAST(i AS INT), 1) AS a,
+              |    substr(tok, CAST(i AS INT) + 1, 1) AS b
+              |  FROM (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+              |        FROM tokall WHERE length(tok) >= 2)),
+              |c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY 1, 2),
+              |r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, a, b) AS rk FROM c)
+              |SELECT CAST(rk AS BIGINT) AS rk, a, b, cnt FROM r WHERE rk <= 20
+              |ORDER BY rk""".stripMargin)),
+
     Q("t12_lm_score",
       // Bigram language-model document scoring — the cheap
       // perplexity-style quality signal: train bigram transition

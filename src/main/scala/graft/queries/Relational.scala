@@ -1420,6 +1420,44 @@ object Relational {
               |  n * 10000 // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_bp
               |FROM m ORDER BY from_type, to_type""".stripMargin)),
 
+    Q("q64_decile_transition",
+      // Rank-migration matrix: each customer's revenue DECILE in 1995
+      // vs 1996, counted into a from→to mobility matrix — the
+      // year-over-year "who moved up" audit. Two unique-ordered
+      // ntile cuts joined on the customer key; only customers active
+      // both years transition. The ntile windows are global but run
+      // over per-customer AGGREGATES (customer-count-bounded, not
+      // order-count) — same posture note as q57/c5.
+      (s, d) => {
+        def decile(y: Int) = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= s"$y-01-01" && col("o_orderdate") < s"${y + 1}-01-01")
+          .select(col("o_custkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .groupBy("o_custkey").agg(sum("cents").as("rev"))
+          .withColumn("dec", ntile(10).over(
+            Window.orderBy(col("rev").desc, col("o_custkey"))).cast("long"))
+          .select("o_custkey", "dec")
+        decile(1995).withColumnRenamed("dec", "dec_from")
+          .join(decile(1996).withColumnRenamed("dec", "dec_to"), "o_custkey")
+          .groupBy("dec_from", "dec_to").agg(count(lit(1)).as("n"))
+          .orderBy("dec_from", "dec_to")
+      },
+      Some("""WITH d95 AS (SELECT o_custkey,
+             |    CAST(ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS dec_from
+             |  FROM (SELECT o_custkey,
+             |      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+             |    FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             |      AND o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1)),
+             |d96 AS (SELECT o_custkey,
+             |    CAST(ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS BIGINT) AS dec_to
+             |  FROM (SELECT o_custkey,
+             |      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+             |    FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |      AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1))
+             |SELECT dec_from, dec_to, CAST(count(*) AS BIGINT) AS n
+             |FROM d95 JOIN d96 USING (o_custkey)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("prof1_column_profile",
       // One-pass table profiling (Profiler.profile): null counts,
       // distinct cardinality, min/max per column in a single
