@@ -726,7 +726,9 @@ object GraphQueries {
     // the capBuckets candidates (assembly graphs: bounded degree, so
     // uncapped here).
     (s, d) => {
-      val e = chainEdges(s, d, withSkip = true)
+      // cut once: the edge table feeds three branches (both self-join
+      // sides + the union) — uncut, the orders scan + window ran 6×
+      val e = graft.Ckpt.cutLight(chainEdges(s, d, withSkip = true))
       val oneHop = e.select(col("src"), col("dst"))
       val twoHop = oneHop.as("x").join(oneHop.as("y"),
           col("x.dst") === col("y.src"))
