@@ -611,19 +611,33 @@ object GraphOps {
 
   /** Min-label propagation to fixpoint along directed edges: lbl(v) =
     * min over ancestors(v) ∪ {v}. Building block of [[scc]] (forward
-    * on the graph, forward on the reversed graph = backward). */
+    * on the graph, forward on the reversed graph = backward).
+    *
+    * Each round does one EDGE relax plus one POINTER JUMP
+    * (lbl ← min(lbl, lbl(lbl))) — sound because lbl(v) is always an
+    * ancestor-or-self, and an ancestor's ancestors are ancestors, so
+    * the jump only ever surfaces valid labels. The jump doubles the
+    * effective propagation distance per round: a length-L chain or
+    * cycle converges in O(log L) rounds instead of L (a 25-hop cycle:
+    * ~5 rounds vs 25 — measured directly on g15's fw/bw phases).
+    */
   private def minLabelFixpoint(nodes: DataFrame, e: DataFrame,
                                maxRounds: Int): DataFrame =
     iterate(nodes.select(col("node"), col("node").as("lbl")), maxRounds) { cur =>
       val cand = cur.join(e, cur("node") === e("src"))
         .select(e("dst").as("node"), cur("lbl"))
-      val merged = cur.select("node", "lbl").unionByName(cand)
+      val relaxed = cur.select("node", "lbl").unionByName(cand)
         .groupBy("node").agg(min("lbl").as("lbl"))
-      merged.join(
+      val jumped = relaxed.as("m").join(
+          relaxed.select(col("node").as("jn"), col("lbl").as("jl")).as("j"),
+          col("m.lbl") === col("j.jn"), "left")
+        .select(col("m.node").as("node"),
+          least(col("m.lbl"), coalesce(col("j.jl"), col("m.lbl"))).as("lbl"))
+      jumped.join(
           cur.select(col("node").as("pn"), col("lbl").as("pl")),
-          merged("node") === col("pn"), "left")
-        .select(merged("node"), merged("lbl"),
-          (col("pl").isNull || col("pl") =!= merged("lbl"))
+          jumped("node") === col("pn"), "left")
+        .select(jumped("node"), jumped("lbl"),
+          (col("pl").isNull || col("pl") =!= jumped("lbl"))
             .cast("int").as("__changed"))
     }
 
