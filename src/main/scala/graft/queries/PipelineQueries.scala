@@ -1089,6 +1089,38 @@ object PipelineQueries {
              |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
              |ORDER BY a, b""".stripMargin)),
 
+    Q("d16_threshold_sweep",
+      // Threshold sensitivity sweep for embedding dedup — the tuning
+      // table a pipeline owner reads before picking d5's cutoff:
+      // pair counts per cosine bucket (width 0.05, from 0.30 up).
+      // Bucket = floor(cos·20) on the SAME fixed-order double
+      // expression both engines evaluate, so bucketing is exact; one
+      // all-pairs pass at this surface's scale, the d5b LSH path at
+      // corpus scale.
+      (s, d) => {
+        import org.apache.spark.sql.graftbridge.VectorFunctions.{vec_cosine, vec_norm}
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", vec_norm(col("v")))
+        val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+        a.join(b, col("a") < col("b"))
+          .withColumn("cosine", vec_cosine(col("va"), col("vb"), col("na"), col("nb")))
+          .filter(col("cosine") >= 0.30)
+          .select(floor(col("cosine") * 20).cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH $cosSql,
+              |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+              |  list_dot_product(a.v, b.v)
+              |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+              |  FROM ce a JOIN ce b ON a.vec_id < b.vec_id)
+              |SELECT CAST(floor(cos * 20) AS BIGINT) AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM p WHERE cos >= 0.30
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("s7_radius_search",
       // Radius (range) similarity search — kNN's fixed-threshold
       // complement: ALL neighbors with cosine ≥ θ per query vector,

@@ -1458,6 +1458,48 @@ object Relational {
              |FROM d95 JOIN d96 USING (o_custkey)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("q65_sql_surface",
+      // The PURE-SQL front door: the same engine driven entirely
+      // through spark.sql over registered temp views — a multi-CTE
+      // analytical query (filter → join → window → aggregate) with
+      // zero DataFrame-API calls after view registration. Proves a
+      // SQL-only client of the library gets the same Catalyst plans
+      // (and the oracle is, for once, almost the same text).
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_sql")
+        Tables.customer(s, d).createOrReplaceTempView("customer_sql")
+        s.sql("""
+          WITH big AS (
+            SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders_sql WHERE o_orderpriority = '1-URGENT'),
+          pc AS (
+            SELECT o_custkey, sum(cents) AS rev, count(*) AS n_orders
+            FROM big GROUP BY o_custkey),
+          rk AS (
+            SELECT c.c_nationkey, pc.rev, pc.n_orders,
+              row_number() OVER (PARTITION BY c.c_nationkey
+                ORDER BY pc.rev DESC, pc.o_custkey) AS r
+            FROM pc JOIN customer_sql c ON c.c_custkey = pc.o_custkey)
+          SELECT c_nationkey, sum(rev) AS top3_rev, sum(n_orders) AS top3_orders
+          FROM rk WHERE r <= 3 GROUP BY c_nationkey ORDER BY c_nationkey""")
+      },
+      Some("""WITH big AS (
+             |  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |pc AS (
+             |  SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS rev,
+             |    CAST(count(*) AS BIGINT) AS n_orders
+             |  FROM big GROUP BY o_custkey),
+             |rk AS (
+             |  SELECT c.c_nationkey, pc.rev, pc.n_orders,
+             |    row_number() OVER (PARTITION BY c.c_nationkey
+             |      ORDER BY pc.rev DESC, pc.o_custkey) AS r
+             |  FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey)
+             |SELECT c_nationkey, CAST(sum(rev) AS BIGINT) AS top3_rev,
+             |  CAST(sum(n_orders) AS BIGINT) AS top3_orders
+             |FROM rk WHERE r <= 3 GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)),
+
     Q("prof1_column_profile",
       // One-pass table profiling (Profiler.profile): null counts,
       // distinct cardinality, min/max per column in a single
