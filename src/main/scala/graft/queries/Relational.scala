@@ -1500,6 +1500,48 @@ object Relational {
              |FROM rk WHERE r <= 3 GROUP BY c_nationkey
              |ORDER BY c_nationkey""".stripMargin)),
 
+    Q("q66_scd2",
+      // Slowly-changing-dimension TYPE 2 construction: turn a keyed
+      // change log (here: each customer's orders as value-change
+      // events) into a versioned history table with half-open
+      // validity intervals — valid_from = the change time,
+      // valid_to = the NEXT change time (NULL while current),
+      // is_current flagged. One per-key lead() window over the
+      // change log; the as-of join (q25/q53) is the lookup side of
+      // this same pattern. Consecutive same-valued changes collapse
+      // first (true SCD2 never versions a non-change).
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("t", "k")
+        val chg = Tables.orders(s, d)
+          .filter(col("o_custkey") < 200)
+          .select(col("o_custkey"), col("o_orderkey").as("k"),
+            datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long").as("t"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("val"))
+          .withColumn("prev_val", lag("val", 1).over(w))
+          .filter(col("prev_val").isNull || col("prev_val") =!= col("val"))
+        chg
+          .withColumn("valid_to", lead("t", 1).over(w))
+          .select(col("o_custkey"), col("val"),
+            col("t").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.cast("int").as("is_current"))
+          .orderBy("o_custkey", "valid_from", "val")
+      },
+      Some("""WITH chg AS (SELECT * FROM (
+             |    SELECT o_custkey, o_orderkey AS k,
+             |      date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS t,
+             |      CAST(round(o_totalprice * 100) AS BIGINT) AS val,
+             |      lag(CAST(round(o_totalprice * 100) AS BIGINT), 1)
+             |        OVER (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)), o_orderkey)
+             |        AS prev_val
+             |    FROM orders WHERE o_custkey < 200)
+             |  WHERE prev_val IS NULL OR prev_val <> val)
+             |SELECT o_custkey, val, t AS valid_from,
+             |  lead(t, 1) OVER (PARTITION BY o_custkey ORDER BY t, k) AS valid_to,
+             |  CAST(CASE WHEN lead(t, 1) OVER (PARTITION BY o_custkey ORDER BY t, k)
+             |       IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+             |FROM chg ORDER BY o_custkey, valid_from, val""".stripMargin)),
+
     Q("prof1_column_profile",
       // One-pass table profiling (Profiler.profile): null counts,
       // distinct cardinality, min/max per column in a single
