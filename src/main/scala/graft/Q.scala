@@ -8,7 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stable across engines:
   *   - every computed column aliased identically on both sides
   *   - integer aggregates cast to BIGINT in the oracle (DuckDB sums of
-  *     INT are HUGEINT otherwise)
+  *     INT are HUGEINT otherwise) — and this includes `sum() OVER`
+  *     windows AND any arithmetic derived from them (`//`, `%` stay
+  *     HUGEINT once promoted): wrap the final derived column in
+  *     CAST(... AS BIGINT)
   *   - doubles rounded to a fixed scale on both sides
   *   - timestamps emitted as formatted strings (ns-vs-us parquet
   *     precision would otherwise differ)

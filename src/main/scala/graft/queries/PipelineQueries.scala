@@ -1197,7 +1197,8 @@ object PipelineQueries {
       (s, d) => Corpus.pack(Tables.documents(s, d), "doc_id", "text", "source", 512)
         .orderBy("source", "doc_id"),
       Some("""SELECT source, doc_id, n_tokens,
-             |  start_tok // 512 AS bin, start_tok % 512 AS bin_offset
+             |  CAST(start_tok // 512 AS BIGINT) AS bin,
+             |  CAST(start_tok % 512 AS BIGINT) AS bin_offset
              |FROM (SELECT source, doc_id, n_tokens,
              |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
@@ -1276,8 +1277,8 @@ object PipelineQueries {
              |        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
              |      FROM d)
-             |SELECT source, doc_id, start_tok // 512 AS bin,
-             |  start_tok % 512 AS bin_offset, n_tokens, ids_csv
+             |SELECT source, doc_id, CAST(start_tok // 512 AS BIGINT) AS bin,
+             |  CAST(start_tok % 512 AS BIGINT) AS bin_offset, n_tokens, ids_csv
              |FROM p ORDER BY source, doc_id""".stripMargin)),
 
     Q("t11_inverted_index",
