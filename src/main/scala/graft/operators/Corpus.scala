@@ -159,9 +159,13 @@ object Corpus {
     require(budget >= 1, "budget must be positive")
     val tok = df.select(col(shardCol).as("source"), col(idCol).as("doc_id"),
       posexplode(expr(toks(textCol))).as(Seq("pos", "tok")))
-    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("__cnt"))
-      .withColumn("rank", dense_rank()
-        .over(Window.orderBy(col("__cnt").desc, col("tok"))).cast("long"))
+    // frequency rank via the Quantiles stats pass — the order
+    // (count DESC, token ASC) is unique, so the distributed global
+    // rank equals the window dense_rank; no single-task
+    // vocabulary-sized sort even when the vocabulary is data-scale
+    val vocab = Quantiles.globalRank(
+        tok.groupBy("tok").agg(count(lit(1)).as("__cnt")),
+        Seq(-col("__cnt"), col("tok")), "rank")
       .select("tok", "rank")
     val seqs = tok.join(broadcast(vocab), Seq("tok"))
       .groupBy("source", "doc_id")
@@ -216,9 +220,10 @@ object Corpus {
   def rarityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("doc_id"),
       explode(expr(toks(textCol))).as("tok"))
-    val ranks = tok.groupBy("tok").agg(count(lit(1)).as("__cnt"))
-      .withColumn("rank", dense_rank()
-        .over(Window.orderBy(col("__cnt").desc, col("tok"))).cast("long"))
+    // distributed frequency rank — see tokenizePack's vocabulary note
+    val ranks = Quantiles.globalRank(
+        tok.groupBy("tok").agg(count(lit(1)).as("__cnt")),
+        Seq(-col("__cnt"), col("tok")), "rank")
       .select("tok", "rank")
     tok.join(broadcast(ranks), Seq("tok"))
       .groupBy("doc_id").agg(sum("rank").as("rarity"))

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Ckpt
+
+/** Distributed order statistics without a global sort.
+  *
+  * `ntile` / global rank / global `lead` over a total order compile to
+  * an unpartitioned window — Spark moves every row to ONE task, which
+  * is correct at local[32] scale and fatal at 100 TB. This object
+  * computes the same EXACT results with a stats pass, the same idea
+  * Spark's own `RangePartitioner` uses for `orderBy`, surfaced as a
+  * reusable operator because the rank must feed further computation
+  * (bucket arithmetic, joins), not just output ordering:
+  *
+  *  1. materialize the key columns and cut lineage (the frame is read
+  *     three more times — count, sample, bucket histogram);
+  *  2. draw a deterministic hash sample of the keys (~64 per bucket),
+  *     collect it to the driver and pick evenly spaced COMPOSITE
+  *     bounds. Composite (all key columns, not just the first) is what
+  *     keeps tie-heavy domains balanced: a vocabulary where most
+  *     tokens have count 1 still splits across buckets by token;
+  *  3. assign each row bucket = number of bounds lexicographically
+  *     `<=` its key. The assignment is monotone in the total order and
+  *     puts equal keys in equal buckets, so ranks are EXACT regardless
+  *     of sample quality — the sample only balances work;
+  *  4. per-bucket `row_number` plus driver-side prefix offsets (one
+  *     bucket-histogram pass, `buckets` rows collected) = the global
+  *     rank. Every window in the final plan is partitioned; the only
+  *     driver-side state is O(buckets) bounds and offsets.
+  *
+  * Keys must be non-null and, taken together, UNIQUE per row (append a
+  * key column as tie-break); negate a numeric column for descending
+  * order. Determinism: the hash sample, the bounds, and therefore the
+  * whole plan are pure functions of the data — retried tasks and
+  * re-runs see identical assignments.
+  */
+object Quantiles {
+
+  /** Lexicographic `bound <= key` as a Catalyst expression; `bound`
+    * holds driver-collected literal values parallel to `keys`. */
+  private def boundLeq(bound: Seq[Any], keys: Seq[Column]): Column =
+    keys.zip(bound).foldRight(lit(true)) { case ((k, b), rest) =>
+      lit(b) < k || (lit(b) === k && rest)
+    }
+
+  /** Driver-side ordering matching Spark's ascending sort on the
+    * collected key rows (non-null keys only). */
+  private val keyOrdering: Ordering[Seq[Any]] = (a: Seq[Any], b: Seq[Any]) => {
+    var i = 0
+    var c = 0
+    while (c == 0 && i < a.length) {
+      c = a(i).asInstanceOf[Comparable[Any]].compareTo(b(i))
+      i += 1
+    }
+    c
+  }
+
+  /** Shared machinery: returns the input with materialized key columns
+    * `__qk*`, a bucket column `__qb`, plus the per-bucket prefix
+    * offsets and the total row count. */
+  private def bucketize(df: DataFrame, keys: Seq[Column], buckets: Int)
+      : (DataFrame, Seq[String], Array[(Int, Long)], Long) = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val kcols = keys.indices.map(i => s"__qk$i")
+    val kdf = Ckpt.cutLight(df.select(
+      df.columns.map(col) ++ keys.zip(kcols).map { case (c, n) => c.as(n) }: _*))
+    val n = kdf.count()
+    if (n == 0) return (kdf.withColumn("__qb", lit(0)), kcols, Array((0, 0L)), 0L)
+    // deterministic hash sample, ~64 keys per requested bucket
+    val mod = math.max(1L, n / (buckets.toLong * 64))
+    val sampled = kdf.select(kcols.map(col): _*)
+      .filter(pmod(xxhash64(kcols.map(col): _*), lit(mod)) === 0)
+      .collect().map(_.toSeq).sortWith((a, b) => keyOrdering.compare(a, b) < 0)
+    val bounds =
+      if (sampled.isEmpty) Array.empty[Seq[Any]]
+      else (1 until buckets)
+        .map(i => sampled(((i.toLong * sampled.length) / buckets).toInt))
+        .distinct.toArray
+    val bucketExpr =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(boundLeq(b, kcols.map(col)), 1).otherwise(0))
+        .reduce(_ + _)
+    val withB = kdf.withColumn("__qb", bucketExpr)
+    val cnts = withB.groupBy("__qb").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = cnts.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    (withB, kcols, offsets, n)
+  }
+
+  private def rankWithTotal(df: DataFrame, keys: Seq[Column], out: String,
+                            buckets: Int): (DataFrame, Long) = {
+    val (withB, kcols, offsets, n) = bucketize(df, keys, buckets)
+    val offDf = broadcast(
+      df.sparkSession.createDataFrame(offsets.toSeq).toDF("__qb", "__qoff"))
+    val w = Window.partitionBy("__qb").orderBy(kcols.map(col): _*)
+    val ranked = withB.join(offDf, Seq("__qb"))
+      .withColumn(out, col("__qoff") + row_number().over(w).cast("long"))
+      .drop("__qb" +: "__qoff" +: kcols: _*)
+    (ranked, n)
+  }
+
+  /** Exact 1-based global rank under the unique ascending composite
+    * order `keys`, as a new long column `out`. Because the order is
+    * unique, this equals `row_number`, `rank`, and `dense_rank` over
+    * the same window. */
+  def globalRank(df: DataFrame, keys: Seq[Column], out: String,
+                 buckets: Int = 32): DataFrame =
+    rankWithTotal(df, keys, out, buckets)._1
+
+  /** Exact `ntile(n)` over the unique ascending composite order
+    * `keys`, as a new long column `out`: first `N mod n` tiles get
+    * `ceil(N/n)` rows, the rest `floor(N/n)` — bucket arithmetic on
+    * the distributed rank, bit-identical to the window form. */
+  def ntileByStats(df: DataFrame, n: Int, keys: Seq[Column], out: String,
+                   buckets: Int = 32): DataFrame = {
+    require(n >= 1, "ntile requires n >= 1")
+    val (ranked, total) = rankWithTotal(df, keys, out, buckets)
+    val base = total / n
+    val rem = total % n
+    val cut = rem * (base + 1)
+    // rank <= cut lies in the wide tiles; the otherwise branch only
+    // evaluates when base > 0 (rank > cut implies total > n)
+    ranked.withColumn(out,
+      when(col(out) <= cut, expr(s"($out - 1) div ${base + 1} + 1"))
+        .otherwise(expr(s"$rem + ($out - 1 - $cut) div ${math.max(base, 1L)} + 1")))
+  }
+
+  /** Global `lead(key, 1)` over the ascending order of a unique
+    * non-null key column, as range-bucketed per-partition lead plus
+    * one boundary value per bucket: the last row of bucket b takes the
+    * first key of the next non-empty bucket (driver-side, O(buckets)
+    * rows). */
+  def partitionedLead(df: DataFrame, key: String, out: String,
+                      buckets: Int = 32): DataFrame = {
+    val (withB, kcols, _, n) = bucketize(df, Seq(col(key)), buckets)
+    val keyType = df.schema(key).dataType
+    if (n == 0) return withB.withColumn(out, lit(null).cast(keyType))
+      .drop("__qb" +: kcols: _*)
+    val w = Window.partitionBy("__qb").orderBy(col(key))
+    val led = withB.withColumn(out, lead(col(key), 1).over(w))
+    val firsts = withB.groupBy("__qb").agg(min(col(key)).as("__qfirst"))
+      .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+    val nextFirst = firsts.zip(firsts.drop(1)).map { case ((b, _), (_, f)) => (b, f) }
+    val nextExpr = nextFirst.foldLeft(lit(null).cast(keyType)) {
+      case (acc, (b, f)) => when(col("__qb") === b, lit(f)).otherwise(acc)
+    }
+    led.withColumn(out, coalesce(col(out), nextExpr))
+      .drop("__qb" +: kcols: _*)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Quantiles, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` /
   * `embeddings`: dedup family (d1–d6), similarity search (s1–s3),
@@ -1366,18 +1366,16 @@ object PipelineQueries {
 
     Q("c5_curriculum",
       // Curriculum construction: documents ranked by the t2 quality
-      // score, cut into 4 equal-depth curriculum stages (ntile over
-      // (score, doc_id) — the unique tie-break makes stage
+      // score, cut into 4 equal-depth curriculum stages (exact ntile
+      // over (score, doc_id) — the unique tie-break makes stage
       // assignment deterministic), per-stage manifest with token
-      // mass and score bounds. The global ntile window is the
-      // local[32] form; a cluster derives the 3 stage boundaries
-      // from range-partition statistics and assigns by comparison —
-      // same output contract, no global sort.
+      // mass and score bounds. The cut is the Quantiles stats pass:
+      // sampled bounds → bucketed rank → tile arithmetic — same
+      // output as the window form, no global sort at any scale.
       (s, d) => {
         val scored = TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
-        val w = Window.orderBy(col("quality_bp"), col("doc_id"))
-        scored
-          .withColumn("stage", ntile(4).over(w).cast("long"))
+        Quantiles.ntileByStats(scored, 4,
+            Seq(col("quality_bp"), col("doc_id")), "stage")
           .groupBy("stage")
           .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
             min("quality_bp").as("min_q"), max("quality_bp").as("max_q"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
+import graft.operators.Quantiles
 
 /** Relational / OLAP core: SURVEY.md §2 q1–q28.
   *
@@ -1201,21 +1202,18 @@ object Relational {
     Q("q57_equidepth_histogram",
       // Equi-DEPTH histogram (quantile binning) — q42's equal-width
       // complement, the profiling primitive behind range partitioning
-      // choices: ntile(8) over exact integer cents, per-bin count +
-      // bounds. The ntile window is a global sort at local scale; a
-      // cluster derives the same bounds from range-partition stats
-      // (approx_percentile) instead — documented trade, same output
-      // contract.
-      (s, d) => {
-        val w = Window.orderBy(col("cents"), col("o_orderkey"))
-        Tables.orders(s, d)
-          .select(col("o_orderkey"),
-            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-          .withColumn("bin", ntile(8).over(w).cast("long"))
-          .groupBy("bin")
-          .agg(count(lit(1)).as("cnt"), min("cents").as("lo"), max("cents").as("hi"))
-          .orderBy("bin")
-      },
+      // choices: exact ntile(8) over integer cents via the
+      // Quantiles stats pass (sampled bounds → bucketed rank →
+      // tile arithmetic) — no global single-task window anywhere in
+      // the plan, bit-identical to the ntile oracle.
+      (s, d) => Quantiles.ntileByStats(
+          Tables.orders(s, d)
+            .select(col("o_orderkey"),
+              expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")),
+          8, Seq(col("cents"), col("o_orderkey")), "bin")
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"), min("cents").as("lo"), max("cents").as("hi"))
+        .orderBy("bin"),
       Some("""WITH b AS (SELECT o_orderkey,
              |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
              |  FROM orders),
@@ -1234,21 +1232,19 @@ object Relational {
       // Audited stream: urgent orders only, whose keys are sparse in
       // the full domain — the filter is the realistic shape (audit a
       // partition/tenant's keys), and it guarantees real gaps at
-      // every SF. The global sort window is the local[32] form; at
-      // cluster scale the same lead() runs inside range partitions
-      // with one boundary row exchanged per partition.
-      (s, d) => {
-        val w = Window.orderBy("o_orderkey")
-        Tables.orders(s, d)
-          .filter(col("o_orderpriority") === "1-URGENT")
-          .select("o_orderkey")
-          .withColumn("nxt", lead("o_orderkey", 1).over(w))
+      // every SF. The lead() runs inside range buckets with one
+      // boundary value exchanged per bucket (Quantiles
+      // .partitionedLead) — no global sort at any scale.
+      (s, d) => Quantiles.partitionedLead(
+          Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_orderkey"),
+          "o_orderkey", "nxt")
           .filter(col("nxt") > col("o_orderkey") + 1)
           .select((col("o_orderkey") + 1).as("gap_start"),
             (col("nxt") - 1).as("gap_end"),
             (col("nxt") - col("o_orderkey") - 1).as("n_missing"))
-          .orderBy("gap_start")
-      },
+          .orderBy("gap_start"),
       Some("""WITH s AS (SELECT o_orderkey,
              |    lead(o_orderkey, 1) OVER (ORDER BY o_orderkey) AS nxt
              |  FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -1335,16 +1331,17 @@ object Relational {
     Q("q61_concentration",
       // Revenue concentration: what share of total order value the
       // top-decile customers hold — the Pareto/inequality audit.
-      // Per-customer totals, decile cut by ntile (unique tie-break),
-      // exact integer cents, one final one-row rollup; the share
-      // leaves integer space only in the last projection.
+      // Per-customer totals, decile cut by the Quantiles stats pass
+      // (descending = negated revenue, unique tie-break), exact
+      // integer cents, one final one-row rollup; the share leaves
+      // integer space only in the last projection.
       (s, d) => {
         val perCust = Tables.orders(s, d)
           .select(col("o_custkey"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
           .groupBy("o_custkey").agg(sum("cents").as("rev"))
-        val w = Window.orderBy(col("rev").desc, col("o_custkey"))
-        perCust.withColumn("decile", ntile(10).over(w))
+        Quantiles.ntileByStats(perCust, 10,
+            Seq(-col("rev"), col("o_custkey")), "decile")
           .agg(
             sum(when(col("decile") === 1, col("rev")).otherwise(0L)).as("top_rev"),
             sum("rev").as("total_rev"),
@@ -1424,18 +1421,17 @@ object Relational {
       // Rank-migration matrix: each customer's revenue DECILE in 1995
       // vs 1996, counted into a from→to mobility matrix — the
       // year-over-year "who moved up" audit. Two unique-ordered
-      // ntile cuts joined on the customer key; only customers active
-      // both years transition. The ntile windows are global but run
-      // over per-customer AGGREGATES (customer-count-bounded, not
-      // order-count) — same posture note as q57/c5.
+      // decile cuts (Quantiles stats pass — exact ntile, no global
+      // window) joined on the customer key; only customers active
+      // both years transition.
       (s, d) => {
-        def decile(y: Int) = Tables.orders(s, d)
-          .filter(col("o_orderdate") >= s"$y-01-01" && col("o_orderdate") < s"${y + 1}-01-01")
-          .select(col("o_custkey"),
-            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-          .groupBy("o_custkey").agg(sum("cents").as("rev"))
-          .withColumn("dec", ntile(10).over(
-            Window.orderBy(col("rev").desc, col("o_custkey"))).cast("long"))
+        def decile(y: Int) = Quantiles.ntileByStats(
+            Tables.orders(s, d)
+              .filter(col("o_orderdate") >= s"$y-01-01" && col("o_orderdate") < s"${y + 1}-01-01")
+              .select(col("o_custkey"),
+                expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+              .groupBy("o_custkey").agg(sum("cents").as("rev")),
+            10, Seq(-col("rev"), col("o_custkey")), "dec")
           .select("o_custkey", "dec")
         decile(1995).withColumnRenamed("dec", "dec_from")
           .join(decile(1996).withColumnRenamed("dec", "dec_to"), "o_custkey")
