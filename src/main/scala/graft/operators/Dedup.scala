@@ -291,17 +291,6 @@ object Dedup {
       .agg(array((0 until numHashes).map(i => min(expr(s"hv[$i]"))): _*).as("mh"))
   }
 
-  /** Banded LSH signature rows (setId, band, sig) from per-set
-    * minhash vectors — band signature = the band's slots in order as
-    * a string (cross-engine equality; no engine-private hash). */
-  private def bandRows(mins: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val rows = numHashes / bands
-    mins.select(col("setId"), explode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
-          s"array_join(transform(sequence(0, ${rows - 1}), r -> CAST(mh[b * $rows + r] AS STRING)), ',') AS sig))")).as("bs"))
-      .select(col("setId"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-  }
-
   /** Set-level core of [[minhashLshPairs]]: returns (members, verified
     * set pairs (sa, sb, jaccard)). Shared by the pair-emitting oracle
     * surface and the [[fuzzyClusters]] scale path, which must never
@@ -341,6 +330,27 @@ object Dedup {
     // the cap lose LSH candidacy — the documented recall trade; exact
     // clones still collapse via the token-set stage above.
     val sigged = Ckpt.cut(mins.withColumn("sigKey", xxhash64(to_json(col("mh")))))
+    val cand = sigCandidates(sigged, bands, rows, maxBucket, None)
+
+    (members,
+      verifySetJaccard(cand, repTok, repSize, setMasks(repTok, repSize), threshold))
+  }
+
+  /** Signature-level LSH candidate generation shared by the full
+    * ([[minhashSetPairs]]) and incremental
+    * ([[incrementalMinhashPairs]]) paths: `sigged` carries one row per
+    * distinct token set (setId, mh, sigKey). Group membership and band
+    * buckets are deduped to DISTINCT signatures and capped over the
+    * FULL population first; when `probeGroups` (a frame with a
+    * `sigKey` column) is given, only those groups' band rows probe the
+    * index afterwards. Because the caps never see the probe filter,
+    * the probed output is EXACTLY the full run's candidates restricted
+    * to pairs touching a probe group — the invariant the incremental
+    * oracle pins, including at cap boundaries.
+    */
+  private def sigCandidates(sigged: DataFrame, bands: Int, rows: Int,
+                            maxBucket: Int,
+                            probeGroups: Option[DataFrame]): DataFrame = {
     val gmembers = capBuckets(sigged.select("sigKey", "setId"),
       Seq("sigKey"), "setId", maxBucket)
     val reps = sigged.withColumn("__rn", row_number().over(
@@ -355,10 +365,13 @@ object Dedup {
       .select(col("sigKey"), col("bs.band").as("band"), col("bs.sig").as("sig")))
 
     val capped = capBuckets(sig, Seq("band", "sig"), "sigKey", maxBucket)
-    val candG = capped.as("a").join(capped.as("b"),
+    val probe = probeGroups.map(p =>
+      capped.join(p.select("sigKey"), Seq("sigKey"), "left_semi")).getOrElse(capped)
+    val candG = probe.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.sigKey") < col("b.sigKey"))
-      .select(col("a.sigKey").as("ga"), col("b.sigKey").as("gb")).distinct()
+          col("a.sigKey") =!= col("b.sigKey"))
+      .select(least(col("a.sigKey"), col("b.sigKey")).as("ga"),
+        greatest(col("a.sigKey"), col("b.sigKey")).as("gb")).distinct()
     // expand signature-group pairs to set pairs; groups partition the
     // sets, so cross-group + within-group pairs are disjoint — no
     // dedup pass needed
@@ -366,13 +379,12 @@ object Dedup {
       .join(gmembers.select(col("sigKey").as("ga"), col("setId").as("xa")), Seq("ga"))
       .join(gmembers.select(col("sigKey").as("gb"), col("setId").as("xb")), Seq("gb"))
       .select(least(col("xa"), col("xb")).as("sa"), greatest(col("xa"), col("xb")).as("sb"))
-    val withinSets = gmembers.as("x").join(gmembers.as("y"),
+    val withinGroups = probeGroups.map(p =>
+      gmembers.join(p.select("sigKey"), Seq("sigKey"), "left_semi")).getOrElse(gmembers)
+    val withinSets = withinGroups.as("x").join(gmembers.as("y"),
         col("x.sigKey") === col("y.sigKey") && col("x.setId") < col("y.setId"))
       .select(col("x.setId").as("sa"), col("y.setId").as("sb"))
-    val cand = crossSets.union(withinSets)
-
-    (members,
-      verifySetJaccard(cand, repTok, repSize, setMasks(repTok, repSize), threshold))
+    crossSets.union(withinSets)
   }
 
   /** Fuzzy-dedup CLUSTER table — the 100-TB deliverable of MinHash
@@ -436,16 +448,17 @@ object Dedup {
     val newSets = members.join(flags, Seq("id"))
       .groupBy("setId").agg(max("__new").as("hasNew"))
 
-    val sig = Ckpt.cut(bandRows(setMinhashes(repTok, numHashes), numHashes, bands))
-    val capped = capBuckets(sig, Seq("band", "sig"), "setId", maxBucket)
-    val probe = capped.join(
-      newSets.filter(col("hasNew") === 1).select("setId"), Seq("setId"), "left_semi")
-    val cand = probe.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.setId") =!= col("b.setId"))
-      .select(least(col("a.setId"), col("b.setId")).as("sa"),
-        greatest(col("a.setId"), col("b.setId")).as("sb"))
-      .distinct()
+    // same signature-dedup + cap machinery as the full run (caps are
+    // computed over the full population BEFORE the probe filter, so
+    // probe output ≡ full output filtered — the oracle's invariant);
+    // only signature groups containing a new set probe the band index
+    val mins = setMinhashes(repTok, numHashes)
+    val sigged = Ckpt.cut(mins.withColumn("sigKey", xxhash64(to_json(col("mh")))))
+    val probeGroups = sigged
+      .join(newSets.filter(col("hasNew") === 1).select("setId"), Seq("setId"), "left_semi")
+      .select("sigKey").distinct()
+    val cand = sigCandidates(sigged, bands, numHashes / bands, maxBucket,
+      Some(probeGroups))
     val verified = verifySetJaccard(cand, repTok, repSize,
       setMasks(repTok, repSize), threshold)
 

@@ -129,18 +129,21 @@ object TextAnalysis {
        |SELECT doc_id, CASE $caseArms END AS pred_lang FROM sm""".stripMargin
   }
 
-  /** Rolling-hash base for [[fingerprints]]. Char codes are masked to
-    * 7 bits (`c & 0x7F`) on BOTH engines before entering the
+  /** Rolling-hash base for [[fingerprints]]. Code points are masked
+    * to 7 bits (`c & 0x7F`) on BOTH engines before entering the
     * polynomial, so a k=5-gram never leaves signed-64 range
-    * (5·5381⁴·127 ≈ 5.3e17 < 2⁶³) for ANY input — JVM chars are
-    * UTF-16 code units up to 65535, which unmasked would silently wrap
-    * Long here while the oracle's checked BIGINT arithmetic diverges.
-    * With the mask, values are bit-identical across engines for all
-    * BMP text. (Astral-plane chars remain out of contract: the JVM
-    * indexes UTF-16 units, SQL `substr` indexes code points, so the
-    * two sides would disagree on gram *positions*, not arithmetic.)
+    * (5·5381⁴·127 ≈ 5.3e17 < 2⁶³) for ANY input — unmasked values
+    * would silently wrap Long here while the oracle's checked BIGINT
+    * arithmetic diverges. The UDFs iterate CODE POINTS (not UTF-16
+    * units), matching SQL `substr`/`length` indexing, so gram
+    * positions and values are bit-identical across engines for all
+    * text including astral-plane characters.
     */
   val FingerprintBase: Long = 5381L
+
+  /** `text` as an array of Unicode code points — the unit SQL string
+    * functions index by. One pass, no boxing. */
+  private def codePoints(text: String): Array[Int] = text.codePoints().toArray
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): Karp-
     * Rabin rolling hashes of k-grams, minimum per sliding window of
@@ -152,9 +155,10 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, w: Int = 4): DataFrame = {
     val f = udf { text: String =>
-      if (text == null || text.length < k) Array.empty[Long]
+      val cp = if (text == null) Array.empty[Int] else codePoints(text)
+      if (cp.length < k) Array.empty[Long]
       else {
-        val n = text.length - k + 1
+        val n = cp.length - k + 1
         val hs = new Array[Long](n)
         val B = FingerprintBase
         var pow = 1L
@@ -162,11 +166,11 @@ object TextAnalysis {
         while (i < k - 1) { pow *= B; i += 1 }
         var h = 0L
         i = 0
-        while (i < k) { h = h * B + (text.charAt(i) & 0x7F); i += 1 }
+        while (i < k) { h = h * B + (cp(i) & 0x7F); i += 1 }
         hs(0) = h
         i = 1
         while (i < n) {
-          h = (h - (text.charAt(i - 1) & 0x7F) * pow) * B + (text.charAt(i + k - 1) & 0x7F)
+          h = (h - (cp(i - 1) & 0x7F) * pow) * B + (cp(i + k - 1) & 0x7F)
           hs(i) = h
           i += 1
         }
@@ -233,23 +237,24 @@ object TextAnalysis {
   def fingerprintsMod(df: DataFrame, idCol: String, textCol: String,
                       k: Int, w: Int): DataFrame = {
     val f = udf { text: String =>
-      if (text == null || text.length < k + w - 1) Array.empty[Long]
+      val cp = if (text == null) Array.empty[Int] else codePoints(text)
+      if (cp.length < k + w - 1) Array.empty[Long]
       else {
         val P = FingerprintP
         val B = FingerprintBase
-        val n = text.length - k + 1
+        val n = cp.length - k + 1
         val hs = new Array[Long](n)
         var pow = 1L
         var i = 0
         while (i < k - 1) { pow = pow * B % P; i += 1 }
         var h = 0L
         i = 0
-        while (i < k) { h = (h * B + (text.charAt(i) & 0x7F)) % P; i += 1 }
+        while (i < k) { h = (h * B + (cp(i) & 0x7F)) % P; i += 1 }
         hs(0) = h
         i = 1
         while (i < n) {
-          val t = Math.floorMod(h - (text.charAt(i - 1) & 0x7F) * pow, P)
-          h = (t * B + (text.charAt(i + k - 1) & 0x7F)) % P
+          val t = Math.floorMod(h - (cp(i - 1) & 0x7F) * pow, P)
+          h = (t * B + (cp(i + k - 1) & 0x7F)) % P
           hs(i) = h
           i += 1
         }

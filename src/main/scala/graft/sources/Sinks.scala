@@ -86,18 +86,32 @@ object Sinks {
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
+    // the path's OWN filesystem — FileSystem.get(conf) resolves the
+    // default FS and would mishandle a fully-qualified s3a://…/table
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val summary = fs.getContentSummary(p)
     val nFiles = math.max(1L, (summary.getLength + targetFileBytes - 1) / targetFileBytes).toInt
     val before = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     val old = new org.apache.hadoop.fs.Path(path + "__precompact")
+    // leftovers from a crashed prior compaction make the renames below
+    // ambiguous (a stale __precompact would be deleted as if it were
+    // this run's backup) — fail fast and let the operator inspect
+    if (fs.exists(tmp) || fs.exists(old))
+      throw new IllegalStateException(
+        s"compact: leftover $tmp or $old from a prior run — resolve before compacting")
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(p, old)
-    fs.rename(tmp, p)
+    // two-rename swap, each result checked: the backup (`old`) is only
+    // deleted after the swap-in verifiably succeeded, and a failed
+    // swap-in restores the original path from the backup
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: rename $p -> $old failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore; best-effort — tmp still holds the rewrite
+      throw new java.io.IOException(s"compact: rename $tmp -> $p failed; original restored")
+    }
     fs.delete(old, true)
     val after = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
     (before, after)

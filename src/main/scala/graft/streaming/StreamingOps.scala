@@ -290,10 +290,12 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // per-write option, NOT session conf: a session-wide
+        // partitionOverwriteMode=dynamic would silently change the
+        // truncation semantics of every later overwrite in the session
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(outPath)
         ()
