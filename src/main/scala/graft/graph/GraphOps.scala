@@ -356,23 +356,28 @@ object GraphOps {
 
   /** Assembly summary statistics — the assembler's report card:
     * contig count, total/max length, and N50 (the largest length L
-    * such that contigs ≥ L cover at least half the assembly). The
-    * ordered cumulative pass runs on the contig LENGTH table —
-    * contigs ≪ reads by construction, so the single-partition window
-    * is a final small-data reduce, not a corpus-scale sort.
+    * such that contigs ≥ L cover at least half the assembly).
+    *
+    * N50 without a global sort: on the per-length totals (one
+    * map-side-combine aggregate), a row's descending running sum in
+    * the row-framed window form reaches `S≥(v) = Σ len·cnt over
+    * lengths ≥ v` exactly at the last row of each tied length, so
+    * `N50 = max v with 2·S≥(v) ≥ total` — the distributed suffix sum
+    * comes from [[graft.operators.Quantiles.prefixSumByStats]] over
+    * the (unique) negated lengths, and the total rides the same
+    * one-row aggregate that already feeds the report.
     */
   def assemblyStats(contigs: DataFrame, seqCol: String): DataFrame = {
     val lens = Ckpt.cut(contigs.select(length(col(seqCol)).cast("long").as("len")))
-    val cumW = Window.orderBy(col("len").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n50 = lens
-      .withColumn("cum", sum("len").over(cumW))
-      .withColumn("total", sum("len").over(Window.partitionBy(lit(1))))
-      .filter(col("cum") * 2 >= col("total"))
+    val byLen = lens.groupBy("len").agg(sum("len").as("lsum"))
+    val base = lens.agg(count(lit(1)).as("n_contigs"), sum("len").as("total_len"),
+      max("len").as("max_len"))
+    val n50 = graft.operators.Quantiles
+      .prefixSumByStats(byLen, Seq(-col("len")), col("lsum"), "sge")
+      .crossJoin(broadcast(base.select(col("total_len").as("__tot"))))
+      .filter(col("sge") * 2 >= col("__tot"))
       .agg(max("len").as("n50"))
-    lens.agg(count(lit(1)).as("n_contigs"), sum("len").as("total_len"),
-        max("len").as("max_len"))
-      .crossJoin(n50)
+    base.crossJoin(n50)
   }
 
   // ---------------------------------------------------------------- analysis

@@ -130,6 +130,32 @@ object Quantiles {
         .otherwise(expr(s"$rem + ($out - 1 - $cut) div ${math.max(base, 1L)} + 1")))
   }
 
+  /** Exact running sum of `value` over the ascending composite order
+    * `keys` (rows frame, unbounded preceding through current row), as
+    * a new column `out` — the distributed form of
+    * `sum(value).over(Window.orderBy(keys))`. Per-bucket windowed sums
+    * plus driver-side bucket-total prefix offsets (O(buckets) rows
+    * collected). Keys must be unique per row, as for [[globalRank]]
+    * (with a rows frame, tied keys would make the running sum
+    * order-dependent). */
+  def prefixSumByStats(df: DataFrame, keys: Seq[Column], value: Column,
+                       out: String, buckets: Int = 32): DataFrame = {
+    val (withB, kcols, _, n) = bucketize(df, keys, buckets)
+    if (n == 0) return withB.withColumn(out, lit(null).cast("long"))
+      .drop("__qb" +: kcols: _*)
+    val sums = withB.groupBy("__qb").agg(sum(value).as("__qs")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (b, s) => val o = acc; acc += s; (b, o) }
+    val offDf = broadcast(
+      df.sparkSession.createDataFrame(offsets.toSeq).toDF("__qb", "__qoff"))
+    val w = Window.partitionBy("__qb").orderBy(kcols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(offDf, Seq("__qb"))
+      .withColumn(out, col("__qoff") + sum(value).over(w))
+      .drop("__qb" +: "__qoff" +: kcols: _*)
+  }
+
   /** Global `lead(key, 1)` over the ascending order of a unique
     * non-null key column, as range-bucketed per-partition lead plus
     * one boundary value per bucket: the last row of bucket b takes the

@@ -75,6 +75,37 @@ class QuantilesSpecs extends SparkSpec {
     val empty = spark.range(0).toDF("id").withColumn("v", col("id"))
     assert(Quantiles.ntileByStats(empty, 4, Seq(col("v"), col("id")), "t").count() == 0)
     assert(Quantiles.partitionedLead(empty.select("v"), "v", "nxt").count() == 0)
+    assert(Quantiles.prefixSumByStats(empty, Seq(col("v")), col("id"), "s").count() == 0)
+  }
+
+  test("prefixSumByStats equals the windowed running sum, asc and desc") {
+    val vals = spark.range(0, 4000).toDF("id")
+      .withColumn("w", pmod(col("id") * 48271L, lit(10007)))
+    val wAsc = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    same(Quantiles.prefixSumByStats(vals, Seq(col("id")), col("w"), "s"),
+      vals.withColumn("s", sum(col("w")).over(wAsc)))
+    val wDesc = Window.orderBy(col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    same(Quantiles.prefixSumByStats(vals, Seq(-col("id")), col("w"), "s"),
+      vals.withColumn("s", sum(col("w")).over(wDesc)))
+  }
+
+  test("assemblyStats N50 matches the global-window definition, ties included") {
+    // tie-heavy lengths so the suffix-sum-at-last-tied-row argument is
+    // actually exercised
+    val contigs = spark.range(0, 500).toDF("id")
+      .withColumn("seq", expr("repeat('A', CAST(10 + id % 7 AS INT))"))
+    val lens = contigs.select(length(col("seq")).cast("long").as("len"))
+    val cumW = Window.orderBy(col("len").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = lens.withColumn("cum", sum("len").over(cumW))
+      .withColumn("total", sum("len").over(Window.partitionBy(lit(1))))
+      .filter(col("cum") * 2 >= col("total"))
+      .agg(max("len")).collect()(0).getLong(0)
+    val got = graft.graph.GraphOps.assemblyStats(contigs, "seq")
+      .collect()(0).getAs[Long]("n50")
+    assert(got == expect, s"n50 $got vs $expect")
   }
 }
 
@@ -90,7 +121,7 @@ class NoGlobalWindowSpecs extends SparkSpec {
 
   for (q <- Seq("q57_equidepth_histogram", "q58_sequence_gaps",
       "q61_concentration", "q64_decile_transition", "c5_curriculum",
-      "t10_rarity"))
+      "t10_rarity", "g13_assembly_stats"))
     test(s"$q plans no unpartitioned window") {
       val bad = globalWindows(SparkEntry.queries(q)(spark, sfDir))
       assert(bad.isEmpty, s"unpartitioned windows: $bad")
