@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." epilogue: when the driver runs
+// `sbt "runMain graft.Bench"`, Bench's JSON line must be the LAST
+// stdout line — the epilogue has eaten the official bench record on
+// three rounds (line-oriented parser took the decoration).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

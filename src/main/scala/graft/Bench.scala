@@ -68,6 +68,14 @@ object Bench {
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
+    // the record must survive ANY line-oriented harness: re-print as
+    // the process's LAST act (after spark.stop()'s shutdown chatter)
+    // on BOTH streams, flushed — three rounds of driver records were
+    // lost to trailing launcher decoration on stdout
+    println(json)
+    System.out.flush()
+    System.err.println(json)
+    System.err.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }
