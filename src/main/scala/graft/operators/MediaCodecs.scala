@@ -1,0 +1,206 @@
+package graft.operators
+
+/** Pluggable media codecs for the multimodal decode stage.
+  *
+  * [[Multimodal.decode]] runs partition-wise over primitive byte
+  * arrays; WHAT it extracts from a payload is this trait. The decoded
+  * contract is fixed — integer `featSums` (exact, SQL-verifiable) next
+  * to the float `features` a real featurizer would emit — so swapping
+  * codecs never changes the Spark-side schema, partitioning, or batch
+  * shape.
+  *
+  * Shipped implementations, all pure JVM (public file-format layouts;
+  * no native libraries exist in this environment):
+  *  - [[StubCodec]] — the deterministic fake (accepts anything); the
+  *    default, and what every m-suite oracle pins.
+  *  - [[BmpCodec]] — uncompressed 24-bit BMP (BITMAPINFOHEADER):
+  *    per-pixel integer luma, positionally pooled.
+  *  - [[WavCodec]] — RIFF/WAVE PCM 16-bit: per-sample magnitude,
+  *    positionally pooled.
+  */
+trait MediaCodec extends Serializable {
+  def name: String
+
+  /** Cheap magic-byte + header sanity check; `decode` is only called
+    * when this returns true, and must then not throw on the structural
+    * fields it validated. */
+  def accepts(bytes: Array[Byte]): Boolean
+
+  def decode(bytes: Array[Byte], nFeat: Int): MediaCodec.Decoded
+}
+
+object MediaCodec {
+  /** What a codec extracts: container format, geometry (width/height
+    * reinterpreted as frames-per-channel/sample-rate for audio),
+    * channel count, pooled float features, and their exact-integer
+    * companions (`featSums(j)` = Σ of the per-unit integer statistic at
+    * unit positions ≡ j mod nFeat). */
+  case class Decoded(fmt: String, width: Int, height: Int, channels: Int,
+                     features: Array[Float], featSums: Array[Long])
+
+  /** First accepting codec in `chain` decodes; otherwise `fallback`.
+    * The m-suite queries pass an empty chain (stub semantics, the
+    * oracle contract); pipelines with real media payloads prepend
+    * [[Codecs.default]]. */
+  def decodeWith(chain: Seq[MediaCodec], fallback: MediaCodec,
+                 bytes: Array[Byte], nFeat: Int): Decoded =
+    chain.find(_.accepts(bytes)).getOrElse(fallback).decode(bytes, nFeat)
+
+  /** Positional pooling: integer sums per (i mod nFeat) class, floats
+    * as sum / unitScale / class-size. */
+  private[operators] def pool(n: Int, nFeat: Int, unitScale: Float,
+                              stat: Int => Long): (Array[Float], Array[Long]) = {
+    val feats = new Array[Float](nFeat)
+    val sums = new Array[Long](nFeat)
+    if (n > 0) {
+      var i = 0
+      while (i < n) { sums(i % nFeat) += stat(i); i += 1 }
+      val per = math.max(n / nFeat, 1)
+      var j = 0
+      while (j < nFeat) { feats(j) = sums(j) / unitScale / per; j += 1 }
+    }
+    (feats, sums)
+  }
+
+  private[operators] def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private[operators] def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+}
+
+/** Deterministic fake codec — derives geometry and "features" from the
+  * raw bytes. Accepts every payload; the decode the m-suite oracles
+  * replay in SQL. */
+object StubCodec extends MediaCodec {
+  val name = "stub"
+  def accepts(bytes: Array[Byte]): Boolean = true
+  def decode(bytes: Array[Byte], nFeat: Int): MediaCodec.Decoded = {
+    val n = bytes.length
+    val fmt =
+      if (n == 0) "empty"
+      else (bytes(0) & 0xFF) % 3 match {
+        case 0 => "img"
+        case 1 => "audio"
+        case _ => "video"
+      }
+    // float accumulation order kept bit-identical to the historical
+    // stub (per-byte adds, then one divide) — `features` low bits are
+    // part of the de-facto contract the m-suite pins
+    val feats = new Array[Float](nFeat)
+    val sums = new Array[Long](nFeat)
+    if (n > 0) {
+      var i = 0
+      while (i < n) {
+        val v = bytes(i) & 0xFF
+        feats(i % nFeat) += v / 255.0f
+        sums(i % nFeat) += v
+        i += 1
+      }
+      val per = math.max(n / nFeat, 1)
+      var j = 0
+      while (j < nFeat) { feats(j) /= per; j += 1 }
+    }
+    MediaCodec.Decoded(fmt, (n % 64 + 1) * 16, (n % 48 + 1) * 9, 3, feats, sums)
+  }
+}
+
+/** Uncompressed 24-bit BMP (BITMAPINFOHEADER, the lowest common
+  * denominator of the public BMP layout): rows bottom-up, padded to 4
+  * bytes. Per-pixel statistic is ITU-R BT.601 integer luma
+  * `(299r + 587g + 114b) / 1000`, pooled top-down left-to-right so the
+  * feature layout matches what a raster featurizer sees. */
+object BmpCodec extends MediaCodec {
+  import MediaCodec._
+  val name = "bmp"
+
+  def accepts(b: Array[Byte]): Boolean =
+    b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+      leInt(b, 14) == 40 &&            // BITMAPINFOHEADER
+      leShort(b, 28) == 24 &&          // 24 bpp
+      leInt(b, 30) == 0 && {           // BI_RGB (uncompressed)
+        val w = leInt(b, 18); val h = leInt(b, 22)
+        val off = leInt(b, 10)
+        w > 0 && h != 0 && off >= 54 &&
+          b.length >= off.toLong + rowStride(w).toLong * math.abs(h)
+      }
+
+  private def rowStride(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+  def decode(b: Array[Byte], nFeat: Int): MediaCodec.Decoded = {
+    val w = leInt(b, 18)
+    val hRaw = leInt(b, 22)
+    val h = math.abs(hRaw)
+    val off = leInt(b, 10)
+    val stride = rowStride(w)
+    val (feats, sums) = pool(w * h, nFeat, 255.0f, { i =>
+      val x = i % w
+      val yTop = i / w
+      // positive height = bottom-up storage; negative = top-down
+      val row = if (hRaw > 0) h - 1 - yTop else yTop
+      val p = off + row * stride + x * 3
+      val blue = b(p) & 0xFF; val green = b(p + 1) & 0xFF; val red = b(p + 2) & 0xFF
+      (299L * red + 587L * green + 114L * blue) / 1000L
+    })
+    MediaCodec.Decoded("bmp", w, h, 3, feats, sums)
+  }
+}
+
+/** RIFF/WAVE, PCM 16-bit little-endian. Geometry reinterpretation:
+  * `width` = frames per channel, `height` = sample rate. Per-sample
+  * statistic is the magnitude |s| (abs of the signed 16-bit sample),
+  * pooled over interleaved sample positions. */
+object WavCodec extends MediaCodec {
+  import MediaCodec._
+  val name = "wav"
+
+  def accepts(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+      findChunk(b, "fmt ").exists { off =>
+        leShort(b, off) == 1 && leShort(b, off + 14) == 16 && // PCM, 16-bit
+          leShort(b, off + 2) >= 1
+      } && findChunk(b, "data").isDefined
+
+  /** Offset of the chunk's DATA (past the 8-byte chunk header), or
+    * None. Chunks are word-aligned per the RIFF spec. */
+  private def findChunk(b: Array[Byte], id: String): Option[Int] = {
+    var p = 12
+    while (p + 8 <= b.length) {
+      val sz = leInt(b, p + 4)
+      if (sz < 0) return None
+      if (b(p) == id(0) && b(p + 1) == id(1) && b(p + 2) == id(2) && b(p + 3) == id(3))
+        return if (p + 8 + sz <= b.length) Some(p + 8) else None
+      p += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
+  def decode(b: Array[Byte], nFeat: Int): MediaCodec.Decoded = {
+    val fmtOff = findChunk(b, "fmt ").get
+    val channels = leShort(b, fmtOff + 2)
+    val sampleRate = leInt(b, fmtOff + 4)
+    val dataOff = findChunk(b, "data").get
+    val dataLen = leInt(b, dataOff - 4)
+    val nSamples = dataLen / 2
+    val (feats, sums) = pool(nSamples, nFeat, 32768.0f, { i =>
+      val v = leShort(b, dataOff + i * 2)
+      val s = (v << 16) >> 16 // sign-extend
+      math.abs(s.toLong)
+    })
+    MediaCodec.Decoded("wav", nSamples / math.max(channels, 1), sampleRate,
+      channels, feats, sums)
+  }
+}
+
+object Codecs {
+  /** The stub fallback every query path uses. */
+  val stub: MediaCodec = StubCodec
+
+  /** Real-format chain to prepend when payloads carry actual media.
+    * Magic-byte gated, so non-matching payloads (e.g. the synthetic
+    * text corpora) still fall through to the stub deterministically. */
+  val default: Seq[MediaCodec] = Seq(BmpCodec, WavCodec)
+}

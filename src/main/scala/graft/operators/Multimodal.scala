@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * pass per batch, no per-row plan re-entry), the Scala analogue of a
   * vectorized Pandas-UDF stage.
   *
-  * The actual codec is STUBBED — no image/audio libraries exist in
-  * this environment — with a deterministic fake that derives metadata
-  * and "features" from the bytes. The Spark-side contract (schema,
-  * batch shape, partition-wise execution) is the real, tested part;
-  * swap [[decodeStub]] for a codec binding in production.
+  * Codecs are pluggable via the [[MediaCodec]] trait: real pure-JVM
+  * BMP and WAV parsers ship in the default chain ([[Codecs.default]]),
+  * and payloads no codec accepts fall through to the deterministic
+  * [[StubCodec]] fake (the default for the oracle-pinned query
+  * surface; heavier formats — JPEG, MP3 — need native libraries this
+  * environment lacks and bind through the same trait in production).
   */
 object Multimodal {
 
@@ -24,51 +25,23 @@ object Multimodal {
   case class Media(id: Long, fmt: String, width: Int, height: Int,
                    channels: Int, features: Array[Float], featSums: Array[Long])
 
-  /** STUB decoder — deterministic fake standing in for e.g. JPEG
-    * decode. Derives dimensions from the payload and emits `nFeat`
-    * average-pooled byte statistics as the "embedding".
-    */
-  private[operators] def decodeStub(bytes: Array[Byte], nFeat: Int): (Int, Int, Int, Array[Float], Array[Long]) = {
-    val n = bytes.length
-    val width = (n % 64 + 1) * 16
-    val height = (n % 48 + 1) * 9
-    val channels = 3
-    val feats = new Array[Float](nFeat)
-    val sums = new Array[Long](nFeat)
-    if (n > 0) {
-      var i = 0
-      while (i < n) {
-        val b = bytes(i) & 0xFF
-        feats(i % nFeat) += b / 255.0f
-        sums(i % nFeat) += b
-        i += 1
-      }
-      val per = math.max(n / nFeat, 1)
-      var j = 0
-      while (j < nFeat) { feats(j) /= per; j += 1 }
-    }
-    (width, height, channels, feats, sums)
-  }
-
-  private def sniffFmt(bytes: Array[Byte]): String =
-    if (bytes.isEmpty) "empty"
-    else (bytes(0) & 0xFF) % 3 match {
-      case 0 => "img"
-      case 1 => "audio"
-      case _ => "video"
-    }
-
   /** Decode a binary column partition-wise into typed media rows.
     * Input df must have (`idCol`: long, `binCol`: binary).
+    *
+    * `codecs` is the real-format chain (magic-byte gated, first match
+    * wins; see [[MediaCodec]]); payloads no codec accepts fall through
+    * to the deterministic [[StubCodec]]. The default empty chain is
+    * exact stub semantics — the contract every m-suite oracle pins.
     */
-  def decode(df: DataFrame, idCol: String, binCol: String, nFeat: Int = 8): Dataset[Media] = {
+  def decode(df: DataFrame, idCol: String, binCol: String, nFeat: Int = 8,
+             codecs: Seq[MediaCodec] = Nil): Dataset[Media] = {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val b = if (bytes == null) Array.empty[Byte] else bytes
-        val (w, h, c, f, sums) = decodeStub(b, nFeat)
-        Media(id, sniffFmt(b), w, h, c, f, sums)
+        val d = MediaCodec.decodeWith(codecs, Codecs.stub, b, nFeat)
+        Media(id, d.fmt, d.width, d.height, d.channels, d.features, d.featSums)
       })
   }
 

@@ -109,6 +109,86 @@ class QuantilesSpecs extends SparkSpec {
   }
 }
 
+/** Real-format decode through the pluggable codec chain: payloads are
+  * constructed byte-for-byte against the public BMP/RIFF layouts, so
+  * every asserted value is hand-computable from the spec. */
+class MediaCodecSpecs extends SparkSpec {
+  import graft.operators._
+
+  private def leI(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def leS(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  /** 2x2 24-bit BMP, bottom-up, rows padded to 8 bytes. Pixels
+    * (B,G,R), top row first here; storage order is bottom row first.
+    * top:    (0,0,255) red     (0,255,0) green
+    * bottom: (255,0,0) blue    (255,255,255) white  */
+  private def bmp2x2: Array[Byte] = {
+    val stride = 8 // 2*3=6 -> padded to 8
+    val pix = 2 * stride
+    val header =
+      Array[Byte]('B', 'M') ++ leI(54 + pix) ++ leI(0) ++ leI(54) ++
+        leI(40) ++ leI(2) ++ leI(2) ++ leS(1) ++ leS(24) ++ leI(0) ++
+        leI(pix) ++ leI(2835) ++ leI(2835) ++ leI(0) ++ leI(0)
+    val bottomRow = Array[Byte](255.toByte, 0, 0, 255.toByte, 255.toByte, 255.toByte, 0, 0)
+    val topRow = Array[Byte](0, 0, 255.toByte, 0, 255.toByte, 0, 0, 0)
+    header ++ bottomRow ++ topRow
+  }
+
+  /** Mono 16-bit PCM, 8000 Hz, 4 samples: 1000, -2000, 3000, -32768. */
+  private def wav4: Array[Byte] = {
+    val data = Seq(1000, -2000, 3000, -32768).flatMap(leS).toArray
+    Array[Byte]('R', 'I', 'F', 'F') ++ leI(36 + data.length) ++
+      Array[Byte]('W', 'A', 'V', 'E') ++
+      Array[Byte]('f', 'm', 't', ' ') ++ leI(16) ++ leS(1) ++ leS(1) ++
+      leI(8000) ++ leI(16000) ++ leS(2) ++ leS(16) ++
+      Array[Byte]('d', 'a', 't', 'a') ++ leI(data.length) ++ data
+  }
+
+  test("BmpCodec decodes geometry and exact luma sums, raster order") {
+    assert(BmpCodec.accepts(bmp2x2))
+    val d = BmpCodec.decode(bmp2x2, 4)
+    assert(d.fmt == "bmp" && d.width == 2 && d.height == 2 && d.channels == 3)
+    // raster order lumas: red 76 (299*255/1000), green 149, blue 29, white 255
+    assert(d.featSums.toSeq == Seq(76L, 149L, 29L, 255L))
+  }
+
+  test("WavCodec decodes rate, channels, and exact magnitude sums") {
+    assert(WavCodec.accepts(wav4))
+    val d = WavCodec.decode(wav4, 2)
+    assert(d.fmt == "wav" && d.width == 4 && d.height == 8000 && d.channels == 1)
+    // positions 0,2 -> 1000+3000; positions 1,3 -> 2000+32768
+    assert(d.featSums.toSeq == Seq(4000L, 34768L))
+  }
+
+  test("decode() routes real payloads to their codec, others to the stub") {
+    import spark.implicits._
+    val rows = Seq((1L, bmp2x2), (2L, wav4), (3L, "plain text".getBytes("UTF-8")))
+    val df = rows.toDF("id", "payload")
+    val out = Multimodal.decode(df, "id", "payload", nFeat = 2,
+        codecs = Codecs.default)
+      .collect().map(m => m.id -> m).toMap
+    assert(out(1L).fmt == "bmp" && out(1L).width == 2)
+    assert(out(2L).fmt == "wav" && out(2L).height == 8000)
+    assert(Set("img", "audio", "video")(out(3L).fmt)) // stub fallback
+    // empty chain = exact stub semantics for every payload
+    val stubOut = Multimodal.decode(df, "id", "payload", nFeat = 2)
+      .collect().map(m => m.id -> m.fmt).toMap
+    assert(!stubOut.values.exists(Set("bmp", "wav")))
+  }
+
+  test("truncated or corrupt headers are rejected, not mis-decoded") {
+    assert(!BmpCodec.accepts(bmp2x2.take(53)))
+    assert(!BmpCodec.accepts("BMnot really a bitmap".getBytes("UTF-8")))
+    assert(!WavCodec.accepts(wav4.take(43)))
+    val badSize = wav4.clone
+    badSize(42) = 127 // data chunk claims more bytes than exist
+    assert(!WavCodec.accepts(badSize))
+  }
+}
+
 /** Plan-shape gate for the round-4 "perf-weak" family: after the
   * Quantiles rewrite, no logical Window in these queries may have an
   * empty partitionSpec (the shape that moves every row to one task). */
