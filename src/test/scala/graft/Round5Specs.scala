@@ -109,6 +109,73 @@ class QuantilesSpecs extends SparkSpec {
   }
 }
 
+/** The Kafka-shaped source adapter: the wire schema is Kafka's record
+  * shape, so any StreamingOps transform binds to an adapter output
+  * without knowing which source produced it. */
+class StreamSourceSpecs extends SparkSpec {
+  import graft.streaming._
+  import org.apache.spark.sql.types._
+
+  // literal topic columns come out non-nullable, so schema identity is
+  // name+type shape, not nullability
+  private def shape(st: StructType) = st.fields.toSeq.map(f => (f.name, f.dataType))
+  private def wireShape(df: org.apache.spark.sql.DataFrame) = shape(df.schema)
+
+  test("FileLinesSource wires a topic directory through windowedCounts") {
+    val root = java.nio.file.Files.createTempDirectory("src_root").toString
+    val topicDir = new java.io.File(s"$root/clicks"); topicDir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/clicks/part-0.txt"),
+      """{"ts":"2024-01-01 00:01:00","key":"a","value":1.0}
+        |{"ts":"2024-01-01 00:02:00","key":"a","value":2.0}
+        |{"ts":"2024-01-01 00:11:00","key":"b","value":8.0}
+        |""".stripMargin)
+    val wire = FileLinesSource(root, maxFilesPerTrigger = Some(1))
+      .load(spark, "clicks")
+    assert(wireShape(wire) == shape(StreamSource.schema))
+    val payload = StructType(Seq(StructField("ts", TimestampType),
+      StructField("key", StringType), StructField("value", DoubleType)))
+    val events = StreamSource.json(wire, payload)
+      .select("ts", "key", "value")
+    val agg = StreamingOps.windowedCounts(events, "ts", "key",
+      "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("srcwc")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import spark.implicits._
+    val rows = spark.table("srcwc").select("key", "cnt", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows == Set(("a", 2L, 3.0), ("b", 1L, 8.0)))
+  }
+
+  test("RateSource emits the wire schema with native offsets") {
+    val wire = RateSource(rowsPerSecond = 500).load(spark, "gen")
+    assert(wireShape(wire) == shape(StreamSource.schema))
+    assert(wire.isStreaming)
+    val q = wire.writeStream.format("memory").queryName("ratew")
+      .outputMode("append").start()
+    try {
+      // one micro-batch is enough: offsets must equal the decoded values
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (spark.table("ratew").isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      import spark.implicits._
+      val got = spark.table("ratew")
+        .select(col("offset"), col("value").cast("string").cast("long"))
+        .as[(Long, Long)].collect()
+      assert(got.nonEmpty && got.forall { case (o, v) => o == v })
+    } finally q.stop()
+  }
+
+  test("KafkaSource is constructible but gated on the connector") {
+    val ks = KafkaSource("broker:9092")
+    assert(!KafkaSource.available) // no connector jar in this environment
+    val e = intercept[IllegalArgumentException](ks.load(spark, "t"))
+    assert(e.getMessage.contains("connector"))
+  }
+}
+
 /** Real-format decode through the pluggable codec chain: payloads are
   * constructed byte-for-byte against the public BMP/RIFF layouts, so
   * every asserted value is hand-computable from the spec. */
