@@ -16,6 +16,7 @@ run / fork := true
 // stdout line — the epilogue has eaten the official bench record on
 // three rounds (line-oriented parser took the decoration).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -464,6 +464,37 @@ object GraphOps {
         .select("src", "dst")
     }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * undirected view, `rounds` fixed rounds: every node adopts the
+    * most frequent label among its neighbors, ties broken by MINIMUM
+    * label, isolated-in-round nodes keep their own. Fixed round count
+    * + deterministic tie-break = identical labels on every engine and
+    * every retry (the async/random variants converge faster but are
+    * irreproducible — wrong trade for an oracle-gated operator).
+    * Each round is one neighbor-label exchange (map-side combinable
+    * count) plus a per-node argmax — no global structure, O(E) per
+    * round at any scale.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = Ckpt.cutLight(edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = Ckpt.cut(vertices(und).withColumn("lbl", col("node")))
+    for (_ <- 1 to rounds) {
+      val nbLbl = und.join(labels, und("src") === labels("node"))
+        .select(und("dst").as("node"), col("lbl"))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+      val picked = nbLbl
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(desc("c"), asc("lbl"))))
+        .filter(col("rn") === 1).select(col("node"), col("lbl").as("nl"))
+      val next = Ckpt.cut(labels.join(picked, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl")))
+      Ckpt.release(labels)
+      labels = next
+    }
+    labels
+  }
+
   /** Multi-source BFS: minimum hop distance (≤ `maxDepth`) from any
     * seed along directed edges, as a (node, depth) table of reached
     * nodes. Each round relaxes one hop — a hash join on `src` plus a

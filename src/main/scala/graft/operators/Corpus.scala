@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt
+
 /** Training-corpus preparation operators: the steps between a raw
   * deduplicated document store and model-ready token sequences —
   * chunking, context-window packing, incremental (batch-over-corpus)
@@ -227,5 +229,43 @@ object Corpus {
       .select("tok", "rank")
     tok.join(broadcast(ranks), Seq("tok"))
       .groupBy("doc_id").agg(sum("rank").as("rarity"))
+  }
+
+  /** Temperature-based source mixing (the multilingual-LM recipe —
+    * sample source s with probability ∝ n_s^α, α=1/2 here: big sources
+    * down-weighted, small ones surfaced). Deterministic and
+    * integer-exact end to end: weights are ⌊√n_s⌋ (IEEE sqrt is
+    * correctly rounded, so the floor is engine-independent), per-source
+    * targets are `total · w_s div Σw`, and the selected rows are each
+    * source's bottom-`target` documents by md5 order (the smp4
+    * coordination-free hash family). Returns the per-source manifest.
+    *
+    * Scale shape: the weight table is source-cardinality-sized
+    * (collected only for the Σw scalar — O(1) driver state); selection
+    * is one window partitioned BY SOURCE (the corpus's natural
+    * parallelism; a single pathologically dominant source would ride
+    * the same bucketed rank as Quantiles). */
+  def temperatureMix(df: DataFrame, idCol: String, srcCol: String,
+                     total: Long): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(srcCol).as("src"))
+    val weights = base.groupBy("src")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n"))).cast("long"))
+    val sumW = weights.agg(sum("w")).collect()(0).getLong(0)
+    val targets = broadcast(
+      Ckpt.cutLight(weights.withColumn("target", expr(s"w * $total div $sumW"))))
+    base
+      .withColumn("hk",
+        expr(s"conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)").cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("hk"), col("doc_id"))).cast("long"))
+      .join(targets, Seq("src"))
+      .filter(col("rn") <= col("target"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("taken"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .join(targets.select("src", "n", "target"), Seq("src"))
+      .select(col("src"), col("n"), col("target"), col("taken"),
+        col("min_id"), col("max_id"))
   }
 }

@@ -674,4 +674,34 @@ object Dedup {
         sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
       .withColumn("dup_bp", expr("n_shared * 10000 div n_fp"))
   }
+
+  /** Paragraph-granularity exact dedup (the CCNet recipe, Wenzek et
+    * al. 2020: dedup at paragraph level BEFORE document-level
+    * filtering — boilerplate headers/footers repeat across pages that
+    * are not document duplicates). Documents split on `sep`; a
+    * paragraph occurrence survives iff it is the corpus-wide FIRST
+    * occurrence of its text, first = min (doc, position) in document
+    * order. Returns the per-document profile (n_paras, n_kept,
+    * kept_chars).
+    *
+    * Scale shape: one exchange keyed by paragraph TEXT (exact
+    * equality — same collision-proof stance as [[exactClusters]];
+    * boilerplate paragraphs form heavy keys but the per-key state is
+    * one min, so a map-side partial covers skew), then a per-doc
+    * rollup. No pair enumeration.
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\\. "): DataFrame = {
+    val paras = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
+    val keep = paras
+      .withColumn("first", struct(col("doc_id"), col("pos")))
+      .withColumn("mn", min("first").over(Window.partitionBy("para")))
+      .withColumn("kept", (col("first") === col("mn")).cast("long"))
+    keep.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"), sum("kept").as("n_kept"),
+        sum(when(col("kept") === 1, length(col("para")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+  }
 }

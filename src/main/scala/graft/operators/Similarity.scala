@@ -50,6 +50,28 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS) — recommendation-shaped
+    * retrieval where magnitude matters, so scores are raw dot products
+    * with NO normalization (a long vector beats a well-aligned short
+    * one). Same O(|Q|×|C|) baseline shape as [[knnBrute]]; the scale
+    * tier is the standard norm-augmentation reduction (append
+    * sqrt(M²−‖x‖²) to corpus vectors, 0 to queries; Bachrach et al.,
+    * RecSys 2014) which turns MIPS into cosine and rides [[knnLsh]] /
+    * [[knnIvf]] unchanged.
+    */
+  def knnMips(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    q.join(c, col("qid") =!= col("cid"))
+      .withColumn("ip", dot("qv", "cv"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("ip"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("ip"), 4).as("ip"))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

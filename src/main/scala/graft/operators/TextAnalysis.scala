@@ -129,6 +129,29 @@ object TextAnalysis {
        |SELECT doc_id, CASE $caseArms END AS pred_lang FROM sm""".stripMargin
   }
 
+  /** Character-level Shannon entropy per document, in bits rounded to
+    * 4 dp — the classic gibberish/boilerplate signal (near-zero =
+    * repeated characters, ≈4.2 = typical English, ≈6+ = random-ish).
+    * Computed per row with codegen HOFs only — distinct chars ×
+    * per-char count via filter — so the plan is narrow (no
+    * char-explode shuffle at any scale; work per row is
+    * O(alphabet · n_chars), alphabet-bounded). Identity
+    * `H = log2(n) − (Σ c·log2 c)/n` keeps every term a count, so the
+    * only float steps are the final log2s — the sum order differs
+    * from the oracle's GROUP BY but only at ~1e-15, absorbed by the
+    * 4-dp round (the repo's standard double contract). */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__ch", split(col("__t"), ""))
+      .withColumn("entropy", expr(
+        """CASE WHEN length(__t) = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+          |round(log2(CAST(length(__t) AS DOUBLE)) - aggregate(
+          |  transform(array_distinct(__ch),
+          |    c -> CAST(size(filter(__ch, x -> x = c)) AS DOUBLE)),
+          |  CAST(0.0 AS DOUBLE), (acc, c) -> acc + c * log2(c))
+          |  / CAST(length(__t) AS DOUBLE), 4) END""".stripMargin))
+      .select("doc_id", "entropy")
+
   /** Rolling-hash base for [[fingerprints]]. Code points are masked
     * to 7 bits (`c & 0x7F`) on BOTH engines before entering the
     * polynomial, so a k=5-gram never leaves signed-64 range

@@ -712,7 +712,23 @@ object GraphQueries {
            |ORDER BY seed, step""".stripMargin
       }),
 
-    twoHopQ
+    twoHopQ,
+
+    Q("g21_label_propagation",
+      // Community detection by SYNCHRONOUS label propagation, 5 fixed
+      // rounds, most-frequent-neighbor-label rule with min-label
+      // tie-break (GraphOps.labelPropagation — fixed rounds +
+      // deterministic tie-break so every engine and every retry agrees;
+      // the async variant converges faster but is irreproducible).
+      // Output is the community-size table. The oracle unrolls the
+      // same 5 rounds.
+      (s, d) => GraphOps.labelPropagation(chainEdges(s, d, withSkip = true), rounds = 5)
+        .groupBy("lbl").agg(count(lit(1)).as("n_members"))
+        .orderBy("lbl"),
+      Some(s"""WITH ${chainSql(true)},
+              |${lpaSql(5)}
+              |SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+              |FROM r5 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // lazy: declared below `all`, which references it — a strict val
@@ -756,6 +772,26 @@ object GraphQueries {
     (0 until 8).map { m =>
       s"(strpos('0123456789abcdef', substr(md5($e), ${m + 1}, 1)) - 1) * ${1L << (4 * (7 - m))}"
     }.mkString("(", " + ", ")")
+
+  /** `rounds` unrolled synchronous label-propagation rounds (g21's
+    * oracle): r_k(v) = most frequent label among v's neighbors in
+    * r_{k-1}, ties to the minimum label, own label if isolated.
+    * Expects an `e` CTE; defines `e2` (undirected), `r0..rN`. */
+  private def lpaSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT e2.dst AS node, p.lbl, count(*) AS c
+         |  FROM e2 JOIN r${k - 1} p ON p.node = e2.src GROUP BY 1, 2),
+         |p$k AS (SELECT node, lbl FROM (SELECT node, lbl,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+         |  FROM c$k) WHERE rn = 1),
+         |r$k AS MATERIALIZED (SELECT r.node, coalesce(p.lbl, r.lbl) AS lbl
+         |  FROM r${k - 1} r LEFT JOIN p$k p USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""e2 AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM e2),
+       |r0 AS (SELECT node, node AS lbl FROM nodes),
+       |$rs""".stripMargin
+  }
 
   /** 26 unrolled Bellman-Ford relax rounds (g16's oracle): d_r(v) =
     * min(d_{r-1}(v), min over u→v of d_{r-1}(u)+w). Materialized so

@@ -1484,6 +1484,98 @@ object PipelineQueries {
              |SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              |  CAST(sum((cb * 10000) // cw) AS BIGINT) AS lm_score
              |FROM bi JOIN cb USING (w1, w2) JOIN cw USING (w1)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("s8_knn_mips",
+      // Maximum-inner-product top-k (recommendation-shaped retrieval:
+      // magnitude matters, so no normalization). Baseline tier of
+      // Similarity.knnMips; the scale tier is the norm-augmentation
+      // reduction to cosine noted on the operator, riding s2/s3
+      // unchanged.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnMips(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $cosSql,
+              |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
+              |sc AS (SELECT qid, c.vec_id AS cid, list_dot_product(qv, c.v) AS ip
+              |  FROM q JOIN ce c ON c.vec_id <> qid),
+              |r AS (SELECT qid, cid, ip,
+              |  row_number() OVER (PARTITION BY qid ORDER BY ip DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(ip, 4) AS ip
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("d17_paragraph_dedup",
+      // Paragraph-granularity exact dedup (the CCNet recipe): only the
+      // corpus-wide first occurrence of each paragraph survives;
+      // per-document survival profile. One text-keyed exchange + one
+      // per-doc rollup — no pair enumeration (Dedup.paragraphDedup).
+      (s, d) => Dedup.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id, i, parts[i] AS para FROM
+             |    (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+             |    unnest(generate_series(1, len(parts))) AS t(i)),
+             |k AS (SELECT doc_id, para,
+             |    row_number() OVER (PARTITION BY para ORDER BY doc_id, i) AS rn FROM p)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS kept_chars
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("t16_char_entropy",
+      // Character-level Shannon entropy (gibberish/boilerplate
+      // signal), computed per row with codegen HOFs — narrow plan, no
+      // char-explode shuffle (TextAnalysis.charEntropy; the oracle IS
+      // the explode form, so the narrow path is verified against it).
+      (s, d) => TextAnalysis.charEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+             |cnt AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS cnt FROM ch GROUP BY doc_id, c),
+             |sl AS (SELECT doc_id, sum(cnt * log2(cnt)) AS sl FROM cnt GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CASE WHEN length(d.text) = 0 THEN 0.0
+             |       ELSE round(log2(CAST(length(d.text) AS DOUBLE)) - sl.sl / length(d.text), 4)
+             |  END AS entropy
+             |FROM documents d JOIN sl USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    Q("smp6_systematic_sample",
+      // Systematic (every k-th under a deterministic total order)
+      // sampling — the census design whose only hard part at scale IS
+      // the global rank; rides Quantiles.globalRank (stats pass, no
+      // single-task sort at any SF).
+      (s, d) => Quantiles.globalRank(
+          Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          Seq(col("o_orderdate"), col("o_orderkey")), "rk")
+        .filter(pmod(col("rk"), lit(200)) === 1)
+        .select("o_orderkey", "rk")
+        .orderBy("rk"),
+      Some("""WITH r AS (SELECT o_orderkey,
+             |    row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rk FROM orders)
+             |SELECT o_orderkey, rk FROM r WHERE rk % 200 = 1 ORDER BY rk""".stripMargin)),
+
+    Q("c6_temperature_mix",
+      // Temperature-based source mixing (sample ∝ n^(1/2): big sources
+      // down-weighted, small surfaced) — integer-exact end to end:
+      // ⌊√n⌋ weights (IEEE sqrt is correctly rounded), div targets,
+      // md5-bottom-k selection per source (Corpus.temperatureMix).
+      (s, d) => Corpus.temperatureMix(Tables.documents(s, d), "doc_id", "source",
+          total = 1000L)
+        .orderBy("src"),
+      Some(s"""WITH w AS (SELECT source AS src, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+              |  FROM documents GROUP BY 1),
+              |t AS (SELECT src, n, w,
+              |    CAST((w * 1000) // (SELECT sum(w) FROM w) AS BIGINT) AS target FROM w),
+              |h AS (SELECT doc_id, source AS src, $docIdBaseHashSql AS hk FROM documents),
+              |r AS (SELECT doc_id, src,
+              |    row_number() OVER (PARTITION BY src ORDER BY hk, doc_id) AS rn FROM h),
+              |sel AS (SELECT r.src, r.doc_id FROM r JOIN t USING (src) WHERE rn <= target),
+              |g AS (SELECT src, CAST(count(*) AS BIGINT) AS taken,
+              |    CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+              |  FROM sel GROUP BY 1)
+              |SELECT g.src, t.n, t.target, g.taken, g.min_id, g.max_id
+              |FROM g JOIN t USING (src) ORDER BY src""".stripMargin))
   )
 }
