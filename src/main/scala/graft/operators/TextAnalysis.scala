@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for corpus pipelines: token statistics,
@@ -151,6 +152,51 @@ object TextAnalysis {
           |  CAST(0.0 AS DOUBLE), (acc, c) -> acc + c * log2(c))
           |  / CAST(length(__t) AS DOUBLE), 4) END""".stripMargin))
       .select("doc_id", "entropy")
+
+  /** Flesch-Kincaid-style readability per document, fully
+    * deterministic: words = non-empty space splits, sentences =
+    * non-empty '. ' splits (min 1), syllables = vowel-group runs over
+    * the whole text (word boundaries break runs, so the per-word sum
+    * equals one regexp pass over the text — no lambda, one codegen'd
+    * projection). Grade = 0.39·w/s + 11.8·syl/w − 15.59, rounded 4 dp
+    * (the repo's double contract). Narrow plan, no shuffle. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("n_words", expr(
+        "CAST(size(filter(split(__t, ' '), x -> x <> '')) AS BIGINT)"))
+      .withColumn("n_sentences", expr(
+        "CAST(greatest(size(filter(split(__t, '\\\\. '), x -> x <> '')), 1) AS BIGINT)"))
+      .withColumn("syllables", expr(
+        "CAST(length(regexp_replace(lower(__t), '[aeiouy]+', '.')) - " +
+          "length(regexp_replace(lower(__t), '[aeiouy]+', '')) AS BIGINT)"))
+      .filter(col("n_words") > 0)
+      .withColumn("fk_grade", expr(
+        "round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences) + " +
+          "11.8 * (CAST(syllables AS DOUBLE) / n_words) - 15.59, 4)"))
+      .select("doc_id", "n_words", "n_sentences", "syllables", "fk_grade")
+
+  /** Per-document n-gram novelty (the RefinedWeb-style diagnostic):
+    * of a document's DISTINCT word `n`-gram shingles, the fraction
+    * whose corpus-wide FIRST occurrence (minimum doc id) is this
+    * document — integer basis points. Low novelty = the document
+    * restates earlier material. Same no-pair-enumeration shape as the
+    * substring profile: one shingle-keyed exchange (count-over-
+    * partition carries the min), one per-doc rollup. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split(${textCol}, ' '), x -> x <> '')").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n))))")).as("sh"))
+    sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("sh")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_first"))
+      .withColumn("novelty_bp", expr("n_first * 10000 div n_shingles"))
+  }
 
   /** Rolling-hash base for [[fingerprints]]. Code points are masked
     * to 7 bits (`c & 0x7F`) on BOTH engines before entering the

@@ -1576,6 +1576,44 @@ object PipelineQueries {
               |    CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
               |  FROM sel GROUP BY 1)
               |SELECT g.src, t.n, t.target, g.taken, g.min_id, g.max_id
-              |FROM g JOIN t USING (src) ORDER BY src""".stripMargin))
+              |FROM g JOIN t USING (src) ORDER BY src""".stripMargin)),
+
+    Q("t17_readability",
+      // Flesch-Kincaid readability: words / sentences / vowel-group
+      // syllables, all from single regexp passes — narrow no-shuffle
+      // projection (TextAnalysis.readability).
+      (s, d) => TextAnalysis.readability(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_words,
+             |    CAST(greatest(len(list_filter(string_split(text, '. '), x -> x <> '')), 1) AS BIGINT) AS n_sentences,
+             |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', '.', 'g'))
+             |       - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT) AS syllables
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sentences, syllables,
+             |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             |      + 11.8 * (CAST(syllables AS DOUBLE) / n_words) - 15.59, 4) AS fk_grade
+             |FROM b WHERE n_words > 0 ORDER BY doc_id""".stripMargin)),
+
+    Q("t18_ngram_novelty",
+      // Per-document 5-gram novelty: share of the doc's DISTINCT word
+      // shingles whose corpus-wide first occurrence is this doc
+      // (integer basis points). One shingle-keyed exchange, per-doc
+      // rollup — no pair enumeration (TextAnalysis.ngramNovelty).
+      (s, d) => TextAnalysis.ngramNovelty(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents),
+             |sh0 AS (SELECT doc_id, list_distinct(list_transform(
+             |      generate_series(1, len(toks) - 4),
+             |      i -> array_to_string(toks[i:i+4], ' '))) AS shs
+             |  FROM tk WHERE len(toks) >= 5),
+             |sh AS (SELECT doc_id, unnest(shs) AS sh FROM sh0),
+             |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+             |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+             |  CAST((sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 10000)
+             |    // count(*) AS BIGINT) AS novelty_bp
+             |FROM sh JOIN f USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

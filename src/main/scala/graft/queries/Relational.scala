@@ -1580,6 +1580,80 @@ object Relational {
              |SELECT col_name, (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_rows,
              |  (SELECT count(*) FROM b) - nn AS n_nulls,
              |  CAST(nd AS BIGINT) AS n_distinct, min_val, max_val
-             |FROM p ORDER BY col_name""".stripMargin))
+             |FROM p ORDER BY col_name""".stripMargin)),
+
+    Q("q67_weighted_median",
+      // Exact weighted median per group (price cents weighted by
+      // quantity): per-(group, value) weight rollup, PARTITIONED
+      // cumulative window (group-local, no global sort), min value
+      // with 2·cum ≥ total. Integers end to end.
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        val byP = li.groupBy("flag", "cents").agg(sum("w").as("wsum"))
+        val cum = byP.withColumn("cum", sum("wsum").over(
+          Window.partitionBy("flag").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = byP.groupBy("flag").agg(sum("wsum").as("tot"))
+        cum.join(tot, Seq("flag"))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy("flag").agg(min("cents").as("wmedian_cents"))
+          .orderBy("flag")
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS flag,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+             |g AS (SELECT flag, cents, CAST(sum(w) AS BIGINT) AS wsum FROM b GROUP BY 1, 2),
+             |c AS (SELECT flag, cents, CAST(sum(wsum) OVER (PARTITION BY flag
+             |    ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM g),
+             |t AS (SELECT flag, CAST(sum(wsum) AS BIGINT) AS tot FROM g GROUP BY 1)
+             |SELECT c.flag, CAST(min(cents) AS BIGINT) AS wmedian_cents
+             |FROM c JOIN t USING (flag) WHERE cum * 2 >= tot
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("prof2_catalog_profile",
+      // Catalog-level dataset manifest: one row per table with row
+      // count plus key/category distinct cardinalities — the
+      // data-engineering "datasheet" read before planning a join
+      // graph. Six independent map-side-combined aggregates unioned;
+      // each is Expand-planned like prof1.
+      (s, d) => {
+        def row(t: DataFrame, name: String, key: String, cat: String) =
+          t.agg(count(lit(1)).as("n_rows"),
+              countDistinct(col(key)).as("key_distinct"),
+              countDistinct(col(cat)).as("cat_distinct"))
+            .withColumn("table_name", lit(name))
+        Seq(
+          row(Tables.region(s, d), "region", "r_regionkey", "r_name"),
+          row(Tables.nation(s, d), "nation", "n_nationkey", "n_name"),
+          row(Tables.customer(s, d), "customer", "c_custkey", "c_mktsegment"),
+          row(Tables.supplier(s, d), "supplier", "s_suppkey", "s_nationkey"),
+          row(Tables.part(s, d), "part", "p_partkey", "p_brand"),
+          row(Tables.orders(s, d), "orders", "o_orderkey", "o_orderpriority"))
+          .reduce(_ unionByName _)
+          .select("table_name", "n_rows", "key_distinct", "cat_distinct")
+          .orderBy("table_name")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(count(DISTINCT r_regionkey) AS BIGINT) AS key_distinct,
+             |    CAST(count(DISTINCT r_name) AS BIGINT) AS cat_distinct FROM region
+             |  UNION ALL
+             |  SELECT 'nation', CAST(count(*) AS BIGINT), CAST(count(DISTINCT n_nationkey) AS BIGINT),
+             |    CAST(count(DISTINCT n_name) AS BIGINT) FROM nation
+             |  UNION ALL
+             |  SELECT 'customer', CAST(count(*) AS BIGINT), CAST(count(DISTINCT c_custkey) AS BIGINT),
+             |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer
+             |  UNION ALL
+             |  SELECT 'supplier', CAST(count(*) AS BIGINT), CAST(count(DISTINCT s_suppkey) AS BIGINT),
+             |    CAST(count(DISTINCT s_nationkey) AS BIGINT) FROM supplier
+             |  UNION ALL
+             |  SELECT 'part', CAST(count(*) AS BIGINT), CAST(count(DISTINCT p_partkey) AS BIGINT),
+             |    CAST(count(DISTINCT p_brand) AS BIGINT) FROM part
+             |  UNION ALL
+             |  SELECT 'orders', CAST(count(*) AS BIGINT), CAST(count(DISTINCT o_orderkey) AS BIGINT),
+             |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+             |ORDER BY table_name""".stripMargin))
   )
 }
