@@ -728,7 +728,53 @@ object GraphQueries {
       Some(s"""WITH ${chainSql(true)},
               |${lpaSql(5)}
               |SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
-              |FROM r5 GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM r5 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("g22_clustering_coeff",
+      // Local clustering coefficient: per vertex, realized neighbor
+      // links over possible ones (2·tri / deg·(deg−1), basis points).
+      // Triangles enumerate once in canonical a<b<c order (the g7
+      // core) and credit all three corners — two hash joins on the
+      // canonical edge exchange, no per-vertex neighborhood
+      // materialization; degree-bounded like g20.
+      (s, d) => {
+        val e = graft.Ckpt.cutLight(chainEdges(s, d, withSkip = true)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b")).distinct())
+        val deg = e.select(col("a").as("node"))
+          .union(e.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+          .join(e.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"), "left_semi")
+        val triPer = tri.select(col("x").as("node"))
+          .union(tri.select(col("y").as("node")))
+          .union(tri.select(col("z").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("tri"))
+        deg.join(triPer, Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            coalesce(col("tri"), lit(0L)).as("tri"))
+          .withColumn("cc_bp", when(col("deg") >= 2,
+            expr("tri * 2 * 10000 div (deg * (deg - 1))")).otherwise(0L))
+          .orderBy("node")
+      },
+      Some(s"""WITH ${chainSql(true)},
+              |eu AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM e WHERE src <> dst),
+              |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+              |    SELECT a AS node FROM eu UNION ALL SELECT b FROM eu) GROUP BY 1),
+              |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              |  FROM eu e1 JOIN eu e2 ON e1.b = e2.a
+              |  WHERE EXISTS (SELECT 1 FROM eu e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+              |tp AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+              |    SELECT x AS node FROM tr UNION ALL SELECT y FROM tr
+              |    UNION ALL SELECT z FROM tr) GROUP BY 1)
+              |SELECT deg.node, deg.deg, CAST(coalesce(tp.tri, 0) AS BIGINT) AS tri,
+              |  CAST(CASE WHEN deg.deg >= 2
+              |    THEN (coalesce(tp.tri, 0) * 2 * 10000) // (deg.deg * (deg.deg - 1))
+              |    ELSE 0 END AS BIGINT) AS cc_bp
+              |FROM deg LEFT JOIN tp USING (node) ORDER BY node""".stripMargin))
   )
 
   // lazy: declared below `all`, which references it — a strict val

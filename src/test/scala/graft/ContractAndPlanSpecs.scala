@@ -16,7 +16,7 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("query inventory matches SURVEY §2 counts") {
-    assert(SparkEntry.queries.size == 163)
+    assert(SparkEntry.queries.size == 164)
     // every query carries a DuckDB oracle — no rows-only checks left
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size)
   }
