@@ -118,6 +118,25 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys)
 
+  /** Stream enrichment against a SLOWLY-CHANGING dimension: [[enrich]]
+    * captures the dim frame once at plan time, so dimension updates
+    * published mid-stream are never seen. This variant re-resolves the
+    * dimension INSIDE foreachBatch — each micro-batch re-reads
+    * `dimPath` and broadcast-joins against the freshest rows, the
+    * standard production pattern for reference data that changes
+    * slower than the stream but faster than the job restarts.
+    * `sink(enrichedBatch, batchId)` receives each joined batch.
+    */
+  def enrichRefreshing(stream: DataFrame, dimPath: String, keys: Seq[String])
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val dim = batch.sparkSession.read.parquet(dimPath)
+        sink(batch.join(broadcast(dim), keys), batchId)
+        ()
+    }
+
   /** Stream-stream inner join with watermarks on BOTH sides and a
     * time-range condition — the combination Spark needs to bound join
     * state: each side keeps only rows inside its watermark horizon,

@@ -168,6 +168,30 @@ class StreamSourceSpecs extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichRefreshing sees dimension updates published between batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dimPath = java.nio.file.Files.createTempDirectory("dim").toString
+    Seq((1L, "v1")).toDF("nid", "name").write.mode("overwrite").parquet(dimPath)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamingOps.enrichRefreshing(
+        in.toDF().toDF("nid", "value"), dimPath, Seq("nid")) { (b, id) =>
+      seen ++= b.select(col("nid"), col("name")).collect()
+        .map(r => (id, r.getLong(0), r.getString(1)))
+      ()
+    }.start()
+    in.addData((1L, 10.0))
+    q.processAllAvailable()
+    // dimension changes BETWEEN batches; the next batch must see v2
+    Seq((1L, "v2")).toDF("nid", "name").write.mode("overwrite").parquet(dimPath)
+    in.addData((1L, 20.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.map(x => (x._2, x._3)).toList == List((1L, "v1"), (1L, "v2")), seen)
+  }
+
   test("KafkaSource is constructible but gated on the connector") {
     val ks = KafkaSource("broker:9092")
     assert(!KafkaSource.available) // no connector jar in this environment
