@@ -85,6 +85,49 @@ object Multimodal {
       .distinct()
   }
 
+  /** One frame's perceptual hash: `nBits` positional-group sums,
+    * bit j set iff `groupSum(j)·nBits > frameSum` (the integer-compare
+    * aHash convention of [[perceptualHashPairs]], per frame). */
+  case class FrameHash(id: Long, frame_idx: Int, ph: Long)
+
+  /** Per-frame perceptual hashes over a framed byte stream — the
+    * input to shot-boundary detection: consecutive frames whose
+    * hashes differ by a large hamming distance mark a cut. Same
+    * partition-wise primitive-array pass as [[frameSample]]; with a
+    * real codec bound via [[MediaCodec]] the group sums become
+    * downsampled luma and everything downstream is unchanged. */
+  def frameHashes(df: DataFrame, idCol: String, binCol: String,
+                  frameBytes: Int, nBits: Int = 12): Dataset[FrameHash] = {
+    require(frameBytes >= 1 && nBits >= 1 && nBits <= 60, "bad frame/bits")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        val nFrames = (b.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).map { fi =>
+          val start = fi * frameBytes
+          val end = math.min(start + frameBytes, b.length)
+          val gs = new Array[Long](nBits)
+          var total = 0L
+          var i = start
+          while (i < end) {
+            val v = (b(i) & 0xFF).toLong
+            gs((i - start) % nBits) += v
+            total += v
+            i += 1
+          }
+          var ph = 0L
+          var j = 0
+          while (j < nBits) {
+            if (gs(j) * nBits > total) ph |= 1L << j
+            j += 1
+          }
+          FrameHash(id, fi, ph)
+        }
+      })
+  }
+
   /** One sampled frame: exact-integer per-frame statistics (the float
     * embedding of a real frame featurizer would ride the same row —
     * integer sums are what a SQL oracle can verify). */

@@ -1614,6 +1614,82 @@ object PipelineQueries {
              |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
              |  CAST((sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 10000)
              |    // count(*) AS BIGINT) AS novelty_bp
-             |FROM sh JOIN f USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM sh JOIN f USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("m6_shot_boundaries",
+      // Shot-boundary detection over a framed byte stream: per-frame
+      // 12-bit positional aHash (Multimodal.frameHashes — the
+      // integer-compare convention of m4, per frame), then a cut
+      // wherever consecutive frames' hashes differ by hamming ≥ 4.
+      // The lag window partitions PER DOCUMENT — no global sort at
+      // any scale; with a real codec the group sums become
+      // downsampled luma and the banding/compare is unchanged.
+      (s, d) => {
+        val payload = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val ph = Multimodal.frameHashes(payload, "doc_id", "payload",
+          frameBytes = 32, nBits = 12).toDF()
+        val w = Window.partitionBy("id").orderBy("frame_idx")
+        ph.withColumn("prev", lag("ph", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("id").as("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            expr("CAST(bit_count(ph ^ prev) AS BIGINT)").as("hamming"))
+          .withColumn("is_cut", (col("hamming") >= 4).cast("long"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+             |f AS (SELECT doc_id, text, n,
+             |    unnest(generate_series(0, (n + 31) // 32 - 1)) AS fi FROM b WHERE n > 0),
+             |pos AS (SELECT doc_id, fi,
+             |    (i - 1) % 12 AS grp,
+             |    ascii(substr(text, CAST(fi * 32 + i AS INT), 1)) AS v
+             |  FROM (SELECT doc_id, fi, least(n - fi * 32, 32) AS nb FROM f),
+             |       unnest(generate_series(1, nb)) AS t(i)),
+             |gs AS (SELECT doc_id, fi, grp, sum(v) AS gsum FROM pos GROUP BY 1, 2, 3),
+             |tot AS (SELECT doc_id, fi, sum(gsum) AS total FROM gs GROUP BY 1, 2),
+             |ph AS (SELECT gs.doc_id, gs.fi,
+             |    CAST(sum(CASE WHEN gs.gsum * 12 > tot.total
+             |      THEN (1::BIGINT << grp) ELSE 0 END) AS BIGINT) AS ph
+             |  FROM gs JOIN tot ON gs.doc_id = tot.doc_id AND gs.fi = tot.fi
+             |  GROUP BY 1, 2),
+             |lg AS (SELECT doc_id, fi, ph,
+             |    lag(ph) OVER (PARTITION BY doc_id ORDER BY fi) AS prev FROM ph)
+             |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+             |  CAST(bit_count(xor(ph, prev)) AS BIGINT) AS hamming,
+             |  CAST(CASE WHEN bit_count(xor(ph, prev)) >= 4 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+             |FROM lg WHERE prev IS NOT NULL ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    Q("t19_zipf_slope",
+      // Zipf exponent of the corpus vocabulary: least-squares slope of
+      // ln(freq) on ln(rank) over the top-1000 tokens (deterministic
+      // count-desc/token tie-break; the window runs on the LIMITed
+      // 1000-row table — bounded, like the IVF codebook). Healthy
+      // natural-language corpora sit near −1; the slope is the
+      // canonical corpus-composition diagnostic.
+      (s, d) => {
+        val top = Tables.documents(s, d)
+          .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("tok")).limit(1000)
+        val ranked = top.withColumn("r",
+          row_number().over(Window.orderBy(desc("cnt"), asc("tok"))).cast("long"))
+        ranked
+          .select(expr("ln(CAST(r AS DOUBLE))").as("x"),
+            expr("ln(CAST(cnt AS DOUBLE))").as("y"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(expr("(avg(x * y) - avg(x) * avg(y)) / (avg(x * x) - avg(x) * avg(x))"), 4)
+              .as("zipf_slope"))
+      },
+      Some("""WITH tk AS (SELECT t.tok FROM documents,
+             |    unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''),
+             |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk
+             |  GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 1000),
+             |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r FROM top),
+             |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM rk)
+             |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+             |  round((avg(x * y) - avg(x) * avg(y)) / (avg(x * x) - avg(x) * avg(x)), 4)
+             |    AS zipf_slope
+             |FROM xy""".stripMargin))
   )
 }
