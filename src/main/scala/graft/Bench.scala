@@ -40,6 +40,7 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (pass <- 1 to runs; (name, fn) <- names if !failed(name)) {
       val t0 = System.nanoTime()
       try {
@@ -49,6 +50,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getClass.getSimpleName}: ${e.getMessage}")
         failed += name
+        errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(500)
       } finally {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -62,8 +64,18 @@ object Bench {
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // error strings ride the artifact so a broken round is diagnosable
+    // without rerunning (round-5's 12-query break was only explained
+    // by a live repro). JSON-escape: the messages carry quotes/newlines.
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"interleaved":true,"failures":$fs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"interleaved":true,"failures":$fs,"errors":$es}"""
     println(json)
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

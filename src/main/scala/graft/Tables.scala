@@ -1,12 +1,43 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Schema-on-read loaders for the driver-generated parquet tables
   * (see TESTDATA.md). Keeping loads centralized lets specs assert
   * pushdown (`PushedFilters` / `ReadSchema`) against one code path.
   */
 object Tables {
+
+  /** Epoch-seconds Column for an event-time field, adaptive to the
+    * physical type the data was generated with. The driver has shipped
+    * `events.ts` both as int64 parquet NANOS (read as `long` under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as `timestamp[us]`
+    * (read as TIMESTAMP_NTZ). All branches floor toward negative
+    * infinity, matching DuckDB's `epoch_ns(ts)//1000000000` on the
+    * same data: timestamp→long casting uses floorDiv of micros, and
+    * the long branch corrects Spark's truncate-toward-zero `div` on
+    * negative (pre-epoch) nanos (EpochSecsSpec pins all of this).
+    * Session TZ is UTC (set by every entry point), so the NTZ→TZ cast
+    * is identity on the wall-clock instant.
+    */
+  def epochSecs(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType =>
+        expr(s"$c div 1000000000 - CAST($c % 1000000000 < 0 AS BIGINT)")
+      case TimestampType | TimestampNTZType => col(c).cast(TimestampType).cast(LongType)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported event-time type $other for column $c")
+    }
+
+  /** events with an added `t` = floor(epoch seconds) column — the one
+    * code path every time-family operator and spec goes through. */
+  def eventsWithEpoch(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.withColumn("t", epochSecs(e))
+  }
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

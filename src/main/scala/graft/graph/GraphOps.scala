@@ -40,7 +40,34 @@ object GraphOps {
     * ([[Ckpt.release]]) as soon as round N has materialized, so a
     * long loop holds at most two rounds of state.
     */
-  def iterate(init: DataFrame, maxRounds: Int)(step: DataFrame => DataFrame): DataFrame = {
+  def iterate(init: DataFrame, maxRounds: Int)(step: DataFrame => DataFrame): DataFrame =
+    iterateCore(init, maxRounds)(step)._1
+
+  /** Raised by [[iterateCertified]] when the safety cap is hit while
+    * rows are still changing — the loud dual of [[iterate]]'s silent
+    * bounded stop (whose bound is often SEMANTIC, e.g. bfs depth). */
+  final class NotConvergedException(msg: String) extends RuntimeException(msg)
+
+  /** Convergence-CERTIFIED iteration: identical loop to [[iterate]],
+    * but `maxRounds` is a pure safety cap, not a semantic bound —
+    * hitting it while the fused `__changed` count is still nonzero
+    * throws [[NotConvergedException]] instead of returning a silently
+    * truncated frame. Use for fixpoint semantics (full reachability /
+    * shortest paths / layering) where a 100× diameter must surface as
+    * a failure, never as plausible-but-wrong output. Same convention
+    * as [[scc]]'s visible `scc = −1` marker, for operators whose
+    * output schema has no room for a marker row.
+    */
+  def iterateCertified(init: DataFrame, maxRounds: Int)(step: DataFrame => DataFrame): DataFrame = {
+    val (out, converged) = iterateCore(init, maxRounds)(step)
+    if (!converged) throw new NotConvergedException(
+      s"iteration still changing after $maxRounds rounds (safety cap); " +
+        "raise the cap or use the bounded variant if truncation is intended")
+    out
+  }
+
+  private def iterateCore(init: DataFrame, maxRounds: Int)
+                         (step: DataFrame => DataFrame): (DataFrame, Boolean) = {
     var curCut = Ckpt.cut(init) // the checkpoint leaf itself — release() needs it
     var cur = curCut
     var round = 0
@@ -57,7 +84,7 @@ object GraphOps {
       cur = nextCut.drop("__changed")
       done = changed == 0
     }
-    cur
+    (cur, done)
   }
 
   /** Poll an [[org.apache.spark.sql.Observation]] whose observed query
@@ -506,19 +533,35 @@ object GraphOps {
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     val e = Ckpt.cutLight(edges.select("src", "dst"))
-    val init = seeds.select(col("node"), lit(0L).as("depth"))
-    iterate(init, maxRounds = maxDepth) { cur =>
-      val cand = cur.join(e, cur("node") === e("src"))
-        .select(e("dst").as("node"), (cur("depth") + 1).as("depth"))
-      val merged = cur.select("node", "depth").unionByName(cand)
-        .groupBy("node").agg(min("depth").as("depth"))
-      merged.join(
-          cur.select(col("node").as("pn"), col("depth").as("pd")),
-          merged("node") === col("pn"), "left")
-        .select(merged("node"), merged("depth"),
-          (col("pd").isNull || col("pd") =!= merged("depth"))
-            .cast("int").as("__changed"))
-    }
+    iterate(bfsInit(seeds), maxRounds = maxDepth)(bfsStep(e))
+  }
+
+  /** [[bfs]] with FULL-reachability semantics: min hop distance from
+    * any seed with no depth bound — iterates to the true fixpoint and
+    * throws [[NotConvergedException]] if `safetyCap` rounds pass while
+    * distances are still relaxing. The certified mode the bounded
+    * variant can't provide: at 100× scale a diameter beyond the cap
+    * fails loudly instead of silently truncating distances.
+    */
+  def bfsCertified(edges: DataFrame, seeds: DataFrame, safetyCap: Int = 256): DataFrame = {
+    val e = Ckpt.cutLight(edges.select("src", "dst"))
+    iterateCertified(bfsInit(seeds), safetyCap)(bfsStep(e))
+  }
+
+  private def bfsInit(seeds: DataFrame): DataFrame =
+    seeds.select(col("node"), lit(0L).as("depth"))
+
+  private def bfsStep(e: DataFrame)(cur: DataFrame): DataFrame = {
+    val cand = cur.join(e, cur("node") === e("src"))
+      .select(e("dst").as("node"), (cur("depth") + 1).as("depth"))
+    val merged = cur.select("node", "depth").unionByName(cand)
+      .groupBy("node").agg(min("depth").as("depth"))
+    merged.join(
+        cur.select(col("node").as("pn"), col("depth").as("pd")),
+        merged("node") === col("pn"), "left")
+      .select(merged("node"), merged("depth"),
+        (col("pd").isNull || col("pd") =!= merged("depth"))
+          .cast("int").as("__changed"))
   }
 
   /** Topological layering of a DAG: `layer(v)` = length of the
@@ -534,19 +577,34 @@ object GraphOps {
     */
   def topoLayers(edges: DataFrame, maxDepth: Int): DataFrame = {
     val e = Ckpt.cutLight(edges.select("src", "dst"))
-    val init = vertices(e).select(col("node"), lit(0L).as("layer"))
-    iterate(init, maxRounds = maxDepth) { cur =>
-      val cand = cur.join(e, cur("node") === e("src"))
-        .select(e("dst").as("node"), (cur("layer") + 1).as("layer"))
-      val merged = cur.select("node", "layer").unionByName(cand)
-        .groupBy("node").agg(max("layer").as("layer"))
-      merged.join(
-          cur.select(col("node").as("pn"), col("layer").as("pl")),
-          merged("node") === col("pn"), "left")
-        .select(merged("node"), merged("layer"),
-          (col("pl").isNull || col("pl") =!= merged("layer"))
-            .cast("int").as("__changed"))
-    }
+    iterate(topoInit(e), maxRounds = maxDepth)(topoStep(e))
+  }
+
+  /** [[topoLayers]] to the certified fixpoint: exact longest-path
+    * layers on a DAG of ANY depth, or [[NotConvergedException]] at the
+    * safety cap. On a cyclic graph layers relax forever, so the cap
+    * doubles as cycle detection — the loud version of the bounded
+    * variant's semantic guard.
+    */
+  def topoLayersCertified(edges: DataFrame, safetyCap: Int = 256): DataFrame = {
+    val e = Ckpt.cutLight(edges.select("src", "dst"))
+    iterateCertified(topoInit(e), safetyCap)(topoStep(e))
+  }
+
+  private def topoInit(e: DataFrame): DataFrame =
+    vertices(e).select(col("node"), lit(0L).as("layer"))
+
+  private def topoStep(e: DataFrame)(cur: DataFrame): DataFrame = {
+    val cand = cur.join(e, cur("node") === e("src"))
+      .select(e("dst").as("node"), (cur("layer") + 1).as("layer"))
+    val merged = cur.select("node", "layer").unionByName(cand)
+      .groupBy("node").agg(max("layer").as("layer"))
+    merged.join(
+        cur.select(col("node").as("pn"), col("layer").as("pl")),
+        merged("node") === col("pn"), "left")
+      .select(merged("node"), merged("layer"),
+        (col("pl").isNull || col("pl") =!= merged("layer"))
+          .cast("int").as("__changed"))
   }
 
   /** Undirected triangle count (single row `n_triangles`). Canonical
@@ -630,19 +688,34 @@ object GraphOps {
     */
   def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int): DataFrame = {
     val e = Ckpt.cutLight(edges.select("src", "dst", "w"))
-    val init = seeds.select(col("node"), lit(0L).as("dist"))
-    iterate(init, maxRounds) { cur =>
-      val cand = cur.join(e, cur("node") === e("src"))
-        .select(e("dst").as("node"), (cur("dist") + e("w")).as("dist"))
-      val merged = cur.select("node", "dist").unionByName(cand)
-        .groupBy("node").agg(min("dist").as("dist"))
-      merged.join(
-          cur.select(col("node").as("pn"), col("dist").as("pd")),
-          merged("node") === col("pn"), "left")
-        .select(merged("node"), merged("dist"),
-          (col("pd").isNull || col("pd") =!= merged("dist"))
-            .cast("int").as("__changed"))
-    }
+    iterate(ssspInit(seeds), maxRounds)(ssspStep(e))
+  }
+
+  /** [[sssp]] to the certified Bellman-Ford fixpoint: true shortest
+    * distances at any optimal-path hop depth, or
+    * [[NotConvergedException]] at the safety cap (which a
+    * negative-weight cycle would also hit — loudly, never as a
+    * plausible distance table).
+    */
+  def ssspCertified(edges: DataFrame, seeds: DataFrame, safetyCap: Int = 256): DataFrame = {
+    val e = Ckpt.cutLight(edges.select("src", "dst", "w"))
+    iterateCertified(ssspInit(seeds), safetyCap)(ssspStep(e))
+  }
+
+  private def ssspInit(seeds: DataFrame): DataFrame =
+    seeds.select(col("node"), lit(0L).as("dist"))
+
+  private def ssspStep(e: DataFrame)(cur: DataFrame): DataFrame = {
+    val cand = cur.join(e, cur("node") === e("src"))
+      .select(e("dst").as("node"), (cur("dist") + e("w")).as("dist"))
+    val merged = cur.select("node", "dist").unionByName(cand)
+      .groupBy("node").agg(min("dist").as("dist"))
+    merged.join(
+        cur.select(col("node").as("pn"), col("dist").as("pd")),
+        merged("node") === col("pn"), "left")
+      .select(merged("node"), merged("dist"),
+        (col("pd").isNull || col("pd") =!= merged("dist"))
+          .cast("int").as("__changed"))
   }
 
   /** Min-label propagation to fixpoint along directed edges: lbl(v) =

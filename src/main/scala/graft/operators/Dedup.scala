@@ -195,9 +195,35 @@ object Dedup {
       .select(col("a.setId").as("sa"), col("b.setId").as("sb")).distinct()
   }
 
-  /** Near-duplicate pairs by token-set Jaccard >= `threshold`:
-    * signature dedup, then candidate generation, then verification and
-    * member expansion.
+  /** THE public front door for Jaccard near-dup detection — routes to
+    * the SCALE tier: MinHash banded-LSH candidate generation with
+    * exact true-Jaccard verification of every candidate
+    * ([[minhashLshPairs]]). Precision is exact (every emitted pair
+    * really clears `threshold`); recall is the standard LSH band
+    * bound (a >= threshold pair is missed only if it collides in no
+    * band — vanishingly rare at 128/32 for thresholds ≥ 0.7).
+    *
+    * Candidates come from equality joins on (band, signature) buckets
+    * ONLY — the plan contains no pair-join over raw token sets, no
+    * nested-loop, no cartesian (JaccardFrontDoorSpec pins this), so
+    * cost stays O(docs × bands) through every exchange at any scale.
+    * Callers who need oracle-exact recall (a verification tier, a
+    * legal hold) must opt in BY NAME to [[ngramJaccardPairsExact]] —
+    * the round-5 10× sweep measured that tier at 25 min where this
+    * path took seconds, which is why it is no longer the default.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, numHashes: Int = 128, bands: Int = 32,
+                   maxBucket: Int = 4096): DataFrame =
+    minhashLshPairs(df, idCol, textCol, numHashes, bands, threshold, maxBucket)
+
+  /** EXACT/ORACLE tier of [[jaccardPairs]] — full-recall Jaccard
+    * pairs by token-set Jaccard >= `threshold`: signature dedup, then
+    * candidate generation, then verification and member expansion.
+    * Quadratic WITHIN candidate buckets (all-distinct-sets under
+    * `maxMaskSets`, shared rare prefix tokens above) — the documented
+    * baseline the LSH tier is verified against, NOT the production
+    * path at corpus scale.
     *
     * The all-pairs bitmask fast path is taken only when BOTH the
     * vocabulary fits 64 bits AND the distinct-set count is at most
@@ -207,7 +233,7 @@ object Dedup {
     * candidates (bounded by sets sharing a rare prefix token) and the
     * bitmask is still used for O(1) verification.
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+  def ngramJaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, maxMaskSets: Long = 8192): DataFrame = {
     val (members, repTok, repSize) = tokenSetGroups(df, idCol, textCol)
     val masks = setMasks(repTok, repSize)
@@ -493,7 +519,7 @@ object Dedup {
   /** Asymmetric containment near-dup pairs — quote/subset detection:
     * (needle_id, hay_id, containment) for every ordered doc pair with
     * |T(needle) ∩ T(hay)| / |T(needle)| ≥ `threshold`. The symmetric
-    * Jaccard of [[ngramJaccardPairs]] misses a short document quoted
+    * Jaccard of [[ngramJaccardPairsExact]] misses a short document quoted
     * inside a long one (the union dilutes); containment is the
     * measure corpus pipelines use for that case. Same machinery:
     * signature dedup first, directed prefix-filter candidates (the

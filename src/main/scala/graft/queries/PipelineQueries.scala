@@ -134,7 +134,12 @@ object PipelineQueries {
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
     Q("d2_dedup_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.95)
+      // The EXACT/ORACLE tier, opt-in by name (round-6 API change):
+      // the public front door `Dedup.jaccardPairs` routes to the
+      // MinHash-LSH scale tier (d3's path) — at the round-5 10× sweep
+      // this exact tier took 25 min where d3 took seconds. It stays
+      // registered as the full-recall baseline d3 is verified against.
+      (s, d) => Dedup.ngramJaccardPairsExact(Tables.documents(s, d), "doc_id", "text", 0.95)
         .orderBy("a", "b"),
       Some(s"""WITH $tokSql,
              |sz AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),
@@ -183,6 +188,14 @@ object PipelineQueries {
               |ORDER BY member_id""".stripMargin)),
 
     Q("d4_dedup_simhash",
+      // OPERATOR CONTRACT (pinned by the round-5 10× sweep): the
+      // banded-LSH candidate stage caps degenerate buckets, trading
+      // RECALL at high clone density — at 10× scale the cap dropped
+      // ~5.4% of pairs (5,247,001 vs 5,547,709); cap-off reproduces
+      // the oracle exactly. At sweep SFs the cap never binds, so the
+      // oracle compare stays exact; at 100 TB the cap is what keeps a
+      // hot bucket from going quadratic. Raise `bucketCap` (or route
+      // through d2's exact tier) when recall beats cost.
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3).orderBy("a", "b"),
       Some(s"""WITH $tokSql,
@@ -1644,7 +1657,7 @@ object PipelineQueries {
              |pos AS (SELECT doc_id, fi,
              |    (i - 1) % 12 AS grp,
              |    ascii(substr(text, CAST(fi * 32 + i AS INT), 1)) AS v
-             |  FROM (SELECT doc_id, fi, least(n - fi * 32, 32) AS nb FROM f),
+             |  FROM (SELECT doc_id, fi, text, least(n - fi * 32, 32) AS nb FROM f),
              |       unnest(generate_series(1, nb)) AS t(i)),
              |gs AS (SELECT doc_id, fi, grp, sum(v) AS gsum FROM pos GROUP BY 1, 2, 3),
              |tot AS (SELECT doc_id, fi, sum(gsum) AS total FROM gs GROUP BY 1, 2),

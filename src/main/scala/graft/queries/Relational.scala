@@ -16,12 +16,15 @@ import graft.operators.Quantiles
   */
 object Relational {
 
-  /** events with `t` = epoch seconds (the raw column is int64 parquet
-    * NANOS, which Spark reads as long via nanosAsLong — see Tables). */
+  /** events with `t` = floor(epoch seconds); schema-adaptive — see
+    * [[Tables.epochSecs]] (the testdata has shipped `ts` as both int64
+    * nanos and timestamp[us]). */
   private def ev(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).withColumn("t", expr("ts div 1000000000"))
+    Tables.eventsWithEpoch(s, d)
 
-  /** DuckDB mirror of `ev`: exact integer nanos → seconds. */
+  /** DuckDB mirror of `ev`: `epoch_ns` is exact for both int64-nanos
+    * and TIMESTAMP physical types; `//` floor-divides like the Spark
+    * side. */
   private val evSql =
     "SELECT *, epoch_ns(ts)//1000000000 AS t FROM events"
 

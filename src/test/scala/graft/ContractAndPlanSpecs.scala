@@ -15,8 +15,23 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 
-  test("query inventory matches SURVEY §2 counts") {
-    assert(SparkEntry.queries.size == 164)
+  test("query inventory matches SURVEY §2 checklist") {
+    // Derive the inventory from SURVEY.md §2 instead of a hand-pinned
+    // count (which went stale in round 5): every `queries` key must be
+    // declared `[x]` in §2, and every §2 name shaped like a query key
+    // must exist in `queries` — additions and removals on either side
+    // fail loudly here.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2 = survey.split("\n## ").find(_.startsWith("§2")).get
+    val declared = "(?m)^- \\[x\\] `([A-Za-z0-9_]+)`".r
+      .findAllMatchIn(s2).map(_.group(1)).toSet
+    val keys = SparkEntry.queries.keySet
+    val undeclared = keys -- declared
+    assert(undeclared.isEmpty, s"queries missing from SURVEY §2: $undeclared")
+    val queryShaped = declared.filter(_.matches("(q|g|d|s|c|p|t|m|smp|prof)\\d.*"))
+    val phantom = queryShaped -- keys
+    assert(phantom.isEmpty, s"SURVEY §2 declares non-existent queries: $phantom")
     // every query carries a DuckDB oracle — no rows-only checks left
     assert(SparkEntry.oracleSql.size == SparkEntry.queries.size)
   }

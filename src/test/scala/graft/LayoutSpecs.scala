@@ -208,7 +208,7 @@ class ContainmentSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(cont == Set((1L, 2L, 1.0)), s"got $cont") // directed: needle ⊂ hay only
     // symmetric jaccard = 3/33 — invisible to the d2 operator
-    assert(graft.operators.Dedup.ngramJaccardPairs(df, "id", "txt", 0.5).count() == 0L)
+    assert(graft.operators.Dedup.ngramJaccardPairsExact(df, "id", "txt", 0.5).count() == 0L)
   }
 
   test("identical docs are mutual containment 1.0, both directions") {

@@ -60,10 +60,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("jaccard pairs with prefix filtering finds exact and near dups") {
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9)
+    val pairs = Dedup.ngramJaccardPairsExact(docs, "doc_id", "text", 0.9)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
-    val loose = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    val loose = Dedup.ngramJaccardPairsExact(docs, "doc_id", "text", 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(loose == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }

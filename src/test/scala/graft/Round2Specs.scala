@@ -148,7 +148,7 @@ class DedupScaleSpec extends SparkSpec {
       (3L, "alpha beta gamma zeta"), (4L, "omega psi chi phi"),
       (5L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     def run(maxMaskSets: Long) =
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.6, maxMaskSets)
+      Dedup.ngramJaccardPairsExact(docs, "doc_id", "text", threshold = 0.6, maxMaskSets)
         .as[(Long, Long, Double)].collect().toSet
     // maxMaskSets = 0 forces the prefix-filter candidate path even
     // though the vocabulary fits in 64 bits

@@ -13,8 +13,8 @@ class CohortRetentionSpec extends SparkSpec {
     val out = SparkEntry.queries("q49_cohort_retention")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // re-derive naively from the raw table
-    val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), expr("ts div 1000000000 div 604800").as("wk"))
+    val ev = Tables.eventsWithEpoch(spark, sfDir)
+      .select(col("user_id"), expr("t div 604800").as("wk"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val cohort = ev.groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).min }
     val expected = ev.map { case (u, w) => (cohort(u), w - cohort(u), u) }
@@ -311,8 +311,8 @@ class IslandsSpec extends SparkSpec {
       rs.foreach { case (_, s, e, n) => assert(e > s && n >= 1) }
     }
     // island event counts add up to the user's distinct interval count
-    val iv = Tables.events(spark, sfDir)
-      .select(col("user_id"), expr("ts div 1000000000").as("t"))
+    val iv = Tables.eventsWithEpoch(spark, sfDir)
+      .select(col("user_id"), col("t"))
       .filter(col("user_id") < 40).select(col("user_id"), col("t")).distinct()
       .groupBy("user_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -323,8 +323,8 @@ class IslandsSpec extends SparkSpec {
   test("streaks match a naive per-user re-derivation") {
     val out = SparkEntry.queries("q55_streaks")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val days = Tables.events(spark, sfDir)
-      .select(col("user_id"), expr("ts div 1000000000 div 86400").as("day"))
+    val days = Tables.eventsWithEpoch(spark, sfDir)
+      .select(col("user_id"), expr("t div 86400").as("day"))
       .filter(col("user_id") < 100).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     days.groupBy(_._1).foreach { case (u, ds) =>
@@ -349,9 +349,8 @@ class AttributionSpec extends SparkSpec {
     val totalCredit = rows.map(_._2).sum
     // distinct purchases with >=1 touch in window (union across touch
     // types can overlap, so recount from the raw table)
-    val e = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000000000").as("t"))
+    val e = Tables.eventsWithEpoch(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("t"))
     val p = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("pid"), col("t").as("pt"))
     val tc = e.filter(col("event_type").isin("click", "view"))

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-6 additions. */
+
+/** Pins the floor semantics of [[Tables.epochSecs]] across every
+  * physical type the driver has shipped `events.ts` with. The DuckDB
+  * oracle computes `epoch_ns(ts)//1000000000` — floor division — so
+  * the Spark side must floor too, including sub-second fractions and
+  * (defensively) pre-epoch instants.
+  */
+class EpochSecsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("long nanos: floor division, sub-second fractions truncate down") {
+    val df = Seq(0L, 999999999L, 1000000000L, 1999999999L, -1L, -1000000001L)
+      .toDF("ts")
+    val out = df.select(Tables.epochSecs(df).as("t")).as[Long].collect().toSeq
+    // Spark's `div` truncates toward zero; DuckDB's `//` floors. The
+    // helper corrects the negative-remainder case so both agree on
+    // pre-epoch instants too:
+    assert(out == Seq(0L, 0L, 1L, 1L, -1L, -2L))
+  }
+
+  test("timestamp_ntz micros: cast path floors sub-second fractions") {
+    val df = Seq(
+      java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 0, 0),
+      java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 0, 999999000), // .999999s
+      java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 1, 500000000), // 1.5s
+      java.time.LocalDateTime.of(1969, 12, 31, 23, 59, 59, 500000000) // -0.5s
+    ).toDF("ts")
+    assert(df.schema("ts").dataType == TimestampNTZType)
+    val out = df.select(Tables.epochSecs(df).as("t")).as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 1L, -1L))
+  }
+
+  test("timestamp (with tz) micros floor identically under UTC session") {
+    val df = Seq(
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1500)),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(999))
+    ).toDF("ts")
+    assert(df.schema("ts").dataType == TimestampType)
+    val out = df.select(Tables.epochSecs(df).as("t")).as[Long].collect().toSeq
+    assert(out == Seq(1L, 0L))
+  }
+
+  test("the real events table resolves to a non-null monotone epoch column") {
+    val e = Tables.eventsWithEpoch(spark, sfDir)
+    assert(e.filter(col("t").isNull).count() == 0)
+    val mm = e.agg(min("t"), max("t")).head()
+    // driver data is generated inside a sane modern window
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) < 4102444800L) // < 2100-01-01
+  }
+
+  test("unsupported event-time types fail loudly, not silently") {
+    val df = Seq("2024-01-01").toDF("ts")
+    intercept[IllegalArgumentException] { Tables.epochSecs(df) }
+  }
+}
+
+/** Public Jaccard-dedup front door (round-6, VERDICT r5 item 6):
+  * `Dedup.jaccardPairs` must route to the MinHash-LSH scale tier, so
+  * no caller lands on the within-bucket-quadratic exact tier by
+  * accident. The plan proof: every join in the default path is an
+  * equality join on (band, signature) buckets or ids — no nested-loop
+  * / cartesian pair-join over raw token sets anywhere.
+  */
+class JaccardFrontDoorSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different content with no overlap at all"),
+    (4L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  test("default path plan has no pair-join on raw token sets") {
+    val plan = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan.take(3000))
+    assert(!plan.contains("Cartesian"), plan.take(3000))
+    // contrast: the exact tier on this tiny vocab DOES take the
+    // all-pairs mask comparison (a non-equi self-join)
+    val exact = Dedup.ngramJaccardPairsExact(docs, "doc_id", "text", 0.7)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("NestedLoop") || exact.contains("Cartesian"))
+  }
+
+  test("front door finds the near-dup pair and the exact clones") {
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L))) // 8/10 shared tokens
+    assert(out.contains((1L, 4L))) // identical → within-set pair
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
+
+/** Convergence-certified iteration (round-6, VERDICT r5 item 5): the
+  * bounded graph iterators silently truncate when a 100× diameter
+  * exceeds their round bound; the certified variants run to the true
+  * fixpoint with the bound as a pure safety cap and fail LOUDLY
+  * (NotConvergedException) on hitting it.
+  */
+class CertifiedIterationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.graph.GraphOps
+
+  // a 60-edge path: diameter 60, far beyond a toy bound of 6
+  private def chain = (0L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+
+  test("bfsCertified converges on a diameter far beyond the old bound") {
+    val out = GraphOps.bfsCertified(chain, Seq(0L).toDF("node"), safetyCap = 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 61 && out(60L) == 60L) // full reachability, exact depths
+  }
+
+  test("bfsCertified fails loudly when the safety cap truncates") {
+    intercept[GraphOps.NotConvergedException] {
+      GraphOps.bfsCertified(chain, Seq(0L).toDF("node"), safetyCap = 6).collect()
+    }
+  }
+
+  test("bounded bfs on the same graph silently truncates (the contrast)") {
+    val out = GraphOps.bfs(chain, Seq(0L).toDF("node"), maxDepth = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 7 && !out.contains(60L)) // semantic depth cap, by design
+  }
+
+  test("topoLayersCertified: exact deep layers, and cycle detection via the cap") {
+    val out = GraphOps.topoLayersCertified(chain, safetyCap = 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(60L) == 60L && out(0L) == 0L)
+    val cyclic = chain.union(Seq((60L, 0L)).toDF("src", "dst"))
+    intercept[GraphOps.NotConvergedException] {
+      GraphOps.topoLayersCertified(cyclic, safetyCap = 100).collect()
+    }
+  }
+
+  test("ssspCertified relaxes a 60-hop optimal path to the exact fixpoint") {
+    // unit weights plus one expensive shortcut 0→60: optimal path is
+    // the 60-hop chain (cost 60 < 100), which only a fixpoint run finds
+    val e = ((0L until 60L).map(i => (i, i + 1, 1L)) :+ (0L, 60L, 100L))
+      .toDF("src", "dst", "w")
+    val out = GraphOps.ssspCertified(e, Seq(0L).toDF("node"), safetyCap = 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(60L) == 60L)
+    intercept[GraphOps.NotConvergedException] {
+      GraphOps.ssspCertified(e, Seq(0L).toDF("node"), safetyCap = 5).collect()
+    }
+  }
+}
