@@ -128,6 +128,40 @@ object Multimodal {
       })
   }
 
+  case class FrameEnergy(id: Long, frame_idx: Int, energy: Long)
+
+  /** Per-frame signal energy over a framed byte stream — the
+    * voice-activity / silence-detection front end for audio-like
+    * payloads: energy(frame) = Σ (byte − 128)², i.e. squared
+    * deviation from the unsigned-PCM midpoint, exact integers so a
+    * SQL oracle can replay it. Same partition-wise primitive-array
+    * pass as [[frameHashes]]; with a real audio codec bound via
+    * [[MediaCodec]] the bytes become PCM samples and everything
+    * downstream (thresholding, segment coalescing) is unchanged. */
+  def frameEnergies(df: DataFrame, idCol: String, binCol: String,
+                    frameBytes: Int): Dataset[FrameEnergy] = {
+    require(frameBytes >= 1, "frameBytes must be positive")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        val nFrames = (b.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).map { fi =>
+          val start = fi * frameBytes
+          val end = math.min(start + frameBytes, b.length)
+          var e = 0L
+          var i = start
+          while (i < end) {
+            val d = (b(i) & 0xFF) - 128
+            e += d.toLong * d
+            i += 1
+          }
+          FrameEnergy(id, fi, e)
+        }
+      })
+  }
+
   /** One sampled frame: exact-integer per-frame statistics (the float
     * embedding of a real frame featurizer would ride the same row —
     * integer sums are what a SQL oracle can verify). */

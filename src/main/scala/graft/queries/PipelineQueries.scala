@@ -1673,6 +1673,81 @@ object PipelineQueries {
              |  CAST(CASE WHEN bit_count(xor(ph, prev)) >= 4 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
              |FROM lg WHERE prev IS NOT NULL ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    Q("m7_energy_segments",
+      // Voice-activity-style energy segmentation over a framed byte
+      // stream: per-frame energy Σ(byte−128)² (Multimodal
+      // .frameEnergies, same primitive-array pass as m3/m6), frames
+      // above the threshold are "active", and consecutive active
+      // frames coalesce into segments via the islands trick
+      // (frame_idx − row_number). The window partitions PER DOCUMENT
+      // — no global sort at any scale; with a real audio codec the
+      // bytes become PCM samples and the thresholding/coalescing is
+      // unchanged.
+      (s, d) => {
+        val payload = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val fe = Multimodal.frameEnergies(payload, "doc_id", "payload",
+          frameBytes = 32).toDF()
+        val w = Window.partitionBy("id").orderBy("frame_idx")
+        fe.filter(col("energy") >= 65000)
+          .withColumn("grp", col("frame_idx") - row_number().over(w))
+          .groupBy(col("id"), col("grp"))
+          .agg(min("frame_idx").cast("long").as("seg_start"),
+            max("frame_idx").cast("long").as("seg_end"),
+            count(lit(1)).as("n_frames"),
+            sum("energy").as("sum_energy"))
+          .select(col("id").as("doc_id"), col("seg_start"), col("seg_end"),
+            col("n_frames"), col("sum_energy"))
+          .orderBy("doc_id", "seg_start")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+             |f AS (SELECT doc_id, text, n,
+             |    unnest(generate_series(0, (n + 31) // 32 - 1)) AS fi FROM b WHERE n > 0),
+             |pos AS (SELECT doc_id, fi,
+             |    ascii(substr(text, CAST(fi * 32 + i AS INT), 1)) - 128 AS dv
+             |  FROM (SELECT doc_id, fi, text, least(n - fi * 32, 32) AS nb FROM f),
+             |       unnest(generate_series(1, nb)) AS t(i)),
+             |en AS (SELECT doc_id, fi, sum(dv * dv) AS energy FROM pos GROUP BY 1, 2),
+             |act AS (SELECT doc_id, fi, energy,
+             |    fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS grp
+             |  FROM en WHERE energy >= 65000)
+             |SELECT doc_id, CAST(min(fi) AS BIGINT) AS seg_start,
+             |  CAST(max(fi) AS BIGINT) AS seg_end,
+             |  CAST(count(*) AS BIGINT) AS n_frames,
+             |  CAST(sum(energy) AS BIGINT) AS sum_energy
+             |FROM act GROUP BY doc_id, grp ORDER BY doc_id, seg_start""".stripMargin)),
+
+    Q("c7_length_buckets",
+      // Sequence-length bucketing for batch packing: docs binned by
+      // token count into power-of-two capacity buckets, with the
+      // exact-integer padding waste and utilization (bp) a trainer
+      // pays padding each doc to its bucket cap. Pure narrow
+      // projection + one aggregate — the length histogram every
+      // batching strategy is tuned against. The cap lookup is a
+      // 21-element literal array scan, codegen'd, no join.
+      (s, d) => Tables.documents(s, d)
+        .select(expr(
+          "CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").as("n"))
+        .withColumn("cap", expr(
+          "array_min(filter(transform(sequence(0, 20), i -> shiftleft(CAST(1 AS BIGINT), i)), p -> p >= n))"))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").as("sum_tokens"),
+          sum(expr("cap - n")).as("padding"),
+          expr("sum(n) * 10000 div (count(1) * first(cap))").as("utilization_bp"))
+        .orderBy("cap"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+             |  FROM documents),
+             |b AS (SELECT doc_id, n,
+             |    list_min(list_filter(list_transform(generate_series(0, 20),
+             |      i -> (1::BIGINT << i)), p -> p >= n)) AS cap FROM tk)
+             |SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+             |  CAST(sum(cap - n) AS BIGINT) AS padding,
+             |  CAST(sum(n) * 10000 // (count(*) * cap) AS BIGINT) AS utilization_bp
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("t19_zipf_slope",
       // Zipf exponent of the corpus vocabulary: least-squares slope of
       // ln(freq) on ln(rank) over the top-1000 tokens (deterministic

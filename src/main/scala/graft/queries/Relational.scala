@@ -1657,6 +1657,40 @@ object Relational {
              |  UNION ALL
              |  SELECT 'orders', CAST(count(*) AS BIGINT), CAST(count(DISTINCT o_orderkey) AS BIGINT),
              |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
-             |ORDER BY table_name""".stripMargin))
+             |ORDER BY table_name""".stripMargin)),
+
+    Q("q68_active_users",
+      // Rolling-distinct engagement (DAU / WAU / stickiness) — the
+      // canonical product-analytics rollup. Distinct-over-a-range has
+      // no window form; the scale-correct plan SPREADS each (day,
+      // user) membership to the ≤7 cover days and counts per cover
+      // day: one exchange over 7 × |daily actives| rows, partitioned
+      // by day — never a per-day rescan of the event log and no
+      // global structure. Stickiness is exact-integer basis points
+      // (dau·10⁴ div wau), hash-stable on any engine.
+      (s, d) => {
+        val ud = ev(s, d)
+          .select(expr("t div 86400").as("day"), col("user_id")).distinct()
+        val days = ud.select("day").distinct()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = ud
+          .select(explode(expr("sequence(day, day + 6)")).as("cday"), col("user_id"))
+          .distinct()
+          .join(days.withColumnRenamed("day", "cday"), Seq("cday"), "left_semi")
+          .groupBy(col("cday").as("day")).agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            expr("dau * 10000 div wau").as("stickiness_bp"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS t FROM events),
+             |ud AS (SELECT DISTINCT t // 86400 AS day, user_id FROM e),
+             |days AS (SELECT DISTINCT day FROM ud),
+             |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+             |wau AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+             |  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY 1)
+             |SELECT dau.day, dau, wau,
+             |  CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp
+             |FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1""".stripMargin))
   )
 }

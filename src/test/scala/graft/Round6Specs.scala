@@ -60,6 +60,59 @@ class EpochSecsSpec extends SparkSpec {
   }
 }
 
+/** Round-6 operator invariants (the DuckDB oracle pins exact values;
+  * these pin the semantic shape against independent re-derivations). */
+class Round6OpSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  test("q68: DAU <= WAU, stickiness in (0, 10000], WAU covers the trailing week") {
+    val rows = SparkEntry.queries("q68_active_users")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, dau, wau, bp) =>
+      assert(dau >= 1 && dau <= wau, s"day $day")
+      assert(bp == dau * 10000 / wau && bp >= 1 && bp <= 10000)
+    }
+    // independent re-derivation for one mid-range day
+    val ud = Tables.eventsWithEpoch(spark, sfDir)
+      .select(org.apache.spark.sql.functions.expr("t div 86400").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val day = rows(rows.length / 2)._1
+    val expectWau = ud.filter(p => p._1 >= day - 6 && p._1 <= day).map(_._2).distinct.length
+    assert(rows.find(_._1 == day).get._3 == expectWau)
+  }
+
+  test("c7: caps are powers of two, every doc lands in exactly one bucket") {
+    val rows = SparkEntry.queries("c7_length_buckets")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cap, nDocs, sumTok, padding, bp) =>
+      assert((cap & (cap - 1)) == 0 && cap >= 1) // power of two
+      assert(padding == nDocs * cap - sumTok)    // waste identity
+      assert(bp == sumTok * 10000 / (nDocs * cap) && bp <= 10000)
+    }
+    val totalDocs = rows.map(_._2).sum
+    assert(totalDocs == Tables.documents(spark, sfDir).count())
+  }
+
+  test("m7: segments are per-doc disjoint, ordered, and above-threshold by construction") {
+    val rows = SparkEntry.queries("m7_energy_segments")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { segs =>
+      val sorted = segs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _, _), (_, s2, _, _, _)) => assert(s2 > e1 + 1) // gap between segments
+        case _ =>
+      }
+      segs.foreach { case (_, s, e, n, energy) =>
+        assert(e - s + 1 == n)              // contiguous frames
+        assert(energy >= 65000L * n)        // every member frame cleared the threshold
+      }
+    }
+  }
+}
+
 /** Versioned-manifest table layout (round-6, VERDICT r5 item 7):
   * snapshot isolation over the batch sinks. The contract under test:
   * a reader that pinned a snapshot BEFORE a compact/overwrite still
