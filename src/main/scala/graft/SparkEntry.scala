@@ -8,9 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** events.parquet carries int64 TIMESTAMP(NANOS), which Spark only
-    * reads with this legacy flag (as raw nanos longs). Runtime-settable,
-    * so any session the driver hands us can be fixed up here. */
+  /** The driver has shipped events.parquet with `ts` as both int64
+    * TIMESTAMP(NANOS) and timestamp[us]; this flag makes the NANOS
+    * variant readable (as raw nanos longs) and is harmless for the
+    * micros variant — [[Tables.epochSecs]] adapts to whichever type
+    * the session actually reads. Runtime-settable, so any session the
+    * driver hands us can be fixed up here. */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     org.apache.spark.sql.graftbridge.GraftFunctions.install(spark)

@@ -1717,6 +1717,104 @@ object PipelineQueries {
              |  CAST(sum(energy) AS BIGINT) AS sum_energy
              |FROM act GROUP BY doc_id, grp ORDER BY doc_id, seg_start""".stripMargin)),
 
+    Q("s9_recall_eval",
+      // ANN quality measurement — the eval every deployed ANN index
+      // needs: recall@k of the LSH tier (s2's exact configuration)
+      // against brute-force ground truth (s1's), per query, in exact
+      // integer basis points. Both tiers are already deterministic
+      // (cos DESC, id tie-break), so the recall is deterministic too.
+      // Cost = the two tier scans + an O(queries × k) semi-join;
+      // ground truth over a query SAMPLE (here vec_id < 5) is how
+      // recall is audited at 100 TB — never brute-force over the full
+      // query log.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+        val truth = Similarity.knnBrute(e, q, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = Similarity.knnLsh(e, q, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val matched = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+        q.select(col("vec_id").as("query_id"))
+          .join(matched, Seq("query_id"), "left")
+          .select(col("query_id"),
+            lit(10L).as("k"),
+            coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+            (coalesce(col("n_matched"), lit(0L)) * 1000L).as("recall_bp"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH $cosSql,
+              |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
+              |bsc AS (SELECT qid, c.vec_id AS cid,
+              |  list_dot_product(qv, c.v)
+              |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+              |  FROM q JOIN ce c ON c.vec_id <> qid),
+              |br AS (SELECT qid, cid FROM (SELECT qid, cid,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM bsc)
+              |  WHERE rk <= 10),
+              |comp AS (SELECT t, p, i,
+              |    ((strpos('0123456789abcdef',
+              |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
+              |      - 7.5) / 8 AS c
+              |  FROM (SELECT unnest(generate_series(0, 3)) AS t) ts,
+              |       (SELECT unnest(generate_series(0, 7)) AS p) ps,
+              |       (SELECT unnest(generate_series(0, 63)) AS i) is1),
+              |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
+              |sb AS (SELECT ce.vec_id, planes.t,
+              |    CASE WHEN list_dot_product(ce.v, planes.pl) >= 0
+              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+              |  FROM ce, planes),
+              |bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sb GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT q2.vec_id AS qid, c.vec_id AS cid
+              |  FROM bk q2 JOIN bk c ON q2.t = c.t AND q2.bucket = c.bucket
+              |  WHERE q2.vec_id < 5 AND q2.vec_id <> c.vec_id),
+              |lsc AS (SELECT qid, cid,
+              |  list_dot_product(qv.v, cv.v)
+              |    / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |lr AS (SELECT qid, cid FROM (SELECT qid, cid,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM lsc)
+              |  WHERE rk <= 10),
+              |m AS (SELECT br.qid, CAST(count(*) AS BIGINT) AS n_matched
+              |  FROM br JOIN lr ON br.qid = lr.qid AND br.cid = lr.cid GROUP BY 1)
+              |SELECT q.qid AS query_id, CAST(10 AS BIGINT) AS k,
+              |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+              |  CAST(coalesce(m.n_matched, 0) * 1000 AS BIGINT) AS recall_bp
+              |FROM q LEFT JOIN m ON m.qid = q.qid ORDER BY 1""".stripMargin)),
+
+    Q("c8_epoch_shuffle",
+      // Reproducible epoch-wise corpus shuffling — the training-order
+      // primitive: each epoch orders the corpus by a seeded md5 key,
+      // so every run (and every engine) derives the SAME order, and
+      // epochs are decorrelated. The global position rides
+      // Quantiles.globalRank over (epoch, key) — one stats pass, no
+      // single-task sort at any scale; per-epoch position is rank
+      // arithmetic (each epoch holds exactly n rows).
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id")
+        val n = docs.agg(count(lit(1)).as("__n"))
+        val keyed = docs
+          .select(explode(expr("sequence(CAST(0 AS BIGINT), 1)")).as("epoch"), col("doc_id"))
+          .withColumn("ok",
+            md5(concat(col("epoch").cast("string"), lit("_"), col("doc_id").cast("string"))))
+        Quantiles.globalRank(keyed, Seq(col("epoch"), col("ok"), col("doc_id")), "rk")
+          .crossJoin(broadcast(n))
+          .select(col("epoch"),
+            (col("rk") - col("epoch") * col("__n")).as("pos"),
+            col("doc_id"))
+          .orderBy("epoch", "pos")
+      },
+      Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |k AS (SELECT e.epoch, doc_id,
+             |    md5(CAST(epoch AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)) AS ok
+             |  FROM documents,
+             |       (SELECT CAST(unnest(generate_series(0, 1)) AS BIGINT) AS epoch) e),
+             |r AS (SELECT epoch, doc_id,
+             |    row_number() OVER (ORDER BY epoch, ok, doc_id) AS rk FROM k)
+             |SELECT epoch, CAST(rk - epoch * n.n AS BIGINT) AS pos, doc_id
+             |FROM r, n ORDER BY 1, 2""".stripMargin)),
+
     Q("c7_length_buckets",
       // Sequence-length bucketing for batch packing: docs binned by
       // token count into power-of-two capacity buckets, with the
