@@ -159,6 +159,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.currentVersion(spark, root) == v3)
   }
 
+  test("racing committers: both commits land, neither is lost") {
+    // the commit point is an atomic manifest rename that FAILS when
+    // the destination exists (probed on this FS: rename-to-existing
+    // returns false) — a losing racer retries at the next version,
+    // re-reading the winner's file list, so append content composes.
+    val root = freshRoot()
+    VersionedTable.commit(Seq(0L).toDF("v"), root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fa = scala.concurrent.Future(
+      VersionedTable.commit(Seq(1L).toDF("v"), root, mode = "append"))
+    val fb = scala.concurrent.Future(
+      VersionedTable.commit(Seq(2L).toDF("v"), root, mode = "append"))
+    val vs = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(fa, fb)),
+      scala.concurrent.duration.Duration(120, "s")).sorted
+    pool.shutdown()
+    assert(vs == Seq(2L, 3L), s"racers must take distinct versions: $vs")
+    assert(VersionedTable.currentVersion(spark, root) == 3L)
+    assert(VersionedTable.read(spark, root).as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L, 2L))
+  }
+
   test("vacuum deletes only what no retained manifest references") {
     val root = freshRoot()
     VersionedTable.commit((1L to 50L).toDF("v").repartition(4), root)
