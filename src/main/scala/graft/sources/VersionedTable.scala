@@ -74,9 +74,34 @@ object VersionedTable {
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    Snapshot(v, body.split("\n").filter(_.nonEmpty).toSeq
-      .map(rel => new Path(root, rel).toString))
+    Snapshot(v, body.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+      .toSeq.map(rel => new Path(root, rel).toString))
   }
+
+  /** Metadata header (`#key=value` lines) of the given (or latest)
+    * manifest — e.g. the streaming sink's `batch` id. */
+  def manifestMeta(spark: SparkSession, root: String, version: Long = -1L): Map[String, String] = {
+    val f = fs(spark, root)
+    val v = if (version > 0) version else currentVersion(spark, root)
+    if (v <= 0) return Map.empty
+    val in = f.open(new Path(manifestDir(root), s"v$v.manifest"))
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    body.split("\n").filter(_.startsWith("#")).flatMap { l =>
+      l.drop(1).split("=", 2) match {
+        case Array(k, v2) => Some(k -> v2)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Highest streaming batch id recorded in the current manifest, or
+    * −1 when none — the streaming sink's idempotence watermark. */
+  def lastBatchId(spark: SparkSession, root: String): Long =
+    manifestMeta(spark, root).get("batch").map(_.toLong).getOrElse(-1L)
 
   /** DataFrame over a pinned snapshot (latest by default). The plan's
     * scan is built from the explicit file list, so concurrent commits
@@ -91,8 +116,12 @@ object VersionedTable {
     * reference the previous manifest's files plus this commit's.
     * Returns the committed version. Safe under concurrent committers:
     * the manifest rename is the commit point, losers retry. */
-  def commit(df: DataFrame, root: String, mode: String = "overwrite"): Long = {
+  def commit(df: DataFrame, root: String, mode: String = "overwrite",
+             meta: Map[String, String] = Map.empty): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    require(meta.forall { case (k, v) =>
+      !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r') },
+      "meta keys/values must be line-safe")
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
@@ -114,7 +143,8 @@ object VersionedTable {
           snapshot(spark, root, cur).files.map(abs =>
             abs.stripPrefix(new Path(root).toString).stripPrefix("/"))
         else Seq.empty
-      val lines = (carried ++ written).mkString("", "\n", "\n")
+      val lines = (meta.toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
+        ++ carried ++ written).mkString("", "\n", "\n")
       val tmp = new Path(manifestDir(root), s".v${cur + 1}-$nonce.tmp")
       val out = f.create(tmp, true)
       try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()

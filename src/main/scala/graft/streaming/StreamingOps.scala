@@ -320,6 +320,31 @@ object StreamingOps {
         ()
     }
 
+  /** Streaming commits into a [[graft.sources.VersionedTable]] — the
+    * exactly-once + snapshot-isolation sink: every micro-batch lands
+    * as ONE atomic manifest commit (append mode, `#batch=<id>`
+    * metadata), so a reader NEVER sees a half-written batch (it pins
+    * the previous manifest until the commit rename lands) and a
+    * replayed batch after a crash-restart is skipped by the batch-id
+    * watermark in the current manifest — exactly-once output on top
+    * of foreachBatch's at-least-once replay, without rewriting any
+    * prior data (contrast [[idempotentBatchSink]], which relies on
+    * partition overwrite). Batch ids stay monotone because each
+    * commit carries the previous manifest forward; interleaving
+    * non-streaming commits on the same table would drop the watermark
+    * — give the stream its own table root.
+    */
+  def versionedCommitSink(docs: DataFrame, root: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (batchId > graft.sources.VersionedTable.lastBatchId(batch.sparkSession, root)) {
+          graft.sources.VersionedTable.commit(batch, root, mode = "append",
+            meta = Map("batch" -> batchId.toString))
+          ()
+        } else () // replayed batch — already committed, skip
+    }
+
   /** Streaming count-min-sketch maintenance — corpus-wide token
     * frequencies over the WHOLE stream history at constant state.
     * CMS is a LINEAR sketch: the sketch of a union is the cell-wise
