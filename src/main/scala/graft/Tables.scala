@@ -14,19 +14,21 @@ object Tables {
     * physical type the data was generated with. The driver has shipped
     * `events.ts` both as int64 parquet NANOS (read as `long` under
     * `spark.sql.legacy.parquet.nanosAsLong`) and as `timestamp[us]`
-    * (read as TIMESTAMP_NTZ). All branches floor toward negative
-    * infinity, matching DuckDB's `epoch_ns(ts)//1000000000` on the
-    * same data: timestamp→long casting uses floorDiv of micros, and
-    * the long branch corrects Spark's truncate-toward-zero `div` on
-    * negative (pre-epoch) nanos (EpochSecsSpec pins all of this).
-    * Session TZ is UTC (set by every entry point), so the NTZ→TZ cast
-    * is identity on the wall-clock instant.
+    * (read as TIMESTAMP_NTZ). All branches TRUNCATE toward zero,
+    * because that is what the DuckDB oracle's integer `//` does
+    * (probed: -7//2 = -3) — `div` on the long nanos, and
+    * `unix_micros div 1e6` (not a timestamp→long cast, which FLOORS)
+    * on the timestamp types. Identical on the ≥-epoch data the driver
+    * generates; EpochSecsSpec pins the sub-second and pre-epoch
+    * behavior so a silent convention change trips a spec, not the
+    * correctness gate. Session TZ is UTC (set by every entry point),
+    * so the NTZ→TZ cast is identity on the wall-clock instant.
     */
   def epochSecs(df: DataFrame, c: String = "ts"): Column =
     df.schema(c).dataType match {
-      case LongType =>
-        expr(s"$c div 1000000000 - CAST($c % 1000000000 < 0 AS BIGINT)")
-      case TimestampType | TimestampNTZType => col(c).cast(TimestampType).cast(LongType)
+      case LongType => expr(s"$c div 1000000000")
+      case TimestampType | TimestampNTZType =>
+        expr(s"unix_micros(CAST($c AS TIMESTAMP)) div 1000000")
       case other =>
         throw new IllegalArgumentException(
           s"unsupported event-time type $other for column $c")

@@ -474,6 +474,49 @@ object GraphOps {
     comp.select(col("node"), col("lbl").as("component"))
   }
 
+  /** INCREMENTAL connected components — merge a batch of new edges
+    * into an existing (node, component) labeling without rescanning
+    * the historical edge set. The contraction insight: existing
+    * components are already collapsed, so the update graph is just
+    * the new edges rewritten onto component ids (unseen endpoints
+    * label themselves) — its size is O(batch), independent of the
+    * accumulated graph. Run [[connectedComponents]] on that contracted
+    * graph, then compose: a node's new label = cc(oldLabel). Labels
+    * stay "minimum original node id in the component" (the min of
+    * mins), so the result is IDENTICAL to batch CC over the union of
+    * all edges ever seen — IncrementalCCSpec pins that equivalence,
+    * and the streaming wrapper
+    * [[graft.streaming.StreamingOps.incrementalCCSink]] maintains the
+    * labeling under foreachBatch.
+    */
+  def incrementalCC(labels: DataFrame, newEdges: DataFrame): DataFrame = {
+    val lbl = Ckpt.cutLight(labels.select(col("node"), col("component")))
+    val ends = Ckpt.cutLight(newEdges.select("src", "dst"))
+    def toComp(c: String) = lbl.select(col("node").as(c), col("component").as(s"__$c"))
+    val contracted = ends
+      .join(toComp("src"), Seq("src"), "left")
+      .join(toComp("dst"), Seq("dst"), "left")
+      .select(coalesce(col("__src"), col("src")).as("src"),
+        coalesce(col("__dst"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    if (contracted.isEmpty) {
+      // batch only touches intra-component or unseen-self pairs: the
+      // labeling is unchanged except brand-new isolated-edge nodes
+      val newNodes = vertices(ends).join(lbl.select("node"), Seq("node"), "left_anti")
+      return lbl.unionByName(newNodes.select(col("node"), col("node").as("component")))
+    }
+    val cc = Ckpt.cut(connectedComponents(contracted)
+      .select(col("node").as("rep"), col("component").as("newc")))
+    // old nodes: relabel through their component's new label (if merged)
+    val relabeled = lbl.join(cc, lbl("component") === cc("rep"), "left")
+      .select(lbl("node"), coalesce(col("newc"), lbl("component")).as("component"))
+    // new nodes: their "old label" is themselves
+    val newNodes = vertices(ends).join(lbl.select("node"), Seq("node"), "left_anti")
+    val newLabeled = newNodes.join(cc, newNodes("node") === cc("rep"), "left")
+      .select(newNodes("node"), coalesce(col("newc"), newNodes("node")).as("component"))
+    relabeled.unionByName(newLabeled)
+  }
+
   /** k-core pruning over the undirected degree view: repeatedly drop
     * edges touching a vertex of degree < k until stable (or
     * `maxRounds`). Each round is one degree aggregate + two

@@ -1691,6 +1691,38 @@ object Relational {
              |  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY 1)
              |SELECT dau.day, dau, wau,
              |  CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp
-             |FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1""".stripMargin))
+             |FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1""".stripMargin)),
+
+    Q("q70_wow_change",
+      // Period-over-period reporting — the BI staple: monthly order
+      // revenue in exact cents, previous period via lag, delta in
+      // integer basis points (cur−prev)·10⁴ div prev. One map-side-
+      // combined aggregate to a months-sized series, then a window
+      // over that TINY series — the window never sees the fact table,
+      // so "global" ordering costs nothing at any scale.
+      (s, d) => {
+        val monthly = Tables.orders(s, d)
+          .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev_cents"))
+        val w = Window.orderBy("month")
+        monthly
+          .withColumn("prev_cents", lag("rev_cents", 1).over(w))
+          // deltas go NEGATIVE: both Spark's `div` and DuckDB's `//`
+          // truncate toward zero on integers (probed: -7//2 = -3), so
+          // plain div is hash-exact — no floor correction
+          .select(col("month"), col("rev_cents"), col("prev_cents"),
+            expr("CASE WHEN prev_cents IS NULL THEN NULL " +
+              "ELSE (rev_cents - prev_cents) * 10000 div prev_cents END").as("delta_bp"))
+          .orderBy("month")
+      },
+      Some("""WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+             |  FROM orders GROUP BY 1),
+             |l AS (SELECT month, rev_cents,
+             |    lag(rev_cents) OVER (ORDER BY month) AS prev_cents FROM m)
+             |SELECT month, rev_cents, prev_cents,
+             |  CAST(CASE WHEN prev_cents IS NULL THEN NULL
+             |    ELSE (rev_cents - prev_cents) * 10000 // prev_cents END AS BIGINT) AS delta_bp
+             |FROM l ORDER BY month""".stripMargin))
   )
 }

@@ -345,6 +345,37 @@ object StreamingOps {
         } else () // replayed batch — already committed, skip
     }
 
+  /** Streaming connected-components maintenance — the incremental
+    * graph story: each micro-batch of edges merges into a persistent
+    * (node, component) labeling via [[graft.graph.GraphOps
+    * .incrementalCC]], whose work is O(batch) + CC over the
+    * contracted (component-level) graph — the accumulated edge set is
+    * never rescanned. Labels are min-node-id per component, identical
+    * to batch CC over every edge ever seen. foreachBatch is
+    * at-least-once on restart; re-merging a replayed edge batch is a
+    * no-op on the labeling (components already merged stay merged) —
+    * the idempotence that makes this sink safe without a batch-id
+    * watermark.
+    */
+  def incrementalCCSink(edges: DataFrame, storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    edges.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val labels =
+          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+            spark.read.parquet(storePath)
+          else batch.sparkSession.emptyDataFrame
+            .select(lit(0L).as("node"), lit(0L).as("component")).limit(0)
+        val updated = graft.graph.GraphOps.incrementalCC(labels, batch)
+        // materialize BEFORE the overwrite — the plan reads the very
+        // files the write replaces
+        updated.localCheckpoint(true).write.mode("overwrite").parquet(storePath)
+        ()
+    }
+
   /** Streaming count-min-sketch maintenance — corpus-wide token
     * frequencies over the WHOLE stream history at constant state.
     * CMS is a LINEAR sketch: the sketch of a union is the cell-wise

@@ -5,26 +5,25 @@ import org.apache.spark.sql.types._
 
 /** Round-6 additions. */
 
-/** Pins the floor semantics of [[Tables.epochSecs]] across every
+/** Pins the TRUNCATION semantics of [[Tables.epochSecs]] across every
   * physical type the driver has shipped `events.ts` with. The DuckDB
-  * oracle computes `epoch_ns(ts)//1000000000` — floor division — so
-  * the Spark side must floor too, including sub-second fractions and
-  * (defensively) pre-epoch instants.
+  * oracle computes `epoch_ns(ts)//1000000000`, and integer `//` in
+  * DuckDB truncates toward zero (probed: -7//2 = -3) exactly like
+  * Spark's `div` — so the Spark side must truncate too, including on
+  * (defensive, never-generated) pre-epoch instants; a timestamp→long
+  * CAST would floor instead and silently diverge there.
   */
 class EpochSecsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("long nanos: floor division, sub-second fractions truncate down") {
+  test("long nanos: truncation toward zero, matching DuckDB integer //") {
     val df = Seq(0L, 999999999L, 1000000000L, 1999999999L, -1L, -1000000001L)
       .toDF("ts")
     val out = df.select(Tables.epochSecs(df).as("t")).as[Long].collect().toSeq
-    // Spark's `div` truncates toward zero; DuckDB's `//` floors. The
-    // helper corrects the negative-remainder case so both agree on
-    // pre-epoch instants too:
-    assert(out == Seq(0L, 0L, 1L, 1L, -1L, -2L))
+    assert(out == Seq(0L, 0L, 1L, 1L, 0L, -1L))
   }
 
-  test("timestamp_ntz micros: cast path floors sub-second fractions") {
+  test("timestamp_ntz micros: unix_micros path truncates sub-second fractions") {
     val df = Seq(
       java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 0, 0),
       java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 0, 999999000), // .999999s
@@ -33,10 +32,10 @@ class EpochSecsSpec extends SparkSpec {
     ).toDF("ts")
     assert(df.schema("ts").dataType == TimestampNTZType)
     val out = df.select(Tables.epochSecs(df).as("t")).as[Long].collect().toSeq
-    assert(out == Seq(0L, 0L, 1L, -1L))
+    assert(out == Seq(0L, 0L, 1L, 0L)) // -0.5s truncates to 0, like DuckDB
   }
 
-  test("timestamp (with tz) micros floor identically under UTC session") {
+  test("timestamp (with tz) micros truncate identically under UTC session") {
     val df = Seq(
       java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(1500)),
       java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(999))
@@ -197,6 +196,60 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).as[Long].collect().sorted.toSeq == (1L to 50L))
     // and its manifest survived while the vacuumed one is gone
     intercept[Exception] { VersionedTable.read(spark, root, old.version).collect() }
+  }
+}
+
+/** Incremental connected components: merging edge batches into a
+  * stored labeling must equal batch CC over every edge ever seen —
+  * the contraction argument (components are already collapsed, so
+  * each update runs on an O(batch)-sized graph).
+  */
+class IncrementalCCSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.graph.GraphOps
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("batch-by-batch merge equals whole-graph CC, including cross-component merges") {
+    val b1 = Seq((1L, 2L), (3L, 4L), (10L, 11L))     // three components
+    val b2 = Seq((2L, 3L), (20L, 21L))               // merges {1,2}+{3,4}; new comp
+    val b3 = Seq((11L, 20L), (30L, 30L))             // merges {10,11}+{20,21}; isolated 30
+    var labels = GraphOps.incrementalCC(
+      Seq.empty[(Long, Long)].toDF("node", "component"), b1.toDF("src", "dst"))
+    labels = GraphOps.incrementalCC(labels, b2.toDF("src", "dst"))
+    labels = GraphOps.incrementalCC(labels, b3.toDF("src", "dst"))
+    val inc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = cc(b1 ++ b2 ++ b3.filter(e => e._1 != e._2))
+    // batch CC omits the isolated self-loop node; incremental labels it
+    assert(inc - 30L == batch)
+    assert(inc(30L) == 30L)
+    assert(inc(4L) == 1L && inc(21L) == 10L) // min-id labels survive composition
+  }
+
+  test("replaying an already-merged batch is a labeling no-op") {
+    val b = Seq((1L, 2L), (2L, 3L))
+    val l1 = GraphOps.incrementalCC(
+      Seq.empty[(Long, Long)].toDF("node", "component"), b.toDF("src", "dst"))
+    val l2 = GraphOps.incrementalCC(l1, b.toDF("src", "dst"))
+    assert(l1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == l2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("streaming sink maintains the labeling across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = java.nio.file.Files.createTempDirectory("ccstore").toFile.getAbsolutePath + "/labels"
+    val in = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingOps
+      .incrementalCCSink(in.toDF().toDF("src", "dst"), store).start()
+    in.addData((1L, 2L), (3L, 4L)); q.processAllAvailable()
+    in.addData((2L, 3L)); q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 }
 
