@@ -1693,6 +1693,69 @@ object Relational {
              |  CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp
              |FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1""".stripMargin)),
 
+    Q("prof3_quality_audit",
+      // Data-quality expectation suite (graft.operators.Quality) —
+      // uniqueness, referential integrity, nullability, range, set
+      // membership, and a business predicate, each ONE exact-integer
+      // aggregate (FK checks anti-join on the key columns only),
+      // unioned into the per-rule violations report a production
+      // table publishes next to itself.
+      (s, d) => {
+        import graft.operators.Quality
+        val orders = Tables.orders(s, d)
+        val customer = Tables.customer(s, d)
+        val lineitem = Tables.lineitem(s, d)
+        Quality.audit(Seq(
+          Quality.uniqueCheck(orders, Seq("o_orderkey"), "unique_orders_orderkey"),
+          Quality.referentialCheck(orders, "o_custkey", customer, "c_custkey",
+            "fk_orders_custkey"),
+          Quality.referentialCheck(lineitem, "l_orderkey", orders, "o_orderkey",
+            "fk_lineitem_orderkey"),
+          Quality.notNullCheck(customer, "c_name", "notnull_customer_name"),
+          Quality.rangeCheck(lineitem, "l_quantity", lit(1), lit(50),
+            "range_lineitem_quantity"),
+          Quality.inSetCheck(orders, "o_orderstatus", Seq("O", "F", "P"),
+            "inset_orders_status"),
+          Quality.predicateCheck(lineitem,
+            expr("l_extendedprice * (1 - l_discount) > 0"),
+            "pred_lineitem_positive_charge")))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'unique_orders_orderkey' AS rule,
+             |    CAST(count(*) AS BIGINT) AS n_checked,
+             |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+             |  FROM orders WHERE o_orderkey IS NOT NULL
+             |  UNION ALL
+             |  SELECT 'fk_orders_custkey', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             |    ON o.o_custkey = c.c_custkey
+             |  UNION ALL
+             |  SELECT 'fk_lineitem_orderkey', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN o2.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o2
+             |    ON l.l_orderkey = o2.o_orderkey
+             |  UNION ALL
+             |  SELECT 'notnull_customer_name', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT 'range_lineitem_quantity', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN l_quantity IS NOT NULL
+             |      AND l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'inset_orders_status', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+             |      AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'pred_lineitem_positive_charge', CAST(count(*) AS BIGINT),
+             |    CAST(sum(CASE WHEN NOT (l_extendedprice * (1 - l_discount) > 0)
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem)
+             |ORDER BY rule""".stripMargin)),
+
     Q("q70_wow_change",
       // Period-over-period reporting — the BI staple: monthly order
       // revenue in exact cents, previous period via lag, delta in

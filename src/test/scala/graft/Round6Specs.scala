@@ -199,6 +199,49 @@ class VersionedTableSpec extends SparkSpec {
   }
 }
 
+/** Quality audit suite: every check must COUNT violations correctly
+  * on deliberately dirty data (the prof3 oracle run sees clean
+  * TPC-H-ish data, where all-zero violations can't prove the
+  * counting path).
+  */
+class QualityAuditSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Quality
+  import org.apache.spark.sql.functions._
+
+  test("each check counts its violations on dirty data") {
+    val dirty = Seq(
+      (1L, Some("a"), 10, "OK"),
+      (1L, Some("b"), -5, "OK"),     // dup id, out-of-range v
+      (2L, None, 200, "BAD"),        // null name, out-of-range v, bad status
+      (3L, Some("c"), 30, "OK")
+    ).toDF("id", "name", "v", "status")
+    val parent = Seq(1L, 3L).toDF("pid") // id 2 is an orphan
+    val rep = Quality.audit(Seq(
+      Quality.uniqueCheck(dirty, Seq("id"), "u"),
+      Quality.referentialCheck(dirty, "id", parent, "pid", "fk"),
+      Quality.notNullCheck(dirty, "name", "nn"),
+      Quality.rangeCheck(dirty, "v", lit(0), lit(100), "rng"),
+      Quality.inSetCheck(dirty, "status", Seq("OK"), "set"),
+      Quality.predicateCheck(dirty, col("v") % 10 === 0, "pred")
+    )).collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("u") == (4L, 1L))     // one duplicate beyond the first
+    assert(rep("fk") == (4L, 1L))    // id 2 orphaned
+    assert(rep("nn") == (4L, 1L))
+    assert(rep("rng") == (4L, 2L))   // -5 and 200
+    assert(rep("set") == (4L, 1L))
+    assert(rep("pred") == (4L, 1L))  // only -5 fails v % 10 == 0
+  }
+
+  test("null keys are the null check's finding, not the others'") {
+    val d = Seq((Some(1L), Some(5)), (None, None)).toDF("id", "v")
+    val u = Quality.uniqueCheck(d, Seq("id"), "u").head()
+    assert((u.getLong(1), u.getLong(2)) == (1L, 0L)) // null-key row excluded
+    val r = Quality.rangeCheck(d, "v", lit(0), lit(10), "r").head()
+    assert((r.getLong(1), r.getLong(2)) == (2L, 0L)) // null value not a range violation
+  }
+}
+
 /** Incremental connected components: merging edge batches into a
   * stored labeling must equal batch CC over every edge ever seen —
   * the contraction argument (components are already collapsed, so
