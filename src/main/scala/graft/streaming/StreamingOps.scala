@@ -345,6 +345,28 @@ object StreamingOps {
         } else () // replayed batch — already committed, skip
     }
 
+  /** Streaming data-quality monitoring — run an expectation suite
+    * ([[graft.operators.Quality]]) over every micro-batch and APPEND
+    * the per-rule violations report, tagged with the batch id, to a
+    * metrics table. The quality history is itself queryable data
+    * (alert on n_violations > 0, trend null rates over time); each
+    * batch's audit is a handful of one-pass aggregates over that
+    * batch only. Append-only + batch id ⇒ an at-least-once replay is
+    * detectable downstream (duplicate batch_id rows) rather than
+    * silently double-counted.
+    */
+  def qualityMonitorSink(docs: DataFrame,
+                         checks: DataFrame => Seq[DataFrame],
+                         metricsPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        graft.operators.Quality.audit(checks(batch))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(metricsPath)
+        ()
+    }
+
   /** Streaming connected-components maintenance — the incremental
     * graph story: each micro-batch of edges merges into a persistent
     * (node, component) labeling via [[graft.graph.GraphOps

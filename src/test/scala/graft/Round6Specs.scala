@@ -233,6 +233,28 @@ class QualityAuditSpec extends SparkSpec {
     assert(rep("pred") == (4L, 1L))  // only -5 fails v % 10 == 0
   }
 
+  test("streaming quality monitor appends a per-batch violations report") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = java.nio.file.Files.createTempDirectory("qmon").toFile.getAbsolutePath + "/metrics"
+    val in = MemoryStream[(Long, Int)]
+    val q = graft.streaming.StreamingOps.qualityMonitorSink(
+      in.toDF().toDF("id", "v"),
+      b => Seq(
+        Quality.uniqueCheck(b, Seq("id"), "u"),
+        Quality.rangeCheck(b, "v", lit(0), lit(100), "rng")),
+      path).start()
+    in.addData((1L, 5), (1L, 300)); q.processAllAvailable() // dup id + range hit
+    in.addData((2L, 7)); q.processAllAvailable()            // clean batch
+    q.stop()
+    val m = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(3), r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    val batches = m.keys.map(_._1).toSeq.distinct.sorted
+    assert(batches.size == 2)
+    assert(m((batches.head, "u")) == (2L, 1L) && m((batches.head, "rng")) == (2L, 1L))
+    assert(m((batches.last, "u")) == (1L, 0L) && m((batches.last, "rng")) == (1L, 0L))
+  }
+
   test("null keys are the null check's finding, not the others'") {
     val d = Seq((Some(1L), Some(5)), (None, None)).toDF("id", "v")
     val u = Quality.uniqueCheck(d, Seq("id"), "u").head()
