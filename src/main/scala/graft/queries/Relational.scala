@@ -1756,6 +1756,30 @@ object Relational {
              |  FROM lineitem)
              |ORDER BY rule""".stripMargin)),
 
+    Q("q69_cumulative_reach",
+      // Monotone reach curve — cumulative distinct users ever seen,
+      // by hour: distinct-over-a-GROWING-range collapses to "first
+      // activity hour per user" (one aggregate over users) + a running
+      // sum over the hours-sized series — the window never touches the
+      // event log, so the "global" cumulative order is free at any
+      // scale (q68's rolling-window complement).
+      (s, d) => {
+        val firstHour = ev(s, d)
+          .groupBy("user_id").agg(min(expr("t div 3600")).as("hour"))
+        val perHour = firstHour.groupBy("hour").agg(count(lit(1)).as("new_users"))
+        val w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perHour.withColumn("cum_users", sum("new_users").over(w))
+          .select(col("hour"), col("new_users"), col("cum_users"))
+          .orderBy("hour")
+      },
+      Some("""WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS t FROM events),
+             |fh AS (SELECT user_id, min(t // 3600) AS hour FROM e GROUP BY 1),
+             |ph AS (SELECT hour, CAST(count(*) AS BIGINT) AS new_users FROM fh GROUP BY 1)
+             |SELECT hour, new_users,
+             |  CAST(sum(new_users) OVER (ORDER BY hour
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+             |FROM ph ORDER BY hour""".stripMargin)),
+
     Q("q70_wow_change",
       // Period-over-period reporting — the BI staple: monthly order
       // revenue in exact cents, previous period via lag, delta in
