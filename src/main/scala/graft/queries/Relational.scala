@@ -1693,6 +1693,47 @@ object Relational {
              |  CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp
              |FROM dau JOIN wau ON dau.day = wau.day ORDER BY 1""".stripMargin)),
 
+    Q("q71_fulfillment_latency",
+      // Cross-table latency distribution — order→ship days per
+      // priority with EXACT integer disc-percentiles (p50/p90 = the
+      // smallest day whose cumulative count clears the threshold),
+      // computed from the (priority, days) COUNTS table: the window
+      // runs over the tiny latency domain, never the joined fact rows
+      // (q67's weighted-median pattern), so the per-priority
+      // "ordering" costs nothing at any scale.
+      (s, d) => {
+        val lat = Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderpriority").as("prio"),
+            datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+        val byDay = lat.groupBy("prio", "days").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("prio").orderBy("days")
+        val cum = byDay.withColumn("cum", sum("cnt").over(w))
+        val tot = byDay.groupBy("prio").agg(sum("cnt").as("n"))
+        cum.join(tot, Seq("prio"))
+          .groupBy("prio")
+          .agg(first("n").as("n_items"),
+            min("days").as("min_days"),
+            max("days").as("max_days"),
+            min(when(col("cum") * 2 >= col("n"), col("days"))).as("p50_days"),
+            min(when(col("cum") * 10 >= col("n") * 9, col("days"))).as("p90_days"))
+          .orderBy("prio")
+      },
+      Some("""WITH lat AS (SELECT o_orderpriority AS prio,
+             |    CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS days
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |bd AS (SELECT prio, days, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM lat GROUP BY 1, 2),
+             |cm AS (SELECT prio, days, cnt,
+             |    sum(cnt) OVER (PARTITION BY prio ORDER BY days) AS cum FROM bd),
+             |tt AS (SELECT prio, CAST(sum(cnt) AS BIGINT) AS n FROM bd GROUP BY 1)
+             |SELECT cm.prio, CAST(min(n) AS BIGINT) AS n_items,
+             |  CAST(min(days) AS BIGINT) AS min_days,
+             |  CAST(max(days) AS BIGINT) AS max_days,
+             |  CAST(min(CASE WHEN cum * 2 >= n THEN days END) AS BIGINT) AS p50_days,
+             |  CAST(min(CASE WHEN cum * 10 >= n * 9 THEN days END) AS BIGINT) AS p90_days
+             |FROM cm JOIN tt ON cm.prio = tt.prio GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("prof3_quality_audit",
       // Data-quality expectation suite (graft.operators.Quality) —
       // uniqueness, referential integrity, nullability, range, set
