@@ -76,6 +76,15 @@ object Bench {
       .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"interleaved":true,"failures":$fs,"errors":$es}"""
+    // COMPACT summary (≤~200 bytes): the driver keeps only a 2 KB
+    // stdout tail, and the full per-query record (~6 KB at 175
+    // queries) truncates mid-string there — r5 AND r6 both recorded
+    // `"parsed": null`. The short line carries the headline numbers
+    // whole; the full record rides the file (and mid-stream for
+    // humans).
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir","runs_per_query":$runs,"full":"$outPath"}"""
+    println(summary)
     println(json)
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
@@ -83,10 +92,14 @@ object Bench {
     // the record must survive ANY line-oriented harness: re-print as
     // the process's LAST act (after spark.stop()'s shutdown chatter)
     // on BOTH streams, flushed — three rounds of driver records were
-    // lost to trailing launcher decoration on stdout
+    // lost to trailing launcher decoration on stdout. The SHORT line
+    // goes absolutely last so a tail-of-stdout parser always ends on
+    // a complete JSON record.
     println(json)
+    println(summary)
     System.out.flush()
     System.err.println(json)
+    System.err.println(summary)
     System.err.flush()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -67,7 +67,12 @@ object Quality {
   def predicateCheck(df: DataFrame, mustHold: Column, rule: String): DataFrame =
     report(rule, count(lit(1)), sum((!mustHold).cast("long")), df)
 
-  /** Union of check reports, ordered by rule name. */
-  def audit(checks: Seq[DataFrame]): DataFrame =
+  /** Union of check reports, ordered by rule name. Callers that build
+    * the check list dynamically (e.g. filtering by batch schema) can
+    * legitimately end up with zero checks — fail with a clear message
+    * rather than `reduce`'s bare UnsupportedOperationException. */
+  def audit(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty, "Quality.audit needs at least one check")
     checks.reduce(_ unionByName _).orderBy("rule")
+  }
 }

@@ -1682,7 +1682,10 @@ object PipelineQueries {
       // (frame_idx − row_number). The window partitions PER DOCUMENT
       // — no global sort at any scale; with a real audio codec the
       // bytes become PCM samples and the thresholding/coalescing is
-      // unchanged.
+      // unchanged. ORACLE ASSUMES ASCII TEXT: the DuckDB side walks
+      // the payload per CHARACTER (substr/ascii) while Spark walks
+      // per BYTE — identical only while driver testdata is ASCII
+      // (same posture as m3/m6); a non-ASCII round should fail here.
       (s, d) => {
         val payload = Tables.documents(s, d)
           .select(col("doc_id"), col("text").cast("binary").as("payload"))

@@ -111,13 +111,29 @@ object VersionedTable {
     spark.read.parquet(s.files: _*)
   }
 
+  /** Thrown when a commit requires the table to still be at a pinned
+    * base version and another writer committed first — the caller
+    * (e.g. [[compact]], [[merge]]) must re-read and retry or abort. */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
   /** Write `df` as a new commit. `mode` "overwrite" makes the new
     * manifest reference only this commit's files; "append" makes it
     * reference the previous manifest's files plus this commit's.
     * Returns the committed version. Safe under concurrent committers:
-    * the manifest rename is the commit point, losers retry. */
+    * the manifest rename is the commit point, losers retry.
+    *
+    * `expectBase >= 0` turns the blind retry into optimistic
+    * concurrency control: the commit succeeds only if the table is
+    * STILL at `expectBase` when the manifest rename wins — otherwise
+    * the just-written data files are removed and
+    * [[ConcurrentCommitException]] is thrown. Read-modify-write
+    * callers (compaction, merge) need this: their output was derived
+    * from a snapshot, and publishing it after an intervening commit
+    * would silently drop that commit (lost update). */
   def commit(df: DataFrame, root: String, mode: String = "overwrite",
-             meta: Map[String, String] = Map.empty): Long = {
+             meta: Map[String, String] = Map.empty,
+             expectBase: Long = -1L): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     require(meta.forall { case (k, v) =>
       !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r') },
@@ -128,6 +144,9 @@ object VersionedTable {
     // unique, immutable data directory for this commit's files
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val base = currentVersion(spark, root)
+    if (expectBase >= 0 && base != expectBase)
+      throw new ConcurrentCommitException(
+        s"table at $root moved to v$base (expected v$expectBase) before write")
     val dataDir = new Path(root, s"data/c${base + 1}-$nonce")
     df.write.parquet(dataDir.toString)
     val written = f.listStatus(dataDir)
@@ -138,6 +157,12 @@ object VersionedTable {
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(spark, root)
+      if (expectBase >= 0 && cur != expectBase) {
+        // another writer won since our snapshot: abort, drop our files
+        f.delete(dataDir, true)
+        throw new ConcurrentCommitException(
+          s"table at $root moved to v$cur (expected v$expectBase) at commit")
+      }
       val carried =
         if (mode == "append" && cur > 0)
           snapshot(spark, root, cur).files.map(abs =>
@@ -163,23 +188,48 @@ object VersionedTable {
     * rename-swap assumes no concurrent reader holds the old listing.
     */
   def compact(spark: SparkSession, root: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val s = snapshot(spark, root)
-    val totalBytes = {
-      val f = fs(spark, root)
-      s.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              maxRetries: Int = 5): (Int, Int) = {
+    // read-modify-write: the rewrite is derived from a pinned snapshot,
+    // so the commit must be CONDITIONAL on that snapshot still being
+    // current — otherwise an append that lands between the snapshot and
+    // the manifest rename would be silently dropped (lost update). On
+    // conflict the whole compaction re-snapshots and retries.
+    var attempt = 0
+    while (true) {
+      val s = snapshot(spark, root)
+      val totalBytes = {
+        val f = fs(spark, root)
+        s.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+      }
+      val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      try {
+        val v = commit(spark.read.parquet(s.files: _*).repartition(nFiles),
+          root, mode = "overwrite", expectBase = s.version)
+        return (s.files.size, snapshot(spark, root, v).files.size)
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
     }
-    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val v = commit(spark.read.parquet(s.files: _*).repartition(nFiles),
-      root, mode = "overwrite")
-    (s.files.size, snapshot(spark, root, v).files.size)
+    sys.error("unreachable")
   }
 
   /** Delete data files referenced by NO retained manifest, keeping the
     * newest `retainVersions` manifests (and every file they name).
     * Returns the number of data files deleted. The only deletion path
-    * in the layout — everything else strictly adds. */
-  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Int = {
+    * in the layout — everything else strictly adds.
+    *
+    * `graceMs` protects IN-FLIGHT COMMITS, not just old readers:
+    * [[commit]] writes its data files BEFORE the manifest rename, so a
+    * concurrent writer's fresh files are momentarily unreferenced by
+    * any manifest — exactly what vacuum targets. Files younger than
+    * the grace window are skipped (the modification-time guard the
+    * public Delta/Iceberg vacuums use); the default comfortably
+    * exceeds any write-to-rename gap. Tests pass 0 deliberately. */
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1,
+             graceMs: Long = 10L * 60 * 1000): Int = {
     val f = fs(spark, root)
     val cur = currentVersion(spark, root)
     require(cur > 0, s"no committed version at $root")
@@ -190,9 +240,11 @@ object VersionedTable {
       .map(p => f.makeQualified(new Path(p)).toString).toSet
     val dataRoot = new Path(root, "data")
     if (!f.exists(dataRoot)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     for (dir <- f.listStatus(dataRoot); st <- f.listStatus(dir.getPath)
          if st.getPath.getName.endsWith(".parquet")
+         if st.getModificationTime <= cutoff
          if !live.contains(st.getPath.toString)) {
       if (f.delete(st.getPath, false)) deleted += 1
     }

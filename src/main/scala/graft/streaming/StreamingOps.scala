@@ -384,7 +384,10 @@ object StreamingOps {
     edges.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
+        // resolve the filesystem FROM the store path (not fs.defaultFS):
+        // a local/object-store path on an HDFS-default cluster must
+        // probe its own scheme or the store silently re-initializes
+        val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val labels =
           if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))

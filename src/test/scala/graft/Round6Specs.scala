@@ -189,13 +189,50 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.compact(spark, root, targetFileBytes = Long.MaxValue)
     // before vacuum: old files still on disk (the reader-safety window)
     old.files.foreach(p => assert(new java.io.File(p.stripPrefix("file:")).exists))
-    val deleted = VersionedTable.vacuum(spark, root, retainVersions = 1)
+    // graceMs=0: these files are seconds old, and the point of THIS
+    // test is the manifest-liveness rule, not the age guard
+    val deleted = VersionedTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
     assert(deleted == 4)
     old.files.foreach(p => assert(!new java.io.File(p.stripPrefix("file:")).exists))
     // the current snapshot is intact and complete
     assert(VersionedTable.read(spark, root).as[Long].collect().sorted.toSeq == (1L to 50L))
     // and its manifest survived while the vacuumed one is gone
     intercept[Exception] { VersionedTable.read(spark, root, old.version).collect() }
+  }
+
+  test("vacuum grace window protects just-written (in-flight-commit) files") {
+    val root = freshRoot()
+    VersionedTable.commit((1L to 50L).toDF("v").repartition(4), root)
+    val old = VersionedTable.snapshot(spark, root)
+    VersionedTable.compact(spark, root, targetFileBytes = Long.MaxValue)
+    // default-style grace: every file here is younger than the window,
+    // so NOTHING may be deleted even though 4 files are unreferenced —
+    // this is the guard that keeps vacuum from eating a concurrent
+    // committer's pre-rename data files
+    assert(VersionedTable.vacuum(spark, root, retainVersions = 1) == 0)
+    old.files.foreach(p => assert(new java.io.File(p.stripPrefix("file:")).exists))
+    assert(VersionedTable.read(spark, root).as[Long].collect().sorted.toSeq == (1L to 50L))
+  }
+
+  test("compact aborts instead of dropping a commit that raced it") {
+    val root = freshRoot()
+    VersionedTable.commit((1L to 10L).toDF("v"), root)
+    val pinned = VersionedTable.snapshot(spark, root)
+    // simulate the race: an append lands after compact's snapshot
+    VersionedTable.commit(Seq(99L).toDF("v"), root, mode = "append")
+    // a conditional commit derived from the stale snapshot must throw,
+    // not publish (publishing would silently drop 99)
+    intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.commit(
+        VersionedTable.read(spark, root, pinned.version).repartition(1),
+        root, mode = "overwrite", expectBase = pinned.version)
+    }
+    assert(VersionedTable.read(spark, root).as[Long].collect().sorted.toSeq
+      == ((1L to 10L) :+ 99L))
+    // compact() itself retries from a fresh snapshot and carries 99
+    VersionedTable.compact(spark, root, targetFileBytes = Long.MaxValue)
+    assert(VersionedTable.read(spark, root).as[Long].collect().sorted.toSeq
+      == ((1L to 10L) :+ 99L))
   }
 }
 
