@@ -1851,6 +1851,57 @@ object Relational {
              |SELECT month, rev_cents, prev_cents,
              |  CAST(CASE WHEN prev_cents IS NULL THEN NULL
              |    ELSE (rev_cents - prev_cents) * 10000 // prev_cents END AS BIGINT) AS delta_bp
-             |FROM l ORDER BY month""".stripMargin))
+             |FROM l ORDER BY month""".stripMargin)),
+
+    Q("q72_rolling_distinct",
+      // q68 generalized to an ARBITRARY window length (28-day actives
+      // here — the product-analytics MAU): Engagement
+      // .rollingDistinctExact spreads each (day, user) membership to
+      // its 28 cover days and counts per cover day. Exact, linear in
+      // window length (the documented q68 trade); the sketch tier
+      // below (q72b) is the 100-TB path whose merge cost is window-
+      // independent.
+      (s, d) => {
+        val ud = ev(s, d)
+          .select(expr("t div 86400").as("day"), col("user_id"))
+        graft.operators.Engagement.rollingDistinctExact(ud, 28)
+          .select(col("day"), col("active").as("active_28d"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS t FROM events),
+             |ud AS (SELECT DISTINCT t // 86400 AS day, user_id FROM e),
+             |days AS (SELECT DISTINCT day FROM ud)
+             |SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_28d
+             |FROM days d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q72b_rolling_distinct_hll",
+      // The 100-TB tier of q72: per-day HLL sketch partials merged
+      // over the trailing 28 days (Engagement.rollingDistinctHll) —
+      // the window exchange carries |days|×28 few-KB sketch rows,
+      // INDEPENDENT of user cardinality, and the per-day partials are
+      // the materialization a deployed pipeline persists (any window
+      // length answerable later without rescanning events). Sketch
+      // binaries are engine-defined, so the oracle follows q8b's
+      // pattern: emit the exact count and whether the estimate landed
+      // within the documented ε (lgK 14 → rsd ≈ 0.8%; assert ≤ 5%).
+      (s, d) => {
+        val ud = ev(s, d)
+          .select(expr("t div 86400").as("day"), col("user_id"))
+        val est = graft.operators.Engagement.rollingDistinctHll(ud, 28)
+        val exact = graft.operators.Engagement.rollingDistinctExact(ud, 28)
+        est.join(exact, Seq("day"))
+          .select(col("day"), col("active").as("n_exact"),
+            (abs(col("active_est") - col("active")) <= col("active") * 0.05)
+              .as("within_eps"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS t FROM events),
+             |ud AS (SELECT DISTINCT t // 86400 AS day, user_id FROM e),
+             |days AS (SELECT DISTINCT day FROM ud)
+             |SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact,
+             |  true AS within_eps
+             |FROM days d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Engagement
+
+/** Round-7 engagement operator: arbitrary-window rolling distinct.
+  *
+  * The HLL tier's correctness claim is that merging per-day sketches
+  * over a window is LOSSLESS vs sketching the window's raw rows in one
+  * pass (register-wise union, the SketchRollupSpec algebra applied to
+  * windows) — so materialized per-day partials answer any window
+  * length later with no rescan and no extra error. The exact tier must
+  * reproduce q68's cover-day spread at windowDays=7.
+  */
+class EngagementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def userDays = Tables.eventsWithEpoch(spark, sfDir)
+    .select(expr("t div 86400").as("day"), col("user_id"))
+
+  test("windowed sketch merge equals single-pass sketch over the window rows") {
+    val ud = userDays.distinct()
+    val days = ud.select("day").distinct()
+    val merged = Engagement.rollingDistinctHll(ud, 7)
+    // single pass: materialize each window's raw membership rows and
+    // sketch them directly — the estimate must be IDENTICAL, not close
+    val single = ud
+      .select(explode(expr("sequence(day, day + 6)")).as("day"), col("user_id"))
+      .distinct()
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("direct"))
+    val joined = merged.join(single, Seq("day"))
+      .select(col("day"), col("active_est"), col("direct"))
+      .as[(Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (day, est, direct) =>
+      assert(est == direct, s"day $day: merged $est != single-pass $direct")
+    }
+  }
+
+  test("exact tier at 7 days reproduces the q68 cover-day spread") {
+    val ud = userDays.distinct()
+    val days = ud.select("day").distinct()
+    val viaOp = Engagement.rollingDistinctExact(ud, 7)
+      .withColumnRenamed("active", "wau_op")
+    val q68Style = ud
+      .select(explode(expr("sequence(day, day + 6)")).as("cday"), col("user_id"))
+      .distinct()
+      .join(days.withColumnRenamed("day", "cday"), Seq("cday"), "left_semi")
+      .groupBy(col("cday").as("day")).agg(count(lit(1)).as("wau"))
+    val diff = viaOp.join(q68Style, Seq("day"))
+      .filter(col("wau_op") =!= col("wau")).count()
+    assert(diff == 0)
+    assert(viaOp.count() == days.count())
+  }
+
+  test("28-day HLL estimate lands within 5% of exact on every day") {
+    val ud = userDays.distinct()
+    val est = Engagement.rollingDistinctHll(ud, 28)
+    val exact = Engagement.rollingDistinctExact(ud, 28)
+    val out = est.join(exact, Seq("day"))
+      .filter(abs(col("active_est") - col("active")) > col("active") * 0.05)
+      .count()
+    assert(out == 0)
+  }
+
+  test("windowDays=1 degenerates to DAU for both tiers") {
+    val ud = userDays.distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val exact1 = Engagement.rollingDistinctExact(ud, 1)
+    assert(exact1.join(dau, Seq("day"))
+      .filter(col("active") =!= col("dau")).count() == 0)
+    // the sketch path at window 1 is a plain per-day estimate
+    val hll1 = Engagement.rollingDistinctHll(ud, 1)
+    val bad = hll1.join(dau, Seq("day"))
+      .filter(abs(col("active_est") - col("dau")) > col("dau") * 0.05).count()
+    assert(bad == 0)
+  }
+}
