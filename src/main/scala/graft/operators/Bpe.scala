@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Learned BPE tokenization: train merges to a target count, then
+  * tokenize WITH the learned merges — the production tokenizer path
+  * (t15 computes one merge round; this trains the whole table and
+  * applies it).
+  *
+  * Cross-engine-exact formulation: a word's segmentation is a STRING
+  * with every symbol wrapped in private markers, U+0001 before and
+  * U+0002 after. Applying a merge (a, b) is then one
+  * `replace(seg, enc(a)+enc(b), enc(ab))` — and because each symbol
+  * carries its OWN delimiters, plain leftmost non-overlapping
+  * `replace` (identical semantics in Spark and DuckDB) IS the
+  * standard leftmost-greedy BPE merge application: adjacent matches
+  * never share characters, so a run `a a a a a` merges to `aa aa a`
+  * exactly like the reference fold. That makes the whole training
+  * loop replayable in ANSI SQL (the t20/t21 oracles unroll it round
+  * by round).
+  *
+  * Scale posture: training runs over the DISTINCT-WORD table with
+  * instance counts (vocabulary-sized, ~10⁷ rows at web scale — never
+  * the token stream). Each round is one narrow pair-count aggregate
+  * over the vocabulary plus a 1-row driver collect (the bounded
+  * stats-collect pattern, same contract as Quantiles); re-segmentation
+  * is a chained column expression, no shuffle. Encoding joins the
+  * (word → pieces) map back to the token stream — the map is
+  * vocabulary-sized and broadcastable.
+  *
+  * ASSUMES the corpus text contains neither U+0001 nor U+0002 (true
+  * for the driver testdata; a production run would pre-scrub control
+  * chars — t7's territory).
+  */
+object Bpe {
+
+  final case class Merge(rk: Long, a: String, b: String, cnt: Long)
+
+  private def toks(textCol: String): String =
+    s"filter(split($textCol, ' '), x -> x != '')"
+
+  /** Distinct words with instance counts — the BPE training input. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(expr(toks(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  private val initSegExpr =
+    "concat_ws('', transform(sequence(1, length(word)), " +
+      "i -> concat(chr(1), substring(word, i, 1), chr(2))))"
+
+  // split the "\u0002\u0001" marker boundary back into the symbol list
+  private val symsExpr =
+    "split(substring(seg, 2, length(seg) - 2), '\u0002\u0001')"
+
+  /** Train `nMerges` BPE merges over the corpus vocabulary. Returns the
+    * ordered merge table and the final (word, cnt, seg) segmentation
+    * frame (lazy — its plan embeds the learned replaces). */
+  def train(docs: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[Merge], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
+    val words = wordCounts(docs, textCol)
+      .persist() // vocabulary-sized; released by the caller's session hygiene
+    var cur = words.withColumn("seg", expr(initSegExpr))
+    val merges = Seq.newBuilder[Merge]
+    for (rk <- 1 to nMerges) {
+      val top = cur
+        .select(col("cnt"), expr(symsExpr).as("syms"))
+        // sequence(1, 0) counts DOWN in Spark — filter the index list
+        // instead so single-symbol words contribute no pairs
+        .select(col("cnt"), explode(expr(
+          "transform(filter(sequence(1, size(syms)), i -> i < size(syms)), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // 1 row: the round's winning pair
+      if (top.isEmpty) {
+        return (merges.result(), cur) // vocabulary fully merged early
+      }
+      val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += Merge(rk.toLong, a, b, c)
+      cur = cur.withColumn("seg",
+        expr(s"replace(seg, concat(chr(1), ${sqlStr(a)}, chr(2), chr(1), ${sqlStr(b)}, chr(2)), " +
+          s"concat(chr(1), ${sqlStr(a + b)}, chr(2)))"))
+    }
+    (merges.result(), cur)
+  }
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** (word → pieces) map from a trained segmentation frame: the
+    * space-joined piece string and the piece count per word. */
+  def pieceMap(trained: DataFrame): DataFrame =
+    trained.select(col("word"),
+      expr("replace(replace(replace(seg, '\u0002\u0001', ' '), '\u0001', ''), '\u0002', '')")
+        .as("pieces"),
+      expr(s"size($symsExpr)").cast("long").as("np"))
+
+  /** Tokenize documents with the learned merges: per document, the
+    * position-ordered piece stream (space-joined) and total piece
+    * count. The map join is vocabulary-sized; the only document-sized
+    * exchange is the per-doc aggregation. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             trained: DataFrame): DataFrame = {
+    val ti = docs
+      .select(col(idCol).as("doc_id"), posexplode(expr(toks(textCol))))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+    ti.join(pieceMap(trained), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("np").as("n_pieces"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, pieces))), " +
+          "x -> x.pieces), ' ')").as("pieces_str"))
+  }
+
+  /** DuckDB replay of [[train]]'s loop: `nMerges` unrolled rounds of
+    * (pair count → top-1 → replace) CTEs over the `tokall` word table.
+    * Emits CTEs `w, s0, p1, t1, s1, …, s<n>`; the caller selects from
+    * `t*` (merge table) or `s<n>` (final segmentation). */
+  def oracleTrainCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM tokall GROUP BY 1),
+             |s0 AS (SELECT word, cnt, array_to_string(list_transform(generate_series(1, length(word)),
+             |    i -> chr(1) || substr(word, CAST(i AS INT), 1) || chr(2)), '') AS seg FROM w)""".stripMargin
+    for (r <- 1 to nMerges) {
+      sb ++= s""",
+                |p$r AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+                |    SELECT cnt, syms[CAST(i AS INT)] AS a, syms[CAST(i AS INT) + 1] AS b
+                |    FROM (SELECT cnt, string_split(trim(seg, chr(1) || chr(2)), chr(2) || chr(1)) AS syms
+                |          FROM s${r - 1}),
+                |         unnest(generate_series(1, len(syms) - 1)) AS u(i)
+                |  ) GROUP BY 1, 2),
+                |t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+                |s$r AS (SELECT word, s.cnt AS cnt,
+                |    replace(seg, chr(1) || t.a || chr(2) || chr(1) || t.b || chr(2),
+                |            chr(1) || t.a || t.b || chr(2)) AS seg
+                |  FROM s${r - 1} s, t$r t)""".stripMargin
+    }
+    sb.result()
+  }
+
+  /** Oracle select over [[oracleTrainCtes]]: the ordered merge table. */
+  def oracleMergesSelect(nMerges: Int): String =
+    (1 to nMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rk, a, b, cnt FROM t$r")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY rk")
+}

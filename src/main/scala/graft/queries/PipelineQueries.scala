@@ -1879,6 +1879,54 @@ object PipelineQueries {
              |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
              |  round((avg(x * y) - avg(x) * avg(y)) / (avg(x * x) - avg(x) * avg(x)), 4)
              |    AS zipf_slope
-             |FROM xy""".stripMargin))
+             |FROM xy""".stripMargin)),
+
+    Q("t20_bpe_train",
+      // Learned-tokenizer TRAINING (t15 iterated to a merge table):
+      // 8 BPE rounds over the distinct-word vocabulary, each round one
+      // narrow pair-count aggregate + a 1-row driver collect (bounded
+      // stats-collect, the Quantiles contract) + a chained `replace`
+      // re-segmentation — the marker-wrapped encoding makes plain
+      // leftmost `replace` equal the leftmost-greedy BPE fold on both
+      // engines (see Bpe.scala). The oracle replays all 8 rounds
+      // unrolled in SQL.
+      (s, d) => {
+        import s.implicits._
+        val (merges, _) = graft.operators.Bpe.train(
+          Tables.documents(s, d), "text", nMerges = 8)
+        merges.toDF().select(col("rk"), col("a"), col("b"), col("cnt"))
+          .orderBy("rk")
+      },
+      Some(s"""WITH $tokAllSql,
+              |${graft.operators.Bpe.oracleTrainCtes(8)}
+              |${graft.operators.Bpe.oracleMergesSelect(8)}""".stripMargin)),
+
+    Q("t21_bpe_encode",
+      // Tokenizing WITH the learned merges — the production path p1
+      // lacks (p1 ranks whole words; this emits learned SUBWORD
+      // pieces): train 8 merges, build the vocabulary-sized
+      // (word → pieces) map, and join it back to the position-ordered
+      // token stream. Per-doc output is the space-joined piece stream
+      // + piece count — byte-exact across engines because training is
+      // (see t20) and the map join/aggregation are order-pinned.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (_, trained) = graft.operators.Bpe.train(docs, "text", nMerges = 8)
+        graft.operators.Bpe.encode(docs, "doc_id", "text", trained)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $tokAllSql,
+              |${graft.operators.Bpe.oracleTrainCtes(8)},
+              |map AS (SELECT word,
+              |    replace(replace(replace(seg, chr(2) || chr(1), ' '), chr(1), ''), chr(2), '') AS pieces,
+              |    CAST(len(string_split(trim(seg, chr(1) || chr(2)), chr(2) || chr(1))) AS BIGINT) AS np
+              |  FROM s8),
+              |ti AS (SELECT doc_id, i AS pos, sl[CAST(i AS INT)] AS word
+              |  FROM (SELECT doc_id, sl, unnest(generate_series(1, len(sl))) AS i
+              |        FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS sl
+              |              FROM documents)))
+              |SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces,
+              |  string_agg(pieces, ' ' ORDER BY pos) AS pieces_str
+              |FROM ti JOIN map USING (word) GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

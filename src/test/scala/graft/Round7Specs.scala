@@ -65,6 +65,39 @@ class EngagementSpec extends SparkSpec {
     assert(out == 0)
   }
 
+  test("BPE merge application is leftmost-greedy non-overlapping") {
+    // the defining BPE property the marker encoding must reproduce:
+    // a run of 5 merges as (aa)(aa)(a), never (aa)(a)(aa)
+    val docs = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val (merges, trained) = graft.operators.Bpe.train(docs, "text", 1)
+    assert(merges.map(m => (m.a, m.b, m.cnt)) == Seq(("a", "a", 4L)))
+    val pieces = graft.operators.Bpe.pieceMap(trained)
+      .select("pieces").as[String].head()
+    assert(pieces == "aa aa a", s"got '$pieces'")
+  }
+
+  test("BPE training stops early when the vocabulary is fully merged") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val (merges, trained) = graft.operators.Bpe.train(docs, "text", 10)
+    // one merge (a,b) collapses the only word to a single symbol;
+    // later rounds find no pairs and the loop must terminate
+    assert(merges.size == 1 && merges.head.a == "a" && merges.head.b == "b")
+    assert(graft.operators.Bpe.pieceMap(trained)
+      .select("np").as[Long].head() == 1L)
+  }
+
+  test("BPE encode preserves document content (pieces re-concatenate)") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val (_, trained) = graft.operators.Bpe.train(docs, "text", 4)
+    val enc = graft.operators.Bpe.encode(docs, "doc_id", "text", trained)
+    val orig = docs.select(col("doc_id"),
+      expr("concat_ws('', filter(split(text, ' '), x -> x != ''))").as("joined"))
+    val bad = enc.withColumn("rejoined", expr("replace(pieces_str, ' ', '')"))
+      .join(orig, Seq("doc_id"))
+      .filter(col("rejoined") =!= col("joined")).count()
+    assert(bad == 0)
+  }
+
   test("windowDays=1 degenerates to DAU for both tiers") {
     val ud = userDays.distinct()
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
