@@ -195,6 +195,45 @@ object WavCodec extends MediaCodec {
   }
 }
 
+/** PNG / JPEG via `javax.imageio` — public JDK, no external jars.
+  * Per-pixel statistic is the same ITU-R BT.601 integer luma as
+  * [[BmpCodec]], pooled top-down left-to-right over `getRGB` values
+  * (sRGB). PNG is lossless, so a pipeline that CONTROLS its pixel
+  * values (e.g. [[Multimodal.encodeGrayPng]]'s r=g=b=v raster, where
+  * luma == v exactly) gets SQL-replayable feature sums through a real
+  * compressed-image decode; JPEG decodes through the identical path
+  * but its lossy pixels are decoder-defined, so JPEG payloads get
+  * spec coverage (determinism, geometry), not an equality oracle. */
+object ImageIoCodec extends MediaCodec {
+  val name = "imageio"
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && (b(4) & 0xFF) == 0x0D && (b(5) & 0xFF) == 0x0A &&
+      (b(6) & 0xFF) == 0x1A && (b(7) & 0xFF) == 0x0A
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+      (b(2) & 0xFF) == 0xFF
+
+  def accepts(b: Array[Byte]): Boolean = isPng(b) || isJpeg(b)
+
+  def decode(b: Array[Byte], nFeat: Int): MediaCodec.Decoded = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "ImageIO could not decode an accepted payload")
+    val w = img.getWidth; val h = img.getHeight
+    // one bulk getRGB: per-pixel calls re-enter the color model; the
+    // row buffer keeps the decode one array pass like the BMP path
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val (feats, sums) = MediaCodec.pool(w * h, nFeat, 255.0f, { i =>
+      val p = px(i)
+      val red = (p >> 16) & 0xFF; val green = (p >> 8) & 0xFF; val blue = p & 0xFF
+      (299L * red + 587L * green + 114L * blue) / 1000L
+    })
+    MediaCodec.Decoded(if (isPng(b)) "png" else "jpeg", w, h, 3, feats, sums)
+  }
+}
+
 object Codecs {
   /** The stub fallback every query path uses. */
   val stub: MediaCodec = StubCodec
@@ -202,5 +241,5 @@ object Codecs {
   /** Real-format chain to prepend when payloads carry actual media.
     * Magic-byte gated, so non-matching payloads (e.g. the synthetic
     * text corpora) still fall through to the stub deterministically. */
-  val default: Seq[MediaCodec] = Seq(BmpCodec, WavCodec)
+  val default: Seq[MediaCodec] = Seq(BmpCodec, WavCodec, ImageIoCodec)
 }

@@ -45,6 +45,38 @@ object Multimodal {
       })
   }
 
+  /** Encode a binary column into REAL PNG payloads, partition-wise:
+    * byte i becomes raster pixel i (row-major, `width` wide, zero
+    * padded to fill the last row) with r = g = b = value. The RGB
+    * encoding is deliberate: BT.601 integer luma of (v,v,v) is
+    * exactly v ((299+587+114)·v / 1000), and PNG is lossless, so the
+    * feature sums a downstream [[ImageIoCodec]] decode emits equal
+    * the plain positional byte sums — a SQL oracle can verify a real
+    * compressed-image encode→decode round trip without decoding PNG
+    * itself. Output schema: (`id`, `png` binary). */
+  def encodeGrayPng(df: DataFrame, idCol: String, binCol: String,
+                    width: Int = 32): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesRaw) =>
+        val bytes = if (bytesRaw == null) Array.empty[Byte] else bytesRaw
+        val h = math.max((bytes.length + width - 1) / width, 1)
+        val img = new java.awt.image.BufferedImage(
+          width, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < bytes.length) {
+          val v = bytes(i) & 0xFF
+          img.setRGB(i % width, i / width, (v << 16) | (v << 8) | v)
+          i += 1
+        } // remaining raster stays 0 (black padding)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        (id, out.toByteArray)
+      }).toDF("id", "png")
+  }
+
   /** Perceptual-hash near-duplicate pairs over a binary media column:
     * a 60-bit AVERAGE HASH (aHash) per payload — bit j set iff the
     * j-th positional byte-group sum exceeds the global mean, the

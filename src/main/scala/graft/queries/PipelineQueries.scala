@@ -763,6 +763,47 @@ object PipelineQueries {
              |  f0, f1, f2, f3
              |FROM b JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    Q("m8_image_decode",
+      // REAL compressed-image decode through javax.imageio (public
+      // JDK): payloads are re-encoded as genuine PNGs (byte i →
+      // raster pixel i with r=g=b=value, zero-padded rows — see
+      // Multimodal.encodeGrayPng) and decoded by ImageIoCodec through
+      // the same partition-wise stage as m2. BT.601 luma of (v,v,v)
+      // is exactly v and PNG is lossless, so the decoded feature sums
+      // must equal the plain positional byte sums — the oracle
+      // verifies an actual PNG encode→decode round trip without
+      // itself decoding PNG.
+      (s, d) => {
+        val payload = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val pngs = Multimodal.encodeGrayPng(payload, "doc_id", "payload", width = 32)
+        Multimodal.decode(pngs, "id", "png", nFeat = 4,
+            codecs = Seq(graft.operators.ImageIoCodec))
+          .select(col("id").as("doc_id"), col("fmt"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("featSums")(0).as("f0"), col("featSums")(1).as("f1"),
+            col("featSums")(2).as("f2"), col("featSums")(3).as("f3"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+             |        FROM documents),
+             |s AS (SELECT doc_id, (i - 1) % 4 AS j,
+             |        ascii(substr(text, CAST(i AS INT), 1)) AS v
+             |      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+             |            FROM b)),
+             |f AS (SELECT doc_id,
+             |        CAST(sum(CASE WHEN j = 0 THEN v ELSE 0 END) AS BIGINT) AS f0,
+             |        CAST(sum(CASE WHEN j = 1 THEN v ELSE 0 END) AS BIGINT) AS f1,
+             |        CAST(sum(CASE WHEN j = 2 THEN v ELSE 0 END) AS BIGINT) AS f2,
+             |        CAST(sum(CASE WHEN j = 3 THEN v ELSE 0 END) AS BIGINT) AS f3
+             |      FROM s GROUP BY 1)
+             |SELECT b.doc_id, 'png' AS fmt, CAST(32 AS BIGINT) AS width,
+             |  CAST(greatest((n + 31) // 32, 1) AS BIGINT) AS height,
+             |  coalesce(f0, 0) AS f0, coalesce(f1, 0) AS f1,
+             |  coalesce(f2, 0) AS f2, coalesce(f3, 0) AS f3
+             |FROM b LEFT JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     Q("m3_frame_sample",
       // Frame sampling over video-like payloads (Multimodal
       // .frameSample): 32-byte frames, every 2nd sampled, exact

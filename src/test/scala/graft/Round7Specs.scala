@@ -98,6 +98,48 @@ class EngagementSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("ImageIoCodec decodes generated PNGs with exact byte-sum features") {
+    import graft.operators.{ImageIoCodec, Multimodal}
+    val payload = Seq((1L, "hello world".getBytes("UTF-8")),
+      (2L, Array.tabulate[Byte](100)(i => i.toByte)),
+      (3L, Array.empty[Byte])).toDF("id", "payload")
+    val pngs = Multimodal.encodeGrayPng(payload, "id", "payload", width = 8)
+    // the payloads ARE real PNGs (magic-gated accept)
+    pngs.select("png").as[Array[Byte]].collect().foreach { b =>
+      assert(ImageIoCodec.accepts(b))
+      assert(!graft.operators.BmpCodec.accepts(b))
+    }
+    val dec = Multimodal.decode(pngs, "id", "png", nFeat = 4,
+        codecs = Seq(ImageIoCodec)).collect().sortBy(_.id)
+    assert(dec.map(_.fmt).toSeq == Seq("png", "png", "png"))
+    assert(dec.map(_.width).toSeq == Seq(8, 8, 8))
+    assert(dec.map(_.height).toSeq == Seq(2, 13, 1)) // ceil(11/8), ceil(100/8), empty→1
+    // lossless round trip: decoded luma sums == positional byte sums
+    val exp = "hello world".getBytes("UTF-8").zipWithIndex
+      .foldLeft(Array.fill(4)(0L)) { case (a, (b, i)) => a(i % 4) += b & 0xFF; a }
+    assert(dec(0).featSums.toSeq == exp.toSeq)
+    assert(dec(2).featSums.toSeq == Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("ImageIoCodec decodes JPEG deterministically through the same path") {
+    import graft.operators.ImageIoCodec
+    // a real JPEG via the public JDK encoder; lossy, so the contract
+    // is geometry + accept-gating + decode determinism, not exact sums
+    val img = new java.awt.image.BufferedImage(16, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 16)
+      img.setRGB(x, y, ((x * 16) << 16) | ((y * 28) << 8) | 128)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jpeg = out.toByteArray
+    assert(ImageIoCodec.accepts(jpeg))
+    val d1 = ImageIoCodec.decode(jpeg, 4)
+    val d2 = ImageIoCodec.decode(jpeg, 4)
+    assert(d1.fmt == "jpeg" && d1.width == 16 && d1.height == 9)
+    assert(d1.featSums.toSeq == d2.featSums.toSeq)
+    assert(d1.featSums.sum > 0)
+  }
+
   test("windowDays=1 degenerates to DAU for both tiers") {
     val ud = userDays.distinct()
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
