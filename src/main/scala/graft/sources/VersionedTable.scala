@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name}
 import java.nio.charset.StandardCharsets
 
 /** Versioned-manifest table layout — snapshot isolation for the batch
@@ -103,12 +104,30 @@ object VersionedTable {
   def lastBatchId(spark: SparkSession, root: String): Long =
     manifestMeta(spark, root).get("batch").map(_.toLong).getOrElse(-1L)
 
+  /** Table schema recorded in the given (or latest) manifest, or None
+    * for manifests written before schema tracking. Schema lives in the
+    * MANIFEST (one small read), not in file footers — at 100 TB a
+    * `mergeSchema` footer sweep over millions of files is exactly the
+    * metadata bottleneck the manifest exists to avoid. */
+  def tableSchema(spark: SparkSession, root: String,
+                  version: Long = -1L): Option[org.apache.spark.sql.types.StructType] =
+    manifestMeta(spark, root, version).get("schema").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** DataFrame over a pinned snapshot (latest by default). The plan's
     * scan is built from the explicit file list, so concurrent commits
-    * and compactions cannot change — or break — what this reader sees. */
+    * and compactions cannot change — or break — what this reader sees.
+    * When the manifest records a schema, the scan uses it — files
+    * written before a column was added simply yield NULL for it (the
+    * add-column backfill semantics); reads of old manifests use the
+    * schema THEY recorded, so time travel sees the schema of its era. */
   def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
     val s = snapshot(spark, root, version)
-    spark.read.parquet(s.files: _*)
+    tableSchema(spark, root, s.version) match {
+      case Some(sc) => spark.read.schema(sc).parquet(s.files: _*)
+      case None => spark.read.parquet(s.files: _*)
+    }
   }
 
   /** Thrown when a commit requires the table to still be at a pinned
@@ -135,9 +154,41 @@ object VersionedTable {
              meta: Map[String, String] = Map.empty,
              expectBase: Long = -1L): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    commitCore(df, root, meta, expectBase,
+      carriedRel = cur =>
+        if (mode == "append" && cur > 0) relFiles(df.sparkSession, root, cur)
+        else Seq.empty,
+      unionWithPrev = mode == "append")
+  }
+
+  private def relFiles(spark: SparkSession, root: String, version: Long): Seq[String] =
+    snapshot(spark, root, version).files.map(abs =>
+      abs.stripPrefix(new Path(root).toString).stripPrefix("/"))
+
+  /** Evolved schema of the next version: the previous schema's fields
+    * (in order) plus `next`'s NEW fields appended. A field present in
+    * both must keep its type — silent type rewrites are data
+    * corruption, not evolution. */
+  private def unionSchema(prev: Option[org.apache.spark.sql.types.StructType],
+                          next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = prev match {
+    case None => next
+    case Some(p) =>
+      for (f <- next.fields; pf <- p.fields.find(_.name == f.name))
+        require(pf.dataType == f.dataType,
+          s"column ${f.name}: type ${f.dataType} != committed ${pf.dataType}")
+      org.apache.spark.sql.types.StructType(
+        p.fields ++ next.fields.filter(f => !p.fieldNames.contains(f.name)))
+  }
+
+  private def commitCore(df: DataFrame, root: String,
+                         meta: Map[String, String], expectBase: Long,
+                         carriedRel: Long => Seq[String],
+                         unionWithPrev: Boolean): Long = {
     require(meta.forall { case (k, v) =>
       !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r') },
       "meta keys/values must be line-safe")
+    require(!meta.contains("schema"), "meta key 'schema' is reserved")
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
@@ -152,8 +203,9 @@ object VersionedTable {
     val written = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => s"data/c${base + 1}-$nonce/${st.getPath.getName}").sorted
-    // commit loop: build the manifest against the CURRENT version each
-    // attempt, so an append that loses a race re-reads the winner's list
+    // commit loop: build the manifest (file list AND schema) against
+    // the CURRENT version each attempt, so an append that loses a race
+    // re-reads the winner's list and evolves the winner's schema
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(spark, root)
@@ -163,12 +215,12 @@ object VersionedTable {
         throw new ConcurrentCommitException(
           s"table at $root moved to v$cur (expected v$expectBase) at commit")
       }
-      val carried =
-        if (mode == "append" && cur > 0)
-          snapshot(spark, root, cur).files.map(abs =>
-            abs.stripPrefix(new Path(root).toString).stripPrefix("/"))
-        else Seq.empty
-      val lines = (meta.toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
+      val carried = carriedRel(cur)
+      val schemaJson = (if (unionWithPrev && cur > 0)
+        unionSchema(tableSchema(spark, root, cur), df.schema)
+      else df.schema).json
+      val allMeta = meta + ("schema" -> schemaJson)
+      val lines = (allMeta.toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
         ++ carried ++ written).mkString("", "\n", "\n")
       val tmp = new Path(manifestDir(root), s".v${cur + 1}-$nonce.tmp")
       val out = f.create(tmp, true)
@@ -178,6 +230,98 @@ object VersionedTable {
       else f.delete(tmp, false) // lost the race — retry at the next version
     }
     committed
+  }
+
+  /** Keyed copy-on-write MERGE (upsert): every current row whose key
+    * appears in `updates` is replaced by `updates`' rows for that key;
+    * update rows with unseen keys are inserts. Only files that
+    * actually CONTAIN a matching key are rewritten — the manifest
+    * carries every untouched file forward unchanged, so merge cost is
+    * proportional to the touched-file footprint, not the table (with
+    * key-sorted/bucketed layout, a point-update rewrites one file).
+    * `updates` may carry NEW columns: the schema evolves (committed
+    * rows read NULL for them — see [[read]]).
+    *
+    * Runs under optimistic concurrency ([[commit]]'s `expectBase`):
+    * derived from a pinned snapshot, retried from a FRESH snapshot if
+    * another commit lands first. Returns the committed version. */
+  def merge(updates: DataFrame, root: String, keys: Seq[String],
+            maxRetries: Int = 5): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    rewrite(updates.sparkSession, root, maxRetries) { (spark, s) =>
+      val schema = tableSchema(spark, root, s.version)
+      val curDf = read(spark, root, s.version)
+      keys.foreach(k => require(curDf.columns.contains(k) && updates.columns.contains(k),
+        s"key column $k must exist on both sides"))
+      val keyRows = updates.select(keys.map(col): _*).distinct()
+      // which snapshot files hold a matching key (file-name collect is
+      // manifest-bounded, the documented stats-collect pattern).
+      // Qualify through the filesystem: input_file_name carries a
+      // scheme, manifest resolution does not (vacuum's rule).
+      val f = fs(spark, root)
+      val touched = curDf.withColumn("__file", input_file_name())
+        .join(keyRows, keys, "left_semi")
+        .select("__file").distinct().collect()
+        .map(r => f.makeQualified(new Path(r.getString(0))).toString).toSet
+      val (touchedAbs, untouchedAbs) =
+        s.files.partition(p => touched.contains(f.makeQualified(new Path(p)).toString))
+      val newRows =
+        if (touchedAbs.isEmpty) updates // pure insert: no file rewrites
+        else {
+          val kept = schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
+            .parquet(touchedAbs: _*)
+            .join(keyRows, keys, "left_anti")
+          kept.unionByName(updates, allowMissingColumns = true)
+        }
+      (newRows, untouchedAbs)
+    }
+  }
+
+  /** Row-level DELETE: rewrites only the files containing rows that
+    * match `predicate` (SQL expression string); every other file is
+    * carried forward untouched. Same OCC/retry contract as [[merge]].
+    * Returns the committed version. */
+  def deleteWhere(spark: SparkSession, root: String, predicate: String,
+                  maxRetries: Int = 5): Long =
+    rewrite(spark, root, maxRetries) { (sp, s) =>
+      val schema = tableSchema(sp, root, s.version)
+      val curDf = read(sp, root, s.version)
+      val f = fs(sp, root)
+      val touched = curDf.withColumn("__file", input_file_name())
+        .filter(predicate)
+        .select("__file").distinct().collect()
+        .map(r => f.makeQualified(new Path(r.getString(0))).toString).toSet
+      val (touchedAbs, untouchedAbs) =
+        s.files.partition(p => touched.contains(f.makeQualified(new Path(p)).toString))
+      val kept =
+        if (touchedAbs.isEmpty) curDf.limit(0)
+        else schema.map(sc => sp.read.schema(sc)).getOrElse(sp.read)
+          .parquet(touchedAbs: _*).filter(s"NOT ($predicate)")
+      (kept, untouchedAbs)
+    }
+
+  /** Shared copy-on-write loop: pin a snapshot, let `plan` produce the
+    * replacement rows and the untouched-file carry list, commit with
+    * `expectBase` OCC, and retry the WHOLE derivation from a fresh
+    * snapshot on conflict. */
+  private def rewrite(spark: SparkSession, root: String, maxRetries: Int)
+      (plan: (SparkSession, Snapshot) => (DataFrame, Seq[String])): Long = {
+    var attempt = 0
+    while (true) {
+      val s = snapshot(spark, root)
+      val (newRows, untouchedAbs) = plan(spark, s)
+      val rootPrefix = new Path(root).toString
+      val untouchedRel = untouchedAbs.map(_.stripPrefix(rootPrefix).stripPrefix("/"))
+      try {
+        return commitCore(newRows, root, Map.empty, expectBase = s.version,
+          carriedRel = _ => untouchedRel, unionWithPrev = true)
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Manifest-aware compaction: rewrite the CURRENT snapshot into
@@ -204,7 +348,9 @@ object VersionedTable {
       }
       val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
       try {
-        val v = commit(spark.read.parquet(s.files: _*).repartition(nFiles),
+        // read via the pinned snapshot (manifest schema applied) so a
+        // compaction preserves evolved columns' NULL backfill
+        val v = commit(read(spark, root, s.version).repartition(nFiles),
           root, mode = "overwrite", expectBase = s.version)
         return (s.files.size, snapshot(spark, root, v).files.size)
       } catch {
