@@ -189,9 +189,14 @@ object Similarity {
     * no shuffle); search shuffles only the top-R candidate rows per
     * query into the rerank.
     */
-  def knnPq(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-            k: Int, m: Int = 8, ksub: Int = 16, dims: Int = 64,
-            rerank: Int = 4): DataFrame = {
+  /** PQ-encode `corpus` and reconstruct each vector from its codes:
+    * (cid, crv, crn) — the asymmetric-distance surface both [[knnPq]]
+    * and [[knnIvfPq]] score against. Encode is narrow (one pass, no
+    * shuffle); every stage is a per-row expression tree over
+    * md5-derived exact codebook literals, bit-reproducible in SQL. */
+  private[operators] def pqReconstruct(corpus: DataFrame, idCol: String,
+                                       vecCol: String, m: Int, ksub: Int,
+                                       dims: Int): DataFrame = {
     require(dims % m == 0, "m must divide dims")
     val sub = dims / m
     // codebook as Scala constants: per (m, c) the centroid float array
@@ -211,31 +216,34 @@ object Similarity {
         s"struct(__d_${mi}_$ci AS d, $ci AS c)"
       }.mkString(", ")}))[0].c")
     }: _*)
-    def encoded(df: DataFrame, prefix: String): DataFrame = {
-      val withSubs = (0 until m).foldLeft(
-        df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}v"))) {
-        (d, mi) => d.withColumn(s"__sub_$mi", expr(s"slice(${prefix}v, ${mi * sub + 1}, $sub)"))
-      }
-      val withDists = (0 until m).foldLeft(withSubs) { (d, mi) =>
-        (0 until ksub).foldLeft(d) { (dd, ci) =>
-          dd.withColumn(s"__d_${mi}_$ci",
-            lit(-2.0) * vec_dot(col(s"__sub_$mi"), typedLit(cbook(mi)(ci))) + lit(cc(mi, ci)))
-        }
-      }
-      withDists.withColumn(s"${prefix}codes", codesCol)
-        .select(col(s"${prefix}id"), col(s"${prefix}codes"))
+    val withSubs = (0 until m).foldLeft(
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("cv0"))) {
+      (d, mi) => d.withColumn(s"__sub_$mi", expr(s"slice(cv0, ${mi * sub + 1}, $sub)"))
     }
+    val withDists = (0 until m).foldLeft(withSubs) { (d, mi) =>
+      (0 until ksub).foldLeft(d) { (dd, ci) =>
+        dd.withColumn(s"__d_${mi}_$ci",
+          lit(-2.0) * vec_dot(col(s"__sub_$mi"), typedLit(cbook(mi)(ci))) + lit(cc(mi, ci)))
+      }
+    }
+    val encoded = withDists.withColumn("ccodes", codesCol)
+      .select(col("cid"), col("ccodes"))
 
     // reconstruct from codes: codebook literal (array<array<array<float>>>),
     // flatten the per-subspace centroid lookups in subspace order
     val cbookLit = typedLit(cbook.map(_.map(_.toSeq).toSeq).toSeq)
-    val recon = encoded(corpus, "c")
+    encoded
       .withColumn("__cb", cbookLit)
       .withColumn("crv", expr(
         s"CAST(flatten(transform(sequence(0, ${m - 1}), mi -> __cb[mi][ccodes[mi]])) AS ARRAY<FLOAT>)"))
       .select(col("cid"), col("crv"))
       .withColumn("crn", vec_norm(col("crv")))
+  }
 
+  def knnPq(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+            k: Int, m: Int = 8, ksub: Int = 16, dims: Int = 64,
+            rerank: Int = 4): DataFrame = {
+    val recon = pqReconstruct(corpus, idCol, vecCol, m, ksub, dims)
     val q = withNorm(queries, idCol, vecCol, "q")
     val cand = q.join(recon, col("qid") =!= col("cid"))
       .withColumn("apx", dot("qv", "crv") / (col("qn") * col("crn")))
@@ -262,8 +270,13 @@ object Similarity {
     * refinement averages floats across rows, whose sum order is
     * engine-specific, so refined variants are spec-tested instead.
     */
-  def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 2): DataFrame = {
+  /** IVF coarse partitioning shared by [[knnIvf]] and [[knnIvfPq]]:
+    * (corpusCells (cell, cid, cv, cn), queryCells (cell, qid, qv, qn))
+    * — corpus rows in their nearest cell, queries replicated to their
+    * `nProbe` nearest. */
+  private def ivfCells(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, nCells: Int, nProbe: Int,
+                       lloydIters: Int): (DataFrame, DataFrame) = {
     val c = withNorm(corpus, idCol, vecCol, "c").cache()
     // deterministic seeds: the nCells smallest ids. The global window
     // runs over nCells rows only (post-limit), not the corpus.
@@ -300,7 +313,13 @@ object Similarity {
     val queryCells = assign(q, "qv")
       .withColumn("rk", row_number().over(Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
       .filter(col("rk") <= nProbe).select("cell", "qid", "qv", "qn")
+    (corpusCells, queryCells)
+  }
 
+  def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 2): DataFrame = {
+    val (corpusCells, queryCells) =
+      ivfCells(corpus, queries, idCol, vecCol, nCells, nProbe, lloydIters)
     queryCells.join(corpusCells, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
@@ -309,5 +328,40 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** IVF-PQ — the standard public FAISS-style composition and the
+    * layout a 100-TB vector store actually deploys: coarse IVF cells
+    * bound the candidate set (queries probe `nProbe` cells), PQ codes
+    * give the cheap in-cell ranking (8 bytes/vector scanned instead of
+    * 256), and only the top `rerank·k` per query are re-scored at full
+    * precision. Scale shape: the cell join shuffles (corpus rows +
+    * nProbe·queries) fixed-width rows partitioned by cell; the PQ scan
+    * inside a cell is a per-row expression; the full-precision join
+    * touches rerank·k rows per query. With `lloydIters = 0` every
+    * stage is a deterministic expression tree — the s10 oracle
+    * composes the s3 cell CTEs with the s5 code CTEs bit-for-bit. */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 0,
+               m: Int = 8, ksub: Int = 16, dims: Int = 64,
+               rerank: Int = 4): DataFrame = {
+    val (corpusCells, queryCells) =
+      ivfCells(corpus, queries, idCol, vecCol, nCells, nProbe, lloydIters)
+    val recon = pqReconstruct(corpus, idCol, vecCol, m, ksub, dims)
+    val cSide = corpusCells.select("cell", "cid").join(recon, Seq("cid"))
+    val cand = queryCells.join(cSide, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("apx", dot("qv", "crv") / (col("qn") * col("crn")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
+      .filter(col("ark") <= rerank * k)
+      .select("qid", "qv", "qn", "cid", "apx")
+    cand.join(withNorm(corpus, idCol, vecCol, "c"), Seq("cid"))
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), round(col("apx"), 4).as("apx_cosine"))
   }
 }
