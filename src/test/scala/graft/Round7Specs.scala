@@ -12,6 +12,63 @@ import graft.operators.Engagement
   * length later with no rescan and no extra error. The exact tier must
   * reproduce q68's cover-day spread at windowDays=7.
   */
+/** Round-7 Avro OCF source/sink: wire-format round trip + corrupt
+  * container posture. */
+class AvroSourcesSpec extends SparkSpec {
+  import graft.sources.AvroSources
+  import org.apache.spark.sql.functions._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("avro").toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  test("documents round-trip through Avro containers byte-equal") {
+    val dir = freshDir()
+    val docs = Tables.documents(spark, sfDir)
+    AvroSources.write(docs, dir)
+    val back = AvroSources.read(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      docs.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
+  test("embeddings (float arrays) round-trip through Avro") {
+    val dir = freshDir()
+    val e = Tables.embeddings(spark, sfDir)
+    AvroSources.write(e, dir)
+    val back = AvroSources.read(spark, dir)
+    assert(back.count() == e.count())
+    // element-exact: join on id, compare vectors
+    val bad = back.select(col("vec_id"), col("embedding").as("b"))
+      .join(e.select(col("vec_id"), col("embedding").as("a")), "vec_id")
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0)
+  }
+
+  test("the emitted files are standard Avro (plain library reads them)") {
+    val dir = freshDir()
+    AvroSources.write(Tables.region(spark, sfDir), dir)
+    val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
+    val r = new org.apache.avro.file.DataFileReader(
+      f, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    var n = 0
+    try { while (r.hasNext) { r.next(); n += 1 } } finally r.close()
+    assert(n.toLong == Tables.region(spark, sfDir).count())
+  }
+
+  test("corrupt container: permissive skips it, strict propagates") {
+    val dir = freshDir()
+    AvroSources.write(Tables.region(spark, sfDir), dir)
+    val good = AvroSources.read(spark, dir).count()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-zzzzz.avro"),
+      "Objnot really avro".getBytes("UTF-8"))
+    assert(AvroSources.read(spark, dir, permissive = true).count() == good)
+    intercept[Exception] { AvroSources.read(spark, dir).count() }
+  }
+}
+
 /** Round-7 VersionedTable: keyed copy-on-write MERGE, row-level
   * delete, and schema evolution via manifest-recorded schemas. */
 class VersionedMergeSpec extends SparkSpec {
