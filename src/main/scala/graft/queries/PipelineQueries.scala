@@ -34,6 +34,18 @@ object PipelineQueries {
     """tok AS (SELECT DISTINCT doc_id, t.tok FROM documents,
       |    unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> '')""".stripMargin
 
+  /** Unrolled Luhn sum over the first `n` digits of `c` (a column name
+    * or lambda variable), doubling at odd 1-based positions — the
+    * 16-digit card layout. Pure ANSI (substr/CAST/CASE), parsed
+    * identically by Spark and DuckDB, usable inside array lambdas on
+    * both (t7's card validator). */
+  private def luhnSum(c: String, n: Int): String =
+    (1 to n).map { p =>
+      val d = s"CAST(substr($c, $p, 1) AS INT)"
+      if (p % 2 == 1) s"(CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END)"
+      else d
+    }.mkString("(", " + ", ")")
+
   /** Non-distinct variant: one row per token INSTANCE. */
   private val tokAllSql =
     """tokall AS (SELECT doc_id, t.tok FROM documents,
@@ -894,33 +906,77 @@ object PipelineQueries {
              |ORDER BY doc_id, vidx""".stripMargin)),
 
     Q("t7_pii_scrub",
-      // PII redaction. The synthetic corpus carries no PII, so a
-      // deterministic contact line is appended per doc before
-      // scrubbing — the regexes then run over real prose + known
-      // matches. Patterns are RE2-safe (no backtracking constructs)
-      // so Java and DuckDB regex engines agree; DuckDB needs the 'g'
-      // flag to match Spark's replace-all semantics.
+      // PII redaction over the standard scrub classes: email, phone,
+      // SSN-shaped ids, IPv4, and card numbers with LUHN validation.
+      // The synthetic corpus carries no PII, so a deterministic
+      // contact line is appended per doc before scrubbing — including
+      // a card number whose Luhn CHECK DIGIT is computed in-query and
+      // a deliberately invalid sibling, so the validator provably
+      // separates them (n_cc_valid counts Luhn passes only; redaction
+      // is deliberately conservative and masks every 16-digit run —
+      // over-redaction is the safe default for training data).
+      // Patterns are RE2-safe with [.] instead of backslash-dot (the
+      // escape a Spark SQL literal would eat and DuckDB would not);
+      // the Luhn sum is one unrolled substr/CASE fragment both
+      // engines parse identically. DuckDB needs the 'g' flag to match
+      // Spark's replace-all semantics.
       (s, d) => Tables.documents(s, d)
-        .withColumn("raw", concat(col("text"),
-          lit(" contact user"), col("doc_id"), lit("@mail.example or call 555-"),
-          expr("lpad(CAST(doc_id % 10000 AS STRING), 4, '0')")))
+        .withColumn("cc15",
+          expr("'4' || lpad(CAST(doc_id % 100000000000000 AS STRING), 14, '0')"))
+        .withColumn("ccd", expr(s"(10 - ${luhnSum("cc15", 15)} % 10) % 10"))
+        .withColumn("raw", expr(
+          "concat(text, ' contact user', CAST(doc_id AS STRING), " +
+            "'@mail.example or call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), " +
+            "' ssn 123-45-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), " +
+            "' ip 10.', CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 200 + 1 AS STRING), " +
+            "' card ', cc15, CAST(ccd AS STRING), " +
+            "' ref ', cc15, CAST((ccd + 1) % 10 AS STRING))"))
         .select(col("doc_id"),
           expr("size(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', 0))")
             .as("n_emails"),
           expr("size(regexp_extract_all(raw, '555-[0-9]{4}', 0))").as("n_phones"),
-          expr("regexp_replace(regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', " +
-            "'<EMAIL>'), '555-[0-9]{4}', '<PHONE>')").as("scrubbed"))
+          expr("size(regexp_extract_all(raw, '[0-9]{3}-[0-9]{2}-[0-9]{4}', 0))")
+            .as("n_ssn"),
+          expr("size(regexp_extract_all(raw, " +
+            "'[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', 0))").as("n_ipv4"),
+          expr("size(regexp_extract_all(raw, '[0-9]{16}', 0))").as("n_cc_shaped"),
+          expr(s"size(filter(regexp_extract_all(raw, '[0-9]{16}', 0), " +
+            s"x -> ${luhnSum("x", 16)} % 10 = 0))").as("n_cc_valid"),
+          expr("regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+            "raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>'), " +
+            "'555-[0-9]{4}', '<PHONE>'), " +
+            "'[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>'), " +
+            "'[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>'), " +
+            "'[0-9]{16}', '<CC16>')").as("scrubbed"))
         .orderBy("doc_id"),
-      Some("""WITH raw AS (SELECT doc_id,
-             |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or call 555-'
-             |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
-             |  FROM documents)
-             |SELECT doc_id,
-             |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS INT) AS n_emails,
-             |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
-             |  regexp_replace(regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
-             |    '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
-             |FROM raw ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH c0 AS (SELECT doc_id, text,
+              |    '4' || lpad(CAST(doc_id % 100000000000000 AS STRING), 14, '0') AS cc15
+              |  FROM documents),
+              |c1 AS (SELECT doc_id, text, cc15,
+              |    (10 - ${luhnSum("cc15", 15)} % 10) % 10 AS ccd FROM c0),
+              |raw AS (SELECT doc_id,
+              |  text || ' contact user' || CAST(doc_id AS STRING)
+              |    || '@mail.example or call 555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+              |    || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+              |    || ' ip 10.' || CAST(doc_id % 256 AS STRING) || '.0.' || CAST(doc_id % 200 + 1 AS STRING)
+              |    || ' card ' || cc15 || CAST(ccd AS STRING)
+              |    || ' ref ' || cc15 || CAST((ccd + 1) % 10 AS STRING) AS raw
+              |  FROM c1)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS INT) AS n_emails,
+              |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT) AS n_phones,
+              |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT) AS n_ssn,
+              |  CAST(len(regexp_extract_all(raw, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS INT) AS n_ipv4,
+              |  CAST(len(regexp_extract_all(raw, '[0-9]{16}')) AS INT) AS n_cc_shaped,
+              |  CAST(len(list_filter(regexp_extract_all(raw, '[0-9]{16}'),
+              |    x -> ${luhnSum("x", 16)} % 10 = 0)) AS INT) AS n_cc_valid,
+              |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              |    raw, '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+              |    '555-[0-9]{4}', '<PHONE>', 'g'),
+              |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+              |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+              |    '[0-9]{16}', '<CC16>', 'g') AS scrubbed
+              |FROM raw ORDER BY doc_id""".stripMargin)),
 
     Q("t8_repetition",
       // Repetition / diversity metrics per document: type-token ratio
