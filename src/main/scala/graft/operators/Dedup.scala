@@ -701,6 +701,90 @@ object Dedup {
       .withColumn("dup_bp", expr("n_shared * 10000 div n_fp"))
   }
 
+  /** Exact-substring SPAN dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * policy): every k-char gram occurrence that is NOT the
+    * corpus-wide first occurrence of its text marks its span
+    * [p, p+k−1] as duplicated; overlapping marks coalesce into
+    * maximal spans; spans are cut out and the remainder re-joined in
+    * position order. Returns the per-document removal profile plus an
+    * md5 of the cleaned text (the full cleaned corpus is the same
+    * frame minus the digest projection).
+    *
+    * Determinism: "first occurrence" = min (doc_id, position) in
+    * document order — the same retry-stable, RNG-free tie-break as
+    * [[paragraphDedup]] — so the removal set is a pure function of
+    * the corpus on any engine.
+    *
+    * Scale shape: linear in corpus characters. ONE exchange keyed by
+    * the k-gram (exact text equality — the collision-proof stance of
+    * [[exactClusters]]; at 100 TB the same plan runs keyed by a
+    * 128-bit gram digest to cut shuffle bytes to 16/k of corpus
+    * size, with the digest partitioning the exchange exactly as the
+    * text does here), then per-document windows for island
+    * coalescing and segment stitching — partitioned by doc_id, never
+    * global. No pair enumeration at any stage, no matter how
+    * duplicated the corpus is (the suffix-array formulation of the
+    * paper is single-node; positional grams are its shuffle-friendly
+    * equivalent).
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 40): DataFrame = {
+    val dd = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("len", length(col("text")))
+    // one row per k-gram occurrence; docs shorter than k emit none
+    val occ = dd.filter(col("len") >= k)
+      .withColumn("p", explode(sequence(lit(1), col("len") - (k - 1))))
+      .select(col("doc_id"), col("p"),
+        expr(s"substring(text, p, $k)").as("g"))
+    // rn > 1 ⇔ an earlier (doc, pos) occurrence of this gram exists
+    val dup = occ
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("doc_id", "p")))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("p").as("s"), (col("p") + (k - 1)).as("e"))
+    // coalesce overlapping/adjacent marks into maximal islands:
+    // running max of prior span ends; a gap strictly wider than 0
+    // starts a new island (s is strictly increasing per doc — one
+    // occurrence per position)
+    val ord = Window.partitionBy("doc_id").orderBy("s")
+    val spans = dup
+      .withColumn("run", max("e").over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw", when(col("run").isNull || col("s") > col("run") + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum("nw").over(ord))
+      .groupBy("doc_id", "isl")
+      .agg(min("s").as("ss"), max("e").as("se"))
+    // kept segments = complement of the merged spans inside [1, len]:
+    // the gap before each span, the tail after the last span, and the
+    // whole doc when no span marked it
+    val gapsBefore = spans
+      .withColumn("gs", coalesce(lag("se", 1).over(
+        Window.partitionBy("doc_id").orderBy("ss")), lit(0L)) + 1)
+      .select(col("doc_id"), col("gs"), (col("ss") - 1).as("ge"))
+    val tails = spans.groupBy("doc_id").agg(max("se").as("mx"))
+      .join(dd.select("doc_id", "len"), "doc_id")
+      .select(col("doc_id"), (col("mx") + 1).as("gs"), col("len").cast("long").as("ge"))
+    val untouched = dd.join(spans.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("gs"), col("len").cast("long").as("ge"))
+    val segs = gapsBefore.unionByName(tails).unionByName(untouched)
+      .filter(col("ge") >= col("gs"))
+      .join(dd.select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("gs"),
+        expr("substring(text, CAST(gs AS INT), CAST(ge - gs + 1 AS INT))").as("seg"))
+    val cleaned = segs.groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(gs, seg))), x -> x.seg), '')")
+        .as("ct"))
+    val stats = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("se") - col("ss") + 1).as("removed"))
+    dd.select("doc_id")
+      .join(cleaned, Seq("doc_id"), "left").join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("removed"), lit(0L)).as("chars_removed"),
+        length(coalesce(col("ct"), lit(""))).cast("long").as("clean_len"),
+        md5(coalesce(col("ct"), lit("")).cast("binary")).as("clean_md5"))
+  }
+
   /** Paragraph-granularity exact dedup (the CCNet recipe, Wenzek et
     * al. 2020: dedup at paragraph level BEFORE document-level
     * filtering — boilerplate headers/footers repeat across pages that

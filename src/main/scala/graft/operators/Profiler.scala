@@ -44,4 +44,30 @@ object Profiler {
     }
     wide.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Join-key skew profile: the planning read a 100-TB join runs
+    * BEFORE choosing its strategy (salt? AQE skew-join? broadcast?).
+    * Top-`topN` heaviest keys of `keyCol` with exact-integer share
+    * (basis points of all rows) and skew factor (×100 of the mean
+    * per-key count) — q30's salting threshold and the AQE
+    * skewedPartitionFactor both key off exactly this ratio.
+    *
+    * Scale shape: one map-side-combined groupBy on the key, then a
+    * distributed TakeOrdered for the top-N — deliberately NOT a
+    * global row_number window, which would funnel every distinct key
+    * through one task; the rank window runs over the `topN` surviving
+    * rows only. The 1-row global aggregate joins in by broadcast.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val cnts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val glob = cnts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    val top = cnts.orderBy(desc("cnt"), asc("key")).limit(topN)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("cnt"), asc("key"))))
+      .crossJoin(broadcast(glob))
+      .select(col("key"), col("cnt"), col("rank"),
+        expr("cnt * 10000 div total").as("share_bp"),
+        expr("cnt * 100 * n_keys div total").as("skew_x100"))
+  }
 }

@@ -1158,6 +1158,65 @@ object PipelineQueries {
               |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("s11_knn_graph",
+      // Graph-refined ANN (round 7) — the GRAPH-index tier the
+      // IVF/LSH/PQ lineup lacked: an approximate corpus kNN graph
+      // (top-5 cosine neighbors among LSH bucket-mates) refines each
+      // query's bucket-probe candidates by ONE
+      // neighbor-of-a-neighbor hop before the exact rerank — the
+      // HNSW/NN-Descent reachability principle as joins
+      // (Similarity.knnGraph). Deterministic end-to-end, so the
+      // oracle replays planes, buckets, the graph, the expansion,
+      // and the rerank bit-for-bit; the recall-⊇-s2 claim is
+      // spec-pinned separately.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnGraph(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, m = 5).orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $cosSql,
+              |comp AS (SELECT t, p, i,
+              |    ((strpos('0123456789abcdef',
+              |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
+              |      - 7.5) / 8 AS c
+              |  FROM (SELECT unnest(generate_series(0, 3)) AS t) ts,
+              |       (SELECT unnest(generate_series(0, 7)) AS p) ps,
+              |       (SELECT unnest(generate_series(0, 63)) AS i) is1),
+              |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
+              |sb AS (SELECT ce.vec_id, planes.t,
+              |    CASE WHEN list_dot_product(ce.v, planes.pl) >= 0
+              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+              |  FROM ce, planes),
+              |bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sb GROUP BY 1, 2),
+              |cpair AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS nb
+              |  FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+              |  WHERE x.vec_id <> y.vec_id),
+              |gsc AS (SELECT src, nb,
+              |    list_dot_product(sv.v, nv.v)
+              |      / (sqrt(list_dot_product(sv.v, sv.v)) * sqrt(list_dot_product(nv.v, nv.v))) AS gcos
+              |  FROM cpair JOIN ce sv ON sv.vec_id = src JOIN ce nv ON nv.vec_id = nb),
+              |graph AS (SELECT src, nb FROM (
+              |    SELECT src, nb,
+              |      row_number() OVER (PARTITION BY src ORDER BY gcos DESC, nb) AS grk
+              |    FROM gsc) WHERE grk <= 5),
+              |seeds AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+              |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+              |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+              |expd AS (SELECT DISTINCT qid, cid FROM (
+              |    SELECT qid, cid FROM seeds
+              |    UNION ALL
+              |    SELECT s.qid, g.nb AS cid FROM seeds s JOIN graph g ON g.src = s.cid)
+              |  WHERE qid <> cid),
+              |sc AS (SELECT qid, cid,
+              |    list_dot_product(qv.v, cv.v)
+              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM expd JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |r AS (SELECT qid, cid, cos,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("t13_code_prose",
       // Code-vs-prose classification by character-class composition —
       // the standard cheap filter a training-data pipeline runs
@@ -1695,6 +1754,66 @@ object PipelineQueries {
              |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |  CAST(sum(CASE WHEN rn = 1 THEN length(para) ELSE 0 END) AS BIGINT) AS kept_chars
              |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("d18_span_dedup",
+      // Exact-substring SPAN removal (Lee et al. 2022's ExactSubstr
+      // policy, round 7): non-first occurrences of every 40-gram mark
+      // their span, marks coalesce into maximal islands, islands are
+      // cut out and the remainder stitched back in position order.
+      // Linear in corpus chars — one gram-keyed exchange + per-doc
+      // windows; no pair enumeration however duplicated the corpus
+      // (Dedup.spanDedup). The oracle replays gram marking, island
+      // coalescing, complement segments, AND the cleaned-text md5 —
+      // the reconstruction is verified byte-for-byte, not just the
+      // counts.
+      (s, d) => Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text", k = 40)
+        .orderBy("doc_id"),
+      Some("""WITH dd AS (SELECT doc_id, text, length(text) AS len FROM documents),
+             |occ AS (SELECT doc_id, text,
+             |    unnest(generate_series(1, len - 39)) AS p
+             |  FROM dd WHERE len >= 40),
+             |mk AS (SELECT doc_id, p,
+             |    row_number() OVER (PARTITION BY substr(text, p, 40)
+             |      ORDER BY doc_id, p) AS rn FROM occ),
+             |dup AS (SELECT doc_id, p AS s, p + 39 AS e FROM mk WHERE rn > 1),
+             |run AS (SELECT doc_id, s, e,
+             |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run
+             |  FROM dup),
+             |num AS (SELECT doc_id, s, e,
+             |    sum(CASE WHEN run IS NULL OR s > run + 1 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM run),
+             |spans AS (SELECT doc_id, isl, min(s) AS ss, max(e) AS se
+             |  FROM num GROUP BY 1, 2),
+             |gaps AS (
+             |  SELECT doc_id,
+             |      coalesce(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 0) + 1 AS gs,
+             |      ss - 1 AS ge
+             |    FROM spans
+             |  UNION ALL
+             |  SELECT sp.doc_id, max(sp.se) + 1 AS gs, dd.len AS ge
+             |    FROM spans sp JOIN dd ON dd.doc_id = sp.doc_id
+             |    GROUP BY sp.doc_id, dd.len
+             |  UNION ALL
+             |  SELECT doc_id, 1 AS gs, len AS ge FROM dd
+             |    WHERE doc_id NOT IN (SELECT doc_id FROM spans)),
+             |segs AS (SELECT g.doc_id, g.gs,
+             |    substr(dd.text, CAST(g.gs AS INT), CAST(g.ge - g.gs + 1 AS INT)) AS seg
+             |  FROM gaps g JOIN dd ON dd.doc_id = g.doc_id WHERE g.ge >= g.gs),
+             |cleaned AS (SELECT doc_id,
+             |    coalesce(string_agg(seg, '' ORDER BY gs), '') AS ct
+             |  FROM segs GROUP BY 1),
+             |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+             |    CAST(sum(se - ss + 1) AS BIGINT) AS chars_removed
+             |  FROM spans GROUP BY 1)
+             |SELECT dd.doc_id,
+             |  coalesce(st.n_dup_spans, 0) AS n_dup_spans,
+             |  coalesce(st.chars_removed, 0) AS chars_removed,
+             |  CAST(length(coalesce(c.ct, '')) AS BIGINT) AS clean_len,
+             |  md5(coalesce(c.ct, '')) AS clean_md5
+             |FROM dd LEFT JOIN cleaned c ON c.doc_id = dd.doc_id
+             |        LEFT JOIN stats st ON st.doc_id = dd.doc_id
+             |ORDER BY dd.doc_id""".stripMargin)),
 
     Q("t16_char_entropy",
       // Character-level Shannon entropy (gibberish/boilerplate

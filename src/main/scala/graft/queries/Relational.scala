@@ -1797,6 +1797,29 @@ object Relational {
              |  FROM lineitem)
              |ORDER BY rule""".stripMargin)),
 
+    Q("prof4_join_skew",
+      // Join-key skew profile (round 7) — the read a 100-TB join
+      // planner runs before choosing salt counts / AQE skew
+      // thresholds / broadcast sides: top-10 heaviest l_partkey
+      // values with exact-integer row share (bp) and skew factor
+      // (×100 of the mean per-key count). One map-side-combined
+      // groupBy + a distributed TakeOrdered — deliberately NO global
+      // row_number over all distinct keys (Profiler.keySkew).
+      (s, d) => graft.operators.Profiler.keySkew(
+          Tables.lineitem(s, d), "l_partkey", topN = 10)
+        .orderBy("rank"),
+      Some("""WITH c AS (SELECT l_partkey AS key, count(*) AS cnt
+             |    FROM lineitem GROUP BY 1),
+             |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             |    CAST(count(*) AS BIGINT) AS n_keys FROM c),
+             |t AS (SELECT key, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, key) AS rank FROM c)
+             |SELECT t.key, CAST(t.cnt AS BIGINT) AS cnt,
+             |  CAST(t.rank AS INT) AS rank,
+             |  t.cnt * 10000 // g.total AS share_bp,
+             |  t.cnt * 100 * g.n_keys // g.total AS skew_x100
+             |FROM t, g WHERE t.rank <= 10 ORDER BY t.rank""".stripMargin)),
+
     Q("q69_cumulative_reach",
       // Monotone reach curve — cumulative distinct users ever seen,
       // by hour: distinct-over-a-GROWING-range collapses to "first

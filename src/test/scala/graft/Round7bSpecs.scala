@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Round-7 exact-substring span dedup (Lee et al. 2022 ExactSubstr):
+  * the cleaned-text reconstruction is checked byte-for-byte against an
+  * independent single-machine reference, and the span policy is pinned
+  * on hand-built corpora where the right answer is countable.
+  */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 40
+
+  /** Independent reference: scan occurrences in (doc, pos) order,
+    * keep the first of each gram, merge marked intervals, cut. */
+  private def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val first = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    val marks = scala.collection.mutable.Map.empty[Long, List[(Int, Int)]]
+    for ((id, t) <- docs.sortBy(_._1); p <- 1 to t.length - k + 1) {
+      val g = t.substring(p - 1, p - 1 + k)
+      if (first.contains(g)) marks(id) = (p, p + k - 1) :: marks.getOrElse(id, Nil)
+      else first(g) = (id, p)
+    }
+    docs.map { case (id, t) =>
+      val merged = marks.getOrElse(id, Nil).sortBy(_._1)
+        .foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, (s, e)) if s <= e0 + 1 => (s0, math.max(e0, e)) :: rest
+          case (acc, iv) => iv :: acc
+        }.reverse
+      val removed = merged.map { case (s, e) => e - s + 1 }.sum
+      val keptRanges = {
+        val b = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+        var cur = 1
+        for ((s, e) <- merged) { if (s - 1 >= cur) b += ((cur, s - 1)); cur = e + 1 }
+        if (t.length >= cur) b += ((cur, t.length))
+        b.toList
+      }
+      val clean = keptRanges.map { case (s, e) => t.substring(s - 1, e) }.mkString
+      id -> ((merged.size.toLong, removed.toLong, clean))
+    }.toMap
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def run(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, String)] =
+    Dedup.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+
+  // 60 distinct chars — no internal 40-gram repeats, so the shared
+  // window is EXACTLY the block when the surrounding chars differ
+  private val block60 =
+    ('a' to 'z').mkString + ('0' to '9').mkString + ('A' to 'X').mkString
+
+  test("a block repeated across documents is cut from the later doc only") {
+    val docs = Seq(1L -> ("aaaX" + block60 + "Yone"),
+                   2L -> ("zzzQ" + block60 + "Wtwo"))
+    val out = run(docs)
+    assert(out(1L) == ((0L, 0L, docs.head._2.length.toLong, md5hex(docs.head._2))))
+    val (n, rem, len, dig) = out(2L)
+    assert(n == 1L && rem == 60L)
+    assert(len == docs(1)._2.length - 60)
+    assert(dig == md5hex("zzzQ" + "Wtwo"))
+  }
+
+  test("an exact clone cleans to the empty string") {
+    val t = "The quick brown fox jumps over the lazy dog, twice over." // > k chars
+    val out = run(Seq(1L -> t, 2L -> t))
+    assert(out(1L)._1 == 0L)
+    assert(out(2L) == ((1L, t.length.toLong, 0L, md5hex(""))))
+  }
+
+  test("documents shorter than k pass through untouched") {
+    val out = run(Seq(1L -> "short doc", 2L -> "short doc"))
+    assert(out(1L) == ((0L, 0L, 9L, md5hex("short doc"))))
+    assert(out(2L) == ((0L, 0L, 9L, md5hex("short doc"))))
+  }
+
+  test("within-document repetition removes the later copy") {
+    // non-self-repetitive 50-char block: a run like "R"*50 would mark
+    // its OWN interior grams as duplicates (p+1.. repeat p) — which
+    // is correct ExactSubstr behavior, but not what this test pins
+    val block = block60.take(50)
+    val t = "head%" + block + "=middle=" + block + "#tail"
+    val out = run(Seq(7L -> t))
+    val (n, rem, _, dig) = out(7L)
+    assert(n == 1L && rem == 50L)
+    assert(dig == md5hex("head%" + block + "=middle=" + "#tail"))
+  }
+
+  test("matches the independent reference on the sf0.001 documents") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val ref = reference(docs)
+    val out = run(docs)
+    assert(out.keySet == ref.keySet)
+    for ((id, (n, rem, len, dig)) <- out) {
+      val (rn, rrem, rclean) = ref(id)
+      assert(n == rn, s"doc $id spans: $n vs $rn")
+      assert(rem == rrem, s"doc $id removed: $rem vs $rrem")
+      assert(len == rclean.length.toLong, s"doc $id clean_len")
+      assert(dig == md5hex(rclean), s"doc $id clean_md5")
+    }
+  }
+}
+
+/** Round-7 graph-refined ANN: one neighbor-of-a-neighbor hop through
+  * an LSH-built corpus kNN graph must be a RECALL SUPERSET of the
+  * plain bucket probe, and can only move results toward the brute
+  * truth. */
+class KnnGraphSpec extends SparkSpec {
+
+  private def recallVsBrute(res: org.apache.spark.sql.DataFrame,
+                            brute: org.apache.spark.sql.DataFrame): Double = {
+    val hits = res.select("query_id", "neighbor_id")
+      .join(brute.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+      .count()
+    hits.toDouble / brute.count().toDouble
+  }
+
+  test("one graph hop is a recall superset of the plain LSH probe") {
+    // sf0.01 (2,000 vectors): sf0.001's ~200 near-orthogonal random
+    // vectors rarely share buckets at all, so recall there measures
+    // the corpus, not the operator
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(e, q, "vec_id", "embedding", k = 10)
+    val lsh = Similarity.knnLsh(e, q, "vec_id", "embedding", k = 10)
+    val graph = Similarity.knnGraph(e, q, "vec_id", "embedding", k = 10, m = 5)
+    val rLsh = recallVsBrute(lsh, brute)
+    val rGraph = recallVsBrute(graph, brute)
+    assert(rGraph >= rLsh, s"graph hop lost recall: $rGraph < $rLsh (lsh=$rLsh graph=$rGraph)")
+    // the driver corpus is RANDOM 64-d vectors — near-orthogonal,
+    // cluster-free, the hardest case for any ANN index — so absolute
+    // recall is low for every tier (s2 measures 0.06 here); the
+    // operator claim is the graph hop's strict improvement (measured
+    // 2×: 0.06 → 0.12), deterministic on this fixed corpus
+    assert(rGraph > rLsh, s"graph hop should strictly improve on this corpus: lsh=$rLsh graph=$rGraph")
+  }
+
+  test("per-query candidate sets strictly contain the LSH candidates") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 3)
+    val lsh = Similarity.knnLsh(e, q, "vec_id", "embedding", k = 200)
+    val graph = Similarity.knnGraph(e, q, "vec_id", "embedding", k = 200, m = 5)
+    // with k far above the candidate count both return their full
+    // candidate sets; the graph set must contain every LSH candidate
+    val missing = lsh.select("query_id", "neighbor_id")
+      .join(graph.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti").count()
+    assert(missing == 0L)
+  }
+}
