@@ -856,4 +856,71 @@ object GraphOps {
     val leftover = active.select(col("node"), lit(-1L).as("scc"))
     (leftover :: parts).reduce(_.unionByName(_))
   }
+
+  /** Borůvka minimum spanning forest over a weighted undirected graph
+    * (src, dst, w) — the distributed-native MST algorithm (each
+    * component picks its lightest outgoing edge simultaneously, so a
+    * round is two hash joins + one aggregate, and components at least
+    * halve per round → O(log V) rounds; Prim/Kruskal's sequential
+    * edge orderings have no shuffle-friendly form). Ties are broken
+    * by the TOTAL order (w, a, b): under a total edge order the MSF
+    * is unique and no round can select a cycle (a cycle would need
+    * two distinct minimal edges between the same components), so the
+    * output is deterministic on any engine with no RNG and no
+    * sequential dependence.
+    *
+    * Multi-edges collapse to their min weight up front; each round
+    * relabels the ORIGINAL canonical edge list against the current
+    * component labels (two joins over E), selects per-component min
+    * edges, and merges via [[connectedComponents]] over the selected
+    * component graph — a graph with at most one edge per component,
+    * geometrically shrinking. Returns the forest as canonical
+    * (a < b, w) rows; `|rows| = |V| − |components|`.
+    */
+  def boruvkaMsf(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
+    val canon = Ckpt.cutLight(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), col("w"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(min("w").as("w")))
+    val empty = canon.filter(lit(false)).select("a", "b", "w")
+    var labels = Ckpt.cut(
+      vertices(canon.select(col("a").as("src"), col("b").as("dst")))
+        .select(col("node"), col("node").as("lbl")))
+    var msf = List.empty[DataFrame]
+    var round = 0
+    var live = true
+    while (live && round < maxRounds) {
+      round += 1
+      val rel = canon
+        .join(labels.select(col("node").as("a"), col("lbl").as("ca")), Seq("a"))
+        .join(labels.select(col("node").as("b"), col("lbl").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+      val inc = rel.select(col("ca").as("comp"), col("w"), col("a"), col("b"),
+          col("ca"), col("cb"))
+        .unionByName(rel.select(col("cb").as("comp"), col("w"), col("a"), col("b"),
+          col("ca"), col("cb")))
+      // per-component lightest edge under the (w, a, b) total order;
+      // distinct because the one shared min edge is picked from both sides
+      val sel = Ckpt.cut(inc.groupBy("comp")
+        .agg(min(struct(col("w"), col("a"), col("b"), col("ca"), col("cb"))).as("m"))
+        .select(col("m.w").as("w"), col("m.a").as("a"), col("m.b").as("b"),
+          col("m.ca").as("ca"), col("m.cb").as("cb"))
+        .distinct())
+      if (sel.isEmpty) { live = false; Ckpt.release(sel) }
+      else {
+        msf ::= sel.select("a", "b", "w")
+        val merge = connectedComponents(
+          sel.select(col("ca").as("src"), col("cb").as("dst")))
+        val prev = labels
+        labels = Ckpt.cut(labels
+          .join(merge.select(col("node").as("lbl"), col("component").as("nl")),
+            Seq("lbl"), "left")
+          .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl")))
+        Ckpt.release(prev)
+      }
+    }
+    Ckpt.release(labels)
+    if (msf.isEmpty) empty else msf.reduce(_.unionByName(_))
+  }
 }

@@ -48,6 +48,35 @@ object Relational {
              |CAST(count(*) AS BIGINT) AS cnt
              |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
+    Q("q1b_agg_cents",
+      // q1's pricing summary in EXACT INTEGER cents (round 7) — the
+      // formulation that stays bit-identical at ANY scale: the 100×
+      // sweep showed q1's double SUMs drift in the last rounded cent
+      // at 60M addends (order-of-accumulation), the known limit of
+      // float aggregation; per-row integer quantization before the
+      // sum removes the float entirely (q70's revenue pattern).
+      // disc_price sums price_cents × (100−disc_pct) — exact ×10⁴
+      // units; avg as integer basis points of a unit.
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(expr("CAST(round(l_quantity*100) AS BIGINT)")).as("sum_qty_x100"),
+          sum(expr("CAST(round(l_extendedprice*100) AS BIGINT)")).as("sum_base_cents"),
+          sum(expr("CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round((1-l_discount)*100) AS BIGINT)"))
+            .as("sum_disc_x10000"),
+          count(lit(1)).as("cnt"))
+        .withColumn("avg_qty_bp", expr("sum_qty_x100 * 100 div cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+             |CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             |CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             |  * CAST(round((1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_x10000,
+             |CAST(count(*) AS BIGINT) AS cnt,
+             |CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) * 100
+             |  // CAST(count(*) AS BIGINT) AS avg_qty_bp
+             |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
     Q("q2_filter_project",
       (s, d) => Tables.part(s, d)
         .filter(col("p_size").between(10, 20) && col("p_type").isin("SMALL", "PROMO"))

@@ -150,6 +150,41 @@ object StreamingOps {
     left.withWatermark(lTsCol, lWatermark)
       .join(right.withWatermark(rTsCol, rWatermark), cond)
 
+  /** Streaming AS-OF join (q25's batch semantics on live streams —
+    * the quote-at-order-time enrichment every trading/telemetry
+    * pipeline runs): for each left event, the LATEST right event with
+    * the same key at or before the left's event time, within
+    * `tolerance`. Two CHAINED stateful operators — the
+    * multiple-stateful-operator pattern Structured Streaming supports
+    * natively: a watermarked time-interval join bounds the candidate
+    * set (join state evicted as the watermark passes the interval),
+    * then a watermarked group-by on the left event collapses
+    * candidates to the max-event-time right row (ties to the larger
+    * value — struct-max, deterministic). Append mode: each enriched
+    * left event emits exactly once, when the watermark closes its
+    * group. Left events with no right match inside the window emit
+    * nothing (inner as-of).
+    *
+    * Scale shape: state per key is the watermark-bounded slice of
+    * both streams — tolerance × event rate, independent of stream
+    * lifetime; the exchange is the same key-partitioned shuffle the
+    * batch as-of uses, applied incrementally.
+    */
+  def asofJoinStream(left: DataFrame, lTs: String, lKey: String,
+                     right: DataFrame, rTs: String, rKey: String, rVal: String,
+                     tolerance: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(lTs, watermark)
+    val r = right.withWatermark(rTs, watermark)
+    val cond = col(lKey) === col(rKey) &&
+      col(rTs) <= col(lTs) &&
+      col(rTs) >= col(lTs) - expr(s"INTERVAL $tolerance")
+    l.join(r, cond)
+      .groupBy(col(lTs), col(lKey))
+      .agg(max(struct(col(rTs).as("mts"), col(rVal).as("mval"))).as("m"))
+      .select(col(lTs), col(lKey),
+        col("m.mts").as("asof_ts"), col("m.mval").as("asof_value"))
+  }
+
   /** Native session-window streaming aggregation: Spark's
     * `session_window` builds dynamic-gap windows in the state store
     * itself (merging as events arrive, closing when the watermark

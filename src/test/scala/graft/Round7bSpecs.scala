@@ -110,6 +110,102 @@ class SpanDedupSpec extends SparkSpec {
   }
 }
 
+/** Round-7 Borůvka minimum spanning forest: under the (w, a, b) total
+  * edge order the MSF is unique, so the distributed rounds must
+  * reproduce a sequential Kruskal exactly — edge set, not just
+  * weight. */
+class BoruvkaMsfSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.graph.GraphOps
+
+  /** Kruskal with union-find under the same (w, a, b) total order. */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val canon = edges.map { case (s, d, w) => (math.min(s, d), math.max(s, d), w) }
+      .filter(e => e._1 != e._2)
+      .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+    canon.sortBy { case (a, b, w) => (w, a, b) }.flatMap { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+    }.toSet
+  }
+
+  // deterministic pseudo-random graph: 60 nodes, ~150 edges, distinct-ish weights
+  private val g: Seq[(Long, Long, Long)] = (for (i <- 0 until 150) yield {
+    val s = (i * 37 + 11) % 60L
+    val d = (i * 53 + 29) % 60L
+    (s, d, ((i * 97 + 13) % 1000).toLong * 151 + i)  // all weights distinct
+  }).filter(e => e._1 != e._2)
+
+  test("distributed rounds reproduce sequential Kruskal exactly") {
+    val out = GraphOps.boruvkaMsf(g.toDF("src", "dst", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == kruskal(g))
+  }
+
+  test("forest invariant: |msf| = |V| - |components| and total weight matches") {
+    val df = g.toDF("src", "dst", "w")
+    val out = GraphOps.boruvkaMsf(df).as[(Long, Long, Long)].collect().toSet
+    val nodes = g.flatMap(e => Seq(e._1, e._2)).distinct.size
+    val nComp = GraphOps.connectedComponents(df.select("src", "dst"))
+      .select("component").distinct().count()
+    assert(out.size == nodes - nComp)
+    assert(out.toSeq.map(_._3).sum == kruskal(g).toSeq.map(_._3).sum)
+  }
+
+  test("a disconnected graph yields one tree per component") {
+    val two = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 9L), // triangle
+                  (10L, 11L, 2L))                            // separate pair
+    val out = GraphOps.boruvkaMsf(two.toDF("src", "dst", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 3L, 1L), (1L, 2L, 5L), (10L, 11L, 2L)))
+  }
+}
+
+/** Round-7 streaming as-of join: chained stateful operators (interval
+  * join → watermarked collapse) reproduce the batch as-of semantics
+  * incrementally. */
+class AsofJoinStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.StreamingOps
+
+  private def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("each left event picks the latest right row at-or-before it within tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    val ord = MemoryStream[(java.sql.Timestamp, Long)]
+    val quo = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val orders = ord.toDF().toDF("ots", "sym")
+    val quotes = quo.toDF().toDF("qts", "qsym", "px")
+    val out = StreamingOps.asofJoinStream(
+      orders, "ots", "sym", quotes, "qts", "qsym", "px",
+      tolerance = "5 minutes", watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("asj")
+      .outputMode("append").start()
+    // sym 7: quotes at t1 (10.0) and t3 (11.0); order at t4 → t3's 11.0.
+    // sym 8: only quote is 6 min before the order — outside tolerance.
+    quo.addData((t(1), 7L, 10.0), (t(3), 7L, 11.0), (t(2), 8L, 20.0))
+    ord.addData((t(4), 7L), (t(8), 8L))
+    q.processAllAvailable()
+    // push both watermarks far past the groups so the collapse emits
+    quo.addData((t(55), 9L, 0.0)); ord.addData((t(55), 9L))
+    q.processAllAvailable()
+    quo.addData((t(58), 9L, 0.0)); ord.addData((t(58), 9L))
+    q.processAllAvailable()
+    val rows = spark.table("asj")
+      .select("ots", "sym", "asof_ts", "asof_value")
+      .as[(java.sql.Timestamp, Long, java.sql.Timestamp, Double)]
+      .collect().toSet.filter(_._2 < 9L)
+    q.stop()
+    assert(rows == Set((t(4), 7L, t(3), 11.0)))
+  }
+}
+
 /** Round-7 graph-refined ANN: one neighbor-of-a-neighbor hop through
   * an LSH-built corpus kNN graph must be a RECALL SUPERSET of the
   * plain bucket probe, and can only move results toward the brute
