@@ -146,6 +146,42 @@ object Corpus {
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** The 100-TB tier of [[decontaminate]]: a BLOOM FILTER of the
+    * benchmark n-grams replaces the broadcast gram set — a 10⁹-gram
+    * eval suite costs ~1.8 GB of raw strings to broadcast but ~1.7 GB
+    * of Bloom bits at fpp=1e-3 scales to ~2 bytes/gram REGARDLESS of
+    * gram length, and fpp=1e-2 to ~1.2 bytes (the published
+    * big-corpus decontamination setups all probe a sketch, not a
+    * set). Guarantees: NO false negatives — every doc [[decontaminate]]
+    * flags is flagged here with n_flagged ≥ n_contaminated; false
+    * positives add spurious flags at ≤ fpp per distinct corpus gram
+    * (spec-bounded). Deterministic: Spark's BloomFilter inserts are
+    * bit-ORs, so the filter is a pure function of the gram SET —
+    * order- and retry-independent.
+    *
+    * The probe is a Scala UDF over the broadcast filter — justified
+    * like the minhash permutation loop: no builtin expression probes
+    * a Bloom sketch, and the UDF is a pure in-memory bit test.
+    */
+  def decontaminateBloom(df: DataFrame, idCol: String, textCol: String,
+                         isTest: Column, n: Int, fpp: Double = 0.001): DataFrame = {
+    require(n >= 1, "n-gram order must be positive")
+    val grams = df.select(col(idCol).as("doc_id"), isTest.as("__is_test"),
+        expr(toks(textCol)).as("toks"))
+      .select(col("doc_id"), col("__is_test"), explode(expr(
+        s"""CASE WHEN size(toks) >= $n
+           |  THEN transform(sequence(1, size(toks) - ${n - 1}),
+           |                 i -> array_join(slice(toks, i, $n), ' '))
+           |  ELSE array() END""".stripMargin)).as("gram"))
+    val test = grams.filter(col("__is_test")).select("gram").distinct()
+    val bloom = test.stat.bloomFilter("gram", test.count().max(1L), fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((g: String) => g != null && bc.value.mightContainString(g))
+    grams.filter(!col("__is_test")).select("doc_id", "gram").distinct()
+      .filter(might(col("gram")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+  }
+
   /** The composed model-ready export: tokenize → dictionary-encode
     * (token id = frequency rank, the classic vocab ordering) →
     * per-document id sequence in position order → concatenated-stream

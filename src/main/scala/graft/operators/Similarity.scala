@@ -400,6 +400,44 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): embedding-level
+    * semantic dedup INSIDE coarse clusters — the published recipe
+    * k-means-partitions the corpus, then removes all but one of each
+    * group of semantically near-identical points within a cluster,
+    * never comparing across clusters. Here the cells are [[knnIvf]]'s
+    * deterministic IVF assignment (lloydIters=0 keeps every stage an
+    * expression tree the SQL oracle replays bit-for-bit), and the
+    * survivor rule is min-id-greedy: a vector is a duplicate iff a
+    * SMALLER-id vector in its cell has cosine ≥ `threshold` — one
+    * pass, deterministic, no iterative clustering in the keep
+    * decision. Returns one row per corpus vector: (vec_id, cell,
+    * n_dup_smaller, kept).
+    *
+    * Scale shape: the pair join is cell-local (cells are the
+    * data-partitioned unit, degenerate cells capped at `maxCell` via
+    * the standard guard), output is O(n) rows — never a pair list;
+    * the published pipeline's k-means refinement slots in by raising
+    * `lloydIters` (spec-tested like s3b, not oracle-replayable).
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nCells: Int = 16, lloydIters: Int = 0,
+               maxCell: Int = 65536): DataFrame = {
+    val (cells, _) = ivfCells(corpus, corpus.limit(1), idCol, vecCol,
+      nCells, nProbe = 1, lloydIters = lloydIters)
+    val b = Dedup.capBuckets(cells, Seq("cell"), "cid", maxCell)
+    val dups = b.as("x").join(b.as("y"),
+        col("x.cell") === col("y.cell") && col("y.cid") < col("x.cid"))
+      .filter(dot("x.cv", "y.cv") / (col("x.cn") * col("y.cn")) >= threshold)
+      .groupBy(col("x.cid").as("cid"))
+      .agg(count(lit(1)).as("n_dup_smaller"))
+    cells.select("cid", "cell")
+      .join(dups, Seq("cid"), "left")
+      .select(col("cid").as("vec_id"), col("cell").cast("long").as("cell"),
+        coalesce(col("n_dup_smaller"), lit(0L)).as("n_dup_smaller"),
+        when(col("n_dup_smaller").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   /** IVF-PQ — the standard public FAISS-style composition and the
     * layout a 100-TB vector store actually deploys: coarse IVF cells
     * bound the candidate set (queries probe `nProbe` cells), PQ codes

@@ -1815,6 +1815,38 @@ object PipelineQueries {
              |        LEFT JOIN stats st ON st.doc_id = dd.doc_id
              |ORDER BY dd.doc_id""".stripMargin)),
 
+    Q("d19_semdedup",
+      // SemDeDup (round 7; Abbas et al. 2023): semantic dedup INSIDE
+      // deterministic IVF cells — duplicates = cosine ≥ 0.4 to a
+      // smaller-id cellmate, survivors keep per-vector counts; O(n)
+      // output, cell-local pair join, capped degenerate cells
+      // (Similarity.semDedup). lloydIters=0 keeps the cell assignment
+      // an expression tree, so the oracle composes s3's cell CTEs
+      // with the d5 pair predicate bit-for-bit.
+      (s, d) => Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4).orderBy("vec_id"),
+      Some(s"""WITH $cosSql,
+              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS scv
+              |  FROM (SELECT * FROM ce ORDER BY vec_id LIMIT 16)),
+              |ad AS (SELECT ce.vec_id, seeds.cell,
+              |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.scv)
+              |      + list_dot_product(seeds.scv, seeds.scv) AS dist
+              |  FROM ce, seeds),
+              |crk AS (SELECT vec_id, cell,
+              |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
+              |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
+              |p AS (SELECT a.cid AS cid, CAST(count(*) AS BIGINT) AS nds
+              |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND b.cid < a.cid
+              |  JOIN ce av ON av.vec_id = a.cid JOIN ce bv ON bv.vec_id = b.cid
+              |  WHERE list_dot_product(av.v, bv.v)
+              |    / (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) >= 0.4
+              |  GROUP BY 1)
+              |SELECT c.cid AS vec_id, CAST(c.cell AS BIGINT) AS cell,
+              |  coalesce(p.nds, 0) AS n_dup_smaller,
+              |  CAST(CASE WHEN p.cid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+              |FROM corpus c LEFT JOIN p ON p.cid = c.cid
+              |ORDER BY vec_id""".stripMargin)),
+
     Q("t16_char_entropy",
       // Character-level Shannon entropy (gibberish/boilerplate
       // signal), computed per row with codegen HOFs — narrow plan, no

@@ -61,4 +61,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("vec_dot"), plan.take(3000))
     assert(!plan.contains("aggregate(zip_with"), "interpreted HOF in hot path")
   }
+
+  test("d18 span dedup: no cartesian/pair join anywhere in the plan") {
+    val plan = executed(SparkEntry.queries("d18_span_dedup")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("d19/s11 pair generation is bucket-equi-joined, never nested-loop") {
+    for (q <- Seq("d19_semdedup", "s11_knn_graph")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(2000)}")
+      // the only nested-loop allowed is the broadcast of the 16-row
+      // centroid table (d19's assign stage); data-sized sides never
+      assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin")
+        || plan.contains("ShuffledHashJoin"), s"$q: ${plan.take(2000)}")
+    }
+  }
 }

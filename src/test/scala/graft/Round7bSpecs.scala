@@ -110,6 +110,76 @@ class SpanDedupSpec extends SparkSpec {
   }
 }
 
+/** Round-7 Bloom decontamination tier: the sketch probe must be a
+  * strict SUPERSET of the exact broadcast-set tier (no false
+  * negatives), with bounded spurious flags. */
+class DecontaminateBloomSpec extends SparkSpec {
+  import graft.operators.Corpus
+
+  test("bloom tier flags a superset of the exact tier, with per-doc counts >=") {
+    val docs = Tables.documents(spark, sfDir)
+    val isTest = col("doc_id") % 97 === 0
+    val exact = Corpus.decontaminate(docs, "doc_id", "text", isTest, 3)
+      .withColumnRenamed("n_contaminated", "ex")
+    val bloom = Corpus.decontaminateBloom(docs, "doc_id", "text", isTest, 3, fpp = 0.001)
+      .withColumnRenamed("n_flagged", "bl")
+    // every exactly-contaminated doc present with count >= exact count
+    val underflow = exact.join(bloom, Seq("doc_id"), "left")
+      .filter(col("bl").isNull || col("bl") < col("ex")).count()
+    assert(underflow == 0L, "bloom tier lost a true contamination — impossible for a Bloom filter")
+    // spurious docs bounded: fpp=1e-3 over the corpus gram set
+    val spurious = bloom.join(exact, Seq("doc_id"), "left_anti").count()
+    val corpusDocs = docs.filter(!isTest).count()
+    assert(spurious <= corpusDocs / 20 + 5, s"spurious flags out of bound: $spurious of $corpusDocs")
+  }
+
+  test("the filter is a pure function of the gram set (retry-deterministic)") {
+    val docs = Tables.documents(spark, sfDir)
+    val isTest = col("doc_id") % 97 === 0
+    def run() = Corpus.decontaminateBloom(docs, "doc_id", "text", isTest, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() == run())
+  }
+}
+
+/** Round-7 SemDeDup: the min-id-greedy survivor rule inside IVF cells
+  * must hold row-by-row, and an exact clone must always be dropped. */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.graftbridge.VectorFunctions.{vec_dot, vec_norm}
+
+  test("kept/dropped decisions match the rule re-derived from the output itself") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = Similarity.semDedup(e, "vec_id", "embedding", threshold = 0.4)
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val withVec = out.join(vecs, "vec_id")
+    val pairs = withVec.as("x").join(withVec.as("y"),
+        col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))
+      .filter(vec_dot(col("x.embedding"), col("y.embedding"))
+        / (vec_norm(col("x.embedding")) * vec_norm(col("y.embedding"))) >= 0.4)
+      .groupBy(col("x.vec_id").as("vec_id")).agg(count(lit(1)).as("n"))
+    val mismatches = out.join(pairs, Seq("vec_id"), "left")
+      .filter(coalesce(col("n"), lit(0L)) =!= col("n_dup_smaller") ||
+        (col("kept") === 1L) =!= coalesce(col("n"), lit(0L)).equalTo(0L))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("an exact clone is always dropped, its original kept") {
+    val e = Tables.embeddings(spark, sfDir)
+    val maxId = e.agg(max("vec_id")).as[Long].head()
+    val clone = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"))
+    val out = Similarity.semDedup(
+        e.select("vec_id", "embedding").unionByName(clone), "vec_id", "embedding",
+        threshold = 0.4)
+      .filter(col("vec_id").isin(0L, maxId + 1))
+      .select("vec_id", "kept").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 1L, "original must survive")
+    assert(out(maxId + 1) == 0L, "identical clone must be dropped")
+  }
+}
+
 /** Round-7 Borůvka minimum spanning forest: under the (w, a, b) total
   * edge order the MSF is unique, so the distributed rounds must
   * reproduce a sequential Kruskal exactly — edge set, not just
