@@ -90,13 +90,14 @@ object Multimodal {
     * and verification stay identical.
     */
   def perceptualHashPairs(df: DataFrame, idCol: String, binCol: String,
-                          maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+                          maxHamming: Int = 3, maxBucket: Int = 4096,
+                          codecs: Seq[MediaCodec] = Nil): DataFrame = {
     // empty payloads carry no perceptual content but would all hash to
     // ph=0 (all-zero featSums) and pair with each other at hamming 0 —
     // filter them out before hashing, mirroring the oracle's
     // non-empty-text derivation
-    val media = decode(df.filter(length(col(binCol)) > 0), idCol, binCol, nFeat = 60)
-      .toDF()
+    val media = decode(df.filter(length(col(binCol)) > 0), idCol, binCol, nFeat = 60,
+      codecs = codecs).toDF()
     val ph = media.select(col("id"),
         expr("aggregate(featSums, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("total"),
         col("featSums"))

@@ -1297,11 +1297,56 @@ object PipelineQueries {
       // popcount verify — image dedup plumbing with the stub codec;
       // a real decoder swaps in under the same banding/verify. The
       // oracle replays hash, bands, candidates, and verification.
+      // CONTRACT NOTE (d4's cap trade, measured at the 10× clone-
+      // heavy sweep): pigeonhole-completeness holds only while no
+      // band bucket exceeds maxBucket=4096 — there the cap dropped
+      // 612 of 399,147 true pairs (0.15%); cap disabled reproduces
+      // the oracle exactly. At driver SFs the cap never binds.
       (s, d) => Multimodal.perceptualHashPairs(
           Tables.documents(s, d)
             .select(col("doc_id"), col("text").cast("binary").as("payload")),
           "doc_id", "payload", maxHamming = 3)
         .orderBy("a", "b"),
+      Some("""WITH s AS (SELECT doc_id, (i - 1) % 60 AS j,
+             |    ascii(substr(text, CAST(i AS INT), 1)) AS v
+             |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+             |        FROM documents)),
+             |g AS (SELECT doc_id, j, CAST(sum(v) AS BIGINT) AS sj FROM s GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS tv FROM s GROUP BY 1),
+             |ph AS (SELECT g.doc_id,
+             |    CAST(sum(CASE WHEN sj * 60 > tv
+             |         THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS ph
+             |  FROM g JOIN tot ON tot.doc_id = g.doc_id GROUP BY 1),
+             |bd AS (SELECT doc_id, k, (ph >> (k*15)) & 32767 AS bh, ph
+             |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS k) ks),
+             |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.ph AS pa, y.ph AS pb
+             |  FROM bd x JOIN bd y ON x.k = y.k AND x.bh = y.bh AND x.doc_id < y.doc_id)
+             |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+             |ORDER BY a, b""".stripMargin)),
+
+    Q("m9_phash_real",
+      // m4's perceptual-hash dedup with a REAL CODEC IN THE LOOP
+      // (round 7): payloads round-trip through genuine PNG encode
+      // (Multimodal.encodeGrayPng) and javax.imageio decode before
+      // hashing. PNG losslessness + the BT.601 luma identity make the
+      // decoded positional group sums equal the raw byte sums, and
+      // the black row-padding contributes zero to every group — so
+      // the CORRECT result is byte-identical to m4's, and the oracle
+      // is m4's SQL verbatim: any decode defect (stride, color
+      // model, padding, truncation) breaks the hash and fails the
+      // compare. Empty docs pre-filtered (their PNG is a 1-pixel
+      // black image, not an empty payload — m4's emptiness guard
+      // must run on the SOURCE side here).
+      (s, d) => {
+        val payload = Tables.documents(s, d)
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val pngs = Multimodal.encodeGrayPng(payload, "doc_id", "payload", width = 32)
+        Multimodal.perceptualHashPairs(pngs, "id", "png", maxHamming = 3,
+            codecs = Seq(graft.operators.ImageIoCodec))
+          .orderBy("a", "b")
+      },
       Some("""WITH s AS (SELECT doc_id, (i - 1) % 60 AS j,
              |    ascii(substr(text, CAST(i AS INT), 1)) AS v
              |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
