@@ -737,11 +737,17 @@ object Dedup {
       .withColumn("p", explode(sequence(lit(1), col("len") - (k - 1))))
       .select(col("doc_id"), col("p"),
         expr(s"substring(text, p, $k)").as("g"))
-    // rn > 1 ⇔ an earlier (doc, pos) occurrence of this gram exists
-    val dup = occ
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("g").orderBy("doc_id", "p")))
-      .filter(col("rn") > 1)
+    // duplicate ⇔ an earlier (doc, pos) occurrence of this gram
+    // exists. Deliberately a groupBy-min + join back, NOT a
+    // row_number window over the gram: a hot gram (a whitespace run,
+    // a boilerplate line — guaranteed in a real corpus) would pin
+    // every one of its occurrences into ONE window task with no
+    // remedy, while the aggregate form partial-aggregates the hot
+    // key map-side and the join back is AQE-skew-splittable.
+    val firsts = occ.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("p"))).as("f"), count(lit(1)).as("n"))
+    val dup = occ.join(firsts.filter(col("n") > 1), Seq("g"))
+      .filter(struct(col("doc_id"), col("p")) =!= col("f"))
       .select(col("doc_id"), col("p").as("s"), (col("p") + (k - 1)).as("e"))
     // coalesce overlapping/adjacent marks into maximal islands:
     // running max of prior span ends; a gap strictly wider than 0
