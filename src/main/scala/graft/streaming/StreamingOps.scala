@@ -163,7 +163,10 @@ object StreamingOps {
     * value — struct-max, deterministic). Append mode: each enriched
     * left event emits exactly once, when the watermark closes its
     * group. Left events with no right match inside the window emit
-    * nothing (inner as-of).
+    * nothing (inner as-of). Left events IDENTICAL in (time, key)
+    * collapse to one output row — the group key is the left event's
+    * identity; carry a unique event id in `lKey` when exact
+    * multiplicity matters.
     *
     * Scale shape: state per key is the watermark-bounded slice of
     * both streams — tolerance × event rate, independent of stream
