@@ -810,6 +810,23 @@ object Relational {
              |  round(sum(o_totalprice), 2) AS sum_price
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("q42b_histogram_cents",
+      // q42 with the revenue column in EXACT INTEGER cents (round 7,
+      // q1b's pattern): the 100× sweep caught q42's double SUM
+      // drifting in the last rounded cent at 15M addends; per-row
+      // quantization before the sum is bit-identical at any scale.
+      (s, d) => Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / 50000), lit(9))
+          .cast("long").as("bucket"), col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("CAST(round(o_totalprice*100) AS BIGINT)")).as("sum_price_cents"))
+        .orderBy("bucket"),
+      Some("""SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("q43_gapfill",
       // Time-series regularization (TimeSeries.gapFill): hourly grid
       // per user from its own span, observations joined back,
