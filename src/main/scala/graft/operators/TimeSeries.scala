@@ -24,6 +24,37 @@ object TimeSeries {
     *         (sum, 2-rounded) or null for gap slots; `filled` = v
     *         forward-filled from the latest earlier observation.
     */
+  /** EXACT exponentially-weighted moving average (α = 1/2) — the
+    * classic smoothing signal, made bit-reproducible on any engine by
+    * staying INTEGER end-to-end: observations quantize to cents per
+    * row, the decay coefficients are powers of two, and the truncated
+    * recurrence y_t = Σ_{k<depth} cents_{t−k}·2^(depth−1−k) emits the
+    * EWMA scaled by 2^depth as a plain BIGINT — dyadic arithmetic, so
+    * there is no float rounding to drift and no accumulation-order
+    * sensitivity (the q1b lesson applied to a WINDOW aggregate; a
+    * double-αⁿ formulation would be engine-order-dependent exactly
+    * like q1's sums at 100×). Truncation at `depth` drops mass below
+    * 2^-depth — beneath the quantization floor for depth ≥ 17.
+    *
+    * Scale shape: one per-key ordered window pass evaluating `depth`
+    * lag slots — parallelism = series count, state per row = depth
+    * longs, no global sort. Ties in `tsCol` break on `idCol`, so the
+    * series order (and thus the value) is total on any engine.
+    */
+  def ewmaExact(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                valCol: String, depth: Int = 32): DataFrame = {
+    // cents ≤ 2^20 by contract keeps Σ cents·2^(depth-1) < 2^63 for
+    // depth ≤ 42; 32 covers far below any quantized signal floor
+    require(depth >= 1 && depth <= 42, s"depth out of range: $depth")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+    val cents = expr(s"CAST(round($valCol*100) AS BIGINT)")
+    val y = (0 until depth)
+      .map(k => lag(cents, k, 0L).over(w) * lit(1L << (depth - 1 - k)))
+      .reduce(_ + _)
+    df.select(col(keyCol), col(tsCol), col(idCol),
+      y.as(s"ewma_x2p$depth"))
+  }
+
   def gapFill(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
               slotSecs: Long): DataFrame = {
     require(slotSecs >= 1, "slotSecs must be positive")

@@ -1971,6 +1971,32 @@ object Relational {
              |SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_exact,
              |  true AS within_eps
              |FROM days d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("q73_ewma",
+      // EXACT integer EWMA (round 7; α=1/2, depth 32): per-row cent
+      // quantization + power-of-two decay keeps the whole smoothing
+      // signal in BIGINT — dyadic arithmetic, so unlike a double-αⁿ
+      // window it cannot drift with accumulation order at ANY scale
+      // (the q1b lesson applied to a window aggregate). One per-user
+      // ordered window pass, ties total-ordered on event_id
+      // (TimeSeries.ewmaExact); the oracle unrolls the same 32 lag
+      // slots programmatically.
+      (s, d) => graft.operators.TimeSeries.ewmaExact(
+          ev(s, d).filter(col("user_id") < 50),
+          "user_id", "t", "event_id", "value", depth = 32)
+        .orderBy("user_id", "t", "event_id"),
+      Some {
+        val terms = (0 until 32).map(k =>
+          s"coalesce(lag(cv, $k, 0) OVER (PARTITION BY user_id ORDER BY t, event_id), 0) * ${1L << (31 - k)}"
+        ).mkString("\n  + ")
+        s"""WITH e AS ($evSql),
+           |q AS (SELECT user_id, t, event_id,
+           |    CAST(round(value*100) AS BIGINT) AS cv
+           |  FROM e WHERE user_id < 50)
+           |SELECT user_id, t, event_id,
+           |  CAST($terms AS BIGINT) AS ewma_x2p32
+           |FROM q ORDER BY user_id, t, event_id""".stripMargin
+      })
   )
 }
