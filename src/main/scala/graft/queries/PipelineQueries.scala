@@ -679,6 +679,56 @@ object PipelineQueries {
              |round(sum(l_quantity),2) AS sum_qty FROM lineitem
              |WHERE ((l_orderkey % 1000003) * 2654435761 + l_linenumber) % 100 < 7""".stripMargin)),
 
+    Q("smp7_bootstrap",
+      // POISSON BOOTSTRAP (round 7; Chamandy et al. 2012, "Estimating
+      // uncertainty for massive data streams" — THE distributed
+      // bootstrap): instead of a global with-replacement resample
+      // (which needs coordination), each element draws an independent
+      // Poisson(1) weight per replicate, so replicates stream
+      // map-side at any corpus size. Weights are DETERMINISTIC: the
+      // 32-bit house hash of (doc, replicate) compared against the
+      // Poisson(1) CDF pre-scaled to exact 2³² integers — no RNG
+      // state, retry/engine-stable, replayed bit-for-bit by the
+      // oracle. Output: per-replicate effective sample size and the
+      // weighted mean doc length in exact integer centi-chars — the
+      // spread across replicates IS the uncertainty estimate.
+      (s, d) => {
+        val th = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L)
+        val h = expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '_r', CAST(r AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+        val w = th.zipWithIndex
+          .foldLeft(org.apache.spark.sql.functions.when(lit(false), 0L)) {
+            case (acc, (t, i)) => acc.when(h < t, i.toLong)
+          }.otherwise(5L)
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+          .withColumn("r", explode(expr("sequence(0, 4)")))
+          .withColumn("w", w)
+          .groupBy(col("r").cast("long").as("replicate"))
+          .agg(sum("w").as("n_eff"),
+            sum(expr("w * n_chars")).as("__ws"))
+          .withColumn("mean_nchars_x100", expr("__ws * 100 div n_eff"))
+          .drop("__ws")
+          .orderBy("replicate")
+      },
+      Some {
+        val h = baseHashSqlOf(
+          "CAST(doc_id AS VARCHAR) || '_r' || CAST(r AS VARCHAR)")
+        s"""WITH x AS (SELECT doc_id, n_chars, r
+           |    FROM documents, (SELECT unnest(generate_series(0, 4)) AS r)),
+           |hw AS (SELECT r, n_chars,
+           |    CASE WHEN $h < 1580030168 THEN 0
+           |         WHEN $h < 3160060337 THEN 1
+           |         WHEN $h < 3950075421 THEN 2
+           |         WHEN $h < 4213413783 THEN 3
+           |         WHEN $h < 4279248373 THEN 4
+           |         ELSE 5 END AS w
+           |  FROM x)
+           |SELECT CAST(r AS BIGINT) AS replicate,
+           |  CAST(sum(w) AS BIGINT) AS n_eff,
+           |  CAST(sum(w * n_chars) AS BIGINT) * 100 // CAST(sum(w) AS BIGINT)
+           |    AS mean_nchars_x100
+           |FROM hw GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     Q("smp5_train_test_split",
       // Deterministic train/validation/test assignment — the split a
       // training pipeline must reproduce bit-for-bit across reruns
