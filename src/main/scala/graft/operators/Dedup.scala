@@ -749,6 +749,53 @@ object Dedup {
     val dup = occ.join(firsts.filter(col("n") > 1), Seq("g"))
       .filter(struct(col("doc_id"), col("p")) =!= col("f"))
       .select(col("doc_id"), col("p").as("s"), (col("p") + (k - 1)).as("e"))
+    spanReport(dd, dup)
+  }
+
+  /** INCREMENTAL [[spanDedup]] — the production path (a 100-TB corpus
+    * is span-deduped once; each arriving batch probes the STANDING
+    * gram index instead of rescanning history): a batch occurrence is
+    * duplicated iff its gram exists anywhere in `history`, or an
+    * earlier occurrence exists within the batch itself. Identical to
+    * running [[spanDedup]] over history ∪ batch and keeping the batch
+    * rows, PROVIDED every history document precedes every batch
+    * document in (doc_id) order — the oracle and
+    * SpanDedupIncrementalSpec both pin that equivalence. Work is
+    * O(batch chars) grams probing a distinct-gram index (the index a
+    * deployment materializes once and appends to), never
+    * O(corpus chars) per batch.
+    */
+  def spanDedupIncremental(history: DataFrame, batch: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int = 40): DataFrame = {
+    def occOf(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("len", length(col("text")))
+        .filter(col("len") >= k)
+        .withColumn("p", explode(sequence(lit(1), col("len") - (k - 1))))
+        .select(col("doc_id"), col("p"), expr(s"substring(text, p, $k)").as("g"))
+    val dd = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("len", length(col("text")))
+    val histIndex = occOf(history).select("g").distinct()
+    val occ = occOf(batch)
+    val inHist = occ.join(histIndex, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    val firsts = occ.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("p"))).as("f"), count(lit(1)).as("n"))
+    val batchDup = occ.join(firsts.filter(col("n") > 1), Seq("g"))
+      .filter(struct(col("doc_id"), col("p")) =!= col("f"))
+      .select(col("doc_id"), col("p"))
+    val dup = inHist.unionByName(batchDup).distinct()
+      .select(col("doc_id"), col("p").as("s"), (col("p") + (k - 1)).as("e"))
+    spanReport(dd, dup)
+  }
+
+  /** Shared tail of the span-dedup family: coalesce duplicate marks
+    * into maximal islands, cut them out, stitch the remainder, and
+    * report per-document (n_dup_spans, chars_removed, clean_len,
+    * clean_md5). `dd` = (doc_id, text, len); `dup` = marked [s, e]
+    * spans. */
+  private def spanReport(dd: DataFrame, dup: DataFrame): DataFrame = {
     // coalesce overlapping/adjacent marks into maximal islands:
     // running max of prior span ends; a gap strictly wider than 0
     // starts a new island (s is strictly increasing per doc — one

@@ -1910,6 +1910,71 @@ object PipelineQueries {
              |        LEFT JOIN stats st ON st.doc_id = dd.doc_id
              |ORDER BY dd.doc_id""".stripMargin)),
 
+    Q("d20_span_dedup_incremental",
+      // INCREMENTAL d18 (round 7) — the production path: the batch
+      // (upper half of doc ids) probes the standing distinct-gram
+      // index of history (lower half) + its own earlier occurrences;
+      // O(batch chars) per batch, never O(corpus). The oracle is the
+      // FULL d18 replay over history ∪ batch filtered to batch docs —
+      // so the incremental ≡ full-run equivalence is itself the
+      // correctness gate (valid because every history id precedes
+      // every batch id; d15's pattern for the fuzzy tier).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+        Dedup.spanDedupIncremental(
+          docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid),
+          "doc_id", "text", k = 40).orderBy("doc_id")
+      },
+      Some("""WITH dd AS (SELECT doc_id, text, length(text) AS len FROM documents),
+             |mid AS (SELECT max(doc_id) // 2 AS m FROM documents),
+             |occ AS (SELECT doc_id, text,
+             |    unnest(generate_series(1, len - 39)) AS p
+             |  FROM dd WHERE len >= 40),
+             |mk AS (SELECT doc_id, p,
+             |    row_number() OVER (PARTITION BY substr(text, p, 40)
+             |      ORDER BY doc_id, p) AS rn FROM occ),
+             |dup AS (SELECT doc_id, p AS s, p + 39 AS e FROM mk WHERE rn > 1),
+             |run AS (SELECT doc_id, s, e,
+             |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run
+             |  FROM dup),
+             |num AS (SELECT doc_id, s, e,
+             |    sum(CASE WHEN run IS NULL OR s > run + 1 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM run),
+             |spans AS (SELECT doc_id, isl, min(s) AS ss, max(e) AS se
+             |  FROM num GROUP BY 1, 2),
+             |gaps AS (
+             |  SELECT doc_id,
+             |      coalesce(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 0) + 1 AS gs,
+             |      ss - 1 AS ge
+             |    FROM spans
+             |  UNION ALL
+             |  SELECT sp.doc_id, max(sp.se) + 1 AS gs, dd.len AS ge
+             |    FROM spans sp JOIN dd ON dd.doc_id = sp.doc_id
+             |    GROUP BY sp.doc_id, dd.len
+             |  UNION ALL
+             |  SELECT doc_id, 1 AS gs, len AS ge FROM dd
+             |    WHERE doc_id NOT IN (SELECT doc_id FROM spans)),
+             |segs AS (SELECT g.doc_id, g.gs,
+             |    substr(dd.text, CAST(g.gs AS INT), CAST(g.ge - g.gs + 1 AS INT)) AS seg
+             |  FROM gaps g JOIN dd ON dd.doc_id = g.doc_id WHERE g.ge >= g.gs),
+             |cleaned AS (SELECT doc_id,
+             |    coalesce(string_agg(seg, '' ORDER BY gs), '') AS ct
+             |  FROM segs GROUP BY 1),
+             |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+             |    CAST(sum(se - ss + 1) AS BIGINT) AS chars_removed
+             |  FROM spans GROUP BY 1)
+             |SELECT dd.doc_id,
+             |  coalesce(st.n_dup_spans, 0) AS n_dup_spans,
+             |  coalesce(st.chars_removed, 0) AS chars_removed,
+             |  CAST(length(coalesce(c.ct, '')) AS BIGINT) AS clean_len,
+             |  md5(coalesce(c.ct, '')) AS clean_md5
+             |FROM dd LEFT JOIN cleaned c ON c.doc_id = dd.doc_id
+             |        LEFT JOIN stats st ON st.doc_id = dd.doc_id
+             |WHERE dd.doc_id > (SELECT m FROM mid)
+             |ORDER BY dd.doc_id""".stripMargin)),
+
     Q("d19_semdedup",
       // SemDeDup (round 7; Abbas et al. 2023): semantic dedup INSIDE
       // deterministic IVF cells — duplicates = cosine ≥ 0.4 to a

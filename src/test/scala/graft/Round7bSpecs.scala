@@ -93,6 +93,17 @@ class SpanDedupSpec extends SparkSpec {
     assert(dig == md5hex("head%" + block + "=middle=" + "#tail"))
   }
 
+  test("incremental == full run filtered to the batch (history precedes batch)") {
+    val docs = Tables.documents(spark, sfDir)
+    val mid = docs.agg(max("doc_id")).as[Long].head() / 2
+    val inc = Dedup.spanDedupIncremental(
+      docs.filter(col("doc_id") <= mid), docs.filter(col("doc_id") > mid),
+      "doc_id", "text", k)
+    val full = Dedup.spanDedup(docs, "doc_id", "text", k)
+      .filter(col("doc_id") > mid)
+    assert(inc.exceptAll(full).count() == 0L && full.exceptAll(inc).count() == 0L)
+  }
+
   test("matches the independent reference on the sf0.001 documents") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
