@@ -121,6 +121,52 @@ class SpanDedupSpec extends SparkSpec {
   }
 }
 
+/** Round-7 mergeable QUANTILE sketch rollup (KLL) — completes the
+  * materialized-sketch story (CMS counts t6b, HLL distincts
+  * SketchRollupSpec, now quantiles): per-shard KLL sketches persist
+  * once and answer later percentile questions by merging, never
+  * rescanning. Unlike HLL, KLL is a randomized sketch, so the pin is
+  * the published rank-error bound (±1.65% at k=200, asserted at a
+  * slack ±3%) plus the EXACT invariants: merged n equals total n,
+  * and quantiles are monotone in rank. */
+class QuantileRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cents = Tables.orders(spark, sfDir)
+    .selectExpr("CAST(round(o_totalprice*100) AS BIGINT) AS v",
+      "o_orderkey % 8 AS shard")
+
+  test("per-shard KLL sketches merge into bounded-error global quantiles") {
+    val e = cents
+    val perShard = e.groupBy("shard")
+      .agg(expr("kll_sketch_agg_bigint(v)").as("sk"))
+    val merged = perShard
+      .agg(expr("kll_merge_agg_bigint(sk)").as("m"))
+      .selectExpr("kll_sketch_get_n_bigint(m) AS n",
+        "kll_sketch_get_quantile_bigint(m, 0.5) AS p50",
+        "kll_sketch_get_quantile_bigint(m, 0.95) AS p95")
+      .as[(Long, Long, Long)].head()
+    val total = e.count()
+    assert(merged._1 == total, s"merged n must be exact: ${merged._1} vs $total")
+    // rank-error bound: the reported quantile's TRUE rank must be
+    // within ±3% of the requested rank
+    val sorted = e.select("v").as[Long].collect().sorted
+    def trueRank(x: Long): Double = sorted.count(_ <= x).toDouble / sorted.length
+    assert(math.abs(trueRank(merged._2) - 0.5) < 0.03, s"p50 rank ${trueRank(merged._2)}")
+    assert(math.abs(trueRank(merged._3) - 0.95) < 0.03, s"p95 rank ${trueRank(merged._3)}")
+  }
+
+  test("a shard subset answers from its sketches alone, counts exact") {
+    val e = cents
+    val perShard = e.groupBy("shard")
+      .agg(expr("kll_sketch_agg_bigint(v)").as("sk"))
+    val n = perShard.filter(col("shard") < 4)
+      .agg(expr("kll_sketch_get_n_bigint(kll_merge_agg_bigint(sk))").as("n"))
+      .as[Long].head()
+    assert(n == e.filter(col("shard") < 4).count())
+  }
+}
+
 /** Round-7 Bloom decontamination tier: the sketch probe must be a
   * strict SUPERSET of the exact broadcast-set tier (no false
   * negatives), with bounded spurious flags. */
