@@ -90,17 +90,15 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
     // the record must survive ANY line-oriented harness: re-print as
-    // the process's LAST act (after spark.stop()'s shutdown chatter)
-    // on BOTH streams, flushed — three rounds of driver records were
-    // lost to trailing launcher decoration on stdout. The SHORT line
-    // goes absolutely last so a tail-of-stdout parser always ends on
-    // a complete JSON record.
+    // the process's LAST act (after spark.stop()'s shutdown chatter),
+    // flushed. STDOUT ONLY: the driver keeps a combined stdout+stderr
+    // tail, and an sbt-`[error]`-decorated stderr copy landing after
+    // the stdout flush made the tail end on a non-JSON line for six
+    // rounds straight (`parsed: null`). The SHORT line goes absolutely
+    // last so a tail parser always ends on a complete JSON record.
     println(json)
     println(summary)
     System.out.flush()
-    System.err.println(json)
-    System.err.println(summary)
-    System.err.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Ckpt
@@ -701,6 +701,16 @@ object Dedup {
       .withColumn("dup_bp", expr("n_shared * 10000 div n_fp"))
   }
 
+  /** 128-bit gram key for the span-dedup exchange: two independent
+    * xxhash64 lanes (the second seeded by a distinct literal lane
+    * tag), codegen'd map-side — 16 bytes on the wire per occurrence
+    * instead of the k-char gram text. `digest=false` keeps the raw
+    * text key (the spec's ground-truth path).
+    */
+  private def gramKey(gram: Column, digest: Boolean): Column =
+    if (digest) struct(xxhash64(gram).as("h1"), xxhash64(lit("g2"), gram).as("h2"))
+    else struct(gram.as("h1"))
+
   /** Exact-substring SPAN dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the ExactSubstr
     * policy): every k-char gram occurrence that is NOT the
@@ -717,26 +727,32 @@ object Dedup {
     * the corpus on any engine.
     *
     * Scale shape: linear in corpus characters. ONE exchange keyed by
-    * the k-gram (exact text equality — the collision-proof stance of
-    * [[exactClusters]]; at 100 TB the same plan runs keyed by a
-    * 128-bit gram digest to cut shuffle bytes to 16/k of corpus
-    * size, with the digest partitioning the exchange exactly as the
-    * text does here), then per-document windows for island
-    * coalescing and segment stitching — partitioned by doc_id, never
-    * global. No pair enumeration at any stage, no matter how
-    * duplicated the corpus is (the suffix-array formulation of the
-    * paper is single-node; positional grams are its shuffle-friendly
-    * equivalent).
+    * a 128-bit gram DIGEST (two independent xxhash64 lanes, computed
+    * map-side inside codegen): the shuffle carries 16 bytes per
+    * occurrence instead of the k=40-char gram text — 16/k of corpus
+    * bytes on the wire (at 100 TB, ~0.4x corpus size instead of
+    * ~40x). Collision exposure is 2^-128-per-pair birthday mass
+    * (~3e-11 across 1e14 grams) and a collision can only mark one
+    * extra span, never corrupt unrelated docs; `keyByDigest=false`
+    * restores the text-keyed exchange, and DigestSpanSpec pins the
+    * two paths equal on a clone-heavy corpus. Then per-document
+    * windows for island coalescing and segment stitching —
+    * partitioned by doc_id, never global. No pair enumeration at any
+    * stage, no matter how duplicated the corpus is (the suffix-array
+    * formulation of the paper is single-node; positional grams are
+    * its shuffle-friendly equivalent). The firsts side is a
+    * groupBy-min (map-side partial covers hot boilerplate grams) +
+    * join back, never a window over the gram.
     */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
-                k: Int = 40): DataFrame = {
+                k: Int = 40, keyByDigest: Boolean = true): DataFrame = {
     val dd = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("len", length(col("text")))
     // one row per k-gram occurrence; docs shorter than k emit none
     val occ = dd.filter(col("len") >= k)
       .withColumn("p", explode(sequence(lit(1), col("len") - (k - 1))))
       .select(col("doc_id"), col("p"),
-        expr(s"substring(text, p, $k)").as("g"))
+        gramKey(expr(s"substring(text, p, $k)"), keyByDigest).as("g"))
     // duplicate ⇔ an earlier (doc, pos) occurrence of this gram
     // exists. Deliberately a groupBy-min + join back, NOT a
     // row_number window over the gram: a hot gram (a whitespace run,
@@ -756,24 +772,33 @@ object Dedup {
     * is span-deduped once; each arriving batch probes the STANDING
     * gram index instead of rescanning history): a batch occurrence is
     * duplicated iff its gram exists anywhere in `history`, or an
-    * earlier occurrence exists within the batch itself. Identical to
-    * running [[spanDedup]] over history ∪ batch and keeping the batch
-    * rows, PROVIDED every history document precedes every batch
-    * document in (doc_id) order — the oracle and
-    * SpanDedupIncrementalSpec both pin that equivalence. Work is
-    * O(batch chars) grams probing a distinct-gram index (the index a
+    * earlier occurrence exists within the batch itself.
+    *
+    * CONTRACT (pinned by SpanDedupIncrementalSpec): **history
+    * occurrences always win, regardless of doc_id order** — a batch
+    * gram seen anywhere in history is a duplicate even if the batch
+    * doc carries a smaller id. That is the temporal semantics a
+    * deployment wants (what arrived first is the original). It
+    * coincides with running [[spanDedup]] over history ∪ batch and
+    * keeping the batch rows exactly when every history doc_id
+    * precedes every batch doc_id — the oracle generates ids that
+    * way, and the spec pins BOTH the equivalence under that ordering
+    * AND the history-wins outcome under a deliberately interleaved
+    * id space. Work is O(batch chars) grams probing a distinct-gram
+    * index (16-byte digests under `keyByDigest` — the index a
     * deployment materializes once and appends to), never
     * O(corpus chars) per batch.
     */
   def spanDedupIncremental(history: DataFrame, batch: DataFrame,
                            idCol: String, textCol: String,
-                           k: Int = 40): DataFrame = {
+                           k: Int = 40, keyByDigest: Boolean = true): DataFrame = {
     def occOf(df: DataFrame): DataFrame =
       df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .withColumn("len", length(col("text")))
         .filter(col("len") >= k)
         .withColumn("p", explode(sequence(lit(1), col("len") - (k - 1))))
-        .select(col("doc_id"), col("p"), expr(s"substring(text, p, $k)").as("g"))
+        .select(col("doc_id"), col("p"),
+          gramKey(expr(s"substring(text, p, $k)"), keyByDigest).as("g"))
     val dd = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("len", length(col("text")))
     val histIndex = occOf(history).select("g").distinct()
@@ -848,20 +873,26 @@ object Dedup {
     * kept_chars).
     *
     * Scale shape: one exchange keyed by paragraph TEXT (exact
-    * equality — same collision-proof stance as [[exactClusters]];
-    * boilerplate paragraphs form heavy keys but the per-key state is
-    * one min, so a map-side partial covers skew), then a per-doc
-    * rollup. No pair enumeration.
+    * equality — same collision-proof stance as [[exactClusters]]).
+    * Deliberately a groupBy-min + join back, NOT a min-over-window
+    * on the paragraph: a hot boilerplate paragraph (a cookie banner,
+    * a license header — guaranteed in a real corpus) would pin every
+    * one of its occurrences into ONE window task, while the
+    * aggregate form partial-aggregates the hot key map-side and the
+    * join back is AQE-skew-splittable — the same shape [[spanDedup]]
+    * uses for its `firsts`. Then a per-doc rollup. No pair
+    * enumeration.
     */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      sep: String = "\\. "): DataFrame = {
     val paras = df
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), sep)).as(Seq("pos", "para")))
-    val keep = paras
-      .withColumn("first", struct(col("doc_id"), col("pos")))
-      .withColumn("mn", min("first").over(Window.partitionBy("para")))
-      .withColumn("kept", (col("first") === col("mn")).cast("long"))
+    val firsts = paras.groupBy("para")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("mn"))
+    val keep = paras.join(firsts, Seq("para"))
+      .withColumn("kept",
+        (struct(col("doc_id"), col("pos")) === col("mn")).cast("long"))
     keep.groupBy("doc_id")
       .agg(count(lit(1)).as("n_paras"), sum("kept").as("n_kept"),
         sum(when(col("kept") === 1, length(col("para")).cast("long"))

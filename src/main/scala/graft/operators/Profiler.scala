@@ -67,7 +67,14 @@ object Profiler {
         org.apache.spark.sql.expressions.Window.orderBy(desc("cnt"), asc("key"))))
       .crossJoin(broadcast(glob))
       .select(col("key"), col("cnt"), col("rank"),
-        expr("cnt * 10000 div total").as("share_bp"),
-        expr("cnt * 100 * n_keys div total").as("skew_x100"))
+        // DECIMAL(38,0) intermediates: cnt*100*n_keys in BIGINT
+        // overflows 2^63 once cnt~1e8 meets n_keys~1e9 (the 100-TB
+        // posture this profiler exists for) and silently wraps;
+        // decimal holds to 1e38 and the integral-divide result is
+        // bit-identical wherever BIGINT didn't overflow.
+        expr("cast((cast(cnt as decimal(38,0)) * 10000) div total as bigint)")
+          .as("share_bp"),
+        expr("cast((cast(cnt as decimal(38,0)) * 100 * n_keys) div total as bigint)")
+          .as("skew_x100"))
   }
 }
