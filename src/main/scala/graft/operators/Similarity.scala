@@ -344,29 +344,32 @@ object Similarity {
     * (corpusCells (cell, cid, cv, cn), queryCells (cell, qid, qv, qn))
     * — corpus rows in their nearest cell, queries replicated to their
     * `nProbe` nearest. */
-  private def ivfCells(corpus: DataFrame, queries: DataFrame, idCol: String,
-                       vecCol: String, nCells: Int, nProbe: Int,
-                       lloydIters: Int): (DataFrame, DataFrame) = {
-    val c = withNorm(corpus, idCol, vecCol, "c").cache()
-    // deterministic seeds: the nCells smallest ids. The global window
-    // runs over nCells rows only (post-limit), not the corpus.
+  /** ||v-c||² = v·v − 2 v·c + c·c per (row, centroid), each term a
+    * codegen'd vec_dot (centroids held as float arrays to stay on
+    * the fast path); centroid table rides as a broadcast. */
+  private def ivfAssignDist(df: DataFrame, vcol: String,
+                            centroids: DataFrame): DataFrame = {
+    val cb = broadcast(centroids.withColumn("ctrf", col("ctr").cast("array<float>")))
+    df.crossJoin(cb)
+      .withColumn("dist",
+        vec_dot(col(vcol), col(vcol))
+          - lit(2.0) * vec_dot(col(vcol), col("ctrf"))
+          + vec_dot(col("ctrf"), col("ctrf")))
+  }
+
+  /** IVF centroid training over a normed corpus `(cid, cv, cn)`:
+    * deterministic seeds (the nCells smallest ids; the global window
+    * runs over nCells post-limit rows only, not the corpus), then
+    * `lloydIters` Lloyd refinement rounds. This IS the standing
+    * index's coarse quantizer — [[knnIvfIncremental]] freezes it and
+    * assigns batches against it without retraining. */
+  private def ivfCentroids(c: DataFrame, nCells: Int,
+                           lloydIters: Int): DataFrame = {
     var centroids = Ckpt.cut(c.orderBy("cid").limit(nCells)
       .select(col("cid").as("cell"), col("cv").as("ctr"))
       .withColumn("cell", row_number().over(Window.orderBy("cell")) - 1))
-
-    // ||v-c||² = v·v − 2 v·c + c·c, each term a codegen'd vec_dot
-    // (centroids held as float arrays to stay on the fast path).
-    def assign(df: DataFrame, vcol: String): DataFrame = {
-      val cb = broadcast(centroids.withColumn("ctrf", col("ctr").cast("array<float>")))
-      df.crossJoin(cb)
-        .withColumn("dist",
-          vec_dot(col(vcol), col(vcol))
-            - lit(2.0) * vec_dot(col(vcol), col("ctrf"))
-            + vec_dot(col("ctrf"), col("ctrf")))
-    }
-
     for (_ <- 1 to lloydIters) {
-      val assigned = assign(c, "cv")
+      val assigned = ivfAssignDist(c, "cv", centroids)
         .withColumn("rk", row_number().over(Window.partitionBy("cid").orderBy(asc("dist"), asc("cell"))))
         .filter(col("rk") === 1)
       centroids = Ckpt.cut(assigned
@@ -375,12 +378,28 @@ object Similarity {
         .groupBy("cell")
         .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)").as("ctr")))
     }
+    centroids
+  }
 
-    val corpusCells = assign(c, "cv")
-      .withColumn("rk", row_number().over(Window.partitionBy("cid").orderBy(asc("dist"), asc("cell"))))
-      .filter(col("rk") === 1).select("cell", "cid", "cv", "cn")
+  /** Nearest-standing-cell assignment of a normed frame: one row per
+    * input row, `(cell, <prefix>id, <prefix>v, <prefix>n)`. */
+  private def ivfNearestCell(df: DataFrame, prefix: String,
+                             centroids: DataFrame): DataFrame =
+    ivfAssignDist(df, s"${prefix}v", centroids)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(s"${prefix}id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"))
+
+  private def ivfCells(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, nCells: Int, nProbe: Int,
+                       lloydIters: Int): (DataFrame, DataFrame) = {
+    val c = withNorm(corpus, idCol, vecCol, "c").cache()
+    val centroids = ivfCentroids(c, nCells, lloydIters)
+    val corpusCells = ivfNearestCell(c, "c", centroids)
+      .select("cell", "cid", "cv", "cn")
     val q = withNorm(queries, idCol, vecCol, "q")
-    val queryCells = assign(q, "qv")
+    val queryCells = ivfAssignDist(q, "qv", centroids)
       .withColumn("rk", row_number().over(Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
       .filter(col("rk") <= nProbe).select("cell", "qid", "qv", "qn")
     (corpusCells, queryCells)
@@ -398,6 +417,63 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** INCREMENTAL IVF maintenance — the production append path (a
+    * 100-TB vector store is indexed once and appended to, never
+    * rebuilt per batch): the standing index is the frozen coarse
+    * quantizer ([[ivfCentroids]] trained on `base` only) plus base's
+    * cell table (materialized once in a deployment); a batch appends
+    * by assigning each new vector to its nearest STANDING cell —
+    * O(batch × nCells) work, ZERO touches of base rows, no retrain —
+    * and queries probe the merged cell table. The dedup family's
+    * incremental gate (d7/d15/d20) applied to ANN.
+    *
+    * CONTRACT: with `lloydIters = 0` and `base` holding the nCells
+    * smallest ids, a full rebuild over base ∪ batch seeds from
+    * exactly the same rows, so **incremental == rebuild** — pinned
+    * by the s12 oracle (which replays the rebuild in SQL) and by
+    * IvfAppendSpec. With Lloyd refinement the frozen-quantizer
+    * output intentionally differs from a retrain (that IS the
+    * deployment trade: batches see the standing centroids until the
+    * next scheduled retrain); the spec pins the structural invariant
+    * instead — every appended vector lands in its nearest standing
+    * cell and base assignments are untouched by the append.
+    */
+  def knnIvfIncremental(base: DataFrame, batch: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nCells: Int = 16, nProbe: Int = 2,
+                        lloydIters: Int = 0): DataFrame = {
+    val cb = withNorm(base, idCol, vecCol, "c").cache()
+    val centroids = ivfCentroids(cb, nCells, lloydIters)
+    val standing = ivfNearestCell(cb, "c", centroids)
+    val appended = ivfNearestCell(withNorm(batch, idCol, vecCol, "c"), "c", centroids)
+    val corpusCells = standing.unionByName(appended)
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val queryCells = ivfAssignDist(q, "qv", centroids)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") <= nProbe).select("cell", "qid", "qv", "qn")
+    queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Standing-cell assignment for a batch against a frozen quantizer
+    * trained on `base` — exposed for the append spec: returns
+    * (cell, id) for every batch row. */
+  def ivfAppendCells(base: DataFrame, batch: DataFrame, idCol: String,
+                     vecCol: String, nCells: Int = 16,
+                     lloydIters: Int = 0): DataFrame = {
+    val cb = withNorm(base, idCol, vecCol, "c")
+    val centroids = ivfCentroids(cb, nCells, lloydIters)
+    ivfNearestCell(withNorm(batch, idCol, vecCol, "c"), "c", centroids)
+      .select(col("cell"), col("cid").as("vec_id"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning

@@ -1267,6 +1267,46 @@ object PipelineQueries {
               |  round(cos, 4) AS cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("s12_knn_incremental",
+      // INCREMENTAL ANN maintenance (round 8) — the append path a
+      // 100-TB vector store actually runs: the IVF coarse quantizer
+      // is trained on the standing base (vec_id < 400) and FROZEN;
+      // the batch (vec_id >= 400) appends by nearest-standing-cell
+      // assignment only — O(batch × nCells), zero base touches, no
+      // retrain (Similarity.knnIvfIncremental). With lloydIters=0
+      // the seeds are the 16 smallest ids, which live in the base,
+      // so incremental == full rebuild over base ∪ batch — the
+      // oracle deliberately replays the REBUILD in SQL (d15/d20's
+      // incremental-equals-full gate, applied to ANN).
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnIvfIncremental(
+          e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, lloydIters = 0).orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $cosSql,
+              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+              |  FROM (SELECT * FROM ce ORDER BY vec_id LIMIT 16)),
+              |ad AS (SELECT ce.vec_id, seeds.cell,
+              |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.cv)
+              |      + list_dot_product(seeds.cv, seeds.cv) AS dist
+              |  FROM ce, seeds),
+              |crk AS (SELECT vec_id, cell,
+              |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
+              |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
+              |qcells AS (SELECT vec_id AS qid, cell FROM crk WHERE rk <= 2 AND vec_id < 5),
+              |cand AS (SELECT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
+              |sc AS (SELECT qid, cid,
+              |  list_dot_product(qv.v, cv.v)
+              |    / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |r AS (SELECT qid, cid, cos,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("t13_code_prose",
       // Code-vs-prose classification by character-class composition —
       // the standard cheap filter a training-data pipeline runs

