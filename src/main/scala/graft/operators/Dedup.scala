@@ -595,9 +595,22 @@ object Dedup {
       "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) -> " +
         "acc + CASE WHEN sv[b] >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)").as("simhash")))
 
-    val banded = sim.withColumn("band", explode(expr(
+    val preBand = sim.withColumn("band", explode(expr(
       "transform(sequence(0, 3), k -> struct(k AS k, (shiftright(simhash, k*15) & 32767) AS bh))")))
       .select(col("setId"), col("simhash"), col("band.k").as("k"), col("band.bh").as("bh"))
+    // cap OBSERVABILITY: the recall trade must be visible in output,
+    // not just a contract comment — every pair row carries how many
+    // band buckets the cap bound and how many bucket rows it dropped
+    // (both 0 wherever the oracle compare runs; nonzero values are
+    // the signal to raise the cap or route through the exact tier).
+    // One extra map-side-combined aggregate over the pre-cap bucket
+    // table, broadcast onto the output as a 1-row join.
+    val capStats = preBand.groupBy("k", "bh").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(when(col("n") > maxBucket, 1L).otherwise(0L)), lit(0L))
+          .as("n_capped_buckets"),
+        coalesce(sum(greatest(col("n") - maxBucket, lit(0L))), lit(0L))
+          .as("n_dropped_rows"))
+    val banded = preBand
       .transform(capBuckets(_, Seq("k", "bh"), "setId", maxBucket))
 
     // hamming filter BEFORE distinct: prune candidate volume ahead of
@@ -612,6 +625,7 @@ object Dedup {
 
     expandCrossPairs(repPairs, members, "hamming")
       .union(withinSetPairs(members, "hamming" -> lit(0L)))
+      .crossJoin(broadcast(capStats))
   }
 
   /** Embedding-cosine near-duplicate pairs (cosine >= `threshold`).

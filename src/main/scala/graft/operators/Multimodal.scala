@@ -105,9 +105,19 @@ object Multimodal {
         "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) -> " +
           "acc + CASE WHEN featSums[j] * 60 > total " +
           "THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)").as("ph"))
-    val banded = ph.withColumn("band", explode(expr(
+    val preBand = ph.withColumn("band", explode(expr(
         "transform(sequence(0, 3), k -> struct(k AS k, (shiftright(ph, k*15) & 32767) AS bh))")))
       .select(col("id"), col("ph"), col("band.k").as("k"), col("band.bh").as("bh"))
+    // cap observability (the d4 convention): every pair row carries
+    // how many band buckets the cap bound and how many rows it
+    // dropped — zero wherever the oracle runs, nonzero = the recall
+    // trade is live. 1-row broadcast, no extra exchange on pairs.
+    val capStats = preBand.groupBy("k", "bh").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(when(col("n") > maxBucket, 1L).otherwise(0L)), lit(0L))
+          .as("n_capped_buckets"),
+        coalesce(sum(greatest(col("n") - maxBucket, lit(0L))), lit(0L))
+          .as("n_dropped_rows"))
+    val banded = preBand
       .transform(Dedup.capBuckets(_, Seq("k", "bh"), "id", maxBucket))
     banded.as("a").join(banded.as("b"),
         col("a.k") === col("b.k") && col("a.bh") === col("b.bh") &&
@@ -116,6 +126,7 @@ object Multimodal {
         expr("CAST(bit_count(a.ph ^ b.ph) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+      .crossJoin(broadcast(capStats))
   }
 
   /** One frame's perceptual hash: `nBits` positional-group sums,

@@ -507,11 +507,19 @@ object Similarity {
       .filter(dot("x.cv", "y.cv") / (col("x.cn") * col("y.cn")) >= threshold)
       .groupBy(col("x.cid").as("cid"))
       .agg(count(lit(1)).as("n_dup_smaller"))
+    // cap observability: vectors the cap excluded from the pair join
+    // would otherwise read kept=1 with no signal that completeness
+    // was traded — `cell_capped` marks every vector in an over-full
+    // cell so callers can detect (and re-run capless or re-cell) the
+    // degenerate cells. Map-side-combined cell sizes, broadcast back.
+    val cellSizes = cells.groupBy("cell").agg(count(lit(1)).as("__csz"))
     cells.select("cid", "cell")
+      .join(broadcast(cellSizes), Seq("cell"))
       .join(dups, Seq("cid"), "left")
       .select(col("cid").as("vec_id"), col("cell").cast("long").as("cell"),
         coalesce(col("n_dup_smaller"), lit(0L)).as("n_dup_smaller"),
-        when(col("n_dup_smaller").isNull, 1L).otherwise(0L).as("kept"))
+        when(col("n_dup_smaller").isNull, 1L).otherwise(0L).as("kept"),
+        when(col("__csz") > maxCell, 1L).otherwise(0L).as("cell_capped"))
   }
 
   /** IVF-PQ — the standard public FAISS-style composition and the

@@ -206,8 +206,10 @@ object PipelineQueries {
       // ~5.4% of pairs (5,247,001 vs 5,547,709); cap-off reproduces
       // the oracle exactly. At sweep SFs the cap never binds, so the
       // oracle compare stays exact; at 100 TB the cap is what keeps a
-      // hot bucket from going quadratic. Raise `bucketCap` (or route
-      // through d2's exact tier) when recall beats cost.
+      // hot bucket from going quadratic. The trade is OBSERVABLE in
+      // output (round 8): every pair row carries n_capped_buckets /
+      // n_dropped_rows from the pre-cap bucket table — nonzero means
+      // raise the cap (or route through d2's exact tier).
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3).orderBy("a", "b"),
       Some(s"""WITH $tokSql,
@@ -218,10 +220,22 @@ object PipelineQueries {
               |sv AS (SELECT doc_id, b, sum(v) AS sv FROM bits GROUP BY 1, 2),
               |sim AS (SELECT doc_id,
               |    CAST(sum(CASE WHEN sv >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
-              |  FROM sv GROUP BY 1)
+              |  FROM sv GROUP BY 1),
+              |sk AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tok) AS setk
+              |  FROM tok GROUP BY 1),
+              |reps AS (SELECT min(doc_id) AS rep FROM sk GROUP BY setk),
+              |bkt AS (SELECT k, (sh >> (k*15)) & 32767 AS bh, CAST(count(*) AS BIGINT) AS n
+              |  FROM reps JOIN sim ON sim.doc_id = reps.rep,
+              |       (SELECT unnest(generate_series(0, 3)) AS k) ks
+              |  GROUP BY 1, 2),
+              |cst AS (SELECT
+              |    coalesce(CAST(sum(CASE WHEN n > 4096 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_capped_buckets,
+              |    coalesce(CAST(sum(CASE WHEN n > 4096 THEN n - 4096 ELSE 0 END) AS BIGINT), 0) AS n_dropped_rows
+              |  FROM bkt)
               |SELECT x.doc_id AS a, y.doc_id AS b,
-              |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
-              |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+              |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming,
+              |  cst.n_capped_buckets, cst.n_dropped_rows
+              |FROM sim x JOIN sim y ON x.doc_id < y.doc_id CROSS JOIN cst
               |WHERE bit_count(xor(x.sh, y.sh)) <= 3
               |ORDER BY 1, 2""".stripMargin)),
 
@@ -1391,7 +1405,10 @@ object PipelineQueries {
       // heavy sweep): pigeonhole-completeness holds only while no
       // band bucket exceeds maxBucket=4096 — there the cap dropped
       // 612 of 399,147 true pairs (0.15%); cap disabled reproduces
-      // the oracle exactly. At driver SFs the cap never binds.
+      // the oracle exactly. At driver SFs the cap never binds, and
+      // (round 8) the trade is observable: n_capped_buckets /
+      // n_dropped_rows ride every pair row (CapObservabilitySpec
+      // pins nonzero values when a cap binds).
       (s, d) => Multimodal.perceptualHashPairs(
           Tables.documents(s, d)
             .select(col("doc_id"), col("text").cast("binary").as("payload")),
@@ -1410,9 +1427,15 @@ object PipelineQueries {
              |bd AS (SELECT doc_id, k, (ph >> (k*15)) & 32767 AS bh, ph
              |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS k) ks),
              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.ph AS pa, y.ph AS pb
-             |  FROM bd x JOIN bd y ON x.k = y.k AND x.bh = y.bh AND x.doc_id < y.doc_id)
-             |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-             |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+             |  FROM bd x JOIN bd y ON x.k = y.k AND x.bh = y.bh AND x.doc_id < y.doc_id),
+             |bn AS (SELECT k, bh, CAST(count(*) AS BIGINT) AS n FROM bd GROUP BY 1, 2),
+             |cst AS (SELECT
+             |    coalesce(CAST(sum(CASE WHEN n > 4096 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_capped_buckets,
+             |    coalesce(CAST(sum(CASE WHEN n > 4096 THEN n - 4096 ELSE 0 END) AS BIGINT), 0) AS n_dropped_rows
+             |  FROM bn)
+             |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming,
+             |  cst.n_capped_buckets, cst.n_dropped_rows
+             |FROM cand CROSS JOIN cst WHERE bit_count(xor(pa, pb)) <= 3
              |ORDER BY a, b""".stripMargin)),
 
     Q("m9_phash_real",
@@ -1450,9 +1473,15 @@ object PipelineQueries {
              |bd AS (SELECT doc_id, k, (ph >> (k*15)) & 32767 AS bh, ph
              |  FROM ph, (SELECT unnest(generate_series(0, 3)) AS k) ks),
              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.ph AS pa, y.ph AS pb
-             |  FROM bd x JOIN bd y ON x.k = y.k AND x.bh = y.bh AND x.doc_id < y.doc_id)
-             |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-             |FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+             |  FROM bd x JOIN bd y ON x.k = y.k AND x.bh = y.bh AND x.doc_id < y.doc_id),
+             |bn AS (SELECT k, bh, CAST(count(*) AS BIGINT) AS n FROM bd GROUP BY 1, 2),
+             |cst AS (SELECT
+             |    coalesce(CAST(sum(CASE WHEN n > 4096 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_capped_buckets,
+             |    coalesce(CAST(sum(CASE WHEN n > 4096 THEN n - 4096 ELSE 0 END) AS BIGINT), 0) AS n_dropped_rows
+             |  FROM bn)
+             |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming,
+             |  cst.n_capped_buckets, cst.n_dropped_rows
+             |FROM cand CROSS JOIN cst WHERE bit_count(xor(pa, pb)) <= 3
              |ORDER BY a, b""".stripMargin)),
 
     Q("d16_threshold_sweep",
@@ -2035,6 +2064,7 @@ object PipelineQueries {
               |crk AS (SELECT vec_id, cell,
               |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
               |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
+              |csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM corpus GROUP BY 1),
               |p AS (SELECT a.cid AS cid, CAST(count(*) AS BIGINT) AS nds
               |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND b.cid < a.cid
               |  JOIN ce av ON av.vec_id = a.cid JOIN ce bv ON bv.vec_id = b.cid
@@ -2043,8 +2073,9 @@ object PipelineQueries {
               |  GROUP BY 1)
               |SELECT c.cid AS vec_id, CAST(c.cell AS BIGINT) AS cell,
               |  coalesce(p.nds, 0) AS n_dup_smaller,
-              |  CAST(CASE WHEN p.cid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-              |FROM corpus c LEFT JOIN p ON p.cid = c.cid
+              |  CAST(CASE WHEN p.cid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+              |  CAST(CASE WHEN csz.n > 65536 THEN 1 ELSE 0 END AS BIGINT) AS cell_capped
+              |FROM corpus c JOIN csz ON csz.cell = c.cell LEFT JOIN p ON p.cid = c.cid
               |ORDER BY vec_id""".stripMargin)),
 
     Q("t16_char_entropy",

@@ -135,7 +135,7 @@ class DedupScaleSpec extends SparkSpec {
     val docs = ((1 to 40).map(i => (i.toLong, "the same exact text")) :+
       (99L, "totally different words here")).toDF("doc_id", "text")
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, maxBucket = 4)
-      .as[(Long, Long, Long)].collect()
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect()
     // identical sets collapse via signature dedup BEFORE banding, so
     // the cap cannot lose them: all C(40,2) clone pairs survive
     assert(pairs.count(_._3 == 0L) == 40 * 39 / 2)

@@ -91,3 +91,52 @@ class IvfAppendSpec extends SparkSpec {
       "append output must contain batch ids only — no base reassignment rides the append")
   }
 }
+
+/** Round-8 cap observability: the d4/m4 bucket-cap recall trade and
+  * d19's cell cap must be VISIBLE in operator output — nonzero
+  * n_capped_buckets / n_dropped_rows / cell_capped when a cap binds,
+  * zero otherwise — so a deployment can detect traded completeness
+  * from the result table instead of a source comment.
+  */
+class CapObservabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("phash pairs report bound caps; uncapped runs report zero") {
+    // 6 clone payloads: identical hashes → every band bucket holds 6
+    // DISTINCT ids (no signature collapse for media payloads), so
+    // maxBucket=2 binds in all 4 bands and drops 4 rows from each.
+    val base = ("A" * 40) + ("z" * 40) + ("A" * 40)
+    val docs = (1L to 6L).map(_ -> base).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val capped = graft.operators.Multimodal
+      .perceptualHashPairs(docs, "doc_id", "payload", maxBucket = 2)
+      .select("n_capped_buckets", "n_dropped_rows").distinct()
+      .as[(Long, Long)].collect()
+    assert(capped.toSeq == Seq((4L, 16L)),
+      s"4 bands x (6-2) dropped rows expected, got ${capped.toSeq}")
+    val uncapped = graft.operators.Multimodal
+      .perceptualHashPairs(docs, "doc_id", "payload", maxBucket = 4096)
+      .select("n_capped_buckets", "n_dropped_rows").distinct()
+      .as[(Long, Long)].collect()
+    assert(uncapped.toSeq == Seq((0L, 0L)))
+  }
+
+  test("semDedup marks every vector of an over-full cell as cell_capped") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = graft.operators.Similarity
+      .semDedup(e, "vec_id", "embedding", threshold = 0.4, maxCell = 3)
+    // cells larger than 3 exist at sf0.001 (500 vecs over 16 cells)
+    val marked = out.filter(col("cell_capped") === 1).count()
+    assert(marked > 0L, "over-full cells must be marked")
+    // the marking must be exactly cell-size > maxCell, per cell
+    val bad = out.groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("cell_capped").as("m"))
+      .filter(!((col("n") > 3 && col("m") === col("n")) ||
+                (col("n") <= 3 && col("m") === 0L)))
+      .count()
+    assert(bad == 0L)
+    val capless = graft.operators.Similarity
+      .semDedup(e, "vec_id", "embedding", threshold = 0.4)
+    assert(capless.filter(col("cell_capped") === 1).count() == 0L)
+  }
+}
