@@ -15,12 +15,13 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10d"
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 os.makedirs(DST, exist_ok=True)
 
 d = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
 stride = int(d.doc_id.max()) + 1
 copies = []
-for k in range(10):
+for k in range(K):
     c = d.copy()
     c["doc_id"] = c.doc_id + k * stride
     if k:

@@ -16,12 +16,13 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10e"
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 os.makedirs(DST, exist_ok=True)
 
 t = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
 stride = int(t.vec_id.max()) + 1
 copies = []
-for k in range(10):
+for k in range(K):
     c = t.copy()
     c["vec_id"] = c.vec_id + k * stride
     if k:

@@ -1,0 +1,314 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.queries.GraphQueries
+import graft.graph.GraphOps
+
+/** ENGINE-SIDE 100× scale sweep with invariant gates (round 8) — the
+  * scale proof for the families whose DuckDB oracles are themselves
+  * scale-bound (the r5 seven: minhash-replay d3/d11/d12/d15,
+  * pair-join d2/d10, Levenshtein d13; plus definitional SCC/SSSP
+  * closures). Where no single-node reference can run, correctness at
+  * scale is pinned by INVARIANTS the right answer must satisfy:
+  * construction identities of the scaled corpus (100 shifted copies
+  * ⇒ exact-dedup survivors multiply by exactly 100), certificates
+  * (per-edge SSSP relaxation slack), closure/idempotence of cluster
+  * tables, incremental == full-recompute equivalences computed
+  * engine-vs-engine, and monotone funnels.
+  *
+  * Usage: graft.Sweep <relDir100x> <docDir100x> <embDir100x> <baseDir>
+  * Prints one `SWEEP <name> ok|FAIL [detail] [Ns]` line per check and
+  * a final summary line; exit 1 on any failure.
+  */
+object Sweep {
+  def main(args: Array[String]): Unit = {
+    val Array(relDir, docDir, embDir, baseDir) = args.padTo(4, "").map {
+      case "" => "/root/testdata/sf0.1"; case x => x
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def docs(d: String) = Tables.documents(spark, d)
+    def emb(d: String) = Tables.embeddings(spark, d)
+
+    // The 100x rel corpus is 100 orderkey-shifted copies sharing
+    // custkeys. Chaining per customer over ALL copies would make every
+    // chain 100x LONGER — a diameter blowup no engine's Bellman-Ford
+    // or trim-peel escapes (rounds scale with path length on ANY
+    // engine). The realistic 100-TB shape is 100x MORE entities of
+    // unchanged history length, so the sweep chains per
+    // (customer, copy-block): block = o_orderkey div stride — 100x
+    // the chains, 100x the edges, fixed diameter. At the 1x base dir
+    // block is constantly 0 and this is exactly GraphQueries'
+    // construction.
+    val stride = Tables.orders(spark, baseDir)
+      .agg(max("o_orderkey")).collect()(0).getLong(0) + 1
+    def blockedOrders(d: String) = Tables.orders(spark, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_orderdate"),
+        (col("o_orderkey") / stride).cast("long").as("blk"))
+    def blockedChainEdges(d: String, withSkip: Boolean): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey", "blk").orderBy("o_orderdate", "k")
+      val o = blockedOrders(d)
+        .withColumn("n1", lead("k", 1).over(w))
+        .withColumn("n2", lead("k", 2).over(w))
+      val e1 = o.filter(col("n1").isNotNull).select(col("k").as("src"), col("n1").as("dst"))
+      if (!withSkip) e1
+      else e1.union(o.filter(col("n2").isNotNull).select(col("k").as("src"), col("n2").as("dst")))
+    }
+
+    // (name, check) — check returns "" when the invariant holds
+    val checks: Seq[(String, () => String)] = Seq(
+
+      // ───────────── graph family (100× orders → chain graphs) ─────────────
+      "g6_cc_invariants" -> { () =>
+        val e = GraphQueries.chainEdges(spark, relDir, withSkip = false).cache()
+        val cc = GraphOps.connectedComponents(e).cache()
+        val nodes = e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node"))).distinct()
+        val oneLabel =
+          cc.count() == nodes.count() && cc.select("node").distinct().count() == cc.count()
+        // labels constant along every edge — the defining property
+        val badEdges = e
+          .join(cc.withColumnRenamed("node", "src").withColumnRenamed("component", "cs"), "src")
+          .join(cc.withColumnRenamed("node", "dst").withColumnRenamed("component", "cd"), "dst")
+          .filter(col("cs") =!= col("cd")).count()
+        // canonical min-member labels
+        val badMin = cc.groupBy("component").agg(min("node").as("mn"))
+          .filter(col("component") =!= col("mn")).count()
+        // construction identity: one chain per customer with ≥2 orders
+        val nComp = cc.select("component").distinct().count()
+        val nChains = Tables.orders(spark, relDir).groupBy("o_custkey")
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count()
+        e.unpersist(); cc.unpersist()
+        if (!oneLabel) "node/label bijection broken"
+        else if (badEdges > 0) s"$badEdges edges cross labels"
+        else if (badMin > 0) s"$badMin non-canonical labels"
+        else if (nComp != nChains) s"components $nComp != multi-order customers $nChains"
+        else ""
+      },
+
+      "g16_sssp_certificate" -> { () =>
+        val e = blockedChainEdges(relDir, withSkip = true)
+          .withColumn("w", (col("src") + col("dst")) % 7 + 1).cache()
+        val heads = e.select(col("src").as("node")).distinct()
+          .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_anti")
+        val d = GraphOps.sssp(e, heads, maxRounds = 64).cache()
+        // certificate: seeds at 0; no edge can relax further; every
+        // non-seed finite node has a witness predecessor edge
+        val seedBad = d.join(heads, "node").filter(col("dist") =!= 0).count()
+        // unreached nodes are ABSENT from the table: an edge from a
+        // reached src to an absent-or-larger dst is a relaxable edge
+        val du = d.select(col("node").as("src"), col("dist").as("du"))
+        val dv = d.select(col("node").as("dst"), col("dist").as("dv"))
+        val slack = e.join(du, "src").join(dv, Seq("dst"), "left")
+          .filter(col("dv").isNull || col("dv") > col("du") + col("w"))
+          .count()
+        val witnessless = d.filter(col("dist") > 0)
+          .join(e.join(du, "src").select(col("dst").as("node"), (col("du") + col("w")).as("cand")),
+            Seq("node"), "left")
+          .groupBy("node", "dist").agg(min("cand").as("best"))
+          .filter(col("best").isNull || col("best") =!= col("dist")).count()
+        e.unpersist(); d.unpersist()
+        if (seedBad > 0) s"$seedBad seeds with nonzero dist"
+        else if (slack > 0) s"$slack relaxable edges remain"
+        else if (witnessless > 0) s"$witnessless distances without a witness edge"
+        else ""
+      },
+
+      "g15_scc_invariants" -> { () =>
+        val base = blockedChainEdges(relDir, withSkip = true)
+        val o = blockedOrders(relDir)
+        val wA = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey", "blk").orderBy(col("o_orderdate"), col("k"))
+        val wD = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey", "blk").orderBy(col("o_orderdate").desc, col("k").desc)
+        val r = o.withColumn("ra", row_number().over(wA))
+          .withColumn("rd", row_number().over(wD))
+        val back = r.filter(col("ra") === 1)
+          .select(col("o_custkey"), col("blk"), col("k").as("head"))
+          .join(r.filter(col("rd") === 1)
+            .select(col("o_custkey"), col("blk"), col("k").as("tail")), Seq("o_custkey", "blk"))
+          .filter(col("o_custkey") % 2 === 0 && col("tail") =!= col("head"))
+          .select(col("tail").as("src"), col("head").as("dst"))
+        val e = base.union(back).cache()
+        val s = GraphOps.scc(e).cache()
+        val unconverged = s.filter(col("scc") === -1).count()
+        // condensation must be cycle-free; 2-cycles are the failure
+        // shape an over-split produces (a true SCC cut in half leaves
+        // mutual cross-label edges)
+        val lbl = s.withColumnRenamed("node", "src").withColumnRenamed("scc", "ls")
+        val lbl2 = s.withColumnRenamed("node", "dst").withColumnRenamed("scc", "ld")
+        val cross = e.join(lbl, "src").join(lbl2, "dst")
+          .filter(col("ls") =!= col("ld")).select("ls", "ld").distinct().cache()
+        val twoCycles = cross.as("x").join(cross.as("y"),
+          col("x.ls") === col("y.ld") && col("x.ld") === col("y.ls")).count()
+        // construction identity: each even (customer, copy-block)
+        // chain with ≥2 orders becomes one cycle SCC
+        val nontrivial = s.groupBy("scc").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).count()
+        val evenChains = blockedOrders(relDir)
+          .filter(col("o_custkey") % 2 === 0).groupBy("o_custkey", "blk")
+          .agg(countDistinct("k").as("n")).filter(col("n") >= 2).count()
+        e.unpersist(); s.unpersist(); cross.unpersist()
+        if (unconverged > 0) s"$unconverged nodes unconverged (scc=-1)"
+        else if (twoCycles > 0) s"$twoCycles mutual cross-label edge pairs (over-split)"
+        else if (nontrivial != evenChains) s"cycle SCCs $nontrivial != even chains $evenChains"
+        else ""
+      },
+
+      // ───────────── dedup family (100× near-dup-heavy docs) ─────────────
+      "d1_exact_100x_identity" -> { () =>
+        def survivors(d: String) =
+          Dedup.exactClusters(docs(d), "doc_id", "text")
+            .filter(col("keep_id") === col("member_id")).count()
+        val s100 = survivors(docDir); val s1 = survivors(baseDir)
+        // copies carry distinct ' #cK' suffixes, so exact-dup groups
+        // are strictly per-copy: survivors must multiply by exactly K
+        if (s100 == 100 * s1) "" else s"survivors $s100 != 100 x $s1"
+      },
+
+      "d12_funnel_monotone_100x" -> { () =>
+        val row = SparkEntry.queries("d12_dedup_funnel")(spark, docDir)
+          .select("n_raw", "n_exact", "n_norm", "n_fuzzy")
+          .as[(Long, Long, Long, Long)].head()
+        val (r0, e0, n0, f0) = row
+        if (r0 >= e0 && e0 >= n0 && n0 >= f0 && f0 > 0) ""
+        else s"funnel not monotone: $row"
+      },
+
+      "d11_cluster_closure_100x" -> { () =>
+        val cl = Dedup.fuzzyClusters(docs(docDir), "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.9, maxBucket = 4096).cache()
+        val nDocs = docs(docDir).count()
+        val once = cl.count() == nDocs && cl.select("member_id").distinct().count() == nDocs
+        val badOrd = cl.filter(col("keep_id") > col("member_id")).count()
+        // closure/idempotence: every representative is its own keep
+        val reps = cl.select(col("keep_id").as("member_id")).distinct()
+        val notClosed = reps.join(cl, "member_id")
+          .filter(col("keep_id") =!= col("member_id")).count()
+        cl.unpersist()
+        if (!once) "not exactly one row per doc"
+        else if (badOrd > 0) s"$badOrd rows with keep_id > member_id"
+        else if (notClosed > 0) s"$notClosed representatives not self-kept"
+        else ""
+      },
+
+      "d15_incremental_eq_full_100x" -> { () =>
+        val dd = docs(docDir)
+        val existing = dd.filter(col("doc_id") % 10 =!= 0)
+        val batch = dd.filter(col("doc_id") % 10 === 0)
+        val inc = Dedup.incrementalMinhashPairs(existing, batch, "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.9)
+        val full = Dedup.minhashLshPairs(dd, "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.9)
+          .filter(col("a") % 10 === 0 || col("b") % 10 === 0)
+        val d1 = inc.exceptAll(full).count(); val d2 = full.exceptAll(inc).count()
+        if (d1 == 0 && d2 == 0) "" else s"incremental differs from full: +$d1/-$d2 rows"
+      },
+
+      "d18_span_consistency_100x" -> { () =>
+        val dd = docs(docDir)
+        val out = Dedup.spanDedup(dd, "doc_id", "text", k = 40).cache()
+        val bad = out.join(dd.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+          .filter(col("clean_len") + col("chars_removed") =!= col("len")).count()
+        // construction floor: copy k>0 docs differ from copy 0 only by
+        // a short suffix — the overwhelming share of their chars are
+        // corpus-wide duplicated spans and must be removed
+        val stride = docs(baseDir).agg(max("doc_id")).as[Long].head() + 1
+        val frac = out.join(dd.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+          .filter(col("doc_id") >= stride && col("len") >= 80)
+          .agg((sum("chars_removed") * 100 / sum("len")).as("pct"))
+          .as[Double].head()
+        out.unpersist()
+        if (bad > 0) s"$bad rows with clean_len + removed != len"
+        else if (frac < 90.0) f"only $frac%.1f%% of copy>0 chars removed (floor 90%%)"
+        else ""
+      },
+
+      // ───────────── similarity family (100× embeddings) ─────────────
+      "s2_knn_shape_100x" -> { () =>
+        val e = emb(embDir)
+        val out = Similarity.knnLsh(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10).cache()
+        val self = out.filter(col("query_id") === col("neighbor_id")).count()
+        val badCos = out.filter(abs(col("cosine")) > 1.0001).count()
+        val badRk = out.groupBy("query_id")
+          .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+          .filter(col("n") > 10 || col("mx") =!= col("n") || col("mn") =!= 1).count()
+        out.unpersist()
+        if (self > 0) s"$self self-neighbors"
+        else if (badCos > 0) s"$badCos cosines out of range"
+        else if (badRk > 0) s"$badRk queries with non-dense ranks"
+        else ""
+      },
+
+      "s9_recall_floor_100x" -> { () =>
+        val out = SparkEntry.queries("s9_recall_eval")(spark, embDir)
+        val avg = out.agg(org.apache.spark.sql.functions.avg("recall_bp")).as[Double].head()
+        // regression floor, not a quality target: the LSH tier must
+        // retain signal at 100x corpus (brute truth over the 5-query
+        // sample is exact at any scale)
+        if (avg >= 300.0) "" else f"avg recall $avg%.0f bp under the 300 bp floor"
+      },
+
+      "s12_incremental_eq_rebuild_100x" -> { () =>
+        val e = emb(embDir)
+        val inc = Similarity.knnIvfIncremental(
+          e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, lloydIters = 0)
+        val full = Similarity.knnIvf(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, lloydIters = 0)
+        val d1 = inc.exceptAll(full).count(); val d2 = full.exceptAll(inc).count()
+        if (d1 == 0 && d2 == 0) "" else s"incremental differs from rebuild: +$d1/-$d2"
+      },
+
+      "d19_semdedup_shape_100x" -> { () =>
+        // nCells scales with the corpus (the published recipe sizes
+        // cells ~sqrt(n)): 256 cells over 200k vectors keeps the
+        // cell-local pair join ~100M comparisons, not 1.25G at 16
+        val out = Similarity.semDedup(emb(embDir), "vec_id", "embedding",
+          threshold = 0.4, nCells = 256).cache()
+        val n = emb(embDir).count()
+        val once = out.count() == n && out.select("vec_id").distinct().count() == n
+        val badKept = out.filter(
+          !((col("kept") === 1 && col("n_dup_smaller") === 0) ||
+            (col("kept") === 0 && col("n_dup_smaller") > 0))).count()
+        // cell_capped is a per-cell property: all-or-none within a cell
+        val badCap = out.groupBy("cell")
+          .agg(count(lit(1)).as("cn"), sum("cell_capped").as("cm"))
+          .filter(col("cm") =!= 0 && col("cm") =!= col("cn")).count()
+        out.unpersist()
+        if (!once) "not one row per vector"
+        else if (badKept > 0) s"$badKept rows violate kept<->n_dup_smaller"
+        else if (badCap > 0) s"$badCap cells partially marked capped"
+        else ""
+      }
+    )
+
+    var failed = 0
+    for ((name, check) <- checks) {
+      val t0 = System.nanoTime()
+      val detail = try check() catch { case e: Throwable =>
+        s"EXCEPTION ${e.getClass.getSimpleName}: ${e.getMessage}" }
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (detail.isEmpty) println(f"SWEEP $name ok [$secs%.1fs]")
+      else { failed += 1; println(f"SWEEP $name FAIL $detail [$secs%.1fs]") }
+      spark.catalog.clearCache()
+    }
+    println(s"""{"sweep":"100x","checks":${checks.size},"failed":$failed}""")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -21,7 +21,7 @@ import graft.graph.GraphOps
   */
 object GraphQueries {
 
-  private def chainEdges(s: SparkSession, d: String, withSkip: Boolean): DataFrame = {
+  private[graft] def chainEdges(s: SparkSession, d: String, withSkip: Boolean): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "k")
     val o = Tables.orders(s, d)
       .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_orderdate"))

@@ -43,6 +43,12 @@ object VersionedTable {
     * references (absolute path strings). */
   final case class Snapshot(version: Long, files: Seq[String])
 
+  /** Per-file column stats from the manifest: absolute path →
+    * (col → (min, max) as the committed string rendering); files
+    * committed before stats tracking simply have no entry. */
+  final case class FileStats(version: Long,
+                             stats: Map[String, Map[String, (String, String)]])
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -61,36 +67,69 @@ object VersionedTable {
     }).foldLeft(0L)(math.max)
   }
 
-  /** Pin the given (or latest) version: read its manifest once and
-    * return the immutable file list. Everything a reader does from
-    * here on references exactly these files. */
-  def snapshot(spark: SparkSession, root: String, version: Long = -1L): Snapshot = {
+  private def manifestBody(spark: SparkSession, root: String, version: Long): String = {
     val f = fs(spark, root)
-    val v = if (version > 0) version else currentVersion(spark, root)
-    require(v > 0, s"no committed version at $root")
-    val mf = new Path(manifestDir(root), s"v$v.manifest")
-    val in = f.open(mf)
-    val body = try {
+    val in = f.open(new Path(manifestDir(root), s"v$version.manifest"))
+    try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    Snapshot(v, body.split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
-      .toSeq.map(rel => new Path(root, rel).toString))
+  }
+
+  /** Raw file lines of a manifest: `relPath` or `relPath\tstatsJson`.
+    * The line — stats included — is what append/rewrite carry forward,
+    * so stats survive every commit that doesn't rewrite the file. */
+  private def fileLines(spark: SparkSession, root: String, version: Long): Seq[String] =
+    manifestBody(spark, root, version).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+
+  private def lineRel(line: String): String = line.split('\t')(0)
+
+  /** Pin the given (or latest) version: read its manifest once and
+    * return the immutable file list. Everything a reader does from
+    * here on references exactly these files. */
+  def snapshot(spark: SparkSession, root: String, version: Long = -1L): Snapshot = {
+    val v = if (version > 0) version else currentVersion(spark, root)
+    require(v > 0, s"no committed version at $root")
+    Snapshot(v, fileLines(spark, root, v)
+      .map(l => new Path(root, lineRel(l)).toString))
+  }
+
+  /** Per-file min/max stats recorded in the given (or latest)
+    * manifest — the data-skipping index. One small manifest read; no
+    * footer sweep (at 100 TB, per-file footer opens ARE the metadata
+    * bottleneck the manifest exists to avoid). */
+  def fileStats(spark: SparkSession, root: String, version: Long = -1L): FileStats = {
+    val v = if (version > 0) version else currentVersion(spark, root)
+    require(v > 0, s"no committed version at $root")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = fileLines(spark, root, v).flatMap { l =>
+      val cut = l.indexOf('\t')
+      if (cut < 0) None
+      else {
+        val abs = new Path(root, l.substring(0, cut)).toString
+        val node = om.readTree(l.substring(cut + 1))
+        val cols = scala.collection.mutable.Map.empty[String, (String, String)]
+        val it = node.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val arr = e.getValue
+          if (arr.isArray && arr.size() == 2 && !arr.get(0).isNull && !arr.get(1).isNull)
+            cols += e.getKey -> (arr.get(0).asText(), arr.get(1).asText())
+        }
+        Some(abs -> cols.toMap)
+      }
+    }.toMap
+    FileStats(v, m)
   }
 
   /** Metadata header (`#key=value` lines) of the given (or latest)
     * manifest — e.g. the streaming sink's `batch` id. */
   def manifestMeta(spark: SparkSession, root: String, version: Long = -1L): Map[String, String] = {
-    val f = fs(spark, root)
     val v = if (version > 0) version else currentVersion(spark, root)
     if (v <= 0) return Map.empty
-    val in = f.open(new Path(manifestDir(root), s"v$v.manifest"))
-    val body = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+    val body = manifestBody(spark, root, v)
     body.split("\n").filter(_.startsWith("#")).flatMap { l =>
       l.drop(1).split("=", 2) match {
         case Array(k, v2) => Some(k -> v2)
@@ -130,6 +169,56 @@ object VersionedTable {
     }
   }
 
+  /** Stats order: numeric when both sides parse as numbers (the
+    * string rendering of every numeric/date-free type Spark casts),
+    * else the string order — which for ISO timestamps/dates IS value
+    * order. Mirrors how the stats were cast at commit. */
+  private def statLeq(a: String, b: String): Boolean =
+    (try Some(BigDecimal(a).compare(BigDecimal(b)) <= 0)
+     catch { case _: NumberFormatException => None })
+      .getOrElse(a.compareTo(b) <= 0)
+
+  /** The files of a snapshot a `colName IN [lo, hi]` scan must touch,
+    * plus the snapshot total: a file is SKIPPED iff its recorded
+    * [min, max] cannot intersect the range; files without stats for
+    * the column (pre-stats commits, all-null files) are conservatively
+    * kept. The prune reads ONE manifest — no file footers, no listing. */
+  def prunedFiles(spark: SparkSession, root: String, colName: String,
+                  lo: String, hi: String, version: Long = -1L): (Seq[String], Int) = {
+    val s = snapshot(spark, root, version)
+    val st = fileStats(spark, root, s.version).stats
+    val kept = s.files.filter { p =>
+      st.get(p).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => statLeq(lo, mx) && statLeq(mn, hi)
+        case None => true
+      }
+    }
+    (kept, s.files.size)
+  }
+
+  /** Data-skipping range read: [[read]] semantics, but the scan is
+    * built from [[prunedFiles]] — at 100 TB a selective predicate on
+    * a range-clustered stats column touches the few files whose
+    * min/max admit it instead of every live file. The row-level
+    * filter still applies (stats prune files, not rows). */
+  def readRange(spark: SparkSession, root: String, colName: String,
+                lo: String, hi: String, version: Long = -1L): DataFrame = {
+    val (kept, _) = prunedFiles(spark, root, colName, lo, hi, version)
+    val s = snapshot(spark, root, version)
+    val base = tableSchema(spark, root, s.version) match {
+      case Some(sc) if kept.nonEmpty => spark.read.schema(sc).parquet(kept: _*)
+      case None if kept.nonEmpty => spark.read.parquet(kept: _*)
+      case Some(sc) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case None => return read(spark, root, version).limit(0)
+    }
+    // row filter in the COLUMN's type (string compare would order
+    // "10" < "9"); lit(lo).cast(dt) is identity for string columns
+    val dt = base.schema(colName).dataType
+    base.filter(col(colName).geq(org.apache.spark.sql.functions.lit(lo).cast(dt)) &&
+      col(colName).leq(org.apache.spark.sql.functions.lit(hi).cast(dt)))
+  }
+
   /** Thrown when a commit requires the table to still be at a pinned
     * base version and another writer committed first — the caller
     * (e.g. [[compact]], [[merge]]) must re-read and retry or abort. */
@@ -152,18 +241,16 @@ object VersionedTable {
     * would silently drop that commit (lost update). */
   def commit(df: DataFrame, root: String, mode: String = "overwrite",
              meta: Map[String, String] = Map.empty,
-             expectBase: Long = -1L): Long = {
+             expectBase: Long = -1L,
+             statsCols: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     commitCore(df, root, meta, expectBase,
-      carriedRel = cur =>
-        if (mode == "append" && cur > 0) relFiles(df.sparkSession, root, cur)
+      carriedLines = cur =>
+        if (mode == "append" && cur > 0) fileLines(df.sparkSession, root, cur)
         else Seq.empty,
-      unionWithPrev = mode == "append")
+      unionWithPrev = mode == "append",
+      statsCols = statsCols)
   }
-
-  private def relFiles(spark: SparkSession, root: String, version: Long): Seq[String] =
-    snapshot(spark, root, version).files.map(abs =>
-      abs.stripPrefix(new Path(root).toString).stripPrefix("/"))
 
   /** Evolved schema of the next version: the previous schema's fields
     * (in order) plus `next`'s NEW fields appended. A field present in
@@ -181,14 +268,25 @@ object VersionedTable {
         p.fields ++ next.fields.filter(f => !p.fieldNames.contains(f.name)))
   }
 
+  /** JSON-string escape for stats values: the manifest is
+    * line-oriented and tab-split, so control chars (tab included)
+    * MUST ride escaped. */
+  private def jesc(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
   private def commitCore(df: DataFrame, root: String,
                          meta: Map[String, String], expectBase: Long,
-                         carriedRel: Long => Seq[String],
-                         unionWithPrev: Boolean): Long = {
+                         carriedLines: Long => Seq[String],
+                         unionWithPrev: Boolean,
+                         statsCols: Seq[String] = Nil): Long = {
     require(meta.forall { case (k, v) =>
       !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r') },
       "meta keys/values must be line-safe")
     require(!meta.contains("schema"), "meta key 'schema' is reserved")
+    require(!meta.contains("statscols"), "meta key 'statscols' is reserved")
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
@@ -198,11 +296,48 @@ object VersionedTable {
     if (expectBase >= 0 && base != expectBase)
       throw new ConcurrentCommitException(
         s"table at $root moved to v$base (expected v$expectBase) before write")
+    // stats columns: explicit, or inherited from the current manifest
+    // so MERGE/DELETE/compact/append rewrites keep skipping working
+    // without each caller re-stating the table's layout contract
+    val effStats = (if (statsCols.nonEmpty) statsCols
+      else manifestMeta(spark, root, base)
+        .get("statscols").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
+      .filter(df.columns.contains)
     val dataDir = new Path(root, s"data/c${base + 1}-$nonce")
     df.write.parquet(dataDir.toString)
     val written = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => s"data/c${base + 1}-$nonce/${st.getPath.getName}").sorted
+    // per-file min/max for the stats columns — the data-skipping
+    // index [[fileStats]] serves. One extra scan of THIS COMMIT's
+    // files only (commit-sized, never table-sized; the parquet
+    // footers hold the same numbers, but one distributed pass over
+    // the fresh files avoids per-file footer opens on the driver and
+    // handles every type Spark can min/max). Collect is bounded by
+    // files-per-commit — the manifest-sized planner read.
+    val writtenLines: Seq[String] =
+      if (effStats.isEmpty || written.isEmpty) written.toSeq
+      else {
+        val aggs = effStats.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c)).cast("string").as(s"__mn_$c"),
+          org.apache.spark.sql.functions.max(col(c)).cast("string").as(s"__mx_$c")))
+        val rows = spark.read.parquet(dataDir.toString)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val byName = rows.map { r =>
+          val name = new Path(r.getString(0)).getName
+          val json = effStats.map { c =>
+            val mn = r.getAs[String](s"__mn_$c"); val mx = r.getAs[String](s"__mx_$c")
+            val v = if (mn == null || mx == null) "null" else s"[${jesc(mn)},${jesc(mx)}]"
+            s"${jesc(c)}:$v"
+          }.mkString("{", ",", "}")
+          name -> json
+        }.toMap
+        written.toSeq.map { rel =>
+          byName.get(new Path(rel).getName).map(j => s"$rel\t$j").getOrElse(rel)
+        }
+      }
     // commit loop: build the manifest (file list AND schema) against
     // the CURRENT version each attempt, so an append that loses a race
     // re-reads the winner's list and evolves the winner's schema
@@ -215,13 +350,16 @@ object VersionedTable {
         throw new ConcurrentCommitException(
           s"table at $root moved to v$cur (expected v$expectBase) at commit")
       }
-      val carried = carriedRel(cur)
+      val carried = carriedLines(cur)
       val schemaJson = (if (unionWithPrev && cur > 0)
         unionSchema(tableSchema(spark, root, cur), df.schema)
       else df.schema).json
-      val allMeta = meta + ("schema" -> schemaJson)
+      val allMeta = meta + ("schema" -> schemaJson) ++
+        (if (effStats.nonEmpty) Map("statscols" -> effStats.mkString(","))
+         else manifestMeta(spark, root, cur).get("statscols")
+           .map("statscols" -> _))
       val lines = (allMeta.toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
-        ++ carried ++ written).mkString("", "\n", "\n")
+        ++ carried ++ writtenLines).mkString("", "\n", "\n")
       val tmp = new Path(manifestDir(root), s".v${cur + 1}-$nonce.tmp")
       val out = f.create(tmp, true)
       try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -311,10 +449,14 @@ object VersionedTable {
       val s = snapshot(spark, root)
       val (newRows, untouchedAbs) = plan(spark, s)
       val rootPrefix = new Path(root).toString
-      val untouchedRel = untouchedAbs.map(_.stripPrefix(rootPrefix).stripPrefix("/"))
+      val untouchedRel = untouchedAbs.map(_.stripPrefix(rootPrefix).stripPrefix("/")).toSet
+      // carry the untouched files' FULL manifest lines so their
+      // recorded stats survive the rewrite
+      val untouchedLines = fileLines(spark, root, s.version)
+        .filter(l => untouchedRel.contains(lineRel(l)))
       try {
         return commitCore(newRows, root, Map.empty, expectBase = s.version,
-          carriedRel = _ => untouchedRel, unionWithPrev = true)
+          carriedLines = _ => untouchedLines, unionWithPrev = true)
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1

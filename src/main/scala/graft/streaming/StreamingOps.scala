@@ -176,15 +176,19 @@ object StreamingOps {
   def asofJoinStream(left: DataFrame, lTs: String, lKey: String,
                      right: DataFrame, rTs: String, rKey: String, rVal: String,
                      tolerance: String, watermark: String): DataFrame = {
-    val l = left.withWatermark(lTs, watermark)
-    val r = right.withWatermark(rTs, watermark)
-    val cond = col(lKey) === col(rKey) &&
-      col(rTs) <= col(lTs) &&
-      col(rTs) >= col(lTs) - expr(s"INTERVAL $tolerance")
+    // alias both sides and qualify every reference: with bare col()
+    // refs, a column name shared by the two streams (both called
+    // 'ts', same key name — the COMMON case) resolves ambiguously or
+    // binds both predicates to one side and silently self-matches
+    val l = left.withWatermark(lTs, watermark).as("l")
+    val r = right.withWatermark(rTs, watermark).as("r")
+    val cond = col(s"l.$lKey") === col(s"r.$rKey") &&
+      col(s"r.$rTs") <= col(s"l.$lTs") &&
+      col(s"r.$rTs") >= col(s"l.$lTs") - expr(s"INTERVAL $tolerance")
     l.join(r, cond)
-      .groupBy(col(lTs), col(lKey))
-      .agg(max(struct(col(rTs).as("mts"), col(rVal).as("mval"))).as("m"))
-      .select(col(lTs), col(lKey),
+      .groupBy(col(s"l.$lTs"), col(s"l.$lKey"))
+      .agg(max(struct(col(s"r.$rTs").as("mts"), col(s"r.$rVal").as("mval"))).as("m"))
+      .select(col(s"l.$lTs"), col(s"l.$lKey"),
         col("m.mts").as("asof_ts"), col("m.mval").as("asof_value"))
   }
 

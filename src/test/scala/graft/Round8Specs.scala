@@ -140,3 +140,133 @@ class CapObservabilitySpec extends SparkSpec {
     assert(capless.filter(col("cell_capped") === 1).count() == 0L)
   }
 }
+
+/** Round-8 manifest-level data skipping: per-file min/max stats
+  * recorded at commit make the manifest the SCAN PLAN — a selective
+  * read opens one small manifest and touches only the files whose
+  * recorded range admits the predicate. The step a Delta/Iceberg-
+  * shaped format takes after snapshot isolation.
+  */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtab").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("selective scan touches a strict minority of files; rows exact") {
+    val root = freshRoot()
+    // range-clustered layout (the layout a stats column exists for):
+    // 1..1000 across 10 range-partitioned files
+    val df = (1L to 1000L).toDF("v").repartitionByRange(10, col("v"))
+    VersionedTable.commit(df, root, statsCols = Seq("v"))
+    val (kept, total) = VersionedTable.prunedFiles(spark, root, "v", "150", "250")
+    assert(total == 10, s"expected 10 files, got $total")
+    assert(kept.size * 2 < total, s"pruned scan must touch a strict minority: ${kept.size}/$total")
+    val got = VersionedTable.readRange(spark, root, "v", "150", "250")
+      .as[Long].collect().sorted.toSeq
+    assert(got == (150L to 250L), "pruned read must return exactly the range rows")
+  }
+
+  test("numeric compare, not string compare: [9, 10] keeps both boundary files") {
+    val root = freshRoot()
+    VersionedTable.commit(Seq(9L, 10L).toDF("v").repartitionByRange(2, col("v")),
+      root, statsCols = Seq("v"))
+    val got = VersionedTable.readRange(spark, root, "v", "9", "10")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(9L, 10L), s"string-ordered stats would drop 9: $got")
+  }
+
+  test("stats survive append, merge, and compaction; pre-stats files are kept conservatively") {
+    val root = freshRoot()
+    // v1: no stats (pre-stats era)
+    VersionedTable.commit((1L to 100L).toDF("k").withColumn("val", col("k") * 2)
+      .repartitionByRange(4, col("k")), root)
+    // v2 append WITH stats: inherits + records
+    VersionedTable.commit((101L to 200L).toDF("k").withColumn("val", col("k") * 2)
+      .repartitionByRange(4, col("k")), root, mode = "append", statsCols = Seq("k"))
+    val (kept2, total2) = VersionedTable.prunedFiles(spark, root, "k", "150", "160")
+    // the 4 stat-less v1 files are conservatively kept; of the 4 v2
+    // files only those covering 150..160 survive
+    assert(total2 == 8 && kept2.size < 8 && kept2.size >= 4,
+      s"expected v1 files kept + v2 pruned, got ${kept2.size}/$total2")
+    assert(VersionedTable.readRange(spark, root, "k", "150", "160")
+      .select("k").as[Long].collect().sorted.toSeq == (150L to 160L))
+    // merge rewrites one key; untouched files keep their stats lines
+    VersionedTable.merge(Seq((150L, 999L)).toDF("k", "val"), root, Seq("k"))
+    val got = VersionedTable.readRange(spark, root, "k", "150", "160")
+      .select("k", "val").as[(Long, Long)].collect().toMap
+    assert(got(150L) == 999L && got(160L) == 320L)
+    // statscols meta survives the merge commit, so a compact keeps
+    // recording stats for its rewritten files
+    VersionedTable.compact(spark, root, targetFileBytes = 1L)
+    val stAfter = VersionedTable.fileStats(spark, root).stats
+    assert(stAfter.nonEmpty && stAfter.values.forall(_.contains("k")),
+      "compacted files must carry fresh k stats")
+    assert(VersionedTable.readRange(spark, root, "k", "150", "160")
+      .select("k", "val").as[(Long, Long)].collect().toMap.apply(150L) == 999L)
+  }
+
+  test("time travel reads the stats of its era and stays exact") {
+    val root = freshRoot()
+    val v1 = VersionedTable.commit((1L to 100L).toDF("v")
+      .repartitionByRange(5, col("v")), root, statsCols = Seq("v"))
+    VersionedTable.commit((1000L to 1100L).toDF("v")
+      .repartitionByRange(5, col("v")), root, mode = "overwrite")
+    assert(VersionedTable.readRange(spark, root, "v", "10", "20", v1)
+      .as[Long].collect().sorted.toSeq == (10L to 20L))
+    val (k1, t1) = VersionedTable.prunedFiles(spark, root, "v", "10", "20", v1)
+    assert(t1 == 5 && k1.size < t1)
+  }
+}
+
+/** Round-8 BPE at a raised merge count (the r7 verdict's scale seam):
+  * the training loop no longer collects the per-round argmax to the
+  * driver — it is cut executor-side and folded into the next round
+  * as a 1-row broadcast — and 64 rounds are pinned against an
+  * INDEPENDENT single-machine BPE reference (leftmost-greedy merge,
+  * (count desc, a, b) argmax tie-break, the Bpe.scala contract).
+  */
+class BpeScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE trainer over (word, cnt): per round, count all
+    * adjacent symbol pairs weighted by cnt, pick (max cnt, then
+    * lexicographic (a, b)), merge leftmost-greedily. */
+  private def reference(words: Map[String, Long], nMerges: Int): Seq[(String, String, Long)] = {
+    var segs: Map[List[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toList } { case (_, c) => c }(_ + _)
+    val out = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to nMerges if segs.exists(_._1.size > 1)) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- segs; i <- 0 until syms.size - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((a, b), c) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      out += ((a, b, c))
+      segs = segs.groupMapReduce { case (syms, _) =>
+        val r = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i < syms.size - 1 && syms(i) == a && syms(i + 1) == b) { r += a + b; i += 2 }
+          else { r += syms(i); i += 1 }
+        }
+        r.toList
+      } { case (_, c) => c }(_ + _)
+    }
+    out.toList
+  }
+
+  test("64 trained merges match the independent reference") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val words = graft.operators.Bpe.wordCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    val want = reference(words, 64)
+    val (merges, _) = graft.operators.Bpe.train(docs, "text", nMerges = 64)
+    val got = merges.map(m => (m.a, m.b, m.cnt))
+    assert(got.size == want.size, s"${got.size} merges vs reference ${want.size}")
+    for (((g, w), i) <- got.zip(want).zipWithIndex)
+      assert(g == w, s"merge ${i + 1}: $g vs reference $w")
+  }
+}
