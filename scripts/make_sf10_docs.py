@@ -16,6 +16,13 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10d"
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+# optional 3rd arg: number of CLONE CLASSES. When set, EVERY copy k
+# (including k=0) gets suffix ' #c<k % classes>', so each base doc
+# yields exactly `classes` distinct texts with K/classes exact clones
+# each — 100x VOLUME at bounded clone density (the r5 convention held
+# clone classes at 10; a 100-way near-dup clique makes any
+# exact-verify LSH quadratic, on any engine).
+NCLASSES = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 os.makedirs(DST, exist_ok=True)
 
 d = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
@@ -24,7 +31,9 @@ copies = []
 for k in range(K):
     c = d.copy()
     c["doc_id"] = c.doc_id + k * stride
-    if k:
+    if NCLASSES:
+        c["text"] = c.text + f" #c{k % NCLASSES}"
+    elif k:
         c["text"] = c.text + f" #c{k}"
     c["n_chars"] = c.text.str.len()
     copies.append(c)

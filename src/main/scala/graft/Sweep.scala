@@ -174,9 +174,13 @@ object Sweep {
           Dedup.exactClusters(docs(d), "doc_id", "text")
             .filter(col("keep_id") === col("member_id")).count()
         val s100 = survivors(docDir); val s1 = survivors(baseDir)
-        // copies carry distinct ' #cK' suffixes, so exact-dup groups
-        // are strictly per-copy: survivors must multiply by exactly K
-        if (s100 == 100 * s1) "" else s"survivors $s100 != 100 x $s1"
+        // the 100x corpus holds 100 copies in NCLASSES=10 suffix
+        // classes (' #c<k%10>' on every copy — bounded clone density,
+        // the r5 convention: a 100-way near-dup clique would make any
+        // exact-verify LSH quadratic on any engine), so each base
+        // text yields exactly 10 distinct texts: survivors must
+        // multiply by exactly 10
+        if (s100 == 10 * s1) "" else s"survivors $s100 != 10 x $s1"
       },
 
       "d12_funnel_monotone_100x" -> { () =>
@@ -297,8 +301,10 @@ object Sweep {
       }
     )
 
+    val only = sys.env.get("SPARK_SWEEP_ONLY").map(_.split(",").toSet)
+    val selected = checks.filter { case (n, _) => only.forall(_.contains(n)) }
     var failed = 0
-    for ((name, check) <- checks) {
+    for ((name, check) <- selected) {
       val t0 = System.nanoTime()
       val detail = try check() catch { case e: Throwable =>
         s"EXCEPTION ${e.getClass.getSimpleName}: ${e.getMessage}" }
@@ -306,8 +312,13 @@ object Sweep {
       if (detail.isEmpty) println(f"SWEEP $name ok [$secs%.1fs]")
       else { failed += 1; println(f"SWEEP $name FAIL $detail [$secs%.1fs]") }
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // shuffle files of a finished check are only reclaimed when the
+      // ContextCleaner sees their RDDs garbage-collected — at 100x a
+      // long-lived sweep JVM fills the disk without this nudge
+      System.gc(); Thread.sleep(2000)
     }
-    println(s"""{"sweep":"100x","checks":${checks.size},"failed":$failed}""")
+    println(s"""{"sweep":"100x","checks":${selected.size},"failed":$failed}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -25,6 +25,21 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** N-dimensional Morton interleave of the low `bits` bits of each
+    * column: bit i of dimension j lands at position i·n + j — the
+    * 3-plus-filter-dimension layout (date × tenant × region) the 2-D
+    * [[zorderKey]] can't serve. Same pure codegen'd integer ops;
+    * bits·n must fit a non-negative long. [[zorderKey]] is the n=2
+    * special case (argument order preserved: a = dimension 0). */
+  def interleaveKey(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, "interleave needs at least 2 dimensions")
+    require(bits >= 1 && bits * n <= 62, s"bits*dims must fit a long: $bits*$n")
+    (for (i <- 0 until bits; (c, j) <- cols.zipWithIndex) yield
+      shiftleft(shiftrightunsigned(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + j)
+    ).reduce(_ + _)
+  }
+
   /** SQL mirror of [[zorderKey]] in div/mod arithmetic (no engine-
     * specific bit operators): `intDiv` is `div` for Spark SQL, `//`
     * for DuckDB. */

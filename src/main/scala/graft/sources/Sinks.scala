@@ -133,4 +133,30 @@ object Sinks {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** N-dimensional interleave-clustered parquet ([[writeZordered]]
+    * generalized past 2 filter dimensions — date × tenant × region
+    * is the canonical 3): rows range-partitioned and sorted by the
+    * N-way Morton key, so file and row-group min/max stats stay
+    * selective for a predicate on ANY of the clustered columns. One
+    * range shuffle on the curve key; the key is dropped from the
+    * files. */
+  def writeInterleaved(df: DataFrame, path: String, cols: Seq[String],
+                       bits: Int, numFiles: Int): Unit = {
+    // explicit ALIGNED curve spans, not a sampled range partition:
+    // RangePartitioner's sampled boundaries straddle curve bit
+    // boundaries, spreading each selective bit-region across two
+    // files (measured: a 1/4-of-files predicate touched 27/64 under
+    // sampling, 16/64 aligned). Equal span ids can't split across
+    // range partitions, so files == aligned curve ranges.
+    val keyBits = bits * cols.size
+    val span = math.max(1L, ((1L << keyBits) + numFiles - 1) / numFiles)
+    val keyed = df.withColumn("__z",
+      graft.operators.Layout.interleaveKey(cols.map(df.col), bits))
+      .withColumn("__fid", org.apache.spark.sql.functions.expr(s"__z div $span"))
+    keyed.repartitionByRange(numFiles, keyed.col("__fid"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__fid")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -270,3 +270,53 @@ class BpeScaleSpec extends SparkSpec {
       assert(g == w, s"merge ${i + 1}: $g vs reference $w")
   }
 }
+
+/** Round-8 N-dimensional interleave layout: three filter dimensions
+  * clustered by one 3-way Morton key — each single-dimension
+  * predicate touches a strict minority of files (the property no
+  * single-column sort can give more than one dimension), and the
+  * n=2 key is bit-identical to the existing zorderKey.
+  */
+class InterleaveLayoutSpec extends SparkSpec {
+  import graft.operators.Layout
+  import graft.sources.Sinks
+  import org.apache.spark.sql.functions._
+
+  test("interleaveKey n=2 equals zorderKey bit-for-bit") {
+    val df = spark.range(0, 2048)
+      .select((col("id") % 37).as("a"), (col("id") % 53).as("b"))
+    val bad = df.withColumn("z2", Layout.zorderKey(col("a"), col("b"), 8))
+      .withColumn("zn", Layout.interleaveKey(Seq(col("a"), col("b")), 8))
+      .filter(col("z2") =!= col("zn")).count()
+    assert(bad == 0L)
+  }
+
+  test("3-D interleave: every single-dimension filter touches a strict minority of files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ileave").toString
+    // full 32x32x32 grid, one row per cell, clustered into 64 files
+    val grid = spark.range(0, 32 * 32 * 32)
+      .select((col("id") % 32).as("x"), ((col("id") / 32) % 32).cast("long").as("y"),
+        ((col("id") / 1024) % 32).cast("long").as("z"), col("id").as("payload"))
+    Sinks.writeInterleaved(grid, s"$dir/w", Seq("x", "y", "z"), 5, 64)
+
+    def filesTouched(cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(s"$dir/w").filter(cond)
+        .select(input_file_name()).distinct().count()
+
+    val total = spark.read.parquet(s"$dir/w")
+      .select(input_file_name()).distinct().count()
+    // range partitioning 64 span ids into 64 partitions occasionally
+    // merges two ids (and leaves one partition empty — no file)
+    assert(total >= 60L && total <= 64L, s"expected ~64 files, got $total")
+    // each dim<4 fixes 3 high bits of its dimension, two of which
+    // land above the file-range granularity -> ~1/4 of files (+
+    // range-boundary slop); a 1-D sort could give this to ONE dim only
+    for (d <- Seq("x", "y", "z")) {
+      val t = filesTouched(col(d) < 4)
+      assert(t <= 20, s"$d<4 touched $t of 64 files")
+    }
+    // the 3-D corner box is a near-contiguous curve range
+    val box = filesTouched(col("x") < 8 && col("y") < 8 && col("z") < 8)
+    assert(box <= 6, s"corner box touched $box of 64 files")
+  }
+}
