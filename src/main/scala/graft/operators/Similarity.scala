@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Ckpt
@@ -463,6 +463,71 @@ object Similarity {
       .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
         round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Scalar-quantization ANN (SQ8) — the OTHER compression tier next
+    * to [[knnPq]], and the one production vector stores deploy most:
+    * each dimension is affinely quantized to an 8-bit code against
+    * per-dimension corpus [min, max] (64 bytes per 64-dim vector —
+    * 4× smaller than float32, no codebook training at all). Search
+    * scores queries against the MIDPOINT dequantization (asymmetric
+    * distance), then reranks the top `rerank·k` candidates at full
+    * precision.
+    *
+    * Determinism: the per-dim min/max are exact order-independent
+    * aggregates; quantize/dequantize/score are fixed-order double
+    * folds (zip_with + sequential aggregate — the evaluation order
+    * DuckDB's list_dot_product uses), so the entire pipeline is
+    * bit-reproducible by the plain-SQL oracle. Scale shape: one
+    * narrow stats pass (1-row broadcast), encode is per-row, search
+    * shuffles only the top-R candidates per query into the rerank.
+    */
+  def knnSq(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, k: Int, dims: Int = 64,
+            rerank: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    // per-dimension [lo, hi]: one aggregate over (row, dim) pairs,
+    // folded to a single broadcastable row of two arrays
+    val stats = c.select(posexplode(col("cv")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, lo))), s -> s.lo)").as("los"),
+        expr("transform(array_sort(collect_list(struct(d, hi))), s -> s.hi)").as("his"))
+    val enc = c.crossJoin(broadcast(stats))
+      .withColumn("codes", expr(
+        s"transform(sequence(0, $dims - 1), d -> CASE WHEN his[d] = los[d] THEN 0 " +
+          "ELSE least(255, greatest(0, CAST(floor((cv[d] - los[d]) / (his[d] - los[d]) * 256) AS INT))) END)"))
+      .withColumn("rv", expr(
+        s"transform(sequence(0, $dims - 1), d -> los[d] + (codes[d] + 0.5D) * (his[d] - los[d]) / 256.0D)"))
+      .withColumn("rn", expr(
+        "sqrt(aggregate(zip_with(rv, rv, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+      .select("cid", "rv", "rn")
+    val q = queries.select(col(idCol).as("qid"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", expr(
+        "sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+    val cand = q.join(enc, col("qid") =!= col("cid"))
+      .withColumn("apx", expr(
+        "aggregate(zip_with(qv, rv, (x, y) -> x * y), 0D, (a, x) -> a + x)") / (col("qn") * col("rn")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
+      .filter(col("ark") <= rerank * k)
+      .select("qid", "qv", "qn", "cid", "apx")
+    cand.join(withNorm(corpus, idCol, vecCol, "c").withColumnRenamed("cid", "cid2")
+        .withColumnRenamed("cv", "cv2").withColumnRenamed("cn", "cn2"),
+        col("cid") === col("cid2"))
+      .withColumn("cosine", dot2("qv", "cv2") / (col("qn") * col("cn2")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), round(col("apx"), 4).as("apx_cosine"))
+  }
+
+  /** Sequential double dot between a double array column and a float
+    * array column (cast), zip_with + ordered fold — the order
+    * [[knnSq]]'s oracle replays with list_dot_product. */
+  private def dot2(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, CAST($b AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
   /** Standing-cell assignment for a batch against a frozen quantizer
     * trained on `base` — exposed for the append spec: returns

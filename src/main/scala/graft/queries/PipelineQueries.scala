@@ -1321,6 +1321,53 @@ object PipelineQueries {
               |  round(cos, 4) AS cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("s13_knn_sq",
+      // Scalar-quantization ANN (round 8) — the compression tier
+      // production vector stores deploy MOST (FAISS SQ8): 8-bit
+      // affine codes against per-dimension corpus [min,max] (4x
+      // smaller than float32, zero codebook training), asymmetric
+      // midpoint-dequant scoring, full-precision rerank of the top
+      // rerank*k (Similarity.knnSq). min/max are exact
+      // order-independent aggregates and every score is a fixed-order
+      // double fold (the order list_dot_product evaluates), so the
+      // oracle replays stats, codes, dequant, cut, and rerank
+      // bit-for-bit.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnSq(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10).orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $cosSql,
+              |st AS (SELECT d, min(v[d]) AS lo, max(v[d]) AS hi
+              |  FROM ce, (SELECT unnest(generate_series(1, 64)) AS d) ds GROUP BY d),
+              |mm AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM st),
+              |codes AS (SELECT vec_id, list_transform(generate_series(1, 64),
+              |    d -> CASE WHEN his[d] = los[d] THEN 0
+              |         ELSE least(255, greatest(0, CAST(floor((v[d] - los[d]) / (his[d] - los[d]) * 256) AS INT))) END) AS cd
+              |  FROM ce, mm),
+              |recon AS (SELECT vec_id,
+              |    list_transform(generate_series(1, 64),
+              |      d -> los[d] + (cd[d] + 0.5) * (his[d] - los[d]) / 256.0) AS rv
+              |  FROM codes, mm),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
+              |ax AS (SELECT qid, r.vec_id AS cid,
+              |    list_dot_product(qv, rv)
+              |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS apx
+              |  FROM q JOIN recon r ON r.vec_id <> qid),
+              |cut AS (SELECT qid, cid, apx FROM (
+              |    SELECT qid, cid, apx,
+              |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
+              |    FROM ax) WHERE ark <= 40),
+              |sc AS (SELECT qid, cid, apx,
+              |    list_dot_product(qv.v, cv.v)
+              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM cut JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |r AS (SELECT qid, cid, cos, apx,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("t13_code_prose",
       // Code-vs-prose classification by character-class composition —
       // the standard cheap filter a training-data pipeline runs

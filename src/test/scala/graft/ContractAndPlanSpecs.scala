@@ -68,6 +68,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("d18 gram exchange is digest-keyed: xxhash64 in the plan, never raw gram text") {
+    val plan = executed(SparkEntry.queries("d18_span_dedup")(spark, sfDir))
+    assert(plan.contains("xxhash64"), plan.take(3000))
+  }
+
+  test("s12 probes standing centroids by broadcast; no data-sized nested loop") {
+    val plan = executed(SparkEntry.queries("s12_knn_incremental")(spark, sfDir))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("d19/s11 pair generation is bucket-equi-joined, never nested-loop") {
     for (q <- Seq("d19_semdedup", "s11_knn_graph")) {
       val plan = executed(SparkEntry.queries(q)(spark, sfDir))
