@@ -803,20 +803,37 @@ object Dedup {
     * deployment materializes once and appends to), never
     * O(corpus chars) per batch.
     */
+  /** One row per k-gram occurrence of `df`: (doc_id, p, g) with `g`
+    * the gram key ([[gramKey]] — 128-bit digest or raw text). The
+    * standing index a span-dedup deployment materializes is exactly
+    * `spanGramOccurrences(...).select("g").distinct()`. */
+  def spanGramOccurrences(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 40, keyByDigest: Boolean = true): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("len", length(col("text")))
+      .filter(col("len") >= k)
+      .withColumn("p", explode(sequence(lit(1), col("len") - (k - 1))))
+      .select(col("doc_id"), col("p"),
+        gramKey(expr(s"substring(text, p, $k)"), keyByDigest).as("g"))
+
   def spanDedupIncremental(history: DataFrame, batch: DataFrame,
                            idCol: String, textCol: String,
-                           k: Int = 40, keyByDigest: Boolean = true): DataFrame = {
-    def occOf(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-        .withColumn("len", length(col("text")))
-        .filter(col("len") >= k)
-        .withColumn("p", explode(sequence(lit(1), col("len") - (k - 1))))
-        .select(col("doc_id"), col("p"),
-          gramKey(expr(s"substring(text, p, $k)"), keyByDigest).as("g"))
+                           k: Int = 40, keyByDigest: Boolean = true): DataFrame =
+    spanDedupAgainstIndex(
+      spanGramOccurrences(history, idCol, textCol, k, keyByDigest).select("g").distinct(),
+      batch, idCol, textCol, k, keyByDigest)
+
+  /** [[spanDedupIncremental]] with the standing gram index supplied
+    * directly (one `g` column, as [[spanGramOccurrences]] keys it) —
+    * the form a deployment calls, probing an index it materialized
+    * once and appends to, instead of re-deriving it from history
+    * docs each batch. History-wins semantics as above. */
+  def spanDedupAgainstIndex(histIndex: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 40, keyByDigest: Boolean = true): DataFrame = {
     val dd = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("len", length(col("text")))
-    val histIndex = occOf(history).select("g").distinct()
-    val occ = occOf(batch)
+    val occ = spanGramOccurrences(batch, idCol, textCol, k, keyByDigest)
     val inHist = occ.join(histIndex, Seq("g"), "left_semi")
       .select(col("doc_id"), col("p"))
     val firsts = occ.groupBy("g")

@@ -336,6 +336,44 @@ object StreamingOps {
         ()
     }
 
+  /** Streaming exact-substring SPAN dedup — d18/d20 as a live
+    * pipeline: each micro-batch probes the STANDING gram-digest
+    * index (16-byte 128-bit keys, the round-8 wire format), writes
+    * per-document removal profiles to `outPath`, and appends its own
+    * distinct new gram digests to `storePath`. History always wins
+    * (d20's contract); work per batch is O(batch chars) probing the
+    * index — never a rescan of history text, which this sink never
+    * even retains (the store holds DIGESTS only: ~16 bytes per
+    * distinct gram, and the full corpus text can be discarded or
+    * archived cold). foreachBatch is at-least-once on restart; pair
+    * with [[idempotentBatchSink]]-style partitioning when the
+    * profile output must be exactly-once.
+    */
+  def spanDedupSink(docs: DataFrame, idCol: String, textCol: String,
+                    storePath: String, outPath: String, k: Int = 40)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val batchGrams = graft.operators.Dedup
+          .spanGramOccurrences(batch, idCol, textCol, k)
+          .select("g").distinct()
+        val seen =
+          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+            spark.read.parquet(storePath)
+          else batchGrams.limit(0)
+        val out = graft.operators.Dedup
+          .spanDedupAgainstIndex(seen, batch, idCol, textCol, k)
+          .localCheckpoint(true)
+        out.write.mode("append").parquet(outPath)
+        // store stays distinct: append only genuinely new digests
+        batchGrams.join(seen, Seq("g"), "left_anti")
+          .write.mode("append").parquet(storePath)
+        ()
+    }
+
   /** Exactly-once-by-batch-id file sink: foreachBatch is
     * at-least-once on restart (the last uncommitted batch replays),
     * so every foreachBatch pipeline whose output must not duplicate

@@ -320,3 +320,42 @@ class InterleaveLayoutSpec extends SparkSpec {
     assert(box <= 6, s"corner box touched $box of 64 files")
   }
 }
+
+/** Round-8 streaming span dedup: d18/d20 as a live pipeline — each
+  * micro-batch probes the standing gram-DIGEST store (16-byte keys;
+  * the sink never retains history text at all) and the emitted
+  * profiles equal the batch operator's on the same splits.
+  */
+class SpanDedupSinkSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("micro-batch profiles equal batch spanDedup / spanDedupIncremental") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("spansink").toString
+    val t = "0123456789" * 8
+    val u = "abcdefghij" * 8
+    val b1 = Seq((1L, t), (2L, t + " tail one"), (3L, u))
+    val b2 = Seq((10L, t), (11L, u + " more"), (12L, "short"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.spanDedupSink(
+        in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/store", s"$dir/out", k = 40)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(s"$dir/out")
+    val want1 = graft.operators.Dedup.spanDedup(b1.toDF("doc_id", "text"), "doc_id", "text", 40)
+    val want2 = graft.operators.Dedup.spanDedupIncremental(
+      b1.toDF("doc_id", "text"), b2.toDF("doc_id", "text"), "doc_id", "text", 40)
+    val want = want1.unionByName(want2)
+    assert(got.exceptAll(want).count() == 0L && want.exceptAll(got).count() == 0L)
+    // the store holds DIGEST structs only — no text column anywhere
+    val store = spark.read.parquet(s"$dir/store")
+    assert(store.columns.toSeq == Seq("g"))
+    assert(store.schema("g").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(store.count() == store.distinct().count(), "store must stay distinct")
+  }
+}
