@@ -481,18 +481,20 @@ object Similarity {
     * narrow stats pass (1-row broadcast), encode is per-row, search
     * shuffles only the top-R candidates per query into the rerank.
     */
-  def knnSq(corpus: DataFrame, queries: DataFrame, idCol: String,
-            vecCol: String, k: Int, dims: Int = 64,
-            rerank: Int = 4): DataFrame = {
+  /** SQ8-encode `corpus` and reconstruct each vector from its codes:
+    * (cid, rv, rn) — the asymmetric-distance surface [[knnSq]] and
+    * [[knnIvfSq]] score against. Per-dimension [lo, hi] is one
+    * aggregate over (row, dim) pairs folded to a single broadcastable
+    * row of two arrays; encode/dequant are per-row, no shuffle. */
+  private[operators] def sqReconstruct(corpus: DataFrame, idCol: String,
+                                       vecCol: String, dims: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"),
       col(vecCol).cast("array<double>").as("cv"))
-    // per-dimension [lo, hi]: one aggregate over (row, dim) pairs,
-    // folded to a single broadcastable row of two arrays
     val stats = c.select(posexplode(col("cv")).as(Seq("d", "x")))
       .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
       .agg(expr("transform(array_sort(collect_list(struct(d, lo))), s -> s.lo)").as("los"),
         expr("transform(array_sort(collect_list(struct(d, hi))), s -> s.hi)").as("his"))
-    val enc = c.crossJoin(broadcast(stats))
+    c.crossJoin(broadcast(stats))
       .withColumn("codes", expr(
         s"transform(sequence(0, $dims - 1), d -> CASE WHEN his[d] = los[d] THEN 0 " +
           "ELSE least(255, greatest(0, CAST(floor((cv[d] - los[d]) / (his[d] - los[d]) * 256) AS INT))) END)"))
@@ -501,6 +503,12 @@ object Similarity {
       .withColumn("rn", expr(
         "sqrt(aggregate(zip_with(rv, rv, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
       .select("cid", "rv", "rn")
+  }
+
+  def knnSq(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, k: Int, dims: Int = 64,
+            rerank: Int = 4): DataFrame = {
+    val enc = sqReconstruct(corpus, idCol, vecCol, dims)
     val q = queries.select(col(idCol).as("qid"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", expr(
@@ -528,6 +536,42 @@ object Similarity {
     * [[knnSq]]'s oracle replays with list_dot_product. */
   private def dot2(a: String, b: String): Column = expr(
     s"aggregate(zip_with($a, CAST($b AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  /** IVF-SQ composed ANN ([[knnIvf]] cells bounding the candidate
+    * set, [[knnSq]] 8-bit codes ranking inside probed cells, full-
+    * precision rerank) — the cells-times-scalar-codes layout that
+    * pairs with [[knnIvfPq]]'s cells-times-codebook one; SQ wins
+    * when encode throughput and zero codebook training matter more
+    * than the last 2× of compression. lloydIters=0 keeps every stage
+    * a deterministic expression tree, so the oracle composes the s3
+    * cell CTEs with the s13 code CTEs bit-for-bit.
+    */
+  def knnIvfSq(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 2,
+               dims: Int = 64, rerank: Int = 4,
+               lloydIters: Int = 0): DataFrame = {
+    val (corpusCells, queryCells) =
+      ivfCells(corpus, queries, idCol, vecCol, nCells, nProbe, lloydIters)
+    val recon = sqReconstruct(corpus, idCol, vecCol, dims)
+    val cand = queryCells.join(corpusCells.select("cell", "cid"), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "qv", "qn", "cid").distinct()
+      .join(recon, Seq("cid"))
+      .withColumn("apx", dot2("rv", "qv") / (col("qn") * col("rn")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
+      .filter(col("ark") <= rerank * k)
+      .select("qid", "qv", "qn", "cid", "apx")
+    cand.join(withNorm(corpus, idCol, vecCol, "c").withColumnRenamed("cid", "cid2")
+        .withColumnRenamed("cv", "cv2").withColumnRenamed("cn", "cn2"),
+        col("cid") === col("cid2"))
+      .withColumn("cosine", dot("qv", "cv2") / (col("qn") * col("cn2")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), round(col("apx"), 4).as("apx_cosine"))
+  }
 
   /** Standing-cell assignment for a batch against a frozen quantizer
     * trained on `base` — exposed for the append spec: returns

@@ -359,3 +359,45 @@ class SpanDedupSinkSpec extends SparkSpec {
     assert(store.count() == store.distinct().count(), "store must stay distinct")
   }
 }
+
+/** Round-8 composition: interleave-clustered layout + manifest file
+  * stats = the table format's OPTIMIZE-ZORDER loop. Rows are
+  * curve-sorted BEFORE commit, the manifest records per-file min/max
+  * for every clustered dimension, and a selective read on ANY of the
+  * three dimensions prunes files from the MANIFEST alone — no file
+  * footers, no listing, no partition columns.
+  */
+class ClusteredTableSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+  import graft.operators.Layout
+
+  test("interleave-clustered commit with stats prunes on every dimension from the manifest") {
+    val root = {
+      val d = java.nio.file.Files.createTempDirectory("ctab").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    val grid = spark.range(0, 32 * 32 * 32)
+      .select((col("id") % 32).as("x"), ((col("id") / 32) % 32).cast("long").as("y"),
+        ((col("id") / 1024) % 32).cast("long").as("z"), col("id").as("payload"))
+    // curve-sort into 64 aligned spans, then COMMIT the clustered
+    // frame with stats on all three dimensions
+    val span = math.max(1L, (1L << 15) / 64)
+    val keyed = grid.withColumn("__z",
+        Layout.interleaveKey(Seq(col("x"), col("y"), col("z")), 5))
+      .withColumn("__fid", expr(s"__z div $span"))
+    val clustered = keyed.repartitionByRange(64, col("__fid"))
+      .sortWithinPartitions("__z").drop("__z", "__fid")
+    VersionedTable.commit(clustered, root, statsCols = Seq("x", "y", "z"))
+
+    for (d <- Seq("x", "y", "z")) {
+      val (kept, total) = VersionedTable.prunedFiles(spark, root, d, "0", "3")
+      assert(total >= 60, s"$d: expected ~64 files, got $total")
+      assert(kept.size * 2 < total,
+        s"$d<4 must prune to a strict minority from the manifest: ${kept.size}/$total")
+      val got = VersionedTable.readRange(spark, root, d, "0", "3")
+        .agg(count(lit(1))).as[Long].head()
+      assert(got == 4L * 32 * 32, s"$d range rows wrong: $got")
+    }
+  }
+}
