@@ -494,14 +494,19 @@ object Similarity {
       .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
       .agg(expr("transform(array_sort(collect_list(struct(d, lo))), s -> s.lo)").as("los"),
         expr("transform(array_sort(collect_list(struct(d, hi))), s -> s.hi)").as("his"))
+    // reconstruction is FLOAT (the precision SQ8 actually restores):
+    // scoring then rides the codegen'd FloatVecDot fast path instead
+    // of an interpreted HOF fold (measured 4.8s → sub-2s on the s13
+    // suite entry), and the oracle mirrors the float rounding with an
+    // explicit REAL cast — the s5 reconstruction-parity convention.
     c.crossJoin(broadcast(stats))
       .withColumn("codes", expr(
         s"transform(sequence(0, $dims - 1), d -> CASE WHEN his[d] = los[d] THEN 0 " +
           "ELSE least(255, greatest(0, CAST(floor((cv[d] - los[d]) / (his[d] - los[d]) * 256) AS INT))) END)"))
       .withColumn("rv", expr(
-        s"transform(sequence(0, $dims - 1), d -> los[d] + (codes[d] + 0.5D) * (his[d] - los[d]) / 256.0D)"))
-      .withColumn("rn", expr(
-        "sqrt(aggregate(zip_with(rv, rv, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+        s"CAST(transform(sequence(0, $dims - 1), " +
+          "d -> los[d] + (codes[d] + 0.5D) * (his[d] - los[d]) / 256.0D) AS ARRAY<FLOAT>)"))
+      .withColumn("rn", vec_norm(col("rv")))
       .select("cid", "rv", "rn")
   }
 
@@ -509,13 +514,9 @@ object Similarity {
             vecCol: String, k: Int, dims: Int = 64,
             rerank: Int = 4): DataFrame = {
     val enc = sqReconstruct(corpus, idCol, vecCol, dims)
-    val q = queries.select(col(idCol).as("qid"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", expr(
-        "sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), 0D, (a, x) -> a + x))"))
+    val q = withNorm(queries, idCol, vecCol, "q")
     val cand = q.join(enc, col("qid") =!= col("cid"))
-      .withColumn("apx", expr(
-        "aggregate(zip_with(qv, rv, (x, y) -> x * y), 0D, (a, x) -> a + x)") / (col("qn") * col("rn")))
+      .withColumn("apx", dot("qv", "rv") / (col("qn") * col("rn")))
       .withColumn("ark", row_number().over(
         Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
       .filter(col("ark") <= rerank * k)
@@ -523,19 +524,13 @@ object Similarity {
     cand.join(withNorm(corpus, idCol, vecCol, "c").withColumnRenamed("cid", "cid2")
         .withColumnRenamed("cv", "cv2").withColumnRenamed("cn", "cn2"),
         col("cid") === col("cid2"))
-      .withColumn("cosine", dot2("qv", "cv2") / (col("qn") * col("cn2")))
+      .withColumn("cosine", dot("qv", "cv2") / (col("qn") * col("cn2")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
       .filter(col("rk") <= k)
       .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
         round(col("cosine"), 4).as("cosine"), round(col("apx"), 4).as("apx_cosine"))
   }
-
-  /** Sequential double dot between a double array column and a float
-    * array column (cast), zip_with + ordered fold — the order
-    * [[knnSq]]'s oracle replays with list_dot_product. */
-  private def dot2(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, CAST($b AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
 
   /** IVF-SQ composed ANN ([[knnIvf]] cells bounding the candidate
     * set, [[knnSq]] 8-bit codes ranking inside probed cells, full-
@@ -557,7 +552,7 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select("qid", "qv", "qn", "cid").distinct()
       .join(recon, Seq("cid"))
-      .withColumn("apx", dot2("rv", "qv") / (col("qn") * col("rn")))
+      .withColumn("apx", dot("qv", "rv") / (col("qn") * col("rn")))
       .withColumn("ark", row_number().over(
         Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
       .filter(col("ark") <= rerank * k)

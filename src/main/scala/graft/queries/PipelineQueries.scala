@@ -1347,7 +1347,7 @@ object PipelineQueries {
               |  FROM ce, mm),
               |recon AS (SELECT vec_id,
               |    list_transform(generate_series(1, 64),
-              |      d -> los[d] + (cd[d] + 0.5) * (his[d] - los[d]) / 256.0) AS rv
+              |      d -> CAST(CAST(los[d] + (cd[d] + 0.5) * (his[d] - los[d]) / 256.0 AS REAL) AS DOUBLE)) AS rv
               |  FROM codes, mm),
               |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
               |ax AS (SELECT qid, r.vec_id AS cid,
@@ -1402,7 +1402,7 @@ object PipelineQueries {
               |  FROM ce, mm),
               |recon AS (SELECT vec_id,
               |    list_transform(generate_series(1, 64),
-              |      d -> los[d] + (cd[d] + 0.5) * (his[d] - los[d]) / 256.0) AS rv
+              |      d -> CAST(CAST(los[d] + (cd[d] + 0.5) * (his[d] - los[d]) / 256.0 AS REAL) AS DOUBLE)) AS rv
               |  FROM codes, mm),
               |cand AS (SELECT DISTINCT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
               |ax AS (SELECT qid, cid,
