@@ -1321,6 +1321,34 @@ object PipelineQueries {
               |  round(cos, 4) AS cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("s12b_knn_incremental_refined",
+      // The PRODUCTION append path (round 8): the standing quantizer
+      // is Lloyd-REFINED on the base corpus and frozen; the batch
+      // appends by nearest-standing-cell assignment, queries probe
+      // the merged index. Refined centroids average floats across
+      // rows (engine-specific sum order), so like s3b the oracle
+      // pins the per-query recall CONTRACT instead of the emitted
+      // set: 10 emitted, all 10 within eps=0.1 of the query's
+      // 10th-exact cosine (the s1-verified brute tier supplies the
+      // threshold).
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+        val inc = Similarity.knnIvfIncremental(
+          e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400), q,
+          "vec_id", "embedding", k = 10, lloydIters = 2)
+        val kth = Similarity.knnBrute(e, q, "vec_id", "embedding", k = 10)
+          .filter(col("rk") === 10).select(col("query_id"), col("cosine").as("kth"))
+        inc.join(kth, Seq("query_id"))
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_emitted"),
+            sum((col("cosine") >= col("kth") - 0.1).cast("long")).as("n_within_eps"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_emitted,
+             |CAST(10 AS BIGINT) AS n_within_eps
+             |FROM embeddings WHERE vec_id < 5 ORDER BY 1""".stripMargin)),
+
     Q("s13_knn_sq",
       // Scalar-quantization ANN (round 8) — the compression tier
       // production vector stores deploy MOST (FAISS SQ8): 8-bit
