@@ -486,14 +486,25 @@ object Similarity {
     * [[knnIvfSq]] score against. Per-dimension [lo, hi] is one
     * aggregate over (row, dim) pairs folded to a single broadcastable
     * row of two arrays; encode/dequant are per-row, no shuffle. */
-  private[operators] def sqReconstruct(corpus: DataFrame, idCol: String,
-                                       vecCol: String, dims: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("cid"),
-      col(vecCol).cast("array<double>").as("cv"))
-    val stats = c.select(posexplode(col("cv")).as(Seq("d", "x")))
+  /** Per-dimension [lo, hi] of a training corpus as ONE broadcastable
+    * row of two arrays — the SQ8 "codebook" (frozen with the standing
+    * index in the incremental tier, exactly like the IVF centroids). */
+  private[operators] def sqStats(corpus: DataFrame, idCol: String,
+                                 vecCol: String): DataFrame =
+    corpus.select(col(vecCol).cast("array<double>").as("cv"))
+      .select(posexplode(col("cv")).as(Seq("d", "x")))
       .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
       .agg(expr("transform(array_sort(collect_list(struct(d, lo))), s -> s.lo)").as("los"),
         expr("transform(array_sort(collect_list(struct(d, hi))), s -> s.hi)").as("his"))
+
+  /** SQ8-encode `corpus` against a SUPPLIED stats row and reconstruct:
+    * (cid, rv, rn). Split from [[sqReconstruct]] so the incremental
+    * tier can freeze the stats on the base corpus. */
+  private[operators] def sqEncodeWith(stats: DataFrame, corpus: DataFrame,
+                                      idCol: String, vecCol: String,
+                                      dims: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
     // reconstruction is FLOAT (the precision SQ8 actually restores):
     // scoring then rides the codegen'd FloatVecDot fast path instead
     // of an interpreted HOF fold (measured 4.8s → sub-2s on the s13
@@ -508,6 +519,62 @@ object Similarity {
           "d -> los[d] + (codes[d] + 0.5D) * (his[d] - los[d]) / 256.0D) AS ARRAY<FLOAT>)"))
       .withColumn("rn", vec_norm(col("rv")))
       .select("cid", "rv", "rn")
+  }
+
+  private[operators] def sqReconstruct(corpus: DataFrame, idCol: String,
+                                       vecCol: String, dims: Int): DataFrame =
+    sqEncodeWith(sqStats(corpus, idCol, vecCol), corpus, idCol, vecCol, dims)
+
+  /** INCREMENTAL IVF-SQ — [[knnIvfIncremental]]'s append path with
+    * [[knnSq]]'s codes: BOTH halves of the standing index are frozen
+    * on the base corpus (the coarse quantizer AND the per-dimension
+    * SQ stats — what a production store snapshots at index build);
+    * a batch appends by nearest-standing-cell assignment plus
+    * encoding against the frozen stats — O(batch) work, zero base
+    * touches — and queries probe the merged cells, rank by code
+    * reconstruction, rerank at full precision. With lloydIters=0
+    * every stage is an expression tree over the BASE-derived
+    * constants, so the oracle replays the INCREMENTAL semantics
+    * directly (base-only stats CTEs — not a rebuild oracle: frozen
+    * stats intentionally differ from a retrain when the batch
+    * extends a dimension's range; that staleness is the documented
+    * trade until the next scheduled retrain).
+    */
+  def knnIvfSqIncremental(base: DataFrame, batch: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          nCells: Int = 16, nProbe: Int = 2, dims: Int = 64,
+                          rerank: Int = 4, lloydIters: Int = 0): DataFrame = {
+    val cb = withNorm(base, idCol, vecCol, "c").cache()
+    val centroids = ivfCentroids(cb, nCells, lloydIters)
+    val cells = ivfNearestCell(cb, "c", centroids)
+      .unionByName(ivfNearestCell(withNorm(batch, idCol, vecCol, "c"), "c", centroids))
+      .select("cell", "cid")
+    val stats = sqStats(base, idCol, vecCol)
+    val recon = sqEncodeWith(stats, base.unionByName(batch), idCol, vecCol, dims)
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val queryCells = ivfAssignDist(q, "qv", centroids)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") <= nProbe).select("cell", "qid", "qv", "qn")
+    val cand = queryCells.join(cells, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "qv", "qn", "cid").distinct()
+      .join(recon, Seq("cid"))
+      .withColumn("apx", dot("qv", "rv") / (col("qn") * col("rn")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
+      .filter(col("ark") <= rerank * k)
+      .select("qid", "qv", "qn", "cid", "apx")
+    cand.join(withNorm(base.unionByName(batch), idCol, vecCol, "c")
+        .withColumnRenamed("cid", "cid2")
+        .withColumnRenamed("cv", "cv2").withColumnRenamed("cn", "cn2"),
+        col("cid") === col("cid2"))
+      .withColumn("cosine", dot("qv", "cv2") / (col("qn") * col("cn2")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), round(col("apx"), 4).as("apx_cosine"))
   }
 
   def knnSq(corpus: DataFrame, queries: DataFrame, idCol: String,

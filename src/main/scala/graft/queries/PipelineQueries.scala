@@ -1451,6 +1451,66 @@ object PipelineQueries {
               |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("s15_knn_ivfsq_incremental",
+      // INCREMENTAL IVF-SQ (round 8) — s12's append path composed
+      // with s13's codes: BOTH halves of the standing index frozen
+      // on the base (coarse quantizer AND per-dim SQ stats — what a
+      // production store snapshots at index build); the batch
+      // appends by nearest-standing-cell + frozen-stats encode,
+      // O(batch) work. The oracle replays the INCREMENTAL semantics
+      // directly: stats CTE over the BASE rows only — deliberately
+      // NOT a rebuild oracle (frozen stats differ from a retrain
+      // when the batch extends a dimension's range; that staleness
+      // is the documented trade until the next scheduled retrain).
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnIvfSqIncremental(
+          e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10).orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $cosSql,
+              |base AS (SELECT * FROM ce WHERE vec_id < 400),
+              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS scv
+              |  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+              |ad AS (SELECT ce.vec_id, seeds.cell,
+              |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.scv)
+              |      + list_dot_product(seeds.scv, seeds.scv) AS dist
+              |  FROM ce, seeds),
+              |crk AS (SELECT vec_id, cell,
+              |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
+              |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
+              |qcells AS (SELECT vec_id AS qid, cell FROM crk WHERE rk <= 2 AND vec_id < 5),
+              |st AS (SELECT d, min(v[d]) AS lo, max(v[d]) AS hi
+              |  FROM base, (SELECT unnest(generate_series(1, 64)) AS d) ds GROUP BY d),
+              |mm AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM st),
+              |codes AS (SELECT vec_id, list_transform(generate_series(1, 64),
+              |    d -> CASE WHEN his[d] = los[d] THEN 0
+              |         ELSE least(255, greatest(0, CAST(floor((v[d] - los[d]) / (his[d] - los[d]) * 256) AS INT))) END) AS cd
+              |  FROM ce, mm),
+              |recon AS (SELECT vec_id,
+              |    list_transform(generate_series(1, 64),
+              |      d -> CAST(CAST(los[d] + (cd[d] + 0.5) * (his[d] - los[d]) / 256.0 AS REAL) AS DOUBLE)) AS rv
+              |  FROM codes, mm),
+              |cand AS (SELECT DISTINCT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
+              |ax AS (SELECT qid, cid,
+              |    list_dot_product(r.rv, qv.v)
+              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(r.rv, r.rv))) AS apx
+              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN recon r ON r.vec_id = cid),
+              |cut AS (SELECT qid, cid, apx FROM (
+              |    SELECT qid, cid, apx,
+              |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
+              |    FROM ax) WHERE ark <= 40),
+              |sc AS (SELECT qid, cid, apx,
+              |    list_dot_product(qv.v, cv.v)
+              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM cut JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |r AS (SELECT qid, cid, cos, apx,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("t13_code_prose",
       // Code-vs-prose classification by character-class composition —
       // the standard cheap filter a training-data pipeline runs
