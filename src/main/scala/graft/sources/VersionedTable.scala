@@ -169,14 +169,17 @@ object VersionedTable {
     }
   }
 
-  /** Stats order: numeric when both sides parse as numbers (the
-    * string rendering of every numeric/date-free type Spark casts),
-    * else the string order — which for ISO timestamps/dates IS value
-    * order. Mirrors how the stats were cast at commit. */
-  private def statLeq(a: String, b: String): Boolean =
-    (try Some(BigDecimal(a).compare(BigDecimal(b)) <= 0)
-     catch { case _: NumberFormatException => None })
-      .getOrElse(a.compareTo(b) <= 0)
+  /** Stats order must mirror the order the stats were COMPUTED in —
+    * the column's own type order, decided from the manifest schema:
+    * numeric columns compare as numbers, everything else as strings
+    * (which for ISO timestamps/dates IS value order). Deciding by
+    * "does it parse as a number" instead would mis-prune a
+    * numeric-LOOKING string column: its recorded min/max follow
+    * string order ("10" < "9") while the probe would compare
+    * numerically, skipping files that DO contain matching rows. */
+  private def statLeq(numeric: Boolean)(a: String, b: String): Boolean =
+    if (numeric) BigDecimal(a).compare(BigDecimal(b)) <= 0
+    else a.compareTo(b) <= 0
 
   /** The files of a snapshot a `colName IN [lo, hi]` scan must touch,
     * plus the snapshot total: a file is SKIPPED iff its recorded
@@ -187,9 +190,13 @@ object VersionedTable {
                   lo: String, hi: String, version: Long = -1L): (Seq[String], Int) = {
     val s = snapshot(spark, root, version)
     val st = fileStats(spark, root, s.version).stats
+    val numeric = tableSchema(spark, root, s.version)
+      .flatMap(_.fields.find(_.name == colName))
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val leq = statLeq(numeric) _
     val kept = s.files.filter { p =>
       st.get(p).flatMap(_.get(colName)) match {
-        case Some((mn, mx)) => statLeq(lo, mx) && statLeq(mn, hi)
+        case Some((mn, mx)) => leq(lo, mx) && leq(mn, hi)
         case None => true
       }
     }

@@ -401,3 +401,26 @@ class ClusteredTableSpec extends SparkSpec {
     }
   }
 }
+
+/** The stats-prune comparator must follow the COLUMN's type order
+  * (from the manifest schema), not guess from the literal: a
+  * numeric-looking STRING column records string-ordered min/max
+  * ("10" < "9"), and a numeric probe against those would skip files
+  * that do contain matching rows. */
+class StringStatsPruneSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  test("numeric-looking string column prunes in string order, rows exact") {
+    val root = {
+      val d = java.nio.file.Files.createTempDirectory("vtabs").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    val df = (1 to 12).map(_.toString).toDF("s").repartitionByRange(4, col("s"))
+    VersionedTable.commit(df, root, statsCols = Seq("s"))
+    val want = (1 to 12).map(_.toString).filter(v => v >= "1" && v <= "5").sorted
+    val got = VersionedTable.readRange(spark, root, "s", "1", "5")
+      .as[String].collect().sorted.toSeq
+    assert(got == want, s"string-range read wrong: $got vs $want")
+  }
+}
