@@ -367,10 +367,15 @@ object StreamingOps {
         val out = graft.operators.Dedup
           .spanDedupAgainstIndex(seen, batch, idCol, textCol, k)
           .localCheckpoint(true)
-        out.write.mode("append").parquet(outPath)
+        // guard empty writes: a parquet dir holding only _SUCCESS (no
+        // part files) breaks schema inference on the NEXT batch's
+        // store read — an all-short-doc or empty micro-batch would
+        // poison the query permanently
+        if (!out.isEmpty) out.write.mode("append").parquet(outPath)
         // store stays distinct: append only genuinely new digests
-        batchGrams.join(seen, Seq("g"), "left_anti")
-          .write.mode("append").parquet(storePath)
+        val newGrams = batchGrams.join(seen, Seq("g"), "left_anti")
+          .localCheckpoint(true)
+        if (!newGrams.isEmpty) newGrams.write.mode("append").parquet(storePath)
         ()
     }
 

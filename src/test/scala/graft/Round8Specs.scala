@@ -424,3 +424,33 @@ class StringStatsPruneSpec extends SparkSpec {
     assert(got == want, s"string-range read wrong: $got vs $want")
   }
 }
+
+/** Empty/short-doc micro-batches must not poison the span-dedup sink:
+  * a parquet dir with no part files (only _SUCCESS) would break the
+  * next batch's store read. */
+class SpanDedupSinkEdgeSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("an all-short first batch leaves the store readable for later batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("spanedge").toString
+    val t = "0123456789" * 8
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.spanDedupSink(
+        in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/store", s"$dir/out", k = 40)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    in.addData(1L -> "short", 2L -> "also short") // no 40-grams at all
+    q.processAllAvailable()
+    in.addData(10L -> t, 11L -> t)                // real batch follows
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "clean_len").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 5L && out(2L) == 10L, "short docs pass through untouched")
+    // t is period-10, so ExactSubstr self-repetition keeps only the
+    // first period of doc 10; its clone (doc 11) cleans to empty
+    assert(out(10L) == 10L && out(11L) == 0L, "batch dedup intact after empty store round")
+  }
+}
