@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Route the forked run JVM's stdout straight to the console instead of
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which breaks line-oriented parsers reading Bench's JSON record.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // No "[success] Total time: ..." epilogue: when the driver runs
 // `sbt "runMain graft.Bench"`, Bench's JSON line must be the LAST
 // stdout line — the epilogue has eaten the official bench record on
