@@ -100,12 +100,15 @@ object Bpe {
         rk += 1
       }
     }
-    val rs = rounds.result()
-    val merges =
-      if (rs.isEmpty) Seq.empty[Merge]
-      else rs.reduce(_.unionByName(_)).orderBy("rk").collect()
-        .map(r => Merge(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-        .toSeq
+    // one tiny head() job per materialized 1-row round frame — NOT a
+    // single unioned plan: reduce(_.unionByName(_)) is a left-deep
+    // Union one node per round, and at the 32k-merge scale this loop
+    // targets a ~32k-deep plan risks analyzer stack overflow and
+    // quadratic planning even though every leaf is checkpointed
+    val merges = rounds.result().map { top =>
+      val r = top.head()
+      Merge(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+    }
     (merges, cur)
   }
 

@@ -196,7 +196,11 @@ object VersionedTable {
     val leq = statLeq(numeric) _
     val kept = s.files.filter { p =>
       st.get(p).flatMap(_.get(colName)) match {
-        case Some((mn, mx)) => leq(lo, mx) && leq(mn, hi)
+        // unparsable recorded stats (a float column's max() propagates
+        // NaN/Infinity, which BigDecimal rejects) are treated like
+        // MISSING stats: keep the file rather than crash the read
+        case Some((mn, mx)) =>
+          scala.util.Try(leq(lo, mx) && leq(mn, hi)).getOrElse(true)
         case None => true
       }
     }
@@ -210,8 +214,11 @@ object VersionedTable {
     * filter still applies (stats prune files, not rows). */
   def readRange(spark: SparkSession, root: String, colName: String,
                 lo: String, hi: String, version: Long = -1L): DataFrame = {
-    val (kept, _) = prunedFiles(spark, root, colName, lo, hi, version)
+    // resolve version=-1 ONCE and pin it for both the prune and the
+    // schema lookup — a commit landing between two independent
+    // resolutions would mix version-N kept files with version-N+1 schema
     val s = snapshot(spark, root, version)
+    val (kept, _) = prunedFiles(spark, root, colName, lo, hi, s.version)
     val base = tableSchema(spark, root, s.version) match {
       case Some(sc) if kept.nonEmpty => spark.read.schema(sc).parquet(kept: _*)
       case None if kept.nonEmpty => spark.read.parquet(kept: _*)

@@ -345,39 +345,69 @@ object StreamingOps {
     * index — never a rescan of history text, which this sink never
     * even retains (the store holds DIGESTS only: ~16 bytes per
     * distinct gram, and the full corpus text can be discarded or
-    * archived cold). foreachBatch is at-least-once on restart; pair
-    * with [[idempotentBatchSink]]-style partitioning when the
-    * profile output must be exactly-once.
+    * archived cold).
+    *
+    * Replay-safe: foreachBatch is at-least-once on restart, and the
+    * store append commits independently of the streaming offset
+    * commit — so both writes are BATCH-ID-ADDRESSED
+    * (`<path>/batch=<id>`, overwritten whole). A replayed batch
+    * builds its probe index ONLY from subdirs with batch id < its
+    * own, i.e. exactly the pre-batch index: it recomputes the same
+    * profiles the first attempt produced (never "everything is a
+    * duplicate of my own first attempt") and rewrites its own
+    * subdirs byte-equivalent instead of appending second copies —
+    * exactly-once output without any external pairing. Readers of
+    * `outPath`/`storePath` see a `batch` partition column.
     */
   def spanDedupSink(docs: DataFrame, idCol: String, textCol: String,
                     storePath: String, outPath: String, k: Int = 40)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val batchGrams = graft.operators.Dedup
-          .spanGramOccurrences(batch, idCol, textCol, k)
-          .select("g").distinct()
-        val seen =
-          if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
-            spark.read.parquet(storePath)
-          else batchGrams.limit(0)
-        val out = graft.operators.Dedup
-          .spanDedupAgainstIndex(seen, batch, idCol, textCol, k)
-          .localCheckpoint(true)
-        // guard empty writes: a parquet dir holding only _SUCCESS (no
-        // part files) breaks schema inference on the NEXT batch's
-        // store read — an all-short-doc or empty micro-batch would
-        // poison the query permanently
-        if (!out.isEmpty) out.write.mode("append").parquet(outPath)
-        // store stays distinct: append only genuinely new digests
-        val newGrams = batchGrams.join(seen, Seq("g"), "left_anti")
-          .localCheckpoint(true)
-        if (!newGrams.isEmpty) newGrams.write.mode("append").parquet(storePath)
-        ()
+      (batch: DataFrame, batchId: Long) =>
+        spanDedupBatch(batch, batchId, idCol, textCol, storePath, outPath, k)
     }
+
+  /** One micro-batch of [[spanDedupSink]]; package-visible so specs can
+    * drive a replay (same batch id twice) without a streaming harness. */
+  private[graft] def spanDedupBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      storePath: String, outPath: String, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val batchGrams = graft.operators.Dedup
+      .spanGramOccurrences(batch, idCol, textCol, k)
+      .select("g").distinct()
+    // probe index = union of STRICTLY-PRIOR batch subdirs; a replayed
+    // batch therefore probes exactly the index that existed before its
+    // first attempt, not its own first attempt's grams
+    val storeRoot = new org.apache.hadoop.fs.Path(storePath)
+    val priorDirs =
+      if (fs.exists(storeRoot))
+        fs.listStatus(storeRoot).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("batch="))
+          .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+          .map(_.toString)
+      else Seq.empty[String]
+    val seen =
+      if (priorDirs.nonEmpty) spark.read.parquet(priorDirs: _*)
+      else batchGrams.limit(0)
+    val out = graft.operators.Dedup
+      .spanDedupAgainstIndex(seen, batch, idCol, textCol, k)
+      .localCheckpoint(true)
+    // guard empty writes: a parquet dir holding only _SUCCESS (no
+    // part files) breaks schema inference on later reads — an
+    // all-short-doc or empty micro-batch would poison the query
+    if (!out.isEmpty)
+      out.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    // store stays distinct across batches: this batch contributes only
+    // digests absent from every prior batch's subdir
+    val newGrams = batchGrams.join(seen, Seq("g"), "left_anti")
+      .localCheckpoint(true)
+    if (!newGrams.isEmpty)
+      newGrams.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    ()
+  }
 
   /** Exactly-once-by-batch-id file sink: foreachBatch is
     * at-least-once on restart (the last uncommitted batch replays),

@@ -346,17 +346,46 @@ class SpanDedupSinkSpec extends SparkSpec {
     in.addData(b2: _*); q.processAllAvailable()
     q.stop()
 
-    val got = spark.read.parquet(s"$dir/out")
+    val got = spark.read.parquet(s"$dir/out").drop("batch")
     val want1 = graft.operators.Dedup.spanDedup(b1.toDF("doc_id", "text"), "doc_id", "text", 40)
     val want2 = graft.operators.Dedup.spanDedupIncremental(
       b1.toDF("doc_id", "text"), b2.toDF("doc_id", "text"), "doc_id", "text", 40)
     val want = want1.unionByName(want2)
     assert(got.exceptAll(want).count() == 0L && want.exceptAll(got).count() == 0L)
-    // the store holds DIGEST structs only — no text column anywhere
+    // the store holds DIGEST structs only (plus the batch-address
+    // partition column) — no text column anywhere
     val store = spark.read.parquet(s"$dir/store")
-    assert(store.columns.toSeq == Seq("g"))
+    assert(store.columns.toSet == Set("g", "batch"))
     assert(store.schema("g").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
-    assert(store.count() == store.distinct().count(), "store must stay distinct")
+    assert(store.count() == store.select("g").distinct().count(),
+      "store must stay distinct across batches")
+  }
+
+  test("a replayed micro-batch probes the pre-batch index and rewrites itself") {
+    val dir = java.nio.file.Files.createTempDirectory("spanreplay").toString
+    val t = "0123456789" * 8
+    val u = "abcdefghij" * 8
+    val b1 = Seq((1L, t), (2L, u)).toDF("doc_id", "text")
+    val b2 = Seq((10L, t), (11L, u + " more")).toDF("doc_id", "text")
+    import graft.streaming.StreamingOps.spanDedupBatch
+    spanDedupBatch(b1, 0L, "doc_id", "text", s"$dir/store", s"$dir/out", 40)
+    spanDedupBatch(b2, 1L, "doc_id", "text", s"$dir/store", s"$dir/out", 40)
+    val outBefore = spark.read.parquet(s"$dir/out").collect().toSet
+    val storeBefore = spark.read.parquet(s"$dir/store").collect().toSet
+    // crash-restart: batch 1's offset never committed, the batch replays
+    spanDedupBatch(b2, 1L, "doc_id", "text", s"$dir/store", s"$dir/out", 40)
+    val outAfter = spark.read.parquet(s"$dir/out").collect().toSet
+    val storeAfter = spark.read.parquet(s"$dir/store").collect().toSet
+    assert(outAfter == outBefore,
+      "replay must rewrite its own profiles byte-equivalent, not mark itself duplicate")
+    assert(storeAfter == storeBefore, "replay must not grow or mutate the store")
+    // and the replayed profiles are the CORRECT ones: doc 10 is a full
+    // clone of history (cleans to ~empty), doc 11 keeps its new tail
+    val profiles = spark.read.parquet(s"$dir/out")
+      .filter(col("batch") === 1)
+      .select("doc_id", "clean_len").as[(Long, Long)].collect().toMap
+    assert(profiles(10L) < 40L, s"history clone must clean away: ${profiles(10L)}")
+    assert(profiles(11L) > 0L, s"novel tail must survive: ${profiles(11L)}")
   }
 }
 
@@ -422,6 +451,28 @@ class StringStatsPruneSpec extends SparkSpec {
     val got = VersionedTable.readRange(spark, root, "s", "1", "5")
       .as[String].collect().sorted.toSeq
     assert(got == want, s"string-range read wrong: $got vs $want")
+  }
+}
+
+/** Float stats that record NaN/Infinity (max() propagates NaN) must not
+  * crash the manifest prune — unparsable stats are treated like missing
+  * stats: the file is conservatively kept and the row filter decides. */
+class NaNStatsPruneSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  test("NaN-stats file is kept, read succeeds, rows exact") {
+    val root = {
+      val d = java.nio.file.Files.createTempDirectory("vtnan").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    val df = Seq(1.0, 2.0, Double.NaN, 9.0).toDF("v").repartition(1)
+    VersionedTable.commit(df, root, statsCols = Seq("v"))
+    val (kept, total) = VersionedTable.prunedFiles(spark, root, "v", "0", "3")
+    assert(kept.size == total, "unparsable stats must keep the file")
+    val got = VersionedTable.readRange(spark, root, "v", "0", "3")
+      .as[Double].collect().sorted.toSeq
+    assert(got == Seq(1.0, 2.0), s"range rows wrong: $got")
   }
 }
 
