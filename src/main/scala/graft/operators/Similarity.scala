@@ -310,17 +310,34 @@ object Similarity {
       .withColumn("crn", vec_norm(col("crv")))
   }
 
+  /** Flat-scan candidate cut: per-query top-`r` of `scored` (columns
+    * qid, cid, apx + anything) via the bounded-state [[graft.functions.TopKAgg]]
+    * aggregate — ≤ r pairs per query per partition through the
+    * exchange, never a per-query window sort of the whole corpus.
+    * Rejoins `q` (qid, qv, qn — query-sized, broadcastable) so the
+    * rerank stage sees the same shape the window form produced. */
+  private def flatTopCut(scored: DataFrame, q: DataFrame, r: Int): DataFrame = {
+    val topr = org.apache.spark.sql.functions.udaf(graft.functions.TopKAgg(r))
+    scored.groupBy("qid")
+      .agg(topr(col("apx"), col("cid")).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__t"))
+      .select(col("qid"), col("__t._2").as("cid"), col("__t._1").as("apx"))
+      .join(broadcast(q), Seq("qid"))
+      .select("qid", "qv", "qn", "cid", "apx")
+  }
+
   def knnPq(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
             k: Int, m: Int = 8, ksub: Int = 16, dims: Int = 64,
             rerank: Int = 4): DataFrame = {
     val recon = pqReconstruct(corpus, idCol, vecCol, m, ksub, dims)
     val q = withNorm(queries, idCol, vecCol, "q")
-    val cand = q.join(recon, col("qid") =!= col("cid"))
-      .withColumn("apx", dot("qv", "crv") / (col("qn") * col("crn")))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
-      .filter(col("ark") <= rerank * k)
-      .select("qid", "qv", "qn", "cid", "apx")
+    // bounded-state top-(rerank·k) cut — see [[flatTopCut]]; the
+    // row_number-window form sorted the FULL corpus inside every qid
+    // partition, the one remaining 100x scale-killer in the flat tiers
+    val cand = flatTopCut(
+      q.join(recon, col("qid") =!= col("cid"))
+        .withColumn("apx", dot("qv", "crv") / (col("qn") * col("crn"))),
+      q, rerank * k)
     cand.join(withNorm(corpus, idCol, vecCol, "c"), Seq("cid"))
       .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(
@@ -582,12 +599,16 @@ object Similarity {
             rerank: Int = 4): DataFrame = {
     val enc = sqReconstruct(corpus, idCol, vecCol, dims)
     val q = withNorm(queries, idCol, vecCol, "q")
-    val cand = q.join(enc, col("qid") =!= col("cid"))
-      .withColumn("apx", dot("qv", "rv") / (col("qn") * col("rn")))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
-      .filter(col("ark") <= rerank * k)
-      .select("qid", "qv", "qn", "cid", "apx")
+    // candidate cut = bounded-state top-(rerank·k) AGGREGATE, not a
+    // row_number window: the window form makes every qid partition
+    // hold ALL n corpus rows (one task sorts the whole corpus per
+    // query at 100x); TopKAgg keeps ≤ rerank·k (apx, cid) pairs per
+    // query per partition through the shuffle (ObjectHashAggregate
+    // with map-side partials), same (apx DESC, cid ASC) total order
+    val cand = flatTopCut(
+      q.join(enc, col("qid") =!= col("cid"))
+        .withColumn("apx", dot("qv", "rv") / (col("qn") * col("rn"))),
+      q, rerank * k)
     cand.join(withNorm(corpus, idCol, vecCol, "c").withColumnRenamed("cid", "cid2")
         .withColumnRenamed("cv", "cv2").withColumnRenamed("cn", "cn2"),
         col("cid") === col("cid2"))

@@ -79,6 +79,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("s5/s13 flat candidate cut is a bounded-state aggregate, never a full-corpus per-query window") {
+    for (q <- Seq("s5_knn_pq", "s13_knn_sq")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sfDir))
+      // the cut rides TopKAgg (ObjectHashAggregate, map-side partials)
+      assert(plan.contains("ObjectHashAggregate"), s"$q: ${plan.take(2000)}")
+      // exactly ONE window remains: the final rerank over ≤ rerank·k
+      // candidates per query — the full-corpus ark window is gone
+      val nWindows = plan.split("\\bWindow \\[").length - 1
+      assert(nWindows == 1, s"$q: expected 1 bounded window, got $nWindows")
+    }
+  }
+
   test("d19/s11 pair generation is bucket-equi-joined, never nested-loop") {
     for (q <- Seq("d19_semdedup", "s11_knn_graph")) {
       val plan = executed(SparkEntry.queries(q)(spark, sfDir))
