@@ -72,6 +72,43 @@ object Similarity {
         round(col("ip"), 4).as("ip"))
   }
 
+  /** MIPS at scale — the norm-augmentation reduction (Bachrach et al.,
+    * RecSys 2014) AS CODE: corpus vectors get one extra component
+    * sqrt(M²−‖x‖²) where M² = max corpus squared norm (every augmented
+    * corpus vector then has norm ≈ M), queries get 0 — inner product
+    * is preserved while norms become constant, so augmented-space
+    * COSINE order per query ≈ inner-product order, and the whole
+    * search rides [[knnLsh]] unchanged at dims+1. M² is an exact
+    * order-independent max aggregate folded in as a 1-row broadcast
+    * (never a driver collect), the augment component is computed in
+    * double and stored as float — both replayable bit-for-bit by the
+    * oracle. Output is augmented-space cosine; neighbor identity (the
+    * retrieval result) is what the recall spec pins against
+    * [[knnMips]] brute truth.
+    *
+    * Defaults differ from [[knnLsh]]'s (4 planes × 8 tables, not
+    * 8 × 4): an item whose inner product is a fraction f of the best
+    * possible has augmented-space cosine ≈ f, so per-bit collision
+    * probability is 1 − arccos(f)/π — mid-IP neighbors sit at much
+    * wider angles than near-duplicate cosine neighbors, and recall
+    * needs shorter codes in more tables (the standard dial; more
+    * tables = proportionally more shuffle, the documented trade).
+    */
+  def knnMipsLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, planes: Int = 4, tables: Int = 8,
+                 dims: Int = 64, maxBucket: Int = 4096): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val m2 = c0.agg(max(vec_dot(col("__v"), col("__v"))).as("__m2"))
+    val caug = c0.crossJoin(broadcast(m2))
+      .withColumn("__va", concat(col("__v"), array(
+        sqrt(greatest(col("__m2") - vec_dot(col("__v"), col("__v")), lit(0.0)))
+          .cast("float"))))
+      .select(col("__id").as(idCol), col("__va").as(vecCol))
+    val qaug = queries
+      .select(col(idCol), concat(col(vecCol), array(lit(0.0f))).as(vecCol))
+    knnLsh(caug, qaug, idCol, vecCol, k, planes, tables, dims + 1, maxBucket)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Round-9 MIPS scale tier: the norm-augmentation reduction must
+  * actually RETRIEVE — recall@10 against [[Similarity.knnMips]]'s
+  * brute inner-product truth, over a wider query set than the oracle
+  * entry exercises. */
+class MipsLshRecallSpec extends SparkSpec {
+
+  test("augmented corpus vectors all reach (approximately) the max norm") {
+    val e = Tables.embeddings(spark, sfDir)
+    // every augmented corpus vector's squared norm must equal M² to
+    // float precision — the property that makes cosine order = ip order
+    val aug = Similarity.knnMipsLsh(e, e.filter(col("vec_id") < 1),
+      "vec_id", "embedding", k = 1)
+    assert(aug.count() >= 1L) // plumbing sanity; the norm property is
+    // checked directly below via the same construction
+    import spark.implicits._
+    val norms = e.select(expr(
+      "aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .as[Double].collect()
+    val m2 = norms.max
+    val augNorm = norms.map(n2 => n2 + {
+      val a = math.sqrt(math.max(m2 - n2, 0.0)).toFloat.toDouble; a * a
+    })
+    augNorm.foreach(n2 =>
+      assert(math.abs(n2 - m2) / m2 < 1e-5, s"aug norm $n2 vs $m2"))
+  }
+
+  test("magnitude ordering survives the reduction; the max-IP item is always retrieved") {
+    import spark.implicits._
+    val dims = 64
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dims)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 5 query directions; per direction three aligned corpus clones at
+    // magnitudes 3.0 / 1.5 / 0.5 — identical COSINE (1.0) to the query,
+    // so only an inner-product-aware index can order them — plus 200
+    // sub-unit random distractors (recommendation-shaped data)
+    val qdirs = (0 until 5).map(_ => unit())
+    val qdf = qdirs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val corpus = Seq.newBuilder[(Long, Seq[Float])]
+    for (i <- 0 until 5) {
+      corpus += ((100L + i, qdirs(i).map(_ * 3.0f).toSeq))
+      corpus += ((200L + i, qdirs(i).map(_ * 1.5f).toSeq))
+      corpus += ((300L + i, qdirs(i).map(_ * 0.5f).toSeq))
+    }
+    for (j <- 0 until 200) {
+      val v = unit(); val s = rnd.nextFloat()
+      corpus += ((1000L + j, v.map(_ * s).toSeq))
+    }
+    val cdf = corpus.result().toDF("vec_id", "embedding")
+    val truth = Similarity.knnMips(cdf, qdf, "vec_id", "embedding", k = 3)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Int, Long)].collect()
+    val got = Similarity.knnMipsLsh(cdf, qdf, "vec_id", "embedding", k = 3)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Int, Long)].collect()
+    // brute truth is the aligned family in magnitude order
+    for (i <- 0L until 5L)
+      assert(truth.filter(_._1 == i).sortBy(_._2).map(_._3).toSeq ==
+        Seq(100L + i, 200L + i, 300L + i), s"brute MIPS truth wrong for q$i")
+    // the max-IP item has augmented cosine 1.0 → identical buckets in
+    // every table: it MUST be retrieved, and at rank 1, for every query
+    for (i <- 0L until 5L)
+      assert(got.filter(_._1 == i).minBy(_._2)._3 == 100L + i,
+        s"q$i: max-IP neighbor not at rank 1")
+    // among retrieved aligned clones, order must follow MAGNITUDE
+    // (augmented-space cosine is monotone in ip for a fixed query)
+    for (i <- 0L until 5L) {
+      val fam = got.filter(g => g._1 == i && Set(100L + i, 200L + i, 300L + i)(g._3))
+        .sortBy(_._2).map(_._3 / 100)
+      assert(fam.toSeq == fam.toSeq.sorted,
+        s"q$i: magnitude order broken: ${fam.toSeq}")
+    }
+    // overall recall@3 vs brute truth
+    val hits = truth.map(t => (t._1, t._3)).toSet
+      .intersect(got.map(g => (g._1, g._3)).toSet).size
+    val recall = hits.toDouble / truth.length
+    info(f"augmented-LSH MIPS recall@3 = $recall%.3f ($hits/${truth.length})")
+    assert(recall >= 0.4, f"recall@3 $recall%.3f below floor")
+  }
+}
