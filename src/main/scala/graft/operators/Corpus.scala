@@ -36,6 +36,71 @@ object Corpus {
   private def toks(textCol: String): String =
     s"filter(split($textCol, ' '), x -> x != '')"
 
+  /** Deterministic HTML wrapper around a plain-text corpus — the
+    * HTML-shaped documents variant the [[extractText]] tests and
+    * oracle run against (the driver testdata ships clean text; a real
+    * web corpus arrives as raw HTML, which feeds extractText
+    * directly). Scaffolding is nav + h1 + two content paragraphs
+    * (the document's words, split at the midpoint) + a link-spam div
+    * + footer, so every boilerplate class the classifier must reject
+    * is present and the GOOD blocks reconstruct the original text.
+    * Pure string/array expressions — replayable in ANSI SQL. */
+  def wrapHtml(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), expr(toks(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .withColumn("__h", greatest(expr("__n div 2"), lit(1)))
+      .withColumn("html", expr(
+        """concat(
+          |'<html><body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>',
+          |'<h1>', array_join(slice(__t, 1, 3), ' '), '</h1>',
+          |'<p>', array_join(slice(__t, 1, __h), ' '), '</p>',
+          |'<p>', array_join(slice(__t, __h + 1, __n), ' '), '</p>',
+          |'<div>', array_join(transform(slice(__t, 4, 6), w -> concat('<a href="#">', w, '</a>')), ' '), '</div>',
+          |'<footer>copyright <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></body></html>')"""
+          .stripMargin))
+      .select(col(idCol), col("html"))
+
+  /** HTML → main-content extraction, the jusText/trafilatura-family
+    * text-density recipe as declarative expressions: split the page
+    * into blocks at closing block-level tags, strip tags per block,
+    * then classify each block on (visible length, LINK DENSITY =
+    * anchor-text chars / visible chars, STOPWORD DENSITY) — short,
+    * link-heavy, or stopword-free blocks are boilerplate (nav, link
+    * farms, footers); the rest concatenate in document order into
+    * `main_text`. One narrow projection + one per-doc aggregate: no
+    * shuffle beyond the doc_id groupBy, parses nothing in a UDF, and
+    * every feature is a codegen'd string expression — at 100 TB the
+    * cost is one pass over the raw bytes.
+    *
+    * Output is integers + strings only (counts, lengths, text), so
+    * the oracle compare has no float-boundary risk. */
+  def extractText(df: DataFrame, idCol: String, htmlCol: String,
+                  minLen: Int = 30, maxLinkDensity: Double = 0.3,
+                  minStopDensity: Double = 0.05): DataFrame = {
+    val stop = "array('the','a','and','of','to','in','is','on','for','with')"
+    df.select(col(idCol).as("doc_id"),
+        posexplode(expr(s"split($htmlCol, '</(p|nav|footer|div|h1)>')")))
+      .select(col("doc_id"), col("pos").as("bpos"), col("col").as("raw"))
+      .withColumn("txt", expr(
+        "trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' '), ' +', ' '))"))
+      .withColumn("__lc", expr(
+        "aggregate(regexp_extract_all(raw, '<a[^>]*>([^<]*)</a>', 1), 0, (a, x) -> a + length(x))"))
+      .withColumn("__tk", expr(s"${toks("txt")}"))
+      .withColumn("good",
+        length(col("txt")) >= minLen &&
+        col("__lc").cast("double") / greatest(length(col("txt")), lit(1)) <= maxLinkDensity &&
+        expr(s"size(filter(__tk, x -> array_contains($stop, x)))").cast("double") /
+          greatest(expr("size(__tk)"), lit(1)) >= minStopDensity)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("good").cast("long")).as("n_good"),
+        coalesce(expr(
+          "array_join(transform(array_sort(collect_list(CASE WHEN good THEN struct(bpos, txt) END)), x -> x.txt), ' ')"),
+          lit("")).as("main_text"))
+      .withColumn("main_len", length(col("main_text")).cast("long"))
+  }
+
   /** Fixed-width token chunking with stride: document → overlapping
     * windows of `width` tokens starting every `stride` tokens (the
     * standard context-window slicing step before tokenizer packing).

@@ -2599,6 +2599,50 @@ object PipelineQueries {
              |SELECT epoch, CAST(rk - epoch * n.n AS BIGINT) AS pos, doc_id
              |FROM r, n ORDER BY 1, 2""".stripMargin)),
 
+    Q("c9_extract",
+      // HTML/boilerplate extraction front end (round 9) — the corpus
+      // pipeline's real ingestion step: documents wrapped into a
+      // deterministic HTML page (nav + h1 + two content paragraphs +
+      // link-spam div + footer), then Corpus.extractText classifies
+      // each tag-stripped block on length / link density / stopword
+      // density (the jusText-family text-density recipe) and
+      // reassembles the GOOD blocks in document order. All features
+      // are codegen'd string expressions; output is ints + strings,
+      // so the oracle compare is exact with zero float-boundary risk.
+      (s, d) => Corpus.extractText(
+          Corpus.wrapHtml(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", "html")
+        .orderBy("doc_id"),
+      Some("""WITH t0 AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+             |h0 AS (SELECT doc_id, t, len(t) AS n, greatest(len(t) // 2, 1) AS h FROM t0),
+             |ht AS (SELECT doc_id,
+             |  '<html><body><nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>'
+             |  || '<h1>' || array_to_string(t[1:3], ' ') || '</h1>'
+             |  || '<p>' || array_to_string(t[1:CAST(h AS INT)], ' ') || '</p>'
+             |  || '<p>' || array_to_string(t[CAST(h + 1 AS INT):CAST(n AS INT)], ' ') || '</p>'
+             |  || '<div>' || array_to_string(list_transform(t[4:9], w -> '<a href="#">' || w || '</a>'), ' ') || '</div>'
+             |  || '<footer>copyright <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></body></html>' AS html
+             |  FROM h0),
+             |blocks AS (SELECT doc_id, u.i - 1 AS bpos, parts[CAST(u.i AS INT)] AS raw
+             |  FROM (SELECT doc_id, regexp_split_to_array(html, '</(p|nav|footer|div|h1)>') AS parts FROM ht),
+             |       unnest(generate_series(1, len(parts))) AS u(i)),
+             |feat AS (SELECT doc_id, bpos,
+             |    trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS txt,
+             |    coalesce(list_sum(list_transform(regexp_extract_all(raw, '<a[^>]*>([^<]*)</a>', 1), x -> length(x))), 0) AS lc
+             |  FROM blocks),
+             |cls AS (SELECT doc_id, bpos, txt,
+             |    (length(txt) >= 30
+             |     AND CAST(lc AS DOUBLE) / greatest(length(txt), 1) <= 0.3
+             |     AND CAST(len(list_filter(list_filter(string_split(txt, ' '), x -> x <> ''),
+             |           x -> list_contains(['the','a','and','of','to','in','is','on','for','with'], x))) AS DOUBLE)
+             |         / greatest(len(list_filter(string_split(txt, ' '), x -> x <> '')), 1) >= 0.05) AS good
+             |  FROM feat)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+             |  CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+             |  coalesce(string_agg(CASE WHEN good THEN txt END, ' ' ORDER BY bpos), '') AS main_text,
+             |  CAST(length(coalesce(string_agg(CASE WHEN good THEN txt END, ' ' ORDER BY bpos), '')) AS BIGINT) AS main_len
+             |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("c7_length_buckets",
       // Sequence-length bucketing for batch packing: docs binned by
       // token count into power-of-two capacity buckets, with the

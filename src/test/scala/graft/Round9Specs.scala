@@ -7,6 +7,44 @@ import graft.operators.Similarity
   * actually RETRIEVE — recall@10 against [[Similarity.knnMips]]'s
   * brute inner-product truth, over a wider query set than the oracle
   * entry exercises. */
+/** Round-9 HTML extraction: the classifier must keep exactly the
+  * content paragraphs (which reconstruct the original text) and
+  * reject every boilerplate class wrapHtml plants. */
+class ExtractTextSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Corpus
+
+  test("content paragraphs reconstruct the text; nav/h1/link-spam/footer rejected") {
+    val text = "the quick brown fox jumps over the lazy dog and runs " +
+      "into the deep green forest while the sun sets on a calm evening"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = Corpus.extractText(
+      Corpus.wrapHtml(docs, "doc_id", "text"), "doc_id", "html").collect()(0)
+    assert(out.getAs[Long]("n_blocks") == 7L, "nav,h1,p,p,div,footer,tail")
+    assert(out.getAs[Long]("n_good") == 2L, "exactly the two content paragraphs")
+    assert(out.getAs[String]("main_text") == text,
+      "good blocks must reconstruct the original text")
+  }
+
+  test("a pure link-farm page extracts nothing") {
+    val html = """<html><body><div><a href="#">the best deals</a> """ +
+      """<a href="#">click here for more of the offers</a></div></body></html>"""
+    val out = Corpus.extractText(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html").collect()(0)
+    assert(out.getAs[Long]("n_good") == 0L)
+    assert(out.getAs[String]("main_text") == "")
+  }
+
+  test("plain prose with no markup survives as one good block") {
+    val text = "the report said that most of the results were stable " +
+      "and the remaining work is planned for the next quarter"
+    val out = Corpus.extractText(
+      Seq((1L, text)).toDF("doc_id", "html"), "doc_id", "html").collect()(0)
+    assert(out.getAs[Long]("n_good") == 1L)
+    assert(out.getAs[String]("main_text") == text)
+  }
+}
+
 class MipsLshRecallSpec extends SparkSpec {
 
   test("augmented corpus vectors all reach (approximately) the max norm") {
