@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name}
+import org.apache.spark.sql.functions.{col, expr, input_file_name}
 import java.nio.charset.StandardCharsets
 
 /** Versioned-manifest table layout — snapshot isolation for the batch
@@ -79,12 +79,55 @@ object VersionedTable {
 
   /** Raw file lines of a manifest: `relPath` or `relPath\tstatsJson`.
     * The line — stats included — is what append/rewrite carry forward,
-    * so stats survive every commit that doesn't rewrite the file. */
+    * so stats survive every commit that doesn't rewrite the file.
+    * Deletion-vector lines (`!dv\t…`) are NOT file lines — see
+    * [[rawDvLines]]. */
   private def fileLines(spark: SparkSession, root: String, version: Long): Seq[String] =
     manifestBody(spark, root, version).split("\n")
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("!")).toSeq
+
+  /** Deletion-vector lines of a manifest: `!dv\t<dataRel>\t<dvRel>` —
+    * data file `dataRel` has deleted-row positions recorded in dv
+    * parquet `dvRel` (columns `file`, `pos`). One line per (data
+    * file, dv file) pair, so a rewrite can carry/drop vectors
+    * per data file. */
+  private def rawDvLines(spark: SparkSession, root: String, version: Long): Seq[String] =
+    manifestBody(spark, root, version).split("\n")
+      .filter(_.startsWith("!dv\t")).toSeq
+
+  /** (dataRel, dvRel) deletion-vector pairs of a snapshot. */
+  def dvEntries(spark: SparkSession, root: String, version: Long = -1L): Seq[(String, String)] = {
+    val v = if (version > 0) version else currentVersion(spark, root)
+    if (v <= 0) Seq.empty
+    else rawDvLines(spark, root, v).map { l =>
+      val p = l.split('\t'); (p(1), p(2))
+    }
+  }
 
   private def lineRel(line: String): String = line.split('\t')(0)
+
+  /** Anti-join `scanned` (a parquet scan of this table's data files)
+    * against the snapshot's deletion vectors. Join key is the 3-part
+    * relative path (`data/<commit>/<file>.parquet`, unique per table
+    * thanks to the commit nonce) extracted from `input_file_name()`
+    * — scheme-qualification-proof — plus the file-local
+    * `_metadata.row_index`. No DVs → the scan passes through
+    * untouched (zero read-path cost for tables that never delete). */
+  private def applyDv(spark: SparkSession, root: String, version: Long,
+                      scanned: DataFrame): DataFrame = {
+    val dvs = dvEntries(spark, root, version)
+    if (dvs.isEmpty) scanned
+    else {
+      val dvAbs = dvs.map(_._2).distinct.map(rel => new Path(root, rel).toString)
+      val del = spark.read.parquet(dvAbs: _*)
+        .select(col("file").as("__dvf"), col("pos").as("__dvp")).distinct()
+      scanned
+        .withColumn("__dvf", expr("substring_index(input_file_name(), '/', -3)"))
+        .withColumn("__dvp", col("_metadata.row_index").cast("long"))
+        .join(del, Seq("__dvf", "__dvp"), "left_anti")
+        .drop("__dvf", "__dvp")
+    }
+  }
 
   /** Pin the given (or latest) version: read its manifest once and
     * return the immutable file list. Everything a reader does from
@@ -163,10 +206,13 @@ object VersionedTable {
     * schema THEY recorded, so time travel sees the schema of its era. */
   def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
     val s = snapshot(spark, root, version)
-    tableSchema(spark, root, s.version) match {
+    val base = tableSchema(spark, root, s.version) match {
       case Some(sc) => spark.read.schema(sc).parquet(s.files: _*)
       case None => spark.read.parquet(s.files: _*)
     }
+    // merge-on-read: subtract this era's deletion vectors (no-op —
+    // and no plan change — when the manifest records none)
+    applyDv(spark, root, s.version, base)
   }
 
   /** Stats order must mirror the order the stats were COMPUTED in —
@@ -220,8 +266,10 @@ object VersionedTable {
     val s = snapshot(spark, root, version)
     val (kept, _) = prunedFiles(spark, root, colName, lo, hi, s.version)
     val base = tableSchema(spark, root, s.version) match {
-      case Some(sc) if kept.nonEmpty => spark.read.schema(sc).parquet(kept: _*)
-      case None if kept.nonEmpty => spark.read.parquet(kept: _*)
+      case Some(sc) if kept.nonEmpty =>
+        applyDv(spark, root, s.version, spark.read.schema(sc).parquet(kept: _*))
+      case None if kept.nonEmpty =>
+        applyDv(spark, root, s.version, spark.read.parquet(kept: _*))
       case Some(sc) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
       case None => return read(spark, root, version).limit(0)
@@ -260,7 +308,12 @@ object VersionedTable {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     commitCore(df, root, meta, expectBase,
       carriedLines = cur =>
-        if (mode == "append" && cur > 0) fileLines(df.sparkSession, root, cur)
+        // append carries the previous files AND their deletion
+        // vectors (dropping the dv lines would resurrect deleted
+        // rows); overwrite carries neither
+        if (mode == "append" && cur > 0)
+          fileLines(df.sparkSession, root, cur) ++
+            rawDvLines(df.sparkSession, root, cur)
         else Seq.empty,
       unionWithPrev = mode == "append",
       statsCols = statsCols)
@@ -402,16 +455,21 @@ object VersionedTable {
     require(keys.nonEmpty, "merge needs at least one key column")
     rewrite(updates.sparkSession, root, maxRetries) { (spark, s) =>
       val schema = tableSchema(spark, root, s.version)
-      val curDf = read(spark, root, s.version)
-      keys.foreach(k => require(curDf.columns.contains(k) && updates.columns.contains(k),
+      // __file is captured AT SCAN STAGE, before the DV anti-join —
+      // input_file_name() evaluated after a (possibly shuffled) join
+      // has no file context and returns ""
+      val scan0 = schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
+        .parquet(s.files: _*).withColumn("__file", input_file_name())
+      val curLive = applyDv(spark, root, s.version, scan0)
+      keys.foreach(k => require(scan0.columns.contains(k) && updates.columns.contains(k),
         s"key column $k must exist on both sides"))
       val keyRows = updates.select(keys.map(col): _*).distinct()
-      // which snapshot files hold a matching key (file-name collect is
-      // manifest-bounded, the documented stats-collect pattern).
-      // Qualify through the filesystem: input_file_name carries a
-      // scheme, manifest resolution does not (vacuum's rule).
+      // which snapshot files hold a matching LIVE key (file-name
+      // collect is manifest-bounded, the documented stats-collect
+      // pattern). Qualify through the filesystem: input_file_name
+      // carries a scheme, manifest resolution does not (vacuum's rule).
       val f = fs(spark, root)
-      val touched = curDf.withColumn("__file", input_file_name())
+      val touched = curLive
         .join(keyRows, keys, "left_semi")
         .select("__file").distinct().collect()
         .map(r => f.makeQualified(new Path(r.getString(0))).toString).toSet
@@ -420,8 +478,11 @@ object VersionedTable {
       val newRows =
         if (touchedAbs.isEmpty) updates // pure insert: no file rewrites
         else {
-          val kept = schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
-            .parquet(touchedAbs: _*)
+          // DV-applied: a rewritten file's deletion vectors fold into
+          // the rewrite here (its dv lines are then dropped)
+          val kept = applyDv(spark, root, s.version,
+              schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
+                .parquet(touchedAbs: _*))
             .join(keyRows, keys, "left_anti")
           kept.unionByName(updates, allowMissingColumns = true)
         }
@@ -437,20 +498,95 @@ object VersionedTable {
                   maxRetries: Int = 5): Long =
     rewrite(spark, root, maxRetries) { (sp, s) =>
       val schema = tableSchema(sp, root, s.version)
-      val curDf = read(sp, root, s.version)
+      // __file captured at scan stage — see [[merge]]'s note
+      val scan0 = schema.map(sc => sp.read.schema(sc)).getOrElse(sp.read)
+        .parquet(s.files: _*).withColumn("__file", input_file_name())
+      val curLive = applyDv(sp, root, s.version, scan0)
       val f = fs(sp, root)
-      val touched = curDf.withColumn("__file", input_file_name())
+      val touched = curLive
         .filter(predicate)
         .select("__file").distinct().collect()
         .map(r => f.makeQualified(new Path(r.getString(0))).toString).toSet
       val (touchedAbs, untouchedAbs) =
         s.files.partition(p => touched.contains(f.makeQualified(new Path(p)).toString))
       val kept =
-        if (touchedAbs.isEmpty) curDf.limit(0)
-        else schema.map(sc => sp.read.schema(sc)).getOrElse(sp.read)
-          .parquet(touchedAbs: _*).filter(s"NOT ($predicate)")
+        if (touchedAbs.isEmpty) read(sp, root, s.version).limit(0)
+        else applyDv(sp, root, s.version,
+          schema.map(sc => sp.read.schema(sc)).getOrElse(sp.read)
+            .parquet(touchedAbs: _*)).filter(s"NOT ($predicate)")
       (kept, untouchedAbs)
     }
+
+  /** Row-level DELETE, merge-on-read: records the matching rows'
+    * (file, position) pairs in a DELETION-VECTOR parquet and commits a
+    * manifest that references it — NO data file is rewritten (contrast
+    * [[deleteWhere]]'s copy-on-write, whose rewrite amplification
+    * bites high-churn CDC tables: a 100-row delete can rewrite
+    * 100 × 1 GB of files). Readers subtract the vectors at scan time
+    * ([[read]]/[[readRange]]); [[compact]] folds them in (it reads
+    * DV-applied and overwrite-commits, dropping the dv lines); time
+    * travel sees each era's vectors because a manifest references
+    * exactly the vectors of its version. Same OCC/retry contract as
+    * [[merge]]. Returns the committed version — or the CURRENT version
+    * unchanged when nothing matches (no empty commits). */
+  def deleteWhereDv(spark: SparkSession, root: String, predicate: String,
+                    maxRetries: Int = 5): Long = {
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val s = snapshot(spark, root)
+      val schema = tableSchema(spark, root, s.version)
+      // (file, pos) of predicate matches among LIVE rows only —
+      // re-deleting an already-vectored row must not grow the vectors
+      val base = schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
+        .parquet(s.files: _*)
+        .withColumn("__dvf", expr("substring_index(input_file_name(), '/', -3)"))
+        .withColumn("__dvp", col("_metadata.row_index").cast("long"))
+      val dvs = dvEntries(spark, root, s.version)
+      val liveRows =
+        if (dvs.isEmpty) base
+        else base.join(
+          spark.read.parquet(dvs.map(_._2).distinct
+              .map(rel => new Path(root, rel).toString): _*)
+            .select(col("file").as("__dvf"), col("pos").as("__dvp")).distinct(),
+          Seq("__dvf", "__dvp"), "left_anti")
+      val hits = liveRows.filter(predicate)
+        .select(col("__dvf").as("file"), col("__dvp").as("pos"))
+        .localCheckpoint(true) // consumed three times below
+      if (hits.isEmpty) return s.version
+      val nonce = java.util.UUID.randomUUID.toString.take(8)
+      val dvDirRel = s"data/c${s.version + 1}-$nonce-dv"
+      val dvDir = new Path(root, dvDirRel)
+      // one DV file per delete commit (delete-sized, never data-sized)
+      hits.coalesce(1).write.parquet(dvDir.toString)
+      val dvRels = f.listStatus(dvDir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => s"$dvDirRel/${st.getPath.getName}").sorted.toSeq
+      // touched-file list is manifest-bounded (distinct rel paths)
+      val touched = hits.select("file").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val newDvLines = for (t <- touched; d <- dvRels) yield s"!dv\t$t\t$d"
+      val metaLines = manifestMeta(spark, root, s.version).toSeq.sortBy(_._1)
+        .map { case (k, v2) => s"#$k=$v2" }
+      val lines = (metaLines ++ fileLines(spark, root, s.version) ++
+        rawDvLines(spark, root, s.version) ++ newDvLines).mkString("", "\n", "\n")
+      val lost = currentVersion(spark, root) != s.version || {
+        val tmp = new Path(manifestDir(root), s".v${s.version + 1}-$nonce.tmp")
+        val out = f.create(tmp, true)
+        try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        val renamed = f.rename(tmp, new Path(manifestDir(root), s"v${s.version + 1}.manifest"))
+        if (!renamed) f.delete(tmp, false)
+        !renamed
+      }
+      if (!lost) return s.version + 1
+      f.delete(dvDir, true) // lost the race: drop our vectors, re-derive
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new ConcurrentCommitException(
+          s"deleteWhereDv at $root lost $attempt commit races")
+    }
+    sys.error("unreachable")
+  }
 
   /** Shared copy-on-write loop: pin a snapshot, let `plan` produce the
     * replacement rows and the untouched-file carry list, commit with
@@ -465,12 +601,17 @@ object VersionedTable {
       val rootPrefix = new Path(root).toString
       val untouchedRel = untouchedAbs.map(_.stripPrefix(rootPrefix).stripPrefix("/")).toSet
       // carry the untouched files' FULL manifest lines so their
-      // recorded stats survive the rewrite
+      // recorded stats survive the rewrite — and their deletion
+      // vectors (a rewritten file's vectors are folded into the
+      // rewrite because its rows were read DV-applied; an untouched
+      // file's must stay, or its deleted rows resurrect)
       val untouchedLines = fileLines(spark, root, s.version)
         .filter(l => untouchedRel.contains(lineRel(l)))
+      val dvCarry = rawDvLines(spark, root, s.version)
+        .filter(l => untouchedRel.contains(l.split('\t')(1)))
       try {
         return commitCore(newRows, root, Map.empty, expectBase = s.version,
-          carriedLines = _ => untouchedLines, unionWithPrev = true)
+          carriedLines = _ => untouchedLines ++ dvCarry, unionWithPrev = true)
       } catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -538,7 +679,8 @@ object VersionedTable {
     val keepVs = ((cur - retainVersions + 1) max 1L) to cur
     // qualify through the filesystem: listStatus returns scheme-
     // qualified paths (file:/…), manifest resolution does not
-    val live = keepVs.flatMap(v => snapshot(spark, root, v).files)
+    val live = keepVs.flatMap(v => snapshot(spark, root, v).files ++
+        dvEntries(spark, root, v).map(e => new Path(root, e._2).toString))
       .map(p => f.makeQualified(new Path(p)).toString).toSet
     val dataRoot = new Path(root, "data")
     if (!f.exists(dataRoot)) return 0

@@ -7,6 +7,71 @@ import graft.operators.Similarity
   * actually RETRIEVE — recall@10 against [[Similarity.knnMips]]'s
   * brute inner-product truth, over a wider query set than the oracle
   * entry exercises. */
+/** Round-9 merge-on-read deletes: a deletion-vector delete commits
+  * ONLY a vector file + manifest — zero data rewrites — and every
+  * read path subtracts the vectors; compaction folds them; time
+  * travel sees each era's vectors; copy-on-write rewrites fold
+  * touched files' vectors and carry untouched files'. */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def newRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtdv").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("delete touches zero data files; reads, time travel, append, merge, compact all DV-correct") {
+    val root = newRoot()
+    val v1 = VersionedTable.commit(
+      (0 until 100).map(i => (i.toLong, i.toLong * 10)).toDF("id", "v")
+        .repartition(4), root)
+    val files1 = VersionedTable.snapshot(spark, root, v1).files.toSet
+    val v2 = VersionedTable.deleteWhereDv(spark, root, "id % 10 = 3")
+    assert(v2 == v1 + 1)
+    assert(VersionedTable.snapshot(spark, root, v2).files.toSet == files1,
+      "DV delete must reference the SAME data files — zero rewrites")
+    assert(VersionedTable.read(spark, root).count() == 90)
+    assert(VersionedTable.read(spark, root).filter("id % 10 = 3").count() == 0)
+    assert(VersionedTable.read(spark, root, v1).count() == 100,
+      "time travel to the pre-delete era sees every row")
+    val v3 = VersionedTable.deleteWhereDv(spark, root, "id % 10 = 4")
+    assert(VersionedTable.read(spark, root).count() == 80)
+    assert(VersionedTable.read(spark, root, v2).count() == 90,
+      "each era sees exactly its own vectors")
+    // no-match delete: no empty commit
+    assert(VersionedTable.deleteWhereDv(spark, root, "id = 3") == v3,
+      "re-deleting vectored rows must not commit")
+    // append carries the vectors forward
+    VersionedTable.commit(Seq((1003L, 1L)).toDF("id", "v"), root, mode = "append")
+    assert(VersionedTable.read(spark, root).count() == 81)
+    assert(VersionedTable.read(spark, root).filter("id = 3").count() == 0)
+    // merge folds the touched file's vectors, carries the rest
+    VersionedTable.merge(Seq((5L, 555L)).toDF("id", "v"), root, Seq("id"))
+    val after = VersionedTable.read(spark, root)
+    assert(after.count() == 81)
+    assert(after.filter("id = 5").select("v").as[Long].head() == 555L)
+    assert(after.filter("id % 10 = 3 AND id < 1000").count() == 0)
+    assert(after.filter("id % 10 = 4").count() == 0)
+    // compaction folds every remaining vector into plain data files
+    VersionedTable.compact(spark, root)
+    assert(VersionedTable.dvEntries(spark, root).isEmpty,
+      "compaction must fold deletion vectors")
+    assert(VersionedTable.read(spark, root).count() == 81)
+  }
+
+  test("readRange subtracts vectors and stats-prune stays conservative") {
+    val root = newRoot()
+    VersionedTable.commit(
+      (0 until 64).map(i => (i.toLong, s"r$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")), root, statsCols = Seq("k"))
+    VersionedTable.deleteWhereDv(spark, root, "k >= 10 AND k < 14")
+    val got = VersionedTable.readRange(spark, root, "k", "8", "15")
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == Seq(8L, 9L, 14L, 15L), s"range read wrong: $got")
+  }
+}
+
 /** Round-9 HTML extraction: the classifier must keep exactly the
   * content paragraphs (which reconstruct the original text) and
   * reject every boilerplate class wrapHtml plants. */
