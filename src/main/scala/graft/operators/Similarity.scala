@@ -762,6 +762,54 @@ object Similarity {
     * touches rerank·k rows per query. With `lloydIters = 0` every
     * stage is a deterministic expression tree — the s10 oracle
     * composes the s3 cell CTEs with the s5 code CTEs bit-for-bit. */
+  /** INCREMENTAL IVF-PQ — [[knnIvfSqIncremental]]'s append posture
+    * composed with [[knnPq]]'s codes, closing the incremental
+    * taxonomy (IVF-flat s12, IVF-SQ s15, IVF-PQ here): the coarse
+    * quantizer is trained on the standing BASE and frozen, the batch
+    * appends by nearest-standing-cell assignment + codebook encode —
+    * O(batch) work, zero base touches. The PQ codebook is md5-derived
+    * (data-independent), so the frozen-codebook posture is exact by
+    * construction rather than a staleness trade (contrast s15's
+    * frozen SQ stats); with lloydIters = 0 every stage is a
+    * deterministic expression tree and the oracle composes the s15
+    * cell CTEs with the s5 code CTEs bit-for-bit. */
+  def knnIvfPqIncremental(base: DataFrame, batch: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          nCells: Int = 16, nProbe: Int = 2,
+                          m: Int = 8, ksub: Int = 16, dims: Int = 64,
+                          rerank: Int = 4, lloydIters: Int = 0): DataFrame = {
+    val cb = withNorm(base, idCol, vecCol, "c").cache()
+    val centroids = ivfCentroids(cb, nCells, lloydIters)
+    val cells = ivfNearestCell(cb, "c", centroids)
+      .unionByName(ivfNearestCell(withNorm(batch, idCol, vecCol, "c"), "c", centroids))
+      .select("cell", "cid")
+    val recon = pqReconstruct(base.unionByName(batch), idCol, vecCol, m, ksub, dims)
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val queryCells = ivfAssignDist(q, "qv", centroids)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") <= nProbe).select("cell", "qid", "qv", "qn")
+    val cand = queryCells.join(cells, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "qv", "qn", "cid").distinct()
+      .join(recon, Seq("cid"))
+      .withColumn("apx", dot("qv", "crv") / (col("qn") * col("crn")))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
+      .filter(col("ark") <= rerank * k)
+      .select("qid", "qv", "qn", "cid", "apx")
+    cand.join(withNorm(base.unionByName(batch), idCol, vecCol, "c")
+        .withColumnRenamed("cid", "cid2")
+        .withColumnRenamed("cv", "cv2").withColumnRenamed("cn", "cn2"),
+        col("cid") === col("cid2"))
+      .withColumn("cosine", dot("qv", "cv2") / (col("qn") * col("cn2")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"), round(col("apx"), 4).as("apx_cosine"))
+  }
+
   def knnIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                k: Int, nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 0,
                m: Int = 8, ksub: Int = 16, dims: Int = 64,

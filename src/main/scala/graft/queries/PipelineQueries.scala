@@ -1511,6 +1511,72 @@ object PipelineQueries {
               |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("s16_knn_ivfpq_incremental",
+      // INCREMENTAL IVF-PQ (round 9) — closes the incremental
+      // taxonomy (s12 IVF-flat, s15 IVF-SQ, here IVF-PQ): coarse
+      // quantizer frozen on the base (vec_id < 400), batch appended
+      // by nearest-standing-cell + codebook encode, O(batch) work.
+      // The PQ codebook is md5-derived and data-independent, so the
+      // frozen-codebook posture is EXACT by construction (no
+      // staleness trade, unlike s15's frozen stats); oracle = s15's
+      // cell CTEs composed with s5's code CTEs, bit-for-bit.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnIvfPqIncremental(
+          e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10).orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $cosSql,
+              |base AS (SELECT * FROM ce WHERE vec_id < 400),
+              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS scv
+              |  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 16)),
+              |ad AS (SELECT ce.vec_id, seeds.cell,
+              |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.scv)
+              |      + list_dot_product(seeds.scv, seeds.scv) AS dist
+              |  FROM ce, seeds),
+              |crk AS (SELECT vec_id, cell,
+              |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
+              |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
+              |qcells AS (SELECT vec_id AS qid, cell FROM crk WHERE rk <= 2 AND vec_id < 5),
+              |pqc AS (SELECT mr.m, cr.c, ir.i,
+              |    ((strpos('0123456789abcdef',
+              |        substr(md5('pq_' || CAST(mr.m AS VARCHAR) || '_' || CAST(cr.c AS VARCHAR) || '_' || CAST(ir.i AS VARCHAR)), 1, 1)) - 1)
+              |      - 7.5) / 8 AS comp
+              |  FROM (SELECT unnest(generate_series(0, 7)) AS m) mr,
+              |       (SELECT unnest(generate_series(0, 15)) AS c) cr,
+              |       (SELECT unnest(generate_series(0, 7)) AS i) ir),
+              |cbk AS (SELECT m, c, list(comp ORDER BY i) AS cl FROM pqc GROUP BY 1, 2),
+              |sb AS (SELECT vec_id, mr.m, v[mr.m*8+1 : mr.m*8+8] AS sv
+              |  FROM ce, (SELECT unnest(generate_series(0, 7)) AS m) mr),
+              |dist2 AS (SELECT vec_id, sb.m, cbk.c,
+              |    -2 * list_dot_product(sv, cl) + list_dot_product(cl, cl) AS d
+              |  FROM sb JOIN cbk ON cbk.m = sb.m),
+              |codes AS (SELECT vec_id, m, c AS code FROM (
+              |    SELECT vec_id, m, c, d,
+              |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rk
+              |    FROM dist2) WHERE rk = 1),
+              |recon AS (SELECT codes.vec_id, flatten(list(cbk.cl ORDER BY codes.m)) AS rv
+              |  FROM codes JOIN cbk ON cbk.m = codes.m AND cbk.c = codes.code GROUP BY 1),
+              |cand AS (SELECT DISTINCT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
+              |ax AS (SELECT qid, cid,
+              |    list_dot_product(qv.v, r.rv)
+              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(r.rv, r.rv))) AS apx
+              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN recon r ON r.vec_id = cid),
+              |cut AS (SELECT qid, cid, apx FROM (
+              |    SELECT qid, cid, apx,
+              |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
+              |    FROM ax) WHERE ark <= 40),
+              |sc AS (SELECT qid, cid, apx,
+              |    list_dot_product(qv.v, cv.v)
+              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM cut JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |r AS (SELECT qid, cid, cos, apx,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("t13_code_prose",
       // Code-vs-prose classification by character-class composition —
       // the standard cheap filter a training-data pipeline runs

@@ -110,6 +110,26 @@ class ExtractTextSpec extends SparkSpec {
   }
 }
 
+/** Round-9 incremental IVF-PQ: with the quantizer frozen on the base
+  * and a data-independent codebook, the O(batch) append must equal
+  * the full rebuild bit-for-bit (the d15/d20 incremental gate,
+  * applied to the PQ tier). */
+class IvfPqIncrementalSpec extends SparkSpec {
+
+  test("incremental append == full rebuild over base ∪ batch") {
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") < 400)
+    val batch = e.filter(col("vec_id") >= 400)
+    val q = e.filter(col("vec_id") < 5)
+    val inc = Similarity.knnIvfPqIncremental(base, batch, q,
+      "vec_id", "embedding", k = 10)
+    val full = Similarity.knnIvfPq(e, q, "vec_id", "embedding",
+      k = 10, lloydIters = 0)
+    assert(inc.exceptAll(full).count() == 0L && full.exceptAll(inc).count() == 0L,
+      "incremental and rebuild must emit identical rows")
+  }
+}
+
 class MipsLshRecallSpec extends SparkSpec {
 
   test("augmented corpus vectors all reach (approximately) the max norm") {
