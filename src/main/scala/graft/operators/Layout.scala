@@ -40,6 +40,25 @@ object Layout {
     ).reduce(_ + _)
   }
 
+  /** n-dimensional HILBERT-curve key of the low `bits` bits of each
+    * column — the 4-plus-dimension clustering curve. Morton locality
+    * degrades past ~3 dims: a contiguous Morton key span fixes only
+    * the top interleaved bit-planes, so at n = 4 a 64-file span
+    * constrains each dimension's single top bit and STRIDES across
+    * everything below it (diagonal jumps), while consecutive Hilbert
+    * positions are always Manhattan-adjacent cells — a key span is a
+    * compact blob, and per-file min/max stats stay selective on
+    * EVERY dimension. Native expression (Skilling transform,
+    * [[org.apache.spark.sql.graftbridge.HilbertIndex]]); same
+    * non-negative-input contract as [[interleaveKey]]. */
+  def hilbertKey(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, "hilbert needs at least 2 dimensions")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits*dims must fit a long: $bits*${cols.size}")
+    org.apache.spark.sql.graftbridge.VectorFunctions
+      .hilbert_index(bits, cols.map(_.cast("long")): _*)
+  }
+
   /** SQL mirror of [[zorderKey]] in div/mod arithmetic (no engine-
     * specific bit operators): `intDiv` is `div` for Spark SQL, `//`
     * for DuckDB. */

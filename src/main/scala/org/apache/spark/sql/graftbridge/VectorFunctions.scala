@@ -27,4 +27,9 @@ object VectorFunctions {
     * pairwise hot loop). */
   def vec_cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     vec_dot(a, b) / (normA * normB)
+
+  /** n-dimensional Hilbert-curve index of the low `bits` bits of each
+    * long column — see [[HilbertIndex]]. */
+  def hilbert_index(bits: Int, cols: Column*): Column =
+    toCol(HilbertIndex(cols.map(toExpr), bits))
 }

@@ -110,6 +110,86 @@ class ExtractTextSpec extends SparkSpec {
   }
 }
 
+/** Round-9 Hilbert layout: the 4-plus-dimension clustering curve.
+  * Correctness = the defining curve properties (bijection +
+  * Manhattan-adjacent consecutive cells — Morton has diagonal jumps);
+  * value = the 4-D touched-file comparison vs Morton that motivated
+  * it (ClusteredTableSpec's shape at n = 4). */
+class HilbertLayoutSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Layout
+  import graft.sources.VersionedTable
+
+  test("hilbert key is a bijection and consecutive cells are Manhattan-adjacent") {
+    val bits = 2; val side = 1 << bits
+    val cells = for (x <- 0 until side; y <- 0 until side;
+                     z <- 0 until side; w <- 0 until side)
+      yield (x.toLong, y.toLong, z.toLong, w.toLong)
+    val rows = cells.toDF("x", "y", "z", "w")
+      .withColumn("h", Layout.hilbertKey(
+        Seq(col("x"), col("y"), col("z"), col("w")), bits))
+      .collect()
+      .map(r => (r.getLong(4), (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(rows.map(_._1).toSet == (0L until 256L).toSet,
+      "hilbert index must be a bijection onto [0, 16^2)")
+    val byH = rows.sortBy(_._1).map(_._2)
+    byH.sliding(2).foreach { case Array(a, b) =>
+      val d = math.abs(a._1 - b._1) + math.abs(a._2 - b._2) +
+        math.abs(a._3 - b._3) + math.abs(a._4 - b._4)
+      assert(d == 1, s"curve jump between $a and $b")
+    }
+  }
+
+  test("4-D clustered commit: hilbert touches fewer stat-pruned files than morton") {
+    val bits = 3; val side = 1 << bits // 8^4 = 4096 cells, 64 files
+    val grid = spark.range(0, side.toLong * side * side * side).select(
+      (col("id") % side).as("x"), ((col("id") / side) % side).cast("long").as("y"),
+      ((col("id") / (side * side)) % side).cast("long").as("z"),
+      ((col("id") / (side * side * side)) % side).cast("long").as("w"),
+      col("id").as("payload"))
+    val dims = Seq(col("x"), col("y"), col("z"), col("w"))
+    val span = math.max(1L, (1L << (4 * bits)) / 64)
+    def committed(key: org.apache.spark.sql.Column): String = {
+      val root = { val d = java.nio.file.Files.createTempDirectory("hil").toFile
+        d.delete(); d.getAbsolutePath }
+      val keyed = grid.withColumn("__k", key).withColumn("__fid", expr(s"__k div $span"))
+      VersionedTable.commit(
+        keyed.repartitionByRange(64, col("__fid"))
+          .sortWithinPartitions("__k").drop("__k", "__fid"),
+        root, statsCols = Seq("x", "y", "z", "w"))
+      root
+    }
+    val mRoot = committed(Layout.interleaveKey(dims, bits))
+    val hRoot = committed(Layout.hilbertKey(dims, bits))
+    var mTotal = 0; var hTotal = 0
+    for (d <- Seq("x", "y", "z", "w")) {
+      val (mk, mt) = VersionedTable.prunedFiles(spark, mRoot, d, "0", "1")
+      val (hk, ht) = VersionedTable.prunedFiles(spark, hRoot, d, "0", "1")
+      info(s"dim $d slab [0,1]: morton ${mk.size}/$mt, hilbert ${hk.size}/$ht")
+      mTotal += mk.size; hTotal += hk.size
+      // rows must stay exact through the pruned read on both layouts
+      for (root <- Seq(mRoot, hRoot)) {
+        val got = VersionedTable.readRange(spark, root, d, "0", "1")
+          .agg(count(lit(1))).as[Long].head()
+        assert(got == 2L * side * side * side, s"$root/$d rows: $got")
+      }
+    }
+    info(s"total kept over 4 slab queries: morton $mTotal, hilbert $hTotal")
+    assert(hTotal < mTotal,
+      s"hilbert must touch fewer files than morton across the 4 dims: $hTotal vs $mTotal")
+    // and the WORST dimension improves: morton's top-interleaved dims
+    // prune well at the expense of the low-order dims (its 32/64 is no
+    // prune at all — exactly the half the key's top bits fix); hilbert
+    // spreads locality across all four (measured 22–28 vs 16–32)
+    val mWorst = Seq("x", "y", "z", "w")
+      .map(d => VersionedTable.prunedFiles(spark, mRoot, d, "0", "1")._1.size).max
+    val hWorst = Seq("x", "y", "z", "w")
+      .map(d => VersionedTable.prunedFiles(spark, hRoot, d, "0", "1")._1.size).max
+    assert(hWorst < mWorst,
+      s"hilbert worst-dimension touch must beat morton's: $hWorst vs $mWorst")
+  }
+}
+
 /** Round-9 incremental IVF-PQ: with the quantizer frozen on the base
   * and a data-independent codebook, the O(batch) append must equal
   * the full rebuild bit-for-bit (the d15/d20 incremental gate,
