@@ -459,6 +459,18 @@ object Similarity {
     (corpusCells, queryCells)
   }
 
+  /** Nearest-STANDING-cell assignment of `batch` against the coarse
+    * quantizer trained (and frozen) on `base` — the per-append step of
+    * [[knnIvfIncremental]], exposed for the streaming append sink:
+    * one row per batch vector, `(cell, cid, cv, cn)`. */
+  private[graft] def assignToStandingCells(base: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, nCells: Int = 16,
+      lloydIters: Int = 0): DataFrame = {
+    val cb = withNorm(base, idCol, vecCol, "c")
+    val centroids = ivfCentroids(cb, nCells, lloydIters)
+    ivfNearestCell(withNorm(batch, idCol, vecCol, "c"), "c", centroids)
+  }
+
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 2): DataFrame = {
     val (corpusCells, queryCells) =

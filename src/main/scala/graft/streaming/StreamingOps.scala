@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -408,6 +408,54 @@ object StreamingOps {
       newGrams.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
     ()
   }
+
+  /** Streaming ANN append sink — s12's frozen-quantizer append as a
+    * live pipeline, the vector-store complement of [[spanDedupSink]]:
+    * each micro-batch's vectors are assigned to their nearest
+    * STANDING cell (coarse quantizer trained on `base` once, frozen —
+    * the production append posture; O(batch × nCells) work, zero base
+    * touches, no retrain) and landed cell-partitioned under
+    * `storePath/batch=<id>` (whole-subdir overwrite: a replayed batch
+    * rewrites itself byte-equivalent — exactly-once without external
+    * pairing). The live index is base ∪ store; [[readIvfStore]]
+    * reconstitutes the appended half for querying through
+    * [[graft.operators.Similarity.knnIvfIncremental]], and the
+    * cell partition column gives a cell-probing reader file pruning
+    * for free.
+    */
+  def ivfAppendSink(vecs: DataFrame, idCol: String, vecCol: String,
+                    base: DataFrame, storePath: String,
+                    nCells: Int = 16, lloydIters: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        ivfAppendBatch(batch, batchId, idCol, vecCol, base, storePath,
+          nCells, lloydIters)
+    }
+
+  /** One micro-batch of [[ivfAppendSink]]; package-visible so specs
+    * can drive a replay without a streaming harness. */
+  private[graft] def ivfAppendBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, base: DataFrame, storePath: String,
+      nCells: Int, lloydIters: Int): Unit = {
+    val assigned = graft.operators.Similarity
+      .assignToStandingCells(base, batch, idCol, vecCol, nCells, lloydIters)
+    // empty-batch guard: same poisoned-_SUCCESS-dir rationale as
+    // [[spanDedupBatch]]
+    if (!assigned.isEmpty)
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$storePath/batch=$batchId")
+    ()
+  }
+
+  /** The appended vectors a [[ivfAppendSink]] store currently holds,
+    * as `(idCol, vecCol)` — the `batch` argument for a
+    * [[graft.operators.Similarity.knnIvfIncremental]] query over
+    * base ∪ store. */
+  def readIvfStore(spark: SparkSession, storePath: String,
+                   idCol: String, vecCol: String): DataFrame =
+    spark.read.parquet(storePath)
+      .select(col("cid").as(idCol), col("cv").as(vecCol))
 
   /** Exactly-once-by-batch-id file sink: foreachBatch is
     * at-least-once on restart (the last uncommitted batch replays),

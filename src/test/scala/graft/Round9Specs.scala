@@ -110,6 +110,50 @@ class ExtractTextSpec extends SparkSpec {
   }
 }
 
+/** Round-9 streaming ANN append sink: micro-batch appends against the
+  * frozen standing quantizer must equal the batch incremental path on
+  * the same splits, and a replayed batch must leave the store
+  * byte-equivalent. */
+class IvfAppendSinkSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.StreamingOps
+
+  test("micro-batch appends == batch knnIvfIncremental; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfsink").toString
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") < 400)
+    val q = e.filter(col("vec_id") < 5)
+    def rows(lo: Long, hi: Long): Seq[(Long, Seq[Float])] = e
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val sink = StreamingOps.ivfAppendSink(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      base, s"$dir/store")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    in.addData(rows(400, 450): _*); sink.processAllAvailable()
+    in.addData(rows(450, 500): _*); sink.processAllAvailable()
+    sink.stop()
+    val stored = StreamingOps.readIvfStore(spark, s"$dir/store", "vec_id", "embedding")
+    assert(stored.count() == 100L, "both micro-batches landed")
+    val viaStore = Similarity.knnIvfIncremental(base, stored, q,
+      "vec_id", "embedding", k = 10)
+    val direct = Similarity.knnIvfIncremental(base, e.filter(col("vec_id") >= 400), q,
+      "vec_id", "embedding", k = 10)
+    assert(viaStore.exceptAll(direct).count() == 0L &&
+      direct.exceptAll(viaStore).count() == 0L,
+      "querying base ∪ store must equal the batch incremental path")
+    // crash-restart replay of batch 1 rewrites its own subdir only
+    val before = spark.read.parquet(s"$dir/store").collect().toSet
+    StreamingOps.ivfAppendBatch(rows(450, 500).toDF("vec_id", "embedding"), 1L,
+      "vec_id", "embedding", base, s"$dir/store", 16, 0)
+    val after = spark.read.parquet(s"$dir/store").collect().toSet
+    assert(after == before, "replayed batch must leave the store byte-equivalent")
+  }
+}
+
 /** Round-9 Hilbert layout: the 4-plus-dimension clustering curve.
   * Correctness = the defining curve properties (bijection +
   * Manhattan-adjacent consecutive cells — Morton has diagonal jumps);
