@@ -36,6 +36,22 @@ import java.nio.charset.StandardCharsets
   * file instead of listing millions of objects (object-store LIST is
   * the classic metadata bottleneck), and time travel / audit are free
   * (read any retained `v<N>`).
+  *
+  * == Driver-memory scale contract ==
+  * Driver memory across ALL operations is O(manifest) = O(live data
+  * files) — and nothing more. The manifest body is a driver-side
+  * string by design (that is what makes one metadata read the whole
+  * scan plan); every `collect()` in [[merge]]/[[deleteWhere]]/
+  * [[deleteWhereDv]]/[[commit]]'s stats pass gathers FILE NAMES (or
+  * per-file stat rows) bounded by the touched-file count ≤ manifest
+  * size — never row data. At 10⁷ live files × ~100 B/entry that is
+  * ~1 GB of driver heap, the same bound every manifest-listing table
+  * format pays before splitting its metadata layer; the ROW-level
+  * work (key probes, rewrites, DV anti-joins) is distributed
+  * throughout. Growing past that bound means sharding the manifest
+  * itself (a metadata tree), not distributing the probes — with a
+  * driver-resident manifest there is no larger asymptotic term to
+  * remove.
   */
 object VersionedTable {
 
