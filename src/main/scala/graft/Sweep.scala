@@ -278,6 +278,76 @@ object Sweep {
         if (d1 == 0 && d2 == 0) "" else s"incremental differs from rebuild: +$d1/-$d2"
       },
 
+      "s16_incremental_eq_rebuild_100x" -> { () =>
+        // round 9: the IVF-PQ append path — frozen quantizer +
+        // data-independent codebook ⇒ incremental == rebuild must hold
+        // at ANY scale, engine-vs-engine
+        val e = emb(embDir)
+        val inc = Similarity.knnIvfPqIncremental(
+          e.filter(col("vec_id") < 400), e.filter(col("vec_id") >= 400),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        val full = Similarity.knnIvfPq(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, lloydIters = 0)
+        val d1 = inc.exceptAll(full).count(); val d2 = full.exceptAll(inc).count()
+        if (d1 == 0 && d2 == 0) "" else s"incremental differs from rebuild: +$d1/-$d2"
+      },
+
+      "s13_topk_cut_eq_window_100x" -> { () =>
+        // round 9: the bounded-state TopKAgg candidate cut must emit
+        // EXACTLY what the (scale-hostile) window form emits — checked
+        // engine-vs-engine at the 100x corpus, where the window form
+        // still runs (5 queries) but would never be the shipped plan
+        val e = emb(embDir)
+        val q = e.filter(col("vec_id") < 5)
+        val viaAgg = Similarity.knnSq(e, q, "vec_id", "embedding", k = 10)
+        val enc = Similarity.sqReconstruct(e, "vec_id", "embedding", 64)
+        import org.apache.spark.sql.expressions.Window
+        val qn = q.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+          .withColumn("qn", org.apache.spark.sql.graftbridge.VectorFunctions
+            .vec_norm(col("qv")))
+        val windowCut = qn.join(enc, col("qid") =!= col("cid"))
+          .withColumn("apx", org.apache.spark.sql.graftbridge.VectorFunctions
+            .vec_dot(col("qv"), col("rv")) / (col("qn") * col("rn")))
+          .withColumn("ark", row_number().over(
+            Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
+          .filter(col("ark") <= 40).select("qid", "cid")
+        val aggCut = Similarity.flatTopCut(
+          qn.join(enc, col("qid") =!= col("cid"))
+            .withColumn("apx", org.apache.spark.sql.graftbridge.VectorFunctions
+              .vec_dot(col("qv"), col("rv")) / (col("qn") * col("rn"))),
+          qn, 40).select("qid", "cid")
+        val d1 = aggCut.exceptAll(windowCut).count()
+        val d2 = windowCut.exceptAll(aggCut).count()
+        if (d1 != 0 || d2 != 0) s"cut differs from window form: +$d1/-$d2"
+        else if (viaAgg.groupBy("query_id").count()
+            .filter(col("count") =!= 10).count() != 0) "not 10 rows per query"
+        else ""
+      },
+
+      "c9_extract_identity_100x" -> { () =>
+        // round 9: wrap → extract must reconstruct the normalized
+        // original text for every document whose two content halves
+        // classify good — an exact engine-side identity over the full
+        // 100x corpus
+        val d = docs(docDir)
+        val out = graft.operators.Corpus.extractText(
+          graft.operators.Corpus.wrapHtml(d, "doc_id", "text"),
+          "doc_id", "html").cache()
+        val n = d.count()
+        val badBlocks = out.filter(col("n_blocks") =!= 7).count()
+        val joined = out.filter(col("n_good") === 2)
+          .join(d.select(col("doc_id"), expr(
+            "array_join(filter(split(text, ' '), x -> x != ''), ' ')").as("norm")),
+            Seq("doc_id"))
+        val mismatch = joined.filter(col("main_text") =!= col("norm")).count()
+        val total = out.count()
+        out.unpersist()
+        if (total != n) s"row count $total != $n"
+        else if (badBlocks > 0) s"$badBlocks docs without the 7-block shape"
+        else if (mismatch > 0) s"$mismatch docs fail the reconstruction identity"
+        else ""
+      },
+
       "d19_semdedup_shape_100x" -> { () =>
         // nCells scales with the corpus (the published recipe sizes
         // cells ~sqrt(n)): 256 cells over 200k vectors keeps the

@@ -353,7 +353,7 @@ object Similarity {
     * exchange, never a per-query window sort of the whole corpus.
     * Rejoins `q` (qid, qv, qn — query-sized, broadcastable) so the
     * rerank stage sees the same shape the window form produced. */
-  private def flatTopCut(scored: DataFrame, q: DataFrame, r: Int): DataFrame = {
+  private[graft] def flatTopCut(scored: DataFrame, q: DataFrame, r: Int): DataFrame = {
     val topr = org.apache.spark.sql.functions.udaf(graft.functions.TopKAgg(r))
     scored.groupBy("qid")
       .agg(topr(col("apx"), col("cid")).as("__top"))
@@ -587,7 +587,7 @@ object Similarity {
       .select("cid", "rv", "rn")
   }
 
-  private[operators] def sqReconstruct(corpus: DataFrame, idCol: String,
+  private[graft] def sqReconstruct(corpus: DataFrame, idCol: String,
                                        vecCol: String, dims: Int): DataFrame =
     sqEncodeWith(sqStats(corpus, idCol, vecCol), corpus, idCol, vecCol, dims)
 
