@@ -96,7 +96,8 @@ object Similarity {
     */
   def knnMipsLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, planes: Int = 4, tables: Int = 8,
-                 dims: Int = 64, maxBucket: Int = 4096): DataFrame = {
+                 dims: Int = 64, maxBucket: Int = 4096,
+                 multiProbe: Int = 0): DataFrame = {
     val c0 = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val m2 = c0.agg(max(vec_dot(col("__v"), col("__v"))).as("__m2"))
     val caug = c0.crossJoin(broadcast(m2))
@@ -106,7 +107,8 @@ object Similarity {
       .select(col("__id").as(idCol), col("__va").as(vecCol))
     val qaug = queries
       .select(col(idCol), concat(col(vecCol), array(lit(0.0f))).as(vecCol))
-    knnLsh(caug, qaug, idCol, vecCol, k, planes, tables, dims + 1, maxBucket)
+    knnLsh(caug, qaug, idCol, vecCol, k, planes, tables, dims + 1, maxBucket,
+      multiProbe)
   }
 
   private def md5hex(s: String): String =
@@ -136,7 +138,9 @@ object Similarity {
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, planes: Int = 8, tables: Int = 4, dims: Int = 64,
-             maxBucket: Int = 4096): DataFrame = {
+             maxBucket: Int = 4096, multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= planes,
+      s"multiProbe must be in [0, planes]: $multiProbe")
     def bucketCol(vcol: String, t: Int) =
       (0 until planes).map { p =>
         val plane = Array.tabulate(dims)(i => planeComponent(t, p, i))
@@ -148,7 +152,18 @@ object Similarity {
         .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
           posexplode(col("__bk")))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-    val q = bucketed(queries, "q")
+    // MULTI-PROBE (query side only): each query additionally probes
+    // the buckets at Hamming distance 1 in its first `multiProbe` sign
+    // bits — recall from the SAME index, no extra corpus storage or
+    // shuffle (the standard alternative to adding tables; Lv et al.,
+    // VLDB 2007). Deterministic (fixed flip set), so oracles replay it.
+    val q0 = bucketed(queries, "q")
+    val q =
+      if (multiProbe == 0) q0
+      else q0.select(col("qid"), col("qv"), col("qn"), col("table"),
+        explode(array(col("bucket") +:
+          (0 until multiProbe).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+          .as("bucket"))
     val c = Dedup.capBuckets(bucketed(corpus, "c"), Seq("table", "bucket"), "cid", maxBucket)
     val cand = q.join(c, Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))

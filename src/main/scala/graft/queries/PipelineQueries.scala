@@ -2208,6 +2208,58 @@ object PipelineQueries {
               |  round(cos, 4) AS cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("s8c_knn_mips_multiprobe",
+      // s8b + MULTI-PROBE (round 9, Lv et al. VLDB 2007): each query
+      // additionally probes the buckets at Hamming distance 1 in its
+      // first two sign bits — recall from the SAME index, no extra
+      // corpus storage (the scale-preferred alternative to adding
+      // tables). Probe set is fixed, so the oracle replays it as two
+      // extra XOR'd bucket rows per (query, table).
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnMipsLsh(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, multiProbe = 2).orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $cosSql,
+              |m2 AS (SELECT max(list_dot_product(v, v)) AS m2 FROM ce),
+              |ca AS (SELECT vec_id,
+              |    v || [CAST(CAST(sqrt(greatest(m2 - list_dot_product(v, v), 0)) AS REAL) AS DOUBLE)] AS va
+              |  FROM ce, m2),
+              |qa AS (SELECT vec_id, v || [CAST(0 AS DOUBLE)] AS va FROM ce WHERE vec_id < 5),
+              |comp AS (SELECT t, p, i,
+              |    ((strpos('0123456789abcdef',
+              |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
+              |      - 7.5) / 8 AS c
+              |  FROM (SELECT unnest(generate_series(0, 7)) AS t) ts,
+              |       (SELECT unnest(generate_series(0, 3)) AS p) ps,
+              |       (SELECT unnest(generate_series(0, 64)) AS i) is1),
+              |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
+              |sbc AS (SELECT ca.vec_id, planes.t,
+              |    CASE WHEN list_dot_product(ca.va, planes.pl) >= 0
+              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+              |  FROM ca, planes),
+              |bkc AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sbc GROUP BY 1, 2),
+              |sbq AS (SELECT qa.vec_id, planes.t,
+              |    CASE WHEN list_dot_product(qa.va, planes.pl) >= 0
+              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+              |  FROM qa, planes),
+              |bkq AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sbq GROUP BY 1, 2),
+              |bkqp AS (SELECT vec_id, t, bucket FROM bkq
+              |  UNION ALL SELECT vec_id, t, xor(bucket, 1) FROM bkq
+              |  UNION ALL SELECT vec_id, t, xor(bucket, 2) FROM bkq),
+              |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+              |  FROM bkqp q JOIN bkc c ON q.t = c.t AND q.bucket = c.bucket
+              |  WHERE q.vec_id <> c.vec_id),
+              |sc AS (SELECT qid, cid,
+              |  list_dot_product(qv.va, cv.va)
+              |    / (sqrt(list_dot_product(qv.va, qv.va)) * sqrt(list_dot_product(cv.va, cv.va))) AS cos
+              |  FROM cand JOIN qa qv ON qv.vec_id = qid JOIN ca cv ON cv.vec_id = cid),
+              |r AS (SELECT qid, cid, cos,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;

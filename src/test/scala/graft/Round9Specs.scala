@@ -330,5 +330,15 @@ class MipsLshRecallSpec extends SparkSpec {
     val recall = hits.toDouble / truth.length
     info(f"augmented-LSH MIPS recall@3 = $recall%.3f ($hits/${truth.length})")
     assert(recall >= 0.4, f"recall@3 $recall%.3f below floor")
+    // MULTI-PROBE recovers more of the truth set from the SAME index
+    val mp = Similarity.knnMipsLsh(cdf, qdf, "vec_id", "embedding", k = 3,
+      multiProbe = 2)
+      .select("query_id", "rk", "neighbor_id").as[(Long, Int, Long)].collect()
+    val mpHits = truth.map(t => (t._1, t._3)).toSet
+      .intersect(mp.map(g => (g._1, g._3)).toSet).size
+    val mpRecall = mpHits.toDouble / truth.length
+    info(f"multi-probe (2) recall@3 = $mpRecall%.3f ($mpHits/${truth.length})")
+    assert(mpRecall >= recall, "multi-probe must never lose recall")
+    assert(mpRecall >= 0.6, f"multi-probe recall@3 $mpRecall%.3f below floor")
   }
 }
