@@ -35,6 +35,26 @@ import graft.Ckpt
   */
 object Dedup {
 
+  /** URL canonicalization — the normalization step web-corpus dedup
+    * runs BEFORE content dedup (the same crawl target arrives as
+    * `HTTPS://Host/x/?utm_source=…#frag` and `https://host/x?page=1`):
+    * strip the fragment, strip `utm_*` tracking params, collapse the
+    * path's trailing slash before the query, lowercase. Declarative
+    * regexp chain — codegen'd, replayable in ANSI SQL (DuckDB needs
+    * the 'g' flag on the multi-match utm strip; Spark replaces all by
+    * default). */
+  def canonicalUrl(u: Column): Column =
+    lower(regexp_replace(regexp_replace(regexp_replace(u,
+      "#.*$", ""), "&?utm_[a-z_]+=[^&#]*", ""), "/\\?", "?"))
+
+  /** Exact dedup by canonical URL: one row per canonical target with
+    * the surviving (minimum) id and the variant count — one
+    * map-side-combined groupBy, no pair enumeration, the d1 shape
+    * keyed on [[canonicalUrl]]. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.groupBy(canonicalUrl(col(urlCol)).as("canonical"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_urls"))
+
   /** Exact duplicate groups: one row per distinct content with the
     * surviving (minimum) id and the duplicate count. The group key is
     * (xxhash64(content), content): the 8-byte digest hash-partitions

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the data-quality pass every ingestion pipeline
@@ -76,5 +76,36 @@ object Profiler {
           .as("share_bp"),
         expr("cast((cast(cnt as decimal(38,0)) * 100 * n_keys) div total as bigint)")
           .as("skew_x100"))
+  }
+
+  /** Distribution DRIFT between two snapshots of the same table (old
+    * crawl vs new crawl, last week vs this week) — the check a
+    * training-data pipeline runs before mixing a fresh dump in: both
+    * sides bucketed by the same expression, per-bucket share in exact
+    * integer basis points, the share delta, and its squared
+    * contribution (Σ contrib = the L2 drift score — deliberately NOT
+    * the ln-based PSI, whose libm log bits differ across engines;
+    * the squared-bp form is all-integer, hence oracle-exact at any
+    * scale). Two map-side-combined aggregates to bucket-sized frames
+    * + a 1-row broadcast of the totals — no shuffle beyond the
+    * groupBys, cost O(rows) regardless of drift. Decimal
+    * intermediates for the same 2⁶³-overflow reason as [[keySkew]].
+    */
+  def drift(a: DataFrame, b: DataFrame, bucket: Column): DataFrame = {
+    val ca = a.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt_a"))
+    val cb = b.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cnt_b"))
+    val joined = ca.join(cb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val glob = joined.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+    joined.crossJoin(broadcast(glob))
+      .select(col("bucket"), col("cnt_a"), col("cnt_b"),
+        expr("cast((cast(cnt_a as decimal(38,0)) * 10000) div tot_a as bigint)")
+          .as("share_a_bp"),
+        expr("cast((cast(cnt_b as decimal(38,0)) * 10000) div tot_b as bigint)")
+          .as("share_b_bp"))
+      .withColumn("diff_bp", col("share_a_bp") - col("share_b_bp"))
+      .withColumn("contrib", col("diff_bp") * col("diff_bp"))
   }
 }

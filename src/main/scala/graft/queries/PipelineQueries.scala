@@ -2260,6 +2260,40 @@ object PipelineQueries {
               |  round(cos, 4) AS cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("d21_url_dedup",
+      // URL canonicalization dedup (round 9) — the web-corpus
+      // normalization step BEFORE content dedup: deterministic messy
+      // URLs synthesized from documents (mixed-case scheme/host,
+      // trailing slash, utm tracking params, fragments), canonicalized
+      // (fragment/utm strip, slash collapse, lowercase), exact-deduped
+      // by canonical target (survivor = min doc_id). doc_id%2 case
+      // noise, %3 slash noise, %5 utm noise, %11 fragments all
+      // collapse; canonical identity = (source, page id%7) — ~140
+      // targets over 500 docs, so real multi-variant groups exist.
+      (s, d) => Dedup.urlDedup(
+          Tables.documents(s, d).withColumn("url", expr(
+            "concat(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END, " +
+              "source, '.example.com/page-', CAST(doc_id % 7 AS STRING), " +
+              "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END, " +
+              "'?page=1&utm_source=feed&utm_campaign=c', CAST(doc_id % 5 AS STRING), " +
+              "CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END)")),
+          "doc_id", "url")
+        .orderBy("canonical"),
+      Some("""WITH u AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://www.' END
+             |    || source || '.example.com/page-' || CAST(doc_id % 7 AS VARCHAR)
+             |    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+             |    || '?page=1&utm_source=feed&utm_campaign=c' || CAST(doc_id % 5 AS VARCHAR)
+             |    || CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END AS url
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |    lower(regexp_replace(regexp_replace(regexp_replace(url,
+             |      '#.*$', ''), '&?utm_[a-z_]+=[^&#]*', '', 'g'), '/\?', '?')) AS canonical
+             |  FROM u)
+             |SELECT canonical, CAST(min(doc_id) AS BIGINT) AS survivor_id,
+             |  CAST(count(*) AS BIGINT) AS n_urls
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;

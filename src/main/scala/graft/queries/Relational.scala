@@ -1866,6 +1866,41 @@ object Relational {
              |  t.cnt * 100 * g.n_keys // g.total AS skew_x100
              |FROM t, g WHERE t.rank <= 10 ORDER BY t.rank""".stripMargin)),
 
+    Q("prof5_drift",
+      // Snapshot DRIFT profile (round 9) — the check a training
+      // pipeline runs before mixing a fresh crawl in: two snapshots
+      // (orderkey parity stands in for old/new dumps), q42's stable
+      // price binning, per-bucket share in exact integer bp, the
+      // delta, and its squared contribution (Σ = L2 drift score;
+      // deliberately not ln-PSI — libm log bits differ across
+      // engines, squared-bp is all-integer and oracle-exact). Two
+      // map-side aggregates + a 1-row totals broadcast.
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val bucket = least(floor(col("o_totalprice") / 50000), lit(9))
+          .cast("long")
+        graft.operators.Profiler.drift(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1),
+          bucket).orderBy("bucket")
+      },
+      Some("""WITH ca AS (SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS cnt_a FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+             |cb AS (SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS cnt_b FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+             |j AS (SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
+             |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+             |  FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+             |g AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+             |    CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM j)
+             |SELECT bucket, cnt_a, cnt_b,
+             |  cnt_a * 10000 // tot_a AS share_a_bp,
+             |  cnt_b * 10000 // tot_b AS share_b_bp,
+             |  cnt_a * 10000 // tot_a - cnt_b * 10000 // tot_b AS diff_bp,
+             |  (cnt_a * 10000 // tot_a - cnt_b * 10000 // tot_b)
+             |    * (cnt_a * 10000 // tot_a - cnt_b * 10000 // tot_b) AS contrib
+             |FROM j, g ORDER BY bucket""".stripMargin)),
+
     Q("q69_cumulative_reach",
       // Monotone reach curve — cumulative distinct users ever seen,
       // by hour: distinct-over-a-GROWING-range collapses to "first
