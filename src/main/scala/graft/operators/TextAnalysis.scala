@@ -141,6 +141,56 @@ object TextAnalysis {
     * only float steps are the final log2s — the sum order differs
     * from the oracle's GROUP BY but only at ~1e-15, absorbed by the
     * 4-dp round (the repo's standard double contract). */
+  /** RAKE keyword extraction (Rose et al. 2010, the public rapid
+    * automatic keyword extraction recipe): candidate phrases are the
+    * maximal stopword-free token runs; a word scores
+    * degree/frequency (degree = Σ length of the phrases it appears
+    * in, frequency = its occurrence count — co-occurring in long
+    * phrases beats raw frequency); a phrase scores the sum of its
+    * words' scores; each document reports its top phrase. Scores in
+    * exact integer basis points (deg·10⁴ div freq, summed) — no
+    * float anywhere, so the oracle replays every division exactly.
+    *
+    * Scale shape: phrase segmentation is a per-doc prefix count
+    * (window over ONE document's tokens, bounded by doc length —
+    * never cross-doc); word stats are corpus-wide
+    * map-side-combined aggregates joined back by word; the top
+    * phrase per doc is groupBy-max + join-back (the d18 hot-key
+    * shape), not a window over all phrases. */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = Seq("the", "a", "and", "of",
+                     "to", "in", "is", "on", "for", "with")): DataFrame = {
+    val stop = inList(stopwords)
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(expr(s"filter(split($textCol, ' '), x -> x != '')")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .withColumn("is_stop", expr(s"array_contains(array($stop), w)"))
+      .withColumn("phrase_id", sum(col("is_stop").cast("long")).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(!col("is_stop"))
+    val phrases = toks.groupBy("doc_id", "phrase_id")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' ')")
+          .as("phrase"),
+        count(lit(1)).as("plen"))
+    // corpus-wide word stats over phrase members (multiplicity kept)
+    val members = toks.join(phrases, Seq("doc_id", "phrase_id"))
+      .select(col("doc_id"), col("phrase_id"), col("w"), col("plen"))
+    val wordStats = members.groupBy("w")
+      .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+      .withColumn("wscore_bp", expr("deg * 10000 div freq"))
+    val scored = members.join(wordStats, Seq("w"))
+      .groupBy("doc_id", "phrase_id")
+      .agg(first("plen").as("plen"), sum("wscore_bp").as("score_bp"))
+      .join(phrases.select("doc_id", "phrase_id", "phrase"), Seq("doc_id", "phrase_id"))
+    // top phrase per doc: groupBy-max + join-back, ties to the
+    // lexicographically smallest phrase then smallest phrase_id
+    val best = scored.groupBy("doc_id").agg(max("score_bp").as("score_bp"))
+    scored.join(best, Seq("doc_id", "score_bp"))
+      .groupBy("doc_id", "score_bp")
+      .agg(min("phrase").as("top_phrase"))
+      .select(col("doc_id"), col("top_phrase"), col("score_bp"))
+  }
+
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .withColumn("__ch", split(col("__t"), ""))

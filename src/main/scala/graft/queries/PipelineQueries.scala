@@ -1577,6 +1577,44 @@ object PipelineQueries {
               |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("t22_rake_keywords",
+      // RAKE keyword extraction (round 9; Rose et al. 2010): phrases
+      // = maximal stopword-free token runs (per-doc prefix-count
+      // segmentation — window bounded by doc length, never
+      // cross-doc), word score = degree·10⁴ div frequency over the
+      // whole corpus (map-side aggregates + join-back), phrase score
+      // = Σ word scores, top phrase per doc via groupBy-max +
+      // join-back (the hot-key shape, no window over all phrases).
+      // All-integer scoring — the oracle replays every division.
+      (s, d) => TextAnalysis.rakeKeywords(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id, u.i - 1 AS pos, s[CAST(u.i AS INT)] AS w
+             |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS s
+             |        FROM documents),
+             |       unnest(generate_series(1, len(s))) AS u(i)),
+             |fl AS (SELECT doc_id, pos, w,
+             |    list_contains(['the','a','and','of','to','in','is','on','for','with'], w) AS is_stop
+             |  FROM tk),
+             |pid AS (SELECT doc_id, pos, w, is_stop,
+             |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id FROM fl),
+             |nst AS (SELECT doc_id, pos, w, phrase_id FROM pid WHERE NOT is_stop),
+             |ph AS (SELECT doc_id, phrase_id, string_agg(w, ' ' ORDER BY pos) AS phrase,
+             |    CAST(count(*) AS BIGINT) AS plen
+             |  FROM nst GROUP BY 1, 2),
+             |mem AS (SELECT n.doc_id, n.phrase_id, n.w, p.plen
+             |  FROM nst n JOIN ph p USING (doc_id, phrase_id)),
+             |wsc AS (SELECT w, CAST(sum(plen) AS BIGINT) * 10000
+             |    // CAST(count(*) AS BIGINT) AS wscore_bp FROM mem GROUP BY 1),
+             |sc AS (SELECT doc_id, phrase_id, CAST(sum(wscore_bp) AS BIGINT) AS score_bp
+             |  FROM mem JOIN wsc USING (w) GROUP BY 1, 2),
+             |scp AS (SELECT sc.doc_id, sc.phrase_id, sc.score_bp, ph.phrase
+             |  FROM sc JOIN ph USING (doc_id, phrase_id)),
+             |best AS (SELECT doc_id, max(score_bp) AS score_bp FROM scp GROUP BY 1)
+             |SELECT scp.doc_id, min(scp.phrase) AS top_phrase, scp.score_bp
+             |FROM scp JOIN best ON scp.doc_id = best.doc_id AND scp.score_bp = best.score_bp
+             |GROUP BY 1, 3 ORDER BY 1""".stripMargin)),
+
     Q("t13_code_prose",
       // Code-vs-prose classification by character-class composition —
       // the standard cheap filter a training-data pipeline runs
