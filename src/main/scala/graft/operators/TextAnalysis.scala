@@ -168,19 +168,25 @@ object TextAnalysis {
       .withColumn("phrase_id", sum(col("is_stop").cast("long")).over(
         Window.partitionBy("doc_id").orderBy("pos")))
       .filter(!col("is_stop"))
-    val phrases = toks.groupBy("doc_id", "phrase_id")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' ')")
-          .as("phrase"),
+    // ONE materialized phrase table (graft.Ckpt.cut): every later
+    // stage references phrases twice or more, and without the cut each
+    // reference re-expands the token explode + segmentation window —
+    // the executed plan carried TEN window nodes before this
+    val phrases = graft.Ckpt.cut(toks.groupBy("doc_id", "phrase_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)")
+          .as("ws"),
         count(lit(1)).as("plen"))
-    // corpus-wide word stats over phrase members (multiplicity kept)
-    val members = toks.join(phrases, Seq("doc_id", "phrase_id"))
-      .select(col("doc_id"), col("phrase_id"), col("w"), col("plen"))
+      .withColumn("phrase", expr("array_join(ws, ' ')")))
+    // corpus-wide word stats over phrase members (multiplicity kept) —
+    // members EXPLODE the materialized phrases, no second token pass
+    val members = phrases.select(col("doc_id"), col("phrase_id"), col("plen"),
+      explode(col("ws")).as("w"))
     val wordStats = members.groupBy("w")
       .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
       .withColumn("wscore_bp", expr("deg * 10000 div freq"))
     val scored = members.join(wordStats, Seq("w"))
       .groupBy("doc_id", "phrase_id")
-      .agg(first("plen").as("plen"), sum("wscore_bp").as("score_bp"))
+      .agg(sum("wscore_bp").as("score_bp"))
       .join(phrases.select("doc_id", "phrase_id", "phrase"), Seq("doc_id", "phrase_id"))
     // top phrase per doc: groupBy-max + join-back, ties to the
     // lexicographically smallest phrase then smallest phrase_id

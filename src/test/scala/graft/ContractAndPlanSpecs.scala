@@ -91,6 +91,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-9 additions: no cartesian/data-sized nested loop anywhere") {
+    // s8b/s8c bucket-join their candidates; d21/t22/prof5/c9 are
+    // aggregate/join pipelines — none may degrade to a cartesian or a
+    // data-sized nested loop (the broadcast of a 1-row M2/totals frame
+    // is the only nested-loop-shaped node allowed)
+    for (q <- Seq("s8b_knn_mips_lsh", "s8c_knn_mips_multiprobe",
+        "d21_url_dedup", "t22_rake_keywords", "prof5_drift", "c9_extract")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(2000)}")
+    }
+  }
+
+  test("t22 windows are per-document only; top phrase rides groupBy-max join-back") {
+    val plan = executed(SparkEntry.queries("t22_rake_keywords")(spark, sfDir))
+    // the per-doc segmentation window lives behind the materialized
+    // phrase cut (0 visible) — the top-phrase stage must NOT add a
+    // window over all phrases, and nothing may re-expand segmentation
+    // per branch (this plan carried TEN window nodes pre-cut)
+    val nWindows = plan.split("\\bWindow \\[").length - 1
+    assert(nWindows <= 1, s"expected at most the per-doc segmentation window, got $nWindows")
+  }
+
   test("d19/s11 pair generation is bucket-equi-joined, never nested-loop") {
     for (q <- Seq("d19_semdedup", "s11_knn_graph")) {
       val plan = executed(SparkEntry.queries(q)(spark, sfDir))
