@@ -675,6 +675,72 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** SHALLOW CLONE: a new table at `dstRoot` whose first manifest
+    * references the SOURCE's data files (and deletion vectors) as
+    * absolute paths — zero data copied, the public table-format
+    * clone semantics: the clone pins the source snapshot it was taken
+    * from (later source commits never affect it), clone commits write
+    * under the clone's own root (never touching source files), and —
+    * the documented caveat every shallow clone carries — vacuuming
+    * the SOURCE can remove files the clone still references, so
+    * retention policy must cover live clones. Returns the clone's
+    * committed version (1). */
+  def clone(spark: SparkSession, srcRoot: String, dstRoot: String,
+            version: Long = -1L): Long = {
+    val s = snapshot(spark, srcRoot, version)
+    val f = fs(spark, dstRoot)
+    require(currentVersion(spark, dstRoot) == 0, s"$dstRoot already exists")
+    f.mkdirs(manifestDir(dstRoot))
+    val srcFs = fs(spark, srcRoot)
+    def abs(rel: String): String =
+      srcFs.makeQualified(new Path(srcRoot, rel)).toUri.getPath
+    // carry file lines (stats included) and dv lines with their
+    // relpaths rewritten absolute against the SOURCE root
+    val files = fileLines(spark, srcRoot, s.version).map { l =>
+      val cut = l.indexOf('\t')
+      if (cut < 0) abs(l) else abs(l.substring(0, cut)) + l.substring(cut)
+    }
+    val dvs = rawDvLines(spark, srcRoot, s.version).map { l =>
+      val p = l.split('\t'); s"!dv\t${abs(p(1))}\t${abs(p(2))}"
+    }
+    val meta = manifestMeta(spark, srcRoot, s.version).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"#$k=$v" }
+    val lines = (meta ++ files ++ dvs).mkString("", "\n", "\n")
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(manifestDir(dstRoot), s".v1-$nonce.tmp")
+    val out = f.create(tmp, true)
+    try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    require(f.rename(tmp, new Path(manifestDir(dstRoot), "v1.manifest")),
+      s"clone commit lost a race at $dstRoot")
+    1L
+  }
+
+  /** RESTORE: roll the table back to `version`'s contents AS A NEW
+    * COMMIT (the public table-format RESTORE semantics) — the bad
+    * commits stay in history for audit/time travel, nothing is
+    * deleted, and concurrent readers see the restore as just another
+    * atomic version flip. Returns the committed version. */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    require(version > 0, s"restore needs an explicit version: $version")
+    val f = fs(spark, root)
+    val meta = manifestMeta(spark, root, version).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"#$k=$v" }
+    val lines = (meta ++ fileLines(spark, root, version) ++
+      rawDvLines(spark, root, version)).mkString("", "\n", "\n")
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(spark, root)
+      val nonce = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(manifestDir(root), s".v${cur + 1}-$nonce.tmp")
+      val out = f.create(tmp, true)
+      try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      if (f.rename(tmp, new Path(manifestDir(root), s"v${cur + 1}.manifest")))
+        committed = cur + 1
+      else f.delete(tmp, false)
+    }
+    committed
+  }
+
   /** Delete data files referenced by NO retained manifest, keeping the
     * newest `retainVersions` manifests (and every file they name).
     * Returns the number of data files deleted. The only deletion path

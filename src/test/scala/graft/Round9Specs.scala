@@ -72,6 +72,45 @@ class DeletionVectorSpec extends SparkSpec {
   }
 }
 
+/** Round-9 shallow CLONE + RESTORE: zero-copy snapshot clones pin
+  * their source snapshot and commit independently; restore rolls the
+  * current state back as a NEW commit, history intact. */
+class CloneRestoreSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def newRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtcl").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("clone pins the snapshot (DVs included); commits independent; restore flips back") {
+    val src = newRoot(); val dst = newRoot()
+    VersionedTable.commit(
+      (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "v").repartition(4), src)
+    VersionedTable.deleteWhereDv(spark, src, "id % 10 = 0") // v2: 90 live
+    VersionedTable.clone(spark, src, dst)
+    def ids(root: String, version: Long = -1L): Set[Long] =
+      VersionedTable.read(spark, root, version).select("id").as[Long].collect().toSet
+    assert(ids(dst) == ids(src) && ids(dst).size == 90,
+      "clone must read the source snapshot exactly, deletion vectors applied")
+    // later source commits never affect the clone
+    VersionedTable.commit(Seq((500L, 1L)).toDF("id", "v"), src, mode = "append") // v3
+    assert(ids(dst).size == 90, "clone must stay pinned to its snapshot")
+    // clone commits write under the clone only
+    VersionedTable.commit(Seq((900L, 9L)).toDF("id", "v"), dst, mode = "append")
+    assert(ids(dst).size == 91 && ids(src).size == 91 && !ids(src).contains(900L),
+      "clone append must not leak into the source")
+    assert(ids(dst).contains(900L))
+    // restore the source to v1 (pre-delete): bad commits stay in history
+    val rv = VersionedTable.restore(spark, src, 1L)
+    assert(rv == 4L)
+    assert(ids(src).size == 100, "restore must resurrect v1's contents")
+    assert(ids(src, 3L).size == 91, "history before the restore stays readable")
+    assert(ids(dst).size == 91, "restore on the source never touches the clone")
+  }
+}
+
 /** Round-9 HTML extraction: the classifier must keep exactly the
   * content paragraphs (which reconstruct the original text) and
   * reject every boilerplate class wrapHtml plants. */
