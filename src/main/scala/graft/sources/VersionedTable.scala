@@ -675,6 +675,112 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** CHANGE FEED between two committed versions, at FILE granularity
+    * (the public change-data-feed concept on a file-manifest layout):
+    * rows in files the later manifest ADDED are `insert`s, rows in
+    * files it REMOVED are `delete`s, and deletion-vector growth on a
+    * carried file yields `delete`s for exactly the newly vectored
+    * positions. A copy-on-write rewrite (MERGE/deleteWhere) therefore
+    * reports its rewritten file's rows as delete+insert pairs even
+    * where a row was carried unchanged — the documented granularity
+    * trade of file-level CDF; consumers needing row-exact diffs
+    * aggregate the pairs away on their key. Output: the table's
+    * columns plus `_change_type` (`insert` | `delete`). */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion, s"need from < to: $fromVersion, $toVersion")
+    val from = snapshot(spark, root, fromVersion)
+    val to = snapshot(spark, root, toVersion)
+    val schema = tableSchema(spark, root, toVersion)
+    def scan(files: Seq[String]): DataFrame =
+      schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
+        .parquet(files: _*)
+    def lit3(rel: String): String = rel.split('/').takeRight(3).mkString("/")
+    val added = to.files.toSet -- from.files.toSet
+    val removed = from.files.toSet -- to.files.toSet
+    // DV delta on files PRESENT in both snapshots: positions vectored
+    // at `to` but not at `from` are deletes
+    val dvFrom = dvEntries(spark, root, from.version).map(_._2).distinct
+    val dvTo = dvEntries(spark, root, to.version).map(_._2).distinct
+    def dvRows(rels: Seq[String]): DataFrame =
+      if (rels.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("file",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("pos",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
+        .select(col("file"), col("pos"))
+    val carried3 = (from.files.toSet intersect to.files.toSet).map(lit3)
+    val newlyVectored = dvRows(dvTo).exceptAll(dvRows(dvFrom))
+      .filter(col("file").isin(carried3.toSeq: _*))
+    def tagged(df: DataFrame, t: String): DataFrame =
+      df.withColumn("_change_type", org.apache.spark.sql.functions.lit(t))
+    val inserts =
+      if (added.isEmpty) None
+      else Some(tagged(applyDv(spark, root, to.version, scan(added.toSeq)), "insert"))
+    val deletes =
+      if (removed.isEmpty) None
+      // removed files' rows count as deleted AS THE FROM-ERA SAW THEM
+      else Some(tagged(applyDv(spark, root, from.version, scan(removed.toSeq)), "delete"))
+    val carriedFiles = (from.files.toSet intersect to.files.toSet).toSeq
+    val dvDeletes =
+      if (carriedFiles.isEmpty) None
+      else {
+        val base = scan(carriedFiles)
+          .withColumn("__dvf", expr("substring_index(input_file_name(), '/', -3)"))
+          .withColumn("__dvp", col("_metadata.row_index").cast("long"))
+        Some(tagged(base.join(newlyVectored
+            .select(col("file").as("__dvf"), col("pos").as("__dvp")),
+            Seq("__dvf", "__dvp"), "left_semi")
+          .drop("__dvf", "__dvp"), "delete"))
+      }
+    val parts = inserts.toSeq ++ deletes.toSeq ++ dvDeletes.toSeq
+    if (parts.isEmpty)
+      read(spark, root, toVersion).limit(0)
+        .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** OPTIMIZE: rewrite the current snapshot curve-CLUSTERED on
+    * `clusterCols` (Hilbert for 3+ dims, Morton/range for fewer) with
+    * per-file stats on every cluster column — one call = the table
+    * format's OPTIMIZE ZORDER loop ([[compact]] composed with
+    * [[graft.operators.Layout]] and `statsCols`), under the same OCC
+    * retry. Readers pinned to earlier versions are untouched; after
+    * it, a selective [[readRange]] on ANY cluster column prunes from
+    * the manifest alone. */
+  def optimize(spark: SparkSession, root: String, clusterCols: Seq[String],
+               bits: Int = 8, nFiles: Int = 64, maxRetries: Int = 5): Long = {
+    require(clusterCols.nonEmpty, "optimize needs cluster columns")
+    var attempt = 0
+    while (true) {
+      val s = snapshot(spark, root)
+      val cur = read(spark, root, s.version)
+      val key =
+        if (clusterCols.size == 1) col(clusterCols.head).cast("long")
+        else if (clusterCols.size <= 2)
+          graft.operators.Layout.zorderKey(col(clusterCols(0)), col(clusterCols(1)), bits)
+        else graft.operators.Layout.hilbertKey(clusterCols.map(col), bits)
+      val span = math.max(1L, (1L << (bits.toLong * math.max(clusterCols.size, 1))) / nFiles)
+      val clustered = cur.withColumn("__k", key)
+        .withColumn("__fid", expr(s"__k div $span"))
+        .repartitionByRange(nFiles, col("__fid"))
+        .sortWithinPartitions("__k")
+        .drop("__k", "__fid")
+      try {
+        return commit(clustered, root, mode = "overwrite",
+          expectBase = s.version, statsCols = clusterCols)
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** SHALLOW CLONE: a new table at `dstRoot` whose first manifest
     * references the SOURCE's data files (and deletion vectors) as
     * absolute paths — zero data copied, the public table-format

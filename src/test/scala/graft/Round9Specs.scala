@@ -72,6 +72,63 @@ class DeletionVectorSpec extends SparkSpec {
   }
 }
 
+/** Round-9 change feed + optimize: file-granularity CDF between any
+  * two versions (DV deltas as row-exact deletes), and one-call
+  * OPTIMIZE = curve-clustered rewrite with stats on every cluster
+  * column. */
+class ChangeFeedOptimizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def newRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtcf").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("changesBetween: appends are inserts, DV growth is row-exact deletes") {
+    val root = newRoot()
+    val v1 = VersionedTable.commit(
+      (0 until 50).map(i => (i.toLong, i.toLong)).toDF("id", "v").repartition(2), root)
+    val v2 = VersionedTable.commit(
+      (100 until 110).map(i => (i.toLong, 0L)).toDF("id", "v"), root, mode = "append")
+    val v3 = VersionedTable.deleteWhereDv(spark, root, "id >= 40 AND id < 45")
+    // v1 -> v2: pure insert of the appended rows
+    val c12 = VersionedTable.changesBetween(spark, root, v1, v2)
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    assert(c12 == (100L until 110L).map(("insert", _)).toSet, s"v1->v2: $c12")
+    // v2 -> v3: DV growth only — exactly the five vectored rows, as deletes
+    val c23 = VersionedTable.changesBetween(spark, root, v2, v3)
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    assert(c23 == (40L until 45L).map(("delete", _)).toSet, s"v2->v3: $c23")
+    // v1 -> v3 composes both
+    val c13 = VersionedTable.changesBetween(spark, root, v1, v3)
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    assert(c13 == ((100L until 110L).map(("insert", _)) ++
+      (40L until 45L).map(("delete", _))).toSet, s"v1->v3: $c13")
+  }
+
+  test("optimize clusters + records stats: every dimension prunes, rows unchanged") {
+    val root = newRoot()
+    val side = 16
+    VersionedTable.commit(
+      spark.range(0, side.toLong * side * side).select(
+        (col("id") % side).as("x"), ((col("id") / side) % side).cast("long").as("y"),
+        ((col("id") / (side * side)) % side).cast("long").as("z"),
+        col("id").as("payload")).repartition(8), root)
+    val before = VersionedTable.read(spark, root).select("payload")
+      .as[Long].collect().sorted.toSeq
+    VersionedTable.optimize(spark, root, Seq("x", "y", "z"), bits = 4, nFiles = 32)
+    for (d <- Seq("x", "y", "z")) {
+      val (kept, total) = VersionedTable.prunedFiles(spark, root, d, "0", "3")
+      assert(kept.size * 2 < total,
+        s"$d in [0,3] must prune to a strict minority after optimize: ${kept.size}/$total")
+    }
+    val after = VersionedTable.read(spark, root).select("payload")
+      .as[Long].collect().sorted.toSeq
+    assert(after == before, "optimize must not change the row set")
+  }
+}
+
 /** Round-9 shallow CLONE + RESTORE: zero-copy snapshot clones pin
   * their source snapshot and commit independently; restore rolls the
   * current state back as a NEW commit, history intact. */
