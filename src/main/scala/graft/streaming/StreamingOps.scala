@@ -457,6 +457,65 @@ object StreamingOps {
     spark.read.parquet(storePath)
       .select(col("cid").as(idCol), col("cv").as(vecCol))
 
+  /** Follow a [[graft.sources.VersionedTable]] as a STREAM — the
+    * table-format streaming-read/CDC posture: each micro-batch
+    * compares the table's current version against the highest version
+    * already delivered and lands that delta
+    * ([[graft.sources.VersionedTable.changesBetween]]: inserts +
+    * row-exact DV deletes, `_change_type` tagged) under
+    * `outPath/batch=<id>`; the first batch delivers the full snapshot
+    * as inserts (the standard starting-version semantics). Progress
+    * markers are batch-id-addressed under `outPath/_progress` (hidden
+    * from plain readers of `outPath` by the underscore convention),
+    * so a crash-replayed batch recomputes against the same
+    * pre-batch watermark and overwrites itself — every committed
+    * version's changes are delivered EXACTLY ONCE. Driven off the
+    * rate source (one tick per poll; the table's commit log is the
+    * real clock).
+    */
+  def followVersionedTable(spark: SparkSession, root: String, outPath: String,
+                           rowsPerSecond: Int = 1)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+      .writeStream.outputMode("append").foreachBatch {
+        (_: DataFrame, batchId: Long) =>
+          tableFollowBatch(spark, root, outPath, batchId)
+      }
+
+  /** One poll of [[followVersionedTable]]; package-visible for replay
+    * specs. */
+  private[graft] def tableFollowBatch(spark: SparkSession, root: String,
+      outPath: String, batchId: Long): Unit = {
+    import graft.sources.VersionedTable
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val progressRoot = new org.apache.hadoop.fs.Path(s"$outPath/_progress")
+    // watermark = highest version delivered by STRICTLY-PRIOR batches
+    val last =
+      if (!fs.exists(progressRoot)) 0L
+      else {
+        val dirs = fs.listStatus(progressRoot).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("batch="))
+          .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+          .map(_.toString)
+        if (dirs.isEmpty) 0L
+        else spark.read.parquet(dirs: _*)
+          .agg(max(col("v"))).head().getLong(0)
+      }
+    val cur = VersionedTable.currentVersion(spark, root)
+    if (cur > last) {
+      val changes =
+        if (last == 0L) VersionedTable.read(spark, root, cur)
+          .withColumn("_change_type", lit("insert"))
+        else VersionedTable.changesBetween(spark, root, last, cur)
+      if (!changes.isEmpty)
+        changes.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      spark.range(1).select(lit(cur).as("v"))
+        .write.mode("overwrite").parquet(s"$outPath/_progress/batch=$batchId")
+    }
+    ()
+  }
+
   /** Exactly-once-by-batch-id file sink: foreachBatch is
     * at-least-once on restart (the last uncommitted batch replays),
     * so every foreachBatch pipeline whose output must not duplicate
