@@ -403,18 +403,23 @@ object VersionedTable {
       else {
         val aggs = effStats.flatMap(c => Seq(
           org.apache.spark.sql.functions.min(col(c)).cast("string").as(s"__mn_$c"),
-          org.apache.spark.sql.functions.max(col(c)).cast("string").as(s"__mx_$c")))
+          org.apache.spark.sql.functions.max(col(c)).cast("string").as(s"__mx_$c"))) :+
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("__nrows")
         val rows = spark.read.parquet(dataDir.toString)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
         val byName = rows.map { r =>
           val name = new Path(r.getString(0)).getName
-          val json = effStats.map { c =>
+          // "#rows" can never collide with a column: the '#' prefix is
+          // reserved (manifest meta convention). fileStats' min/max
+          // parser skips non-array values, so old readers ignore it.
+          val json = (effStats.map { c =>
             val mn = r.getAs[String](s"__mn_$c"); val mx = r.getAs[String](s"__mx_$c")
             val v = if (mn == null || mx == null) "null" else s"[${jesc(mn)},${jesc(mx)}]"
             s"${jesc(c)}:$v"
-          }.mkString("{", ",", "}")
+          } :+ s""""#rows":${r.getAs[Long]("__nrows")}""").mkString("{", ",", "}")
           name -> json
         }.toMap
         written.toSeq.map { rel =>
@@ -673,6 +678,61 @@ object VersionedTable {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** LIVE row count from METADATA alone — no data file is opened:
+    * stats-tracked commits record `"#rows"` per file in the manifest,
+    * and the deletion-vector parquets (delete-sized, metadata-tier)
+    * supply the subtraction. `None` when any live file predates row
+    * tracking (an honest miss beats a table scan pretending to be a
+    * metadata read). The count(*)-from-metadata shortcut every
+    * manifest-based table format serves. */
+  def rowCount(spark: SparkSession, root: String,
+               version: Long = -1L): Option[Long] = {
+    val s = snapshot(spark, root, version)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var sum = 0L
+    for (l <- fileLines(spark, root, s.version)) {
+      val cut = l.indexOf('\t')
+      if (cut < 0) return None
+      val r = om.readTree(l.substring(cut + 1)).get("#rows")
+      if (r == null || !r.isNumber) return None
+      sum += r.asLong()
+    }
+    val dvs = dvEntries(spark, root, s.version)
+    val deleted =
+      if (dvs.isEmpty) 0L
+      else {
+        val live3 = s.files.map(_.split('/').takeRight(3).mkString("/")).toSet
+        spark.read.parquet(dvs.map(_._2).distinct
+            .map(rel => new Path(root, rel).toString): _*)
+          .select(col("file"), col("pos")).distinct()
+          .filter(col("file").isin(live3.toSeq: _*))
+          .count()
+      }
+    Some(sum - deleted)
+  }
+
+  /** DESCRIBE HISTORY: one row per retained manifest — version,
+    * commit-file modification time (ms), live file count, and the
+    * meta header rendered `k=v` sorted — the audit surface every
+    * table format exposes. Reads manifests only. */
+  def describeHistory(spark: SparkSession, root: String): DataFrame = {
+    val f = fs(spark, root)
+    val rows = f.listStatus(manifestDir(root)).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestName(v) =>
+          val ver = v.toLong
+          val meta = manifestMeta(spark, root, ver).toSeq.sortBy(_._1)
+            .collect { case (k, value) if k != "schema" => s"$k=$value" }
+            .mkString(";")
+          Some((ver, st.getModificationTime,
+            fileLines(spark, root, ver).size, meta))
+        case _ => None
+      }
+    }.sortBy(_._1)
+    val sp = spark; import sp.implicits._
+    rows.toDF("version", "modified_ms", "n_files", "meta")
   }
 
   /** CHANGE FEED between two committed versions, at FILE granularity

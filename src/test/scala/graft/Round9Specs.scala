@@ -129,6 +129,56 @@ class ChangeFeedOptimizeSpec extends SparkSpec {
   }
 }
 
+/** Round-9 metadata-only row counts + history: stats-tracked commits
+  * answer count(*) from the manifest (DV subtraction included), and
+  * the proof is physical — a data file can be REMOVED and the count
+  * still answers. */
+class RowCountHistorySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def newRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtrc").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("rowCount answers from metadata alone, DV-aware; None without tracking") {
+    val root = newRoot()
+    VersionedTable.commit(
+      (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "v").repartition(4),
+      root, statsCols = Seq("id"))
+    assert(VersionedTable.rowCount(spark, root).contains(100L))
+    VersionedTable.deleteWhereDv(spark, root, "id < 7")
+    assert(VersionedTable.rowCount(spark, root).contains(93L),
+      "deletion vectors must subtract")
+    // physical proof of metadata-only: remove one DATA file — the
+    // count must still answer (a scan would now throw)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val victim = VersionedTable.snapshot(spark, root).files.head
+    assert(f.delete(new org.apache.hadoop.fs.Path(victim), false))
+    assert(VersionedTable.rowCount(spark, root).contains(93L),
+      "rowCount must not touch data files")
+    // a table without stats tracking answers honestly
+    val plain = newRoot()
+    VersionedTable.commit(Seq((1L, 1L)).toDF("id", "v"), plain)
+    assert(VersionedTable.rowCount(spark, plain).isEmpty)
+  }
+
+  test("describeHistory lists every retained version with meta and file counts") {
+    val root = newRoot()
+    VersionedTable.commit(
+      (0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v"), root)
+    VersionedTable.commit(Seq((100L, 1L)).toDF("id", "v"), root,
+      mode = "append", meta = Map("job" -> "nightly"))
+    val h = VersionedTable.describeHistory(spark, root)
+      .select("version", "n_files", "meta").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(h(1).getInt(1) > h(0).getInt(1), "append grows the file count")
+    assert(h(1).getString(2).contains("job=nightly"))
+  }
+}
+
 /** Round-9 table-follow stream: each committed version's changes are
   * delivered exactly once, replay-safe. */
 class TableFollowSpec extends SparkSpec {
