@@ -30,7 +30,17 @@ object GraftFunctions {
     "vec_norm" -> ((es: Seq[Expression]) => Sqrt(FloatVecDot(es(0), es(0)))),
     "vec_cosine" -> ((es: Seq[Expression]) =>
       Divide(FloatVecDot(es(0), es(1)),
-        Multiply(Sqrt(FloatVecDot(es(0), es(0))), Sqrt(FloatVecDot(es(1), es(1)))))))
+        Multiply(Sqrt(FloatVecDot(es(0), es(0))), Sqrt(FloatVecDot(es(1), es(1)))))),
+    // hilbert_index(bits, d0, d1, …): the round-9 clustering curve on
+    // the SQL surface — bits must be a foldable integer literal
+    "hilbert_index" -> ((es: Seq[Expression]) => {
+      val bits = es.head match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"hilbert_index: first argument must be an integer literal, got $other")
+      }
+      HilbertIndex(es.tail, bits)
+    }))
 
   def info(name: String): ExpressionInfo =
     new ExpressionInfo(classOf[FloatVecDot].getName, name)

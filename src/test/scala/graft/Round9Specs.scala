@@ -367,6 +367,19 @@ class HilbertLayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbert_index is on the SQL surface and matches Layout.hilbertKey") {
+    org.apache.spark.sql.graftbridge.GraftFunctions.install(spark)
+    val df = spark.range(0, 64).select((col("id") % 8).as("x"),
+      (col("id") / 8).cast("long").as("y"))
+    df.createOrReplaceTempView("hil_pts")
+    val viaSql = spark.sql("SELECT x, y, hilbert_index(3, x, y) AS h FROM hil_pts")
+    val viaCol = df.withColumn("h",
+      Layout.hilbertKey(Seq(col("x"), col("y")), 3))
+    assert(viaSql.exceptAll(viaCol).count() == 0 &&
+      viaCol.exceptAll(viaSql).count() == 0,
+      "SQL surface must match the Column API bit-for-bit")
+  }
+
   test("4-D clustered commit: hilbert touches fewer stat-pruned files than morton") {
     val bits = 3; val side = 1 << bits // 8^4 = 4096 cells, 64 files
     val grid = spark.range(0, side.toLong * side * side * side).select(
