@@ -348,6 +348,42 @@ object Sweep {
         else ""
       },
 
+      "vt_lifecycle_100x" -> { () =>
+        // round 9: the table-format lifecycle at 500k-doc volume —
+        // stats+rows commit, metadata-only count, DV delete,
+        // change feed, optimize (cluster+stats), all row-exact
+        import graft.sources.VersionedTable
+        val root = {
+          val d = java.nio.file.Files.createTempDirectory("vt100x").toFile
+          d.delete(); d.getAbsolutePath
+        }
+        val base = docs(docDir).select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars"))
+        val n = base.count()
+        val v1 = VersionedTable.commit(base.repartition(32), root,
+          statsCols = Seq("doc_id"))
+        val mc = VersionedTable.rowCount(spark, root)
+        val v2 = VersionedTable.deleteWhereDv(spark, root, "doc_id % 100 = 7")
+        val del = base.filter("doc_id % 100 = 7").count()
+        val mc2 = VersionedTable.rowCount(spark, root)
+        val readN = VersionedTable.read(spark, root).count()
+        val cf = VersionedTable.changesBetween(spark, root, v1, v2)
+        val cfBad = cf.filter(col("_change_type") =!= "delete").count()
+        val cfDel = cf.count()
+        VersionedTable.optimize(spark, root, Seq("doc_id"), bits = 20, nFiles = 32)
+        val optN = VersionedTable.read(spark, root).count()
+        val (kept, total) = VersionedTable.prunedFiles(spark, root,
+          "doc_id", "0", (n / 20).toString)
+        if (!mc.contains(n)) s"metadata count $mc != $n"
+        else if (!mc2.contains(n - del)) s"post-DV metadata count $mc2 != ${n - del}"
+        else if (readN != n - del) s"DV read count $readN != ${n - del}"
+        else if (cfBad != 0 || cfDel != del)
+          s"change feed wrong: $cfDel deletes ($cfBad non-delete, want $del)"
+        else if (optN != n - del) s"post-optimize count $optN != ${n - del}"
+        else if (kept.size * 2 >= total) s"optimize failed to prune: ${kept.size}/$total"
+        else ""
+      },
+
       "d19_semdedup_shape_100x" -> { () =>
         // nCells scales with the corpus (the published recipe sizes
         // cells ~sqrt(n)): 256 cells over 200k vectors keeps the
