@@ -1615,6 +1615,33 @@ object PipelineQueries {
              |FROM scp JOIN best ON scp.doc_id = best.doc_id AND scp.score_bp = best.score_bp
              |GROUP BY 1, 3 ORDER BY 1""".stripMargin)),
 
+    Q("t23_unicode_normalize",
+      // Unicode NFC normalization (round 9) — the canonical-
+      // composition pass every pipeline runs BEFORE hashing/dedup
+      // (combining sequences and precomposed characters are the same
+      // text but different bytes to xxhash64). Native NfcNormalize
+      // expression (JVM Normalizer, the Unicode standard — DuckDB's
+      // nfc_normalize is byte-identical); combining marks are
+      // synthesized onto each doc so the transform is exercised on
+      // every row. Output hashes the normalized BYTES.
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 10),
+            lit(" café naivë")).as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_raw"),
+          org.apache.spark.sql.graftbridge.VectorFunctions.nfc(col("raw"))
+            .as("norm_text"))
+        .withColumn("n_nfc", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+             |  nfc_normalize(raw) AS norm_text,
+             |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc
+             |FROM (SELECT doc_id,
+             |    substr(text, 1, 10) || ' cafe' || chr(769) || ' naive' || chr(776) AS raw
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("t13_code_prose",
       // Code-vs-prose classification by character-class composition —
       // the standard cheap filter a training-data pipeline runs

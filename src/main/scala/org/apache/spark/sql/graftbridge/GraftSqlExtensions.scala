@@ -31,6 +31,9 @@ object GraftFunctions {
     "vec_cosine" -> ((es: Seq[Expression]) =>
       Divide(FloatVecDot(es(0), es(1)),
         Multiply(Sqrt(FloatVecDot(es(0), es(0))), Sqrt(FloatVecDot(es(1), es(1)))))),
+    // nfc(s): Unicode NFC normalization (round 9) — the pre-dedup
+    // canonical-composition pass; DuckDB's nfc_normalize mirrors it
+    "nfc" -> ((es: Seq[Expression]) => NfcNormalize(es.head)),
     // hilbert_index(bits, d0, d1, …): the round-9 clustering curve on
     // the SQL surface — bits must be a foldable integer literal
     "hilbert_index" -> ((es: Seq[Expression]) => {

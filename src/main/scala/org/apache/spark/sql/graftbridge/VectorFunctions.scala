@@ -32,4 +32,7 @@ object VectorFunctions {
     * long column — see [[HilbertIndex]]. */
   def hilbert_index(bits: Int, cols: Column*): Column =
     toCol(HilbertIndex(cols.map(toExpr), bits))
+
+  /** Unicode NFC normalization — see [[NfcNormalize]]. */
+  def nfc(s: Column): Column = toCol(NfcNormalize(toExpr(s)))
 }
