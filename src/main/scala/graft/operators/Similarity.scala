@@ -111,6 +111,28 @@ object Similarity {
       multiProbe)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009 — the public
+    * hybrid-retrieval standard): two per-query rankings (columns
+    * `query_id`, `neighbor_id`, `rk`) merge by
+    * Σ 10⁴ div (k₀ + rank), a candidate absent from one list simply
+    * contributing nothing from it. ALL-INTEGER scoring — no float
+    * anywhere, so the fusion is oracle-exact — and the inputs are
+    * top-k lists, so the fuse is a join over k·queries rows, never
+    * corpus-sized. Output: per-query top `k` by (rrf DESC, id ASC). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"),
+        expr(s"10000 div (${k0} + rk)").as(s"rrf_$tag"))
+    side(a, "a").join(side(b, "b"), Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(col("rrf_a"), lit(0L)) + coalesce(col("rrf_b"), lit(0L)))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("rrf"), asc("neighbor_id"))))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("fused_rank").as("rk"),
+        col("neighbor_id"), col("rrf"))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

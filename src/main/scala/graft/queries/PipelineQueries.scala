@@ -2359,6 +2359,62 @@ object PipelineQueries {
              |  CAST(count(*) AS BIGINT) AS n_urls
              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("s17_hybrid_rrf",
+      // HYBRID retrieval (round 9) — the RAG deployment pattern:
+      // lexical top-10 (inverted-index shared-distinct-token ranking,
+      // t11's candidate shape) fused with vector top-10 (s1 cosine)
+      // by reciprocal-rank fusion (Cormack et al. 2009),
+      // Σ 10⁴ div (60 + rank) — ALL-INTEGER fusion over two k-sized
+      // lists, so the fuse is k·queries-sized and oracle-exact.
+      // documents and embeddings share the id space by construction.
+      (s, d) => {
+        val tok = Tables.documents(s, d).select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+          .distinct()
+        val lexPairs = tok.filter(col("doc_id") < 5).withColumnRenamed("doc_id", "qid")
+          .join(tok.withColumnRenamed("doc_id", "cid"), Seq("t"))
+          .filter(col("qid") =!= col("cid"))
+          .groupBy("qid", "cid").agg(count(lit(1)).as("n_shared"))
+        val lex = lexPairs.withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(desc("n_shared"), asc("cid"))))
+          .filter(col("rk") <= 10)
+          .select(col("qid").as("query_id"), col("cid").as("neighbor_id"), col("rk"))
+        val e = Tables.embeddings(s, d)
+        val vec = Similarity.knnBrute(e, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id", "rk")
+        Similarity.rrfFuse(lex, vec, k = 5).orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $cosSql,
+              |tok AS (SELECT DISTINCT doc_id, t.tok FROM documents,
+              |    unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''),
+              |lexp AS (SELECT q.doc_id AS qid, c.doc_id AS cid,
+              |    CAST(count(*) AS BIGINT) AS n
+              |  FROM tok q JOIN tok c ON q.tok = c.tok AND c.doc_id <> q.doc_id
+              |  WHERE q.doc_id < 5 GROUP BY 1, 2),
+              |lex AS (SELECT qid, cid, rk FROM (SELECT qid, cid,
+              |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, cid) AS rk
+              |  FROM lexp) WHERE rk <= 10),
+              |qv AS (SELECT vec_id AS qid, v AS qvec FROM ce WHERE vec_id < 5),
+              |sc AS (SELECT qid, c.vec_id AS cid,
+              |    list_dot_product(qvec, c.v)
+              |      / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+              |  FROM qv JOIN ce c ON c.vec_id <> qid),
+              |vec AS (SELECT qid, cid, rk FROM (SELECT qid, cid,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+              |  FROM sc) WHERE rk <= 10),
+              |fa AS (SELECT qid, cid, 10000 // (60 + rk) AS ra FROM lex),
+              |fb AS (SELECT qid, cid, 10000 // (60 + rk) AS rb FROM vec),
+              |fu AS (SELECT coalesce(fa.qid, fb.qid) AS qid,
+              |    coalesce(fa.cid, fb.cid) AS cid,
+              |    coalesce(ra, 0) + coalesce(rb, 0) AS rrf
+              |  FROM fa FULL OUTER JOIN fb ON fa.qid = fb.qid AND fa.cid = fb.cid),
+              |r AS (SELECT qid, cid, rrf,
+              |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rk FROM fu)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  CAST(rrf AS BIGINT) AS rrf
+              |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;
