@@ -19,8 +19,13 @@ import org.apache.spark.sql.expressions.Aggregator
 case class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
   require(k >= 1, "k must be positive")
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Total order: value DESC (NaN ordered largest, matching Spark's
+    * `desc` sort semantics — raw `>`/`==` would make NaN compare false
+    * both ways and leave insertion-order nondeterminism), then id ASC. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   /** Insert preserving (value desc, id asc) order, capped at k.
     * Buffers are ≤ k+1 elements, so linear insertion is fine. */

@@ -99,11 +99,18 @@ object Profiler {
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
     val glob = joined.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+    // Degenerate-comparison convention: an EMPTY snapshot (tot = 0 or
+    // NULL from an empty join) yields share 0 bp for that side rather
+    // than a silent NULL share/diff/contrib — the drift score then
+    // reads as "everything on the other side moved", which is the
+    // honest answer for comparing against nothing.
     joined.crossJoin(broadcast(glob))
       .select(col("bucket"), col("cnt_a"), col("cnt_b"),
-        expr("cast((cast(cnt_a as decimal(38,0)) * 10000) div tot_a as bigint)")
+        expr("case when coalesce(tot_a, 0L) = 0L then 0L else " +
+          "cast((cast(cnt_a as decimal(38,0)) * 10000) div tot_a as bigint) end")
           .as("share_a_bp"),
-        expr("cast((cast(cnt_b as decimal(38,0)) * 10000) div tot_b as bigint)")
+        expr("case when coalesce(tot_b, 0L) = 0L then 0L else " +
+          "cast((cast(cnt_b as decimal(38,0)) * 10000) div tot_b as bigint) end")
           .as("share_b_bp"))
       .withColumn("diff_bp", col("share_a_bp") - col("share_b_bp"))
       .withColumn("contrib", col("diff_bp") * col("diff_bp"))

@@ -628,8 +628,17 @@ object VersionedTable {
       // file's must stay, or its deleted rows resurrect)
       val untouchedLines = fileLines(spark, root, s.version)
         .filter(l => untouchedRel.contains(lineRel(l)))
+      // dv lines may record their data-file field in either form: the
+      // 3-part relative key (deleteWhereDv derives it from
+      // input_file_name) or an absolute path (a shallow clone carries
+      // the source's dv lines absolute). Compare on the 3-part key —
+      // unique per table thanks to the commit nonce — so a clone's
+      // vectors survive a later rewrite instead of silently dropping
+      // (which would resurrect their deleted rows).
+      val untouched3 = untouchedRel.map(p => p.split('/').takeRight(3).mkString("/"))
       val dvCarry = rawDvLines(spark, root, s.version)
-        .filter(l => untouchedRel.contains(l.split('\t')(1)))
+        .filter(l => untouched3.contains(
+          l.split('\t')(1).split('/').takeRight(3).mkString("/")))
       try {
         return commitCore(newRows, root, Map.empty, expectBase = s.version,
           carriedLines = _ => untouchedLines ++ dvCarry, unionWithPrev = true)
@@ -744,7 +753,13 @@ object VersionedTable {
     * reports its rewritten file's rows as delete+insert pairs even
     * where a row was carried unchanged — the documented granularity
     * trade of file-level CDF; consumers needing row-exact diffs
-    * aggregate the pairs away on their key. Output: the table's
+    * aggregate the pairs away on their key. NET-CHANGE semantics: the
+    * diff is between the two ENDPOINT manifests only, so a file both
+    * added and removed strictly within (from, to] contributes nothing
+    * — its transient insert+delete pair cancels, which is exactly
+    * right for net-state consumers (materialized views, sync targets)
+    * but differs from a per-commit change log; walk consecutive
+    * (v, v+1) pairs to recover per-commit events. Output: the table's
     * columns plus `_change_type` (`insert` | `delete`). */
   def changesBetween(spark: SparkSession, root: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
@@ -858,8 +873,12 @@ object VersionedTable {
     require(currentVersion(spark, dstRoot) == 0, s"$dstRoot already exists")
     f.mkdirs(manifestDir(dstRoot))
     val srcFs = fs(spark, srcRoot)
+    // Full QUALIFIED URI (scheme + authority), not toUri.getPath —
+    // stripping to the path part would lose the bucket/namenode on
+    // s3a://... or hdfs://nn/... sources and the clone would resolve
+    // its file lines against the wrong filesystem.
     def abs(rel: String): String =
-      srcFs.makeQualified(new Path(srcRoot, rel)).toUri.getPath
+      srcFs.makeQualified(new Path(srcRoot, rel)).toString
     // carry file lines (stats included) and dv lines with their
     // relpaths rewritten absolute against the SOURCE root
     val files = fileLines(spark, srcRoot, s.version).map { l =>

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 specs: ADVICE fixes (TopKAgg NaN total order, Profiler
+  * drift degenerate-input convention) and the round's new operators.
+  */
+class TopKAggNanSpec extends SparkSpec {
+
+  test("TopKAgg orders NaN as largest (matches Spark desc sort) under any split") {
+    val agg = graft.functions.TopKAgg(3)
+    val nan = 0.0 / 0.0
+    val rows = Seq((5.0, 2L), (nan, 7L), (7.0, 9L), (nan, 1L), (6.0, 8L))
+    // Spark sorts NaN largest on desc; ties (both NaN) break by id asc.
+    val expected = Seq((nan, 1L), (nan, 7L), (7.0, 9L))
+    def same(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Boolean =
+      a.size == b.size && a.zip(b).forall { case (x, y) =>
+        java.lang.Double.compare(x._1, y._1) == 0 && x._2 == y._2
+      }
+    for (mask <- 0 until (1 << rows.size)) {
+      val (a, b) = rows.zipWithIndex.partition { case (_, i) => (mask & (1 << i)) != 0 }
+      val bufA = a.map(_._1).foldLeft(agg.zero)(agg.reduce)
+      val bufB = b.map(_._1).foldLeft(agg.zero)(agg.reduce)
+      val got = agg.finish(agg.merge(bufA, bufB))
+      assert(same(got, expected), s"mask=$mask got=$got")
+    }
+  }
+
+  test("TopKAgg NaN order agrees with the row_number window form") {
+    import spark.implicits._
+    val nan = 0.0 / 0.0
+    val df = Seq(("g", 5.0, 2L), ("g", nan, 7L), ("g", 7.0, 9L), ("g", nan, 1L))
+      .toDF("g", "v", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(desc("v"), asc("id"))
+    val windowIds = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).orderBy("rk")
+      .select("id").as[Long].collect().toSeq
+    val topk = udaf(graft.functions.TopKAgg(3))
+    val aggIds = df.groupBy("g").agg(topk(col("v"), col("id")).as("top"))
+      .select(explode(expr("transform(top, x -> x._2)")).as("id"))
+      .as[Long].collect().toSeq
+    assert(aggIds == windowIds, s"agg=$aggIds window=$windowIds")
+  }
+}
+
+/** ADVICE r9: (1) a shallow clone's manifest must carry FULLY
+  * QUALIFIED URIs (scheme kept — toUri.getPath would lose an
+  * s3a://bucket or hdfs://nn authority); (2) a clone's deletion
+  * vectors — and DVs recorded on the clone AFTER cloning — must
+  * survive a later copy-on-write rewrite (merge/deleteWhere), which
+  * compares dv lines against untouched files on the 3-part key. */
+class CloneDvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def newRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtdv").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("clone manifest lines keep the URI scheme") {
+    val src = newRoot(); val dst = newRoot()
+    VersionedTable.commit(
+      (0 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v").repartition(2), src)
+    VersionedTable.deleteWhereDv(spark, src, "id = 3")
+    VersionedTable.clone(spark, src, dst)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dst, "_manifests", "v1.manifest")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val refs = body.split("\n").filterNot(_.startsWith("#")).filter(_.nonEmpty)
+    assert(refs.nonEmpty)
+    for (l <- refs) {
+      val p = if (l.startsWith("!dv\t")) l.split('\t')(1) else l.split('\t')(0)
+      assert(p.startsWith("file:/"), s"clone line lost its scheme: $l")
+    }
+  }
+
+  test("DVs recorded on a clone survive merge and deleteWhere rewrites") {
+    val src = newRoot(); val dst = newRoot()
+    // two files so the rewrite has an untouched file to carry
+    VersionedTable.commit(
+      (0 until 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .repartitionByRange(2, col("id")), src)
+    VersionedTable.deleteWhereDv(spark, src, "id = 7") // source-era DV
+    VersionedTable.clone(spark, src, dst)
+    VersionedTable.deleteWhereDv(spark, dst, "id = 13") // clone-era DV
+    def ids(root: String): Set[Long] =
+      VersionedTable.read(spark, root).select("id").as[Long].collect().toSet
+    assert(!ids(dst).contains(7L) && !ids(dst).contains(13L) && ids(dst).size == 98)
+    // copy-on-write MERGE touching only the high-key file: both DV'd
+    // rows live in files the merge carries untouched — before the
+    // 3-part-key dvCarry fix their dv lines silently dropped and the
+    // deleted rows resurrected
+    VersionedTable.merge(Seq((99L, 999L)).toDF("id", "v"), dst, Seq("id"))
+    assert(!ids(dst).contains(7L), "source-era DV resurrected by merge")
+    assert(!ids(dst).contains(13L), "clone-era DV resurrected by merge")
+    assert(ids(dst).size == 98 && VersionedTable.read(spark, dst)
+      .filter("id = 99").select("v").as[Long].head() == 999L)
+    // and a deleteWhere rewrite after that still carries them
+    VersionedTable.deleteWhere(spark, dst, "id = 98")
+    assert(!ids(dst).contains(7L) && !ids(dst).contains(13L) && ids(dst).size == 97)
+    // the source never saw any of it
+    assert(ids(src).size == 99 && !ids(src).contains(7L) && ids(src).contains(13L))
+  }
+}
+
+class DriftDegenerateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("drift against an empty snapshot yields 0-bp shares, never NULL") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("v")
+    val b = spark.emptyDataset[Long].toDF("v")
+    val out = graft.operators.Profiler.drift(a, b, col("v")).cache()
+    try {
+      assert(out.filter(col("share_a_bp").isNull || col("share_b_bp").isNull
+        || col("diff_bp").isNull || col("contrib").isNull).isEmpty,
+        "degenerate drift must not emit NULL shares")
+      // empty side: every share_b is 0; side a still sums to ~10000 bp
+      assert(out.agg(sum("share_b_bp")).as[Long].head() == 0L)
+      val sa = out.agg(sum("share_a_bp")).as[Long].head()
+      assert(sa >= 9998L && sa <= 10000L, s"share_a sum $sa")
+    } finally out.unpersist()
+  }
+}
