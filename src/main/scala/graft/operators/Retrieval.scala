@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Lexical retrieval: integer-scaled BM25 over an inverted index with
+  * the two bounds a per-query retrieval path MUST have at corpus
+  * scale — a document-frequency cutoff (the stopword posture: a token
+  * in nearly every document carries no signal, and its posting list
+  * IS the corpus) and a per-token candidate cap over IMPACT-ORDERED
+  * posting lists (each surviving token contributes at most `cap`
+  * candidates, chosen by that token's own BM25 term score — the
+  * classic impact-ordering/WAND posture). With both bounds, per-query
+  * candidate work is ≤ |query tokens| · cap regardless of corpus
+  * size; without them a single hot token degenerates retrieval to
+  * O(corpus) per query.
+  *
+  * Scoring is ALL-INTEGER so the ranking is bit-identical on any
+  * ANSI engine (no libm ln): Robertson idf is replaced by the
+  * integer surrogate `(N·10⁴) div df` (order-isomorphic to 1/df,
+  * the same trade [[graft.queries.PipelineQueries]] documents for
+  * t9_tfidf), and the BM25 term (k₁ = 1.2, b = 0.75) is cleared of
+  * fractions by multiplying numerator and denominator by 10·A
+  * (A = corpus token count, N = doc count, dl = doc length):
+  *
+  *   term = (idf · tf · 22 · A) div (10·A·tf + 3·A + 9·dl·N)
+  *
+  * — exactly `idf · tf·(k₁+1) / (tf + k₁·(1−b+b·dl/avgdl))` scaled,
+  * with decimal(38,0) intermediates so the products cannot wrap at
+  * 100-TB counts.
+  */
+object Retrieval {
+
+  /** (doc, tok, tf, dl) instance table from a text column: one row
+    * per distinct (doc, token) with its in-doc frequency and the
+    * doc's total token count. */
+  private def tokTf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val inst = docs.select(col(idCol).as("__doc"),
+        explode(expr(s"filter(split($textCol, ' '), x -> x != '')")).as("__tok"))
+    val dl = inst.groupBy("__doc").agg(count(lit(1)).as("__dl"))
+    inst.groupBy("__doc", "__tok").agg(count(lit(1)).as("__tf"))
+      .join(dl, "__doc")
+  }
+
+  /** Impact-ordered, df-cut, capped posting lists:
+    * `(tok, doc, score_term)` where every token passing the df cutoff
+    * (`df·100 ≤ N·maxDfPct`) keeps its `cap` best documents by
+    * integer BM25 term score (ties by doc id). The cap rides
+    * [[graft.functions.TopKAgg]] — an ObjectHashAggregate with
+    * map-side partials holding ≤ cap pairs per token per partition —
+    * NOT a row_number window, which would sort a hot token's entire
+    * posting list in one task. Term scores stay exact through the
+    * Double buffer below 2⁵³ (idf ≤ 10⁴·N/df keeps real corpora far
+    * under it). Exposed for spec-level bound checks. */
+  def bm25Postings(docs: DataFrame, idCol: String, textCol: String,
+                   maxDfPct: Int = 90, cap: Int = 64): DataFrame = {
+    require(maxDfPct >= 1 && maxDfPct <= 100, s"maxDfPct in [1,100]: $maxDfPct")
+    require(cap >= 1, s"cap must be positive: $cap")
+    val tf = tokTf(docs, idCol, textCol)
+    val dfTok = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val glob = tf.agg(countDistinct("__doc").as("__n"), sum("__tf").as("__a"))
+    val scored = tf.join(dfTok, "__tok").crossJoin(broadcast(glob))
+      .filter(col("__df") * 100 <= col("__n") * maxDfPct)
+      .withColumn("__idf", expr("(cast(__n as decimal(38,0)) * 10000) div __df"))
+      .withColumn("__score", expr(
+        "(cast(__idf as decimal(38,0)) * __tf * 22 * __a) div " +
+          "(10 * cast(__a as decimal(38,0)) * __tf + 3 * __a + 9 * __dl * __n)"))
+    val topk = udaf(graft.functions.TopKAgg(cap))
+    scored.groupBy("__tok")
+      .agg(topk(col("__score").cast("double"), col("__doc")).as("__top"))
+      .select(col("__tok").as("tok"), explode(col("__top")).as("p"))
+      .select(col("tok"), col("p._2").as("doc"),
+        col("p._1").cast("long").as("score_term"))
+  }
+
+  /** Per-query BM25 top-k: queries' DISTINCT tokens probe the capped
+    * posting lists, candidate scores sum per (query, doc), and each
+    * query keeps `k` by (score DESC, doc ASC). The final window runs
+    * over ≤ |query tokens|·cap candidate rows per query — bounded by
+    * construction, never by luck. Output:
+    * `(query_id, rk, neighbor_id, score)`. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int,
+               maxDfPct: Int = 90, cap: Int = 64,
+               excludeSelf: Boolean = true): DataFrame = {
+    val postings = bm25Postings(docs, idCol, textCol, maxDfPct, cap)
+    val qtok = queries.select(col(idCol).as("qid"),
+        explode(expr(s"filter(split($textCol, ' '), x -> x != '')")).as("tok"))
+      .distinct()
+    val cand0 = qtok.join(postings, "tok")
+    val cand = if (excludeSelf) cand0.filter(col("qid") =!= col("doc")) else cand0
+    cand.groupBy(col("qid"), col("doc"))
+      .agg(sum("score_term").as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("score"), asc("doc"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk").cast("int").as("rk"),
+        col("doc").as("neighbor_id"), col("score").cast("long").as("score"))
+  }
+}

@@ -105,6 +105,79 @@ class CloneDvRewriteSpec extends SparkSpec {
   }
 }
 
+/** Round-10 BM25 retrieval bounds: the df cutoff must remove
+  * every-doc stopwords from candidate generation entirely, the
+  * per-token cap must bound every posting list, and the cap must ride
+  * the bounded-state TopKAgg — not a window sort of the hot token's
+  * full posting list. */
+class Bm25BoundsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Retrieval
+
+  // 40 docs; "stop" is in EVERY doc (df = 100% > 90% cutoff), "mid"
+  // in half, and each doc i has a rare token rare<i%8> (df = 5).
+  private def corpus = (0 until 40).map { i =>
+    val mid = if (i % 2 == 0) " mid" else ""
+    (i.toLong, s"stop$mid rare${i % 8} stop extra${i % 4}")
+  }.toDF("doc_id", "text")
+
+  test("df cutoff drops every-doc stopwords; cap bounds every posting list") {
+    val p = Retrieval.bm25Postings(corpus, "doc_id", "text", maxDfPct = 90, cap = 7)
+      .cache()
+    try {
+      assert(p.filter(col("tok") === "stop").isEmpty,
+        "a token above the df cutoff must generate no postings")
+      val maxLen = p.groupBy("tok").count().agg(max("count")).as[Long].head()
+      assert(maxLen <= 7, s"posting list exceeded cap: $maxLen")
+      // mid (df=20) survives the cutoff and is capped 20 -> 7
+      assert(p.filter(col("tok") === "mid").count() == 7)
+      // rare tokens (df=5) pass through uncapped
+      assert(p.filter(col("tok") === "rare0").count() == 5)
+    } finally p.unpersist()
+  }
+
+  test("the cap is an ObjectHashAggregate, not a posting-list window sort") {
+    val p = Retrieval.bm25Postings(corpus, "doc_id", "text", maxDfPct = 90, cap = 7)
+    val plan = p.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected TopKAgg aggregate:\n$plan")
+    assert(plan.contains("partial_topkagg"), s"expected map-side partials:\n$plan")
+    assert(!plan.contains("Window"), s"cap must not be a window sort:\n$plan")
+  }
+
+  test("capped TopKAgg ranking equals the row_number window form when both bind") {
+    val tf = corpus.select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // independent window-form reference of the SAME capped algorithm
+    val dl = corpus.select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> x != '')")).as("dl"))
+    val dfTok = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val glob = tf.agg(countDistinct("doc_id").as("n"), sum("tf").as("a"))
+    val ref = tf.join(dl, "doc_id").join(dfTok, "tok").crossJoin(broadcast(glob))
+      .filter(col("df") * 100 <= col("n") * 90)
+      .withColumn("st", expr(
+        "(((cast(n as decimal(38,0)) * 10000) div df) * tf * 22 * a) div " +
+          "(10 * cast(a as decimal(38,0)) * tf + 3 * a + 9 * dl * n)"))
+      .withColumn("prk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("tok").orderBy(desc("st"), asc("doc_id"))))
+      .filter(col("prk") <= 7)
+      .select(col("tok"), col("doc_id").as("doc"), col("st").as("score_term"))
+    val got = Retrieval.bm25Postings(corpus, "doc_id", "text", maxDfPct = 90, cap = 7)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "TopKAgg capped postings must equal the window form")
+  }
+
+  test("per-query candidates never exceed |query tokens| x cap") {
+    val q = corpus.filter(col("doc_id") < 3)
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", q, k = 100,
+      maxDfPct = 90, cap = 7)
+    // each query has <= 4 distinct tokens surviving the cutoff, cap 7
+    val worst = out.groupBy("query_id").count().agg(max("count")).as[Long].head()
+    assert(worst <= 4 * 7, s"candidate blowup: $worst")
+  }
+}
+
 class DriftDegenerateSpec extends SparkSpec {
   import spark.implicits._
 
