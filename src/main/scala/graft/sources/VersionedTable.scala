@@ -13,7 +13,8 @@ import java.nio.charset.StandardCharsets
   * Layout under the table root:
   * {{{
   *   <root>/data/c<version>-<nonce>/part-*.parquet   — immutable data files
-  *   <root>/_manifests/v<version>.manifest            — one line per data file
+  *   <root>/_manifests/v<version>.manifest            — file lines and/or @shard refs
+  *   <root>/_manifests/shards/s<v>-<nonce>-<i>.shard  — immutable shard files
   * }}}
   *
   * Invariants that give concurrent-reader safety:
@@ -48,10 +49,13 @@ import java.nio.charset.StandardCharsets
   * ~1 GB of driver heap, the same bound every manifest-listing table
   * format pays before splitting its metadata layer; the ROW-level
   * work (key probes, rewrites, DV anti-joins) is distributed
-  * throughout. Growing past that bound means sharding the manifest
-  * itself (a metadata tree), not distributing the probes — with a
-  * driver-resident manifest there is no larger asymptotic term to
-  * remove.
+  * throughout. Past that bound, [[shardManifest]] splits the metadata
+  * layer itself into a two-level tree (root of `@shard` refs with
+  * shard-level aggregate stats → immutable shard files): selective
+  * reads, appends, DV deletes, restores, row counts, and history then
+  * cost O(shards touched) — only a FULL-table scan still materializes
+  * the complete file list, because that list IS the scan plan Spark
+  * consumes.
   */
 object VersionedTable {
 
@@ -93,14 +97,121 @@ object VersionedTable {
     } finally in.close()
   }
 
-  /** Raw file lines of a manifest: `relPath` or `relPath\tstatsJson`.
-    * The line — stats included — is what append/rewrite carry forward,
-    * so stats survive every commit that doesn't rewrite the file.
-    * Deletion-vector lines (`!dv\t…`) are NOT file lines — see
-    * [[rawDvLines]]. */
-  private def fileLines(spark: SparkSession, root: String, version: Long): Seq[String] =
+  /** A shard-reference line in a manifest root:
+    * `@shard\t<rel>\t<nFiles>\t<statsJson>` — `rel` names an immutable
+    * shard file (under `_manifests/shards/`) holding plain file lines,
+    * `nFiles` its line count, and `statsJson` the shard-level
+    * AGGREGATE stats (per-column [min,max] over the member files'
+    * recorded stats — only for columns EVERY member has stats for,
+    * so shard-level pruning is exactly as conservative as file-level
+    * — plus `"#rows"` when every member records it). The two-level
+    * manifest: a selective read prunes on these aggregates and opens
+    * only the surviving shards, so metadata I/O is O(shards touched),
+    * not O(files); an append carries these lines VERBATIM, so commit
+    * metadata cost is O(shards + new files), not O(files). */
+  final case class ShardRef(rel: String, nFiles: Int,
+                            stats: Map[String, (String, String)],
+                            rows: Option[Long])
+
+  private val ShardPrefix = "@shard\t"
+
+  private def shardsDir(root: String) = new Path(manifestDir(root), "shards")
+
+  private def readSmallFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Raw `@shard` lines of a manifest root (verbatim). */
+  private def rawShardLines(spark: SparkSession, root: String, version: Long): Seq[String] =
     manifestBody(spark, root, version).split("\n")
-      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("!")).toSeq
+      .filter(_.startsWith(ShardPrefix)).toSeq
+
+  /** Parse a stats JSON blob into (col → (min, max), recorded row
+    * count) — shared by file-level and shard-level stats readers. */
+  private def parseStats(om: com.fasterxml.jackson.databind.ObjectMapper,
+                         json: String): (Map[String, (String, String)], Option[Long]) = {
+    val node = om.readTree(json)
+    val cols = scala.collection.mutable.Map.empty[String, (String, String)]
+    var rows: Option[Long] = None
+    val it = node.properties().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val arr = e.getValue
+      if (e.getKey == "#rows" && arr.isNumber) rows = Some(arr.asLong())
+      else if (arr.isArray && arr.size() == 2 && !arr.get(0).isNull && !arr.get(1).isNull)
+        cols += e.getKey -> (arr.get(0).asText(), arr.get(1).asText())
+    }
+    (cols.toMap, rows)
+  }
+
+  private def parseShardRef(om: com.fasterxml.jackson.databind.ObjectMapper,
+                            line: String): ShardRef = {
+    val p = line.split('\t')
+    val (stats, rows) = parseStats(om, p(3))
+    ShardRef(p(1), p(2).toInt, stats, rows)
+  }
+
+  /** Parsed shard references of a manifest root. */
+  def shardRefs(spark: SparkSession, root: String, version: Long = -1L): Seq[ShardRef] = {
+    val v = if (version > 0) version else currentVersion(spark, root)
+    if (v <= 0) Seq.empty
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      rawShardLines(spark, root, v).map(parseShardRef(om, _))
+    }
+  }
+
+  /** File lines recorded in one shard file. */
+  private def shardFileLines(spark: SparkSession, root: String, rel: String): Seq[String] =
+    readSmallFile(fs(spark, root), new Path(root, rel)).split("\n")
+      .filter(_.nonEmpty).toSeq
+
+  /** INLINE file lines of a manifest body (shard refs NOT expanded). */
+  private def inlineFileLines(body: String): Seq[String] =
+    body.split("\n").filter(l => l.nonEmpty && !l.startsWith("#") &&
+      !l.startsWith("!") && !l.startsWith("@")).toSeq
+
+  /** Raw file lines of a manifest: `relPath` or `relPath\tstatsJson`,
+    * with `@shard` references EXPANDED in place (each ref replaced by
+    * its shard file's lines, in root order). The line — stats
+    * included — is what rewrite carries forward, so stats survive
+    * every commit that doesn't rewrite the file. Deletion-vector
+    * lines (`!dv\t…`) are NOT file lines — see [[rawDvLines]]. */
+  private def fileLines(spark: SparkSession, root: String, version: Long): Seq[String] = {
+    val body = manifestBody(spark, root, version)
+    body.split("\n").toSeq.flatMap { l =>
+      if (l.isEmpty || l.startsWith("#") || l.startsWith("!")) Seq.empty
+      else if (l.startsWith(ShardPrefix))
+        shardFileLines(spark, root, l.split('\t')(1))
+      else Seq(l)
+    }
+  }
+
+  /** Every non-meta line of a manifest VERBATIM (inline files, shard
+    * refs, dv lines) — the carry list for commits that must not pay
+    * O(files) metadata I/O on a sharded table (append, merge-on-read
+    * delete, restore). Shard files are immutable, so a carried ref
+    * stays valid in the new version. */
+  private def rawCarryLines(spark: SparkSession, root: String, version: Long): Seq[String] =
+    manifestBody(spark, root, version).split("\n")
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+
+  /** Total live-file count from the manifest ROOT alone: inline lines
+    * counted directly, shard refs contribute their recorded `nFiles`
+    * — no shard file is opened. */
+  def fileCount(spark: SparkSession, root: String, version: Long = -1L): Int = {
+    val v = if (version > 0) version else currentVersion(spark, root)
+    require(v > 0, s"no committed version at $root")
+    val body = manifestBody(spark, root, v)
+    inlineFileLines(body).size +
+      body.split("\n").filter(_.startsWith(ShardPrefix))
+        .map(_.split('\t')(2).toInt).sum
+  }
 
   /** Deletion-vector lines of a manifest: `!dv\t<dataRel>\t<dvRel>` —
     * data file `dataRel` has deleted-row positions recorded in dv
@@ -168,16 +279,7 @@ object VersionedTable {
       if (cut < 0) None
       else {
         val abs = new Path(root, l.substring(0, cut)).toString
-        val node = om.readTree(l.substring(cut + 1))
-        val cols = scala.collection.mutable.Map.empty[String, (String, String)]
-        val it = node.properties().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val arr = e.getValue
-          if (arr.isArray && arr.size() == 2 && !arr.get(0).isNull && !arr.get(1).isNull)
-            cols += e.getKey -> (arr.get(0).asText(), arr.get(1).asText())
-        }
-        Some(abs -> cols.toMap)
+        Some(abs -> parseStats(om, l.substring(cut + 1))._1)
       }
     }.toMap
     FileStats(v, m)
@@ -243,30 +345,77 @@ object VersionedTable {
     if (numeric) BigDecimal(a).compare(BigDecimal(b)) <= 0
     else a.compareTo(b) <= 0
 
+  /** What a shard-aware prune touched: the kept files, the snapshot's
+    * total file count, and — the two-level metadata win — how many
+    * manifest shards the prune OPENED out of the total (a shard whose
+    * aggregate [min, max] cannot intersect the range is skipped whole,
+    * its file lines never read). On an unsharded table
+    * `shardsTotal = shardsOpened = 0`. */
+  final case class PruneDetail(kept: Seq[String], totalFiles: Int,
+                               shardsTotal: Int, shardsOpened: Int)
+
+  /** Shard-aware data-skipping prune: walks the manifest ROOT; inline
+    * file lines get the file-level [min, max] check, and each `@shard`
+    * ref is first checked against its SHARD-LEVEL aggregate — only
+    * shards whose aggregate admits the range are opened and
+    * file-checked. Metadata I/O is root + surviving shards; a
+    * selective range on a clustered table opens a handful of shards
+    * out of thousands. Missing/unparsable stats (file or shard) are
+    * conservatively kept/opened. */
+  def prunedFilesDetail(spark: SparkSession, root: String, colName: String,
+                        lo: String, hi: String, version: Long = -1L): PruneDetail = {
+    val v = if (version > 0) version else currentVersion(spark, root)
+    require(v > 0, s"no committed version at $root")
+    val numeric = tableSchema(spark, root, v)
+      .flatMap(_.fields.find(_.name == colName))
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val leq = statLeq(numeric) _
+    // [min, max] admits the range unless provably disjoint; unparsable
+    // recorded stats (a float column's max() propagates NaN/Infinity,
+    // which BigDecimal rejects) are treated like MISSING stats: keep
+    // the file / open the shard rather than crash the read
+    def admits(st: Option[(String, String)]): Boolean = st match {
+      case Some((mn, mx)) =>
+        scala.util.Try(leq(lo, mx) && leq(mn, hi)).getOrElse(true)
+      case None => true
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def keepLine(l: String): Option[String] = {
+      val cut = l.indexOf('\t')
+      val ok = cut < 0 ||
+        admits(parseStats(om, l.substring(cut + 1))._1.get(colName))
+      if (ok) Some(new Path(root, lineRel(l)).toString) else None
+    }
+    var totalFiles = 0; var shardsTotal = 0; var shardsOpened = 0
+    val kept = Seq.newBuilder[String]
+    manifestBody(spark, root, v).split("\n").foreach { l =>
+      if (l.nonEmpty && !l.startsWith("#") && !l.startsWith("!")) {
+        if (l.startsWith(ShardPrefix)) {
+          val ref = parseShardRef(om, l)
+          shardsTotal += 1; totalFiles += ref.nFiles
+          if (admits(ref.stats.get(colName))) {
+            shardsOpened += 1
+            shardFileLines(spark, root, ref.rel).foreach(sl => kept ++= keepLine(sl))
+          }
+        } else {
+          totalFiles += 1
+          kept ++= keepLine(l)
+        }
+      }
+    }
+    PruneDetail(kept.result(), totalFiles, shardsTotal, shardsOpened)
+  }
+
   /** The files of a snapshot a `colName IN [lo, hi]` scan must touch,
     * plus the snapshot total: a file is SKIPPED iff its recorded
     * [min, max] cannot intersect the range; files without stats for
     * the column (pre-stats commits, all-null files) are conservatively
-    * kept. The prune reads ONE manifest — no file footers, no listing. */
+    * kept. On a sharded manifest the prune opens only the shards whose
+    * aggregates admit the range ([[prunedFilesDetail]]). */
   def prunedFiles(spark: SparkSession, root: String, colName: String,
                   lo: String, hi: String, version: Long = -1L): (Seq[String], Int) = {
-    val s = snapshot(spark, root, version)
-    val st = fileStats(spark, root, s.version).stats
-    val numeric = tableSchema(spark, root, s.version)
-      .flatMap(_.fields.find(_.name == colName))
-      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    val leq = statLeq(numeric) _
-    val kept = s.files.filter { p =>
-      st.get(p).flatMap(_.get(colName)) match {
-        // unparsable recorded stats (a float column's max() propagates
-        // NaN/Infinity, which BigDecimal rejects) are treated like
-        // MISSING stats: keep the file rather than crash the read
-        case Some((mn, mx)) =>
-          scala.util.Try(leq(lo, mx) && leq(mn, hi)).getOrElse(true)
-        case None => true
-      }
-    }
-    (kept, s.files.size)
+    val d = prunedFilesDetail(spark, root, colName, lo, hi, version)
+    (d.kept, d.totalFiles)
   }
 
   /** Data-skipping range read: [[read]] semantics, but the scan is
@@ -326,10 +475,11 @@ object VersionedTable {
       carriedLines = cur =>
         // append carries the previous files AND their deletion
         // vectors (dropping the dv lines would resurrect deleted
-        // rows); overwrite carries neither
+        // rows); overwrite carries neither. Carried VERBATIM — shard
+        // refs stay refs, so appending to a sharded 10M-file table
+        // copies O(shards) lines, never O(files).
         if (mode == "append" && cur > 0)
-          fileLines(df.sparkSession, root, cur) ++
-            rawDvLines(df.sparkSession, root, cur)
+          rawCarryLines(df.sparkSession, root, cur)
         else Seq.empty,
       unionWithPrev = mode == "append",
       statsCols = statsCols)
@@ -589,8 +739,11 @@ object VersionedTable {
       val newDvLines = for (t <- touched; d <- dvRels) yield s"!dv\t$t\t$d"
       val metaLines = manifestMeta(spark, root, s.version).toSeq.sortBy(_._1)
         .map { case (k, v2) => s"#$k=$v2" }
-      val lines = (metaLines ++ fileLines(spark, root, s.version) ++
-        rawDvLines(spark, root, s.version) ++ newDvLines).mkString("", "\n", "\n")
+      // prior lines carried VERBATIM (shard refs stay refs, dv lines
+      // included): a merge-on-read delete is metadata-light even on a
+      // sharded manifest
+      val lines = (metaLines ++ rawCarryLines(spark, root, s.version) ++
+        newDvLines).mkString("", "\n", "\n")
       val lost = currentVersion(spark, root) != s.version || {
         val tmp = new Path(manifestDir(root), s".v${s.version + 1}-$nonce.tmp")
         val out = f.create(tmp, true)
@@ -625,9 +778,22 @@ object VersionedTable {
       // recorded stats survive the rewrite — and their deletion
       // vectors (a rewritten file's vectors are folded into the
       // rewrite because its rows were read DV-applied; an untouched
-      // file's must stay, or its deleted rows resurrect)
-      val untouchedLines = fileLines(spark, root, s.version)
-        .filter(l => untouchedRel.contains(lineRel(l)))
+      // file's must stay, or its deleted rows resurrect). Shard-aware:
+      // a shard whose EVERY member is untouched is carried as its
+      // verbatim @shard ref (no expansion — the selective-merge cost
+      // stays O(touched shards), not O(files)); a partially touched
+      // shard inlines its surviving member lines.
+      val untouchedLines = manifestBody(spark, root, s.version)
+        .split("\n").toSeq.flatMap { l =>
+          if (l.isEmpty || l.startsWith("#") || l.startsWith("!")) Seq.empty
+          else if (l.startsWith(ShardPrefix)) {
+            val members = shardFileLines(spark, root, l.split('\t')(1))
+            if (members.forall(m => untouchedRel.contains(lineRel(m)))) Seq(l)
+            else members.filter(m => untouchedRel.contains(lineRel(m)))
+          }
+          else if (untouchedRel.contains(lineRel(l))) Seq(l)
+          else Seq.empty
+        }
       // dv lines may record their data-file field in either form: the
       // 3-part relative key (deleteWhereDv derives it from
       // input_file_name) or an absolute path (a shallow clone carries
@@ -698,16 +864,36 @@ object VersionedTable {
     * manifest-based table format serves. */
   def rowCount(spark: SparkSession, root: String,
                version: Long = -1L): Option[Long] = {
-    val s = snapshot(spark, root, version)
+    val v = if (version > 0) version else currentVersion(spark, root)
+    require(v > 0, s"no committed version at $root")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    var sum = 0L
-    for (l <- fileLines(spark, root, s.version)) {
+    def lineRows(l: String): Option[Long] = {
       val cut = l.indexOf('\t')
-      if (cut < 0) return None
-      val r = om.readTree(l.substring(cut + 1)).get("#rows")
-      if (r == null || !r.isNumber) return None
-      sum += r.asLong()
+      if (cut < 0) None else parseStats(om, l.substring(cut + 1))._2
     }
+    var sum = 0L
+    // walk the ROOT: a shard ref's aggregate "#rows" covers all its
+    // members in one line — a sharded table's count opens zero shards;
+    // a shard without the aggregate (a pre-rows member) falls back to
+    // its member lines
+    for (l <- manifestBody(spark, root, v).split("\n")
+         if l.nonEmpty && !l.startsWith("#") && !l.startsWith("!")) {
+      if (l.startsWith(ShardPrefix)) {
+        parseShardRef(om, l).rows match {
+          case Some(r) => sum += r
+          case None =>
+            for (m <- shardFileLines(spark, root, l.split('\t')(1)))
+              lineRows(m) match {
+                case Some(r) => sum += r
+                case None => return None
+              }
+        }
+      } else lineRows(l) match {
+        case Some(r) => sum += r
+        case None => return None
+      }
+    }
+    val s = snapshot(spark, root, v)
     val dvs = dvEntries(spark, root, s.version)
     val deleted =
       if (dvs.isEmpty) 0L
@@ -736,7 +922,7 @@ object VersionedTable {
             .collect { case (k, value) if k != "schema" => s"$k=$value" }
             .mkString(";")
           Some((ver, st.getModificationTime,
-            fileLines(spark, root, ver).size, meta))
+            fileCount(spark, root, ver), meta))
         case _ => None
       }
     }.sortBy(_._1)
@@ -856,6 +1042,112 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** Convert the CURRENT manifest to the TWO-LEVEL form as a new,
+    * metadata-only commit: the expanded file lines are grouped into
+    * immutable shard files of ≤ `targetFilesPerShard` lines each
+    * (ordered by the first stats column's recorded min when available
+    * — on an OPTIMIZE'd table consecutive files share key ranges, so
+    * shards end up range-disjoint and a selective [[readRange]] opens
+    * a handful of them), and the new root manifest holds one `@shard`
+    * ref per shard with the shard-level AGGREGATE stats + row count.
+    * Zero data files are read or written.
+    *
+    * This retires the flat manifest's O(files) driver costs where they
+    * matter at 10M+ files: [[readRange]]/[[prunedFilesDetail]] read
+    * root + surviving shards only; [[commit]]-append,
+    * [[deleteWhereDv]], and [[restore]] carry shard refs verbatim
+    * (O(shards) metadata); [[rowCount]] and [[describeHistory]] answer
+    * from the root alone; [[merge]]/[[deleteWhere]] expand ONLY the
+    * shards their key/predicate touches into inline lines (re-run
+    * shardManifest to fold long-lived inline accretion back in — the
+    * metadata analogue of compaction). A FULL-table read still
+    * materializes every file path on the driver — that list is the
+    * scan plan Spark itself needs — but no longer as one monolithic
+    * manifest read. Same OCC/rename contract as every commit. */
+  def shardManifest(spark: SparkSession, root: String,
+                    targetFilesPerShard: Int = 4096,
+                    maxRetries: Int = 5): Long = {
+    require(targetFilesPerShard >= 1, s"bad shard size $targetFilesPerShard")
+    val f = fs(spark, root)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      require(cur > 0, s"no committed version at $root")
+      val schema = tableSchema(spark, root, cur)
+      def colNumeric(c: String): Boolean = schema
+        .flatMap(_.fields.find(_.name == c))
+        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      val statsCols = manifestMeta(spark, root, cur).get("statscols")
+        .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      val parsed = fileLines(spark, root, cur).map { l =>
+        val cut = l.indexOf('\t')
+        if (cut < 0) (l, Map.empty[String, (String, String)], None: Option[Long])
+        else {
+          val (st, rows) = parseStats(om, l.substring(cut + 1))
+          (l, st, rows)
+        }
+      }
+      // best-effort locality order by the first stats column's min —
+      // the sort only affects which shard a file lands in, never
+      // correctness, so unparseable values fall back to line order
+      val ordered = statsCols.headOption match {
+        case Some(c) if parsed.forall(_._2.contains(c)) =>
+          if (colNumeric(c))
+            scala.util.Try(parsed.sortBy(p => BigDecimal(p._2(c)._1))).getOrElse(parsed)
+          else parsed.sortBy(_._2(c)._1)
+        case _ => parsed
+      }
+      val groups = ordered.grouped(targetFilesPerShard).toSeq
+      val nonce = java.util.UUID.randomUUID.toString.take(8)
+      f.mkdirs(shardsDir(root))
+      val refLines = groups.zipWithIndex.map { case (g, i) =>
+        val rel = s"_manifests/shards/s${cur + 1}-$nonce-$i.shard"
+        val out = f.create(new Path(root, rel), true)
+        try out.write(g.map(_._1).mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8)) finally out.close()
+        // aggregate [min, max] only for columns EVERY member records
+        // (else the shard must stay conservatively un-prunable on
+        // that column), row total only when every member records one
+        val aggCols = statsCols.flatMap { c =>
+          val per = g.map(_._2.get(c))
+          if (!per.forall(_.isDefined)) None
+          else scala.util.Try {
+            val leq = statLeq(colNumeric(c)) _
+            val vals = per.map(_.get)
+            val mn = vals.map(_._1).reduce((a, b) => if (leq(a, b)) a else b)
+            val mx = vals.map(_._2).reduce((a, b) => if (leq(a, b)) b else a)
+            s"${jesc(c)}:[${jesc(mn)},${jesc(mx)}]"
+          }.toOption
+        }
+        val rowsPart =
+          if (g.forall(_._3.isDefined)) Seq(s""""#rows":${g.map(_._3.get).sum}""")
+          else Seq.empty
+        val json = (aggCols ++ rowsPart).mkString("{", ",", "}")
+        s"$ShardPrefix$rel\t${g.size}\t$json"
+      }
+      val metaLines = manifestMeta(spark, root, cur).toSeq.sortBy(_._1)
+        .map { case (k, v) => s"#$k=$v" }
+      val lines = (metaLines ++ refLines ++ rawDvLines(spark, root, cur))
+        .mkString("", "\n", "\n")
+      val lost = currentVersion(spark, root) != cur || {
+        val tmp = new Path(manifestDir(root), s".v${cur + 1}-$nonce.tmp")
+        val out = f.create(tmp, true)
+        try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        val renamed = f.rename(tmp, new Path(manifestDir(root), s"v${cur + 1}.manifest"))
+        if (!renamed) f.delete(tmp, false)
+        !renamed
+      }
+      if (!lost) return cur + 1
+      refLines.foreach(l => f.delete(new Path(root, l.split('\t')(1)), false))
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new ConcurrentCommitException(
+          s"shardManifest at $root lost $attempt commit races")
+    }
+    sys.error("unreachable")
+  }
+
   /** SHALLOW CLONE: a new table at `dstRoot` whose first manifest
     * references the SOURCE's data files (and deletion vectors) as
     * absolute paths — zero data copied, the public table-format
@@ -864,8 +1156,11 @@ object VersionedTable {
     * under the clone's own root (never touching source files), and —
     * the documented caveat every shallow clone carries — vacuuming
     * the SOURCE can remove files the clone still references, so
-    * retention policy must cover live clones. Returns the clone's
-    * committed version (1). */
+    * retention policy must cover live clones. A sharded source's
+    * refs are EXPANDED into absolute file lines (the clone must not
+    * reference metadata the source's vacuum may GC independently of
+    * its data-retention promise). Returns the clone's committed
+    * version (1). */
   def clone(spark: SparkSession, srcRoot: String, dstRoot: String,
             version: Long = -1L): Long = {
     val s = snapshot(spark, srcRoot, version)
@@ -910,8 +1205,10 @@ object VersionedTable {
     val f = fs(spark, root)
     val meta = manifestMeta(spark, root, version).toSeq.sortBy(_._1)
       .map { case (k, v) => s"#$k=$v" }
-    val lines = (meta ++ fileLines(spark, root, version) ++
-      rawDvLines(spark, root, version)).mkString("", "\n", "\n")
+    // verbatim carry: shard refs stay refs (shard files are immutable
+    // and [[vacuum]] retains any shard a retained manifest references)
+    val lines = (meta ++ rawCarryLines(spark, root, version))
+      .mkString("", "\n", "\n")
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(spark, root)
@@ -966,6 +1263,19 @@ object VersionedTable {
         case ManifestName(v) if v.toLong < keepVs.head => f.delete(st.getPath, false)
         case _ => ()
       }
+    // shard files referenced by NO retained manifest are dead metadata
+    // — same grace window as data files (a concurrent shardManifest
+    // writes its shards before the root rename)
+    val sd = shardsDir(root)
+    if (f.exists(sd)) {
+      val liveShards = keepVs.flatMap(v =>
+        rawShardLines(spark, root, v).map(l =>
+          f.makeQualified(new Path(root, l.split('\t')(1))).toString)).toSet
+      for (st <- f.listStatus(sd)
+           if st.getModificationTime <= cutoff
+           if !liveShards.contains(st.getPath.toString))
+        f.delete(st.getPath, false)
+    }
     // remove now-empty commit directories (cosmetic)
     for (dir <- f.listStatus(dataRoot) if f.listStatus(dir.getPath).isEmpty)
       f.delete(dir.getPath, false)

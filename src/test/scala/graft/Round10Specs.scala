@@ -196,3 +196,112 @@ class DriftDegenerateSpec extends SparkSpec {
     } finally out.unpersist()
   }
 }
+
+/** Round-10 two-level manifest: shardManifest converts a thousand-file
+  * flat manifest into @shard refs + immutable shard files; a selective
+  * read must OPEN a strict minority of shards (the metadata win), and
+  * every lifecycle operation (append, DV delete, restore, merge,
+  * vacuum) must stay correct — with append/DV/restore carrying refs
+  * VERBATIM (O(shards) root size) and merge expanding only the
+  * touched shards. */
+class ManifestShardSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vshard").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  private def manifestLineCount(root: String, v: Long): Int =
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "_manifests", s"v$v.manifest")).size
+
+  test("thousand-file table: selective read opens a strict minority of shards; all ops stay exact") {
+    val root = freshRoot()
+    // 1024 range-clustered files, 32 rows each, stats on k
+    val df = (1L to 32768L).toDF("k").withColumn("val", col("k") * 3)
+      .repartitionByRange(1024, col("k"))
+    val v1 = VersionedTable.commit(df, root, statsCols = Seq("k"))
+    val v2 = VersionedTable.shardManifest(spark, root, targetFilesPerShard = 16)
+    assert(v2 == v1 + 1)
+
+    // metadata-only: same rows, same file count, 64 shards in the root
+    assert(VersionedTable.fileCount(spark, root) == 1024)
+    val refs = VersionedTable.shardRefs(spark, root, v2)
+    assert(refs.size == 64, s"expected 64 shards, got ${refs.size}")
+    assert(refs.forall(_.nFiles == 16))
+    assert(VersionedTable.rowCount(spark, root).contains(32768L),
+      "sharded rowCount must answer from shard aggregates")
+    assert(manifestLineCount(root, v2) < 100,
+      "sharded root must be O(shards), not O(files)")
+    assert(VersionedTable.read(spark, root).count() == 32768L)
+
+    // the metadata win: k in [10000, 10500] spans ~2% of the key space
+    val d = VersionedTable.prunedFilesDetail(spark, root, "k", "10000", "10500")
+    assert(d.shardsTotal == 64 && d.totalFiles == 1024)
+    assert(d.shardsOpened * 2 < d.shardsTotal,
+      s"selective read must open a strict minority of shards: ${d.shardsOpened}/${d.shardsTotal}")
+    assert(d.shardsOpened <= 3, s"range spans ~1 shard, opened ${d.shardsOpened}")
+    assert(VersionedTable.readRange(spark, root, "k", "10000", "10500")
+      .select("k").as[Long].collect().sorted.toSeq == (10000L to 10500L))
+
+    // append carries refs verbatim: root grows by the new files only
+    val v3 = VersionedTable.commit(
+      Seq((40000L, 7L)).toDF("k", "val"), root, mode = "append")
+    assert(VersionedTable.shardRefs(spark, root, v3).map(_.rel) == refs.map(_.rel),
+      "append must carry @shard refs verbatim")
+    assert(manifestLineCount(root, v3) < 100, "append must not expand shards")
+    assert(VersionedTable.read(spark, root).count() == 32769L)
+
+    // DV delete: refs verbatim, row gone, metadata rowCount exact
+    val v4 = VersionedTable.deleteWhereDv(spark, root, "k = 10250")
+    assert(VersionedTable.shardRefs(spark, root, v4).map(_.rel) == refs.map(_.rel))
+    assert(manifestLineCount(root, v4) < 100, "DV delete must not expand shards")
+    assert(VersionedTable.rowCount(spark, root).contains(32768L))
+    assert(VersionedTable.readRange(spark, root, "k", "10000", "10500")
+      .select("k").as[Long].collect().sorted.toSeq ==
+      ((10000L to 10249L) ++ (10251L to 10500L)))
+
+    // merge on one key: only the touched shard expands (63 refs stay)
+    val v5 = VersionedTable.merge(Seq((5000L, 999L)).toDF("k", "val"), root, Seq("k"))
+    val refs5 = VersionedTable.shardRefs(spark, root, v5)
+    assert(refs5.size == 63, s"exactly one shard should inline, got ${refs5.size}")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 5000L).select("val").as[Long].head() == 999L)
+    // the deletion vector survived the merge (k=10250 still gone)
+    assert(VersionedTable.read(spark, root).filter(col("k") === 10250L).isEmpty)
+    // the inlined shard's untouched members kept their stats lines
+    assert(VersionedTable.readRange(spark, root, "k", "10000", "10500")
+      .count() == 500L)
+
+    // restore to the sharded v2: refs verbatim, original rows back
+    val v6 = VersionedTable.restore(spark, root, v2)
+    assert(VersionedTable.shardRefs(spark, root, v6).map(_.rel) == refs.map(_.rel))
+    assert(VersionedTable.read(spark, root).count() == 32768L)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("k") === 5000L).select("val").as[Long].head() == 15000L)
+
+    // vacuum: retained manifests keep their shard files; read survives
+    VersionedTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
+    assert(VersionedTable.read(spark, root).count() == 32768L)
+  }
+
+  test("shard aggregates omit columns any member lacks; prune stays conservative") {
+    val root = freshRoot()
+    // v1 without stats, v2 append with stats, then shard: the mixed
+    // shard must keep NO aggregate for k (a stat-less member could
+    // hold any value), so every range opens it
+    VersionedTable.commit((1L to 64L).toDF("k").repartitionByRange(4, col("k")), root)
+    VersionedTable.commit((65L to 128L).toDF("k").repartitionByRange(4, col("k")),
+      root, mode = "append", statsCols = Seq("k"))
+    VersionedTable.shardManifest(spark, root, targetFilesPerShard = 8)
+    val refs = VersionedTable.shardRefs(spark, root)
+    assert(refs.exists(r => !r.stats.contains("k")),
+      "a shard containing stat-less members must omit the column aggregate")
+    // correctness first: every row reachable despite missing stats
+    assert(VersionedTable.readRange(spark, root, "k", "1", "128").count() == 128L)
+    assert(VersionedTable.rowCount(spark, root).isEmpty,
+      "rowCount must stay honest when any member lacks #rows")
+  }
+}
