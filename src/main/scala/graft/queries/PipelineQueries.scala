@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
@@ -162,6 +163,328 @@ object PipelineQueries {
        |e2 AS MATERIALIZED (SELECT a AS x, b AS y FROM pr
        |  UNION SELECT b, a FROM pr),
        |${ccFromE2Sql(8)}""".stripMargin
+
+  // Full ANN-tier oracle SQL extracted to vals so the recall
+  // matrix (s9b) can compose every deployed tier's EXACT replay
+  // as nested subqueries against the brute-truth arms.
+  private val s1OracleSql: String =
+    s"""WITH $cosSql,
+                  |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
+                  |sc AS (SELECT qid, c.vec_id AS cid,
+                  |  list_dot_product(qv, c.v)
+                  |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+                  |  FROM q JOIN ce c ON c.vec_id <> qid),
+                  |r AS (SELECT qid, cid, cos,
+                  |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+                  |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+                  |  round(cos, 4) AS cosine
+                  |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  private val s2OracleSql: String =
+    s"""WITH $cosSql,
+                  |comp AS (SELECT t, p, i,
+                  |    ((strpos('0123456789abcdef',
+                  |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
+                  |      - 7.5) / 8 AS c
+                  |  FROM (SELECT unnest(generate_series(0, 3)) AS t) ts,
+                  |       (SELECT unnest(generate_series(0, 7)) AS p) ps,
+                  |       (SELECT unnest(generate_series(0, 63)) AS i) is1),
+                  |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
+                  |sb AS (SELECT ce.vec_id, planes.t,
+                  |    CASE WHEN list_dot_product(ce.v, planes.pl) >= 0
+                  |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+                  |  FROM ce, planes),
+                  |bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sb GROUP BY 1, 2),
+                  |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+                  |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+                  |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+                  |sc AS (SELECT qid, cid,
+                  |  list_dot_product(qv.v, cv.v)
+                  |    / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+                  |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+                  |r AS (SELECT qid, cid, cos,
+                  |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+                  |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+                  |  round(cos, 4) AS cosine
+                  |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  private val s5OracleSql: String =
+    s"""WITH $cosSql,
+                  |pqc AS (SELECT mr.m, cr.c, ir.i,
+                  |    ((strpos('0123456789abcdef',
+                  |        substr(md5('pq_' || CAST(mr.m AS VARCHAR) || '_' || CAST(cr.c AS VARCHAR) || '_' || CAST(ir.i AS VARCHAR)), 1, 1)) - 1)
+                  |      - 7.5) / 8 AS comp
+                  |  FROM (SELECT unnest(generate_series(0, 7)) AS m) mr,
+                  |       (SELECT unnest(generate_series(0, 15)) AS c) cr,
+                  |       (SELECT unnest(generate_series(0, 7)) AS i) ir),
+                  |cb AS (SELECT m, c, list(comp ORDER BY i) AS cl FROM pqc GROUP BY 1, 2),
+                  |sb AS (SELECT vec_id, mr.m, v[mr.m*8+1 : mr.m*8+8] AS sv
+                  |  FROM ce, (SELECT unnest(generate_series(0, 7)) AS m) mr),
+                  |dist AS (SELECT vec_id, sb.m, cb.c,
+                  |    -2 * list_dot_product(sv, cl) + list_dot_product(cl, cl) AS d
+                  |  FROM sb JOIN cb ON cb.m = sb.m),
+                  |codes AS (SELECT vec_id, m, c AS code FROM (
+                  |    SELECT vec_id, m, c, d,
+                  |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rk
+                  |    FROM dist) WHERE rk = 1),
+                  |recon AS (SELECT codes.vec_id, flatten(list(cb.cl ORDER BY codes.m)) AS rv
+                  |  FROM codes JOIN cb ON cb.m = codes.m AND cb.c = codes.code GROUP BY 1),
+                  |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
+                  |ax AS (SELECT qid, recon.vec_id AS cid,
+                  |    list_dot_product(qv, rv)
+                  |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS apx
+                  |  FROM q JOIN recon ON recon.vec_id <> qid),
+                  |cand AS (SELECT qid, cid, apx FROM (
+                  |    SELECT qid, cid, apx,
+                  |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
+                  |    FROM ax) WHERE ark <= 40),
+                  |sc AS (SELECT qid, cid, apx,
+                  |    list_dot_product(qv.v, cv.v)
+                  |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+                  |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+                  |r AS (SELECT qid, cid, cos, apx,
+                  |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+                  |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+                  |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
+                  |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  private val s13OracleSql: String =
+    s"""WITH $cosSql,
+                  |st AS (SELECT d, min(v[d]) AS lo, max(v[d]) AS hi
+                  |  FROM ce, (SELECT unnest(generate_series(1, 64)) AS d) ds GROUP BY d),
+                  |mm AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM st),
+                  |codes AS (SELECT vec_id, list_transform(generate_series(1, 64),
+                  |    d -> CASE WHEN his[d] = los[d] THEN 0
+                  |         ELSE least(255, greatest(0, CAST(floor((v[d] - los[d]) / (his[d] - los[d]) * 256) AS INT))) END) AS cd
+                  |  FROM ce, mm),
+                  |recon AS (SELECT vec_id,
+                  |    list_transform(generate_series(1, 64),
+                  |      d -> CAST(CAST(los[d] + (cd[d] + 0.5) * (his[d] - los[d]) / 256.0 AS REAL) AS DOUBLE)) AS rv
+                  |  FROM codes, mm),
+                  |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
+                  |ax AS (SELECT qid, r.vec_id AS cid,
+                  |    list_dot_product(qv, rv)
+                  |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS apx
+                  |  FROM q JOIN recon r ON r.vec_id <> qid),
+                  |cut AS (SELECT qid, cid, apx FROM (
+                  |    SELECT qid, cid, apx,
+                  |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
+                  |    FROM ax) WHERE ark <= 40),
+                  |sc AS (SELECT qid, cid, apx,
+                  |    list_dot_product(qv.v, cv.v)
+                  |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+                  |  FROM cut JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+                  |r AS (SELECT qid, cid, cos, apx,
+                  |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+                  |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+                  |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
+                  |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  private val s14OracleSql: String =
+    s"""WITH $cosSql,
+                  |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS scv
+                  |  FROM (SELECT * FROM ce ORDER BY vec_id LIMIT 16)),
+                  |ad AS (SELECT ce.vec_id, seeds.cell,
+                  |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.scv)
+                  |      + list_dot_product(seeds.scv, seeds.scv) AS dist
+                  |  FROM ce, seeds),
+                  |crk AS (SELECT vec_id, cell,
+                  |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
+                  |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
+                  |qcells AS (SELECT vec_id AS qid, cell FROM crk WHERE rk <= 2 AND vec_id < 5),
+                  |st AS (SELECT d, min(v[d]) AS lo, max(v[d]) AS hi
+                  |  FROM ce, (SELECT unnest(generate_series(1, 64)) AS d) ds GROUP BY d),
+                  |mm AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM st),
+                  |codes AS (SELECT vec_id, list_transform(generate_series(1, 64),
+                  |    d -> CASE WHEN his[d] = los[d] THEN 0
+                  |         ELSE least(255, greatest(0, CAST(floor((v[d] - los[d]) / (his[d] - los[d]) * 256) AS INT))) END) AS cd
+                  |  FROM ce, mm),
+                  |recon AS (SELECT vec_id,
+                  |    list_transform(generate_series(1, 64),
+                  |      d -> CAST(CAST(los[d] + (cd[d] + 0.5) * (his[d] - los[d]) / 256.0 AS REAL) AS DOUBLE)) AS rv
+                  |  FROM codes, mm),
+                  |cand AS (SELECT DISTINCT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
+                  |ax AS (SELECT qid, cid,
+                  |    list_dot_product(r.rv, qv.v)
+                  |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(r.rv, r.rv))) AS apx
+                  |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN recon r ON r.vec_id = cid),
+                  |cut AS (SELECT qid, cid, apx FROM (
+                  |    SELECT qid, cid, apx,
+                  |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
+                  |    FROM ax) WHERE ark <= 40),
+                  |sc AS (SELECT qid, cid, apx,
+                  |    list_dot_product(qv.v, cv.v)
+                  |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+                  |  FROM cut JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+                  |r AS (SELECT qid, cid, cos, apx,
+                  |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+                  |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+                  |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
+                  |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  private val s10OracleSql: String =
+    s"""WITH $cosSql,
+                  |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
+                  |  FROM (SELECT * FROM ce ORDER BY vec_id LIMIT 16)),
+                  |ad AS (SELECT ce.vec_id, seeds.cell,
+                  |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.cvec)
+                  |      + list_dot_product(seeds.cvec, seeds.cvec) AS dist
+                  |  FROM ce, seeds),
+                  |crk AS (SELECT vec_id, cell,
+                  |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
+                  |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
+                  |qcells AS (SELECT vec_id AS qid, cell FROM crk WHERE rk <= 2 AND vec_id < 5),
+                  |pqc AS (SELECT mr.m, cr.c, ir.i,
+                  |    ((strpos('0123456789abcdef',
+                  |        substr(md5('pq_' || CAST(mr.m AS VARCHAR) || '_' || CAST(cr.c AS VARCHAR) || '_' || CAST(ir.i AS VARCHAR)), 1, 1)) - 1)
+                  |      - 7.5) / 8 AS comp
+                  |  FROM (SELECT unnest(generate_series(0, 7)) AS m) mr,
+                  |       (SELECT unnest(generate_series(0, 15)) AS c) cr,
+                  |       (SELECT unnest(generate_series(0, 7)) AS i) ir),
+                  |cb AS (SELECT m, c, list(comp ORDER BY i) AS cl FROM pqc GROUP BY 1, 2),
+                  |sb AS (SELECT vec_id, mr.m, v[mr.m*8+1 : mr.m*8+8] AS sv
+                  |  FROM ce, (SELECT unnest(generate_series(0, 7)) AS m) mr),
+                  |dist AS (SELECT vec_id, sb.m, cb.c,
+                  |    -2 * list_dot_product(sv, cl) + list_dot_product(cl, cl) AS d
+                  |  FROM sb JOIN cb ON cb.m = sb.m),
+                  |codes AS (SELECT vec_id, m, c AS code FROM (
+                  |    SELECT vec_id, m, c, d,
+                  |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rk
+                  |    FROM dist) WHERE rk = 1),
+                  |recon AS (SELECT codes.vec_id, flatten(list(cb.cl ORDER BY codes.m)) AS rv
+                  |  FROM codes JOIN cb ON cb.m = codes.m AND cb.c = codes.code GROUP BY 1),
+                  |cand AS (SELECT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
+                  |ax AS (SELECT cand.qid, cand.cid,
+                  |    list_dot_product(qv.v, recon.rv)
+                  |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(recon.rv, recon.rv))) AS apx
+                  |  FROM cand JOIN ce qv ON qv.vec_id = cand.qid
+                  |       JOIN recon ON recon.vec_id = cand.cid),
+                  |cut AS (SELECT qid, cid, apx FROM (
+                  |    SELECT qid, cid, apx,
+                  |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
+                  |    FROM ax) WHERE ark <= 40),
+                  |sc AS (SELECT qid, cid, apx,
+                  |    list_dot_product(qv.v, cv.v)
+                  |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+                  |  FROM cut JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+                  |r AS (SELECT qid, cid, cos, apx,
+                  |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+                  |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+                  |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
+                  |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  private val s8OracleSql: String =
+    s"""WITH $cosSql,
+                  |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
+                  |sc AS (SELECT qid, c.vec_id AS cid, list_dot_product(qv, c.v) AS ip
+                  |  FROM q JOIN ce c ON c.vec_id <> qid),
+                  |r AS (SELECT qid, cid, ip,
+                  |  row_number() OVER (PARTITION BY qid ORDER BY ip DESC, cid) AS rk FROM sc)
+                  |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+                  |  round(ip, 4) AS ip
+                  |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  private val s8bOracleSql: String =
+    s"""WITH $cosSql,
+                  |m2 AS (SELECT max(list_dot_product(v, v)) AS m2 FROM ce),
+                  |ca AS (SELECT vec_id,
+                  |    v || [CAST(CAST(sqrt(greatest(m2 - list_dot_product(v, v), 0)) AS REAL) AS DOUBLE)] AS va
+                  |  FROM ce, m2),
+                  |qa AS (SELECT vec_id, v || [CAST(0 AS DOUBLE)] AS va FROM ce WHERE vec_id < 5),
+                  |comp AS (SELECT t, p, i,
+                  |    ((strpos('0123456789abcdef',
+                  |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
+                  |      - 7.5) / 8 AS c
+                  |  FROM (SELECT unnest(generate_series(0, 7)) AS t) ts,
+                  |       (SELECT unnest(generate_series(0, 3)) AS p) ps,
+                  |       (SELECT unnest(generate_series(0, 64)) AS i) is1),
+                  |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
+                  |sbc AS (SELECT ca.vec_id, planes.t,
+                  |    CASE WHEN list_dot_product(ca.va, planes.pl) >= 0
+                  |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+                  |  FROM ca, planes),
+                  |bkc AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sbc GROUP BY 1, 2),
+                  |sbq AS (SELECT qa.vec_id, planes.t,
+                  |    CASE WHEN list_dot_product(qa.va, planes.pl) >= 0
+                  |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+                  |  FROM qa, planes),
+                  |bkq AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sbq GROUP BY 1, 2),
+                  |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+                  |  FROM bkq q JOIN bkc c ON q.t = c.t AND q.bucket = c.bucket
+                  |  WHERE q.vec_id <> c.vec_id),
+                  |sc AS (SELECT qid, cid,
+                  |  list_dot_product(qv.va, cv.va)
+                  |    / (sqrt(list_dot_product(qv.va, qv.va)) * sqrt(list_dot_product(cv.va, cv.va))) AS cos
+                  |  FROM cand JOIN qa qv ON qv.vec_id = qid JOIN ca cv ON cv.vec_id = cid),
+                  |r AS (SELECT qid, cid, cos,
+                  |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+                  |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+                  |  round(cos, 4) AS cosine
+                  |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  private val s8cOracleSql: String =
+    s"""WITH $cosSql,
+                  |m2 AS (SELECT max(list_dot_product(v, v)) AS m2 FROM ce),
+                  |ca AS (SELECT vec_id,
+                  |    v || [CAST(CAST(sqrt(greatest(m2 - list_dot_product(v, v), 0)) AS REAL) AS DOUBLE)] AS va
+                  |  FROM ce, m2),
+                  |qa AS (SELECT vec_id, v || [CAST(0 AS DOUBLE)] AS va FROM ce WHERE vec_id < 5),
+                  |comp AS (SELECT t, p, i,
+                  |    ((strpos('0123456789abcdef',
+                  |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
+                  |      - 7.5) / 8 AS c
+                  |  FROM (SELECT unnest(generate_series(0, 7)) AS t) ts,
+                  |       (SELECT unnest(generate_series(0, 3)) AS p) ps,
+                  |       (SELECT unnest(generate_series(0, 64)) AS i) is1),
+                  |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
+                  |sbc AS (SELECT ca.vec_id, planes.t,
+                  |    CASE WHEN list_dot_product(ca.va, planes.pl) >= 0
+                  |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+                  |  FROM ca, planes),
+                  |bkc AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sbc GROUP BY 1, 2),
+                  |sbq AS (SELECT qa.vec_id, planes.t,
+                  |    CASE WHEN list_dot_product(qa.va, planes.pl) >= 0
+                  |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+                  |  FROM qa, planes),
+                  |bkq AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sbq GROUP BY 1, 2),
+                  |bkqp AS (SELECT vec_id, t, bucket FROM bkq
+                  |  UNION ALL SELECT vec_id, t, xor(bucket, 1) FROM bkq
+                  |  UNION ALL SELECT vec_id, t, xor(bucket, 2) FROM bkq),
+                  |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+                  |  FROM bkqp q JOIN bkc c ON q.t = c.t AND q.bucket = c.bucket
+                  |  WHERE q.vec_id <> c.vec_id),
+                  |sc AS (SELECT qid, cid,
+                  |  list_dot_product(qv.va, cv.va)
+                  |    / (sqrt(list_dot_product(qv.va, qv.va)) * sqrt(list_dot_product(cv.va, cv.va))) AS cos
+                  |  FROM cand JOIN qa qv ON qv.vec_id = qid JOIN ca cv ON cv.vec_id = cid),
+                  |r AS (SELECT qid, cid, cos,
+                  |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+                  |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+                  |  round(cos, 4) AS cosine
+                  |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  private val s3OracleSql: String =
+    s"""WITH $cosSql,
+                  |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+                  |  FROM (SELECT * FROM ce ORDER BY vec_id LIMIT 16)),
+                  |ad AS (SELECT ce.vec_id, seeds.cell,
+                  |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.cv)
+                  |      + list_dot_product(seeds.cv, seeds.cv) AS dist
+                  |  FROM ce, seeds),
+                  |crk AS (SELECT vec_id, cell,
+                  |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
+                  |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
+                  |qcells AS (SELECT vec_id AS qid, cell FROM crk WHERE rk <= 2 AND vec_id < 5),
+                  |cand AS (SELECT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
+                  |sc AS (SELECT qid, cid,
+                  |  list_dot_product(qv.v, cv.v)
+                  |    / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+                  |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+                  |r AS (SELECT qid, cid, cos,
+                  |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+                  |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+                  |  round(cos, 4) AS cosine
+                  |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -440,17 +763,7 @@ object PipelineQueries {
         Similarity.knnBrute(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
           .orderBy("query_id", "rk")
       },
-      Some(s"""WITH $cosSql,
-              |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
-              |sc AS (SELECT qid, c.vec_id AS cid,
-              |  list_dot_product(qv, c.v)
-              |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-              |  FROM q JOIN ce c ON c.vec_id <> qid),
-              |r AS (SELECT qid, cid, cos,
-              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
-              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
-              |  round(cos, 4) AS cosine
-              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(s1OracleSql)),
 
     Q("s2_knn_lsh",
       (s, d) => {
@@ -462,32 +775,7 @@ object PipelineQueries {
       // from the same md5 formula ((digit − 7.5)/8 is a multiple of
       // 1/16, exact in float and double), recomputes bucket bits with
       // the identical double expression, and reranks candidates.
-      Some(s"""WITH $cosSql,
-              |comp AS (SELECT t, p, i,
-              |    ((strpos('0123456789abcdef',
-              |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
-              |      - 7.5) / 8 AS c
-              |  FROM (SELECT unnest(generate_series(0, 3)) AS t) ts,
-              |       (SELECT unnest(generate_series(0, 7)) AS p) ps,
-              |       (SELECT unnest(generate_series(0, 63)) AS i) is1),
-              |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
-              |sb AS (SELECT ce.vec_id, planes.t,
-              |    CASE WHEN list_dot_product(ce.v, planes.pl) >= 0
-              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
-              |  FROM ce, planes),
-              |bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sb GROUP BY 1, 2),
-              |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
-              |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
-              |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
-              |sc AS (SELECT qid, cid,
-              |  list_dot_product(qv.v, cv.v)
-              |    / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
-              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
-              |r AS (SELECT qid, cid, cos,
-              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
-              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
-              |  round(cos, 4) AS cosine
-              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(s2OracleSql)),
 
     Q("s3_knn_ivf",
       // lloydIters = 0 keeps the operator a deterministic per-row
@@ -499,27 +787,7 @@ object PipelineQueries {
         Similarity.knnIvf(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, lloydIters = 0).orderBy("query_id", "rk")
       },
-      Some(s"""WITH $cosSql,
-              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-              |  FROM (SELECT * FROM ce ORDER BY vec_id LIMIT 16)),
-              |ad AS (SELECT ce.vec_id, seeds.cell,
-              |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.cv)
-              |      + list_dot_product(seeds.cv, seeds.cv) AS dist
-              |  FROM ce, seeds),
-              |crk AS (SELECT vec_id, cell,
-              |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
-              |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
-              |qcells AS (SELECT vec_id AS qid, cell FROM crk WHERE rk <= 2 AND vec_id < 5),
-              |cand AS (SELECT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
-              |sc AS (SELECT qid, cid,
-              |  list_dot_product(qv.v, cv.v)
-              |    / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
-              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
-              |r AS (SELECT qid, cid, cos,
-              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
-              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
-              |  round(cos, 4) AS cosine
-              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(s3OracleSql)),
 
     Q("s3b_knn_ivf_refined",
       // The PRODUCTION IVF variant (Lloyd-refined centroids) under a
@@ -1148,44 +1416,7 @@ object PipelineQueries {
         Similarity.knnPq(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10).orderBy("query_id", "rk")
       },
-      Some(s"""WITH $cosSql,
-              |pqc AS (SELECT mr.m, cr.c, ir.i,
-              |    ((strpos('0123456789abcdef',
-              |        substr(md5('pq_' || CAST(mr.m AS VARCHAR) || '_' || CAST(cr.c AS VARCHAR) || '_' || CAST(ir.i AS VARCHAR)), 1, 1)) - 1)
-              |      - 7.5) / 8 AS comp
-              |  FROM (SELECT unnest(generate_series(0, 7)) AS m) mr,
-              |       (SELECT unnest(generate_series(0, 15)) AS c) cr,
-              |       (SELECT unnest(generate_series(0, 7)) AS i) ir),
-              |cb AS (SELECT m, c, list(comp ORDER BY i) AS cl FROM pqc GROUP BY 1, 2),
-              |sb AS (SELECT vec_id, mr.m, v[mr.m*8+1 : mr.m*8+8] AS sv
-              |  FROM ce, (SELECT unnest(generate_series(0, 7)) AS m) mr),
-              |dist AS (SELECT vec_id, sb.m, cb.c,
-              |    -2 * list_dot_product(sv, cl) + list_dot_product(cl, cl) AS d
-              |  FROM sb JOIN cb ON cb.m = sb.m),
-              |codes AS (SELECT vec_id, m, c AS code FROM (
-              |    SELECT vec_id, m, c, d,
-              |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rk
-              |    FROM dist) WHERE rk = 1),
-              |recon AS (SELECT codes.vec_id, flatten(list(cb.cl ORDER BY codes.m)) AS rv
-              |  FROM codes JOIN cb ON cb.m = codes.m AND cb.c = codes.code GROUP BY 1),
-              |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
-              |ax AS (SELECT qid, recon.vec_id AS cid,
-              |    list_dot_product(qv, rv)
-              |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS apx
-              |  FROM q JOIN recon ON recon.vec_id <> qid),
-              |cand AS (SELECT qid, cid, apx FROM (
-              |    SELECT qid, cid, apx,
-              |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
-              |    FROM ax) WHERE ark <= 40),
-              |sc AS (SELECT qid, cid, apx,
-              |    list_dot_product(qv.v, cv.v)
-              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
-              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
-              |r AS (SELECT qid, cid, cos, apx,
-              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
-              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
-              |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
-              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(s5OracleSql)),
 
     Q("s10_knn_ivfpq",
       // The composed FAISS-style IVF-PQ deployment tier: IVF cells
@@ -1199,55 +1430,7 @@ object PipelineQueries {
         Similarity.knnIvfPq(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, lloydIters = 0).orderBy("query_id", "rk")
       },
-      Some(s"""WITH $cosSql,
-              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cvec
-              |  FROM (SELECT * FROM ce ORDER BY vec_id LIMIT 16)),
-              |ad AS (SELECT ce.vec_id, seeds.cell,
-              |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.cvec)
-              |      + list_dot_product(seeds.cvec, seeds.cvec) AS dist
-              |  FROM ce, seeds),
-              |crk AS (SELECT vec_id, cell,
-              |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
-              |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
-              |qcells AS (SELECT vec_id AS qid, cell FROM crk WHERE rk <= 2 AND vec_id < 5),
-              |pqc AS (SELECT mr.m, cr.c, ir.i,
-              |    ((strpos('0123456789abcdef',
-              |        substr(md5('pq_' || CAST(mr.m AS VARCHAR) || '_' || CAST(cr.c AS VARCHAR) || '_' || CAST(ir.i AS VARCHAR)), 1, 1)) - 1)
-              |      - 7.5) / 8 AS comp
-              |  FROM (SELECT unnest(generate_series(0, 7)) AS m) mr,
-              |       (SELECT unnest(generate_series(0, 15)) AS c) cr,
-              |       (SELECT unnest(generate_series(0, 7)) AS i) ir),
-              |cb AS (SELECT m, c, list(comp ORDER BY i) AS cl FROM pqc GROUP BY 1, 2),
-              |sb AS (SELECT vec_id, mr.m, v[mr.m*8+1 : mr.m*8+8] AS sv
-              |  FROM ce, (SELECT unnest(generate_series(0, 7)) AS m) mr),
-              |dist AS (SELECT vec_id, sb.m, cb.c,
-              |    -2 * list_dot_product(sv, cl) + list_dot_product(cl, cl) AS d
-              |  FROM sb JOIN cb ON cb.m = sb.m),
-              |codes AS (SELECT vec_id, m, c AS code FROM (
-              |    SELECT vec_id, m, c, d,
-              |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rk
-              |    FROM dist) WHERE rk = 1),
-              |recon AS (SELECT codes.vec_id, flatten(list(cb.cl ORDER BY codes.m)) AS rv
-              |  FROM codes JOIN cb ON cb.m = codes.m AND cb.c = codes.code GROUP BY 1),
-              |cand AS (SELECT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
-              |ax AS (SELECT cand.qid, cand.cid,
-              |    list_dot_product(qv.v, recon.rv)
-              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(recon.rv, recon.rv))) AS apx
-              |  FROM cand JOIN ce qv ON qv.vec_id = cand.qid
-              |       JOIN recon ON recon.vec_id = cand.cid),
-              |cut AS (SELECT qid, cid, apx FROM (
-              |    SELECT qid, cid, apx,
-              |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
-              |    FROM ax) WHERE ark <= 40),
-              |sc AS (SELECT qid, cid, apx,
-              |    list_dot_product(qv.v, cv.v)
-              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
-              |  FROM cut JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
-              |r AS (SELECT qid, cid, cos, apx,
-              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
-              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
-              |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
-              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(s10OracleSql)),
 
     Q("s11_knn_graph",
       // Graph-refined ANN (round 7) — the GRAPH-index tier the
@@ -1392,36 +1575,7 @@ object PipelineQueries {
         Similarity.knnSq(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10).orderBy("query_id", "rk")
       },
-      Some(s"""WITH $cosSql,
-              |st AS (SELECT d, min(v[d]) AS lo, max(v[d]) AS hi
-              |  FROM ce, (SELECT unnest(generate_series(1, 64)) AS d) ds GROUP BY d),
-              |mm AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM st),
-              |codes AS (SELECT vec_id, list_transform(generate_series(1, 64),
-              |    d -> CASE WHEN his[d] = los[d] THEN 0
-              |         ELSE least(255, greatest(0, CAST(floor((v[d] - los[d]) / (his[d] - los[d]) * 256) AS INT))) END) AS cd
-              |  FROM ce, mm),
-              |recon AS (SELECT vec_id,
-              |    list_transform(generate_series(1, 64),
-              |      d -> CAST(CAST(los[d] + (cd[d] + 0.5) * (his[d] - los[d]) / 256.0 AS REAL) AS DOUBLE)) AS rv
-              |  FROM codes, mm),
-              |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
-              |ax AS (SELECT qid, r.vec_id AS cid,
-              |    list_dot_product(qv, rv)
-              |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))) AS apx
-              |  FROM q JOIN recon r ON r.vec_id <> qid),
-              |cut AS (SELECT qid, cid, apx FROM (
-              |    SELECT qid, cid, apx,
-              |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
-              |    FROM ax) WHERE ark <= 40),
-              |sc AS (SELECT qid, cid, apx,
-              |    list_dot_product(qv.v, cv.v)
-              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
-              |  FROM cut JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
-              |r AS (SELECT qid, cid, cos, apx,
-              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
-              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
-              |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
-              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(s13OracleSql)),
 
     Q("s14_knn_ivfsq",
       // IVF-SQ composed tier (round 8) — cells bound the candidate
@@ -1437,46 +1591,7 @@ object PipelineQueries {
         Similarity.knnIvfSq(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10).orderBy("query_id", "rk")
       },
-      Some(s"""WITH $cosSql,
-              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS scv
-              |  FROM (SELECT * FROM ce ORDER BY vec_id LIMIT 16)),
-              |ad AS (SELECT ce.vec_id, seeds.cell,
-              |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.scv)
-              |      + list_dot_product(seeds.scv, seeds.scv) AS dist
-              |  FROM ce, seeds),
-              |crk AS (SELECT vec_id, cell,
-              |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
-              |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
-              |qcells AS (SELECT vec_id AS qid, cell FROM crk WHERE rk <= 2 AND vec_id < 5),
-              |st AS (SELECT d, min(v[d]) AS lo, max(v[d]) AS hi
-              |  FROM ce, (SELECT unnest(generate_series(1, 64)) AS d) ds GROUP BY d),
-              |mm AS (SELECT list(lo ORDER BY d) AS los, list(hi ORDER BY d) AS his FROM st),
-              |codes AS (SELECT vec_id, list_transform(generate_series(1, 64),
-              |    d -> CASE WHEN his[d] = los[d] THEN 0
-              |         ELSE least(255, greatest(0, CAST(floor((v[d] - los[d]) / (his[d] - los[d]) * 256) AS INT))) END) AS cd
-              |  FROM ce, mm),
-              |recon AS (SELECT vec_id,
-              |    list_transform(generate_series(1, 64),
-              |      d -> CAST(CAST(los[d] + (cd[d] + 0.5) * (his[d] - los[d]) / 256.0 AS REAL) AS DOUBLE)) AS rv
-              |  FROM codes, mm),
-              |cand AS (SELECT DISTINCT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
-              |ax AS (SELECT qid, cid,
-              |    list_dot_product(r.rv, qv.v)
-              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(r.rv, r.rv))) AS apx
-              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN recon r ON r.vec_id = cid),
-              |cut AS (SELECT qid, cid, apx FROM (
-              |    SELECT qid, cid, apx,
-              |      row_number() OVER (PARTITION BY qid ORDER BY apx DESC, cid) AS ark
-              |    FROM ax) WHERE ark <= 40),
-              |sc AS (SELECT qid, cid, apx,
-              |    list_dot_product(qv.v, cv.v)
-              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
-              |  FROM cut JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
-              |r AS (SELECT qid, cid, cos, apx,
-              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
-              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
-              |  round(cos, 4) AS cosine, round(apx, 4) AS apx_cosine
-              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(s14OracleSql)),
 
     Q("s15_knn_ivfsq_incremental",
       // INCREMENTAL IVF-SQ (round 8) — s12's append path composed
@@ -2240,15 +2355,7 @@ object PipelineQueries {
         Similarity.knnMips(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
           .orderBy("query_id", "rk")
       },
-      Some(s"""WITH $cosSql,
-              |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
-              |sc AS (SELECT qid, c.vec_id AS cid, list_dot_product(qv, c.v) AS ip
-              |  FROM q JOIN ce c ON c.vec_id <> qid),
-              |r AS (SELECT qid, cid, ip,
-              |  row_number() OVER (PARTITION BY qid ORDER BY ip DESC, cid) AS rk FROM sc)
-              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
-              |  round(ip, 4) AS ip
-              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(s8OracleSql)),
 
     Q("s8b_knn_mips_lsh",
       // The MIPS SCALE tier as code — norm-augmentation (Bachrach et
@@ -2263,42 +2370,7 @@ object PipelineQueries {
         Similarity.knnMipsLsh(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10).orderBy("query_id", "rk")
       },
-      Some(s"""WITH $cosSql,
-              |m2 AS (SELECT max(list_dot_product(v, v)) AS m2 FROM ce),
-              |ca AS (SELECT vec_id,
-              |    v || [CAST(CAST(sqrt(greatest(m2 - list_dot_product(v, v), 0)) AS REAL) AS DOUBLE)] AS va
-              |  FROM ce, m2),
-              |qa AS (SELECT vec_id, v || [CAST(0 AS DOUBLE)] AS va FROM ce WHERE vec_id < 5),
-              |comp AS (SELECT t, p, i,
-              |    ((strpos('0123456789abcdef',
-              |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
-              |      - 7.5) / 8 AS c
-              |  FROM (SELECT unnest(generate_series(0, 7)) AS t) ts,
-              |       (SELECT unnest(generate_series(0, 3)) AS p) ps,
-              |       (SELECT unnest(generate_series(0, 64)) AS i) is1),
-              |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
-              |sbc AS (SELECT ca.vec_id, planes.t,
-              |    CASE WHEN list_dot_product(ca.va, planes.pl) >= 0
-              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
-              |  FROM ca, planes),
-              |bkc AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sbc GROUP BY 1, 2),
-              |sbq AS (SELECT qa.vec_id, planes.t,
-              |    CASE WHEN list_dot_product(qa.va, planes.pl) >= 0
-              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
-              |  FROM qa, planes),
-              |bkq AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sbq GROUP BY 1, 2),
-              |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
-              |  FROM bkq q JOIN bkc c ON q.t = c.t AND q.bucket = c.bucket
-              |  WHERE q.vec_id <> c.vec_id),
-              |sc AS (SELECT qid, cid,
-              |  list_dot_product(qv.va, cv.va)
-              |    / (sqrt(list_dot_product(qv.va, qv.va)) * sqrt(list_dot_product(cv.va, cv.va))) AS cos
-              |  FROM cand JOIN qa qv ON qv.vec_id = qid JOIN ca cv ON cv.vec_id = cid),
-              |r AS (SELECT qid, cid, cos,
-              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
-              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
-              |  round(cos, 4) AS cosine
-              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(s8bOracleSql)),
 
     Q("s8c_knn_mips_multiprobe",
       // s8b + MULTI-PROBE (round 9, Lv et al. VLDB 2007): each query
@@ -2312,45 +2384,7 @@ object PipelineQueries {
         Similarity.knnMipsLsh(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, multiProbe = 2).orderBy("query_id", "rk")
       },
-      Some(s"""WITH $cosSql,
-              |m2 AS (SELECT max(list_dot_product(v, v)) AS m2 FROM ce),
-              |ca AS (SELECT vec_id,
-              |    v || [CAST(CAST(sqrt(greatest(m2 - list_dot_product(v, v), 0)) AS REAL) AS DOUBLE)] AS va
-              |  FROM ce, m2),
-              |qa AS (SELECT vec_id, v || [CAST(0 AS DOUBLE)] AS va FROM ce WHERE vec_id < 5),
-              |comp AS (SELECT t, p, i,
-              |    ((strpos('0123456789abcdef',
-              |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
-              |      - 7.5) / 8 AS c
-              |  FROM (SELECT unnest(generate_series(0, 7)) AS t) ts,
-              |       (SELECT unnest(generate_series(0, 3)) AS p) ps,
-              |       (SELECT unnest(generate_series(0, 64)) AS i) is1),
-              |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
-              |sbc AS (SELECT ca.vec_id, planes.t,
-              |    CASE WHEN list_dot_product(ca.va, planes.pl) >= 0
-              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
-              |  FROM ca, planes),
-              |bkc AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sbc GROUP BY 1, 2),
-              |sbq AS (SELECT qa.vec_id, planes.t,
-              |    CASE WHEN list_dot_product(qa.va, planes.pl) >= 0
-              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
-              |  FROM qa, planes),
-              |bkq AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sbq GROUP BY 1, 2),
-              |bkqp AS (SELECT vec_id, t, bucket FROM bkq
-              |  UNION ALL SELECT vec_id, t, xor(bucket, 1) FROM bkq
-              |  UNION ALL SELECT vec_id, t, xor(bucket, 2) FROM bkq),
-              |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
-              |  FROM bkqp q JOIN bkc c ON q.t = c.t AND q.bucket = c.bucket
-              |  WHERE q.vec_id <> c.vec_id),
-              |sc AS (SELECT qid, cid,
-              |  list_dot_product(qv.va, cv.va)
-              |    / (sqrt(list_dot_product(qv.va, qv.va)) * sqrt(list_dot_product(cv.va, cv.va))) AS cos
-              |  FROM cand JOIN qa qv ON qv.vec_id = qid JOIN ca cv ON cv.vec_id = cid),
-              |r AS (SELECT qid, cid, cos,
-              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
-              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
-              |  round(cos, 4) AS cosine
-              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(s8cOracleSql)),
 
     Q("d21_url_dedup",
       // URL canonicalization dedup (round 9) — the web-corpus
@@ -2929,6 +2963,100 @@ object PipelineQueries {
               |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
               |  CAST(coalesce(m.n_matched, 0) * 1000 AS BIGINT) AS recall_bp
               |FROM q LEFT JOIN m ON m.qid = q.qid ORDER BY 1""".stripMargin)),
+
+    Q("s9b_recall_matrix",
+      // STANDING recall audit across EVERY deployed ANN tier (round
+      // 10): one query emits recall@10 vs brute truth for each of the
+      // eight oracle-replayable tiers — cosine tiers (lsh/ivf/pq/sq/
+      // ivfpq/ivfsq) against s1's cosine brute, MIPS tiers
+      // (mips_lsh and its 2-probe variant) against s8's
+      // inner-product brute (recall against the WRONG modality's
+      // truth would grade magnitude-blind tiers on a metric they
+      // never optimize). Exact integer basis points: every tier
+      // below is a deterministic expression tree, so a regression in
+      // ANY tier flips a bp value and fails the hash gate — the
+      // joint audit the per-tier specs can't provide. s3b's
+      // Lloyd-refined variant is EXCLUDED by construction (float
+      // accumulation order is engine-specific; its own containment
+      // oracle is its standing audit). Cost: the tier scans + an
+      // O(tiers × queries × k) semi-join — the same sample-of-
+      // queries posture as s9; at 100 TB this runs over a query
+      // sample, never the full log.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+        val truthCos = Similarity.knnBrute(e, q, "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id")
+        val truthMips = Similarity.knnMips(e, q, "vec_id", "embedding", k = 10)
+          .select("query_id", "neighbor_id")
+        def recallOf(tier: String, approx: DataFrame, truth: DataFrame): DataFrame = {
+          val matched = truth
+            .join(approx.select("query_id", "neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi")
+            .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+          q.select(col("vec_id").as("query_id"))
+            .join(matched, Seq("query_id"), "left")
+            .select(lit(tier).as("tier"), col("query_id"),
+              lit(10L).as("k"),
+              coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+              (coalesce(col("n_matched"), lit(0L)) * 1000L).as("recall_bp"))
+        }
+        // EXACT same configurations as the tier queries themselves —
+        // the audit must grade what s2/s3/s5/s13/s10/s14/s8b/s8c ship
+        Seq(
+          recallOf("lsh",
+            Similarity.knnLsh(e, q, "vec_id", "embedding", k = 10), truthCos),
+          recallOf("ivf",
+            Similarity.knnIvf(e, q, "vec_id", "embedding", k = 10,
+              lloydIters = 0), truthCos),
+          recallOf("pq",
+            Similarity.knnPq(e, q, "vec_id", "embedding", k = 10), truthCos),
+          recallOf("sq",
+            Similarity.knnSq(e, q, "vec_id", "embedding", k = 10), truthCos),
+          recallOf("ivfpq",
+            Similarity.knnIvfPq(e, q, "vec_id", "embedding", k = 10,
+              lloydIters = 0), truthCos),
+          recallOf("ivfsq",
+            Similarity.knnIvfSq(e, q, "vec_id", "embedding", k = 10), truthCos),
+          recallOf("mips_lsh",
+            Similarity.knnMipsLsh(e, q, "vec_id", "embedding", k = 10), truthMips),
+          recallOf("mips_mp2",
+            Similarity.knnMipsLsh(e, q, "vec_id", "embedding", k = 10,
+              multiProbe = 2), truthMips)
+        ).reduce(_.unionByName(_)).orderBy("tier", "query_id")
+      },
+      // each tier's FULL oracle rides as a nested-WITH subquery — the
+      // independent replay of the exact arithmetic the tier queries
+      // pin, composed once
+      Some(s"""WITH qs AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5),
+              |tc AS (SELECT query_id, neighbor_id FROM ($s1OracleSql)),
+              |tm AS (SELECT query_id, neighbor_id FROM ($s8OracleSql)),
+              |res AS (
+              |  SELECT 'lsh' AS tier, query_id, neighbor_id FROM ($s2OracleSql)
+              |  UNION ALL SELECT 'ivf', query_id, neighbor_id FROM ($s3OracleSql)
+              |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM ($s5OracleSql)
+              |  UNION ALL SELECT 'sq', query_id, neighbor_id FROM ($s13OracleSql)
+              |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ($s10OracleSql)
+              |  UNION ALL SELECT 'ivfsq', query_id, neighbor_id FROM ($s14OracleSql)),
+              |resm AS (
+              |  SELECT 'mips_lsh' AS tier, query_id, neighbor_id FROM ($s8bOracleSql)
+              |  UNION ALL SELECT 'mips_mp2', query_id, neighbor_id FROM ($s8cOracleSql)),
+              |mc AS (SELECT tier, r.query_id, CAST(count(*) AS BIGINT) AS n
+              |  FROM res r JOIN tc ON tc.query_id = r.query_id
+              |    AND tc.neighbor_id = r.neighbor_id GROUP BY 1, 2),
+              |mm AS (SELECT tier, r.query_id, CAST(count(*) AS BIGINT) AS n
+              |  FROM resm r JOIN tm ON tm.query_id = r.query_id
+              |    AND tm.neighbor_id = r.neighbor_id GROUP BY 1, 2),
+              |am AS (SELECT * FROM mc UNION ALL SELECT * FROM mm),
+              |grid AS (SELECT t.tier, qs.query_id FROM qs CROSS JOIN (VALUES
+              |  ('lsh'), ('ivf'), ('pq'), ('sq'), ('ivfpq'), ('ivfsq'),
+              |  ('mips_lsh'), ('mips_mp2')) t(tier))
+              |SELECT grid.tier, grid.query_id, CAST(10 AS BIGINT) AS k,
+              |  CAST(coalesce(am.n, 0) AS BIGINT) AS n_matched,
+              |  CAST(coalesce(am.n, 0) * 1000 AS BIGINT) AS recall_bp
+              |FROM grid LEFT JOIN am ON am.tier = grid.tier
+              |  AND am.query_id = grid.query_id
+              |ORDER BY 1, 2""".stripMargin)),
 
     Q("c8_epoch_shuffle",
       // Reproducible epoch-wise corpus shuffling — the training-order
