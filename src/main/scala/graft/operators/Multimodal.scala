@@ -77,6 +77,42 @@ object Multimodal {
       }).toDF("id", "png")
   }
 
+  /** Encode a binary column into REAL JPEG payloads, partition-wise:
+    * the same grayscale raster construction as [[encodeGrayPng]]
+    * (byte i → pixel i, r = g = b = value, zero-padded rows) written
+    * through the JDK's JPEG encoder. JPEG is LOSSY: decoded pixel
+    * values are decoder-defined, so downstream queries pin decode
+    * INVARIANTS (geometry from the byte count; a bounded mean-luma
+    * deviation from the original bytes — gray rasters keep luma ==
+    * the encoded value up to quantization error) rather than the
+    * exact-sum oracle PNG supports. Same-JVM decode is deterministic
+    * (spec-pinned); CROSS-JVM determinism is NOT promised — a
+    * different vendor's IJG/libjpeg build may round IDCT differently,
+    * which is exactly why the oracle never sees a raw luma sum.
+    * Output schema: (`id`, `jpg` binary). */
+  def encodeGrayJpeg(df: DataFrame, idCol: String, binCol: String,
+                     width: Int = 32): DataFrame = {
+    require(width >= 1, s"width must be >= 1: $width")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesRaw) =>
+        val bytes = if (bytesRaw == null) Array.empty[Byte] else bytesRaw
+        val h = math.max((bytes.length + width - 1) / width, 1)
+        val img = new java.awt.image.BufferedImage(
+          width, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < bytes.length) {
+          val v = bytes(i) & 0xFF
+          img.setRGB(i % width, i / width, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", out)
+        (id, out.toByteArray)
+      }).toDF("id", "jpg")
+  }
+
   /** Perceptual-hash near-duplicate pairs over a binary media column:
     * a 60-bit AVERAGE HASH (aHash) per payload — bit j set iff the
     * j-th positional byte-group sum exceeds the global mean, the
