@@ -61,13 +61,27 @@ object Bpe {
 
   /** Train `nMerges` BPE merges over the corpus vocabulary. Returns the
     * ordered merge table and the final (word, cnt, seg) segmentation
-    * frame (lazy — its plan embeds the learned replaces). */
-  def train(docs: DataFrame, textCol: String, nMerges: Int)
-      : (Seq[Merge], DataFrame) = {
+    * frame (lazy — its plan embeds the learned replaces since the last
+    * lineage cut).
+    *
+    * `ckptEvery`: every K rounds the segmentation frame is
+    * MATERIALIZED (Ckpt.cut) and its predecessor's storage released.
+    * Without this the plan accretes one chained `replace` per round —
+    * round r re-evaluates r−1 replaces over the vocabulary (O(n²)
+    * total work) and an 8k–32k-merge run blows the analyzer up on an
+    * 8k-deep expression chain. With it, plan depth is bounded by K,
+    * per-round cost is O(vocab) amortized, and wall time is LINEAR in
+    * rounds at any merge count (the real-vocabulary-scale contract;
+    * sweep-recorded). Semantically transparent — a cut frame holds
+    * exactly the rows its plan computed. */
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+            ckptEvery: Int = 64): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
+    require(ckptEvery >= 1, s"ckptEvery must be >= 1: $ckptEvery")
     val words = wordCounts(docs, textCol)
       .persist() // vocabulary-sized; released by the caller's session hygiene
     var cur = words.withColumn("seg", expr(initSegExpr))
+    var lastCut: Option[DataFrame] = None
     val rounds = Seq.newBuilder[DataFrame]
     var rk = 1
     var exhausted = false
@@ -97,6 +111,15 @@ object Bpe {
             "replace(seg, concat(chr(1), __ma, chr(2), chr(1), __mb, chr(2)), " +
               "concat(chr(1), __ma, __mb, chr(2)))"))
           .drop("__ma", "__mb")
+        if (rk % ckptEvery == 0) {
+          val cut = graft.Ckpt.cut(cur)
+          // the superseded cut can never be read again once its
+          // successor is materialized — release its storage, or a
+          // 32k-merge run keeps nMerges/K full vocabulary copies live
+          lastCut.foreach(graft.Ckpt.release)
+          lastCut = Some(cut)
+          cur = cut
+        }
         rk += 1
       }
     }
