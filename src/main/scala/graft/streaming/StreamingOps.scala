@@ -457,6 +457,67 @@ object StreamingOps {
     spark.read.parquet(storePath)
       .select(col("cid").as(idCol), col("cv").as(vecCol))
 
+  /** [[ivfAppendSink]] re-landed on the TABLE FORMAT (round 10): each
+    * micro-batch's cell-assigned vectors become a
+    * [[graft.sources.VersionedTable]] APPEND COMMIT — cell-clustered
+    * files with per-file `cell` stats — so the streaming vector store
+    * gains everything the bespoke batch-subdir convention never had:
+    * SNAPSHOT ISOLATION (a query pins a version; concurrent appends
+    * can't shift its candidate set mid-query), TIME TRAVEL (query the
+    * index as of any committed batch), metadata-only row counts,
+    * OPTIMIZE/compaction under OCC, and manifest stats pruning for
+    * cell-probing readers (the probed cells' files are selected from
+    * ONE metadata read — no partition-dir listing). Exactly-once by
+    * the same `#batch` watermark as [[versionedCommitSink]]: a
+    * replayed batch sees `batchId <= lastBatchId` and skips —
+    * byte-equivalent table either way. */
+  def ivfAppendVtSink(vecs: DataFrame, idCol: String, vecCol: String,
+                      base: DataFrame, tableRoot: String,
+                      nCells: Int = 16, lloydIters: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        ivfAppendVtBatch(batch, batchId, idCol, vecCol, base, tableRoot,
+          nCells, lloydIters)
+    }
+
+  /** One micro-batch of [[ivfAppendVtSink]]; package-visible so specs
+    * can drive a replay without a streaming harness. */
+  private[graft] def ivfAppendVtBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, base: DataFrame, tableRoot: String,
+      nCells: Int, lloydIters: Int): Unit = {
+    import graft.sources.VersionedTable
+    if (batchId <= VersionedTable.lastBatchId(batch.sparkSession, tableRoot))
+      return // replayed batch — already committed, skip
+    val assigned = graft.operators.Similarity
+      .assignToStandingCells(base, batch, idCol, vecCol, nCells, lloydIters)
+    if (!assigned.isEmpty) {
+      // RANGE-cluster the commit's files by cell — ~one file per cell
+      // with a tight [min,max] — so a cell-probing reader prunes to
+      // the probed cells' files from the manifest alone (hash
+      // partitioning would scatter cells across files and make every
+      // per-file range span the whole domain, killing the prune)
+      VersionedTable.commit(
+        assigned.repartitionByRange(nCells, col("cell"))
+          .sortWithinPartitions("cell"),
+        tableRoot, mode = "append",
+        meta = Map("batch" -> batchId.toString), statsCols = Seq("cell"))
+      ()
+    }
+  }
+
+  /** The appended vectors an [[ivfAppendVtSink]] table holds at the
+    * given (or latest) version, as `(idCol, vecCol)` — the `batch`
+    * argument for [[graft.operators.Similarity.knnIvfIncremental]].
+    * Passing an explicit version is the time-travel query path; the
+    * snapshot pin means a concurrent append NEVER shifts this
+    * reader's rows. */
+  def readIvfVtStore(spark: SparkSession, tableRoot: String,
+                     idCol: String, vecCol: String,
+                     version: Long = -1L): DataFrame =
+    graft.sources.VersionedTable.read(spark, tableRoot, version)
+      .select(col("cid").as(idCol), col("cv").as(vecCol))
+
   /** Follow a [[graft.sources.VersionedTable]] as a STREAM — the
     * table-format streaming-read/CDC posture: each micro-batch
     * compares the table's current version against the highest version
