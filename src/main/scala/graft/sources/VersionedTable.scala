@@ -149,6 +149,18 @@ object VersionedTable {
     (cols.toMap, rows)
   }
 
+  /** Recorded byte size of a file line (`"#bytes"` in its stats
+    * JSON), or None for lines committed before size tracking. */
+  private def lineBytes(om: com.fasterxml.jackson.databind.ObjectMapper,
+                        line: String): Option[Long] = {
+    val cut = line.indexOf('\t')
+    if (cut < 0) None
+    else {
+      val b = om.readTree(line.substring(cut + 1)).get("#bytes")
+      if (b != null && b.isNumber) Some(b.asLong()) else None
+    }
+  }
+
   private def parseShardRef(om: com.fasterxml.jackson.databind.ObjectMapper,
                             line: String): ShardRef = {
     val p = line.split('\t')
@@ -279,7 +291,10 @@ object VersionedTable {
       if (cut < 0) None
       else {
         val abs = new Path(root, l.substring(0, cut)).toString
-        Some(abs -> parseStats(om, l.substring(cut + 1))._1)
+        val cols = parseStats(om, l.substring(cut + 1))._1
+        // a line with only bookkeeping fields (#bytes/#rows) has no
+        // column stats — same visibility as a stat-less line
+        if (cols.isEmpty) None else Some(abs -> cols)
       }
     }.toMap
     FileStats(v, m)
@@ -538,9 +553,14 @@ object VersionedTable {
       .filter(df.columns.contains)
     val dataDir = new Path(root, s"data/c${base + 1}-$nonce")
     df.write.parquet(dataDir.toString)
-    val written = f.listStatus(dataDir)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(st => s"data/c${base + 1}-$nonce/${st.getPath.getName}").sorted
+    val writtenStatus = f.listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    val written = writtenStatus
+      .map(st => s"data/c${base + 1}-$nonce/${st.getPath.getName}")
+    // every committed line records its byte size (free — the
+    // listStatus above already has it): [[compactSmall]] then finds
+    // its candidates from the manifest alone, no per-file RPCs
+    val sizeByName = writtenStatus.map(st => st.getPath.getName -> st.getLen).toMap
     // per-file min/max for the stats columns — the data-skipping
     // index [[fileStats]] serves. One extra scan of THIS COMMIT's
     // files only (commit-sized, never table-sized; the parquet
@@ -549,7 +569,11 @@ object VersionedTable {
     // handles every type Spark can min/max). Collect is bounded by
     // files-per-commit — the manifest-sized planner read.
     val writtenLines: Seq[String] =
-      if (effStats.isEmpty || written.isEmpty) written.toSeq
+      if (effStats.isEmpty || written.isEmpty)
+        written.toSeq.map { rel =>
+          val nm = new Path(rel).getName
+          s"""$rel\t{"#bytes":${sizeByName(nm)}}"""
+        }
       else {
         val aggs = effStats.flatMap(c => Seq(
           org.apache.spark.sql.functions.min(col(c)).cast("string").as(s"__mn_$c"),
@@ -569,11 +593,14 @@ object VersionedTable {
             val mn = r.getAs[String](s"__mn_$c"); val mx = r.getAs[String](s"__mx_$c")
             val v = if (mn == null || mx == null) "null" else s"[${jesc(mn)},${jesc(mx)}]"
             s"${jesc(c)}:$v"
-          } :+ s""""#rows":${r.getAs[Long]("__nrows")}""").mkString("{", ",", "}")
+          } :+ s""""#rows":${r.getAs[Long]("__nrows")}"""
+            :+ s""""#bytes":${sizeByName.getOrElse(name, 0L)}""").mkString("{", ",", "}")
           name -> json
         }.toMap
         written.toSeq.map { rel =>
-          byName.get(new Path(rel).getName).map(j => s"$rel\t$j").getOrElse(rel)
+          val nm = new Path(rel).getName
+          byName.get(nm).map(j => s"$rel\t$j")
+            .getOrElse(s"""$rel\t{"#bytes":${sizeByName(nm)}}""")
         }
       }
     // commit loop: build the manifest (file list AND schema) against
@@ -762,6 +789,90 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** Merge-on-read UPDATE: every live row matching `predicate` gets
+    * the `set` expressions applied (column → SQL expression over the
+    * row, e.g. `"price" -> "price * 2"`), in ONE atomic commit that
+    * records deletion vectors for the matched positions AND appends
+    * the updated rows as new files — NO existing data file is
+    * rewritten (the UPDATE complement of [[deleteWhereDv]]; contrast
+    * [[merge]]'s copy-on-write, whose rewrite amplification a
+    * high-churn CDC table cannot afford). Readers see old-version
+    * rows at old versions (time travel) and updated rows at the new
+    * one; [[compact]]/[[compactSmall]] fold the vectors away later.
+    * Same OCC/retry contract. Returns the committed version — or the
+    * current version unchanged when nothing matches. */
+  def updateWhereDv(spark: SparkSession, root: String, predicate: String,
+                    set: Map[String, String], maxRetries: Int = 5): Long = {
+    require(set.nonEmpty, "updateWhereDv needs at least one set expression")
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val s = snapshot(spark, root)
+      val schema = tableSchema(spark, root, s.version)
+      set.keys.foreach(c => require(
+        schema.forall(_.fieldNames.contains(c)),
+        s"set column $c not in table schema"))
+      val base = schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
+        .parquet(s.files: _*)
+        .withColumn("__dvf", expr("substring_index(input_file_name(), '/', -3)"))
+        .withColumn("__dvp", col("_metadata.row_index").cast("long"))
+      val dvs = dvEntries(spark, root, s.version)
+      val liveRows =
+        if (dvs.isEmpty) base
+        else base.join(
+          spark.read.parquet(dvs.map(_._2).distinct
+              .map(rel => new Path(root, rel).toString): _*)
+            .select(col("file").as("__dvf"), col("pos").as("__dvp")).distinct(),
+          Seq("__dvf", "__dvp"), "left_anti")
+      val hits = liveRows.filter(predicate).localCheckpoint(true)
+      if (hits.isEmpty) return s.version
+      val nonce = java.util.UUID.randomUUID.toString.take(8)
+      // the matched positions become a deletion vector…
+      val dvDirRel = s"data/c${s.version + 1}-$nonce-dv"
+      hits.select(col("__dvf").as("file"), col("__dvp").as("pos"))
+        .coalesce(1).write.parquet(new Path(root, dvDirRel).toString)
+      val dvRels = f.listStatus(new Path(root, dvDirRel))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => s"$dvDirRel/${st.getPath.getName}").sorted.toSeq
+      val touched = hits.select(col("__dvf")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val newDvLines = for (t <- touched; d <- dvRels) yield s"!dv\t$t\t$d"
+      // …and the updated row versions land as fresh files
+      val updated = set.foldLeft(hits.drop("__dvf", "__dvp")) {
+        case (df, (c, e)) => df.withColumn(c, expr(e))
+      }
+      val dataDirRel = s"data/c${s.version + 1}-$nonce"
+      updated.write.parquet(new Path(root, dataDirRel).toString)
+      val newStatus = f.listStatus(new Path(root, dataDirRel))
+        .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      val newLines = newStatus.map(st =>
+        s"""$dataDirRel/${st.getPath.getName}\t{"#bytes":${st.getLen}}""").toSeq
+      val metaLines = manifestMeta(spark, root, s.version).toSeq.sortBy(_._1)
+        .map { case (k, v2) => s"#$k=$v2" }
+      // one rename publishes vectors AND updated rows atomically;
+      // prior lines carried verbatim (shard refs stay refs)
+      val lines = (metaLines ++ rawCarryLines(spark, root, s.version) ++
+        newLines ++ newDvLines).mkString("", "\n", "\n")
+      val lost = currentVersion(spark, root) != s.version || {
+        val tmp = new Path(manifestDir(root), s".v${s.version + 1}-$nonce.tmp")
+        val out = f.create(tmp, true)
+        try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        val renamed = f.rename(tmp,
+          new Path(manifestDir(root), s"v${s.version + 1}.manifest"))
+        if (!renamed) f.delete(tmp, false)
+        !renamed
+      }
+      if (!lost) return s.version + 1
+      f.delete(new Path(root, dvDirRel), true)
+      f.delete(new Path(root, dataDirRel), true)
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new ConcurrentCommitException(
+          s"updateWhereDv at $root lost $attempt commit races")
+    }
+    sys.error("unreachable")
+  }
+
   /** Shared copy-on-write loop: pin a snapshot, let `plan` produce the
     * replacement rows and the untouched-file carry list, commit with
     * `expectBase` OCC, and retry the WHOLE derivation from a fresh
@@ -824,6 +935,20 @@ object VersionedTable {
     * (filesBefore, filesAfter). Contrast [[Sinks.compact]], whose
     * rename-swap assumes no concurrent reader holds the old listing.
     */
+  /** (absolute path, bytes) for every live file of a snapshot: byte
+    * sizes come from the manifest's recorded `"#bytes"` (one metadata
+    * read); only files committed before size tracking fall back to a
+    * per-file getFileStatus RPC. */
+  private def fileSizes(spark: SparkSession, root: String,
+                        version: Long): Seq[(String, Long)] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val f = fs(spark, root)
+    fileLines(spark, root, version).map { l =>
+      val abs = new Path(root, lineRel(l)).toString
+      abs -> lineBytes(om, l).getOrElse(f.getFileStatus(new Path(abs)).getLen)
+    }
+  }
+
   def compact(spark: SparkSession, root: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               maxRetries: Int = 5): (Int, Int) = {
@@ -835,10 +960,7 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val s = snapshot(spark, root)
-      val totalBytes = {
-        val f = fs(spark, root)
-        s.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
-      }
+      val totalBytes = fileSizes(spark, root, s.version).map(_._2).sum
       val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
       try {
         // read via the pinned snapshot (manifest schema applied) so a
@@ -853,6 +975,47 @@ object VersionedTable {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** INCREMENTAL (binpack) compaction: fold ONLY the files smaller
+    * than `minFileBytes` into ~`targetFileBytes` files; every
+    * right-sized file is carried forward VERBATIM (shard-aware — a
+    * shard with no small member carries as its ref). This is the
+    * 100-TB compaction posture: a real table accretes small files at
+    * its append frontier while the overwhelming share of its bytes
+    * sit in well-sized files a full [[compact]] would pointlessly
+    * rewrite. Candidates come from the manifest's recorded
+    * `"#bytes"` — one metadata read, no per-file listing. The folded
+    * files' deletion vectors fold in (their rows are read
+    * DV-applied); untouched files keep theirs. Returns the committed
+    * version, or the CURRENT version unchanged when fewer than two
+    * small files exist (a lone small file gains nothing from a
+    * rewrite). Same OCC/retry contract as [[merge]]. */
+  def compactSmall(spark: SparkSession, root: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   minFileBytes: Long = 32L * 1024 * 1024,
+                   maxRetries: Int = 5): Long = {
+    require(minFileBytes <= targetFileBytes,
+      s"minFileBytes $minFileBytes > targetFileBytes $targetFileBytes")
+    val cur0 = currentVersion(spark, root)
+    require(cur0 > 0, s"no committed version at $root")
+    val pre = fileSizes(spark, root, cur0)
+    if (pre.count(_._2 < minFileBytes) < 2) return cur0
+    rewrite(spark, root, maxRetries) { (sp, s) =>
+      val sizes = fileSizes(sp, root, s.version)
+      val (small, big) = sizes.partition(_._2 < minFileBytes)
+      if (small.size < 2) (read(sp, root, s.version).limit(0), sizes.map(_._1))
+      else {
+        val smallBytes = small.map(_._2).sum
+        val nOut = math.max(1L,
+          (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val schema = tableSchema(sp, root, s.version)
+        val folded = applyDv(sp, root, s.version,
+          schema.map(sc => sp.read.schema(sc)).getOrElse(sp.read)
+            .parquet(small.map(_._1): _*)).repartition(nOut)
+        (folded, big.map(_._1))
+      }
+    }
   }
 
   /** LIVE row count from METADATA alone — no data file is opened:
