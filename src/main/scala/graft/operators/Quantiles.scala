@@ -17,12 +17,15 @@ import graft.Ckpt
   * (bucket arithmetic, joins), not just output ordering:
   *
   *  1. materialize the key columns and cut lineage (the frame is read
-  *     three more times — count, sample, bucket histogram);
-  *  2. draw a deterministic hash sample of the keys (~64 per bucket),
-  *     collect it to the driver and pick evenly spaced COMPOSITE
-  *     bounds. Composite (all key columns, not just the first) is what
-  *     keeps tie-heavy domains balanced: a vocabulary where most
-  *     tokens have count 1 still splits across buckets by token;
+  *     twice more — sample, then the caller's per-bucket aggregate);
+  *  2. draw a deterministic hash sample of the keys (~64 per bucket,
+  *     density sized from the checkpoint's real byte size — no
+  *     separate exact-count pass; density only balances work, the
+  *     assignment below is exact under ANY bounds), collect it to the
+  *     driver and pick evenly spaced COMPOSITE bounds. Composite (all
+  *     key columns, not just the first) is what keeps tie-heavy
+  *     domains balanced: a vocabulary where most tokens have count 1
+  *     still splits across buckets by token;
   *  3. assign each row bucket = number of bounds lexicographically
   *     `<=` its key. The assignment is monotone in the total order and
   *     puts equal keys in equal buckets, so ranks are EXACT regardless
@@ -59,22 +62,43 @@ object Quantiles {
     c
   }
 
-  /** Shared machinery: returns the input with materialized key columns
-    * `__qk*`, a bucket column `__qb`, plus the per-bucket prefix
-    * offsets and the total row count. */
-  private def bucketize(df: DataFrame, keys: Seq[Column], buckets: Int)
-      : (DataFrame, Seq[String], Array[(Int, Long)], Long) = {
+  /** Shared machinery: the input with materialized key columns
+    * `__qk*` and a bucket column `__qb`. TWO jobs, not four (the
+    * round-10 amortization the per-query bench asked for): the cut
+    * materialization, then ONE sample-collect whose density comes
+    * from the checkpoint's REAL byte size over the schema's default
+    * row width — the separate exact count() pass is gone, because the
+    * sample density only balances work, never correctness (bucket
+    * assignment is monotone whatever the bounds), and every caller
+    * already runs a per-bucket aggregate that yields the exact counts
+    * it needs. If the width estimate overshoots so far the sample
+    * comes back empty on a non-empty frame, fall back to the exact
+    * count + resample (the pre-r10 path) rather than risk a
+    * single-bucket plan. */
+  private def bucketizeRaw(df: DataFrame, keys: Seq[Column], buckets: Int)
+      : (DataFrame, Seq[String]) = {
     require(buckets >= 2, "buckets must be >= 2")
     val kcols = keys.indices.map(i => s"__qk$i")
     val kdf = Ckpt.cutLight(df.select(
       df.columns.map(col) ++ keys.zip(kcols).map { case (c, n) => c.as(n) }: _*))
-    val n = kdf.count()
-    if (n == 0) return (kdf.withColumn("__qb", lit(0)), kcols, Array((0, 0L)), 0L)
-    // deterministic hash sample, ~64 keys per requested bucket
-    val mod = math.max(1L, n / (buckets.toLong * 64))
-    val sampled = kdf.select(kcols.map(col): _*)
+    val rowWidth = math.max(8L, kdf.schema.fields.map(_.dataType.defaultSize.toLong).sum)
+    val estRows = (kdf.queryExecution.optimizedPlan.stats.sizeInBytes /
+      rowWidth).min(BigInt(Long.MaxValue)).toLong
+    def sample(mod: Long) = kdf.select(kcols.map(col): _*)
       .filter(pmod(xxhash64(kcols.map(col): _*), lit(mod)) === 0)
       .collect().map(_.toSeq).sortWith((a, b) => keyOrdering.compare(a, b) < 0)
+    // 4x the exact-count density (256/bucket): the byte estimate can
+    // overshoot rows by the storage format's per-row overhead (~4x),
+    // and a sparser sample costs bucket BALANCE; overshooting density
+    // instead costs only driver collect size, bounded at ~256·buckets
+    // keys when the estimate is accurate
+    var sampled = sample(math.max(1L, estRows / (buckets.toLong * 256)))
+    if (sampled.isEmpty && estRows > 0) {
+      // estimate overshoot (tiny frames round up to a storage block):
+      // one exact count, then the original density
+      val n = kdf.count()
+      if (n > 0) sampled = sample(math.max(1L, n / (buckets.toLong * 64)))
+    }
     val bounds =
       if (sampled.isEmpty) Array.empty[Seq[Any]]
       else (1 until buckets)
@@ -84,17 +108,22 @@ object Quantiles {
       if (bounds.isEmpty) lit(0)
       else bounds.map(b => when(boundLeq(b, kcols.map(col)), 1).otherwise(0))
         .reduce(_ + _)
-    val withB = kdf.withColumn("__qb", bucketExpr)
-    val cnts = withB.groupBy("__qb").count().collect()
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = cnts.map { case (b, c) => val o = acc; acc += c; (b, o) }
-    (withB, kcols, offsets, n)
+    (kdf.withColumn("__qb", bucketExpr), kcols)
   }
 
   private def rankWithTotal(df: DataFrame, keys: Seq[Column], out: String,
                             buckets: Int): (DataFrame, Long) = {
-    val (withB, kcols, offsets, n) = bucketize(df, keys, buckets)
+    val (withB, kcols) = bucketizeRaw(df, keys, buckets)
+    // ONE per-bucket histogram yields the prefix offsets AND the
+    // exact total (Σ counts) the tile arithmetic needs
+    val cnts = withB.groupBy("__qb").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = cnts.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val n = acc
+    if (n == 0)
+      return (withB.withColumn(out, lit(null).cast("long"))
+        .drop("__qb" +: kcols: _*), 0L)
     val offDf = broadcast(
       df.sparkSession.createDataFrame(offsets.toSeq).toDF("__qb", "__qoff"))
     val w = Window.partitionBy("__qb").orderBy(kcols.map(col): _*)
@@ -140,11 +169,13 @@ object Quantiles {
     * order-dependent). */
   def prefixSumByStats(df: DataFrame, keys: Seq[Column], value: Column,
                        out: String, buckets: Int = 32): DataFrame = {
-    val (withB, kcols, _, n) = bucketize(df, keys, buckets)
-    if (n == 0) return withB.withColumn(out, lit(null).cast("long"))
-      .drop("__qb" +: kcols: _*)
+    val (withB, kcols) = bucketizeRaw(df, keys, buckets)
+    // the caller-specific per-bucket aggregate doubles as the empty
+    // check — no separate count pass
     val sums = withB.groupBy("__qb").agg(sum(value).as("__qs")).collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (sums.isEmpty) return withB.withColumn(out, lit(null).cast("long"))
+      .drop("__qb" +: kcols: _*)
     var acc = 0L
     val offsets = sums.map { case (b, s) => val o = acc; acc += s; (b, o) }
     val offDf = broadcast(
@@ -163,14 +194,15 @@ object Quantiles {
     * rows). */
   def partitionedLead(df: DataFrame, key: String, out: String,
                       buckets: Int = 32): DataFrame = {
-    val (withB, kcols, _, n) = bucketize(df, Seq(col(key)), buckets)
+    val (withB, kcols) = bucketizeRaw(df, Seq(col(key)), buckets)
     val keyType = df.schema(key).dataType
-    if (n == 0) return withB.withColumn(out, lit(null).cast(keyType))
+    // the boundary-firsts aggregate doubles as the empty check
+    val firsts = withB.groupBy("__qb").agg(min(col(key)).as("__qfirst"))
+      .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+    if (firsts.isEmpty) return withB.withColumn(out, lit(null).cast(keyType))
       .drop("__qb" +: kcols: _*)
     val w = Window.partitionBy("__qb").orderBy(col(key))
     val led = withB.withColumn(out, lead(col(key), 1).over(w))
-    val firsts = withB.groupBy("__qb").agg(min(col(key)).as("__qfirst"))
-      .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
     val nextFirst = firsts.zip(firsts.drop(1)).map { case ((b, _), (_, f)) => (b, f) }
     val nextExpr = nextFirst.foldLeft(lit(null).cast(keyType)) {
       case (acc, (b, f)) => when(col("__qb") === b, lit(f)).otherwise(acc)
