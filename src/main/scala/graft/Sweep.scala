@@ -384,6 +384,100 @@ object Sweep {
         else ""
       },
 
+      "prof5_drift_100x" -> { () =>
+        // round 10: the 100x corpus is 100 shifted copies — copies
+        // 0–49 vs 50–99 have IDENTICAL bucket distributions by
+        // construction, so every bucket's drift must be EXACTLY zero
+        // (integer share of equal rationals is equal); and halving vs
+        // the 1x base is share-invariant (c·10⁴ div t == 50c·10⁴ div
+        // 50t). Engine-side exactness of the drift profiler at 100x.
+        val bucket = least(floor(col("o_totalprice") / 50000), lit(9)).cast("long")
+        val o = Tables.orders(spark, relDir).select(col("o_totalprice"),
+          (col("o_orderkey") / stride).cast("long").as("blk"))
+        val a = o.filter(col("blk") < 50)
+        val b = o.filter(col("blk") >= 50)
+        val d = graft.operators.Profiler.drift(a, b, bucket).cache()
+        val nonzero = d.filter(col("diff_bp") =!= 0 || col("contrib") =!= 0).count()
+        val nb = d.count()
+        val sumA = d.agg(sum("share_a_bp")).as[Long].head()
+        // vs the 1x base: shares must match bucket-for-bucket exactly
+        val base = Tables.orders(spark, baseDir)
+          .select(col("o_orderkey").as("k"), col("o_totalprice"))
+        val d2 = graft.operators.Profiler.drift(a, base, bucket)
+        val drift2 = d2.filter(col("diff_bp") =!= 0).count()
+        d.unpersist()
+        if (nonzero > 0) s"$nonzero buckets with nonzero drift between equal halves"
+        else if (nb != 10) s"$nb buckets, want 10"
+        else if (sumA < 9990 || sumA > 10000) s"share_a sum $sumA out of range"
+        else if (drift2 > 0) s"$drift2 buckets drift vs 1x base (scale-invariance broken)"
+        else ""
+      },
+
+      "s18_bm25_bounds_100x" -> { () =>
+        // round 10: the BM25 retrieval bounds must hold engine-side
+        // at the 500k-doc corpus — the df cutoff and per-token cap
+        // are exactly what keep per-query work O(|q|·cap) at 100 TB
+        val dd = docs(docDir)
+        val p = graft.operators.Retrieval.bm25Postings(
+          dd, "doc_id", "text", maxDfPct = 90, cap = 16).cache()
+        val n = dd.count()
+        val overCap = p.groupBy("tok").count().filter(col("count") > 16).count()
+        // no surviving token may exceed the df cutoff
+        val tf = dd.select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+          .distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+        val hot = tf.filter(col("df") * 100 > lit(n) * 90)
+          .join(p.select("tok").distinct(), Seq("tok"), "left_semi").count()
+        val q = dd.filter(col("doc_id") < 5)
+        val out = graft.operators.Retrieval.bm25TopK(dd, "doc_id", "text",
+          q, k = 10, maxDfPct = 90, cap = 16)
+        val maxCand = out.groupBy("query_id").count().agg(max("count")).as[Long].head()
+        val qtokMax = q.select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+          .distinct().groupBy("doc_id").count().agg(max("count")).as[Long].head()
+        p.unpersist()
+        if (overCap > 0) s"$overCap posting lists exceed the cap"
+        else if (hot > 0) s"$hot above-cutoff tokens generated postings"
+        else if (maxCand > 10) s"top-k emitted $maxCand rows for one query"
+        else if (qtokMax * 16 > 600000) "candidate bound exceeds corpus-free budget"
+        else ""
+      },
+
+      "vt_shard_100x" -> { () =>
+        // round 10: the two-level manifest at 500k-doc volume —
+        // shard, prune (strict minority of shards opened), append
+        // verbatim, metadata row count, all row-exact
+        import graft.sources.VersionedTable
+        val root = {
+          val f = java.nio.file.Files.createTempDirectory("vtshard100x").toFile
+          f.delete(); f.getAbsolutePath
+        }
+        val base = docs(docDir).select(col("doc_id"), col("n_chars"))
+        val n = base.count()
+        VersionedTable.commit(base.repartitionByRange(256, col("doc_id")), root,
+          statsCols = Seq("doc_id"))
+        VersionedTable.shardManifest(spark, root, targetFilesPerShard = 16)
+        val refs = VersionedTable.shardRefs(spark, root)
+        val mc = VersionedTable.rowCount(spark, root)
+        val d = VersionedTable.prunedFilesDetail(spark, root,
+          "doc_id", "0", (n / 50).toString)
+        val rr = VersionedTable.readRange(spark, root,
+          "doc_id", "0", (n / 50).toString).count()
+        val want = base.filter(col("doc_id") <= n / 50).count()
+        val v3 = VersionedTable.commit(
+          base.limit(1).withColumn("doc_id", col("doc_id") + n * 10), root,
+          mode = "append")
+        val refsAfter = VersionedTable.shardRefs(spark, root, v3)
+        if (refs.size != 16) s"${refs.size} shards, want 16"
+        else if (!mc.contains(n)) s"metadata count $mc != $n"
+        else if (d.shardsOpened * 2 >= d.shardsTotal)
+          s"prune opened ${d.shardsOpened}/${d.shardsTotal} shards"
+        else if (rr != want) s"readRange $rr != $want"
+        else if (refsAfter.map(_.rel) != refs.map(_.rel))
+          "append failed to carry shard refs verbatim"
+        else ""
+      },
+
       "d19_semdedup_shape_100x" -> { () =>
         // nCells scales with the corpus (the published recipe sizes
         // cells ~sqrt(n)): 256 cells over 200k vectors keeps the

@@ -1175,6 +1175,46 @@ object PipelineQueries {
              |  coalesce(f2, 0) AS f2, coalesce(f3, 0) AS f3
              |FROM b LEFT JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    Q("m10_jpeg_decode",
+      // LOSSY-codec decode tier (round 10): payloads re-encoded as
+      // REAL JPEGs (same gray raster as m8's PNGs) and decoded by the
+      // identical ImageIoCodec path. JPEG pixels are decoder-defined,
+      // so the oracle pins decode INVARIANTS, not byte equality
+      // (s3b's containment-oracle posture): geometry derived from the
+      // byte count in SQL, and a constant-1 deviation flag — the
+      // decoded luma total must sit within 16 gray levels per pixel
+      // of the original byte total (gray rasters keep luma == value
+      // up to quantization; measured deviation is ~1 level, 16x
+      // headroom). A decode regression past the bound flips dev_ok
+      // and fails the hash gate. Same-JVM decode determinism is
+      // spec-pinned (JpegDecodeSpec); cross-JVM IDCT rounding is
+      // explicitly NOT promised — that is WHY no raw luma sum
+      // reaches the oracle.
+      (s, d) => {
+        val payload = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        // stub decode of the raw payload = exact positional byte sums
+        val orig = Multimodal.decode(payload, "doc_id", "payload", nFeat = 1).toDF()
+          .select(col("id").as("doc_id"), col("featSums")(0).as("orig_sum"))
+        val jp = Multimodal.encodeGrayJpeg(payload, "doc_id", "payload", width = 32)
+        val dec = Multimodal.decode(jp, "id", "jpg", nFeat = 1,
+            codecs = Seq(graft.operators.ImageIoCodec)).toDF()
+          .select(col("id").as("doc_id"), col("fmt"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("featSums")(0).as("luma_sum"))
+        dec.join(orig, Seq("doc_id"))
+          .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+            (abs(col("luma_sum") - col("orig_sum")) <=
+              col("width") * col("height") * 16).cast("long").as("dev_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+             |SELECT doc_id, 'jpeg' AS fmt, CAST(32 AS BIGINT) AS width,
+             |  CAST(greatest((n + 31) // 32, 1) AS BIGINT) AS height,
+             |  CAST(1 AS BIGINT) AS dev_ok
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
     Q("m3_frame_sample",
       // Frame sampling over video-like payloads (Multimodal
       // .frameSample): 32-byte frames, every 2nd sampled, exact

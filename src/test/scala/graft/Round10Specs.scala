@@ -305,3 +305,408 @@ class ManifestShardSpec extends SparkSpec {
       "rowCount must stay honest when any member lacks #rows")
   }
 }
+
+/** Round-10 BPE training at vocabulary scale: the shipped train()
+  * must (a) produce EXACTLY the merge sequence an independent
+  * in-driver single-machine reference produces on the same corpus
+  * (the classic hashmap pair-count/argmax/leftmost-greedy fold), and
+  * (b) be invariant to the lineage-cut cadence (ckptEvery is plan
+  * hygiene, never semantics). The wall-time-linearity record at
+  * 8k merges rides scripts/bpe_scale.scala over the
+  * make_bpe_corpus.py large-vocab corpus. */
+class BpeReferenceSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Bpe
+
+  // deterministic ASCII pseudo-words (md5-derived, like the corpus
+  // generators): string order agrees byte-for-byte across the
+  // reference's compareTo and Spark's UTF8String ordering
+  private def h(s: String): BigInt =
+    BigInt(1, java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8))
+
+  private val vocab: IndexedSeq[String] = (0 until 400).map { i =>
+    val n = 5 + (h(s"w$i") % 6).toInt
+    (0 until n).map(j => ('a' + (h(s"w$i c$j") % 26).toInt).toChar).mkString
+  }
+
+  private val docTexts: Seq[(Long, String)] = (0 until 200).map { d =>
+    val words = (0 until 20).map { j =>
+      val u = h(s"d$d p$j").toDouble / math.pow(2, 64)
+      vocab(((u * u) * vocab.size).toInt)
+    }
+    (d.toLong, words.mkString(" "))
+  }
+
+  /** Single-machine reference BPE: pair counts over the distinct-word
+    * table, argmax by (count DESC, a ASC, b ASC), leftmost
+    * non-overlapping merge application. */
+  private def refBpe(wordCnt: Seq[(String, Long)], n: Int): Seq[(String, String, Long)] = {
+    var segs: Seq[(Array[String], Long)] =
+      wordCnt.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var go = true
+    while (out.size < n && go) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- segs; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + c
+      }
+      if (counts.isEmpty) go = false
+      else {
+        val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((a, b, cnt))
+        segs = segs.map { case (syms, c) =>
+          val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              nb += (a + b); i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          (nb.toArray, c)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("train() merges match the single-machine reference exactly (200 merges)") {
+    val docs = docTexts.toDF("doc_id", "text")
+    val (merges, _) = Bpe.train(docs, "text", 200)
+    val wc = docs.select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toSeq
+    val ref = refBpe(wc, 200)
+    assert(merges.size == ref.size, s"${merges.size} vs ref ${ref.size}")
+    val got = merges.map(m => (m.a, m.b, m.cnt))
+    val firstDiff = got.zip(ref).indexWhere { case (g, r) => g != r }
+    assert(firstDiff == -1, s"merge #$firstDiff differs: " +
+      (if (firstDiff >= 0) s"got ${got(firstDiff)}, ref ${ref(firstDiff)}" else ""))
+  }
+
+  test("lineage-cut cadence never changes the merges") {
+    val docs = docTexts.toDF("doc_id", "text")
+    val (a, segA) = Bpe.train(docs, "text", 60, ckptEvery = 7)
+    val (b, segB) = Bpe.train(docs, "text", 60, ckptEvery = 1000000)
+    assert(a == b, "ckptEvery changed the merge sequence")
+    val sa = Bpe.pieceMap(segA).as[(String, String, Long)].collect().sorted.toSeq
+    val sb = Bpe.pieceMap(segB).as[(String, String, Long)].collect().sorted.toSeq
+    assert(sa == sb, "ckptEvery changed the final segmentation")
+  }
+}
+
+/** Round-10 JPEG tier: same-JVM decode determinism and geometry for
+  * the lossy-codec path. CROSS-JVM CAVEAT: JPEG IDCT rounding is
+  * implementation-defined — a different vendor's decoder may emit
+  * luma sums a few levels off, which is why m10's oracle checks a
+  * bounded-deviation FLAG and never a raw sum. */
+class JpegDecodeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{ImageIoCodec, Multimodal}
+
+  private def payloads = Seq(
+    (1L, "hello jpeg world, a short ascii payload"),
+    (2L, "x" * 500),
+    (3L, ("the quick brown fox " * 40).trim),
+    (4L, "a")
+  ).toDF("doc_id", "text")
+    .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  test("same-JVM decode is deterministic and geometry is exact") {
+    val jp = Multimodal.encodeGrayJpeg(payloads, "doc_id", "payload", width = 32)
+      .cache()
+    try {
+      def run() = Multimodal.decode(jp, "id", "jpg", nFeat = 4,
+          codecs = Seq(ImageIoCodec)).toDF()
+        .select(col("id"), col("fmt"), col("width"), col("height"),
+          col("featSums"))
+        .as[(Long, String, Int, Int, Array[Long])].collect().sortBy(_._1)
+      val a = run(); val b = run()
+      assert(a.zip(b).forall { case (x, y) =>
+        x._1 == y._1 && x._5.sameElements(y._5) },
+        "same-JVM JPEG decode must be bit-deterministic")
+      val lens = payloads.select(col("doc_id"), length(col("payload")).as("n"))
+        .as[(Long, Int)].collect().toMap
+      for ((id, fmt, w, h, _) <- a) {
+        assert(fmt == "jpeg" && w == 32, s"doc $id: $fmt ${w}")
+        assert(h == math.max((lens(id) + 31) / 32, 1), s"doc $id height $h")
+      }
+    } finally jp.unpersist()
+  }
+
+  test("decoded luma stays within the m10 deviation bound with headroom") {
+    val jp = Multimodal.encodeGrayJpeg(payloads, "doc_id", "payload", width = 32)
+    val dec = Multimodal.decode(jp, "id", "jpg", nFeat = 1,
+        codecs = Seq(ImageIoCodec)).toDF()
+      .select(col("id").as("doc_id"),
+        (col("width") * col("height")).cast("long").as("npx"),
+        col("featSums")(0).as("luma"))
+    val orig = Multimodal.decode(payloads, "doc_id", "payload", nFeat = 1).toDF()
+      .select(col("id").as("doc_id"), col("featSums")(0).as("orig"))
+    val worst = dec.join(orig, "doc_id")
+      .select(expr("(abs(luma - orig) * 100) div npx").as("centilevels"))
+      .agg(max("centilevels")).as[Long].head()
+    // m10's bound is 16 levels/pixel = 1600 centilevels; require 4x
+    // headroom here so oracle flips long before this spec does
+    assert(worst <= 400, s"mean luma deviation $worst centilevels/pixel")
+  }
+}
+
+/** Round-10 ANN store x table format: ivfAppendVtSink lands each
+  * micro-batch as a VersionedTable append commit (cell-clustered,
+  * cell stats), gaining snapshot isolation, time travel, exactly-once
+  * replay, manifest pruning for cell probes, and OPTIMIZE — none of
+  * which the bespoke batch-subdir store had. */
+class IvfVtStoreSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+  import graft.streaming.StreamingOps
+  import graft.operators.Similarity
+
+  private def vecs(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (((i * 31 + j * 17) % 13) - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("ivfvt").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("append commits, exactly-once replay, snapshot isolation, time travel") {
+    val root = freshRoot()
+    val base = vecs(0 until 200)
+    StreamingOps.ivfAppendVtBatch(vecs(200 until 260), 0L,
+      "vec_id", "embedding", base, root, nCells = 8, lloydIters = 0)
+    val v1 = VersionedTable.currentVersion(spark, root)
+    StreamingOps.ivfAppendVtBatch(vecs(260 until 300), 1L,
+      "vec_id", "embedding", base, root, nCells = 8, lloydIters = 0)
+    val v2 = VersionedTable.currentVersion(spark, root)
+    assert(v2 == v1 + 1)
+    val after2 = StreamingOps.readIvfVtStore(spark, root, "vec_id", "embedding")
+    assert(after2.count() == 100)
+
+    // exactly-once: replaying batch 1 must not move the table
+    StreamingOps.ivfAppendVtBatch(vecs(260 until 300), 1L,
+      "vec_id", "embedding", base, root, nCells = 8, lloydIters = 0)
+    assert(VersionedTable.currentVersion(spark, root) == v2,
+      "replayed batch must not commit")
+
+    // snapshot isolation: a reader pinned BEFORE batch 2 lands never
+    // sees batch 2's vectors, even queried after the commit
+    val pinned = StreamingOps.readIvfVtStore(spark, root, "vec_id", "embedding", v1)
+    StreamingOps.ivfAppendVtBatch(vecs(300 until 330), 2L,
+      "vec_id", "embedding", base, root, nCells = 8, lloydIters = 0)
+    assert(pinned.count() == 60, "pinned snapshot shifted under a concurrent append")
+    assert(StreamingOps.readIvfVtStore(spark, root, "vec_id", "embedding")
+      .count() == 130)
+
+    // time travel = the index as of any batch; and the incremental
+    // query path through the store equals a full rebuild (frozen
+    // quantizer, lloydIters = 0 — the standing s12 identity)
+    val q = base.filter(col("vec_id") < 3)
+    val viaStore = Similarity.knnIvfIncremental(base,
+      StreamingOps.readIvfVtStore(spark, root, "vec_id", "embedding"),
+      q, "vec_id", "embedding", k = 5, lloydIters = 0)
+    val rebuild = Similarity.knnIvf(base.unionByName(vecs(200 until 330)), q,
+      "vec_id", "embedding", k = 5, lloydIters = 0)
+    assert(viaStore.exceptAll(rebuild).isEmpty && rebuild.exceptAll(viaStore).isEmpty,
+      "store-backed query differs from full rebuild")
+  }
+
+  test("cell stats prune the manifest for cell probes; OPTIMIZE keeps the store exact") {
+    val root = freshRoot()
+    val base = vecs(0 until 200)
+    StreamingOps.ivfAppendVtBatch(vecs(200 until 600), 0L,
+      "vec_id", "embedding", base, root, nCells = 8, lloydIters = 0)
+    // a 1-cell probe must open a strict minority of the store's files
+    val (kept, total) = VersionedTable.prunedFiles(spark, root, "cell", "2", "2")
+    assert(total >= 4 && kept.size * 2 < total,
+      s"cell probe touched ${kept.size}/$total files")
+    val before = StreamingOps.readIvfVtStore(spark, root, "vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().map(_._1).sorted.toSeq
+    VersionedTable.optimize(spark, root, Seq("cell"), nFiles = 4)
+    val after = StreamingOps.readIvfVtStore(spark, root, "vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().map(_._1).sorted.toSeq
+    assert(before == after, "OPTIMIZE changed the store's rows")
+  }
+}
+
+/** Round-10 incremental compaction: compactSmall folds ONLY
+  * under-sized files (found via the manifest's recorded #bytes — no
+  * per-file listing), carries right-sized files verbatim, folds the
+  * folded files' deletion vectors, and keeps untouched files' DVs —
+  * including on a sharded manifest, where untouched shards carry as
+  * refs. */
+class CompactSmallSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtcs").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("folds only small files; big files and their DVs carry verbatim") {
+    val root = freshRoot()
+    // one big file (~10k rows), then five 10-row append frontiers
+    VersionedTable.commit(
+      (0L until 10000L).toDF("id").withColumn("v", col("id") * 2).coalesce(1), root)
+    for (b <- 0 until 5)
+      VersionedTable.commit(
+        (20000L + b * 10 until 20010L + b * 10).toDF("id")
+          .withColumn("v", col("id") * 2).coalesce(1), root, mode = "append")
+    // DV on the big file and on a small file
+    VersionedTable.deleteWhereDv(spark, root, "id = 5")      // big-file row
+    VersionedTable.deleteWhereDv(spark, root, "id = 20021")  // small-file row
+    val before = VersionedTable.snapshot(spark, root)
+    val bigFile = before.files.minBy(identity) // c1-* sorts first
+    assert(before.files.size == 6)
+
+    val v = VersionedTable.compactSmall(spark, root,
+      targetFileBytes = 10L * 1024 * 1024, minFileBytes = 64L * 1024)
+    val after = VersionedTable.snapshot(spark, root)
+    assert(v > before.version)
+    assert(after.files.size == 2, s"expected big + 1 folded, got ${after.files.size}")
+    assert(after.files.contains(bigFile), "big file must carry verbatim")
+    val ids = VersionedTable.read(spark, root).select("id").as[Long].collect().toSet
+    assert(ids.size == 10048 && !ids.contains(5L) && !ids.contains(20021L),
+      "folded rows or carried DVs wrong")
+    // the small file's DV folded into the rewrite; the big file's
+    // DV line survived (resolving 5 again must still exclude it)
+    assert(VersionedTable.dvEntries(spark, root).nonEmpty,
+      "big file's dv line must survive the rewrite")
+
+    // idempotence: nothing small remains, so the version must not move
+    assert(VersionedTable.compactSmall(spark, root,
+      targetFileBytes = 10L * 1024 * 1024, minFileBytes = 64L * 1024) == v)
+  }
+
+  test("on a sharded manifest, untouched shards carry as refs") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (0L until 4096L).toDF("k").repartitionByRange(16, col("k")), root,
+      statsCols = Seq("k"))
+    VersionedTable.shardManifest(spark, root, targetFilesPerShard = 4)
+    val refs = VersionedTable.shardRefs(spark, root)
+    assert(refs.size == 4)
+    for (b <- 0 until 3)
+      VersionedTable.commit(Seq(100000L + b).toDF("k").coalesce(1), root,
+        mode = "append")
+    // the 16 sharded files must NOT fold, the three 1-row frontier
+    // files must: pick the threshold between their measured sizes
+    val shardedFiles = VersionedTable.snapshot(spark, root, 2).files.toSet
+    def sz(p: String): Long = {
+      val local = new java.net.URI(p).getPath
+      java.nio.file.Files.size(java.nio.file.Paths.get(
+        if (local == null || local.isEmpty) p else local))
+    }
+    val all = VersionedTable.snapshot(spark, root).files
+    val keepMin = all.filter(shardedFiles).map(sz).min
+    val foldMax = all.filterNot(shardedFiles).map(sz).max
+    assert(foldMax < keepMin,
+      s"test corpus sizes unusable: frontier $foldMax >= sharded $keepMin")
+    val v = VersionedTable.compactSmall(spark, root,
+      targetFileBytes = 10L * 1024 * 1024,
+      minFileBytes = (foldMax + keepMin) / 2)
+    val refsAfter = VersionedTable.shardRefs(spark, root, v)
+    assert(refsAfter.map(_.rel) == refs.map(_.rel),
+      "untouched shards must carry as verbatim refs")
+    assert(VersionedTable.read(spark, root).count() == 4099)
+    assert(VersionedTable.fileCount(spark, root) == 17,
+      s"3 frontier files should fold to 1: ${VersionedTable.fileCount(spark, root)}")
+  }
+}
+
+/** Round-10 merge-on-read UPDATE: one atomic commit records deletion
+  * vectors for the matched rows and appends their updated versions —
+  * zero data files rewritten, time travel sees the old values, and
+  * compaction folds the vectors away. */
+class UpdateDvSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtup").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("update applies sets, preserves history, folds under compaction") {
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(
+      (0L until 1000L).toDF("id").withColumn("price", col("id") * 10)
+        .repartitionByRange(4, col("id")), root, statsCols = Seq("id"))
+    val nFiles = VersionedTable.snapshot(spark, root).files.size
+
+    val v2 = VersionedTable.updateWhereDv(spark, root, "id % 100 = 7",
+      Map("price" -> "price * 2 + 1"))
+    assert(v2 == v1 + 1)
+    // no original data file was rewritten — only new files appended
+    val files2 = VersionedTable.snapshot(spark, root).files
+    assert(VersionedTable.snapshot(spark, root, v1).files.forall(files2.contains),
+      "update must not rewrite existing files")
+    assert(files2.size > nFiles)
+
+    val cur = VersionedTable.read(spark, root)
+    assert(cur.count() == 1000, "row count must not change")
+    assert(cur.filter("id = 107").select("price").as[Long].head() == 107 * 10 * 2 + 1)
+    assert(cur.filter("id = 108").select("price").as[Long].head() == 1080)
+    assert(cur.filter("id % 100 = 7").count() == 10)
+
+    // time travel: v1 still shows the pre-update values
+    assert(VersionedTable.read(spark, root, v1)
+      .filter("id = 107").select("price").as[Long].head() == 1070)
+
+    // no match -> version does not move
+    assert(VersionedTable.updateWhereDv(spark, root, "id = 99999",
+      Map("price" -> "0")) == v2)
+
+    // a second update on an already-updated row sees the UPDATED value
+    VersionedTable.updateWhereDv(spark, root, "id = 107", Map("price" -> "price + 1"))
+    assert(VersionedTable.read(spark, root)
+      .filter("id = 107").select("price").as[Long].head() == 107 * 10 * 2 + 2)
+
+    // compaction folds the vectors away, values stay
+    VersionedTable.compact(spark, root)
+    val afterC = VersionedTable.read(spark, root)
+    assert(VersionedTable.dvEntries(spark, root).isEmpty, "compact must fold DVs")
+    assert(afterC.count() == 1000 &&
+      afterC.filter("id = 107").select("price").as[Long].head() == 107 * 10 * 2 + 2)
+  }
+}
+
+/** Round-10 metadata-only commits x CDC: shardManifest changes the
+  * manifest LAYOUT, not the data — a follow stream must deliver
+  * nothing for it, and data commits after it must stream normally. */
+class FollowShardedSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+  import graft.streaming.StreamingOps.tableFollowBatch
+
+  private def newRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtfs").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("shardManifest is invisible to the follow stream") {
+    val root = newRoot(); val out = newRoot()
+    VersionedTable.commit(
+      (0 until 40).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+        .repartitionByRange(8, col("id")), root, statsCols = Seq("id"))
+    tableFollowBatch(spark, root, out, 0L) // snapshot
+    val before = spark.read.parquet(out).count()
+    VersionedTable.shardManifest(spark, root, targetFilesPerShard = 2)
+    tableFollowBatch(spark, root, out, 1L) // metadata-only: no delta
+    assert(spark.read.parquet(out).count() == before,
+      "a metadata-only commit must deliver no change rows")
+    // and real changes after sharding still stream
+    VersionedTable.commit(Seq((900L, 1L)).toDF("id", "v"), root, mode = "append")
+    VersionedTable.deleteWhereDv(spark, root, "id = 5")
+    tableFollowBatch(spark, root, out, 2L)
+    val delta = spark.read.parquet(out).filter(col("batch") === 2)
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    assert(delta == Set(("insert", 900L), ("delete", 5L)),
+      s"post-shard changes wrong: $delta")
+  }
+}
