@@ -43,24 +43,39 @@ object Retrieval {
       .join(dl, "__doc")
   }
 
-  /** Impact-ordered, df-cut, capped posting lists:
-    * `(tok, doc, score_term)` where every token passing the df cutoff
-    * (`df·100 ≤ N·maxDfPct`) keeps its `cap` best documents by
-    * integer BM25 term score (ties by doc id). The cap rides
-    * [[graft.functions.TopKAgg]] — an ObjectHashAggregate with
-    * map-side partials holding ≤ cap pairs per token per partition —
-    * NOT a row_number window, which would sort a hot token's entire
-    * posting list in one task. Term scores stay exact through the
-    * Double buffer below 2⁵³ (idf ≤ 10⁴·N/df keeps real corpora far
-    * under it). Exposed for spec-level bound checks. */
-  def bm25Postings(docs: DataFrame, idCol: String, textCol: String,
-                   maxDfPct: Int = 90, cap: Int = 64): DataFrame = {
+  /** Frozen corpus statistics a BM25 index is scored against:
+    * `(N, A)` one-row globals and the per-token df table. Freezing
+    * them at index-build time is the lexical analogue of the ANN
+    * tiers' frozen coarse quantizer: APPENDED documents score
+    * against the standing statistics, so incremental == rebuild
+    * holds EXACTLY (same stats in, same scores out) and the index
+    * never needs a corpus-wide rescore per batch. The documented
+    * trade (every production engine makes it): idf staleness grows
+    * with append volume until a scheduled full rebuild refreshes
+    * the stats — scores stay deterministic throughout. */
+  final case class Bm25Stats(glob: DataFrame, dfTok: DataFrame)
+
+  /** Derive the frozen statistics from a corpus snapshot. */
+  def bm25StatsOf(docs: DataFrame, idCol: String, textCol: String): Bm25Stats = {
+    val tf = tokTf(docs, idCol, textCol)
+    Bm25Stats(
+      tf.agg(countDistinct("__doc").as("__n"), sum("__tf").as("__a")),
+      tf.groupBy("__tok").agg(count(lit(1)).as("__df")))
+  }
+
+  /** Capped, df-cut, impact-ordered postings for `docs` scored
+    * against FROZEN `stats` (see [[Bm25Stats]]). Same bounds as
+    * [[bm25Postings]]; a token absent from the frozen df table has
+    * unknown rarity and is skipped (it cannot pass a df cutoff it
+    * was never measured for — the conservative posture; the next
+    * rebuild folds it in). */
+  def bm25PostingsWith(stats: Bm25Stats, docs: DataFrame,
+                       idCol: String, textCol: String,
+                       maxDfPct: Int = 90, cap: Int = 64): DataFrame = {
     require(maxDfPct >= 1 && maxDfPct <= 100, s"maxDfPct in [1,100]: $maxDfPct")
     require(cap >= 1, s"cap must be positive: $cap")
     val tf = tokTf(docs, idCol, textCol)
-    val dfTok = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
-    val glob = tf.agg(countDistinct("__doc").as("__n"), sum("__tf").as("__a"))
-    val scored = tf.join(dfTok, "__tok").crossJoin(broadcast(glob))
+    val scored = tf.join(stats.dfTok, "__tok").crossJoin(broadcast(stats.glob))
       .filter(col("__df") * 100 <= col("__n") * maxDfPct)
       .withColumn("__idf", expr("(cast(__n as decimal(38,0)) * 10000) div __df"))
       .withColumn("__score", expr(
@@ -73,6 +88,35 @@ object Retrieval {
       .select(col("tok"), col("p._2").as("doc"),
         col("p._1").cast("long").as("score_term"))
   }
+
+  /** INCREMENTAL index append: the batch's postings scored against
+    * the standing index's frozen stats. The union with the base
+    * postings is the live index; per-token lists are capped per
+    * SEGMENT (base and batch each ≤ cap — the segment/merge posture
+    * of every log-structured text index; a compaction re-runs the
+    * cap across segments). Work is O(batch), zero base touches. */
+  def bm25AppendPostings(stats: Bm25Stats, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         maxDfPct: Int = 90, cap: Int = 64): DataFrame =
+    bm25PostingsWith(stats, batch, idCol, textCol, maxDfPct, cap)
+
+  /** Impact-ordered, df-cut, capped posting lists:
+    * `(tok, doc, score_term)` where every token passing the df cutoff
+    * (`df·100 ≤ N·maxDfPct`) keeps its `cap` best documents by
+    * integer BM25 term score (ties by doc id). The cap rides
+    * [[graft.functions.TopKAgg]] — an ObjectHashAggregate with
+    * map-side partials holding ≤ cap pairs per token per partition —
+    * NOT a row_number window, which would sort a hot token's entire
+    * posting list in one task. Term scores stay exact through the
+    * Double buffer below 2⁵³ (idf ≤ 10⁴·N/df keeps real corpora far
+    * under it). Exposed for spec-level bound checks. */
+  def bm25Postings(docs: DataFrame, idCol: String, textCol: String,
+                   maxDfPct: Int = 90, cap: Int = 64): DataFrame =
+    // one scoring implementation: a full build IS the frozen-stats
+    // build against its own snapshot's stats, so the incremental
+    // path can never drift from the rebuild arithmetic
+    bm25PostingsWith(bm25StatsOf(docs, idCol, textCol), docs,
+      idCol, textCol, maxDfPct, cap)
 
   /** Per-query BM25 top-k: queries' DISTINCT tokens probe the capped
     * posting lists, candidate scores sum per (query, doc), and each

@@ -710,3 +710,53 @@ class FollowShardedSpec extends SparkSpec {
       s"post-shard changes wrong: $delta")
   }
 }
+
+/** Round-10 incremental BM25 index: appended documents score against
+  * the standing index's FROZEN stats (the lexical analogue of the
+  * ANN tiers' frozen quantizer), so incremental == rebuild holds
+  * exactly under the same stats, per-segment caps still bind, and
+  * never-seen tokens are conservatively skipped until a rebuild. */
+class Bm25IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Retrieval
+
+  private def corpusOf(ids: Range) = ids.map { i =>
+    val mid = if (i % 2 == 0) " mid" else ""
+    (i.toLong, s"stop$mid rare${i % 8} stop extra${i % 4}")
+  }.toDF("doc_id", "text")
+
+  test("frozen-stats append == rebuild under the same stats; caps bind per segment") {
+    val base = corpusOf(0 until 30)
+    val batch = corpusOf(30 until 40)
+    val stats = Retrieval.bm25StatsOf(base, "doc_id", "text")
+    val inc = Retrieval.bm25AppendPostings(stats, batch, "doc_id", "text",
+      maxDfPct = 90, cap = 7)
+    // rebuild of the SAME batch against the SAME frozen stats
+    val rebuilt = Retrieval.bm25PostingsWith(stats, batch, "doc_id", "text",
+      maxDfPct = 90, cap = 7)
+    assert(inc.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(inc).isEmpty)
+    // per-segment caps: batch postings never exceed the cap
+    val maxLen = inc.groupBy("tok").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxLen <= 7, s"batch segment posting exceeded cap: $maxLen")
+    // the full build routes through the same scoring: postings of the
+    // base equal bm25Postings(base) exactly
+    val full = Retrieval.bm25Postings(base, "doc_id", "text", maxDfPct = 90, cap = 7)
+    val via = Retrieval.bm25PostingsWith(stats, base, "doc_id", "text",
+      maxDfPct = 90, cap = 7)
+    assert(full.exceptAll(via).isEmpty && via.exceptAll(full).isEmpty)
+  }
+
+  test("tokens unseen by the frozen stats are skipped until a rebuild") {
+    val base = corpusOf(0 until 30)
+    val stats = Retrieval.bm25StatsOf(base, "doc_id", "text")
+    val novel = Seq((99L, "brandnewtoken rare1")).toDF("doc_id", "text")
+    val inc = Retrieval.bm25AppendPostings(stats, novel, "doc_id", "text").cache()
+    try {
+      assert(inc.filter(col("tok") === "brandnewtoken").isEmpty,
+        "a token with no frozen df must not be scored against unknown rarity")
+      assert(inc.filter(col("tok") === "rare1").count() == 1,
+        "known tokens of the new doc must index normally")
+    } finally inc.unpersist()
+  }
+}
