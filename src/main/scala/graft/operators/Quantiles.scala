@@ -87,13 +87,23 @@ object Quantiles {
     def sample(mod: Long) = kdf.select(kcols.map(col): _*)
       .filter(pmod(xxhash64(kcols.map(col): _*), lit(mod)) === 0)
       .collect().map(_.toSeq).sortWith((a, b) => keyOrdering.compare(a, b) < 0)
+    // trivial frames (≤ 8·buckets rows by the byte estimate — and the
+    // estimate only ever OVERSHOOTS rows, so a genuinely large frame
+    // cannot land here) skip the sample: one bucket whose window
+    // costs nothing at that size, saving a driver job per call — the
+    // vocabulary-rank users (t10/p1: tens of distinct tokens at test
+    // scale, megabytes → millions of estimated rows at corpus scale)
+    // are exactly this shape
+    val trivial = estRows <= buckets.toLong * 8
     // 4x the exact-count density (256/bucket): the byte estimate can
     // overshoot rows by the storage format's per-row overhead (~4x),
     // and a sparser sample costs bucket BALANCE; overshooting density
     // instead costs only driver collect size, bounded at ~256·buckets
     // keys when the estimate is accurate
-    var sampled = sample(math.max(1L, estRows / (buckets.toLong * 256)))
-    if (sampled.isEmpty && estRows > 0) {
+    var sampled =
+      if (trivial) Array.empty[Seq[Any]]
+      else sample(math.max(1L, estRows / (buckets.toLong * 256)))
+    if (sampled.isEmpty && !trivial && estRows > 0) {
       // estimate overshoot (tiny frames round up to a storage block):
       // one exact count, then the original density
       val n = kdf.count()

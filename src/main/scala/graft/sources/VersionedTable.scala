@@ -1174,7 +1174,11 @@ object VersionedTable {
     * [[graft.operators.Layout]] and `statsCols`), under the same OCC
     * retry. Readers pinned to earlier versions are untouched; after
     * it, a selective [[readRange]] on ANY cluster column prunes from
-    * the manifest alone. */
+    * the manifest alone. NOTE: the overwrite commit writes a FLAT
+    * manifest (an optimize rewrites every file, so its metadata is
+    * inherently O(files) that one time) — on a sharded table, run
+    * [[shardManifest]] again afterwards; cluster order makes the
+    * re-shard's range-disjoint grouping ideal. */
   def optimize(spark: SparkSession, root: String, clusterCols: Seq[String],
                bits: Int = 8, nFiles: Int = 64, maxRetries: Int = 5): Long = {
     require(clusterCols.nonEmpty, "optimize needs cluster columns")
