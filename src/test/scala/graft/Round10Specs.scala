@@ -760,3 +760,38 @@ class Bm25IncrementalSpec extends SparkSpec {
     } finally inc.unpersist()
   }
 }
+
+/** Round-10: cloning a SHARDED table must expand shard refs into
+  * absolute file lines (a clone must not reference metadata the
+  * source's manifest GC owns) and stay row- and DV-exact. */
+class CloneShardedSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def newRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtclsh").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("clone of a sharded source expands refs and pins rows + DVs") {
+    val src = newRoot(); val dst = newRoot()
+    VersionedTable.commit(
+      (0L until 512L).toDF("k").repartitionByRange(8, col("k")), src,
+      statsCols = Seq("k"))
+    VersionedTable.deleteWhereDv(spark, src, "k = 9")
+    VersionedTable.shardManifest(spark, src, targetFilesPerShard = 2)
+    assert(VersionedTable.shardRefs(spark, src).size == 4)
+    VersionedTable.clone(spark, src, dst)
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dst, "_manifests", "v1.manifest")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(!body.contains("@shard"), "clone must expand shard refs")
+    assert(VersionedTable.shardRefs(spark, dst).isEmpty)
+    assert(VersionedTable.read(spark, dst).count() == 511)
+    assert(VersionedTable.read(spark, dst).filter("k = 9").isEmpty,
+      "source DV must pin into the clone")
+    // the clone is independent: a later source commit never leaks in
+    VersionedTable.commit(Seq(9999L).toDF("k"), src, mode = "append")
+    assert(VersionedTable.read(spark, dst).count() == 511)
+  }
+}
