@@ -508,6 +508,46 @@ object Similarity {
     ivfNearestCell(withNorm(batch, idCol, vecCol, "c"), "c", centroids)
   }
 
+  /** FILTERED ANN — kNN restricted to corpus rows satisfying `pred`
+    * (the vector-store "filtered search" primitive: nearest English
+    * docs, nearest where label = 3). The coarse quantizer is trained
+    * on the FULL corpus — the filter is a per-query constraint and
+    * must not move the standing index — but the probe join sees only
+    * PRE-FILTERED candidates: the predicate lands on the corpus scan
+    * (cell assignment is row-local, so filtering before assignment
+    * yields exactly the filtered slice of the standing cell table, at
+    * O(|σ(corpus)| · nCells) assignment work instead of O(corpus)).
+    * This is pre-filtering, never "top-k then filter" — post-filtering
+    * under-fills results whenever the predicate is selective, the
+    * classic filtered-ANN failure. At 100 TB the stored cell table is
+    * partitioned by cell and min/max-pruned on the filter column, so
+    * the same predicate bounds index I/O scan-side; a query can
+    * legitimately return fewer than k rows when the filtered corpus
+    * within the probed cells runs dry (widen nProbe to trade cost for
+    * fill). */
+  def knnIvfFiltered(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, pred: Column, k: Int, nCells: Int = 16,
+                     nProbe: Int = 2, lloydIters: Int = 0): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "c").cache()
+    val centroids = ivfCentroids(c, nCells, lloydIters)
+    val filteredCells = ivfNearestCell(
+      withNorm(corpus.filter(pred), idCol, vecCol, "c"), "c", centroids)
+      .select("cell", "cid", "cv", "cn")
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val queryCells = ivfAssignDist(q, "qv", centroids)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("rk") <= nProbe).select("cell", "qid", "qv", "qn")
+    queryCells.join(filteredCells, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   def knnIvf(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, nCells: Int = 16, nProbe: Int = 2, lloydIters: Int = 2): DataFrame = {
     val (corpusCells, queryCells) =

@@ -818,6 +818,53 @@ object PipelineQueries {
              |CAST(10 AS BIGINT) AS n_within_eps
              |FROM embeddings WHERE vec_id < 5 ORDER BY 1""".stripMargin)),
 
+    Q("s19_knn_filtered",
+      // FILTERED vector search — kNN under a metadata predicate
+      // (label < 3, ~30% selectivity), the standing-index variant
+      // every production vector store exposes. Quantizer trained on
+      // the FULL corpus (the filter is per-query, not per-index);
+      // candidates are PRE-filtered at the corpus scan, never
+      // top-k-then-filter. lloydIters = 0 keeps the whole operator a
+      // deterministic expression tree, so the oracle replays it
+      // exactly; Round10Specs pins the pushed-down scan filter.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnIvfFiltered(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", col("label") < 3, k = 10, lloydIters = 0)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $cosSql,
+              |cef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings WHERE label < 3),
+              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+              |  FROM (SELECT * FROM ce ORDER BY vec_id LIMIT 16)),
+              |adc AS (SELECT cef.vec_id, seeds.cell,
+              |    list_dot_product(cef.v, cef.v) - 2.0 * list_dot_product(cef.v, seeds.cv)
+              |      + list_dot_product(seeds.cv, seeds.cv) AS dist
+              |  FROM cef, seeds),
+              |corpus AS (SELECT vec_id AS cid, cell FROM (
+              |    SELECT vec_id, cell,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+              |    FROM adc) WHERE rk = 1),
+              |adq AS (SELECT ce.vec_id, seeds.cell,
+              |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.cv)
+              |      + list_dot_product(seeds.cv, seeds.cv) AS dist
+              |  FROM ce, seeds WHERE ce.vec_id < 5),
+              |qcells AS (SELECT vec_id AS qid, cell FROM (
+              |    SELECT vec_id, cell,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk
+              |    FROM adq) WHERE rk <= 2),
+              |cand AS (SELECT qid, cid FROM qcells JOIN corpus USING (cell) WHERE qid <> cid),
+              |sc AS (SELECT qid, cid,
+              |  list_dot_product(qv.v, cv.v)
+              |    / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM cand JOIN ce qv ON qv.vec_id = qid JOIN cef cv ON cv.vec_id = cid),
+              |r AS (SELECT qid, cid, cos,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     Q("p0_corpus_pipeline",
       // The composed END-TO-END training-data pipeline as one operator
       // (the corpus-side analog of g10): exact-dedup survivors →

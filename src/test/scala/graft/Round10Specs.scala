@@ -795,3 +795,34 @@ class CloneShardedSpec extends SparkSpec {
     assert(VersionedTable.read(spark, dst).count() == 511)
   }
 }
+
+/** Round-10: filtered ANN (s19) — the predicate must PRE-filter the
+  * corpus side at the parquet scan (pushed filter), the probe join
+  * must only ever see filtered candidates, and no emitted neighbor
+  * may violate the predicate. */
+class KnnFilteredSpec extends SparkSpec {
+
+  test("s19: label predicate is pushed into the corpus scan; results honor it") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val out = graft.operators.Similarity.knnIvfFiltered(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      col("label") < 3, k = 10, lloydIters = 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(label,3)"),
+      "filter must reach the parquet scan as a pushed filter")
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // every emitted neighbor satisfies the predicate (pre-filtering,
+    // not top-k-then-filter)
+    val okLabels = e.filter(col("label") < 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => okLabels(r.getLong(r.fieldIndex("neighbor_id")))))
+    // under-fill is legitimate but bounded: per query at most k rows,
+    // ranks contiguous from 1
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val rks = rs.map(_.getInt(1)).sorted
+      assert(rks.sameElements(1 to rks.length), s"query $q ranks $rks")
+    }
+  }
+}
