@@ -72,6 +72,102 @@ object TextAnalysis {
        |FROM c""".stripMargin
   }
 
+  /** Gopher-style RULE-FLAG quality filter (Rae et al. 2021, table A1
+    * — the published web-corpus rules, distinct from [[qualityScore]]'s
+    * composite score): each rule is an independent 0/1 flag so a
+    * pipeline can audit WHICH rule rejected a document, not just that
+    * one did. Thresholds are the published ones; every underlying
+    * measure is emitted as an exact integer (x100 / basis points,
+    * integer division) so the flags and the evidence are bit-identical
+    * across engines. keep = conjunction of all six.
+    *
+    *  - r_wordcount: 50 ≤ words ≤ 100000
+    *  - r_wordlen:   3 ≤ mean word chars ≤ 10
+    *  - r_symbol:    ('#' + '...') per word < 0.1
+    *  - r_bullet:    lines starting with a bullet < 90%
+    *  - r_ellipsis:  lines ending in '...' < 30%
+    *  - r_alpha:     words containing an alphabetic char ≥ 80%
+    *  - r_stop:      ≥ 2 distinct [[Stopwords]] present
+    */
+  def qualityRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(split(t, " "), x => x =!= "")
+    val nWords = size(toks).cast("long")
+    val sumChars = length(regexp_replace(t, " ", "")).cast("long")
+    val nAlpha = size(filter(toks, x => x.rlike("[a-z]"))).cast("long")
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val nEllLine = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val padded = concat(lit(" "), t, lit(" "))
+    val nStop = Stopwords.map(w =>
+      when(padded.contains(s" $w "), 1L).otherwise(0L)).reduce(_ + _)
+    df.select(col(idCol).as("doc_id"), nWords.as("n_words"),
+        sumChars.as("__sc"), nAlpha.as("__na"), (nHash + nEll).as("__nsym"),
+        nLines.as("__nl"), nBullet.as("__nb"), nEllLine.as("__ne"),
+        nStop.as("n_stopwords"))
+      .select(col("doc_id"), col("n_words"),
+        expr("__sc * 100 div n_words").as("word_len_x100"),
+        expr("__nsym * 10000 div n_words").as("symbol_bp"),
+        expr("__nb * 10000 div __nl").as("bullet_bp"),
+        expr("__ne * 10000 div __nl").as("ellipsis_bp"),
+        expr("__na * 10000 div n_words").as("alpha_bp"),
+        col("n_stopwords"))
+      .select(col("doc_id"), col("n_words"), col("word_len_x100"),
+        col("symbol_bp"), col("bullet_bp"), col("ellipsis_bp"),
+        col("alpha_bp"), col("n_stopwords"),
+        expr("CAST(n_words BETWEEN 50 AND 100000 AS INT)").as("r_wordcount"),
+        expr("CAST(word_len_x100 BETWEEN 300 AND 1000 AS INT)").as("r_wordlen"),
+        expr("CAST(symbol_bp < 1000 AS INT)").as("r_symbol"),
+        expr("CAST(bullet_bp < 9000 AS INT)").as("r_bullet"),
+        expr("CAST(ellipsis_bp < 3000 AS INT)").as("r_ellipsis"),
+        expr("CAST(alpha_bp >= 8000 AS INT)").as("r_alpha"),
+        expr("CAST(n_stopwords >= 2 AS INT)").as("r_stop"))
+      .withColumn("keep",
+        expr("""CAST(r_wordcount + r_wordlen + r_symbol + r_bullet
+               | + r_ellipsis + r_alpha + r_stop = 7 AS INT)""".stripMargin))
+  }
+
+  /** SQL mirror of [[qualityRules]] for the DuckDB oracle. */
+  def qualityRulesSql: String = {
+    val stopSum = Stopwords.map(w =>
+      s"(CASE WHEN (' ' || text || ' ') LIKE '% $w %' THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH c AS (SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_words,
+       |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS sc,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS na,
+       |  CAST(length(text) - length(replace(text, '#', ''))
+       |    + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS nsym,
+       |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+       |  CAST(len(list_filter(string_split(text, chr(10)),
+       |    l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS nb,
+       |  CAST(len(list_filter(string_split(text, chr(10)), l -> l LIKE '%...')) AS BIGINT) AS ne,
+       |  CAST($stopSum AS BIGINT) AS n_stopwords
+       |  FROM documents),
+       |m AS (SELECT doc_id, n_words, sc * 100 // n_words AS word_len_x100,
+       |  nsym * 10000 // n_words AS symbol_bp, nb * 10000 // nl AS bullet_bp,
+       |  ne * 10000 // nl AS ellipsis_bp, na * 10000 // n_words AS alpha_bp,
+       |  n_stopwords FROM c)
+       |SELECT doc_id, n_words, word_len_x100, symbol_bp, bullet_bp,
+       |  ellipsis_bp, alpha_bp, n_stopwords,
+       |  CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_wordcount,
+       |  CAST(word_len_x100 BETWEEN 300 AND 1000 AS INT) AS r_wordlen,
+       |  CAST(symbol_bp < 1000 AS INT) AS r_symbol,
+       |  CAST(bullet_bp < 9000 AS INT) AS r_bullet,
+       |  CAST(ellipsis_bp < 3000 AS INT) AS r_ellipsis,
+       |  CAST(alpha_bp >= 8000 AS INT) AS r_alpha,
+       |  CAST(n_stopwords >= 2 AS INT) AS r_stop,
+       |  CAST(CAST(n_words BETWEEN 50 AND 100000 AS INT)
+       |    + CAST(word_len_x100 BETWEEN 300 AND 1000 AS INT)
+       |    + CAST(symbol_bp < 1000 AS INT) + CAST(bullet_bp < 9000 AS INT)
+       |    + CAST(ellipsis_bp < 3000 AS INT) + CAST(alpha_bp >= 8000 AS INT)
+       |    + CAST(n_stopwords >= 2 AS INT) = 7 AS INT) AS keep
+       |FROM m""".stripMargin
+  }
+
   /** Character-gram profiles for a few languages (tiny, embedded —
     * a real deployment would load trained profiles). Scores are
     * deterministic; accuracy on synthetic word-salad text is

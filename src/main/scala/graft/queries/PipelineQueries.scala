@@ -953,6 +953,16 @@ object PipelineQueries {
         .orderBy("doc_id"),
       Some(TextAnalysis.qualityScoreSql + "\nORDER BY doc_id")),
 
+    Q("t24_quality_rules",
+      // The published Gopher rule set as independent 0/1 flags (which
+      // rule rejected, not just that one did) — t2 is the composite
+      // score; this is the auditable filter. All measures integer-
+      // exact (x100 / bp, integer division), replayed verbatim by the
+      // oracle.
+      (s, d) => TextAnalysis.qualityRules(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(TextAnalysis.qualityRulesSql + "\nORDER BY doc_id")),
+
     Q("t3_langid",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"),
