@@ -314,6 +314,45 @@ object Corpus {
       .select(col("doc_id"), col("stratum"), col("rep").cast("long").as("rep"))
   }
 
+  /** TOKEN-BUDGET composition — the data-recipe primitive ("this run
+    * gets 200B web tokens, 50B code tokens"): per source, admit
+    * documents in deterministic md5 order until the source's TOKEN
+    * budget fills. A document is admitted iff the tokens admitted
+    * before it are still under budget, so the crossing document is
+    * taken and overshoot is bounded by one document — the standard
+    * fill-then-stop cut. [[temperatureMix]] counts documents; budgets
+    * bind on tokens, which is what a training run actually buys.
+    * Returns the admitted manifest (doc_id, src, n_tokens,
+    * cum_tokens inclusive) — feed it to pack/shard downstream.
+    *
+    * Scale shape: one cumulative-sum window partitioned BY SOURCE —
+    * the corpus's natural parallelism (a recipe has tens of sources,
+    * each internally unordered); no global sort, no driver state.
+    * A single pathologically dominant source would ride the same
+    * bucketed prefix-sum as Quantiles (bucket by hash prefix,
+    * prefix-sum bucket totals, sort only the boundary bucket). */
+  def tokenBudgetMix(df: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, budgets: Map[String, Long],
+                     defaultBudget: Long): DataFrame = {
+    require((defaultBudget +: budgets.values.toSeq).forall(_ >= 0),
+      "budgets must be >= 0")
+    val bcol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col("src") === k, lit(v)).otherwise(acc)
+    }
+    val w = Window.partitionBy("src")
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+        size(filter(split(col(textCol), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      .withColumn("hk",
+        expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)").cast("long"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("__budget", bcol)
+      .filter(col("cum_tokens") - col("n_tokens") < col("__budget"))
+      .select("doc_id", "src", "n_tokens", "cum_tokens")
+  }
+
   /** Per-document rare-token score: rank the vocabulary by descending
     * corpus frequency (rank 1 = most common; ties broken by token, so
     * the rank is total and engine-independent) and sum the rank over

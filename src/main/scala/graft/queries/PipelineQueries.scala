@@ -2866,6 +2866,27 @@ object PipelineQueries {
               |SELECT g.src, t.n, t.target, g.taken, g.min_id, g.max_id
               |FROM g JOIN t USING (src) ORDER BY src""".stripMargin)),
 
+    Q("c10_token_budget",
+      // TOKEN-budget recipe composition (c6 counts documents; a
+      // training run buys tokens): per source, admit docs in md5
+      // order until the source's token budget fills — crossing doc
+      // admitted, overshoot ≤ 1 doc. src0 capped tight (300), src1
+      // uncapped within its mass, the rest on the 700 default.
+      (s, d) => Corpus.tokenBudgetMix(Tables.documents(s, d), "doc_id", "text",
+          "source", Map("src0" -> 300L, "src1" -> 100000L), defaultBudget = 700L)
+        .orderBy("src", "cum_tokens"),
+      Some(s"""WITH h AS (SELECT doc_id, source AS src,
+              |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+              |    $docIdBaseHashSql AS hk FROM documents),
+              |c AS (SELECT doc_id, src, n_tokens,
+              |    sum(n_tokens) OVER (PARTITION BY src ORDER BY hk, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              |  FROM h)
+              |SELECT doc_id, src, n_tokens, cum_tokens FROM c
+              |WHERE cum_tokens - n_tokens <
+              |  (CASE src WHEN 'src0' THEN 300 WHEN 'src1' THEN 100000 ELSE 700 END)
+              |ORDER BY src, cum_tokens""".stripMargin)),
+
     Q("t17_readability",
       // Flesch-Kincaid readability: words / sentences / vowel-group
       // syllables, all from single regexp passes — narrow no-shuffle
