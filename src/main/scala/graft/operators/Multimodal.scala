@@ -113,6 +113,63 @@ object Multimodal {
       }).toDF("id", "jpg")
   }
 
+  /** HEADER-ONLY media metadata — the cheap 100-TB metadata pass: a
+    * corpus-wide (fmt, width, height, depth) profile must not decode
+    * 100 TB of pixels. Reads headers only: PNG signature → IHDR
+    * width/height/bit-depth (IHDR is by spec the first chunk, fixed
+    * offsets); JPEG SOI → proper segment walk to the first SOF marker
+    * (C0–C3/C5–C7/C9–CB/CD–CF; skips APPn/DQT/DHT by their declared
+    * lengths, stops at SOS — dimensions always precede entropy-coded
+    * data) → precision/height/width; anything else `unknown` with
+    * zero geometry. Partition-wise over primitive arrays like
+    * [[decode]], but never inflates a raster — per-payload cost is
+    * the segment table, not the image. In a deployment the binary
+    * column's reader feeds only head bytes (lazy blob I/O / a stored
+    * head-sample column); the operator touches nothing past the
+    * header either way. Output: (id, fmt, width, height, depth). */
+  def sniffHeaders(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytesRaw) =>
+        val b = if (bytesRaw == null) Array.empty[Byte] else bytesRaw
+        @inline def u(i: Int): Int = b(i) & 0xFF
+        @inline def be16(i: Int): Long = ((u(i) << 8) | u(i + 1)).toLong
+        @inline def be32(i: Int): Long =
+          ((u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3))
+        val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        def isPng = b.length >= 26 && pngSig.indices.forall(i => u(i) == pngSig(i)) &&
+          u(12) == 'I' && u(13) == 'H' && u(14) == 'D' && u(15) == 'R'
+        def isSof(m: Int): Boolean =
+          m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+        if (isPng)
+          (id, "png", be32(16), be32(20), u(24).toLong)
+        else if (b.length >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
+          var p = 2
+          var out: (Long, Long, Long) = null
+          while (out == null && p + 3 < b.length) {
+            if (u(p) != 0xFF) p += 1 // resync on stray bytes
+            else {
+              val m = u(p + 1)
+              if (m == 0xFF) p += 1 // fill byte before a marker
+              else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) p += 2 // no-length markers
+              else if (m == 0xDA || m == 0xD9) p = b.length // SOS/EOI: no SOF seen
+              else {
+                val len = be16(p + 2).toInt
+                if (isSof(m) && p + 8 < b.length)
+                  out = (be16(p + 7), be16(p + 5), u(p + 4).toLong) // (w, h, precision)
+                else p += 2 + len
+              }
+            }
+          }
+          out match {
+            case (w, h, d) => (id, "jpeg", w, h, d)
+            case null      => (id, "unknown", 0L, 0L, 0L)
+          }
+        } else (id, "unknown", 0L, 0L, 0L)
+      }).toDF("doc_id", "fmt", "width", "height", "depth")
+  }
+
   /** Perceptual-hash near-duplicate pairs over a binary media column:
     * a 60-bit AVERAGE HASH (aHash) per payload — bit j set iff the
     * j-th positional byte-group sum exceeds the global mean, the

@@ -1272,6 +1272,35 @@ object PipelineQueries {
              |  CAST(1 AS BIGINT) AS dev_ok
              |FROM b ORDER BY doc_id""".stripMargin)),
 
+    Q("m11_header_meta",
+      // HEADER-ONLY metadata extraction over REAL codec output: even
+      // doc_ids ride as genuine PNGs, odd as genuine JPEGs, and the
+      // sniffer reads signature + IHDR / SOI + SOF segment walk ONLY
+      // — never a raster. The oracle derives the expected geometry
+      // from the original byte count (width fixed at 32, height =
+      // ceil(n/32), 8-bit) — a parser regression on either format's
+      // header layout fails the hash gate. This is the 100-TB
+      // metadata pass: a corpus profile must not decode the corpus.
+      (s, d) => {
+        val payload = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        val pngs = Multimodal.encodeGrayPng(
+          payload.filter(col("doc_id") % 2 === 0), "doc_id", "payload", width = 32)
+          .select(col("id"), col("png").as("bin"))
+        val jpgs = Multimodal.encodeGrayJpeg(
+          payload.filter(col("doc_id") % 2 === 1), "doc_id", "payload", width = 32)
+          .select(col("id"), col("jpg").as("bin"))
+        Multimodal.sniffHeaders(pngs.unionByName(jpgs), "id", "bin")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+             |  CAST(32 AS BIGINT) AS width,
+             |  CAST(greatest((n + 31) // 32, 1) AS BIGINT) AS height,
+             |  CAST(8 AS BIGINT) AS depth
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
     Q("m3_frame_sample",
       // Frame sampling over video-like payloads (Multimodal
       // .frameSample): 32-byte frames, every 2nd sampled, exact

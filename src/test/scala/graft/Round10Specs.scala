@@ -826,3 +826,37 @@ class KnnFilteredSpec extends SparkSpec {
     }
   }
 }
+
+/** Round-10: header sniffing (m11) must be robust to payloads that
+  * are not images at all, truncated mid-header, or JPEGs whose SOF is
+  * behind multiple variable-length segments. */
+class SniffHeadersSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Multimodal
+
+  test("non-image, empty, and truncated payloads come back unknown") {
+    val rows = Seq(
+      1L -> "just some text".getBytes("UTF-8"),
+      2L -> Array.empty[Byte],
+      3L -> Array[Byte](0xFF.toByte, 0xD8.toByte), // bare SOI
+      4L -> Array[Byte](0xFF.toByte, 0xD8.toByte, 0x00, 0x01, 0x02)) // garbage after SOI
+    val out = Multimodal.sniffHeaders(rows.toDF("id", "bin"), "id", "bin")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unknown", 2L -> "unknown", 3L -> "unknown", 4L -> "unknown"))
+  }
+
+  test("JPEG SOF behind APPn/DQT segments parses; progressive SOF2 too") {
+    // hand-build: SOI, APP0 (len 6), DQT (len 5), SOF2 3x5 image, SOS
+    def seg(m: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, m.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xFF).toByte) ++ payload
+    val sof2 = seg(0xC2, Array[Byte](8, 0, 5, 0, 3, 1, 0x11, 0)) // p=8 h=5 w=3
+    val jpeg = Array(0xFF.toByte, 0xD8.toByte) ++
+      seg(0xE0, Array[Byte](1, 2, 3, 4)) ++ seg(0xDB, Array[Byte](9, 9, 9)) ++
+      sof2 ++ Array(0xFF.toByte, 0xDA.toByte)
+    val out = Multimodal.sniffHeaders(Seq(7L -> jpeg).toDF("id", "bin"), "id", "bin")
+      .collect().head
+    assert((out.getString(1), out.getLong(2), out.getLong(3), out.getLong(4)) ==
+      ("jpeg", 3L, 5L, 8L))
+  }
+}
