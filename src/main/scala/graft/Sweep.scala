@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
 import graft.queries.GraphQueries
 import graft.graph.GraphOps
 
@@ -497,6 +497,59 @@ object Sweep {
         if (!once) "not one row per vector"
         else if (badKept > 0) s"$badKept rows violate kept<->n_dup_smaller"
         else if (badCap > 0) s"$badCap cells partially marked capped"
+        else ""
+      },
+
+      "s19_filtered_100x" -> { () =>
+        // round 10: filtered ANN at 200k vectors — every emitted
+        // neighbor honors the predicate (pre-filtering, never
+        // top-k-then-filter), ranks stay contiguous per query, and
+        // the probe fills from the filtered slice
+        val e = emb(embDir)
+        val out = Similarity.knnIvfFiltered(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", col("label") < 3, k = 10,
+          nCells = 64, nProbe = 4, lloydIters = 0).cache()
+        val bad = out.join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id")).filter(col("label") >= 3).count()
+        val gaps = out.groupBy("query_id")
+          .agg(count(lit(1)).as("n"), max("rk").as("mx"))
+          .filter(col("n") =!= col("mx")).count()
+        val nOut = out.count()
+        out.unpersist()
+        if (bad > 0) s"$bad neighbors violate the predicate"
+        else if (gaps > 0) s"$gaps queries with non-contiguous ranks"
+        else if (nOut != 50) s"$nOut rows, want 50 (full fill at 30% selectivity)"
+        else ""
+      },
+
+      "c10_budget_cut_100x" -> { () =>
+        // round 10: token-budget composition at 500k docs — emitted
+        // cumsums internally consistent per source (max cum == Σ
+        // n_tokens), every admitted doc under budget before itself,
+        // the crossing doc pushes the fill to >= budget, and no
+        // source admits everything (budget binds) or nothing
+        val budget = 100000L
+        val out = Corpus.tokenBudgetMix(docs(docDir), "doc_id", "text",
+          "source", Map.empty, defaultBudget = budget).cache()
+        val perSrc = out.groupBy("src").agg(
+          count(lit(1)).as("n"), sum("n_tokens").as("tok"),
+          max("cum_tokens").as("mx"),
+          sum((col("cum_tokens") - col("n_tokens") >= budget).cast("long")).as("over"))
+          .cache()
+        val srcTotals = docs(docDir).groupBy(col("source").as("src"))
+          .agg(count(lit(1)).as("total"))
+        val inconsistent = perSrc.filter(col("mx") =!= col("tok")).count()
+        val overs = perSrc.agg(sum("over")).collect()(0).getLong(0)
+        val unfilled = perSrc.filter(col("mx") < budget).count()
+        val degenerate = perSrc.join(srcTotals, Seq("src"))
+          .filter(col("n") === 0 || col("n") === col("total")).count()
+        val nSrc = perSrc.count()
+        perSrc.unpersist(); out.unpersist()
+        if (inconsistent > 0) s"$inconsistent sources with cum != sum"
+        else if (overs > 0) s"$overs docs admitted past their budget"
+        else if (unfilled > 0) s"$unfilled sources under-filled despite available mass"
+        else if (degenerate > 0) s"$degenerate sources admitted none/all (budget didn't bind)"
+        else if (nSrc == 0) "no sources"
         else ""
       }
     )
