@@ -1122,6 +1122,38 @@ object PipelineQueries {
               |SELECT lang, split, CAST(count(*) AS BIGINT) AS n
               |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("smp8_group_split",
+      // GROUP-aware train/valid/test split — the leakage-safe variant
+      // of smp5: the split keys on md5(source), so every document of
+      // a source lands in the SAME split (near-duplicates and shared
+      // boilerplate inside a source can never straddle train/test —
+      // the GroupShuffleSplit contract). Pure projection like smp5:
+      // no shuffle for the assignment itself, deterministic across
+      // engines. The per-(source, split) rollup IS the leakage
+      // certificate — one row per source.
+      (s, d) => {
+        val pct = expr(
+          s"CAST(conv(substr(md5(source), 1, 8), 16, 10) AS BIGINT)" +
+            s" % ${Dedup.MinhashP} % 100")
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(pct < 80, "train").when(pct < 90, "valid").otherwise("test"))
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(filter(split(col("text"), " "), t => t =!= ""))
+              .cast("long")).as("n_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH h AS (SELECT source,
+              |    (${baseHashSqlOf("source")}) % ${Dedup.MinhashP} % 100 AS pct,
+              |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt
+              |  FROM documents)
+              |SELECT source,
+              |  CASE WHEN pct < 80 THEN 'train'
+              |       WHEN pct < 90 THEN 'valid' ELSE 'test' END AS split,
+              |  CAST(count(*) AS BIGINT) AS n_docs, sum(nt) AS n_tokens
+              |FROM h GROUP BY 1, 2 ORDER BY source""".stripMargin)),
+
     Q("smp2_stratified_sample",
       // per-stratum deterministic rates: downsample the dominant
       // language, keep the rest — the corpus-rebalancing primitive
