@@ -409,6 +409,85 @@ object StreamingOps {
     ()
   }
 
+  /** Streaming TOKEN-BUDGET admission — c10's recipe composition as a
+    * live pipeline: documents arrive in micro-batches and each source
+    * admits until its token budget fills, then drops everything after
+    * (the live data-recipe gate: "stop taking web tokens once the run
+    * has its 200B"). Admission order is ARRIVAL order across batches
+    * (a stream cannot reorder history) and the c10 md5 order within a
+    * batch, so a one-batch stream is EXACTLY the batch operator.
+    * Standing state is one row per source (tokens admitted so far) —
+    * O(sources), not O(docs); a batch's work is one bounded window
+    * over the batch plus a broadcast-sized join against the totals.
+    *
+    * Replay-safe like [[spanDedupSink]]: both writes are
+    * batch-id-addressed (`<path>/batch=<id>`, whole-subdir
+    * overwrite); a replayed batch reads only strictly-prior totals —
+    * exactly the state before its first attempt — and rewrites its
+    * subdirs byte-equivalent. Exactly-once without external pairing.
+    */
+  def budgetAdmitSink(docs: DataFrame, idCol: String, textCol: String,
+                      srcCol: String, budgets: Map[String, Long],
+                      defaultBudget: Long, storePath: String, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        budgetAdmitBatch(batch, batchId, idCol, textCol, srcCol,
+          budgets, defaultBudget, storePath, outPath)
+    }
+
+  /** One micro-batch of [[budgetAdmitSink]]; package-visible so specs
+    * can drive a replay without a streaming harness. */
+  private[graft] def budgetAdmitBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, srcCol: String,
+      budgets: Map[String, Long], defaultBudget: Long,
+      storePath: String, outPath: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val storeRoot = new org.apache.hadoop.fs.Path(storePath)
+    val priorDirs =
+      if (fs.exists(storeRoot))
+        fs.listStatus(storeRoot).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("batch="))
+          .filter(_.getName.stripPrefix("batch=").toLong < batchId)
+          .map(_.toString)
+      else Seq.empty[String]
+    val prior =
+      if (priorDirs.nonEmpty)
+        spark.read.parquet(priorDirs: _*)
+          .groupBy("src").agg(sum("admitted_tokens").as("prior_tokens"))
+      else spark.range(0).select(lit("").as("src"), lit(0L).as("prior_tokens"))
+    val bcol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col("src") === k, lit(v)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val admitted = batch
+      .select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+        size(filter(split(col(textCol), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      .withColumn("hk",
+        expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)").cast("long"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .join(broadcast(prior), Seq("src"), "left")
+      .na.fill(0L, Seq("prior_tokens"))
+      .withColumn("__budget", bcol)
+      .filter(col("prior_tokens") + col("cum") - col("n_tokens") < col("__budget"))
+      .select(col("doc_id"), col("src"), col("n_tokens"),
+        (col("prior_tokens") + col("cum")).as("cum_tokens"))
+      .localCheckpoint(true) // two sinks below — compute once
+    if (!admitted.isEmpty)
+      admitted.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    val deltas = admitted.groupBy("src")
+      .agg(sum("n_tokens").as("admitted_tokens"))
+    if (!deltas.isEmpty)
+      deltas.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    ()
+  }
+
   /** Streaming ANN append sink — s12's frozen-quantizer append as a
     * live pipeline, the vector-store complement of [[spanDedupSink]]:
     * each micro-batch's vectors are assigned to their nearest

@@ -860,3 +860,68 @@ class SniffHeadersSpec extends SparkSpec {
       ("jpeg", 3L, 5L, 8L))
   }
 }
+
+/** Round-10: streaming token-budget admission (budgetAdmitSink) —
+  * cross-batch budget fill, replay exactly-once, and the one-batch ==
+  * c10 batch-operator equivalence. */
+class BudgetAdmitSinkSpec extends SparkSpec {
+  import graft.streaming.StreamingOps
+  import graft.operators.Corpus
+
+  private def newDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("budadm").toFile
+    d.delete(); d.getAbsolutePath
+  }
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("doc_id", "src", "n_tokens", "cum_tokens")
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+  test("one-batch stream equals the c10 batch operator exactly") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val store = newDir(); val out = newDir()
+    StreamingOps.budgetAdmitBatch(docs, 0L, "doc_id", "text", "source",
+      Map("src0" -> 300L), 700L, store, out)
+    val streamed = spark.read.parquet(s"$out/batch=0")
+    val batch = Corpus.tokenBudgetMix(docs, "doc_id", "text", "source",
+      Map("src0" -> 300L), 700L)
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("budgets fill across batches; replay is byte-equivalent; filled sources stop") {
+    val docs = graft.Tables.documents(spark, sfDir).cache()
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    val store = newDir(); val out = newDir()
+    val budget = 200L
+    StreamingOps.budgetAdmitBatch(b0, 0L, "doc_id", "text", "source",
+      Map.empty, budget, store, out)
+    StreamingOps.budgetAdmitBatch(b1, 1L, "doc_id", "text", "source",
+      Map.empty, budget, store, out)
+    val all = spark.read.parquet(s"$out/batch=0", s"$out/batch=1")
+    // per source: every admission was under budget BEFORE itself, and
+    // the final fill reaches >= budget (enough mass exists per source)
+    val perSrc = all.groupBy("src")
+      .agg(sum("n_tokens").as("tot"), max("cum_tokens").as("mx"),
+        sum((col("cum_tokens") - col("n_tokens") >= budget).cast("long")).as("over"))
+      .collect()
+    assert(perSrc.nonEmpty)
+    perSrc.foreach { r =>
+      assert(r.getLong(r.fieldIndex("over")) == 0, s"over-budget admission in $r")
+      assert(r.getLong(r.fieldIndex("mx")) >= budget, s"under-filled source $r")
+      assert(r.getLong(r.fieldIndex("mx")) == r.getLong(r.fieldIndex("tot")))
+    }
+    // a source filled in batch 0 admits nothing in batch 1
+    val filled0 = spark.read.parquet(s"$out/batch=0")
+      .groupBy("src").agg(max("cum_tokens").as("c"))
+      .filter(col("c") >= budget).select("src")
+    val leak = spark.read.parquet(s"$out/batch=1")
+      .join(filled0, Seq("src")).count()
+    assert(leak == 0, s"$leak admissions from already-filled sources")
+    // replay batch 1: identical output (reads only strictly-prior state)
+    val before = canon(spark.read.parquet(s"$out/batch=1"))
+    StreamingOps.budgetAdmitBatch(b1, 1L, "doc_id", "text", "source",
+      Map.empty, budget, store, out)
+    assert(canon(spark.read.parquet(s"$out/batch=1")) == before)
+    docs.unpersist()
+  }
+}
