@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, input_file_name}
+import org.apache.spark.sql.functions.{array, col, collect_list, concat, count, element_at, explode, expr, input_file_name, lit, map_from_entries, pmod, struct, xxhash64}
 import java.nio.charset.StandardCharsets
 
 /** Versioned-manifest table layout — snapshot isolation for the batch
@@ -459,6 +459,142 @@ object VersionedTable {
     val dt = base.schema(colName).dataType
     base.filter(col(colName).geq(org.apache.spark.sql.functions.lit(lo).cast(dt)) &&
       col(colName).leq(org.apache.spark.sql.functions.lit(hi).cast(dt)))
+  }
+
+  // ─────────────────────── bloom sidecar index ───────────────────────
+
+  private def bloomDir(root: String, colName: String): Path =
+    new Path(root, s"_index/bloom_$colName")
+
+  /** Per-file BLOOM membership sidecar for `colName` — the
+    * point-lookup complement of min/max stats: a selective
+    * `col = value` on a HIGH-CARDINALITY, NON-CLUSTERED column (url
+    * hash, join key in a table clustered by something else) is
+    * exactly the predicate [min, max] cannot prune, because every
+    * file's range spans the domain. One pass over the snapshot
+    * computes `numHashes` bit positions per value
+    * (`pmod(xxhash64(CAST(col AS STRING), seed), bitsPerFile)` — the
+    * engine's own hash expression, so query-time probes are computed
+    * by the SAME expression and can never disagree), OR-folds them
+    * into a dense per-file bitset (bitsPerFile/64 longs ≈ 8 KiB at
+    * the default), and writes `_index/bloom_<col>/v<version>`. Data
+    * files are immutable, so entries stay valid forever; files
+    * committed after the build have no entry and are conservatively
+    * KEPT by [[readEq]] — rebuild to re-cover. Sizing: ~1% false
+    * positives at ≈ bitsPerFile/10 keys per file with numHashes = 7
+    * (the classic m/n ≈ 9.6 point). No false negatives by
+    * construction — [[readEq]] stays exact. Returns the indexed
+    * version. */
+  def buildBloomIndex(spark: SparkSession, root: String, colName: String,
+                      bitsPerFile: Int = 1 << 16, numHashes: Int = 7,
+                      version: Long = -1L): Long = {
+    require(bitsPerFile % 64 == 0 && bitsPerFile > 0, s"bitsPerFile: $bitsPerFile")
+    val s = snapshot(spark, root, version)
+    val files = fileLines(spark, root, s.version)
+      .map(l => new Path(root, lineRel(l)).toString)
+    require(files.nonEmpty, s"nothing to index at $root v${s.version}")
+    val nWords = bitsPerFile / 64
+    val rows = spark.read.parquet(files: _*)
+      // file identity captured AT THE SCAN (input_file_name is empty
+      // after a shuffle), in the manifest's own 3-part rel form
+      .select(expr("substring_index(input_file_name(), '/', -3)").as("file"),
+        col(colName).cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+    val posCols = (0 until numHashes).map(i =>
+      pmod(xxhash64(col("__v"), lit(i)), lit(bitsPerFile.toLong)).cast("int"))
+    val words = rows
+      .select(col("file"), explode(array(posCols: _*)).as("p"))
+      .withColumn("widx", (col("p") / 64).cast("int"))
+      .groupBy("file", "widx")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), pmod(p, 64)))").as("word"))
+    val dense = words.groupBy("file")
+      .agg(map_from_entries(collect_list(struct(col("widx"), col("word")))).as("wm"))
+      .select(col("file"),
+        expr(s"transform(sequence(0, ${nWords - 1}), i -> coalesce(wm[i], CAST(0 AS BIGINT)))")
+          .as("words"))
+    val counts = rows.groupBy("file").agg(count(lit(1)).as("n_rows"))
+    dense.join(counts, Seq("file"))
+      .withColumn("m", lit(bitsPerFile)).withColumn("k", lit(numHashes))
+      .write.mode("overwrite")
+      .parquet(new Path(bloomDir(root, colName), s"v${s.version}").toString)
+    s.version
+  }
+
+  /** The newest built bloom index dir for `colName`, if any. ANY
+    * index version is conservative-correct for any read version:
+    * entries key on immutable files, extra entries are unused and
+    * missing entries are kept. */
+  private def latestBloomDir(spark: SparkSession, root: String,
+                             colName: String): Option[String] = {
+    val f = fs(spark, root); val d = bloomDir(root, colName)
+    if (!f.exists(d)) None
+    else f.listStatus(d).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v"))
+      .sortBy(_.getName.stripPrefix("v").toLong)
+      .lastOption.map(_.toString)
+  }
+
+  /** Bloom cut of `statsKept` for `colName = value` under the newest
+    * sidecar: a file survives iff the index says its bitset has every
+    * one of the value's bit positions set, or the index doesn't cover
+    * it (conservatively kept). The value's positions come from the
+    * SAME engine expression the build used — a one-row
+    * metadata-scale job — so probe and build can never disagree. */
+  private def bloomCut(spark: SparkSession, root: String, colName: String,
+                       value: String, statsKept: Seq[String]): Seq[String] =
+    latestBloomDir(spark, root, colName) match {
+      case None => statsKept
+      case Some(dir) =>
+        val idx = spark.read.parquet(dir)
+        val meta = idx.select("m", "k").head()
+        val (m, k) = (meta.getInt(0), meta.getInt(1))
+        val ps = spark.range(1).select(array((0 until k).map(i =>
+            pmod(xxhash64(lit(value), lit(i)), lit(m.toLong)).cast("int")): _*))
+          .head().getSeq[Int](0)
+        val hit = ps.map { p =>
+          (element_at(col("words"), p / 64 + 1)
+            .bitwiseAND(lit(1L << (p % 64)))) =!= 0L
+        }.reduce(_ && _)
+        val rows = idx.select(col("file"), hit.as("hit"))
+          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+        statsKept.filter { f =>
+          rows.getOrElse(f.split('/').takeRight(3).mkString("/"), true)
+        }
+    }
+
+  /** Point-lookup read: [[readRange]] semantics for `colName = value`,
+    * with the file set cut by BOTH prunes — min/max stats first, then
+    * the bloom sidecar (files whose bitset provably lacks one of the
+    * value's bit positions are skipped; files the index doesn't cover
+    * are kept). Exact: bloom false positives only cost I/O, never
+    * rows, and the row-level equality filter still applies. */
+  def readEq(spark: SparkSession, root: String, colName: String,
+             value: String, version: Long = -1L): DataFrame = {
+    val s = snapshot(spark, root, version)
+    val (statsKept, _) = prunedFiles(spark, root, colName, value, value, s.version)
+    val kept = bloomCut(spark, root, colName, value, statsKept)
+    val base = tableSchema(spark, root, s.version) match {
+      case Some(sc) if kept.nonEmpty =>
+        applyDv(spark, root, s.version, spark.read.schema(sc).parquet(kept: _*))
+      case None if kept.nonEmpty =>
+        applyDv(spark, root, s.version, spark.read.parquet(kept: _*))
+      case Some(sc) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      case None => return read(spark, root, version).limit(0)
+    }
+    val dt = base.schema(colName).dataType
+    base.filter(col(colName) === org.apache.spark.sql.functions.lit(value).cast(dt))
+  }
+
+  /** How many of the snapshot's stats-kept files a `colName = value`
+    * point lookup actually opens under the bloom sidecar — the
+    * observable prune for specs/monitoring: (opened, statsKept,
+    * total). */
+  def bloomPruneDetail(spark: SparkSession, root: String, colName: String,
+                       value: String, version: Long = -1L): (Int, Int, Int) = {
+    val s = snapshot(spark, root, version)
+    val (statsKept, total) = prunedFiles(spark, root, colName, value, value, s.version)
+    (bloomCut(spark, root, colName, value, statsKept).size, statsKept.size, total)
   }
 
   /** Thrown when a commit requires the table to still be at a pinned

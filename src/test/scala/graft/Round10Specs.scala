@@ -925,3 +925,69 @@ class BudgetAdmitSinkSpec extends SparkSpec {
     docs.unpersist()
   }
 }
+
+/** Round-10: bloom sidecar index — point-lookup file skipping where
+  * min/max stats cannot prune (high-cardinality column scattered
+  * across every file). Exactness over EVERY key (no false negatives),
+  * a real prune ratio, DV composition, and unindexed-commit safety. */
+class BloomIndexSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def newRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtbloom").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("bloom prunes point lookups stats cannot; exact over every key; DVs compose") {
+    val root = newRoot()
+    // k clusters the files; v is high-cardinality and SCATTERED — every
+    // file's [min, max] on v spans the domain, so stats keep everything
+    // zero-padded so lexical order == numeric order: uniform values
+    // make every file's [min, max] span most of the domain
+    val df = spark.range(1024)
+      .select(col("id").as("k"),
+        concat(lit("u"), lpad(((col("id") * 2654435761L) % 1000003L).cast("string"),
+          7, "0")).as("v"))
+    VersionedTable.commit(df.repartitionByRange(16, col("k")), root,
+      statsCols = Seq("k", "v"))
+    VersionedTable.buildBloomIndex(spark, root, "v", bitsPerFile = 1 << 14)
+    // stats keep a majority of files for a CENTRAL probe (a probe near
+    // a domain extreme is exactly what min/max DOES prune); bloom
+    // opens few
+    val probeId = (0L until 64L).minBy(i =>
+      math.abs((i * 2654435761L) % 1000003L - 500000L))
+    val probe = "u" + "%07d".format((probeId * 2654435761L) % 1000003L)
+    val (opened, statsKept, total) = VersionedTable.bloomPruneDetail(spark, root, "v", probe)
+    assert(total == 16 && statsKept * 2 > total, s"scatter broken: $statsKept/$total")
+    assert(opened * 4 <= statsKept, s"bloom opened $opened/$statsKept stats-kept files")
+    // exactness: every key readable, right row, no false negatives
+    val all = VersionedTable.read(spark, root).select("k", "v")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    for ((k, v) <- all.take(64)) {
+      val got = VersionedTable.readEq(spark, root, "v", v)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(got.contains(k), s"false negative for $v")
+    }
+    // a DV delete composes: the deleted row vanishes from readEq too
+    val victim = all.head
+    VersionedTable.deleteWhereDv(spark, root, s"k = ${victim._1}")
+    assert(VersionedTable.readEq(spark, root, "v", victim._2)
+      .filter(col("k") === victim._1).isEmpty, "DV ignored by readEq")
+  }
+
+  test("files committed after the build are conservatively kept") {
+    val root = newRoot()
+    val df = spark.range(256).select(col("id").as("k"),
+      concat(lit("w"), col("id").cast("string")).as("v"))
+    VersionedTable.commit(df.repartitionByRange(8, col("k")), root,
+      statsCols = Seq("v"))
+    VersionedTable.buildBloomIndex(spark, root, "v", bitsPerFile = 1 << 14)
+    VersionedTable.commit(
+      Seq((9999L, "wNEW")).toDF("k", "v"), root, mode = "append")
+    // the new file has no index entry: the lookup must still find it
+    val got = VersionedTable.readEq(spark, root, "v", "wNEW")
+      .select("k").collect().map(_.getLong(0))
+    assert(got.sameElements(Array(9999L)))
+  }
+}
