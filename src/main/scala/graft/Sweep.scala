@@ -522,6 +522,38 @@ object Sweep {
         else ""
       },
 
+      "vt_bloom_100x" -> { () =>
+        // round 10: bloom sidecar at 500k rows / 256 files — the
+        // lookup column is a scattered md5-derived key (min/max
+        // useless by construction), so the prune is all bloom: every
+        // probed key found (no false negatives), mean files opened
+        // per probe a small fraction of the table
+        import graft.sources.VersionedTable
+        val root = {
+          val f = java.nio.file.Files.createTempDirectory("vtbloom100x").toFile
+          f.delete(); f.getAbsolutePath
+        }
+        val base = docs(docDir).select(col("doc_id"),
+          substring(md5(col("text")), 1, 12).as("u"))
+        VersionedTable.commit(base.repartitionByRange(256, col("doc_id")), root,
+          statsCols = Seq("doc_id", "u"))
+        VersionedTable.buildBloomIndex(spark, root, "u", bitsPerFile = 1 << 16)
+        val probes = base.filter(col("doc_id") % 25000 === 7)
+          .select("doc_id", "u").collect().map(r => r.getLong(0) -> r.getString(1))
+        var openedTot = 0; var missing = 0
+        probes.foreach { case (id, u) =>
+          val (opened, _, _) = VersionedTable.bloomPruneDetail(spark, root, "u", u)
+          openedTot += opened
+          if (!VersionedTable.readEq(spark, root, "u", u)
+            .filter(col("doc_id") === id).head(1).nonEmpty) missing += 1
+        }
+        val meanOpened = openedTot.toDouble / probes.length
+        if (probes.length < 10) s"only ${probes.length} probes"
+        else if (missing > 0) s"$missing false negatives"
+        else if (meanOpened > 16) f"mean $meanOpened%.1f/256 files opened per probe"
+        else ""
+      },
+
       "c10_budget_cut_100x" -> { () =>
         // round 10: token-budget composition at 500k docs — emitted
         // cumsums internally consistent per source (max cum == Σ

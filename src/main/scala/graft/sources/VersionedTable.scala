@@ -1579,6 +1579,24 @@ object VersionedTable {
            if !liveShards.contains(st.getPath.toString))
         f.delete(st.getPath, false)
     }
+    // bloom sidecars: all but the NEWEST build per column are strictly
+    // dominated (entries key immutable files; the newest covers the
+    // current snapshot best and stays conservative for every older
+    // one), so older builds are dead metadata — same grace window
+    // (a reader that resolved latestBloomDir just before a fresh
+    // build finishes its probe inside the grace period)
+    val idxRoot = new Path(root, "_index")
+    if (f.exists(idxRoot)) {
+      for (colDir <- f.listStatus(idxRoot)
+           if colDir.getPath.getName.startsWith("bloom_")) {
+        val builds = f.listStatus(colDir.getPath).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("v"))
+          .sortBy(_.getName.stripPrefix("v").toLong)
+        for (old <- builds.dropRight(1)
+             if f.getFileStatus(old).getModificationTime <= cutoff)
+          f.delete(old, true)
+      }
+    }
     // remove now-empty commit directories (cosmetic)
     for (dir <- f.listStatus(dataRoot) if f.listStatus(dir.getPath).isEmpty)
       f.delete(dir.getPath, false)

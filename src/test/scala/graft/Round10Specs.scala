@@ -990,4 +990,23 @@ class BloomIndexSpec extends SparkSpec {
       .select("k").collect().map(_.getLong(0))
     assert(got.sameElements(Array(9999L)))
   }
+
+  test("vacuum keeps only the newest bloom build per column; lookups survive") {
+    val root = newRoot()
+    val df = spark.range(128).select(col("id").as("k"),
+      concat(lit("x"), col("id").cast("string")).as("v"))
+    VersionedTable.commit(df.repartitionByRange(4, col("k")), root,
+      statsCols = Seq("v"))
+    VersionedTable.buildBloomIndex(spark, root, "v")
+    VersionedTable.commit(Seq((500L, "x500")).toDF("k", "v"), root, mode = "append")
+    VersionedTable.buildBloomIndex(spark, root, "v")
+    VersionedTable.vacuum(spark, root, retainVersions = 2, graceMs = 0L)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val builds = f.listStatus(
+      new org.apache.hadoop.fs.Path(root, "_index/bloom_v")).map(_.getPath.getName)
+    assert(builds.sameElements(Array("v2")), builds.mkString(","))
+    assert(VersionedTable.readEq(spark, root, "v", "x77")
+      .select("k").collect().map(_.getLong(0)).sameElements(Array(77L)))
+  }
 }
