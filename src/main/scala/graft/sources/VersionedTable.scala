@@ -1229,6 +1229,35 @@ object VersionedTable {
     rows.toDF("version", "modified_ms", "n_files", "meta")
   }
 
+  /** AS OF TIMESTAMP resolution: the newest version whose manifest
+    * commit time (the atomic rename that IS the commit point) is
+    * ≤ `tsMillis`. Modification times are monotone in version up to
+    * filesystem clock granularity — same-tick commits tie-break by
+    * version, newest wins (matching the public table formats'
+    * timestamp resolution). Fails when `tsMillis` precedes the oldest
+    * RETAINED manifest: vacuum trims history, so a timestamp older
+    * than retention is unanswerable, not silently v1. */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val f = fs(spark, root)
+    val commits = f.listStatus(manifestDir(root)).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestName(v) => Some((v.toLong, st.getModificationTime))
+        case _ => None
+      }
+    }.sorted
+    require(commits.nonEmpty, s"no committed version at $root")
+    val at = commits.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"timestamp $tsMillis precedes the oldest retained commit " +
+        s"(v${commits.head._1} at ${commits.head._2}) at $root")
+    at.last._1
+  }
+
+  /** Time-travel read by wall clock: [[read]] pinned at
+    * [[versionAsOf]]`(tsMillis)`. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    read(spark, root, versionAsOf(spark, root, tsMillis))
+
   /** CHANGE FEED between two committed versions, at FILE granularity
     * (the public change-data-feed concept on a file-manifest layout):
     * rows in files the later manifest ADDED are `insert`s, rows in

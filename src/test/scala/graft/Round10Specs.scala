@@ -1010,3 +1010,30 @@ class BloomIndexSpec extends SparkSpec {
       .select("k").collect().map(_.getLong(0)).sameElements(Array(77L)))
   }
 }
+
+/** Round-10: AS OF TIMESTAMP time travel — resolution picks the
+  * newest commit at-or-before the instant, ties break newest, and a
+  * pre-retention timestamp fails loudly instead of resolving to v1. */
+class AsOfTimestampSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  test("timestamp resolution tracks commit times; pre-history fails") {
+    val root = {
+      val d = java.nio.file.Files.createTempDirectory("vtasof").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    VersionedTable.commit(Seq(1L).toDF("k"), root)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    VersionedTable.commit(Seq(2L).toDF("k"), root, mode = "append")
+    val t2 = System.currentTimeMillis()
+    assert(VersionedTable.versionAsOf(spark, root, t1) == 1L)
+    assert(VersionedTable.versionAsOf(spark, root, t2) == 2L)
+    assert(VersionedTable.readAsOf(spark, root, t1).count() == 1)
+    assert(VersionedTable.readAsOf(spark, root, t2).count() == 2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.versionAsOf(spark, root, t1 - 1000000L)
+    }
+  }
+}
