@@ -1229,6 +1229,49 @@ object VersionedTable {
     rows.toDF("version", "modified_ms", "n_files", "meta")
   }
 
+  /** DESCRIBE DETAIL + health audit — the operational read a standing
+    * 100-TB table needs before anyone queries it: one metadata-only
+    * row with the snapshot's file census (count, recorded bytes,
+    * small-file frontier against [[compactSmall]]'s default
+    * threshold), metadata shape (shard count — 0 means the root
+    * still inlines every file line), merge-on-read debt (DV count),
+    * and stats coverage (files carrying min/max for the declared
+    * stats columns — the fraction [[readRange]] can actually prune).
+    * Each field points at its remedy: small files → compactSmall,
+    * flat manifest at volume → shardManifest, DV debt → compact,
+    * low stats coverage → optimize. Reads manifests only. */
+  def describeDetail(spark: SparkSession, root: String,
+                     version: Long = -1L,
+                     smallFileBytes: Long = 32L * 1024 * 1024): DataFrame = {
+    val s = snapshot(spark, root, version)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = fileLines(spark, root, s.version)
+    val sizes = lines.flatMap(lineBytes(om, _))
+    val statsCols = manifestMeta(spark, root, s.version)
+      .getOrElse("statscols", "")
+    val declared = statsCols.split(",").filter(_.nonEmpty)
+    val covered =
+      if (declared.isEmpty) 0
+      else lines.count { l =>
+        val cut = l.indexOf('\t')
+        cut >= 0 && {
+          val cols = parseStats(om, l.substring(cut + 1))._1
+          declared.forall(cols.contains)
+        }
+      }
+    val sp = spark; import sp.implicits._
+    Seq((s.version, lines.size.toLong,
+      shardRefs(spark, root, s.version).size.toLong,
+      sizes.sum, sizes.size.toLong,
+      sizes.count(_ < smallFileBytes).toLong,
+      rawDvLines(spark, root, s.version).size.toLong,
+      statsCols, covered.toLong,
+      rowCount(spark, root, s.version).getOrElse(-1L)))
+      .toDF("version", "n_files", "n_shards", "known_bytes",
+        "files_with_bytes", "n_small_files", "n_dv", "stats_cols",
+        "files_with_stats", "row_count")
+  }
+
   /** AS OF TIMESTAMP resolution: the newest version whose manifest
     * commit time (the atomic rename that IS the commit point) is
     * ≤ `tsMillis`. Modification times are monotone in version up to

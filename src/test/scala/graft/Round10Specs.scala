@@ -1037,3 +1037,37 @@ class AsOfTimestampSpec extends SparkSpec {
     }
   }
 }
+
+/** Round-10: DESCRIBE DETAIL health audit — the census must track the
+  * table through its lifecycle: small-file debt appears on fragmented
+  * append, DV debt on merge-on-read delete, shard count after
+  * shardManifest, and stats coverage distinguishes covered eras. */
+class DescribeDetailSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  test("census tracks files, bytes, small files, DVs, shards, stats coverage") {
+    val root = {
+      val d = java.nio.file.Files.createTempDirectory("vtdetail").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    VersionedTable.commit(
+      spark.range(1000).select(col("id").as("k")).repartitionByRange(4, col("k")),
+      root, statsCols = Seq("k"))
+    // an all-null file records no min/max for k — the uncovered case
+    VersionedTable.commit(
+      Seq(Option.empty[Long]).toDF("k"), root, mode = "append")
+    VersionedTable.deleteWhereDv(spark, root, "k = 9")
+    VersionedTable.shardManifest(spark, root, targetFilesPerShard = 2)
+    val d = VersionedTable.describeDetail(spark, root).collect().head
+    def g(n: String) = d.getLong(d.fieldIndex(n))
+    assert(g("n_files") == 5, s"files ${g("n_files")}")
+    assert(g("n_shards") >= 2)
+    assert(g("n_small_files") == 5) // toy files are all tiny
+    assert(g("files_with_bytes") == 5 && g("known_bytes") > 0)
+    assert(g("n_dv") == 1)
+    assert(d.getString(d.fieldIndex("stats_cols")) == "k")
+    assert(g("files_with_stats") == 4, "the all-null file must not count as covered")
+    assert(g("row_count") == 1000) // 1001 committed - 1 DV'd
+  }
+}
