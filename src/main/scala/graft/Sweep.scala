@@ -522,6 +522,31 @@ object Sweep {
         else ""
       },
 
+      "g23_mis_certificate_100x" -> { () =>
+        // round 10: Luby MIS at the 100x chain graph (1.5M nodes) —
+        // converged within the fixed 16 rounds, independent (no edge
+        // inside the set), maximal (every excluded node has a set
+        // neighbor)
+        val e = blockedChainEdges(relDir, withSkip = true).cache()
+        val mis = GraphOps.maximalIndependentSet(e, rounds = 16).cache()
+        val undecided = mis.filter(col("st") === "u").count()
+        val e2 = e.select("src", "dst")
+          .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        val ins = mis.filter(col("st") === "i").select("node")
+        val inside = e2
+          .join(ins.withColumnRenamed("node", "src"), "src")
+          .join(ins.withColumnRenamed("node", "dst"), "dst").count()
+        val witnessless = mis.filter(col("st") === "o")
+          .join(e2.join(ins.withColumnRenamed("node", "dst"), "dst")
+            .select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+          .count()
+        e.unpersist(); mis.unpersist()
+        if (undecided > 0) s"$undecided undecided after 16 rounds"
+        else if (inside > 0) s"$inside edges inside the set"
+        else if (witnessless > 0) s"$witnessless excluded nodes lack a set neighbor"
+        else ""
+      },
+
       "vt_bloom_100x" -> { () =>
         // round 10: bloom sidecar at 500k rows / 256 files — the
         // lookup column is a scattered md5-derived key (min/max

@@ -565,6 +565,56 @@ object GraphOps {
     labels
   }
 
+  /** Maximal independent set by SYNCHRONOUS deterministic Luby
+    * rounds — the distributed symmetry-breaking primitive (graph
+    * coloring seeds, conflict-free scheduling, landmark selection).
+    * Priorities are the 31-bit house hash of the node id composed
+    * with the id itself (`hash·2³¹ + node` — unique, so no ties and
+    * every engine/retry agrees): each round, every undecided node
+    * whose priority beats ALL undecided neighbors joins the set, its
+    * neighbors drop out, repeat. Classic Luby bound: O(log n) rounds
+    * with high probability under hash priorities; `rounds` is fixed
+    * for reproducibility and the caller asserts convergence (no
+    * `u` rows) — Mis specs pin independence + maximality. Per round:
+    * one join + one aggregate on the undecided frontier, which
+    * SHRINKS geometrically — no global sort, no driver state.
+    * Output: (node, st) with `i` (in set) / `o` (excluded) / `u`
+    * (unconverged — none at the tested scales). */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int): DataFrame = {
+    val e2 = Ckpt.cutLight(edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct())
+    var st = Ckpt.cut(vertices(e2)
+      .withColumn("pri",
+        expr("CAST(conv(substr(md5(CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+          * lit(2147483648L) + col("node"))
+      .withColumn("st", lit("u")))
+    for (_ <- 1 to rounds) {
+      val u = st.filter(col("st") === "u").select("node", "pri")
+      // the strongest undecided neighbor of each undecided node
+      val mx = e2
+        .join(u.select(col("node").as("dst"), col("pri").as("vpri")), "dst")
+        .groupBy("src").agg(max("vpri").as("mx"))
+        .select(col("src").as("node"), col("mx"))
+      val ins = u.join(mx, Seq("node"), "left")
+        .filter(col("mx").isNull || col("mx") < col("pri"))
+        .select("node")
+      val outs = e2.join(ins.select(col("node").as("dst")), "dst")
+        .select(col("src").as("node")).distinct()
+      val next = Ckpt.cut(st
+        .join(ins.withColumn("__i", lit(1)), Seq("node"), "left")
+        .join(outs.withColumn("__o", lit(1)), Seq("node"), "left")
+        .withColumn("st", when(col("st") =!= "u", col("st"))
+          .when(col("__i") === 1, lit("i"))
+          .when(col("__o") === 1, lit("o"))
+          .otherwise(lit("u")))
+        .select("node", "pri", "st"))
+      Ckpt.release(st)
+      st = next
+    }
+    st.select("node", "st")
+  }
+
   /** Multi-source BFS: minimum hop distance (≤ `maxDepth`) from any
     * seed along directed edges, as a (node, depth) table of reached
     * nodes. Each round relaxes one hop — a hash join on `src` plus a

@@ -694,6 +694,20 @@ object GraphQueries {
               |SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
               |FROM r5 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("g23_mis",
+      // Maximal independent set by deterministic synchronous Luby
+      // rounds (GraphOps.maximalIndependentSet): unique hash·2³¹+id
+      // priorities, local maxima join, their neighbors drop, 16
+      // fixed rounds (converged with headroom at every tested SF —
+      // MisSpec asserts zero undecided plus independence and
+      // maximality). The oracle unrolls the same 16 rounds.
+      (s, d) => GraphOps.maximalIndependentSet(
+          chainEdges(s, d, withSkip = true), rounds = 16)
+        .orderBy("node"),
+      Some(s"""WITH ${chainSql(true)},
+              |${misSql(16)}
+              |SELECT node, st FROM s16 ORDER BY node""".stripMargin)),
+
     Q("g22_clustering_coeff",
       // Local clustering coefficient: per vertex, realized neighbor
       // links over possible ones (2·tri / deg·(deg−1), basis points).
@@ -839,6 +853,36 @@ object GraphQueries {
     (0 until 8).map { m =>
       s"(strpos('0123456789abcdef', substr(md5($e), ${m + 1}, 1)) - 1) * ${1L << (4 * (7 - m))}"
     }.mkString("(", " + ", ")")
+
+  /** `rounds` unrolled deterministic Luby rounds (g23's oracle):
+    * undecided local-priority-maxima join the set, their undecided
+    * neighbors drop out. Priorities are house-hash·2³¹ + node —
+    * unique, so no tie rule is needed. Expects an `e` CTE; defines
+    * `e2` (undirected, dedup'd), `s0..sN` with st ∈ i/o/u. */
+  private def misSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""u$k AS (SELECT node, pri FROM s${k - 1} WHERE st = 'u'),
+         |m$k AS (SELECT e2.src AS node, max(v.pri) AS mx
+         |  FROM e2 JOIN u$k v ON v.node = e2.dst GROUP BY 1),
+         |i$k AS (SELECT u.node FROM u$k u LEFT JOIN m$k m USING (node)
+         |  WHERE m.mx IS NULL OR m.mx < u.pri),
+         |o$k AS (SELECT DISTINCT e2.src AS node
+         |  FROM e2 JOIN i$k i ON i.node = e2.dst),
+         |s$k AS MATERIALIZED (SELECT s.node, s.pri,
+         |    CASE WHEN s.st <> 'u' THEN s.st
+         |         WHEN i.node IS NOT NULL THEN 'i'
+         |         WHEN o.node IS NOT NULL THEN 'o' ELSE 'u' END AS st
+         |  FROM s${k - 1} s LEFT JOIN i$k i USING (node)
+         |  LEFT JOIN o$k o USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst
+       |  UNION SELECT dst, src FROM e WHERE src <> dst),
+       |n0 AS (SELECT DISTINCT src AS node FROM e2),
+       |s0 AS MATERIALIZED (SELECT node,
+       |  ${houseHashSql("CAST(node AS VARCHAR)")} * 2147483648 + node AS pri,
+       |  'u' AS st FROM n0),
+       |$rs""".stripMargin
+  }
 
   /** `rounds` unrolled synchronous label-propagation rounds (g21's
     * oracle): r_k(v) = most frequent label among v's neighbors in

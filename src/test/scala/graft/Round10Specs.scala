@@ -1071,3 +1071,35 @@ class DescribeDetailSpec extends SparkSpec {
     assert(g("row_count") == 1000) // 1001 committed - 1 DV'd
   }
 }
+
+/** Round-10: maximal independent set (g23) — semantic certificate:
+  * no undecided nodes at the fixed round budget, no edge inside the
+  * set (independence), every excluded node has a set neighbor
+  * (maximality). */
+class MisSpec extends SparkSpec {
+  import graft.graph.GraphOps
+
+  private def certify(dir: String): Unit = {
+    val e = graft.queries.GraphQueries.chainEdges(spark, dir, withSkip = true)
+    val mis = GraphOps.maximalIndependentSet(e, rounds = 16).cache()
+    try {
+      assert(mis.filter(col("st") === "u").isEmpty, s"unconverged at $dir")
+      val e2 = e.select("src", "dst")
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val ins = mis.filter(col("st") === "i").select(col("node"))
+      val inside = e2
+        .join(ins.withColumnRenamed("node", "src"), "src")
+        .join(ins.withColumnRenamed("node", "dst"), "dst").count()
+      assert(inside == 0, s"$inside edges inside the set at $dir")
+      val witnessless = mis.filter(col("st") === "o")
+        .join(e2.join(ins.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+        .count()
+      assert(witnessless == 0, s"$witnessless excluded nodes lack a set neighbor at $dir")
+    } finally mis.unpersist()
+  }
+
+  test("independence + maximality + convergence at sf0.001")(certify(sfDir))
+  test("independence + maximality + convergence at sf0.01")(
+    certify("/root/testdata/sf0.01"))
+}
