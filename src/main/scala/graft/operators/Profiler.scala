@@ -58,6 +58,31 @@ object Profiler {
     * through one task; the rank window runs over the `topN` surviving
     * rows only. The 1-row global aggregate joins in by broadcast.
     */
+  /** SEMI-STRUCTURED profile of a JSON string column — the schema
+    * census a pipeline runs over event logs before promoting fields
+    * to real columns: one row per KEY with presence count, fill rate
+    * (integer bp of all rows), distinct-value cardinality, and how
+    * many values parse as integer / boolean (the promote-to-typed
+    * signal). One explode + one aggregate; at 100 TB the key space
+    * (not the row count) bounds the output. Malformed JSON rows
+    * contribute no keys (from_json null-safe), visible as fill
+    * shortfall. */
+  def jsonProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val kv = df.select(explode(from_json(col(jsonCol),
+      org.apache.spark.sql.types.DataTypes.createMapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))).as(Seq("key", "val")))
+    kv.groupBy("key").agg(
+        count(lit(1)).as("n_present"),
+        sum(col("val").rlike("^-?[0-9]+$").cast("long")).as("n_integer"),
+        sum(col("val").isin("true", "false").cast("long")).as("n_boolean"),
+        countDistinct("val").as("n_distinct"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__t"))))
+      .withColumn("fill_bp", expr("n_present * 10000 div __t"))
+      .select("key", "n_present", "fill_bp", "n_integer", "n_boolean",
+        "n_distinct")
+  }
+
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val cnts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
     val glob = cnts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))

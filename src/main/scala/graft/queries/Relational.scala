@@ -1901,6 +1901,40 @@ object Relational {
              |    * (cnt_a * 10000 // tot_a - cnt_b * 10000 // tot_b) AS contrib
              |FROM j, g ORDER BY bucket""".stripMargin)),
 
+    Q("prof6_json_profile",
+      // SEMI-STRUCTURED schema census (round 10) — the pass a
+      // pipeline runs over event logs before promoting JSON fields
+      // to typed columns: per KEY, presence, fill rate (integer bp),
+      // distinct values, and integer/boolean parse counts. The
+      // heterogeneous document is derived in-query from typed event
+      // columns (key set varies by event_type — the realistic log
+      // shape the uniform synthetic props lacks); both engines build
+      // and parse the identical JSON.
+      (s, d) => {
+        val j = Tables.events(s, d).select(expr(
+          """concat('{"uid":', CAST(user_id AS STRING),
+            |  CASE WHEN event_type = 'click'
+            |    THEN concat(',"page":"p', CAST(user_id % 7 AS STRING), '"')
+            |    ELSE '' END,
+            |  CASE WHEN value > 50 THEN ',"hot":true' ELSE '' END,
+            |  '}')""".stripMargin).as("j"))
+        graft.operators.Profiler.jsonProfile(j, "j").orderBy("key")
+      },
+      Some("""WITH b AS (SELECT '{"uid":' || CAST(user_id AS VARCHAR)
+             |    || CASE WHEN event_type = 'click'
+             |         THEN ',"page":"p' || CAST(user_id % 7 AS VARCHAR) || '"'
+             |         ELSE '' END
+             |    || CASE WHEN value > 50 THEN ',"hot":true' ELSE '' END
+             |    || '}' AS j FROM events),
+             |kv AS (SELECT unnest(json_keys(j)) AS key, j FROM b),
+             |v AS (SELECT key, json_extract_string(j, '$.' || key) AS val FROM kv)
+             |SELECT key, CAST(count(*) AS BIGINT) AS n_present,
+             |  CAST(count(*) * 10000 // (SELECT count(*) FROM b) AS BIGINT) AS fill_bp,
+             |  CAST(sum(CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_integer,
+             |  CAST(sum(CASE WHEN val IN ('true', 'false') THEN 1 ELSE 0 END) AS BIGINT) AS n_boolean,
+             |  CAST(count(DISTINCT val) AS BIGINT) AS n_distinct
+             |FROM v GROUP BY key ORDER BY key""".stripMargin)),
+
     Q("q69_cumulative_reach",
       // Monotone reach curve — cumulative distinct users ever seen,
       // by hour: distinct-over-a-GROWING-range collapses to "first
