@@ -103,4 +103,54 @@ object AsofJoin {
     val rightCols = payloadCols.map(c => when(ok, col(s"__m.$c")).as(c))
     matched.select((leftCols ++ rightCols :+ when(ok, gap).as("asof_gap")): _*)
   }
+
+  /** Nearest-either-direction as-of join (pandas
+    * `merge_asof(direction='nearest')`) — the remaining member of
+    * the family ([[apply]] is backward, [[directed]] adds forward +
+    * tolerance): each left row takes the right row minimizing
+    * |rightTime − leftTime|; an exact distance tie between a
+    * backward and a forward match resolves BACKWARD (the already-
+    * observed row — the causally safe choice, and pandas's);
+    * same-time right rows tie-break to the greatest payload struct,
+    * [[directed]]'s convention. Same single-shuffle union shape: one
+    * exchange on the key, two in-partition window sorts (backward
+    * suffix + forward suffix), a per-row choose. `tolerance` nulls
+    * matches farther than that many time units AFTER the choice —
+    * nearest-row semantics, exactly merge_asof. */
+  def nearest(left: DataFrame, right: DataFrame,
+              key: String, leftTime: String, rightTime: String,
+              tolerance: Option[Long] = None): DataFrame = {
+    val payloadCols = right.columns.filterNot(_ == key).toSeq
+    val payload = struct((rightTime +: payloadCols.filterNot(_ == rightTime))
+      .map(c => col(c)): _*)
+    val r = right.select(col(key), col(rightTime).cast("long").as("__time"),
+      payload.as("__rp"), lit(1).as("__isR"))
+    val l = left.select(col(key), col(leftTime).cast("long").as("__time"),
+      lit(null).cast(r.schema("__rp").dataType).as("__rp"), lit(0).as("__isR"),
+      struct(left.columns.map(col): _*).as("__lrow"))
+    val unioned = l.unionByName(r.withColumn("__lrow",
+      lit(null).cast(l.schema("__lrow").dataType)), allowMissingColumns = false)
+    val wb = Window.partitionBy(key)
+      .orderBy(col("__time").asc, col("__isR").desc, col("__rp").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(key)
+      .orderBy(col("__time").desc, col("__isR").desc, col("__rp").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = unioned
+      .withColumn("__b", last("__rp", ignoreNulls = true).over(wb))
+      .withColumn("__f", last("__rp", ignoreNulls = true).over(wf))
+      .filter(col("__isR") === 0)
+    val db = col("__time") - col(s"__b.$rightTime").cast("long")
+    val dfw = col(s"__f.$rightTime").cast("long") - col("__time")
+    val useB = col("__f").isNull || (col("__b").isNotNull && db <= dfw)
+    val chosen = when(useB, col("__b")).otherwise(col("__f"))
+    val dist = when(useB, db).otherwise(dfw)
+    val ok = tolerance
+      .map(tol => chosen.isNotNull && dist <= tol)
+      .getOrElse(chosen.isNotNull)
+    val leftCols = left.columns.map(c => col(s"__lrow.$c").as(c)).toSeq
+    val rightCols = payloadCols.map(c =>
+      when(ok, chosen.getField(c)).as(c))
+    m.select((leftCols ++ rightCols :+ when(ok, dist).as("asof_gap")): _*)
+  }
 }

@@ -461,6 +461,38 @@ object Relational {
               |   ORDER BY s.t DESC, s.event_id DESC LIMIT 1) AS signup_id
               |FROM e p WHERE p.event_type='purchase' ORDER BY p.event_id""".stripMargin)),
 
+    Q("q74_asof_nearest",
+      // Nearest-either-direction as-of (round 10) — completes the
+      // merge_asof family (q25 backward, q53 forward+tolerance):
+      // min |Δt|, exact cross-side ties resolve BACKWARD (the
+      // causally safe, already-observed row), same-time ties to the
+      // greatest payload. One exchange, two in-partition window
+      // sorts, per-row choose (AsofJoin.nearest).
+      (s, d) => {
+        val e = ev(s, d)
+        graft.operators.AsofJoin.nearest(
+          left = e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "t"),
+          right = e.filter(col("event_type") === "signup")
+            .select(col("user_id"), col("t").as("rt"), col("event_id").as("signup_id")),
+          key = "user_id", leftTime = "t", rightTime = "rt")
+          .select("event_id", "user_id", "signup_id", "asof_gap")
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS ($evSql)
+              |SELECT p.event_id, p.user_id,
+              |  (SELECT s.event_id FROM e s
+              |   WHERE s.event_type='signup' AND s.user_id=p.user_id
+              |   ORDER BY abs(s.t - p.t),
+              |     CASE WHEN s.t <= p.t THEN 0 ELSE 1 END, s.event_id DESC
+              |   LIMIT 1) AS signup_id,
+              |  (SELECT CAST(abs(s.t - p.t) AS BIGINT) FROM e s
+              |   WHERE s.event_type='signup' AND s.user_id=p.user_id
+              |   ORDER BY abs(s.t - p.t),
+              |     CASE WHEN s.t <= p.t THEN 0 ELSE 1 END, s.event_id DESC
+              |   LIMIT 1) AS asof_gap
+              |FROM e p WHERE p.event_type='purchase' ORDER BY p.event_id""".stripMargin)),
+
     Q("q26_range_join",
       (s, d) => graft.operators.RangeJoin.joinPointInRange(
         left = Tables.events(s, d)
