@@ -581,38 +581,59 @@ object GraphOps {
     * Output: (node, st) with `i` (in set) / `o` (excluded) / `u`
     * (unconverged — none at the tested scales). */
   def maximalIndependentSet(edges: DataFrame, rounds: Int): DataFrame = {
-    val e2 = Ckpt.cutLight(edges.select("src", "dst")
+    // frontier-shaped loop: both the undecided node set AND the edge
+    // set restricted to it shrink geometrically, so round k costs
+    // O(frontier_k), not O(V + E) — and a converged instance exits
+    // early (further rounds would be no-ops; the output is identical
+    // to running all `rounds`). The frontier count rides the
+    // checkpoint materialization as an observe metric (the [[iterate]]
+    // convention — no extra count job per round).
+    var e2 = Ckpt.cut(edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct())
-    var st = Ckpt.cut(vertices(e2)
+    var undecided = Ckpt.cut(vertices(e2)
       .withColumn("pri",
         expr("CAST(conv(substr(md5(CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT)")
-          * lit(2147483648L) + col("node"))
-      .withColumn("st", lit("u")))
-    for (_ <- 1 to rounds) {
-      val u = st.filter(col("st") === "u").select("node", "pri")
-      // the strongest undecided neighbor of each undecided node
+          * lit(2147483648L) + col("node")))
+    val decided = Seq.newBuilder[DataFrame]
+    var r = 0
+    var empty = false
+    while (r < rounds && !empty) {
+      r += 1
+      // every e2 endpoint is undecided by construction, so the
+      // strongest-undecided-neighbor aggregate needs no state join
       val mx = e2
-        .join(u.select(col("node").as("dst"), col("pri").as("vpri")), "dst")
+        .join(undecided.select(col("node").as("dst"), col("pri").as("vpri")), "dst")
         .groupBy("src").agg(max("vpri").as("mx"))
         .select(col("src").as("node"), col("mx"))
-      val ins = u.join(mx, Seq("node"), "left")
+      val ins = Ckpt.cutLight(undecided.join(mx, Seq("node"), "left")
         .filter(col("mx").isNull || col("mx") < col("pri"))
-        .select("node")
+        .select("node"))
+      // neighbors of new members — all undecided, since e2 is
+      // frontier-restricted; ins ∩ outs = ∅ (two adjacent local
+      // maxima would each need the strictly greater priority)
       val outs = e2.join(ins.select(col("node").as("dst")), "dst")
         .select(col("src").as("node")).distinct()
-      val next = Ckpt.cut(st
-        .join(ins.withColumn("__i", lit(1)), Seq("node"), "left")
-        .join(outs.withColumn("__o", lit(1)), Seq("node"), "left")
-        .withColumn("st", when(col("st") =!= "u", col("st"))
-          .when(col("__i") === 1, lit("i"))
-          .when(col("__o") === 1, lit("o"))
-          .otherwise(lit("u")))
-        .select("node", "pri", "st"))
-      Ckpt.release(st)
-      st = next
+      decided += Ckpt.cut(
+        ins.withColumn("st", lit("i"))
+          .unionByName(outs.withColumn("st", lit("o"))))
+      val gone = decided.result().last
+      val obs = org.apache.spark.sql.Observation()
+      val nextU = Ckpt.cut(undecided
+        .join(gone, Seq("node"), "left_anti")
+        .observe(obs, count(lit(1)).as("c")))
+      val left = awaitObserved(obs).getOrElse(nextU.count())
+      val nextE = Ckpt.cut(e2
+        .join(nextU.select(col("node").as("src")), "src", "left_semi")
+        .join(nextU.select(col("node").as("dst")), "dst", "left_semi"))
+      Ckpt.release(undecided); Ckpt.release(e2)
+      undecided = nextU
+      e2 = nextE
+      empty = left == 0
     }
-    st.select("node", "st")
+    (decided.result() :+ undecided.select("node").withColumn("st", lit("u")))
+      .reduce(_ unionByName _)
+      .select("node", "st")
   }
 
   /** Multi-source BFS: minimum hop distance (≤ `maxDepth`) from any
