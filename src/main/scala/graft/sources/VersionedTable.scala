@@ -520,6 +520,63 @@ object VersionedTable {
     s.version
   }
 
+  /** INCREMENTAL bloom build — the standing-index maintenance step
+    * (the d7/s12/spanDedup posture applied to the sidecar): scan ONLY
+    * the snapshot's files the newest build doesn't cover, carry the
+    * still-live covered entries verbatim (immutable files ⇒ entries
+    * never stale), and write the union as a fresh build — so
+    * re-covering a 100-TB table after an append costs a pass over
+    * the APPENDED bytes, not the table, while [[vacuum]]'s
+    * newest-build-dominates GC stays valid. Entries for files no
+    * longer in the snapshot are dropped (time-travel reads of older
+    * versions just fall back to conservative keeps for them). No-op
+    * (returns the version, writes nothing) when every file is
+    * already covered. Sizing params come from the prior build —
+    * probe positions must agree across eras. */
+  def buildBloomIndexIncremental(spark: SparkSession, root: String,
+                                 colName: String,
+                                 version: Long = -1L): Long = {
+    val s = snapshot(spark, root, version)
+    val prior = latestBloomDir(spark, root, colName).getOrElse(
+      return buildBloomIndex(spark, root, colName, version = version))
+    val idx = spark.read.parquet(prior)
+    val meta = idx.select("m", "k").head()
+    val (m, k) = (meta.getInt(0), meta.getInt(1))
+    val rels = fileLines(spark, root, s.version).map(lineRel)
+    val covered = idx.select("file").collect().map(_.getString(0)).toSet
+    val newRels = rels.filterNot(covered)
+    if (newRels.isEmpty) return s.version
+    val nWords = m / 64
+    val rows = spark.read.parquet(newRels.map(r => new Path(root, r).toString): _*)
+      .select(expr("substring_index(input_file_name(), '/', -3)").as("file"),
+        col(colName).cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+    val posCols = (0 until k).map(i =>
+      pmod(xxhash64(col("__v"), lit(i)), lit(m.toLong)).cast("int"))
+    val words = rows
+      .select(col("file"), explode(array(posCols: _*)).as("p"))
+      .withColumn("widx", (col("p") / 64).cast("int"))
+      .groupBy("file", "widx")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), pmod(p, 64)))").as("word"))
+    val dense = words.groupBy("file")
+      .agg(map_from_entries(collect_list(struct(col("widx"), col("word")))).as("wm"))
+      .select(col("file"),
+        expr(s"transform(sequence(0, ${nWords - 1}), i -> coalesce(wm[i], CAST(0 AS BIGINT)))")
+          .as("words"))
+    val counts = rows.groupBy("file").agg(count(lit(1)).as("n_rows"))
+    val fresh = dense.join(counts, Seq("file"))
+      .withColumn("m", lit(m)).withColumn("k", lit(k))
+    // carry only entries for files still in the snapshot — a semijoin
+    // against the (metadata-sized) live-file list, never an isin of
+    // thousands of literals
+    val sp = spark; import sp.implicits._
+    val carried = idx.join(rels.toDF("file"), Seq("file"), "left_semi")
+    carried.select(fresh.columns.map(col): _*).unionByName(fresh)
+      .write.mode("overwrite")
+      .parquet(new Path(bloomDir(root, colName), s"v${s.version}").toString)
+    s.version
+  }
+
   /** The newest built bloom index dir for `colName`, if any. ANY
     * index version is conservative-correct for any read version:
     * entries key on immutable files, extra entries are unused and

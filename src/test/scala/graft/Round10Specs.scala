@@ -1103,3 +1103,49 @@ class MisSpec extends SparkSpec {
   test("independence + maximality + convergence at sf0.01")(
     certify("/root/testdata/sf0.01"))
 }
+
+/** Round-10: INCREMENTAL bloom maintenance — re-covering after an
+  * append must scan only the appended files, carry live covered
+  * entries verbatim, stay exact across eras, and no-op when covered. */
+class BloomIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  test("incremental build covers appends; lookups exact across eras; no-op when covered") {
+    val root = {
+      val d = java.nio.file.Files.createTempDirectory("vtbloominc").toFile
+      d.delete(); d.getAbsolutePath
+    }
+    val mk = (lo: Long, hi: Long) => spark.range(lo, hi)
+      .select(col("id").as("k"), concat(lit("y"), col("id").cast("string")).as("v"))
+    VersionedTable.commit(mk(0, 256).repartitionByRange(8, col("k")), root,
+      statsCols = Seq("v"))
+    VersionedTable.buildBloomIndex(spark, root, "v", bitsPerFile = 1 << 14)
+    val v2 = VersionedTable.commit(mk(1000, 1128).repartitionByRange(4, col("k")),
+      root, mode = "append")
+    val built = VersionedTable.buildBloomIndexIncremental(spark, root, "v")
+    assert(built == v2)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = f.listStatus(new org.apache.hadoop.fs.Path(root, "_index/bloom_v"))
+      .map(_.getPath.getName).sorted
+    assert(dirs.sameElements(Array("v1", s"v$v2")), dirs.mkString(","))
+    // the new build covers all 12 files (8 carried + 4 fresh)
+    val idx = spark.read.parquet(s"$root/_index/bloom_v/v$v2")
+    assert(idx.count() == 12)
+    // exact lookups from BOTH eras through the new build
+    for (probe <- Seq("y7", "y255", "y1000", "y1127")) {
+      val got = VersionedTable.readEq(spark, root, "v", probe)
+        .select("v").collect().map(_.getString(0))
+      assert(got.sameElements(Array(probe)), s"$probe -> ${got.mkString(",")}")
+    }
+    // and the old-era probe actually prunes (bloom does the work)
+    val (opened, statsKept, total) = VersionedTable.bloomPruneDetail(spark, root, "v", "y7")
+    assert(total == 12 && opened * 3 <= statsKept,
+      s"opened $opened of $statsKept stats-kept / $total")
+    // fully covered -> no-op (no new dir, same return)
+    assert(VersionedTable.buildBloomIndexIncremental(spark, root, "v") == v2)
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(root, "_index/bloom_v"))
+      .map(_.getPath.getName).sorted.sameElements(Array("v1", s"v$v2")))
+  }
+}
