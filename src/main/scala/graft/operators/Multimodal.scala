@@ -142,9 +142,43 @@ object Multimodal {
           u(12) == 'I' && u(13) == 'H' && u(14) == 'D' && u(15) == 'R'
         def isSof(m: Int): Boolean =
           m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+        def leI(i: Int): Long =
+          (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3).toLong << 24))
+        def leS(i: Int): Long = (u(i) | (u(i + 1) << 8)).toLong
+        // RIFF chunk walk over the header table only (never sample
+        // data): offset of chunk `id`'s payload, or -1
+        def riffChunk(cid: String): Int = {
+          var p = 12
+          var found = -1
+          while (found < 0 && p + 8 <= b.length) {
+            val sz = leI(p + 4)
+            if (sz < 0) p = b.length
+            else if (u(p) == cid(0) && u(p + 1) == cid(1) &&
+              u(p + 2) == cid(2) && u(p + 3) == cid(3)) found = p + 8
+            else p += (8 + sz + (sz & 1)).toInt
+          }
+          found
+        }
         if (isPng)
           (id, "png", be32(16), be32(20), u(24).toLong)
-        else if (b.length >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
+        else if (b.length >= 30 && u(0) == 'B' && u(1) == 'M')
+          // BMP: DIB geometry at fixed offsets; |height| (negative =
+          // top-down storage), depth = bits per pixel
+          (id, "bmp", leI(18), math.abs(leI(22).toInt).toLong, leS(28))
+        else if (b.length >= 44 && u(0) == 'R' && u(1) == 'I' && u(2) == 'F' &&
+          u(3) == 'F' && u(8) == 'W' && u(9) == 'A' && u(10) == 'V' &&
+          u(11) == 'E' && riffChunk("fmt ") >= 0) {
+          // WAV: WavCodec's geometry reinterpretation — width = frames
+          // per channel (from the data chunk's DECLARED size, no
+          // sample reads), height = sample rate, depth = bits/sample
+          val f = riffChunk("fmt ")
+          val channels = math.max(leS(f + 2), 1L)
+          val bits = math.max(leS(f + 14), 1L)
+          val d = riffChunk("data")
+          val frames =
+            if (d < 0) 0L else leI(d - 4) / (channels * (bits / 8).max(1L))
+          (id, "wav", frames, leI(f + 4), bits)
+        } else if (b.length >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
           var p = 2
           var out: (Long, Long, Long) = null
           while (out == null && p + 3 < b.length) {

@@ -1149,3 +1149,52 @@ class BloomIncrementalSpec extends SparkSpec {
       .map(_.getPath.getName).sorted.sameElements(Array("v1", s"v$v2")))
   }
 }
+
+/** Round-10: BMP/WAV header sniffing agrees with the full codecs'
+  * geometry on byte-identical payloads — the sniffer reads headers
+  * only, the codec decodes; both must tell the same story. */
+class SniffBmpWavSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators._
+
+  private def leI(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def leS(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  private def bmp(w: Int, h: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val pix = h * stride
+    Array[Byte]('B', 'M') ++ leI(54 + pix) ++ leI(0) ++ leI(54) ++
+      leI(40) ++ leI(w) ++ leI(h) ++ leS(1) ++ leS(24) ++ leI(0) ++
+      leI(pix) ++ leI(2835) ++ leI(2835) ++ leI(0) ++ leI(0) ++
+      Array.fill[Byte](pix)(7)
+  }
+  private def wav(nSamples: Int, rate: Int): Array[Byte] = {
+    val data = Array.fill[Byte](nSamples * 2)(1)
+    Array[Byte]('R', 'I', 'F', 'F') ++ leI(36 + data.length) ++
+      Array[Byte]('W', 'A', 'V', 'E') ++
+      Array[Byte]('f', 'm', 't', ' ') ++ leI(16) ++ leS(1) ++ leS(1) ++
+      leI(rate) ++ leI(rate * 2) ++ leS(2) ++ leS(16) ++
+      Array[Byte]('d', 'a', 't', 'a') ++ leI(data.length) ++ data
+  }
+
+  test("sniffed BMP/WAV geometry equals the codecs' decoded geometry") {
+    val payloads = Seq(1L -> bmp(5, 3), 2L -> wav(12, 8000))
+    val sniffed = Multimodal.sniffHeaders(payloads.toDF("id", "bin"), "id", "bin")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(sniffed(1L) == ("bmp", 5L, 3L, 24L))
+    assert(sniffed(2L) == ("wav", 12L, 8000L, 16L))
+    val db = BmpCodec.decode(bmp(5, 3), 1)
+    assert(sniffed(1L)._2 == db.width && sniffed(1L)._3 == db.height)
+    val dw = WavCodec.decode(wav(12, 8000), 1)
+    assert(sniffed(2L)._2 == dw.width && sniffed(2L)._3 == dw.height)
+    // a RIFF that is not WAVE stays unknown
+    val avi = wav(4, 8000); avi(8) = 'A'; avi(9) = 'V'; avi(10) = 'I'; avi(11) = ' '
+    val u = Multimodal.sniffHeaders(Seq(3L -> avi).toDF("id", "bin"), "id", "bin")
+      .collect().head
+    assert(u.getString(1) == "unknown")
+  }
+}
