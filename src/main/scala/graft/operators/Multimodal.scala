@@ -204,6 +204,52 @@ object Multimodal {
       }).toDF("doc_id", "fmt", "width", "height", "depth")
   }
 
+  /** Deterministic RESIZE (integer box-filter downsample) of the
+    * byte-raster convention ([[encodeGrayPng]]'s: byte i = pixel i,
+    * `width` wide, zero-padded last row) — the image-preprocessing
+    * stage between decode and feature extraction: each `factor`×
+    * `factor` block becomes one output pixel, floor(Σ values /
+    * block-pixel-count), edge blocks divided by their REAL pixel
+    * count. Pure integer arithmetic, so the whole resampled raster
+    * is bit-identical on any engine — the query surface emits the
+    * geometry plus two exact checksums (value sum and
+    * position-weighted sum: a single transposed/misplaced pixel
+    * flips the latter). Partition-wise over primitive arrays like
+    * [[decode]]; a production variant emits the resized raster
+    * bytes from the same loop. */
+  def resizeGray(df: DataFrame, idCol: String, binCol: String,
+                 width: Int = 32, factor: Int = 4): DataFrame = {
+    require(width >= 1 && factor >= 1, s"width=$width factor=$factor")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val b = if (raw == null) Array.empty[Byte] else raw
+        val n = b.length
+        val h = math.max((n + width - 1) / width, 1)
+        val ow = (width + factor - 1) / factor
+        val oh = (h + factor - 1) / factor
+        val sums = new Array[Long](ow * oh)
+        var i = 0
+        while (i < n) {
+          sums((i / width / factor) * ow + (i % width) / factor) += (b(i) & 0xFF)
+          i += 1
+        }
+        var pxSum = 0L
+        var posSum = 0L
+        var j = 0
+        while (j < ow * oh) {
+          val bh = math.min(factor, h - (j / ow) * factor)
+          val bw = math.min(factor, width - (j % ow) * factor)
+          val pv = sums(j) / (bw.toLong * bh)
+          pxSum += pv
+          posSum += j.toLong * pv
+          j += 1
+        }
+        (id, ow.toLong, oh.toLong, pxSum, posSum)
+      }).toDF("doc_id", "out_w", "out_h", "px_sum", "px_pos_sum")
+  }
+
   /** Perceptual-hash near-duplicate pairs over a binary media column:
     * a 60-bit AVERAGE HASH (aHash) per payload — bit j set iff the
     * j-th positional byte-group sum exceeds the global mean, the

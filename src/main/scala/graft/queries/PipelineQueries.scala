@@ -1333,6 +1333,39 @@ object PipelineQueries {
              |  CAST(8 AS BIGINT) AS depth
              |FROM b ORDER BY doc_id""".stripMargin)),
 
+    Q("m12_resize",
+      // Integer box-filter downsample (32-wide raster, 4x4 blocks →
+      // 8-wide) — the brief's resize stage, exact end-to-end: edge
+      // blocks divide by their real pixel count, and the oracle
+      // replays every output pixel positionally in SQL (the
+      // position-weighted checksum catches a single misplaced
+      // pixel).
+      (s, d) => {
+        val payload = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        Multimodal.resizeGray(payload, "doc_id", "payload", width = 32, factor = 4)
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+             |        FROM documents),
+             |dims AS (SELECT doc_id, greatest((n + 31) // 32, 1) AS h FROM b),
+             |s AS (SELECT doc_id, ((i - 1) % 32) // 4 AS bx, ((i - 1) // 32) // 4 AS by,
+             |        ascii(substr(text, CAST(i AS INT), 1)) AS v
+             |      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+             |            FROM b)),
+             |blk AS (SELECT doc_id, bx, by, CAST(sum(v) AS BIGINT) AS sv
+             |        FROM s GROUP BY 1, 2, 3),
+             |pxv AS (SELECT blk.doc_id, bx, by,
+             |          sv // (4 * least(4, d.h - by * 4)) AS pv
+             |        FROM blk JOIN dims d USING (doc_id)),
+             |agg AS (SELECT doc_id, CAST(sum(pv) AS BIGINT) AS px_sum,
+             |          CAST(sum((by * 8 + bx) * pv) AS BIGINT) AS px_pos_sum
+             |        FROM pxv GROUP BY 1)
+             |SELECT d.doc_id, CAST(8 AS BIGINT) AS out_w,
+             |  CAST((d.h + 3) // 4 AS BIGINT) AS out_h,
+             |  coalesce(px_sum, 0) AS px_sum, coalesce(px_pos_sum, 0) AS px_pos_sum
+             |FROM dims d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     Q("m3_frame_sample",
       // Frame sampling over video-like payloads (Multimodal
       // .frameSample): 32-byte frames, every 2nd sampled, exact
