@@ -1198,3 +1198,27 @@ class SniffBmpWavSpec extends SparkSpec {
     assert(u.getString(1) == "unknown")
   }
 }
+
+/** Round-10: resize edge cases — empty payload, and a non-divisible
+  * height where bottom blocks average over their REAL pixel count. */
+class ResizeGraySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Multimodal
+
+  test("constant raster, partial bottom blocks, and empty payload are exact") {
+    val const = Array.fill[Byte](192)(10) // 32x6 -> 8x2, every pv = 10
+    val ramp = Array.tabulate[Byte](40)(i => if (i < 32) 100.toByte else 0) // 32x2: row0=100, row1: 8 real 0s + pad
+    val rows = Seq(1L -> const, 2L -> ramp, 3L -> Array.empty[Byte])
+    val out = Multimodal.resizeGray(rows.toDF("id", "bin"), "id", "bin")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 16 blocks of value 10: sum 160, pos sum 10 * (0+1+...+15) = 1200
+    assert(out(1L) == (8L, 2L, 160L, 1200L))
+    // 32x2 raster, oh = 1, blocks are 4 wide x 2 high (h=2): each block
+    // sums 4 pixels of 100 (row 0) + row-1 values, div 8
+    // blocks 0,1: row1 real zeros -> (400+0)/8 = 50
+    // blocks 2..7: row1 pad (absent bytes) -> 400/8 = 50 as well
+    assert(out(2L) == (8L, 1L, 8L * 50L, 50L * (0 to 7).sum))
+    assert(out(3L) == (8L, 1L, 0L, 0L))
+  }
+}
