@@ -17,6 +17,7 @@ object SparkEntry {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     org.apache.spark.sql.graftbridge.GraftFunctions.install(spark)
+    org.apache.spark.sql.graftbridge.GraftTableFunctions.install(spark)
     spark
   }
 

@@ -591,10 +591,21 @@ object GraphOps {
     var e2 = Ckpt.cut(edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct())
+    // priorities pack hash·2³¹ + node into one BIGINT; unique and
+    // overflow-free ONLY while node ∈ [0, 2³¹) — outside that range
+    // the node bleeds into the hash bits (collisions) and the top of
+    // the hash range overflows Long. Fail loudly per-row instead of
+    // silently breaking the tie-free invariant the operator and its
+    // oracle rely on (no extra validation job: the guard rides the
+    // same projection).
     var undecided = Ckpt.cut(vertices(e2)
-      .withColumn("pri",
-        expr("CAST(conv(substr(md5(CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT)")
-          * lit(2147483648L) + col("node")))
+      .withColumn("pri", expr(
+        "CASE WHEN node < 0 OR node >= 2147483648 THEN " +
+          "CAST(raise_error(concat('maximalIndependentSet: node id ', " +
+          "CAST(node AS STRING), ' outside [0, 2^31) — packed hash*2^31+node " +
+          "priorities would collide or overflow')) AS BIGINT) " +
+          "ELSE CAST(conv(substr(md5(CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT) " +
+          "* 2147483648 + node END")))
     val decided = Seq.newBuilder[DataFrame]
     var r = 0
     var empty = false

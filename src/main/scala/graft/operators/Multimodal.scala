@@ -146,16 +146,23 @@ object Multimodal {
           (u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3).toLong << 24))
         def leS(i: Int): Long = (u(i) | (u(i + 1) << 8)).toLong
         // RIFF chunk walk over the header table only (never sample
-        // data): offset of chunk `id`'s payload, or -1
+        // data): offset of chunk `id`'s payload, or -1. The offset is
+        // tracked as Long: a hostile declared chunk size near
+        // 0xFFFFFFFF would wrap an Int advance negative and index out
+        // of bounds — any non-advancing or overflowing step means
+        // chunk-not-found, so the payload falls through to 'unknown'.
         def riffChunk(cid: String): Int = {
-          var p = 12
+          var p = 12L
           var found = -1
           while (found < 0 && p + 8 <= b.length) {
-            val sz = leI(p + 4)
-            if (sz < 0) p = b.length
-            else if (u(p) == cid(0) && u(p + 1) == cid(1) &&
-              u(p + 2) == cid(2) && u(p + 3) == cid(3)) found = p + 8
-            else p += (8 + sz + (sz & 1)).toInt
+            val pi = p.toInt
+            val sz = leI(pi + 4)
+            if (u(pi) == cid(0) && u(pi + 1) == cid(1) &&
+              u(pi + 2) == cid(2) && u(pi + 3) == cid(3)) found = pi + 8
+            else {
+              val next = p + 8L + sz + (sz & 1L)
+              p = if (next <= p) b.length.toLong else next
+            }
           }
           found
         }

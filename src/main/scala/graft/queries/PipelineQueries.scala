@@ -1142,7 +1142,7 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_docs"),
             sum(size(filter(split(col("text"), " "), t => t =!= ""))
               .cast("long")).as("n_tokens"))
-          .orderBy("source")
+          .orderBy("source", "split")
       },
       Some(s"""WITH h AS (SELECT source,
               |    (${baseHashSqlOf("source")}) % ${Dedup.MinhashP} % 100 AS pct,
@@ -1151,8 +1151,8 @@ object PipelineQueries {
               |SELECT source,
               |  CASE WHEN pct < 80 THEN 'train'
               |       WHEN pct < 90 THEN 'valid' ELSE 'test' END AS split,
-              |  CAST(count(*) AS BIGINT) AS n_docs, sum(nt) AS n_tokens
-              |FROM h GROUP BY 1, 2 ORDER BY source""".stripMargin)),
+              |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+              |FROM h GROUP BY 1, 2 ORDER BY source, split""".stripMargin)),
 
     Q("smp2_stratified_sample",
       // per-stratum deterministic rates: downsample the dominant
@@ -2730,6 +2730,134 @@ object PipelineQueries {
               |  CAST(rrf AS BIGINT) AS rrf
               |FROM fr WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)),
 
+    Q("q65b_sql_bm25",
+      // The round-10 lexical ranker on the PURE-SQL front door (the
+      // q65_sql_surface convention): the same integer-scaled BM25 —
+      // idf surrogate (N·10⁴ div df), ×10A-cleared tf/dl saturation,
+      // 90% df cutoff, per-token cap 16 — expressed entirely through
+      // spark.sql over a registered view, zero DataFrame calls after
+      // registration. The cap here is the row_number REPLAY form (the
+      // oracle's own shape); the scale path stays s18's TopKAgg — this
+      // query proves a SQL-only client can run the ranker and get
+      // bit-identical rankings. Oracle = s18's, verbatim.
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("documents_sql")
+        s.sql("""
+          WITH binst AS (
+            SELECT doc_id, tok FROM documents_sql
+            LATERAL VIEW explode(filter(split(text, ' '), x -> x != '')) t AS tok),
+          btf AS (SELECT doc_id, tok, count(*) AS tf FROM binst GROUP BY 1, 2),
+          bdl AS (SELECT doc_id, count(*) AS dl FROM binst GROUP BY 1),
+          bdf AS (SELECT tok, count(*) AS df FROM btf GROUP BY 1),
+          bglob AS (SELECT count(DISTINCT doc_id) AS n, count(*) AS a FROM binst),
+          bsc AS (SELECT btf.tok, btf.doc_id,
+              (cast((cast(n as decimal(38,0)) * 10000) div df as decimal(38,0))
+                 * tf * 22 * a)
+                div (10 * cast(a as decimal(38,0)) * tf + 3 * a + 9 * dl * n) AS st
+            FROM btf JOIN bdl USING (doc_id) JOIN bdf ON bdf.tok = btf.tok
+            CROSS JOIN bglob WHERE df * 100 <= n * 90),
+          bcap AS (SELECT tok, doc_id, st FROM (SELECT tok, doc_id, st,
+              row_number() OVER (PARTITION BY tok ORDER BY st DESC, doc_id) AS prk
+            FROM bsc) WHERE prk <= 16),
+          bqt AS (SELECT DISTINCT doc_id AS qid, tok FROM binst WHERE doc_id < 5),
+          bcd AS (SELECT qid, bcap.doc_id AS cid, CAST(sum(st) AS BIGINT) AS score
+            FROM bqt JOIN bcap USING (tok) WHERE bcap.doc_id <> qid GROUP BY 1, 2),
+          lexr AS (SELECT qid, cid, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+            FROM bcd)
+          SELECT qid AS query_id, CAST(rk AS INT) AS rk,
+            cid AS neighbor_id, score
+          FROM lexr WHERE rk <= 10 ORDER BY query_id, rk""")
+      },
+      Some(s"""WITH $bm25LexSql
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk,
+              |  cid AS neighbor_id, score
+              |FROM lexr WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("q65c_sql_filtered_knn",
+      // Filtered vector search on the PURE-SQL front door: the s19
+      // deployment pattern (kNN under a metadata predicate,
+      // pre-filtered BEFORE scoring — never top-k-then-filter) written
+      // entirely in spark.sql through the registered vec_cosine
+      // function. Brute scoring here (the SQL-expressible baseline;
+      // s19's IVF tier is the scale path) — the point is the
+      // PRE-FILTER shape: the predicate lands in the candidate CTE, so
+      // Catalyst pushes it into the corpus scan.
+      (s, d) => {
+        org.apache.spark.sql.graftbridge.GraftFunctions.install(s)
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings_sql")
+        s.sql("""
+          WITH q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings_sql WHERE vec_id < 5),
+          c AS (SELECT vec_id, embedding FROM embeddings_sql WHERE label < 3),
+          sc AS (SELECT qid, c.vec_id AS cid, vec_cosine(qe, c.embedding) AS cos
+            FROM q JOIN c ON c.vec_id <> qid),
+          r AS (SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+            FROM sc)
+          SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+            round(cos, 4) AS cosine
+          FROM r WHERE rk <= 10 ORDER BY query_id, rk""")
+      },
+      Some(s"""WITH $cosSql,
+              |cef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings WHERE label < 3),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 5),
+              |sc AS (SELECT qid, c.vec_id AS cid,
+              |  list_dot_product(qv, c.v)
+              |    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+              |  FROM q JOIN cef c ON c.vec_id <> qid),
+              |r AS (SELECT qid, cid, cos,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("q65d_sql_timetravel",
+      // The versioned-table read surface on PURE SQL: vt_read's
+      // VERSION AS OF, vt_read_eq's indexed point probe, and
+      // vt_history's audit — all through spark.sql table functions
+      // (GraftTableFunctions; the registry mechanism `range(n)`
+      // rides), zero DataFrame calls after the table is built. The
+      // table is committed from `documents` (v1 = even doc_ids,
+      // v2 = append odd), so every SQL read has a DuckDB-derivable
+      // oracle: time travel to v1 must see exactly the even half.
+      (s, d) => {
+        org.apache.spark.sql.graftbridge.GraftTableFunctions.install(s)
+        val dir = java.nio.file.Files.createTempDirectory("q65d").toFile
+        dir.delete()
+        val root = dir.getAbsolutePath
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        graft.sources.VersionedTable.commit(
+          docs.filter(col("doc_id") % 2 === 0), root)
+        graft.sources.VersionedTable.commit(
+          docs.filter(col("doc_id") % 2 === 1), root, mode = "append")
+        s.sql(s"""
+          SELECT 0 AS version, '_manifests' AS source, count(*) AS n
+            FROM vt_history('$root')
+          UNION ALL
+          SELECT 1 AS version, source, count(*) AS n
+            FROM vt_read('$root', 1) GROUP BY source
+          UNION ALL
+          SELECT 2 AS version, source, count(*) AS n
+            FROM vt_read('$root', 2) GROUP BY source
+          UNION ALL
+          SELECT 3 AS version, 'eq_probe' AS source, count(*) AS n
+            FROM vt_read_eq('$root', 'source', 'src0')
+          ORDER BY version, source""")
+      },
+      Some("""SELECT 0 AS version, '_manifests' AS source, CAST(2 AS BIGINT) AS n
+             |UNION ALL
+             |SELECT 1 AS version, source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents WHERE doc_id % 2 = 0 GROUP BY source
+             |UNION ALL
+             |SELECT 2 AS version, source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY source
+             |UNION ALL
+             |SELECT 3 AS version, 'eq_probe' AS source, CAST(count(*) AS BIGINT) AS n
+             |  FROM documents WHERE source = 'src0'
+             |ORDER BY version, source""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;
@@ -2968,18 +3096,18 @@ object PipelineQueries {
       // uncapped within its mass, the rest on the 700 default.
       (s, d) => Corpus.tokenBudgetMix(Tables.documents(s, d), "doc_id", "text",
           "source", Map("src0" -> 300L, "src1" -> 100000L), defaultBudget = 700L)
-        .orderBy("src", "cum_tokens"),
+        .orderBy("src", "cum_tokens", "doc_id"),
       Some(s"""WITH h AS (SELECT doc_id, source AS src,
               |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
               |    $docIdBaseHashSql AS hk FROM documents),
               |c AS (SELECT doc_id, src, n_tokens,
-              |    sum(n_tokens) OVER (PARTITION BY src ORDER BY hk, doc_id
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+              |    CAST(sum(n_tokens) OVER (PARTITION BY src ORDER BY hk, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
               |  FROM h)
               |SELECT doc_id, src, n_tokens, cum_tokens FROM c
               |WHERE cum_tokens - n_tokens <
               |  (CASE src WHEN 'src0' THEN 300 WHEN 'src1' THEN 100000 ELSE 700 END)
-              |ORDER BY src, cum_tokens""".stripMargin)),
+              |ORDER BY src, cum_tokens, doc_id""".stripMargin)),
 
     Q("t17_readability",
       // Flesch-Kincaid readability: words / sentences / vowel-group

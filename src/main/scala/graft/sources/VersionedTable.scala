@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, collect_list, concat, count, element_at, explode, expr, input_file_name, lit, map_from_entries, pmod, struct, xxhash64}
+import org.apache.spark.sql.functions.{array, broadcast, col, collect_list, concat, count, element_at, explode, expr, input_file_name, lit, map_from_entries, pmod, posexplode, struct, sum, xxhash64}
 import java.nio.charset.StandardCharsets
 
 /** Versioned-manifest table layout — snapshot isolation for the batch
@@ -378,27 +378,47 @@ object VersionedTable {
     * out of thousands. Missing/unparsable stats (file or shard) are
     * conservatively kept/opened. */
   def prunedFilesDetail(spark: SparkSession, root: String, colName: String,
-                        lo: String, hi: String, version: Long = -1L): PruneDetail = {
+                        lo: String, hi: String, version: Long = -1L): PruneDetail =
+    prunedFilesDetail(spark, root, Seq((colName, lo, hi)), version)
+
+  /** COMPOUND-predicate prune: the conjunction of `(col, lo, hi)`
+    * ranges, evaluated shard-level first, then file-level. A file (or
+    * shard) is skipped when ANY conjunct's recorded [min, max] is
+    * provably disjoint from its range — exactly what a real selective
+    * scan looks like (partition date AND key range): each extra
+    * conjunct can only shrink what's opened, never grow it. Per-column
+    * stats already sit in the manifest; this walks the root once and
+    * opens only shards every conjunct admits. Missing/unparsable stats
+    * for a column keep the file / open the shard (conservative, same
+    * contract as the single-column prune). */
+  def prunedFilesDetail(spark: SparkSession, root: String,
+                        ranges: Seq[(String, String, String)],
+                        version: Long): PruneDetail = {
+    require(ranges.nonEmpty, "prunedFilesDetail: no ranges")
     val v = if (version > 0) version else currentVersion(spark, root)
     require(v > 0, s"no committed version at $root")
-    val numeric = tableSchema(spark, root, v)
-      .flatMap(_.fields.find(_.name == colName))
-      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    val leq = statLeq(numeric) _
+    val schema = tableSchema(spark, root, v)
+    val numericOf: Map[String, Boolean] = ranges.map { case (c, _, _) =>
+      c -> schema.flatMap(_.fields.find(_.name == c))
+        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    }.toMap
     // [min, max] admits the range unless provably disjoint; unparsable
     // recorded stats (a float column's max() propagates NaN/Infinity,
     // which BigDecimal rejects) are treated like MISSING stats: keep
     // the file / open the shard rather than crash the read
-    def admits(st: Option[(String, String)]): Boolean = st match {
+    def admits1(col: String, lo: String, hi: String,
+                st: Option[(String, String)]): Boolean = st match {
       case Some((mn, mx)) =>
+        val leq = statLeq(numericOf(col)) _
         scala.util.Try(leq(lo, mx) && leq(mn, hi)).getOrElse(true)
       case None => true
     }
+    def admitsAll(stats: Map[String, (String, String)]): Boolean =
+      ranges.forall { case (c, lo, hi) => admits1(c, lo, hi, stats.get(c)) }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def keepLine(l: String): Option[String] = {
       val cut = l.indexOf('\t')
-      val ok = cut < 0 ||
-        admits(parseStats(om, l.substring(cut + 1))._1.get(colName))
+      val ok = cut < 0 || admitsAll(parseStats(om, l.substring(cut + 1))._1)
       if (ok) Some(new Path(root, lineRel(l)).toString) else None
     }
     var totalFiles = 0; var shardsTotal = 0; var shardsOpened = 0
@@ -408,7 +428,7 @@ object VersionedTable {
         if (l.startsWith(ShardPrefix)) {
           val ref = parseShardRef(om, l)
           shardsTotal += 1; totalFiles += ref.nFiles
-          if (admits(ref.stats.get(colName))) {
+          if (admitsAll(ref.stats)) {
             shardsOpened += 1
             shardFileLines(spark, root, ref.rel).foreach(sl => kept ++= keepLine(sl))
           }
@@ -439,12 +459,20 @@ object VersionedTable {
     * min/max admit it instead of every live file. The row-level
     * filter still applies (stats prune files, not rows). */
   def readRange(spark: SparkSession, root: String, colName: String,
-                lo: String, hi: String, version: Long = -1L): DataFrame = {
+                lo: String, hi: String, version: Long = -1L): DataFrame =
+    readRange(spark, root, Seq((colName, lo, hi)), version)
+
+  /** Compound readRange: conjunction of `(col, lo, hi)` ranges. File
+    * set from the compound prune (shard-level then file-level); row
+    * filter ANDs every conjunct in the column's own type. */
+  def readRange(spark: SparkSession, root: String,
+                ranges: Seq[(String, String, String)],
+                version: Long): DataFrame = {
     // resolve version=-1 ONCE and pin it for both the prune and the
     // schema lookup — a commit landing between two independent
     // resolutions would mix version-N kept files with version-N+1 schema
     val s = snapshot(spark, root, version)
-    val (kept, _) = prunedFiles(spark, root, colName, lo, hi, s.version)
+    val kept = prunedFilesDetail(spark, root, ranges, s.version).kept
     val base = tableSchema(spark, root, s.version) match {
       case Some(sc) if kept.nonEmpty =>
         applyDv(spark, root, s.version, spark.read.schema(sc).parquet(kept: _*))
@@ -454,17 +482,74 @@ object VersionedTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
       case None => return read(spark, root, version).limit(0)
     }
-    // row filter in the COLUMN's type (string compare would order
+    // row filter in each COLUMN's type (string compare would order
     // "10" < "9"); lit(lo).cast(dt) is identity for string columns
-    val dt = base.schema(colName).dataType
-    base.filter(col(colName).geq(org.apache.spark.sql.functions.lit(lo).cast(dt)) &&
-      col(colName).leq(org.apache.spark.sql.functions.lit(hi).cast(dt)))
+    ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
+      val dt = base.schema(c).dataType
+      df.filter(col(c).geq(org.apache.spark.sql.functions.lit(lo).cast(dt)) &&
+        col(c).leq(org.apache.spark.sql.functions.lit(hi).cast(dt)))
+    }
   }
 
   // ─────────────────────── bloom sidecar index ───────────────────────
 
   private def bloomDir(root: String, colName: String): Path =
     new Path(root, s"_index/bloom_$colName")
+
+  /** `file`-column prefix marking a SHARD-aggregate bloom entry (the
+    * bit-OR of every member file's bitset). '@' can never start a real
+    * data rel ("data/…"), so old probes that key rows by 3-part file
+    * name simply never look these up. */
+  private val BloomShardMark = "@shardagg\t"
+
+  /** member file rel (3-part) → owning shard rel, from the manifest
+    * root. Metadata-sized: one root read + one read per shard file. */
+  private def shardOfRel(spark: SparkSession, root: String,
+                         version: Long): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    manifestBody(spark, root, version).split("\n").foreach { l =>
+      if (l.startsWith(ShardPrefix)) {
+        val rel = l.split('\t')(1)
+        shardFileLines(spark, root, rel).foreach(m => out += lineRel(m) -> rel)
+      }
+    }
+    out.result()
+  }
+
+  /** Attach each per-file entry's owning shard and append one
+    * aggregate entry per shard (bit-OR of member bitsets, summed
+    * n_rows): a point probe then prunes SHARDS before files — a shard
+    * whose OR-bitset lacks any probe bit provably contains the value
+    * in no member (no false negatives: OR only adds bits). Unsharded
+    * manifests get `shard = null` everywhere and zero aggregate rows,
+    * and the probe falls back to the flat walk. */
+  private def withShardAggregates(spark: SparkSession, fileEntries: DataFrame,
+                                  shardOf: Map[String, String],
+                                  nWords: Int, m: Int, k: Int): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val tagged =
+      if (shardOf.isEmpty)
+        fileEntries.withColumn("shard", lit(null).cast("string"))
+      else fileEntries.join(
+        broadcast(shardOf.toSeq.toDF("file", "shard")), Seq("file"), "left")
+    if (shardOf.isEmpty) return tagged
+    val aggRows = tagged.filter(col("shard").isNotNull)
+      .select(col("shard"), posexplode(col("words")).as(Seq("widx", "word")))
+      .groupBy("shard", "widx")
+      .agg(expr("bit_or(word)").as("word"))
+      .groupBy("shard")
+      .agg(map_from_entries(collect_list(struct(col("widx"), col("word")))).as("wm"))
+      .select(col("shard"),
+        expr(s"transform(sequence(0, ${nWords - 1}), i -> coalesce(wm[i], CAST(0 AS BIGINT)))")
+          .as("words"))
+    val shardRows = tagged.filter(col("shard").isNotNull)
+      .groupBy("shard").agg(sum("n_rows").as("n_rows"))
+    aggRows.join(shardRows, Seq("shard"))
+      .select(concat(lit(BloomShardMark), col("shard")).as("file"),
+        col("words"), col("n_rows"),
+        lit(m).as("m"), lit(k).as("k"), col("shard"))
+      .unionByName(tagged.select("file", "words", "n_rows", "m", "k", "shard"))
+  }
 
   /** Per-file BLOOM membership sidecar for `colName` — the
     * point-lookup complement of min/max stats: a selective
@@ -490,8 +575,8 @@ object VersionedTable {
                       version: Long = -1L): Long = {
     require(bitsPerFile % 64 == 0 && bitsPerFile > 0, s"bitsPerFile: $bitsPerFile")
     val s = snapshot(spark, root, version)
-    val files = fileLines(spark, root, s.version)
-      .map(l => new Path(root, lineRel(l)).toString)
+    val rels = fileLines(spark, root, s.version).map(lineRel)
+    val files = rels.map(r => new Path(root, r).toString)
     require(files.nonEmpty, s"nothing to index at $root v${s.version}")
     val nWords = bitsPerFile / 64
     val rows = spark.read.parquet(files: _*)
@@ -513,8 +598,9 @@ object VersionedTable {
         expr(s"transform(sequence(0, ${nWords - 1}), i -> coalesce(wm[i], CAST(0 AS BIGINT)))")
           .as("words"))
     val counts = rows.groupBy("file").agg(count(lit(1)).as("n_rows"))
-    dense.join(counts, Seq("file"))
+    val built = dense.join(counts, Seq("file"))
       .withColumn("m", lit(bitsPerFile)).withColumn("k", lit(numHashes))
+    withAllNullEntries(spark, built, rels, bitsPerFile / 64, bitsPerFile, numHashes)
       .write.mode("overwrite")
       .parquet(new Path(bloomDir(root, colName), s"v${s.version}").toString)
     s.version
@@ -564,8 +650,10 @@ object VersionedTable {
         expr(s"transform(sequence(0, ${nWords - 1}), i -> coalesce(wm[i], CAST(0 AS BIGINT)))")
           .as("words"))
     val counts = rows.groupBy("file").agg(count(lit(1)).as("n_rows"))
-    val fresh = dense.join(counts, Seq("file"))
-      .withColumn("m", lit(m)).withColumn("k", lit(k))
+    val fresh = withAllNullEntries(spark,
+      dense.join(counts, Seq("file"))
+        .withColumn("m", lit(m)).withColumn("k", lit(k)),
+      newRels, nWords, m, k)
     // carry only entries for files still in the snapshot — a semijoin
     // against the (metadata-sized) live-file list, never an isin of
     // thousands of literals
@@ -575,6 +663,25 @@ object VersionedTable {
       .write.mode("overwrite")
       .parquet(new Path(bloomDir(root, colName), s"v${s.version}").toString)
     s.version
+  }
+
+  /** Scanned files whose indexed column was entirely null produce no
+    * aggregate row; without an entry they'd stay "uncovered" forever,
+    * so every incremental build would rescan them and the documented
+    * no-op path could never fire. An all-zero bitset with n_rows = 0
+    * is EXACT for them (an equality probe can never match null), and
+    * coverage converges. */
+  private def withAllNullEntries(spark: SparkSession, built: DataFrame,
+                                 scannedRels: Seq[String], nWords: Int,
+                                 m: Int, k: Int): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val missing = scannedRels.toDF("file")
+      .join(built.select("file"), Seq("file"), "left_anti")
+      .withColumn("words",
+        expr(s"transform(sequence(0, ${nWords - 1}), i -> CAST(0 AS BIGINT))"))
+      .withColumn("n_rows", lit(0L))
+      .withColumn("m", lit(m)).withColumn("k", lit(k))
+    built.unionByName(missing.select(built.columns.map(col): _*))
   }
 
   /** The newest built bloom index dir for `colName`, if any. ANY
@@ -1030,10 +1137,15 @@ object VersionedTable {
       val touched = hits.select(col("__dvf")).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
       val newDvLines = for (t <- touched; d <- dvRels) yield s"!dv\t$t\t$d"
-      // …and the updated row versions land as fresh files
-      val updated = set.foldLeft(hits.drop("__dvf", "__dvp")) {
-        case (df, (c, e)) => df.withColumn(c, expr(e))
-      }
+      // …and the updated row versions land as fresh files. All set
+      // expressions are evaluated against the PRE-update row in one
+      // projection (SQL UPDATE semantics): a sequential
+      // foldLeft/withColumn would let a later assignment observe an
+      // earlier one's NEW value, with "later" following Map iteration
+      // order — nondeterministic beyond 4 entries.
+      val preUpdate = hits.drop("__dvf", "__dvp")
+      val updated = preUpdate.select(preUpdate.columns.toSeq.map(c =>
+        set.get(c).map(e => expr(e).as(c)).getOrElse(col(c))): _*)
       val dataDirRel = s"data/c${s.version + 1}-$nonce"
       updated.write.parquet(new Path(root, dataDirRel).toString)
       val newStatus = f.listStatus(new Path(root, dataDirRel))
@@ -1066,16 +1178,25 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** Thrown by a rewrite `plan` to abort without committing — e.g. a
+    * lost-race retry discovering a concurrent writer already did the
+    * work. The loop returns the pinned version unchanged, so no-op
+    * contracts hold under OCC races (no spurious empty commit). */
+  private final case class RewriteNoop(version: Long)
+    extends RuntimeException(s"rewrite no-op at v$version")
+
   /** Shared copy-on-write loop: pin a snapshot, let `plan` produce the
     * replacement rows and the untouched-file carry list, commit with
     * `expectBase` OCC, and retry the WHOLE derivation from a fresh
-    * snapshot on conflict. */
+    * snapshot on conflict. A plan may throw [[RewriteNoop]] to return
+    * the pinned version with no commit. */
   private def rewrite(spark: SparkSession, root: String, maxRetries: Int)
       (plan: (SparkSession, Snapshot) => (DataFrame, Seq[String])): Long = {
     var attempt = 0
     while (true) {
       val s = snapshot(spark, root)
-      val (newRows, untouchedAbs) = plan(spark, s)
+      val (newRows, untouchedAbs) =
+        try plan(spark, s) catch { case RewriteNoop(v) => return v }
       val rootPrefix = new Path(root).toString
       val untouchedRel = untouchedAbs.map(_.stripPrefix(rootPrefix).stripPrefix("/")).toSet
       // carry the untouched files' FULL manifest lines so their
@@ -1197,7 +1318,10 @@ object VersionedTable {
     rewrite(spark, root, maxRetries) { (sp, s) =>
       val sizes = fileSizes(sp, root, s.version)
       val (small, big) = sizes.partition(_._2 < minFileBytes)
-      if (small.size < 2) (read(sp, root, s.version).limit(0), sizes.map(_._1))
+      // a lost-race retry can find the small files already folded by a
+      // concurrent writer — abort instead of committing an empty
+      // rewrite, so the <2-small-files no-op contract holds under OCC
+      if (small.size < 2) throw RewriteNoop(s.version)
       else {
         val smallBytes = small.map(_._2).sum
         val nOut = math.max(1L,

@@ -1,0 +1,110 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL TABLE functions for the versioned-table surface, registered in
+  * the session's TableFunctionRegistry (the same mechanism `range(n)`
+  * rides), so a SQL-ONLY client can read, time-travel, point-probe and
+  * audit a VersionedTable with zero DataFrame-API calls:
+  *
+  * {{{
+  *   SELECT * FROM vt_read('/path/t')                    -- current
+  *   SELECT * FROM vt_read('/path/t', 3)                 -- VERSION AS OF
+  *   SELECT * FROM vt_read_asof('/path/t', '2026-08-15 12:00:00')
+  *   SELECT * FROM vt_read_eq('/path/t', 'url_hash', 'h_42')
+  *   SELECT * FROM vt_read_range('/path/t', 'k', '10', '99')
+  *   SELECT * FROM vt_read_range('/path/t', 'day', '3', '4',
+  *                               'k', '100', '200')       -- conjunction
+  *   SELECT * FROM vt_history('/path/t')                 -- DESCRIBE HISTORY
+  *   SELECT * FROM vt_detail('/path/t')                  -- DESCRIBE DETAIL
+  * }}}
+  *
+  * Arguments must be foldable literals — a table function's plan is
+  * built at analysis time, exactly like the version pin it encodes.
+  * Each call plans against the manifest snapshot resolved AT ANALYSIS,
+  * giving SQL reads the same snapshot isolation as the API. The
+  * data-skipping reads (`vt_read_eq`, `vt_read_range`) keep their
+  * pruned file sets: SQL users get stats/bloom/shard pruning, not a
+  * full scan with a filter on top. */
+object GraftTableFunctions {
+
+  private def litString(es: Seq[Expression], i: Int, fn: String): String =
+    es(i) match {
+      case l: Literal if l.value != null => l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a non-null literal, got $other")
+    }
+
+  private def litLong(es: Seq[Expression], i: Int, fn: String): Long =
+    es(i) match {
+      case l: Literal if l.value != null => l.value.toString.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def plan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.logical
+
+  private def arity(fn: String, es: Seq[Expression], ok: Int => Boolean,
+                    want: String): Unit =
+    require(ok(es.size), s"$fn expects $want arguments, got ${es.size}")
+
+  /** (name, builder) for every graft SQL table function. */
+  val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "vt_read" -> { es =>
+      arity("vt_read", es, n => n == 1 || n == 2, "1 or 2")
+      val spark = SparkSession.active
+      val v = if (es.size == 2) litLong(es, 1, "vt_read") else -1L
+      plan(graft.sources.VersionedTable.read(
+        spark, litString(es, 0, "vt_read"), v))
+    },
+    "vt_read_asof" -> { es =>
+      arity("vt_read_asof", es, _ == 2, "2")
+      val spark = SparkSession.active
+      plan(graft.sources.VersionedTable.readAsOf(spark,
+        litString(es, 0, "vt_read_asof"), litLong(es, 1, "vt_read_asof")))
+    },
+    "vt_read_eq" -> { es =>
+      arity("vt_read_eq", es, _ == 3, "3")
+      val spark = SparkSession.active
+      plan(graft.sources.VersionedTable.readEq(spark,
+        litString(es, 0, "vt_read_eq"), litString(es, 1, "vt_read_eq"),
+        litString(es, 2, "vt_read_eq")))
+    },
+    "vt_read_range" -> { es =>
+      arity("vt_read_range", es, n => n >= 4 && (n - 1) % 3 == 0,
+        "1 + 3·k (path, then (col, lo, hi) conjuncts)")
+      val spark = SparkSession.active
+      val ranges = (1 until es.size by 3).map(i => (
+        litString(es, i, "vt_read_range"),
+        litString(es, i + 1, "vt_read_range"),
+        litString(es, i + 2, "vt_read_range")))
+      plan(graft.sources.VersionedTable.readRange(spark,
+        litString(es, 0, "vt_read_range"), ranges, -1L))
+    },
+    "vt_history" -> { es =>
+      arity("vt_history", es, _ == 1, "1")
+      plan(graft.sources.VersionedTable.describeHistory(
+        SparkSession.active, litString(es, 0, "vt_history")))
+    },
+    "vt_detail" -> { es =>
+      arity("vt_detail", es, _ == 1, "1")
+      plan(graft.sources.VersionedTable.describeDetail(
+        SparkSession.active, litString(es, 0, "vt_detail")))
+    })
+
+  /** Register all table functions on an already-built session.
+    * Idempotent (re-registration replaces the same builder). */
+  def install(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val registry = classic.sessionState.tableFunctionRegistry
+    builders.foreach { case (name, b) =>
+      registry.registerFunction(FunctionIdentifier(name),
+        GraftFunctions.info(name), b)
+    }
+  }
+}

@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 compound-predicate data skipping: on a z-order-clustered
+  * sharded table, a two-column conjunctive prune must open STRICTLY
+  * fewer shards AND files than either single-column prune — the
+  * "partition date AND key range" scan every clustered 100-TB table
+  * serves. Layout is exact by construction: 64×64 key grid in Morton
+  * order → each of 256 files is one aligned 4×4 block, each of 16
+  * shards one aligned 16×16 block, so per-column bounding boxes make
+  * the expected open counts computable, not sampled. */
+class CompoundPruneSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vconj").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  /** bit-interleave two 6-bit coords (a even bits, b odd bits) */
+  private def morton(a: Int, b: Int): Long =
+    (0 until 6).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1).toLong << (2 * i)) |
+        (((b >> i) & 1).toLong << (2 * i + 1))
+    }
+
+  test("conjunctive prune opens strictly fewer shards AND files than either single-column prune") {
+    val root = freshRoot()
+    val rows = for (a <- 0 until 64; b <- 0 until 64)
+      yield (a.toLong, b.toLong, morton(a, b), a.toLong * 64 + b)
+    val df = rows.toDF("a", "b", "m", "v")
+      // exact 4×4-block files: partition id = morton/16, laid out in
+      // morton order so shardManifest's consecutive-16 grouping forms
+      // aligned 16×16 shard blocks
+      .repartitionByRange(256, col("m"))
+      .sortWithinPartitions("m")
+    // the cluster key LEADS statsCols: shardManifest's locality sort
+    // keys on the first stats column, so leading with m preserves the
+    // z-order (leading with a would re-slab the table by a and destroy
+    // b's clustering — the footgun this ordering convention avoids)
+    VersionedTable.commit(df, root, statsCols = Seq("m", "a", "b"))
+    VersionedTable.shardManifest(spark, root, targetFilesPerShard = 16)
+
+    val da = VersionedTable.prunedFilesDetail(spark, root,
+      Seq(("a", "16", "31")), -1L)
+    val db = VersionedTable.prunedFilesDetail(spark, root,
+      Seq(("b", "32", "47")), -1L)
+    val dab = VersionedTable.prunedFilesDetail(spark, root,
+      Seq(("a", "16", "31"), ("b", "32", "47")), -1L)
+
+    assert(da.shardsTotal == 16 && da.totalFiles == 256)
+    // each single-column slab is 1/4 of one axis: ~4 of 16 shards,
+    // ~64 of 256 files (repartitionByRange samples boundaries, so
+    // allow one block of slack but keep the geometry meaningful)
+    assert(da.shardsOpened >= 2 && da.shardsOpened <= 6, s"a-prune shards ${da.shardsOpened}")
+    assert(db.shardsOpened >= 2 && db.shardsOpened <= 6, s"b-prune shards ${db.shardsOpened}")
+    // the conjunction: ~1 shard (the 16×16 block at a-block 1 × b-block 2)
+    assert(dab.shardsOpened < da.shardsOpened && dab.shardsOpened < db.shardsOpened,
+      s"compound must beat both single prunes on shards: " +
+        s"${dab.shardsOpened} vs a=${da.shardsOpened}, b=${db.shardsOpened}")
+    assert(dab.kept.size < da.kept.size && dab.kept.size < db.kept.size,
+      s"compound must beat both single prunes on files: " +
+        s"${dab.kept.size} vs a=${da.kept.size}, b=${db.kept.size}")
+
+    // exactness: the compound read returns exactly the conjunction's rows
+    val got = VersionedTable.readRange(spark, root,
+      Seq(("a", "16", "31"), ("b", "32", "47")), -1L)
+      .select("v").as[Long].collect().sorted.toSeq
+    val want = (for (a <- 16 to 31; b <- 32 to 47) yield a.toLong * 64 + b).sorted
+    assert(got == want)
+  }
+
+  test("a conjunct without recorded stats stays conservative (no lost rows)") {
+    val root = freshRoot()
+    val df = (0L until 512L).toDF("k")
+      .withColumn("u", col("k") * 7 % 512) // no stats recorded for u
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(df, root, statsCols = Seq("k"))
+    val d = VersionedTable.prunedFilesDetail(spark, root,
+      Seq(("k", "0", "63"), ("u", "0", "10")), -1L)
+    // k admits ~1 of 8 files; the stats-less u conjunct must not cut more
+    assert(d.kept.size >= 1 && d.kept.size <= 2, s"kept ${d.kept.size}")
+    val got = VersionedTable.readRange(spark, root,
+      Seq(("k", "0", "63"), ("u", "0", "10")), -1L).count()
+    val want = (0L until 512L).count(k => k <= 63 && (k * 7 % 512) <= 10)
+    assert(got == want)
+  }
+}
+
+/** Round-11 (advice): updateWhereDv evaluates every set expression
+  * against the PRE-update row — SQL UPDATE semantics; a set expression
+  * referencing another updated column must see the original value,
+  * regardless of Map iteration order. */
+class UpdatePreUpdateRowSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vupd").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("set expressions see the original row, not earlier assignments") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      Seq((1L, 100L, 0L), (2L, 40L, 0L)).toDF("id", "price", "tax"), root)
+    // 5+ entries so Map iteration order is hash-driven: price doubles,
+    // tax derives from the ORIGINAL price, and the cross-references in
+    // both directions must both read pre-update values
+    VersionedTable.updateWhereDv(spark, root, "id = 1", Map(
+      "price" -> "price * 2",
+      "tax" -> "CAST(price / 10 AS BIGINT)"))
+    val r1 = VersionedTable.read(spark, root).filter(col("id") === 1).head()
+    assert(r1.getAs[Long]("price") == 200L, s"price ${r1.getAs[Long]("price")}")
+    assert(r1.getAs[Long]("tax") == 10L,
+      s"tax must come from the pre-update price (10), got ${r1.getAs[Long]("tax")}")
+    val r2 = VersionedTable.read(spark, root).filter(col("id") === 2).head()
+    assert(r2.getAs[Long]("price") == 40L && r2.getAs[Long]("tax") == 0L)
+  }
+}
+
+/** Round-11 (advice): sniffHeaders must treat hostile RIFF chunk sizes
+  * (declared size near 0xFFFFFFFF) as chunk-not-found → 'unknown',
+  * never an ArrayIndexOutOfBounds that fails the whole corpus scan. */
+class HostileRiffSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Multimodal
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  test("declared chunk size near 0xFFFFFFFF comes back unknown, not a crash") {
+    val hostile = "RIFF".getBytes ++ le32(0xFFFFFFF0L) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0xFFFFFFF0L) ++ Array.fill[Byte](64)(0)
+    // a second variant whose wrap would land the offset NEGATIVE
+    val hostile2 = "RIFF".getBytes ++ le32(36L) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0xFFFFFFFFL) ++ Array.fill[Byte](64)(0)
+    val out = Multimodal.sniffHeaders(
+      Seq(1L -> hostile, 2L -> hostile2).toDF("id", "bin"), "id", "bin")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unknown", 2L -> "unknown"))
+  }
+
+  test("a benign JUNK chunk before fmt still parses as wav") {
+    val fmt = "fmt ".getBytes ++ le32(16) ++
+      Array[Byte](1, 0, 2, 0) ++ le32(44100) ++ le32(176400) ++
+      Array[Byte](4, 0, 16, 0)
+    val data = "data".getBytes ++ le32(400) // 100 frames @ 2ch×16bit = 4 B/frame
+    val wav = "RIFF".getBytes ++ le32(4 + 8 + 16 + 8 + 8) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(4) ++ Array.fill[Byte](4)(0) ++ fmt ++ data
+    val r = Multimodal.sniffHeaders(Seq(3L -> wav).toDF("id", "bin"), "id", "bin")
+      .collect().head
+    assert((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ("wav", 100L, 44100L, 16L))
+  }
+}
+
+/** Round-11 (advice): bloom builds emit an all-zero entry for files
+  * whose indexed column is entirely null — exact (an equality probe
+  * never matches null), the file is CUT from point lookups, and
+  * incremental coverage converges so the no-op path actually fires. */
+class BloomAllNullSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vbnull").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("all-null file gets a zero bitset, is pruned on probe, and incremental no-ops") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (0L until 50L).toDF("k").withColumn("v", lit(null).cast("string"))
+        .coalesce(1), root)
+    VersionedTable.commit(
+      (50L until 100L).toDF("k").withColumn("v", concat(lit("u"), col("k")))
+        .coalesce(1), root, mode = "append")
+    val v = VersionedTable.buildBloomIndex(spark, root, "v")
+    val idxDir = s"$root/_index/bloom_v/v$v"
+    val idx = spark.read.parquet(idxDir)
+    assert(idx.count() == 2, "every scanned file needs an entry, all-null included")
+    val zero = idx.filter(col("n_rows") === 0L).collect()
+    assert(zero.length == 1, "exactly one all-null file")
+    assert(zero.head.getSeq[Long](zero.head.fieldIndex("words")).forall(_ == 0L))
+
+    // incremental with nothing new must be a true no-op: same version,
+    // index bytes untouched
+    val f = java.nio.file.Paths.get(idxDir)
+    val before = java.nio.file.Files.list(f).toArray.map(_.toString).sorted.toSeq
+    val mt = before.map(p => java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(p)).toMillis)
+    val v2 = VersionedTable.buildBloomIndexIncremental(spark, root, "v")
+    assert(v2 == v, "no-op must return the covered version")
+    val after = java.nio.file.Files.list(f).toArray.map(_.toString).sorted.toSeq
+    val mt2 = after.map(p => java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(p)).toMillis)
+    assert(after == before && mt2 == mt, "no-op must not rewrite the index")
+
+    // the probe: all-null file provably lacks every bit → opened == 1
+    val (opened, statsKept, total) =
+      VersionedTable.bloomPruneDetail(spark, root, "v", "u75")
+    assert(total == 2 && statsKept >= 1 && opened == 1,
+      s"opened=$opened statsKept=$statsKept total=$total")
+    assert(VersionedTable.readEq(spark, root, "v", "u75")
+      .select("k").as[Long].collect().toSeq == Seq(75L))
+  }
+}
+
+/** Round-11 (advice): maximalIndependentSet's packed hash·2³¹+node
+  * priority is only collision/overflow-free for node ∈ [0, 2³¹) — ids
+  * outside that range must fail LOUDLY, not silently break the
+  * unique-priority invariant. */
+class MisNodeRangeGuardSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.graph.GraphOps
+
+  test("node id >= 2^31 fails loudly") {
+    val edges = Seq((2147483648L, 1L)).toDF("src", "dst")
+    val e = intercept[Exception] {
+      GraphOps.maximalIndependentSet(edges, 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("outside [0, 2^31)")),
+      s"expected the range guard, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("valid ids still converge to a maximal independent set") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val st = GraphOps.maximalIndependentSet(edges, 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st.values.forall(s => s == "i" || s == "o"), s"unconverged: $st")
+    // independence on the path 1-2-3-4
+    assert(!(st(1L) == "i" && st(2L) == "i"))
+    assert(!(st(2L) == "i" && st(3L) == "i"))
+    assert(!(st(3L) == "i" && st(4L) == "i"))
+    // maximality: every 'o' has an 'i' neighbor
+    val nbr = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L), 4L -> Seq(3L))
+    st.filter(_._2 == "o").keys.foreach(n =>
+      assert(nbr(n).exists(st(_) == "i"), s"non-maximal at $n: $st"))
+  }
+}
