@@ -548,11 +548,14 @@ object Sweep {
       },
 
       "vt_bloom_100x" -> { () =>
-        // round 10: bloom sidecar at 500k rows / 256 files — the
-        // lookup column is a scattered md5-derived key (min/max
-        // useless by construction), so the prune is all bloom: every
-        // probed key found (no false negatives), mean files opened
-        // per probe a small fraction of the table
+        // round 10 (sharded in round 11): bloom sidecar at 500k rows /
+        // 256 files / 16 manifest shards — the lookup column is a
+        // scattered md5-derived key (min/max useless by construction),
+        // so the prune is all bloom. Round-11 two-level probe: SHARD
+        // aggregates must cut a strict minority of shards per probe
+        // before any per-file bit is checked, files opened stay a
+        // small fraction, and every probed key is found (zero false
+        // negatives)
         import graft.sources.VersionedTable
         val root = {
           val f = java.nio.file.Files.createTempDirectory("vtbloom100x").toFile
@@ -562,19 +565,24 @@ object Sweep {
           substring(md5(col("text")), 1, 12).as("u"))
         VersionedTable.commit(base.repartitionByRange(256, col("doc_id")), root,
           statsCols = Seq("doc_id", "u"))
+        VersionedTable.shardManifest(spark, root, targetFilesPerShard = 16)
         VersionedTable.buildBloomIndex(spark, root, "u", bitsPerFile = 1 << 16)
         val probes = base.filter(col("doc_id") % 25000 === 7)
           .select("doc_id", "u").collect().map(r => r.getLong(0) -> r.getString(1))
-        var openedTot = 0; var missing = 0
+        var openedTot = 0; var shardTot = 0; var missing = 0; var unsharded = 0
         probes.foreach { case (id, u) =>
-          val (opened, _, _) = VersionedTable.bloomPruneDetail(spark, root, "u", u)
-          openedTot += opened
+          val d = VersionedTable.bloomProbeDetail(spark, root, "u", u)
+          openedTot += d.filesOpened
+          if (d.shardsTotal != 16) unsharded += 1 else shardTot += d.shardsOpened
           if (!VersionedTable.readEq(spark, root, "u", u)
             .filter(col("doc_id") === id).head(1).nonEmpty) missing += 1
         }
         val meanOpened = openedTot.toDouble / probes.length
+        val meanShards = shardTot.toDouble / probes.length
         if (probes.length < 10) s"only ${probes.length} probes"
         else if (missing > 0) s"$missing false negatives"
+        else if (unsharded > 0) s"$unsharded probes saw no shard aggregates"
+        else if (meanShards > 4) f"mean $meanShards%.1f/16 shards opened per probe"
         else if (meanOpened > 16) f"mean $meanOpened%.1f/256 files opened per probe"
         else ""
       },

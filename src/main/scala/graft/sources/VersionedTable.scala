@@ -600,7 +600,10 @@ object VersionedTable {
     val counts = rows.groupBy("file").agg(count(lit(1)).as("n_rows"))
     val built = dense.join(counts, Seq("file"))
       .withColumn("m", lit(bitsPerFile)).withColumn("k", lit(numHashes))
-    withAllNullEntries(spark, built, rels, bitsPerFile / 64, bitsPerFile, numHashes)
+    val entries =
+      withAllNullEntries(spark, built, rels, nWords, bitsPerFile, numHashes)
+    withShardAggregates(spark, entries, shardOfRel(spark, root, s.version),
+        nWords, bitsPerFile, numHashes)
       .write.mode("overwrite")
       .parquet(new Path(bloomDir(root, colName), s"v${s.version}").toString)
     s.version
@@ -656,10 +659,16 @@ object VersionedTable {
       newRels, nWords, m, k)
     // carry only entries for files still in the snapshot — a semijoin
     // against the (metadata-sized) live-file list, never an isin of
-    // thousands of literals
+    // thousands of literals. Shard-aggregate rows are dropped by the
+    // same semijoin (their keys never match a data rel) and recomputed
+    // from the CURRENT manifest: shard membership may have changed.
     val sp = spark; import sp.implicits._
+    val perFileCols = Seq("file", "words", "n_rows", "m", "k")
     val carried = idx.join(rels.toDF("file"), Seq("file"), "left_semi")
-    carried.select(fresh.columns.map(col): _*).unionByName(fresh)
+      .select(perFileCols.map(col): _*)
+    val allFiles = carried.unionByName(fresh.select(perFileCols.map(col): _*))
+    withShardAggregates(spark, allFiles, shardOfRel(spark, root, s.version),
+        nWords, m, k)
       .write.mode("overwrite")
       .parquet(new Path(bloomDir(root, colName), s"v${s.version}").toString)
     s.version
@@ -706,8 +715,24 @@ object VersionedTable {
     * metadata-scale job — so probe and build can never disagree. */
   private def bloomCut(spark: SparkSession, root: String, colName: String,
                        value: String, statsKept: Seq[String]): Seq[String] =
+    bloomCutDetail(spark, root, colName, value, statsKept)._1
+
+  /** Two-level bloom probe: `(kept, shardsOpened, shardsTotal)` —
+    * shard counts are `(-1, -1)` when no index exists, the index
+    * predates shard aggregates, or the manifest is unsharded.
+    *
+    * On a sharded index the probe checks SHARD aggregates first (a
+    * shard whose OR-bitset lacks any probe bit contains the value in
+    * no member — exact, OR only adds bits), then evaluates per-file
+    * hits only inside surviving shards. What crosses to the driver is
+    * the HIT keys and the UNCOVERED keys (both near-empty for a
+    * selective probe on a converged index) — never an O(files)
+    * boolean map, which was the round-10 posture this replaces. */
+  private def bloomCutDetail(spark: SparkSession, root: String,
+                             colName: String, value: String,
+                             statsKept: Seq[String]): (Seq[String], Int, Int) =
     latestBloomDir(spark, root, colName) match {
-      case None => statsKept
+      case None => (statsKept, -1, -1)
       case Some(dir) =>
         val idx = spark.read.parquet(dir)
         val meta = idx.select("m", "k").head()
@@ -719,10 +744,36 @@ object VersionedTable {
           (element_at(col("words"), p / 64 + 1)
             .bitwiseAND(lit(1L << (p % 64)))) =!= 0L
         }.reduce(_ && _)
-        val rows = idx.select(col("file"), hit.as("hit"))
-          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-        statsKept.filter { f =>
-          rows.getOrElse(f.split('/').takeRight(3).mkString("/"), true)
+        def key3(f: String) = f.split('/').takeRight(3).mkString("/")
+        if (!idx.columns.contains("shard")) {
+          // legacy (round-10) flat index: per-file boolean walk
+          val rows = idx.select(col("file"), hit.as("hit"))
+            .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+          (statsKept.filter(f => rows.getOrElse(key3(f), true)), -1, -1)
+        } else {
+          val aggRows = idx.filter(col("file").startsWith(BloomShardMark))
+            .select(col("shard"), hit.as("hit")).collect()
+          val liveShards = aggRows.filter(_.getBoolean(1))
+            .map(_.getString(0)).toSet
+          val fileRows = idx.filter(!col("file").startsWith(BloomShardMark))
+          val inLive =
+            if (aggRows.isEmpty) lit(true)
+            else col("shard").isNull ||
+              col("shard").isin(liveShards.toSeq: _*)
+          val hitKeys = fileRows.filter(inLive && hit)
+            .select("file").collect().map(_.getString(0)).toSet
+          // uncovered→keep, computed engine-side so the driver never
+          // receives per-file misses: statsKept keys minus indexed keys
+          val sp = spark; import sp.implicits._
+          val uncovered = statsKept.map(key3).toDF("file")
+            .join(fileRows.select("file"), Seq("file"), "left_anti")
+            .collect().map(_.getString(0)).toSet
+          val kept = statsKept.filter { f =>
+            val k3 = key3(f); hitKeys.contains(k3) || uncovered.contains(k3)
+          }
+          val so = if (aggRows.isEmpty) -1 else liveShards.size
+          val st = if (aggRows.isEmpty) -1 else aggRows.length
+          (kept, so, st)
         }
     }
 
@@ -756,9 +807,25 @@ object VersionedTable {
     * total). */
   def bloomPruneDetail(spark: SparkSession, root: String, colName: String,
                        value: String, version: Long = -1L): (Int, Int, Int) = {
+    val d = bloomProbeDetail(spark, root, colName, value, version)
+    (d.filesOpened, d.statsKept, d.totalFiles)
+  }
+
+  /** Full two-level probe observability: how many files the point
+    * lookup opens (after stats AND bloom cuts), how many the stats
+    * prune kept, the snapshot total, and — on a sharded index — how
+    * many shards the bloom's shard aggregates admitted out of the
+    * total (`-1/-1` when the index or manifest is unsharded). */
+  final case class BloomProbeDetail(filesOpened: Int, statsKept: Int,
+                                    totalFiles: Int, shardsOpened: Int,
+                                    shardsTotal: Int)
+
+  def bloomProbeDetail(spark: SparkSession, root: String, colName: String,
+                       value: String, version: Long = -1L): BloomProbeDetail = {
     val s = snapshot(spark, root, version)
     val (statsKept, total) = prunedFiles(spark, root, colName, value, value, s.version)
-    (bloomCut(spark, root, colName, value, statsKept).size, statsKept.size, total)
+    val (kept, so, st) = bloomCutDetail(spark, root, colName, value, statsKept)
+    BloomProbeDetail(kept.size, statsKept.size, total, so, st)
   }
 
   /** Thrown when a commit requires the table to still be at a pinned

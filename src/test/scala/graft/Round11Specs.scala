@@ -210,6 +210,62 @@ class BloomAllNullSpec extends SparkSpec {
   }
 }
 
+/** Round-11: shard-keyed bloom entries — a point probe prunes SHARDS
+  * (via per-shard OR-aggregated bitsets) before files, the driver
+  * receives hit/uncovered keys instead of O(files) booleans, and the
+  * cut stays exact (OR only adds bits — no false negatives). */
+class BloomShardedProbeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vbshard").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("probe opens a strict minority of shards AND files; append + incremental stay exact") {
+    val root = freshRoot()
+    val df = (0L until 4096L).toDF("k")
+      .withColumn("v", concat(lit("u"), col("k")))
+      .repartitionByRange(128, col("k"))
+    VersionedTable.commit(df, root)
+    VersionedTable.shardManifest(spark, root, targetFilesPerShard = 16)
+    val v = VersionedTable.buildBloomIndex(spark, root, "v")
+
+    val d = VersionedTable.bloomProbeDetail(spark, root, "v", "u1000")
+    assert(d.totalFiles == 128 && d.shardsTotal == 8, s"$d")
+    assert(d.shardsOpened * 2 < d.shardsTotal,
+      s"probe must open a strict minority of shards: $d")
+    assert(d.filesOpened >= 1 && d.filesOpened * 2 < d.totalFiles,
+      s"probe must open a strict minority of files: $d")
+    // zero false negatives across scattered probes
+    for (x <- Seq(0L, 17L, 512L, 1111L, 2048L, 3000L, 4095L))
+      assert(VersionedTable.readEq(spark, root, "v", s"u$x")
+        .select("k").as[Long].collect().toSeq == Seq(x), s"missed u$x")
+    assert(VersionedTable.readEq(spark, root, "v", "absent").count() == 0)
+
+    // frontier append (inline, unsharded lines) + incremental build:
+    // the new value is served from null-shard entries; shard
+    // aggregates keep cutting for old values
+    VersionedTable.commit(
+      (4096L until 4160L).toDF("k").withColumn("v", concat(lit("u"), col("k")))
+        .coalesce(2), root, mode = "append")
+    val v2 = VersionedTable.buildBloomIndexIncremental(spark, root, "v")
+    assert(v2 == v + 1)
+    assert(VersionedTable.readEq(spark, root, "v", "u4100")
+      .select("k").as[Long].collect().toSeq == Seq(4100L))
+    val dNew = VersionedTable.bloomProbeDetail(spark, root, "v", "u4100")
+    assert(dNew.shardsTotal == 8 && dNew.shardsOpened <= 1,
+      s"appended value lives in frontier files, not shards: $dNew")
+    assert(dNew.filesOpened <= 3, s"$dNew")
+    val dOld = VersionedTable.bloomProbeDetail(spark, root, "v", "u1000")
+    assert(dOld.shardsOpened * 2 < dOld.shardsTotal && dOld.filesOpened * 2 < dOld.totalFiles,
+      s"shard cut must survive the incremental rebuild: $dOld")
+    assert(VersionedTable.readEq(spark, root, "v", "u1000")
+      .select("k").as[Long].collect().toSeq == Seq(1000L))
+  }
+}
+
 /** Round-11 (advice): maximalIndependentSet's packed hash·2³¹+node
   * priority is only collision/overflow-free for node ∈ [0, 2³¹) — ids
   * outside that range must fail LOUDLY, not silently break the
