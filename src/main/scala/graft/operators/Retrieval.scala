@@ -118,6 +118,28 @@ object Retrieval {
     bm25PostingsWith(bm25StatsOf(docs, idCol, textCol), docs,
       idCol, textCol, maxDfPct, cap)
 
+  /** HYBRID retrieval FRONT DOOR — the deployment entry point a RAG
+    * stack calls: the lexical arm is ALWAYS the bounded BM25 ranker
+    * (df cutoff + impact-ordered per-token cap — per-query work
+    * ≤ |query tokens|·cap regardless of corpus size), never the raw
+    * shared-token ranking (which touches a hot token's entire posting
+    * list; that form survives only as the s17 oracle baseline). The
+    * vector arm is caller-supplied `(query_id, neighbor_id, rk)` so
+    * any deployed ANN tier plugs in (brute for oracles, IVF/PQ tiers
+    * at scale). Fusion is the all-integer RRF
+    * ([[Similarity.rrfFuse]]). HybridFrontDoorSpec pins the routing
+    * at the PLAN level: the lexical arm must carry the TopKAgg
+    * map-side partial aggregate. */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, vecArm: DataFrame, k: Int,
+                 lexK: Int = 10, maxDfPct: Int = 90, cap: Int = 64,
+                 excludeSelf: Boolean = true): DataFrame = {
+    val lex = bm25TopK(docs, idCol, textCol, queries, lexK,
+        maxDfPct, cap, excludeSelf)
+      .select("query_id", "neighbor_id", "rk")
+    Similarity.rrfFuse(lex, vecArm, k)
+  }
+
   /** Per-query BM25 top-k: queries' DISTINCT tokens probe the capped
     * posting lists, candidate scores sum per (query, doc), and each
     * query keeps `k` by (score DESC, doc ASC). The final window runs

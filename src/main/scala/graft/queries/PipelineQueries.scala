@@ -2699,13 +2699,15 @@ object PipelineQueries {
       // 100-TB RAG deployment needs.
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
-          docs.filter(col("doc_id") < 5), k = 10, maxDfPct = 90, cap = 16)
         val e = Tables.embeddings(s, d)
         val vec = Similarity.knnBrute(e, e.filter(col("vec_id") < 5),
             "vec_id", "embedding", k = 10)
           .select("query_id", "neighbor_id", "rk")
-        Similarity.rrfFuse(lex.select("query_id", "neighbor_id", "rk"), vec, k = 5)
+        // through the front door: the lexical arm is FORCED to the
+        // capped BM25 ranker (HybridFrontDoorSpec pins the plan)
+        Retrieval.hybridTopK(docs, "doc_id", "text",
+            docs.filter(col("doc_id") < 5), vec, k = 5,
+            lexK = 10, maxDfPct = 90, cap = 16)
           .orderBy("query_id", "rk")
       },
       Some(s"""WITH $cosSql, $bm25LexSql,

@@ -210,6 +210,56 @@ class BloomAllNullSpec extends SparkSpec {
   }
 }
 
+/** Round-11: hybrid retrieval front door — [[Retrieval.hybridTopK]]
+  * must route its lexical arm to the capped, df-cut BM25 ranker
+  * (plan-proven by the TopKAgg map-side partial), never the raw
+  * shared-token ranking that survives only as the s17 oracle
+  * baseline — the d2→d3 JaccardFrontDoorSpec pattern applied to
+  * retrieval. */
+class HybridFrontDoorSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{Retrieval, Similarity}
+
+  private def corpus = (0 until 40).map { i =>
+    val mid = if (i % 2 == 0) " mid" else ""
+    (i.toLong, s"stop$mid rare${i % 8} stop extra${i % 4}")
+  }.toDF("doc_id", "text")
+
+  private def vecArm = (for (q <- 0 until 3; r <- 1 to 5)
+    yield (q.toLong, r, (q * 7 + r * 3).toLong % 40))
+    .toDF("query_id", "rk", "neighbor_id")
+
+  test("front-door plan carries the TopKAgg cap; the raw shared-token form does not") {
+    val fused = Retrieval.hybridTopK(corpus, "doc_id", "text",
+      corpus.filter(col("doc_id") < 3), vecArm, k = 5, cap = 7)
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkagg"),
+      s"front door must route through the capped BM25 arm:\n${plan.take(3000)}")
+    // contrast: the s17-style raw arm (uncapped shared-token join)
+    // has no TopKAgg anywhere — the exact shape the front door avoids
+    val tok = corpus.select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("t"))
+      .distinct()
+    val raw = tok.filter(col("doc_id") < 3).withColumnRenamed("doc_id", "qid")
+      .join(tok.withColumnRenamed("doc_id", "cid"), Seq("t"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid").agg(count(lit(1)).as("n_shared"))
+    assert(!raw.queryExecution.executedPlan.toString.contains("topkagg"))
+  }
+
+  test("front door equals the hand-composed capped arms exactly") {
+    val q = corpus.filter(col("doc_id") < 3)
+    val viaDoor = Retrieval.hybridTopK(corpus, "doc_id", "text", q, vecArm,
+      k = 5, lexK = 10, maxDfPct = 90, cap = 7)
+    val lex = Retrieval.bm25TopK(corpus, "doc_id", "text", q, k = 10,
+        maxDfPct = 90, cap = 7)
+      .select("query_id", "neighbor_id", "rk")
+    val byHand = Similarity.rrfFuse(lex, vecArm, k = 5)
+    assert(viaDoor.exceptAll(byHand).isEmpty && byHand.exceptAll(viaDoor).isEmpty)
+    assert(viaDoor.count() > 0)
+  }
+}
+
 /** Round-11: shard-keyed bloom entries — a point probe prunes SHARDS
   * (via per-shard OR-aggregated bitsets) before files, the driver
   * receives hit/uncovered keys instead of O(files) booleans, and the
