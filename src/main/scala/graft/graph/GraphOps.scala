@@ -647,6 +647,56 @@ object GraphOps {
       .select("node", "st")
   }
 
+  /** MAXIMAL MATCHING by deterministic synchronous rounds (the
+    * Israeli–Itai posture — Luby on the line graph): canonical
+    * undirected edges carry a house-hash priority, ordered TOTALLY by
+    * (pri DESC, a, b) so both engines break the (astronomically rare)
+    * hash ties identically; an edge joins the matching when it is the
+    * best incident edge of BOTH endpoints; matched endpoints leave,
+    * and the remaining edge set shrinks geometrically (O(log n)
+    * rounds w.h.p. on bounded degree). Frontier-shaped like
+    * [[maximalIndependentSet]]: per round one node-keyed window over
+    * the REMAINING incident lists + two anti-joins, cost
+    * O(frontier_k); the remaining-edge count rides the checkpoint as
+    * an observe metric and an empty frontier exits early. Output:
+    * matched (a, b) pairs — the caller (spec/oracle) certifies
+    * convergence and maximality. */
+  def maximalMatching(edges: DataFrame, rounds: Int): DataFrame = {
+    var rem = Ckpt.cut(edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .withColumn("pri", expr(
+        "CAST(conv(substr(md5(concat(CAST(a AS STRING), '_', " +
+          "CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)")))
+    val matched = Seq.newBuilder[DataFrame]
+    var r = 0
+    var empty = false
+    while (r < rounds && !empty) {
+      r += 1
+      val inc = rem.select(col("a").as("node"), col("a"), col("b"), col("pri"))
+        .unionByName(rem.select(col("b").as("node"), col("a"), col("b"), col("pri")))
+      val best = inc.withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(desc("pri"), asc("a"), asc("b"))))
+        .filter(col("rn") === 1).select("node", "a", "b")
+      val mt = Ckpt.cutLight(best.groupBy("a", "b")
+        .agg(count(lit(1)).as("c")).filter(col("c") === 2).select("a", "b"))
+      matched += mt
+      val mn = mt.select(col("a").as("node"))
+        .unionByName(mt.select(col("b").as("node"))).distinct()
+      val obs = org.apache.spark.sql.Observation()
+      val nextRem = Ckpt.cut(rem
+        .join(mn.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(mn.select(col("node").as("b")), Seq("b"), "left_anti")
+        .observe(obs, count(lit(1)).as("c")))
+      val left = awaitObserved(obs).getOrElse(nextRem.count())
+      Ckpt.release(rem)
+      rem = nextRem
+      empty = left == 0
+    }
+    matched.result().reduce(_ unionByName _).select("a", "b")
+  }
+
   /** Multi-source BFS: minimum hop distance (≤ `maxDepth`) from any
     * seed along directed edges, as a (node, depth) table of reached
     * nodes. Each round relaxes one hop — a hash join on `src` plus a

@@ -234,12 +234,47 @@ object ImageIoCodec extends MediaCodec {
   }
 }
 
+/** Engine-deterministic grayscale JPEG decode ([[GrayJpeg]]): pure
+  * Scala baseline decoder — integer + strict-FP double arithmetic, so
+  * the decoded raster is bit-identical across JVMs/platforms (the
+  * cross-JVM promise `javax.imageio` cannot make). Accepts only what
+  * it fully decodes: baseline sequential, 8-bit, single component. */
+object GrayJpegCodec extends MediaCodec {
+  val name = "grayjpeg"
+
+  def accepts(b: Array[Byte]): Boolean = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return false
+    // marker walk to the first SOF: baseline (0xC0), 8-bit, 1 component
+    var p = 2
+    while (p + 9 < b.length) {
+      if ((b(p) & 0xFF) != 0xFF) return false
+      val m = b(p + 1) & 0xFF
+      if (m == 0xFF) p += 1
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) p += 2
+      else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+        return m == 0xC0 && (b(p + 4) & 0xFF) == 8 && (b(p + 9) & 0xFF) == 1
+      else if (m == 0xDA || m == 0xD9) return false // no SOF seen
+      else p += 2 + (((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF))
+    }
+    false
+  }
+
+  def decode(b: Array[Byte], nFeat: Int): MediaCodec.Decoded = {
+    val (w, h, px) = GrayJpeg.decode(b)
+    val (feats, sums) =
+      MediaCodec.pool(w * h, nFeat, 255.0f, i => (px(i) & 0xFF).toLong)
+    MediaCodec.Decoded("jpeg", w, h, 1, feats, sums)
+  }
+}
+
 object Codecs {
   /** The stub fallback every query path uses. */
   val stub: MediaCodec = StubCodec
 
   /** Real-format chain to prepend when payloads carry actual media.
     * Magic-byte gated, so non-matching payloads (e.g. the synthetic
-    * text corpora) still fall through to the stub deterministically. */
-  val default: Seq[MediaCodec] = Seq(BmpCodec, WavCodec, ImageIoCodec)
+    * text corpora) still fall through to the stub deterministically.
+    * Gray baseline JPEGs take the engine-deterministic pure-Scala
+    * decoder; everything else ImageIO handles stays on ImageIO. */
+  val default: Seq[MediaCodec] = Seq(BmpCodec, WavCodec, GrayJpegCodec, ImageIoCodec)
 }

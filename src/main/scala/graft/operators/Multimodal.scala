@@ -79,17 +79,19 @@ object Multimodal {
 
   /** Encode a binary column into REAL JPEG payloads, partition-wise:
     * the same grayscale raster construction as [[encodeGrayPng]]
-    * (byte i → pixel i, r = g = b = value, zero-padded rows) written
-    * through the JDK's JPEG encoder. JPEG is LOSSY: decoded pixel
-    * values are decoder-defined, so downstream queries pin decode
-    * INVARIANTS (geometry from the byte count; a bounded mean-luma
-    * deviation from the original bytes — gray rasters keep luma ==
-    * the encoded value up to quantization error) rather than the
-    * exact-sum oracle PNG supports. Same-JVM decode is deterministic
-    * (spec-pinned); CROSS-JVM determinism is NOT promised — a
-    * different vendor's IJG/libjpeg build may round IDCT differently,
-    * which is exactly why the oracle never sees a raw luma sum.
-    * Output schema: (`id`, `jpg` binary). */
+    * (byte i → pixel i, zero-padded rows) written through the
+    * PURE-SCALA baseline encoder ([[GrayJpeg]]). JPEG is LOSSY, but
+    * the round-11 codec is ENGINE-DETERMINISTIC: integer + strict-FP
+    * arithmetic over a StrictMath DCT basis makes encode ∘ decode
+    * bit-identical across JVMs, vendors and platforms — retiring the
+    * round-10 same-JVM-only caveat the ImageIO encoder forced. The
+    * emitted stream is conformant baseline JFIF (spec cross-checks
+    * ImageIO decodes it with exact geometry and near-identical
+    * pixels). Downstream oracles still pin decode INVARIANTS
+    * (geometry from the byte count, bounded mean-luma deviation)
+    * because DuckDB cannot replay a DCT — but the decoded raster
+    * itself is golden-value-pinned in specs, which only a
+    * deterministic codec permits. Output schema: (`id`, `jpg`). */
   def encodeGrayJpeg(df: DataFrame, idCol: String, binCol: String,
                      width: Int = 32): DataFrame = {
     require(width >= 1, s"width must be >= 1: $width")
@@ -99,17 +101,9 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytesRaw) =>
         val bytes = if (bytesRaw == null) Array.empty[Byte] else bytesRaw
         val h = math.max((bytes.length + width - 1) / width, 1)
-        val img = new java.awt.image.BufferedImage(
-          width, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var i = 0
-        while (i < bytes.length) {
-          val v = bytes(i) & 0xFF
-          img.setRGB(i % width, i / width, (v << 16) | (v << 8) | v)
-          i += 1
-        }
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", out)
-        (id, out.toByteArray)
+        val raster = new Array[Byte](width * h)
+        System.arraycopy(bytes, 0, raster, 0, bytes.length)
+        (id, GrayJpeg.encode(raster, width, h))
       }).toDF("id", "jpg")
   }
 

@@ -58,6 +58,26 @@ object Profiler {
     * through one task; the rank window runs over the `topN` surviving
     * rows only. The 1-row global aggregate joins in by broadcast.
     */
+  /** EMBEDDING-column profile — the vector-quality census a pipeline
+    * runs before building an ANN index over 100 TB of embeddings:
+    * one row per DIMENSION with count, exact min/max, an
+    * integer-scaled element sum (Σ floor(v·10⁴) — float sums are
+    * accumulation-order-defined, integer sums are not, so the mean
+    * signal stays oracle-exact), and the zero count (the
+    * dead-dimension / truncated-write detector). One posexplode +
+    * one map-side-combined aggregate; output is bounded by the
+    * dimensionality, never the corpus. Ragged vectors surface as
+    * per-dim `n` differences — the cheapest possible schema check. */
+  def embeddingProfile(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("dim").agg(
+        count(lit(1)).as("n"),
+        min(col("v").cast("double")).as("min_v"),
+        max(col("v").cast("double")).as("max_v"),
+        sum(expr("CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT)")).as("sum_e4"),
+        sum((col("v") === 0.0f).cast("long")).as("n_zero"))
+      .withColumn("dim", col("dim").cast("long"))
+
   /** SEMI-STRUCTURED profile of a JSON string column — the schema
     * census a pipeline runs over event logs before promoting fields
     * to real columns: one row per KEY with presence count, fill rate

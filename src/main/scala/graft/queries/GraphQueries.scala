@@ -708,6 +708,22 @@ object GraphQueries {
               |${misSql(16)}
               |SELECT node, st FROM s16 ORDER BY node""".stripMargin)),
 
+    Q("g24_matching",
+      // Maximal MATCHING by deterministic synchronous rounds
+      // (GraphOps.maximalMatching — the Israeli–Itai posture, Luby on
+      // the line graph): an edge is matched when it is the best
+      // incident edge of BOTH endpoints under the total
+      // (hash DESC, a, b) order; matched endpoints leave; repeat.
+      // Converges in ≤12 rounds on this bounded-degree graph with
+      // headroom (MatchingSpec certifies emptiness, disjointness and
+      // maximality). The oracle unrolls the same 12 rounds.
+      (s, d) => GraphOps.maximalMatching(
+          chainEdges(s, d, withSkip = true), rounds = 12)
+        .orderBy("a", "b"),
+      Some(s"""WITH ${chainSql(true)},
+              |${mmSql(12)}
+              |SELECT a, b FROM mm ORDER BY a, b""".stripMargin)),
+
     Q("g22_clustering_coeff",
       // Local clustering coefficient: per vertex, realized neighbor
       // links over possible ones (2·tri / deg·(deg−1), basis points).
@@ -882,6 +898,37 @@ object GraphQueries {
        |  ${houseHashSql("CAST(node AS VARCHAR)")} * 2147483648 + node AS pri,
        |  'u' AS st FROM n0),
        |$rs""".stripMargin
+  }
+
+  /** `rounds` unrolled deterministic matching rounds (g24's oracle):
+    * canonical edges with house-hash priorities; per node the best
+    * incident edge by (pri DESC, a, b); an edge both of whose
+    * endpoints elect it is matched; matched endpoints' edges drop.
+    * Expects an `e` CTE; defines `ec`, `m0..mN`, and `mm` (the union
+    * of all rounds' matched pairs). */
+  private def mmSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""inc$k AS (SELECT a AS node, a, b, pri FROM m${k - 1}
+         |  UNION ALL SELECT b, a, b, pri FROM m${k - 1}),
+         |bst$k AS (SELECT node, a, b FROM (SELECT node, a, b,
+         |    row_number() OVER (PARTITION BY node ORDER BY pri DESC, a, b) AS rn
+         |  FROM inc$k) WHERE rn = 1),
+         |mt$k AS (SELECT a, b FROM bst$k GROUP BY a, b HAVING count(*) = 2),
+         |mn$k AS (SELECT a AS node FROM mt$k UNION SELECT b FROM mt$k),
+         |m$k AS MATERIALIZED (SELECT r.a, r.b, r.pri FROM m${k - 1} r
+         |  LEFT JOIN mn$k x ON x.node = r.a
+         |  LEFT JOIN mn$k y ON y.node = r.b
+         |  WHERE x.node IS NULL AND y.node IS NULL)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(k => s"SELECT a, b FROM mt$k")
+      .mkString("\n  UNION ALL ")
+    s"""ec AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM e WHERE src <> dst),
+       |m0 AS MATERIALIZED (SELECT a, b,
+       |  ${houseHashSql("CAST(a AS VARCHAR) || '_' || CAST(b AS VARCHAR)")} AS pri
+       |  FROM ec),
+       |$rs,
+       |mm AS ($unions)""".stripMargin
   }
 
   /** `rounds` unrolled synchronous label-propagation rounds (g21's

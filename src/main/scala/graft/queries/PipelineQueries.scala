@@ -1265,20 +1265,21 @@ object PipelineQueries {
              |FROM b LEFT JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     Q("m10_jpeg_decode",
-      // LOSSY-codec decode tier (round 10): payloads re-encoded as
-      // REAL JPEGs (same gray raster as m8's PNGs) and decoded by the
-      // identical ImageIoCodec path. JPEG pixels are decoder-defined,
-      // so the oracle pins decode INVARIANTS, not byte equality
-      // (s3b's containment-oracle posture): geometry derived from the
-      // byte count in SQL, and a constant-1 deviation flag — the
-      // decoded luma total must sit within 16 gray levels per pixel
-      // of the original byte total (gray rasters keep luma == value
-      // up to quantization; measured deviation is ~1 level, 16x
-      // headroom). A decode regression past the bound flips dev_ok
-      // and fails the hash gate. Same-JVM decode determinism is
-      // spec-pinned (JpegDecodeSpec); cross-JVM IDCT rounding is
-      // explicitly NOT promised — that is WHY no raw luma sum
-      // reaches the oracle.
+      // LOSSY-codec decode tier (round 10; pure-Scala in round 11):
+      // payloads re-encoded as REAL JPEGs (same gray raster as m8's
+      // PNGs) through the engine-deterministic GrayJpeg codec and
+      // decoded by GrayJpegCodec — encode ∘ decode is bit-identical
+      // across JVMs/platforms (strict FP + StrictMath DCT basis), so
+      // the round-10 same-JVM caveat is retired and GrayJpegSpec pins
+      // GOLDEN decoded rasters. The oracle still pins decode
+      // INVARIANTS (DuckDB cannot replay a DCT): geometry derived
+      // from the byte count in SQL, and a constant-1 deviation flag —
+      // the decoded luma total must sit within 4 gray levels per
+      // pixel of the original byte total (tightened from 16: the
+      // in-house q85 quantization keeps block-mean error well under
+      // one level; AC basis functions sum to zero per block, so sums
+      // see DC error only). A decode regression past the bound flips
+      // dev_ok and fails the hash gate.
       (s, d) => {
         val payload = Tables.documents(s, d)
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -1287,7 +1288,7 @@ object PipelineQueries {
           .select(col("id").as("doc_id"), col("featSums")(0).as("orig_sum"))
         val jp = Multimodal.encodeGrayJpeg(payload, "doc_id", "payload", width = 32)
         val dec = Multimodal.decode(jp, "id", "jpg", nFeat = 1,
-            codecs = Seq(graft.operators.ImageIoCodec)).toDF()
+            codecs = Seq(graft.operators.GrayJpegCodec)).toDF()
           .select(col("id").as("doc_id"), col("fmt"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"),
@@ -1295,7 +1296,7 @@ object PipelineQueries {
         dec.join(orig, Seq("doc_id"))
           .select(col("doc_id"), col("fmt"), col("width"), col("height"),
             (abs(col("luma_sum") - col("orig_sum")) <=
-              col("width") * col("height") * 16).cast("long").as("dev_ok"))
+              col("width") * col("height") * 4).cast("long").as("dev_ok"))
           .orderBy("doc_id")
       },
       Some("""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)

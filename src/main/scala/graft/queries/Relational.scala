@@ -1967,6 +1967,25 @@ object Relational {
              |  CAST(count(DISTINCT val) AS BIGINT) AS n_distinct
              |FROM v GROUP BY key ORDER BY key""".stripMargin)),
 
+    Q("prof7_embedding_profile",
+      // EMBEDDING-column census (round 11) — per-dimension count,
+      // exact min/max, integer-scaled element sum (floor(v·10⁴):
+      // float sums are accumulation-order-defined, integer sums are
+      // exact on any engine), and zero count (dead-dimension
+      // detector). The profile an ANN build runs first; output
+      // bounded by dimensionality, never corpus size
+      // (Profiler.embeddingProfile).
+      (s, d) => graft.operators.Profiler.embeddingProfile(
+          Tables.embeddings(s, d), "embedding")
+        .orderBy("dim"),
+      Some("""WITH x AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+             |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+             |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+             |  min(v) AS min_v, max(v) AS max_v,
+             |  CAST(sum(CAST(floor(v * 10000) AS BIGINT)) AS BIGINT) AS sum_e4,
+             |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+             |FROM x GROUP BY 1 ORDER BY dim""".stripMargin)),
+
     Q("q69_cumulative_reach",
       // Monotone reach curve — cumulative distinct users ever seen,
       // by hour: distinct-over-a-GROWING-range collapses to "first

@@ -395,14 +395,15 @@ class BpeReferenceSpec extends SparkSpec {
   }
 }
 
-/** Round-10 JPEG tier: same-JVM decode determinism and geometry for
-  * the lossy-codec path. CROSS-JVM CAVEAT: JPEG IDCT rounding is
-  * implementation-defined — a different vendor's decoder may emit
-  * luma sums a few levels off, which is why m10's oracle checks a
-  * bounded-deviation FLAG and never a raw sum. */
+/** Round-10 JPEG tier (round-11: the decode path is the pure-Scala
+  * [[graft.operators.GrayJpegCodec]], which is deterministic across
+  * JVMs by construction — strict FP + StrictMath DCT basis; see
+  * GrayJpegSpec for the golden-digest cross-JVM pin and the ImageIO
+  * conformance cross-check): decode determinism, exact geometry, and
+  * the m10 deviation bound with headroom. */
 class JpegDecodeSpec extends SparkSpec {
   import spark.implicits._
-  import graft.operators.{ImageIoCodec, Multimodal}
+  import graft.operators.{GrayJpegCodec, Multimodal}
 
   private def payloads = Seq(
     (1L, "hello jpeg world, a short ascii payload"),
@@ -417,7 +418,7 @@ class JpegDecodeSpec extends SparkSpec {
       .cache()
     try {
       def run() = Multimodal.decode(jp, "id", "jpg", nFeat = 4,
-          codecs = Seq(ImageIoCodec)).toDF()
+          codecs = Seq(GrayJpegCodec)).toDF()
         .select(col("id"), col("fmt"), col("width"), col("height"),
           col("featSums"))
         .as[(Long, String, Int, Int, Array[Long])].collect().sortBy(_._1)
@@ -437,7 +438,7 @@ class JpegDecodeSpec extends SparkSpec {
   test("decoded luma stays within the m10 deviation bound with headroom") {
     val jp = Multimodal.encodeGrayJpeg(payloads, "doc_id", "payload", width = 32)
     val dec = Multimodal.decode(jp, "id", "jpg", nFeat = 1,
-        codecs = Seq(ImageIoCodec)).toDF()
+        codecs = Seq(GrayJpegCodec)).toDF()
       .select(col("id").as("doc_id"),
         (col("width") * col("height")).cast("long").as("npx"),
         col("featSums")(0).as("luma"))

@@ -210,6 +210,91 @@ class BloomAllNullSpec extends SparkSpec {
   }
 }
 
+/** Round-11: pure-Scala baseline gray JPEG — engine-deterministic
+  * lossy decode (strict FP + StrictMath DCT basis), retiring the
+  * round-10 same-JVM-only caveat. Pins: exact geometry, tight luma
+  * fidelity, byte-stable encode (golden md5), ImageIO cross-decode
+  * agreement (the stream is conformant JFIF, not a private format),
+  * and m10's deviation bound with headroom. */
+class GrayJpegSpec extends SparkSpec {
+  import graft.operators.GrayJpeg
+
+  private def raster(n: Int): Array[Byte] =
+    Array.tabulate(n)(i => (32 + (i * 37 + i * i % 41) % 95).toByte)
+
+  test("round trip: exact geometry, per-pixel error small, block-sum error tiny") {
+    val w = 32; val h = 13 // non-multiple-of-8 height exercises padding
+    val px = raster(w * h)
+    val jpg = GrayJpeg.encode(px, w, h)
+    val (dw, dh, out) = GrayJpeg.decode(jpg)
+    assert((dw, dh) == (w, h))
+    val maxErr = (0 until w * h).map(i => math.abs((px(i) & 0xFF) - (out(i) & 0xFF))).max
+    assert(maxErr <= 48, s"per-pixel error $maxErr") // noisy blocks ring; sums matter
+    val sumErr = math.abs(px.map(_ & 0xFF).map(_.toLong).sum -
+      out.map(_ & 0xFF).map(_.toLong).sum)
+    assert(sumErr <= w * h * 2, s"luma-sum deviation $sumErr over ${w * h} px")
+  }
+
+  test("encode is byte-deterministic and decode is a pure function (golden md5)") {
+    val px = raster(32 * 9)
+    val a = GrayJpeg.encode(px, 32, 9); val b = GrayJpeg.encode(px, 32, 9)
+    assert(java.util.Arrays.equals(a, b))
+    val d1 = GrayJpeg.decode(a)._3; val d2 = GrayJpeg.decode(b)._3
+    assert(java.util.Arrays.equals(d1, d2))
+    // golden pin: any JVM/platform must reproduce these digests
+    // bit-exactly (strict FP is the JVM spec since Java 17; the DCT
+    // basis comes from StrictMath/fdlibm)
+    def md5(x: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x)
+        .map("%02x".format(_)).mkString
+    val goldenEnc = GrayJpegGolden.encodedMd5
+    val goldenDec = GrayJpegGolden.decodedMd5
+    assert(md5(a) == goldenEnc, s"encoded stream drifted: ${md5(a)}")
+    assert(md5(d1) == goldenDec, s"decoded raster drifted: ${md5(d1)}")
+  }
+
+  test("the stream is conformant JFIF: ImageIO decodes it with exact geometry and near-identical pixels") {
+    val w = 32; val h = 11
+    val px = raster(w * h)
+    val jpg = GrayJpeg.encode(px, w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    assert(img != null, "ImageIO rejected the stream")
+    assert(img.getWidth == w && img.getHeight == h)
+    val ours = GrayJpeg.decode(jpg)._3
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      // raw raster samples: getRGB would gamma-convert the linear
+      // grayscale to sRGB (100 → 168) and mask the real comparison
+      val luma = img.getRaster.getSample(x, y, 0)
+      worst = math.max(worst, math.abs(luma - (ours(y * w + x) & 0xFF)))
+    }
+    // same coefficients, two IDCT implementations: off-by-rounding only
+    assert(worst <= 2, s"ImageIO disagrees by $worst levels")
+  }
+
+  test("decoder rejects what it cannot fully decode; truncation fails loudly") {
+    // progressive/multi-component streams must throw, not mis-decode
+    val px = raster(64)
+    val jpg = GrayJpeg.encode(px, 8, 8)
+    intercept[Exception] { GrayJpeg.decode(jpg.take(jpg.length / 2)) }
+    intercept[Exception] { GrayJpeg.decode("nope".getBytes) }
+    // single-block image decodes fine (smallest case)
+    val (w1, h1, _) = GrayJpeg.decode(jpg)
+    assert((w1, h1) == (8, 8))
+    // 1x1 image (heavy padding)
+    val tiny = GrayJpeg.encode(Array(100.toByte), 1, 1)
+    val (tw, th, tp) = GrayJpeg.decode(tiny)
+    assert((tw, th) == (1, 1) && math.abs((tp(0) & 0xFF) - 100) <= 3)
+  }
+}
+
+/** Golden digests for [[GrayJpegSpec]] — regenerate ONLY with a
+  * deliberate codec change (they ARE the cross-JVM determinism pin). */
+object GrayJpegGolden {
+  val encodedMd5 = "77d1555095a696632c6314522b451992"
+  val decodedMd5 = "b4a54dbcaf837008eb18e334be0895db"
+}
+
 /** Round-11: hybrid retrieval front door — [[Retrieval.hybridTopK]]
   * must route its lexical arm to the capped, df-cut BM25 ranker
   * (plan-proven by the TopKAgg map-side partial), never the raw
@@ -313,6 +398,46 @@ class BloomShardedProbeSpec extends SparkSpec {
       s"shard cut must survive the incremental rebuild: $dOld")
     assert(VersionedTable.readEq(spark, root, "v", "u1000")
       .select("k").as[Long].collect().toSeq == Seq(1000L))
+  }
+}
+
+/** Round-11: maximal matching (g24) — deterministic synchronous
+  * rounds must yield a DISJOINT (no shared endpoints) and MAXIMAL
+  * (every input edge touches a matched node) edge set. */
+class MatchingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.graph.GraphOps
+
+  private def check(edges: Seq[(Long, Long)], rounds: Int): Unit = {
+    val df = edges.toDF("src", "dst")
+    val m = GraphOps.maximalMatching(df, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ends = m.flatMap(p => Seq(p._1, p._2))
+    assert(ends.length == ends.distinct.length,
+      s"matching shares endpoints: ${m.toSeq}")
+    val matchedNodes = ends.toSet
+    val uncovered = edges
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2)
+      .filterNot(e => matchedNodes(e._1) || matchedNodes(e._2))
+    assert(uncovered.isEmpty, s"non-maximal: $uncovered")
+  }
+
+  test("path graph") {
+    check(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)), 8)
+  }
+
+  test("star graph (one edge max)") {
+    check((2L to 20L).map(i => (1L, i)), 8)
+  }
+
+  test("pseudo-random graph converges within the round budget") {
+    val edges = (0 until 2000).map { i =>
+      val a = (i * 2654435761L) % 500
+      val b = (i * 40503L + 7) % 500
+      (a, b)
+    }.filter(e => e._1 != e._2)
+    check(edges, 12)
   }
 }
 
