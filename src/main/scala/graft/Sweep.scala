@@ -569,21 +569,42 @@ object Sweep {
         VersionedTable.buildBloomIndex(spark, root, "u", bitsPerFile = 1 << 16)
         val probes = base.filter(col("doc_id") % 25000 === 7)
           .select("doc_id", "u").collect().map(r => r.getLong(0) -> r.getString(1))
-        var openedTot = 0; var shardTot = 0; var missing = 0; var unsharded = 0
+        // ground truth: how many committed files REALLY contain each
+        // probed key (the corpus carries ~10 scattered clones per
+        // text, so the optimal probe opens ~that many shards/files —
+        // the gate is optimality-vs-truth, not an absolute constant)
+        val pvals = probes.map(_._2).toSeq
+        val truth = VersionedTable.read(spark, root)
+          .select(col("u"),
+            expr("substring_index(input_file_name(), '/', -3)").as("f"))
+          .filter(col("u").isin(pvals: _*))
+          .groupBy("u").agg(countDistinct("f").as("nf"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        var missing = 0; var unsharded = 0
+        var overFiles = 0; var overShards = 0
+        var shardTot = 0L; var fileTot = 0L
         probes.foreach { case (id, u) =>
           val d = VersionedTable.bloomProbeDetail(spark, root, "u", u)
-          openedTot += d.filesOpened
-          if (d.shardsTotal != 16) unsharded += 1 else shardTot += d.shardsOpened
+          val nf = truth.getOrElse(u, 0L)
+          // fp-tolerant optimality: open what truly contains the key
+          // (+2 false-positive slack), never the table
+          if (d.filesOpened > nf + 2) overFiles += 1
+          if (d.shardsTotal != 16) unsharded += 1
+          else if (d.shardsOpened > math.min(nf, 16L) + 2) overShards += 1
+          shardTot += math.max(d.shardsOpened, 0); fileTot += d.filesOpened
           if (!VersionedTable.readEq(spark, root, "u", u)
             .filter(col("doc_id") === id).head(1).nonEmpty) missing += 1
         }
-        val meanOpened = openedTot.toDouble / probes.length
         val meanShards = shardTot.toDouble / probes.length
+        val meanFiles = fileTot.toDouble / probes.length
         if (probes.length < 10) s"only ${probes.length} probes"
         else if (missing > 0) s"$missing false negatives"
         else if (unsharded > 0) s"$unsharded probes saw no shard aggregates"
-        else if (meanShards > 4) f"mean $meanShards%.1f/16 shards opened per probe"
-        else if (meanOpened > 16) f"mean $meanOpened%.1f/256 files opened per probe"
+        else if (overShards > 0)
+          f"$overShards probes opened more shards than the key truly spans (mean $meanShards%.1f/16)"
+        else if (overFiles > 0)
+          f"$overFiles probes opened more files than the key truly spans (mean $meanFiles%.1f/256)"
+        else if (meanShards >= 16) f"no shard cut at all: mean $meanShards%.1f/16"
         else ""
       },
 

@@ -516,39 +516,69 @@ object VersionedTable {
     out.result()
   }
 
-  /** Attach each per-file entry's owning shard and append one
-    * aggregate entry per shard (bit-OR of member bitsets, summed
-    * n_rows): a point probe then prunes SHARDS before files — a shard
-    * whose OR-bitset lacks any probe bit provably contains the value
-    * in no member (no false negatives: OR only adds bits). Unsharded
-    * manifests get `shard = null` everywhere and zero aggregate rows,
-    * and the probe falls back to the flat walk. */
-  private def withShardAggregates(spark: SparkSession, fileEntries: DataFrame,
-                                  shardOf: Map[String, String],
-                                  nWords: Int, m: Int, k: Int): DataFrame = {
+  /** Attach each per-file entry's owning shard (null for inline
+    * files). The probe uses this to skip members of provably-dead
+    * shards without touching their rows. */
+  private def tagShards(spark: SparkSession, fileEntries: DataFrame,
+                        shardOf: Map[String, String]): DataFrame = {
     val sp = spark; import sp.implicits._
-    val tagged =
-      if (shardOf.isEmpty)
-        fileEntries.withColumn("shard", lit(null).cast("string"))
-      else fileEntries.join(
-        broadcast(shardOf.toSeq.toDF("file", "shard")), Seq("file"), "left")
-    if (shardOf.isEmpty) return tagged
-    val aggRows = tagged.filter(col("shard").isNotNull)
-      .select(col("shard"), posexplode(col("words")).as(Seq("widx", "word")))
-      .groupBy("shard", "widx")
-      .agg(expr("bit_or(word)").as("word"))
-      .groupBy("shard")
+    if (shardOf.isEmpty)
+      fileEntries.withColumn("shard", lit(null).cast("string"))
+    else fileEntries.join(
+      broadcast(shardOf.toSeq.toDF("file", "shard")), Seq("file"), "left")
+  }
+
+  /** SHARD-level bloom entries, built from the VALUES (one row per
+    * shard, `file = "@shardagg\t<rel>"`). Each shard's filter is sized
+    * to ITS cardinality — `m_shard = m · members` (rounded to 64) —
+    * because an OR of member bitsets at the per-file `m` saturates:
+    * 16 files × 2k keys × 7 hashes ≈ 224k positions into 65536 bits
+    * is ~97% full, and every probe would open every shard (measured
+    * at the 500k-row sweep). Value-hashed at m_shard the shard-level
+    * false-positive rate matches the file level. Shards whose every
+    * member is all-null get an exact all-zero entry so incremental
+    * coverage converges. No false negatives by construction either
+    * way. `rows` must carry (file, __v non-null) for EVERY member
+    * file of every shard in `shardOf`. */
+  private def shardAggregates(spark: SparkSession, rows: DataFrame,
+                              shardOf: Map[String, String],
+                              m: Int, k: Int): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val shardDims = shardOf.groupBy(_._2).map { case (sh, xs) =>
+      (sh, (((m.toLong * xs.size + 63) / 64) * 64).toInt)
+    }.toSeq.toDF("shard", "ms")
+    if (shardOf.isEmpty) return shardDims.limit(0)
+      .select(col("shard").as("file"),
+        expr("CAST(array() AS ARRAY<BIGINT>)").as("words"),
+        lit(0L).as("n_rows"), lit(m).as("m"), lit(k).as("k"), col("shard"))
+    val members = shardOf.toSeq.toDF("file", "shard")
+    val sv = rows.join(broadcast(members), Seq("file"))
+      .join(broadcast(shardDims), Seq("shard"))
+    val posCols = (0 until k).map(i =>
+      pmod(xxhash64(col("__v"), lit(i)), col("ms").cast("long")).cast("int"))
+    val words = sv
+      .select(col("shard"), col("ms"), explode(array(posCols: _*)).as("p"))
+      .withColumn("widx", (col("p") / 64).cast("int"))
+      .groupBy("shard", "ms", "widx")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), pmod(p, 64)))").as("word"))
+    val dense = words
+      .groupBy("shard", "ms")
       .agg(map_from_entries(collect_list(struct(col("widx"), col("word")))).as("wm"))
-      .select(col("shard"),
-        expr(s"transform(sequence(0, ${nWords - 1}), i -> coalesce(wm[i], CAST(0 AS BIGINT)))")
+      .select(col("shard"), col("ms"),
+        expr("transform(sequence(0, ms div 64 - 1), i -> coalesce(wm[CAST(i AS INT)], CAST(0 AS BIGINT)))")
           .as("words"))
-    val shardRows = tagged.filter(col("shard").isNotNull)
-      .groupBy("shard").agg(sum("n_rows").as("n_rows"))
-    aggRows.join(shardRows, Seq("shard"))
+    val counts = sv.groupBy("shard").agg(count(lit(1)).as("n_rows"))
+    val built = dense.join(counts, Seq("shard"))
+    // all-null shards: exact zero entries (coverage must converge)
+    val missing = shardDims
+      .join(built.select("shard"), Seq("shard"), "left_anti")
+      .select(col("shard"), col("ms"),
+        expr("transform(sequence(0, ms div 64 - 1), i -> CAST(0 AS BIGINT))").as("words"))
+      .withColumn("n_rows", lit(0L))
+    built.unionByName(missing)
       .select(concat(lit(BloomShardMark), col("shard")).as("file"),
         col("words"), col("n_rows"),
-        lit(m).as("m"), lit(k).as("k"), col("shard"))
-      .unionByName(tagged.select("file", "words", "n_rows", "m", "k", "shard"))
+        col("ms").as("m"), lit(k).as("k"), col("shard"))
   }
 
   /** Per-file BLOOM membership sidecar for `colName` — the
@@ -602,8 +632,9 @@ object VersionedTable {
       .withColumn("m", lit(bitsPerFile)).withColumn("k", lit(numHashes))
     val entries =
       withAllNullEntries(spark, built, rels, nWords, bitsPerFile, numHashes)
-    withShardAggregates(spark, entries, shardOfRel(spark, root, s.version),
-        nWords, bitsPerFile, numHashes)
+    val shardOf = shardOfRel(spark, root, s.version)
+    tagShards(spark, entries, shardOf)
+      .unionByName(shardAggregates(spark, rows, shardOf, bitsPerFile, numHashes))
       .write.mode("overwrite")
       .parquet(new Path(bloomDir(root, colName), s"v${s.version}").toString)
     s.version
@@ -634,41 +665,71 @@ object VersionedTable {
     val rels = fileLines(spark, root, s.version).map(lineRel)
     val covered = idx.select("file").collect().map(_.getString(0)).toSet
     val newRels = rels.filterNot(covered)
-    if (newRels.isEmpty) return s.version
+    val shardOf = shardOfRel(spark, root, s.version)
+    // shard files are immutable, so a carried shard aggregate stays
+    // valid forever; coverage = shard rels with an aggregate row in
+    // the prior build (derivable from the same collect — no extra job)
+    val coveredShards = covered.filter(_.startsWith(BloomShardMark))
+      .map(_.stripPrefix(BloomShardMark))
+    val newShardRels = shardOf.values.toSet -- coveredShards
+    if (newRels.isEmpty && newShardRels.isEmpty) return s.version
     val nWords = m / 64
-    val rows = spark.read.parquet(newRels.map(r => new Path(root, r).toString): _*)
-      .select(expr("substring_index(input_file_name(), '/', -3)").as("file"),
-        col(colName).cast("string").as("__v"))
-      .filter(col("__v").isNotNull)
-    val posCols = (0 until k).map(i =>
-      pmod(xxhash64(col("__v"), lit(i)), lit(m.toLong)).cast("int"))
-    val words = rows
-      .select(col("file"), explode(array(posCols: _*)).as("p"))
-      .withColumn("widx", (col("p") / 64).cast("int"))
-      .groupBy("file", "widx")
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), pmod(p, 64)))").as("word"))
-    val dense = words.groupBy("file")
-      .agg(map_from_entries(collect_list(struct(col("widx"), col("word")))).as("wm"))
-      .select(col("file"),
-        expr(s"transform(sequence(0, ${nWords - 1}), i -> coalesce(wm[i], CAST(0 AS BIGINT)))")
-          .as("words"))
-    val counts = rows.groupBy("file").agg(count(lit(1)).as("n_rows"))
-    val fresh = withAllNullEntries(spark,
-      dense.join(counts, Seq("file"))
-        .withColumn("m", lit(m)).withColumn("k", lit(k)),
-      newRels, nWords, m, k)
-    // carry only entries for files still in the snapshot — a semijoin
-    // against the (metadata-sized) live-file list, never an isin of
-    // thousands of literals. Shard-aggregate rows are dropped by the
-    // same semijoin (their keys never match a data rel) and recomputed
-    // from the CURRENT manifest: shard membership may have changed.
     val sp = spark; import sp.implicits._
     val perFileCols = Seq("file", "words", "n_rows", "m", "k")
+    def scanVals(fileRels: Seq[String]): DataFrame =
+      spark.read.parquet(fileRels.map(r => new Path(root, r).toString): _*)
+        .select(expr("substring_index(input_file_name(), '/', -3)").as("file"),
+          col(colName).cast("string").as("__v"))
+        .filter(col("__v").isNotNull)
+    val fresh: DataFrame =
+      if (newRels.isEmpty)
+        idx.select(perFileCols.map(col): _*).limit(0)
+      else {
+        val rows = scanVals(newRels)
+        val posCols = (0 until k).map(i =>
+          pmod(xxhash64(col("__v"), lit(i)), lit(m.toLong)).cast("int"))
+        val words = rows
+          .select(col("file"), explode(array(posCols: _*)).as("p"))
+          .withColumn("widx", (col("p") / 64).cast("int"))
+          .groupBy("file", "widx")
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), pmod(p, 64)))").as("word"))
+        val dense = words.groupBy("file")
+          .agg(map_from_entries(collect_list(struct(col("widx"), col("word")))).as("wm"))
+          .select(col("file"),
+            expr(s"transform(sequence(0, ${nWords - 1}), i -> coalesce(wm[i], CAST(0 AS BIGINT)))")
+              .as("words"))
+        val counts = rows.groupBy("file").agg(count(lit(1)).as("n_rows"))
+        withAllNullEntries(spark,
+          dense.join(counts, Seq("file"))
+            .withColumn("m", lit(m)).withColumn("k", lit(k)),
+          newRels, nWords, m, k)
+      }
+    // carry only entries for files still in the snapshot — a semijoin
+    // against the (metadata-sized) live-file list, never an isin of
+    // thousands of literals. Shard-aggregate rows never match a data
+    // rel, so the semijoin keeps file rows only.
     val carried = idx.join(rels.toDF("file"), Seq("file"), "left_semi")
       .select(perFileCols.map(col): _*)
     val allFiles = carried.unionByName(fresh.select(perFileCols.map(col): _*))
-    withShardAggregates(spark, allFiles, shardOfRel(spark, root, s.version),
-        nWords, m, k)
+    // shard aggregates: carry entries for still-current shards
+    // verbatim; shards formed since the last build (first shardManifest
+    // or a re-shard — both mint NEW shard rels) are built by scanning
+    // THEIR members once: a pass over the re-sharded bytes, never the
+    // table
+    val emptyShards = shardAggregates(spark, allFiles, Map.empty, m, k)
+    val curShardRels: Seq[String] = shardOf.values.toSet.toSeq
+    val carriedShards =
+      if (!idx.columns.contains("shard") || coveredShards.isEmpty) emptyShards
+      else idx.filter(col("file").startsWith(BloomShardMark))
+        .join(broadcast(curShardRels.toDF("shard")), Seq("shard"), "left_semi")
+        .select(emptyShards.columns.map(col): _*)
+    val newMembers = shardOf.filter { case (_, sh) => newShardRels(sh) }
+    val freshShards =
+      if (newMembers.isEmpty) emptyShards
+      else shardAggregates(spark, scanVals(newMembers.keys.toSeq), newMembers, m, k)
+    tagShards(spark, allFiles, shardOf)
+      .unionByName(carriedShards)
+      .unionByName(freshShards)
       .write.mode("overwrite")
       .parquet(new Path(bloomDir(root, colName), s"v${s.version}").toString)
     s.version
@@ -734,16 +795,18 @@ object VersionedTable {
     latestBloomDir(spark, root, colName) match {
       case None => (statsKept, -1, -1)
       case Some(dir) =>
-        val idx = spark.read.parquet(dir)
-        val meta = idx.select("m", "k").head()
-        val (m, k) = (meta.getInt(0), meta.getInt(1))
-        val ps = spark.range(1).select(array((0 until k).map(i =>
-            pmod(xxhash64(lit(value), lit(i)), lit(m.toLong)).cast("int")): _*))
-          .head().getSeq[Int](0)
-        val hit = ps.map { p =>
-          (element_at(col("words"), p / 64 + 1)
-            .bitwiseAND(lit(1L << (p % 64)))) =!= 0L
-        }.reduce(_ && _)
+        val idx0 = spark.read.parquet(dir)
+        val k = idx0.select("k").head().getInt(0)
+        // the probe's bit test evaluates against EACH ROW's own m —
+        // shard aggregates are sized to their shard's cardinality
+        // (m_shard = m·members), file rows to the per-file m. The hash
+        // inputs don't depend on m, so one expression serves both.
+        val idx = (0 until k).foldLeft(idx0)((d, i) =>
+          d.withColumn(s"__h$i", xxhash64(lit(value), lit(i))))
+        val hit = (0 until k).map(i => expr(
+            s"(element_at(words, CAST(CAST(pmod(__h$i, m) AS INT) div 64 + 1 AS INT)) & " +
+              s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(__h$i, m) AS INT) % 64)) != 0"))
+          .reduce(_ && _)
         def key3(f: String) = f.split('/').takeRight(3).mkString("/")
         if (!idx.columns.contains("shard")) {
           // legacy (round-10) flat index: per-file boolean walk
@@ -753,14 +816,16 @@ object VersionedTable {
         } else {
           val aggRows = idx.filter(col("file").startsWith(BloomShardMark))
             .select(col("shard"), hit.as("hit")).collect()
-          val liveShards = aggRows.filter(_.getBoolean(1))
+          // only a PROVABLY dead shard cuts its members; a shard with
+          // no aggregate row stays file-level (conservative)
+          val deadShards = aggRows.filterNot(_.getBoolean(1))
             .map(_.getString(0)).toSet
           val fileRows = idx.filter(!col("file").startsWith(BloomShardMark))
-          val inLive =
-            if (aggRows.isEmpty) lit(true)
+          val notDead =
+            if (deadShards.isEmpty) lit(true)
             else col("shard").isNull ||
-              col("shard").isin(liveShards.toSeq: _*)
-          val hitKeys = fileRows.filter(inLive && hit)
+              !col("shard").isin(deadShards.toSeq: _*)
+          val hitKeys = fileRows.filter(notDead && hit)
             .select("file").collect().map(_.getString(0)).toSet
           // uncovered→keep, computed engine-side so the driver never
           // receives per-file misses: statsKept keys minus indexed keys
@@ -771,7 +836,7 @@ object VersionedTable {
           val kept = statsKept.filter { f =>
             val k3 = key3(f); hitKeys.contains(k3) || uncovered.contains(k3)
           }
-          val so = if (aggRows.isEmpty) -1 else liveShards.size
+          val so = if (aggRows.isEmpty) -1 else aggRows.length - deadShards.size
           val st = if (aggRows.isEmpty) -1 else aggRows.length
           (kept, so, st)
         }
