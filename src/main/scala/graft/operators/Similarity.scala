@@ -50,6 +50,71 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** MMR (maximal-marginal-relevance) diversified rerank — the RAG
+    * result-diversity stage (Carbonell & Goldstein 1998): from each
+    * query's `nCand` brute-cosine candidates, greedily keep `k` by
+    *
+    *   mmr = λ·rel − (1−λ)·max_sim(candidate, already-selected)
+    *
+    * ALL-INTEGER (λ in tenths; rel/sim as floor(cos·10⁴)) so the
+    * greedy argmax — ties by candidate id — is bit-identical on any
+    * engine and the unrolled-steps oracle replays it exactly. Work
+    * shape: candidate generation is the dominant cost (any retrieval
+    * tier can feed it); the rerank itself touches nCand² pair sims
+    * and k tiny argmax passes per query — per-query bounded, never
+    * corpus-bounded. The candidate and pair-sim frames are
+    * checkpoint-cut so step j's plan doesn't re-expand steps 1..j−1.
+    * Output: (query_id, rk, neighbor_id, mmr_e4). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String,
+                nCand: Int, k: Int, lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1 && nCand >= k, s"need nCand >= k >= 1: $nCand, $k")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, s"lambda: $lambdaTenths")
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val c = withNorm(corpus, idCol, vecCol, "c")
+    val cand = Ckpt.cutLight(q.join(c, col("qid") =!= col("cid"))
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))))
+      .filter(col("crk") <= nCand)
+      .select(col("qid"), col("cid"),
+        expr("CAST(floor(cos * 10000) AS BIGINT)").as("rel"),
+        col("cv"), col("cn")))
+    val sims = Ckpt.cutLight(cand.as("x").join(cand.as("y"),
+        col("x.qid") === col("y.qid") && col("x.cid") =!= col("y.cid"))
+      .select(col("x.qid").as("qid"), col("x.cid").as("a"), col("y.cid").as("b"),
+        (vec_dot(col("x.cv"), col("y.cv")) / (col("x.cn") * col("y.cn"))).as("pc"))
+      .select(col("qid"), col("a"), col("b"),
+        expr("CAST(floor(pc * 10000) AS BIGINT)").as("sim")))
+    val lam = lambdaTenths; val mu = 10 - lambdaTenths
+    var sel: DataFrame = null
+    var j = 0
+    while (j < k) {
+      j += 1
+      val avail =
+        if (sel == null) cand.select("qid", "cid", "rel")
+        else cand.select("qid", "cid", "rel")
+          .join(sel.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+      val ms =
+        if (sel == null) avail.withColumn("msim", lit(0L))
+        else avail.join(
+            sims.join(sel.select(col("qid"), col("cid").as("b")), Seq("qid", "b"))
+              .groupBy("qid", "a").agg(max("sim").as("msim"))
+              .select(col("qid"), col("a").as("cid"), col("msim")),
+            Seq("qid", "cid"), "left")
+          .withColumn("msim", coalesce(col("msim"), lit(0L)))
+      val pick = Ckpt.cutLight(ms
+        .withColumn("mmr", lit(lam.toLong) * col("rel") - lit(mu.toLong) * col("msim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("mmr"), asc("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), lit(j).as("rk"), col("mmr")))
+      sel = if (sel == null) pick else sel.unionByName(pick)
+    }
+    sel.select(col("qid").as("query_id"), col("rk").cast("int").as("rk"),
+      col("cid").as("neighbor_id"), col("mmr").as("mmr_e4"))
+  }
+
   /** Exact maximum-inner-product top-k (MIPS) — recommendation-shaped
     * retrieval where magnitude matters, so scores are raw dot products
     * with NO normalization (a long vector beats a well-aligned short

@@ -74,6 +74,40 @@ object PipelineQueries {
       |lexr AS (SELECT qid, cid, score,
       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk FROM bcd)""".stripMargin
 
+  /** `k` unrolled greedy MMR selections (s20's oracle): expects `cand`
+    * (qid, cid, rel, cv) and `sims` (qid, a, b, sim) CTEs; defines
+    * p1..pK (per-step picks) and `mmr_out` (their union). λ in tenths:
+    * mmr = lam·rel − (10−lam)·max-sim-to-selected, ties by cid. */
+  private def mmrStepsSql(k: Int, lam: Int): String = {
+    val mu = 10 - lam
+    val steps = (1 to k).map { j =>
+      if (j == 1)
+        s"""p1 AS (SELECT qid, cid, 1 AS rk, $lam * rel AS mmr FROM (
+           |  SELECT qid, cid, rel,
+           |    row_number() OVER (PARTITION BY qid ORDER BY $lam * rel DESC, cid) AS rn
+           |  FROM cand) WHERE rn = 1),
+           |msel1 AS (SELECT qid, cid FROM p1)""".stripMargin
+      else
+        s"""av$j AS (SELECT c.qid, c.cid, c.rel FROM cand c
+           |  LEFT JOIN msel${j - 1} s ON s.qid = c.qid AND s.cid = c.cid
+           |  WHERE s.cid IS NULL),
+           |mx$j AS (SELECT sims.qid, sims.a AS cid, max(sims.sim) AS msim
+           |  FROM sims JOIN msel${j - 1} s ON s.qid = sims.qid AND s.cid = sims.b
+           |  GROUP BY 1, 2),
+           |p$j AS (SELECT qid, cid, $j AS rk, mmr FROM (
+           |  SELECT a.qid, a.cid, $lam * a.rel - $mu * coalesce(m.msim, 0) AS mmr,
+           |    row_number() OVER (PARTITION BY a.qid
+           |      ORDER BY $lam * a.rel - $mu * coalesce(m.msim, 0) DESC, a.cid) AS rn
+           |  FROM av$j a LEFT JOIN mx$j m ON m.qid = a.qid AND m.cid = a.cid)
+           |  WHERE rn = 1),
+           |msel$j AS (SELECT qid, cid FROM msel${j - 1}
+           |  UNION ALL SELECT qid, cid FROM p$j)""".stripMargin
+    }.mkString(",\n")
+    val un = (1 to k).map(j => s"SELECT qid, cid, rk, mmr FROM p$j")
+      .mkString(" UNION ALL ")
+    s"$steps,\nmmr_out AS ($un)"
+  }
+
   /** Non-distinct variant: one row per token INSTANCE. */
   private val tokAllSql =
     """tokall AS (SELECT doc_id, t.tok FROM documents,
@@ -864,6 +898,42 @@ object PipelineQueries {
               |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
               |  round(cos, 4) AS cosine
               |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
+    Q("s20_mmr",
+      // MMR diversified rerank (round 11) — the RAG result-diversity
+      // stage: from each query's brute-cosine top-8, greedily keep 4
+      // by mmr = 0.7·rel − 0.3·max-sim-to-selected, ALL-INTEGER
+      // (floor(cos·10⁴), λ in tenths) so the greedy argmax is
+      // bit-identical on both engines; the oracle unrolls the same 4
+      // selections. Candidate generation dominates at scale (any
+      // retrieval tier feeds it); the rerank is per-query bounded
+      // (nCand² sims + k argmax passes), never corpus-bounded.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.mmrRerank(e, e.filter(col("vec_id") < 3), "vec_id",
+            "embedding", nCand = 8, k = 4, lambdaTenths = 7)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $cosSql,
+              |qs AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id < 3),
+              |scx AS (SELECT qid, c.vec_id AS cid,
+              |    list_dot_product(qv, c.v)
+              |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos,
+              |    c.v AS cv
+              |  FROM qs JOIN ce c ON c.vec_id <> qid),
+              |cand AS (SELECT qid, cid, CAST(floor(cos * 10000) AS BIGINT) AS rel, cv
+              |  FROM (SELECT qid, cid, cos, cv,
+              |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS crk
+              |    FROM scx) WHERE crk <= 8),
+              |sims AS (SELECT x.qid, x.cid AS a, y.cid AS b,
+              |    CAST(floor(list_dot_product(x.cv, y.cv)
+              |      / (sqrt(list_dot_product(x.cv, x.cv)) * sqrt(list_dot_product(y.cv, y.cv)))
+              |      * 10000) AS BIGINT) AS sim
+              |  FROM cand x JOIN cand y ON x.qid = y.qid AND x.cid <> y.cid),
+              |${mmrStepsSql(4, 7)}
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  CAST(mmr AS BIGINT) AS mmr_e4
+              |FROM mmr_out ORDER BY query_id, rk""".stripMargin)),
 
     Q("p0_corpus_pipeline",
       // The composed END-TO-END training-data pipeline as one operator

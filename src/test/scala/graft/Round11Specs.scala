@@ -401,6 +401,38 @@ class BloomShardedProbeSpec extends SparkSpec {
   }
 }
 
+/** Round-11: MMR rerank (s20) — the diversity trade must actually
+  * bind: with a near-duplicate dominating the relevance order, MMR
+  * demotes it in favor of a diverse candidate; λ=1.0 degrades to the
+  * pure relevance order. */
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f)),          // query
+    (1L, Array(0.99f, 0.10f)),        // most relevant
+    (2L, Array(0.99f, 0.11f)),        // near-dup of 1
+    (3L, Array(0.70f, 0.70f))         // diverse
+  ).toDF("vec_id", "embedding")
+
+  test("diversity binds: the near-duplicate is demoted at low lambda") {
+    val out = Similarity.mmrRerank(emb.filter(col("vec_id") > 0),
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        nCand = 3, k = 2, lambdaTenths = 3)
+      .orderBy("rk").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L, 3L), s"expected the diverse pick second, got $out")
+  }
+
+  test("lambda = 1.0 degrades to the pure relevance order") {
+    val out = Similarity.mmrRerank(emb.filter(col("vec_id") > 0),
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        nCand = 3, k = 3, lambdaTenths = 10)
+      .orderBy("rk").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L, 2L, 3L), s"got $out")
+  }
+}
+
 /** Round-11: maximal matching (g24) — deterministic synchronous
   * rounds must yield a DISJOINT (no shared endpoints) and MAXIMAL
   * (every input edge touches a matched node) edge set. */
