@@ -98,13 +98,16 @@ object GraftTableFunctions {
     })
 
   /** Register all table functions on an already-built session.
-    * Idempotent (re-registration replaces the same builder). */
+    * Idempotent — already-registered names are left alone (the
+    * registry logs a replacement WARN per call otherwise, and every
+    * query entry point calls configure()). */
   def install(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val registry = classic.sessionState.tableFunctionRegistry
     builders.foreach { case (name, b) =>
-      registry.registerFunction(FunctionIdentifier(name),
-        GraftFunctions.info(name), b)
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, GraftFunctions.info(name), b)
     }
   }
 }
