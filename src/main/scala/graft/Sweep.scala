@@ -547,6 +547,104 @@ object Sweep {
         else ""
       },
 
+      "g24_matching_certificate_100x" -> { () =>
+        // round 11: deterministic maximal matching at the 100x chain
+        // graph (1.5M nodes) — disjoint (no node matched twice) and
+        // maximal (no remaining edge with both endpoints unmatched)
+        val e = blockedChainEdges(relDir, withSkip = true).cache()
+        val m = GraphOps.maximalMatching(e, rounds = 12).cache()
+        val ends = m.select(col("a").as("node"))
+          .union(m.select(col("b").as("node")))
+        val dup = ends.groupBy("node").count().filter(col("count") > 1).count()
+        val ec = e.select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b")).distinct()
+        val uncovered = ec
+          .join(ends.withColumnRenamed("node", "a").distinct(), Seq("a"), "left_anti")
+          .join(ends.withColumnRenamed("node", "b").distinct(), Seq("b"), "left_anti")
+          .count()
+        val nm = m.count()
+        e.unpersist(); m.unpersist()
+        if (nm == 0) "empty matching"
+        else if (dup > 0) s"$dup nodes matched more than once"
+        else if (uncovered > 0) s"$uncovered edges with both endpoints unmatched"
+        else ""
+      },
+
+      "vt_conj_100x" -> { () =>
+        // round 11: compound-predicate skipping at 500k rows on a
+        // morton-clustered sharded table — the conjunctive read must
+        // open strictly fewer shards AND files than either
+        // single-column prune, row-exact
+        import graft.sources.VersionedTable
+        val root = {
+          val f = java.nio.file.Files.createTempDirectory("vtconj100x").toFile
+          f.delete(); f.getAbsolutePath
+        }
+        val mort = (0 until 9).map(i =>
+          s"(shiftleft(shiftright(a, $i) & 1, ${2 * i}) + " +
+            s"shiftleft(shiftright(b, $i) & 1, ${2 * i + 1}))").mkString(" + ")
+        val base = docs(docDir).select(
+            (col("doc_id") % 512).as("a"),
+            ((col("doc_id") / 512).cast("long") % 512).as("b"),
+            col("doc_id"))
+          .withColumn("m", expr(mort))
+        VersionedTable.commit(base.repartitionByRange(256, col("m")), root,
+          statsCols = Seq("m", "a", "b"))
+        VersionedTable.shardManifest(spark, root, targetFilesPerShard = 16)
+        val da = VersionedTable.prunedFilesDetail(spark, root,
+          Seq(("a", "128", "255")), -1L)
+        val db = VersionedTable.prunedFilesDetail(spark, root,
+          Seq(("b", "256", "383")), -1L)
+        val dab = VersionedTable.prunedFilesDetail(spark, root,
+          Seq(("a", "128", "255"), ("b", "256", "383")), -1L)
+        val got = VersionedTable.readRange(spark, root,
+          Seq(("a", "128", "255"), ("b", "256", "383")), -1L).count()
+        val want = base.filter(col("a").between(128, 255) &&
+          col("b").between(256, 383)).count()
+        if (dab.shardsOpened >= da.shardsOpened || dab.shardsOpened >= db.shardsOpened)
+          s"conj shards ${dab.shardsOpened} !< a=${da.shardsOpened}, b=${db.shardsOpened}"
+        else if (dab.kept.size >= da.kept.size || dab.kept.size >= db.kept.size)
+          s"conj files ${dab.kept.size} !< a=${da.kept.size}, b=${db.kept.size}"
+        else if (got != want) s"conjunctive read $got != $want rows"
+        else ""
+      },
+
+      "s20_mmr_certificate_100x" -> { () =>
+        // round 11: MMR rerank at the scale embeddings corpus —
+        // structural certificate: k distinct ranks per query, every
+        // pick inside the candidate top-N by relevance, rank-1 = pure
+        // relevance argmax, and mmr non-increasing in rank (the
+        // greedy's provable monotonicity — msim only grows)
+        val e = emb(embDir)
+        val q = e.filter(col("vec_id") % 10000 === 3)
+        val out = Similarity.mmrRerank(e, q, "vec_id", "embedding",
+          nCand = 8, k = 4, lambdaTenths = 7).cache()
+        val nq = q.count()
+        val badCnt = out.groupBy("query_id")
+          .agg(countDistinct("rk").as("nrk"), count(lit(1)).as("n"))
+          .filter(col("nrk") =!= 4 || col("n") =!= 4).count()
+        // monotone mmr along rk
+        val nonMono = out.withColumn("nxt", lead("mmr_e4", 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id").orderBy("rk")))
+          .filter(col("nxt").isNotNull && col("nxt") > col("mmr_e4")).count()
+        // rank-1 equals the relevance argmax of the brute top candidates
+        val top1 = Similarity.knnBrute(e, q, "vec_id", "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id").as("bid"))
+        val r1bad = out.filter(col("rk") === 1)
+          .join(top1, Seq("query_id"))
+          .filter(col("neighbor_id") =!= col("bid")).count()
+        val n = out.count()
+        out.unpersist()
+        if (nq < 2) s"only $nq queries"
+        else if (n != nq * 4) s"$n rows for $nq queries"
+        else if (badCnt > 0) s"$badCnt queries with bad rank sets"
+        else if (nonMono > 0) s"$nonMono rank steps with increasing mmr"
+        else if (r1bad > 0) s"$r1bad queries whose first pick isn't the relevance argmax"
+        else ""
+      },
+
       "vt_bloom_100x" -> { () =>
         // round 10 (sharded in round 11): bloom sidecar at 500k rows /
         // 256 files / 16 manifest shards — the lookup column is a

@@ -80,6 +80,39 @@ object Similarity {
       .select(col("qid"), col("cid"),
         expr("CAST(floor(cos * 10000) AS BIGINT)").as("rel"),
         col("cv"), col("cn")))
+    mmrGreedy(cand, k, lambdaTenths)
+  }
+
+  /** MMR rerank over CALLER-SUPPLIED candidates — the 100-TB shape:
+    * any deployed ANN tier generates `(query_id, neighbor_id)`
+    * candidate pairs (IVF/PQ/LSH — each already per-query bounded),
+    * and this computes relevance and pair similarities ONLY for those
+    * rows — |cands|² work per query, never a corpus touch. Vectors
+    * come from `corpus`/`queries` by id (at scale: the stored vector
+    * table, joined on the candidate ids — a semijoin-sized read).
+    * Same integer greedy as [[mmrRerank]]; MmrSpec pins brute-fed
+    * equivalence. */
+  def mmrRerankFrom(candidates: DataFrame, corpus: DataFrame,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, lambdaTenths: Int = 7): DataFrame = {
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, s"lambda: $lambdaTenths")
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val c = withNorm(corpus, idCol, vecCol, "c")
+    val cand = Ckpt.cutLight(candidates
+      .select(col("query_id").as("qid"), col("neighbor_id").as("cid"))
+      .join(q, "qid").join(c, "cid")
+      .withColumn("cos", dot("qv", "cv") / (col("qn") * col("cn")))
+      .select(col("qid"), col("cid"),
+        expr("CAST(floor(cos * 10000) AS BIGINT)").as("rel"),
+        col("cv"), col("cn")))
+    mmrGreedy(cand, k, lambdaTenths)
+  }
+
+  /** The shared integer greedy over a prepared candidate frame
+    * `(qid, cid, rel, cv, cn)` — k argmax passes, each per-query
+    * bounded; candidate and pair-sim frames are checkpoint-cut so
+    * step j's plan doesn't re-expand steps 1..j−1. */
+  private def mmrGreedy(cand: DataFrame, k: Int, lambdaTenths: Int): DataFrame = {
     val sims = Ckpt.cutLight(cand.as("x").join(cand.as("y"),
         col("x.qid") === col("y.qid") && col("x.cid") =!= col("y.cid"))
       .select(col("x.qid").as("qid"), col("x.cid").as("a"), col("y.cid").as("b"),

@@ -431,6 +431,21 @@ class MmrSpec extends SparkSpec {
       .orderBy("rk").collect().map(_.getLong(2)).toSeq
     assert(out == Seq(1L, 2L, 3L), s"got $out")
   }
+
+  test("ANN-fed rerank equals the brute front door on identical candidates") {
+    val corpus = emb.filter(col("vec_id") > 0)
+    val q = emb.filter(col("vec_id") === 0)
+    // candidates from the brute tier = the same top-3 the front door uses
+    val cands = Similarity.knnBrute(corpus, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id")
+    val fed = Similarity.mmrRerankFrom(cands, corpus, q, "vec_id", "embedding",
+        k = 2, lambdaTenths = 3)
+      .orderBy("rk").collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    val door = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+        nCand = 3, k = 2, lambdaTenths = 3)
+      .orderBy("rk").collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(fed.toSeq == door.toSeq, s"fed=${fed.toSeq} door=${door.toSeq}")
+  }
 }
 
 /** Round-11: maximal matching (g24) — deterministic synchronous
