@@ -544,8 +544,14 @@ object VersionedTable {
                               shardOf: Map[String, String],
                               m: Int, k: Int): DataFrame = {
     val sp = spark; import sp.implicits._
+    // m_shard = m·members, CAPPED at 2²⁶ bits (8 MiB of longs per
+    // shard row): a 4096-file shard would otherwise mint a 33 MB
+    // array and a multi-million-entry per-group collect. At the cap a
+    // saturated worst case still cuts most irrelevant shards (fill
+    // ~55% at 8M keys ⇒ per-shard fp ~1.5%), and false positives only
+    // cost opening that shard's file entries — never correctness.
     val shardDims = shardOf.groupBy(_._2).map { case (sh, xs) =>
-      (sh, (((m.toLong * xs.size + 63) / 64) * 64).toInt)
+      (sh, (((math.min(m.toLong * xs.size, 1L << 26) + 63) / 64) * 64).toInt)
     }.toSeq.toDF("shard", "ms")
     if (shardOf.isEmpty) return shardDims.limit(0)
       .select(col("shard").as("file"),
