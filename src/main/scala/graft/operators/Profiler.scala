@@ -78,6 +78,38 @@ object Profiler {
         sum((col("v") === 0.0f).cast("long")).as("n_zero"))
       .withColumn("dim", col("dim").cast("long"))
 
+  /** PAIRWISE-correlation sufficient statistics over pre-scaled
+    * INTEGER columns — the numeric-relationship census a feature
+    * pipeline stores (what a profiler actually persists; Pearson r
+    * itself is a derived float the reader computes): per (key,
+    * col_x, col_y) pair, n, Σx, Σy, Σxy, Σx², Σy² — all exact BIGINT
+    * sums, so the profile is bit-identical on any engine and two
+    * profiles MERGE by addition (the distributed-profiler property
+    * floats lack). One map-side-combined aggregate for all pairs;
+    * the caller scales values so Σx² stays under 2⁶³ at its row
+    * count (the integer-scaling contract t9/q1b use). */
+  def corrStats(df: DataFrame, keyCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(sum(col(c)).as(s"__s_$c"), sum(col(c) * col(c)).as(s"__q_$c"))
+    } ++ pairs.map { case (a, b) =>
+      sum(col(a) * col(b)).as(s"__p_${a}_$b")
+    }
+    val wide = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("__n").as("n"),
+        col(s"__s_$a").as("sum_x"), col(s"__s_$b").as("sum_y"),
+        col(s"__p_${a}_$b").as("sum_xy"),
+        col(s"__q_$a").as("sum_x2"), col(s"__q_$b").as("sum_y2"))
+    }
+    wide.select(col(keyCol), explode(array(entries: _*)).as("p"))
+      .select(col(keyCol), col("p.*"))
+  }
+
   /** SEMI-STRUCTURED profile of a JSON string column — the schema
     * census a pipeline runs over event logs before promoting fields
     * to real columns: one row per KEY with presence count, fill rate

@@ -708,6 +708,37 @@ object GraphQueries {
               |${misSql(16)}
               |SELECT node, st FROM s16 ORDER BY node""".stripMargin)),
 
+    Q("q65e_sql_recursive_bfs",
+      // Iterative graph traversal on the PURE-SQL front door (round
+      // 11): multi-source bounded BFS as a RECURSIVE CTE — the same
+      // spark.sql text shape DuckDB runs, zero DataFrame calls after
+      // view registration (Spark 4's WITH RECURSIVE). Emits min hop
+      // depth AND the ≤6-hop path count per reached node (UNION ALL
+      // multiplicity — an exact integer both engines must agree on).
+      // The DataFrame tier (g12_bfs) remains the scale path: a
+      // recursive CTE enumerates PATHS, fine on bounded-degree
+      // graphs at bounded depth, quadratic-plus on hubs — exactly
+      // why the engine also ships the frontier form.
+      (s, d) => {
+        chainEdges(s, d, withSkip = true).createOrReplaceTempView("edges_sql")
+        s.sql("""
+          WITH RECURSIVE bfs AS (
+            SELECT src AS node, 0 AS d FROM edges_sql WHERE src % 97 = 0
+            UNION ALL
+            SELECT e.dst AS node, bfs.d + 1 AS d
+            FROM bfs JOIN edges_sql e ON e.src = bfs.node WHERE bfs.d < 6)
+          SELECT node, CAST(min(d) AS INT) AS depth,
+            CAST(count(*) AS BIGINT) AS n_paths
+          FROM bfs GROUP BY node ORDER BY node""")
+      },
+      Some(s"""WITH RECURSIVE ${chainSql(true)},
+              |bfs AS (SELECT src AS node, 0 AS d FROM e WHERE src % 97 = 0
+              |  UNION ALL SELECT e.dst AS node, bfs.d + 1 AS d
+              |  FROM bfs JOIN e ON e.src = bfs.node WHERE bfs.d < 6)
+              |SELECT node, CAST(min(d) AS INT) AS depth,
+              |  CAST(count(*) AS BIGINT) AS n_paths
+              |FROM bfs GROUP BY node ORDER BY node""".stripMargin)),
+
     Q("g24_matching",
       // Maximal MATCHING by deterministic synchronous rounds
       // (GraphOps.maximalMatching — the Israeli–Itai posture, Luby on

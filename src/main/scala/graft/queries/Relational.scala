@@ -1986,6 +1986,44 @@ object Relational {
              |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
              |FROM x GROUP BY 1 ORDER BY dim""".stripMargin)),
 
+    Q("prof8_corr_profile",
+      // PAIRWISE-correlation sufficient statistics (round 11;
+      // Profiler.corrStats): per (returnflag, column pair), exact
+      // BIGINT n/Σx/Σy/Σxy/Σx²/Σy² over integer-scaled price
+      // (dollars), discount (bp) and quantity — the mergeable
+      // profile a feature pipeline persists; Pearson r is derived
+      // by the reader. One map-side aggregate for all pairs.
+      (s, d) => graft.operators.Profiler.corrStats(
+          Tables.lineitem(s, d).select(col("l_returnflag"),
+            expr("CAST(round(l_extendedprice) AS BIGINT)").as("price_d"),
+            expr("CAST(round(l_discount * 10000) AS BIGINT)").as("disc_bp"),
+            col("l_quantity").cast("long").as("qty")),
+          "l_returnflag", Seq("price_d", "disc_bp", "qty"))
+        .orderBy("l_returnflag", "col_x", "col_y"),
+      Some("""WITH b AS (SELECT l_returnflag,
+             |    CAST(round(l_extendedprice) AS BIGINT) AS price_d,
+             |    CAST(round(l_discount * 10000) AS BIGINT) AS disc_bp,
+             |    CAST(l_quantity AS BIGINT) AS qty
+             |  FROM lineitem),
+             |g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(price_d) AS BIGINT) AS s_p, CAST(sum(disc_bp) AS BIGINT) AS s_d,
+             |    CAST(sum(qty) AS BIGINT) AS s_q,
+             |    CAST(sum(price_d * price_d) AS BIGINT) AS q_p,
+             |    CAST(sum(disc_bp * disc_bp) AS BIGINT) AS q_d,
+             |    CAST(sum(qty * qty) AS BIGINT) AS q_q,
+             |    CAST(sum(price_d * disc_bp) AS BIGINT) AS p_pd,
+             |    CAST(sum(price_d * qty) AS BIGINT) AS p_pq,
+             |    CAST(sum(disc_bp * qty) AS BIGINT) AS p_dq
+             |  FROM b GROUP BY 1)
+             |SELECT l_returnflag, 'price_d' AS col_x, 'disc_bp' AS col_y,
+             |  n, s_p AS sum_x, s_d AS sum_y, p_pd AS sum_xy, q_p AS sum_x2, q_d AS sum_y2
+             |FROM g
+             |UNION ALL
+             |SELECT l_returnflag, 'price_d', 'qty', n, s_p, s_q, p_pq, q_p, q_q FROM g
+             |UNION ALL
+             |SELECT l_returnflag, 'disc_bp', 'qty', n, s_d, s_q, p_dq, q_d, q_q FROM g
+             |ORDER BY l_returnflag, col_x, col_y""".stripMargin)),
+
     Q("q69_cumulative_reach",
       // Monotone reach curve — cumulative distinct users ever seen,
       // by hour: distinct-over-a-GROWING-range collapses to "first

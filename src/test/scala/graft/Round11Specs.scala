@@ -401,6 +401,28 @@ class BloomShardedProbeSpec extends SparkSpec {
   }
 }
 
+/** Round-11: the pure-SQL front door gets the same Catalyst
+  * optimizations as the DataFrame API — q65c's metadata predicate,
+  * written in a CTE, must reach the parquet scan as a pushed filter
+  * (the KnnFilteredSpec gate applied to the SQL path). */
+class SqlSurfacePushdownSpec extends SparkSpec {
+  test("q65c's label predicate is pushed into the corpus scan via spark.sql") {
+    org.apache.spark.sql.graftbridge.GraftFunctions.install(spark)
+    graft.Tables.embeddings(spark, sfDir).createOrReplaceTempView("embeddings_sql")
+    val out = spark.sql("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe
+          FROM embeddings_sql WHERE vec_id < 5),
+      c AS (SELECT vec_id, embedding FROM embeddings_sql WHERE label < 3),
+      sc AS (SELECT qid, c.vec_id AS cid, vec_cosine(qe, c.embedding) AS cos
+        FROM q JOIN c ON c.vec_id <> qid)
+      SELECT qid, cid, cos FROM sc""")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(label,3)"),
+      s"SQL-surface filter must reach the parquet scan:\n${plan.take(2500)}")
+    assert(out.limit(5).count() > 0)
+  }
+}
+
 /** Round-11: MMR rerank (s20) — the diversity trade must actually
   * bind: with a near-duplicate dominating the relevance order, MMR
   * demotes it in favor of a diverse candidate; λ=1.0 degrades to the
