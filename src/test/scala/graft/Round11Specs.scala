@@ -401,6 +401,63 @@ class BloomShardedProbeSpec extends SparkSpec {
   }
 }
 
+/** Round-11: the remaining SQL table functions — vt_read_range
+  * (compound conjunction through SQL), vt_read_asof, vt_detail —
+  * each must match its DataFrame-API twin exactly, and bad arguments
+  * must fail at analysis with a usable message. */
+class VtTableFunctionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vtfn").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("vt_read_range conjunction, vt_read_asof, vt_detail match the API") {
+    org.apache.spark.sql.graftbridge.GraftTableFunctions.install(spark)
+    val root = freshRoot()
+    val df = (0L until 512L).toDF("k").withColumn("day", col("k") % 8)
+      .repartitionByRange(8, col("k"))
+    VersionedTable.commit(df, root, statsCols = Seq("k", "day"))
+    val tAfterV1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    VersionedTable.commit(
+      (512L until 600L).toDF("k").withColumn("day", col("k") % 8),
+      root, mode = "append")
+
+    // compound range through SQL == API
+    val sqlRows = spark.sql(
+      s"SELECT k FROM vt_read_range('$root', 'k', '100', '199', 'day', '3', '4')")
+      .as[Long].collect().sorted.toSeq
+    val apiRows = VersionedTable.readRange(spark, root,
+        Seq(("k", "100", "199"), ("day", "3", "4")), -1L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(sqlRows == apiRows && sqlRows.nonEmpty)
+    assert(sqlRows == (100L to 199L).filter(k => k % 8 == 3 || k % 8 == 4))
+
+    // AS OF a timestamp between the commits sees only v1
+    val asof = spark.sql(
+      s"SELECT count(*) FROM vt_read_asof('$root', $tAfterV1)")
+      .as[Long].head()
+    assert(asof == 512L, s"as-of count $asof")
+
+    // DESCRIBE DETAIL via SQL == API row
+    val d1 = spark.sql(s"SELECT * FROM vt_detail('$root')").collect()
+    val d2 = VersionedTable.describeDetail(spark, root).collect()
+    assert(d1.map(_.toString).toSeq == d2.map(_.toString).toSeq)
+
+    // bad arity fails at analysis with the function's own message
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM vt_read_range('$root', 'k', '1')").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("vt_read_range") || m.contains("arguments")),
+      msgs(e).mkString(" | "))
+  }
+}
+
 /** Round-11: the pure-SQL front door gets the same Catalyst
   * optimizations as the DataFrame API — q65c's metadata predicate,
   * written in a CTE, must reach the parquet scan as a pushed filter
