@@ -260,10 +260,23 @@ object GrayJpegCodec extends MediaCodec {
   }
 
   def decode(b: Array[Byte], nFeat: Int): MediaCodec.Decoded = {
-    val (w, h, px) = GrayJpeg.decode(b)
-    val (feats, sums) =
-      MediaCodec.pool(w * h, nFeat, 255.0f, i => (px(i) & 0xFF).toLong)
-    MediaCodec.Decoded("jpeg", w, h, 1, feats, sums)
+    try {
+      val (w, h, px) = GrayJpeg.decode(b)
+      val (feats, sums) =
+        MediaCodec.pool(w * h, nFeat, 255.0f, i => (px(i) & 0xFF).toLong)
+      MediaCodec.Decoded("jpeg", w, h, 1, feats, sums)
+    } catch {
+      // accepts() validated the STRUCTURAL header, but a web corpus
+      // can still carry corrupt ENTROPY data (truncated scan, bad
+      // Huffman stream) — one hostile payload must not fail the whole
+      // job (the sniffHeaders RIFF contract applied to decode).
+      // Geometry isn't trustworthy on a failed decode, so the row is
+      // an explicit zero-feature 'jpeg_err' marker a pipeline can
+      // filter or audit.
+      case scala.util.control.NonFatal(_) =>
+        MediaCodec.Decoded("jpeg_err", 0, 0, 0,
+          new Array[Float](nFeat), new Array[Long](nFeat))
+    }
   }
 }
 

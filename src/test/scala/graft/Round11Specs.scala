@@ -272,6 +272,20 @@ class GrayJpegSpec extends SparkSpec {
     assert(worst <= 2, s"ImageIO disagrees by $worst levels")
   }
 
+  test("corrupt entropy data degrades to a jpeg_err row, never a job failure") {
+    import spark.implicits._
+    val px = raster(32 * 9)
+    val good = GrayJpeg.encode(px, 32, 9)
+    // keep the structural header (accepts() passes) but truncate the
+    // entropy-coded scan mid-stream
+    val corrupt = good.take(good.length - good.length / 3)
+    val out = graft.operators.Multimodal.decode(
+        Seq(1L -> good, 2L -> corrupt).toDF("id", "bin"), "id", "bin",
+        nFeat = 2, codecs = Seq(graft.operators.GrayJpegCodec))
+      .collect().map(m => m.id -> m.fmt).toMap
+    assert(out(1L) == "jpeg" && out(2L) == "jpeg_err", s"$out")
+  }
+
   test("decoder rejects what it cannot fully decode; truncation fails loudly") {
     // progressive/multi-component streams must throw, not mis-decode
     val px = raster(64)
