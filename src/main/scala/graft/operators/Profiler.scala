@@ -87,9 +87,13 @@ object Profiler {
     * profiles MERGE by addition (the distributed-profiler property
     * floats lack). One map-side-combined aggregate for all pairs;
     * the caller scales values so Σx² stays under 2⁶³ at its row
-    * count (the integer-scaling contract t9/q1b use). */
+    * count (the integer-scaling contract t9/q1b use). Rows with a
+    * NULL in ANY profiled column are dropped up front, so `n` counts
+    * exactly the rows the sums saw — otherwise the (n, Σ) sufficient
+    * statistics are mutually inconsistent and derived r is wrong. */
   def corrStats(df: DataFrame, keyCol: String, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
+    val complete = df.na.drop("any", cols)
     val pairs = for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield (cols(i), cols(j))
@@ -98,7 +102,7 @@ object Profiler {
     } ++ pairs.map { case (a, b) =>
       sum(col(a) * col(b)).as(s"__p_${a}_$b")
     }
-    val wide = df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val wide = complete.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
     val entries = pairs.map { case (a, b) =>
       struct(lit(a).as("col_x"), lit(b).as("col_y"),
         col("__n").as("n"),

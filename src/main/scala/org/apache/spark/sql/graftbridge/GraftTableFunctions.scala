@@ -40,9 +40,38 @@ object GraftTableFunctions {
 
   private def litLong(es: Seq[Expression], i: Int, fn: String): Long =
     es(i) match {
-      case l: Literal if l.value != null => l.value.toString.toLong
+      case l: Literal if l.value != null =>
+        scala.util.Try(l.value.toString.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"$fn: argument ${i + 1} must be an integer literal, " +
+              s"got '${l.value}'"))
       case other => throw new IllegalArgumentException(
         s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  /** Epoch millis from either an integer literal (epoch millis) or a
+    * timestamp-string literal ('yyyy-MM-dd[ HH:mm:ss[.SSS]]'), the
+    * latter interpreted in the session time zone — so the scaladoc's
+    * `vt_read_asof('/path/t', '2026-08-15 12:00:00')` works as
+    * written. */
+  private def litMillis(es: Seq[Expression], i: Int, fn: String): Long =
+    es(i) match {
+      case l: Literal if l.value != null =>
+        val s = l.value.toString
+        scala.util.Try(s.toLong).getOrElse {
+          val zone = java.time.ZoneId.of(
+            SparkSession.active.conf.get("spark.sql.session.timeZone"))
+          val local = scala.util.Try(
+            java.time.LocalDateTime.parse(s.replace(' ', 'T'))).getOrElse {
+            scala.util.Try(java.time.LocalDate.parse(s).atStartOfDay())
+              .getOrElse(throw new IllegalArgumentException(
+                s"$fn: argument ${i + 1} must be epoch millis or a " +
+                  s"'yyyy-MM-dd[ HH:mm:ss]' timestamp string, got '$s'"))
+          }
+          local.atZone(zone).toInstant.toEpochMilli
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a non-null literal, got $other")
     }
 
   private def plan(df: DataFrame): LogicalPlan =
@@ -66,7 +95,7 @@ object GraftTableFunctions {
       arity("vt_read_asof", es, _ == 2, "2")
       val spark = SparkSession.active
       plan(graft.sources.VersionedTable.readAsOf(spark,
-        litString(es, 0, "vt_read_asof"), litLong(es, 1, "vt_read_asof")))
+        litString(es, 0, "vt_read_asof"), litMillis(es, 1, "vt_read_asof")))
     },
     "vt_read_eq" -> { es =>
       arity("vt_read_eq", es, _ == 3, "3")

@@ -104,20 +104,27 @@ class UpdatePreUpdateRowSpec extends SparkSpec {
 
   test("set expressions see the original row, not earlier assignments") {
     val root = freshRoot()
+    // 5 set entries (Scala switches to hash-driven Map iteration at
+    // 5+) with cross-references in BOTH directions (a reads b, b reads
+    // a; d reads e, e reads d) — ANY assignment applied before another
+    // that reads its column flips a value below.
     VersionedTable.commit(
-      Seq((1L, 100L, 0L), (2L, 40L, 0L)).toDF("id", "price", "tax"), root)
-    // 5+ entries so Map iteration order is hash-driven: price doubles,
-    // tax derives from the ORIGINAL price, and the cross-references in
-    // both directions must both read pre-update values
+      Seq((1L, 1L, 2L, 3L, 4L, 5L), (2L, 10L, 20L, 30L, 40L, 50L))
+        .toDF("id", "a", "b", "c", "d", "e"), root)
     VersionedTable.updateWhereDv(spark, root, "id = 1", Map(
-      "price" -> "price * 2",
-      "tax" -> "CAST(price / 10 AS BIGINT)"))
+      "a" -> "b + c",   // pre: 2+3 = 5
+      "b" -> "a * 10",  // pre: 1*10 = 10 (a already reassigned above)
+      "c" -> "a + e",   // pre: 1+5 = 6
+      "d" -> "e - b",   // pre: 5-2 = 3
+      "e" -> "d + 100"  // pre: 4+100 = 104 (d already reassigned above)
+    ))
     val r1 = VersionedTable.read(spark, root).filter(col("id") === 1).head()
-    assert(r1.getAs[Long]("price") == 200L, s"price ${r1.getAs[Long]("price")}")
-    assert(r1.getAs[Long]("tax") == 10L,
-      s"tax must come from the pre-update price (10), got ${r1.getAs[Long]("tax")}")
+    val got = Seq("a", "b", "c", "d", "e").map(c => r1.getAs[Long](c))
+    assert(got == Seq(5L, 10L, 6L, 3L, 104L),
+      s"every set expression must read the PRE-update row; got $got")
     val r2 = VersionedTable.read(spark, root).filter(col("id") === 2).head()
-    assert(r2.getAs[Long]("price") == 40L && r2.getAs[Long]("tax") == 0L)
+    assert(Seq("a", "b", "c", "d", "e").map(c => r2.getAs[Long](c)) ==
+      Seq(10L, 20L, 30L, 40L, 50L), "untouched row must be unchanged")
   }
 }
 
@@ -469,6 +476,25 @@ class VtTableFunctionSpec extends SparkSpec {
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(m => m.contains("vt_read_range") || m.contains("arguments")),
       msgs(e).mkString(" | "))
+
+    // round-12: the scaladoc's TIMESTAMP-STRING form works as written,
+    // interpreted in the session zone
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val ts = java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(tAfterV1), zone)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val asofStr = spark.sql(
+      s"SELECT count(*) FROM vt_read_asof('$root', '$ts')").as[Long].head()
+    assert(asofStr == 512L, s"string-literal as-of count $asofStr at '$ts'")
+
+    // and a non-numeric literal where an INTEGER is required fails with
+    // the descriptive message, not a raw NumberFormatException
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM vt_read('$root', 'not-a-number')").collect()
+    }
+    assert(msgs(e2).exists(_.contains("integer literal")),
+      msgs(e2).mkString(" | "))
   }
 }
 
