@@ -16,6 +16,14 @@ object SparkEntry {
     * driver hands us can be fixed up here. */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the graft SQL catalog (CREATE/INSERT/MERGE/UPDATE/DELETE +
+    // VERSION AS OF over VersionedTable roots) — catalog confs are
+    // read lazily at first reference, so a runtime set works; the DML
+    // rules themselves need GraftExtensions at session BUILD time
+    // (Verify/Bench/tests all pass spark.sql.extensions)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[org.apache.spark.sql.graftbridge.GraftCatalog].getName)
     org.apache.spark.sql.graftbridge.GraftFunctions.install(spark)
     org.apache.spark.sql.graftbridge.GraftTableFunctions.install(spark)
     spark

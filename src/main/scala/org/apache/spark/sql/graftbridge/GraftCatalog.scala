@@ -1,0 +1,233 @@
+package org.apache.spark.sql.graftbridge
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Dataset, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.VersionedTable
+
+/** DataSource V2 [[TableCatalog]] over VersionedTable roots — the SQL
+  * WRITE surface (round 12). With
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = org.apache.spark.sql.graftbridge.GraftCatalog
+  *   spark.sql.catalog.graft.root = /warehouse/dir           (optional)
+  *   spark.sql.extensions         = ...graftbridge.GraftExtensions
+  * }}}
+  *
+  * a SQL-ONLY client gets the full table lifecycle with zero
+  * DataFrame-API calls:
+  *
+  * {{{
+  *   CREATE TABLE graft.t (k BIGINT, p BIGINT)         -- v1 (empty)
+  *   CREATE TABLE graft.t2 AS SELECT ...               -- CTAS
+  *   INSERT INTO graft.t SELECT ...                    -- OCC append
+  *   INSERT OVERWRITE graft.t SELECT ...               -- OCC overwrite
+  *   MERGE INTO graft.t USING s ON t.k = s.k
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *                  -- VersionedTable.merge
+  *   UPDATE graft.t SET p = p + 1 WHERE k < 9          -- merge-on-read DVs
+  *   DELETE FROM graft.t WHERE k = 7                   -- merge-on-read DVs
+  *   SELECT * FROM graft.t VERSION AS OF 2             -- time travel
+  *   SELECT * FROM graft.t TIMESTAMP AS OF '...'       -- as-of read
+  *   DROP TABLE graft.t
+  * }}}
+  *
+  * Every mutation lands on the EXISTING VersionedTable commit paths —
+  * commit/merge/updateWhereDv/deleteWhereDv — so SQL writers get the
+  * same snapshot isolation and optimistic-concurrency retry the
+  * DataFrame API has ([[graft.sources.VersionedTable]]). Reads resolve
+  * through [[GraftDmlRules]]' relation swap, which replaces the V2
+  * relation with the SAME parquet logical plan the DataFrame API
+  * builds — full Catalyst pushdown/pruning, no RDD boundary; the
+  * [[V1Scan]] here is only the defensive fallback for sessions that
+  * configured the catalog without the extension. A table named
+  * `graft.ns.t` lives at `<root>/ns/t`; the identifier IS the layout,
+  * so the catalog holds no state beyond its root — at 1000 executors
+  * there is nothing to coordinate but the manifest renames the table
+  * format already serializes. */
+class GraftCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("root")).getOrElse {
+      val wh = SparkSession.active.conf
+        .get("spark.sql.warehouse.dir", "spark-warehouse")
+      new Path(wh, "graft").toString
+    }
+  }
+
+  override def name(): String = catName
+
+  /** Table directory for an identifier: namespace levels are
+    * subdirectories. */
+  def tableDir(ident: Identifier): String =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(new Path(warehouse))((p, part) => new Path(p, part)).toString
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = namespace.foldLeft(new Path(warehouse))((p, n) => new Path(p, n))
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir).filter(_.isDirectory)
+      .filter(st => f.exists(new Path(st.getPath, "_manifests")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    VersionedTable.currentVersion(spark, tableDir(ident)) > 0
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(tableDir(ident), -1L, ident.toString)
+  }
+
+  /** `VERSION AS OF <v>` — the version string must be the numeric
+    * manifest version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = scala.util.Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft table version must be a number, got '$version'"))
+    new GraftTable(tableDir(ident), v, s"${ident.toString}@v$version")
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val root = tableDir(ident)
+    val v = VersionedTable.versionAsOf(spark, root, timestamp / 1000L)
+    new GraftTable(root, v, s"${ident.toString}@t$timestamp")
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables cluster via OPTIMIZE/statsCols, not static partitions")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident.toString)
+    val root = tableDir(ident)
+    val statsCols = Option(properties.get("statscols")).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+    // v1 = an empty commit carrying the schema; CTAS's follow-up
+    // INSERT is then v2, so `VERSION AS OF 1` of a CTAS table is the
+    // empty pre-insert state only for plain CREATE TABLE
+    VersionedTable.commit(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+      root, statsCols = statsCols)
+    new GraftTable(root, -1L, ident.toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft tables: use the VersionedTable API " +
+        "(schema evolves on write; add-column is a commit)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = new Path(tableDir(ident))
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.exists(dir) && f.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent.toString)
+    val f = new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.rename(new Path(tableDir(oldIdent)), new Path(tableDir(newIdent))),
+      s"rename ${oldIdent.toString} -> ${newIdent.toString} failed")
+  }
+}
+
+/** A VersionedTable exposed through DSv2. `pinnedVersion` is -1 for
+  * the latest snapshot, or the explicit version a time-travel clause
+  * resolved. Capability surface: reads normally never reach
+  * [[GraftV1Scan]] (the [[GraftDmlRules]] swap runs first); writes go
+  * through the [[V1Write]] fallback onto [[VersionedTable.commit]],
+  * which retries manifest-rename races internally — a SQL INSERT is
+  * OCC-safe by construction. */
+class GraftTable(val root: String, val pinnedVersion: Long,
+                 identString: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = identString
+
+  override lazy val schema: StructType =
+    VersionedTable.tableSchema(spark, root, pinnedVersion)
+      .getOrElse(VersionedTable.read(spark, root, pinnedVersion).schema)
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftV1Scan(root, pinnedVersion, schema)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(root)
+}
+
+/** Defensive read fallback (sessions with the catalog but without the
+  * extension): correctness-exact, but the RDD boundary blocks parquet
+  * pushdown — the swap rule is the real read path. */
+class GraftV1Scan(root: String, version: Long, tableSchema: StructType)
+    extends V1Scan {
+  override def readSchema(): StructType = tableSchema
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = tableSchema
+      override def buildScan(): RDD[Row] =
+        VersionedTable.read(context.sparkSession, root, version).rdd
+    }.asInstanceOf[T]
+}
+
+/** INSERT INTO → commit(append); INSERT OVERWRITE / TRUNCATE →
+  * commit(overwrite). Partition-level overwrite has no meaning here
+  * (no static partitions), so only the full-table filter is accepted. */
+class GraftWriteBuilder(root: String)
+    extends WriteBuilder with SupportsOverwrite {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+      "graft tables support only full-table INSERT OVERWRITE " +
+        s"(got ${filters.mkString(", ")}); use DELETE + INSERT for slices")
+    overwriteAll = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: Dataset[Row], overwrite: Boolean): Unit = {
+          val mode = if (overwriteAll || overwrite) "overwrite" else "append"
+          VersionedTable.commit(data, root, mode = mode)
+        }
+      }
+  }
+}

@@ -1,0 +1,299 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.VersionedTable
+
+/** Resolution rule wiring [[GraftCatalog]] tables into Catalyst — the
+  * round-12 SQL WRITE surface. Two jobs, one top-down pass:
+  *
+  *  1. **DML interception.** Fully-resolved `DELETE FROM` / `UPDATE` /
+  *     `MERGE INTO` over a graft table become runnable commands on the
+  *     EXISTING VersionedTable mutation paths (`deleteWhereDv`,
+  *     `updateWhereDv`, `merge`) — each already carrying snapshot
+  *     isolation + optimistic-concurrency retry. Spark's own
+  *     `RewriteUpdateTable`/`RewriteMergeIntoTable` leave tables
+  *     without `SupportsRowLevelOperations` untouched, so this rule
+  *     (running at the end of the same Resolution batch) sees the
+  *     resolved nodes before the planner would reject them.
+  *  2. **Relation swap.** Every remaining graft V2 relation (reads,
+  *     incl. `VERSION AS OF` pins) is replaced by the SAME logical
+  *     plan the DataFrame API builds — an explicit-file parquet scan
+  *     plus the era's deletion-vector anti-join — aliased back onto
+  *     the relation's original `exprId`s so parent references bind
+  *     unchanged. SQL readers get full parquet
+  *     pushdown/pruning/codegen; no RDD boundary, no V1 fallback.
+  *
+  * Write targets (`INSERT INTO` = `AppendData`, etc.) keep their
+  * relation — the V1Write fallback in [[GraftCatalog]] handles those —
+  * so the recursion steps over a [[V2WriteCommand]]'s table child and
+  * rewrites only its query. */
+case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+  private def graftRel(p: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
+    p match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTable => Some((r, t))
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => graftRel(child)
+      case _ => None
+    }
+
+  private def unsupported(what: String, why: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft SQL $what: $why")
+
+  /** Executable SQL text for a resolved expression over the table's
+    * own columns: qualifiers stripped (the mutation paths evaluate
+    * the text against the bare table scan), subqueries rejected with
+    * a usable message instead of silently mis-rendering. */
+  private def toSql(e: Expression, what: String): String = {
+    e.foreach {
+      case _: SubqueryExpression =>
+        unsupported(what, "subqueries in the condition are not supported " +
+          "on graft tables; materialize the subquery into the condition")
+      case _ => ()
+    }
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Nil)
+    }.sql
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The attribute under the analyzer's implicit widening casts —
+    * `ON t.k = s.k` arrives as `t.k = CAST(s.k AS BIGINT)` when the
+    * source column is narrower. */
+  private def stripCast(e: Expression): Expression = e match {
+    case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCast(c.child)
+    case x => x
+  }
+
+  private def rewrite(p: LogicalPlan): LogicalPlan = p match {
+
+    case d @ DeleteFromTable(target, cond)
+        if d.resolved && graftRel(target).isDefined =>
+      val (_, t) = graftRel(target).get
+      GraftDeleteCommand(t.root, toSql(cond, "DELETE"))
+
+    case u @ UpdateTable(target, assignments, cond)
+        if u.resolved && graftRel(target).isDefined =>
+      val (_, t) = graftRel(target).get
+      val set = assignments.flatMap { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => unsupported("UPDATE",
+            s"only top-level columns can be SET, got ${other.sql}")
+        }
+        a.value match {
+          // identity assignments from Spark's alignment pass carry no
+          // information — dropping them keeps the DV commit minimal
+          case v: AttributeReference if v.name == name => None
+          case v => Some(name -> toSql(v, "UPDATE"))
+        }
+      }.toMap
+      if (set.isEmpty) GraftNoopCommand()
+      else GraftUpdateCommand(t.root, set,
+        toSql(cond.getOrElse(Literal.TrueLiteral), "UPDATE"))
+
+    case m: MergeIntoTable if m.resolved && graftRel(m.targetTable).isDefined =>
+      rewriteMerge(m)
+
+    // a STILL-RESOLVING DML node must be left whole: recursing now
+    // would swap its target relation before the node resolves, and a
+    // Project target no longer matches the conversions above (found
+    // the hard way — star-action MERGE resolves over two analyzer
+    // iterations)
+    case dml @ (_: DeleteFromTable | _: UpdateTable | _: MergeIntoTable)
+        if !dml.resolved => dml
+
+    // resolved DML over someone ELSE's table: only the merge source
+    // can hold graft reads
+    case m: MergeIntoTable => m.copy(sourceTable = rewrite(m.sourceTable))
+    case d: DeleteFromTable => d
+    case u: UpdateTable => u
+
+    // a partitionOverwriteMode=dynamic session plans INSERT OVERWRITE
+    // as OverwritePartitionsDynamic, whose exec has no V1 fallback
+    // (it needs a real BatchWrite) — but a graft table has no static
+    // partitions, so dynamic overwrite IS a full overwrite: route it
+    // straight onto commit(overwrite)
+    case o: OverwritePartitionsDynamic
+        if o.table.collectFirst {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] => r
+        }.isDefined =>
+      val t = o.table.collectFirst {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+          r.table.asInstanceOf[GraftTable]
+      }.get
+      GraftInsertCommand(t.root, rewrite(o.query), overwrite = true)
+
+    // INSERT INTO / INSERT OVERWRITE / CTAS-append: the write target
+    // stays a V2 relation (V1Write fallback), only the query side is
+    // rewritten
+    case w: V2WriteCommand => w.withNewQuery(rewrite(w.query))
+    case i: InsertIntoStatement => i.copy(query = rewrite(i.query))
+
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+      swapRead(r)
+
+    case other =>
+      val withChildren = other.mapChildren(rewrite)
+      // scalar/EXISTS subqueries can hold graft reads too (q65f's
+      // `(SELECT count(*) FROM graft.t VERSION AS OF 1)`)
+      withChildren.mapExpressions(_.transform {
+        case se: SubqueryExpression => se.withNewPlan(rewrite(se.plan))
+      })
+  }
+
+  private def swapRead(r: DataSourceV2Relation): LogicalPlan = {
+    val t = r.table.asInstanceOf[GraftTable]
+    val readPlan = VersionedTable.read(session, t.root, t.pinnedVersion)
+      .queryExecution.analyzed
+    val byName = readPlan.output.map(a => a.name -> a).toMap
+    val projections = r.output.map { old =>
+      val src = byName.getOrElse(old.name, sys.error(
+        s"graft table ${t.name()} lost column ${old.name} between " +
+          "resolution and swap — concurrent schema change?"))
+      Alias(src, old.name)(exprId = old.exprId, qualifier = old.qualifier)
+    }
+    Project(projections, readPlan)
+  }
+
+  /** The upsert shape — `ON` equality of same-named columns, one
+    * unconditional `UPDATE` + one unconditional `INSERT` assigning
+    * every target column the SAME source-side expression (what
+    * `UPDATE SET * / INSERT *` aligns to) — maps exactly onto
+    * [[VersionedTable.merge]]: matched keys replaced, unmatched
+    * inserted, only key-holding files rewritten. Richer shapes get a
+    * precise rejection, not silent wrong semantics. */
+  private def rewriteMerge(m: MergeIntoTable): LogicalPlan = {
+    val (_, t) = graftRel(m.targetTable).get
+    def bad(why: String): Nothing = unsupported("MERGE",
+      s"$why (supported shape: ON same-named column equality, " +
+        "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *)")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      bad("WHEN NOT MATCHED BY SOURCE is not supported")
+    val targetSet = m.targetTable.outputSet
+    val sourceSet = m.sourceTable.outputSet
+    val keys = splitConjuncts(m.mergeCondition).map { term =>
+      term match {
+        case EqualTo(le, re) => (stripCast(le), stripCast(re)) match {
+          case (a: AttributeReference, b: AttributeReference) =>
+            val (tc, sc) =
+              if (targetSet.contains(a) && sourceSet.contains(b)) (a, b)
+              else if (targetSet.contains(b) && sourceSet.contains(a)) (b, a)
+              else bad(s"ON term ${a.name} = ${b.name} must compare a " +
+                "target column to a source column")
+            if (!tc.name.equalsIgnoreCase(sc.name))
+              bad(s"ON term compares differently-named columns " +
+                s"${tc.name} and ${sc.name}")
+            tc.name
+          case _ => bad(s"ON term must be a column equality, got ${term.sql}")
+        }
+        case other => bad(s"ON term must be a column equality, got ${other.sql}")
+      }
+    }
+    def assignMap(actions: Seq[MergeAction], label: String)
+        : Map[String, Expression] = actions match {
+      case Seq(u: UpdateAction) if label == "MATCHED" && u.condition.isEmpty =>
+        u.assignments.map(kv(label)).toMap
+      case Seq(i: InsertAction) if label == "NOT MATCHED" && i.condition.isEmpty =>
+        i.assignments.map(kv(label)).toMap
+      case other => bad(s"WHEN $label must be exactly one unconditional " +
+        s"${if (label == "MATCHED") "UPDATE" else "INSERT"}, got " +
+        other.map(_.getClass.getSimpleName).mkString(", "))
+    }
+    def kv(label: String)(a: Assignment): (String, Expression) = a.key match {
+      case ar: AttributeReference => ar.name -> a.value
+      case other => bad(s"WHEN $label assigns a nested field ${other.sql}")
+    }
+    val up = assignMap(m.matchedActions, "MATCHED")
+    val ins = assignMap(m.notMatchedActions, "NOT MATCHED")
+    val targetCols = m.targetTable.output.map(_.name)
+    val rowExprs = targetCols.map { c =>
+      val u = up.getOrElse(c, bad(s"UPDATE action does not set column $c"))
+      val i = ins.getOrElse(c, bad(s"INSERT action does not set column $c"))
+      if (!u.semanticEquals(i))
+        bad(s"UPDATE and INSERT assign column $c differently — " +
+          "merge() replaces matched rows with the source row wholesale")
+      if (u.references.exists(targetSet.contains))
+        bad(s"assignment to $c references target columns; only " +
+          "source-side expressions are supported")
+      c -> u
+    }
+    // the source, projected to the target's column names — exactly the
+    // `updates` DataFrame merge() takes; executed at command run time
+    // (re-analysis swaps any graft reads inside the source)
+    val proj = Project(
+      rowExprs.map { case (c, e) => Alias(e, c)() }, m.sourceTable)
+    GraftMergeCommand(t.root, keys, proj)
+  }
+}
+
+/** DELETE FROM graft.t WHERE ... → merge-on-read deletion vectors. */
+case class GraftDeleteCommand(root: String, predicate: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.deleteWhereDv(spark, root, predicate)
+    Seq.empty
+  }
+}
+
+/** UPDATE graft.t SET ... WHERE ... → merge-on-read update (DV +
+  * appended rows, no data-file rewrite). */
+case class GraftUpdateCommand(root: String, set: Map[String, String],
+                              predicate: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.updateWhereDv(spark, root, predicate, set)
+    Seq.empty
+  }
+}
+
+/** UPDATE whose only assignments were identities — nothing to write;
+  * the table version intentionally does not advance. */
+case class GraftNoopCommand() extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = Seq.empty
+}
+
+/** INSERT (OVERWRITE) routed around a write exec that has no V1
+  * fallback — lands on [[VersionedTable.commit]] like every other
+  * insert. */
+case class GraftInsertCommand(root: String, source: LogicalPlan,
+                              overwrite: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val df = org.apache.spark.sql.classic.Dataset.ofRows(classic, source)
+    VersionedTable.commit(df, root,
+      mode = if (overwrite) "overwrite" else "append")
+    Seq.empty
+  }
+}
+
+/** MERGE INTO graft.t → [[VersionedTable.merge]] (copy-on-write upsert
+  * rewriting only key-holding files, OCC retry built in). */
+case class GraftMergeCommand(root: String, keys: Seq[String],
+                             source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val updates = org.apache.spark.sql.classic.Dataset.ofRows(classic, source)
+    VersionedTable.merge(updates, root, keys)
+    Seq.empty
+  }
+}

@@ -116,5 +116,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), GraftFunctions.info(name), b))
     }
     ext.injectOptimizerRule(_ => VecDotRewrite)
+    // round 12: DML interception + relation swap for the graft catalog
+    // (the SQL write surface); build-time only — resolution rules
+    // cannot be added to an already-built analyzer
+    ext.injectResolutionRule(session => GraftDmlRules(session))
   }
 }

@@ -10,6 +10,13 @@ object TestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions",
+      "org.apache.spark.sql.graftbridge.GraftExtensions")
+    .config("spark.sql.catalog.graft",
+      "org.apache.spark.sql.graftbridge.GraftCatalog")
+    // fresh catalog root per test JVM — no cross-run table collisions
+    .config("spark.sql.catalog.graft.root",
+      java.nio.file.Files.createTempDirectory("graftcat").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
