@@ -367,6 +367,83 @@ object Similarity {
         round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Multi-hop beam-search graph ANN (round 12) — [[knnGraph]]'s one
+    * neighbor-of-a-neighbor hop iterated the way an HNSW-style
+    * deployment walks its graph: hop 1 expands EVERY bucket seed
+    * (exactly knnGraph's candidate set, so s21's candidates are ⊇
+    * s11's by construction and recall can only improve), then each
+    * further hop expands only the per-query top-`beam` of everything
+    * scored so far, de-duplicated against the visited set before
+    * scoring. Per-query work after hop 1 is bounded by
+    * `hops × beam × m` — the beam, not the corpus, prices the walk,
+    * which is what makes a deep graph index affordable at 100 TB.
+    * Deterministic end-to-end (md5-derived planes, ties broken by
+    * id), so the unrolled rounds replay in the DuckDB oracle. */
+  def knnGraphBeam(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, m: Int = 5, beam: Int = 4,
+                   hops: Int = 2, planes: Int = 8, tables: Int = 4,
+                   dims: Int = 64, maxBucket: Int = 4096): DataFrame = {
+    require(hops >= 1 && beam >= 1, "need at least one hop and a beam")
+    def bucketCol(vcol: String, t: Int) =
+      (0 until planes).map { p =>
+        val plane = Array.tabulate(dims)(i => planeComponent(t, p, i))
+        when(vec_dot(col(vcol), typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    def bucketed(df: DataFrame, prefix: String): DataFrame =
+      withNorm(df, idCol, vecCol, prefix)
+        .withColumn("__bk", array((0 until tables).map(t => bucketCol(s"${prefix}v", t)): _*))
+        .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
+          posexplode(col("__bk")))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val b = Dedup.capBuckets(bucketed(corpus, "c"), Seq("table", "bucket"), "cid", maxBucket)
+    val graph = Ckpt.cut(b.as("x").join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.cid") =!= col("y.cid"))
+      .select(col("x.cid").as("src"), col("y.cid").as("nb"),
+        col("x.cv").as("sv"), col("x.cn").as("sn"),
+        col("y.cv").as("nv"), col("y.cn").as("nn"))
+      .distinct()
+      .withColumn("gcos", dot("sv", "nv") / (col("sn") * col("nn")))
+      .withColumn("grk", row_number().over(
+        Window.partitionBy("src").orderBy(desc("gcos"), asc("nb"))))
+      .filter(col("grk") <= m)
+      .select("src", "nb"))
+    val q = bucketed(queries, "q")
+    val seeds = q.join(b.select("table", "bucket", "cid"), Seq("table", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val qv = withNorm(queries, idCol, vecCol, "q")
+    val cv = withNorm(corpus, idCol, vecCol, "c")
+    def scored(cand: DataFrame): DataFrame =
+      cand.join(qv, "qid").join(cv, "cid")
+        .select(col("qid"), col("cid"),
+          (dot("qv", "cv") / (col("qn") * col("cn"))).as("cosine"))
+    // hop 1: the full seed expansion — knnGraph's candidate set
+    var visited = Ckpt.cut(scored(seeds
+      .unionByName(seeds.join(graph, col("cid") === col("src"))
+        .select(col("qid"), col("nb").as("cid")))
+      .filter(col("qid") =!= col("cid"))
+      .distinct()))
+    for (_ <- 2 to hops) {
+      val bm = visited.withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+        .filter(col("rk") <= beam).select("qid", "cid")
+      val fresh = bm.join(graph, col("cid") === col("src"))
+        .select(col("qid"), col("nb").as("cid"))
+        .filter(col("qid") =!= col("cid"))
+        .distinct()
+        .join(visited.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+      // lineage cut per hop: hop h must not re-derive hops 1..h-1
+      visited = Ckpt.cut(visited.unionByName(scored(fresh)))
+    }
+    visited
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("query_id"), col("rk"), col("cid").as("neighbor_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Embedding near-duplicate PAIRS through the same hyperplane
     * bucketing as [[knnLsh]] — the scale path that replaces
     * `Dedup.embeddingCosinePairs`' all-pairs baseline: candidates are
@@ -930,6 +1007,55 @@ object Similarity {
     // degenerate cells. Map-side-combined cell sizes, broadcast back.
     val cellSizes = cells.groupBy("cell").agg(count(lit(1)).as("__csz"))
     cells.select("cid", "cell")
+      .join(broadcast(cellSizes), Seq("cell"))
+      .join(dups, Seq("cid"), "left")
+      .select(col("cid").as("vec_id"), col("cell").cast("long").as("cell"),
+        coalesce(col("n_dup_smaller"), lit(0L)).as("n_dup_smaller"),
+        when(col("n_dup_smaller").isNull, 1L).otherwise(0L).as("kept"),
+        when(col("__csz") > maxCell, 1L).otherwise(0L).as("cell_capped"))
+  }
+
+  /** Incremental SemDeDup (round 12): dedup a `batch` of new vectors
+    * against a STANDING corpus without re-pairing the standing rows —
+    * the frozen-quantizer posture the other incrementals use
+    * (s12/s15/s16 freeze their codebooks, d15 its band buckets, d20
+    * its span digests). Batch vectors assign to the STANDING-seeded
+    * cells, then pair only against smaller-id cellmates (standing ∪
+    * earlier batch), so the work is O(|batch| × cell width) — at a
+    * 100-TB corpus the day's increment never touches the corpus-sized
+    * pair join again.
+    *
+    * Exactness contract (the d15/d20 gate): when batch ids exceed all
+    * standing ids and the standing corpus has ≥ `nCells` rows, the
+    * output is BIT-IDENTICAL to `semDedup(standing ∪ batch)` filtered
+    * to the batch — `lloydIters = 0` makes the full run's seeds the
+    * first `nCells` ids, which the batch cannot displace, standing
+    * rows' smaller-id pair sets cannot contain batch rows, and the
+    * cap keeps lowest ids first so the union-side cap below
+    * reproduces the full run's. Output schema matches [[semDedup]]. */
+  def semDedupIncremental(standing: DataFrame, batch: DataFrame,
+                          idCol: String, vecCol: String, threshold: Double,
+                          nCells: Int = 16, maxCell: Int = 65536): DataFrame = {
+    // standing-seeded cells; the batch assigns through the SAME frozen
+    // centroid expressions (nProbe = 1 — SemDeDup's home-cell contract)
+    val (sCells, bCells0) = ivfCells(standing, batch, idCol, vecCol,
+      nCells, nProbe = 1, lloydIters = 0)
+    val bCells = bCells0.select(col("cell"), col("qid").as("cid"),
+      col("qv").as("cv"), col("qn").as("cn"))
+    val all = Dedup.capBuckets(sCells.unionByName(bCells),
+      Seq("cell"), "cid", maxCell)
+    val batchIds = bCells.select("cid")
+    // pair join is batch-sided: x ranges over surviving batch rows only
+    val x = all.join(batchIds, Seq("cid"), "left_semi")
+    val dups = x.as("x").join(all.as("y"),
+        col("x.cell") === col("y.cell") && col("y.cid") < col("x.cid"))
+      .filter(dot("x.cv", "y.cv") / (col("x.cn") * col("y.cn")) >= threshold)
+      .groupBy(col("x.cid").as("cid"))
+      .agg(count(lit(1)).as("n_dup_smaller"))
+    // cell sizes over the UNION (what the full run reports)
+    val cellSizes = sCells.select("cell").unionByName(bCells.select("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("__csz"))
+    bCells.select("cid", "cell")
       .join(broadcast(cellSizes), Seq("cell"))
       .join(dups, Seq("cid"), "left")
       .select(col("cid").as("vec_id"), col("cell").cast("long").as("cell"),

@@ -520,6 +520,106 @@ object PipelineQueries {
                   |  round(cos, 4) AS cosine
                   |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
+  private val s11OracleSql: String =
+    s"""WITH $cosSql,
+              |comp AS (SELECT t, p, i,
+              |    ((strpos('0123456789abcdef',
+              |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
+              |      - 7.5) / 8 AS c
+              |  FROM (SELECT unnest(generate_series(0, 3)) AS t) ts,
+              |       (SELECT unnest(generate_series(0, 7)) AS p) ps,
+              |       (SELECT unnest(generate_series(0, 63)) AS i) is1),
+              |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
+              |sb AS (SELECT ce.vec_id, planes.t,
+              |    CASE WHEN list_dot_product(ce.v, planes.pl) >= 0
+              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+              |  FROM ce, planes),
+              |bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sb GROUP BY 1, 2),
+              |cpair AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS nb
+              |  FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+              |  WHERE x.vec_id <> y.vec_id),
+              |gsc AS (SELECT src, nb,
+              |    list_dot_product(sv.v, nv.v)
+              |      / (sqrt(list_dot_product(sv.v, sv.v)) * sqrt(list_dot_product(nv.v, nv.v))) AS gcos
+              |  FROM cpair JOIN ce sv ON sv.vec_id = src JOIN ce nv ON nv.vec_id = nb),
+              |graph AS (SELECT src, nb FROM (
+              |    SELECT src, nb,
+              |      row_number() OVER (PARTITION BY src ORDER BY gcos DESC, nb) AS grk
+              |    FROM gsc) WHERE grk <= 5),
+              |seeds AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+              |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+              |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+              |expd AS (SELECT DISTINCT qid, cid FROM (
+              |    SELECT qid, cid FROM seeds
+              |    UNION ALL
+              |    SELECT s.qid, g.nb AS cid FROM seeds s JOIN graph g ON g.src = s.cid)
+              |  WHERE qid <> cid),
+              |sc AS (SELECT qid, cid,
+              |    list_dot_product(qv.v, cv.v)
+              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM expd JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |r AS (SELECT qid, cid, cos,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  private val s21OracleSql: String =
+    s"""WITH $cosSql,
+              |comp AS (SELECT t, p, i,
+              |    ((strpos('0123456789abcdef',
+              |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
+              |      - 7.5) / 8 AS c
+              |  FROM (SELECT unnest(generate_series(0, 3)) AS t) ts,
+              |       (SELECT unnest(generate_series(0, 7)) AS p) ps,
+              |       (SELECT unnest(generate_series(0, 63)) AS i) is1),
+              |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
+              |sb AS (SELECT ce.vec_id, planes.t,
+              |    CASE WHEN list_dot_product(ce.v, planes.pl) >= 0
+              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
+              |  FROM ce, planes),
+              |bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sb GROUP BY 1, 2),
+              |cpair AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS nb
+              |  FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+              |  WHERE x.vec_id <> y.vec_id),
+              |gsc AS (SELECT src, nb,
+              |    list_dot_product(sv.v, nv.v)
+              |      / (sqrt(list_dot_product(sv.v, sv.v)) * sqrt(list_dot_product(nv.v, nv.v))) AS gcos
+              |  FROM cpair JOIN ce sv ON sv.vec_id = src JOIN ce nv ON nv.vec_id = nb),
+              |graph AS (SELECT src, nb FROM (
+              |    SELECT src, nb,
+              |      row_number() OVER (PARTITION BY src ORDER BY gcos DESC, nb) AS grk
+              |    FROM gsc) WHERE grk <= 5),
+              |seeds AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+              |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+              |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+              |expd AS (SELECT DISTINCT qid, cid FROM (
+              |    SELECT qid, cid FROM seeds
+              |    UNION ALL
+              |    SELECT s.qid, g.nb AS cid FROM seeds s JOIN graph g ON g.src = s.cid)
+              |  WHERE qid <> cid),
+              |sc AS (SELECT qid, cid,
+              |    list_dot_product(qv.v, cv.v)
+              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM expd JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |bm AS (SELECT qid, cid FROM (
+              |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS brk
+              |    FROM sc) WHERE brk <= 4),
+              |exp2 AS (SELECT DISTINCT b.qid, g.nb AS cid
+              |  FROM bm b JOIN graph g ON g.src = b.cid
+              |  WHERE b.qid <> g.nb
+              |    AND NOT EXISTS (SELECT 1 FROM sc WHERE sc.qid = b.qid AND sc.cid = g.nb)),
+              |sc2 AS (SELECT qid, cid,
+              |    list_dot_product(qv.v, cv.v)
+              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+              |  FROM exp2 JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
+              |allsc AS (SELECT * FROM sc UNION ALL SELECT * FROM sc2),
+              |r AS (SELECT qid, cid, cos,
+              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM allsc)
+              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
+              |  round(cos, 4) AS cosine
+              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     Q("d1_dedup_exact",
@@ -1710,48 +1810,23 @@ object PipelineQueries {
         Similarity.knnGraph(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, m = 5).orderBy("query_id", "rk")
       },
-      Some(s"""WITH $cosSql,
-              |comp AS (SELECT t, p, i,
-              |    ((strpos('0123456789abcdef',
-              |        substr(md5(CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1)
-              |      - 7.5) / 8 AS c
-              |  FROM (SELECT unnest(generate_series(0, 3)) AS t) ts,
-              |       (SELECT unnest(generate_series(0, 7)) AS p) ps,
-              |       (SELECT unnest(generate_series(0, 63)) AS i) is1),
-              |planes AS (SELECT t, p, list(c ORDER BY i) AS pl FROM comp GROUP BY 1, 2),
-              |sb AS (SELECT ce.vec_id, planes.t,
-              |    CASE WHEN list_dot_product(ce.v, planes.pl) >= 0
-              |         THEN (1::BIGINT << p) ELSE 0 END AS bit
-              |  FROM ce, planes),
-              |bk AS (SELECT vec_id, t, CAST(sum(bit) AS BIGINT) AS bucket FROM sb GROUP BY 1, 2),
-              |cpair AS (SELECT DISTINCT x.vec_id AS src, y.vec_id AS nb
-              |  FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
-              |  WHERE x.vec_id <> y.vec_id),
-              |gsc AS (SELECT src, nb,
-              |    list_dot_product(sv.v, nv.v)
-              |      / (sqrt(list_dot_product(sv.v, sv.v)) * sqrt(list_dot_product(nv.v, nv.v))) AS gcos
-              |  FROM cpair JOIN ce sv ON sv.vec_id = src JOIN ce nv ON nv.vec_id = nb),
-              |graph AS (SELECT src, nb FROM (
-              |    SELECT src, nb,
-              |      row_number() OVER (PARTITION BY src ORDER BY gcos DESC, nb) AS grk
-              |    FROM gsc) WHERE grk <= 5),
-              |seeds AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
-              |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
-              |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
-              |expd AS (SELECT DISTINCT qid, cid FROM (
-              |    SELECT qid, cid FROM seeds
-              |    UNION ALL
-              |    SELECT s.qid, g.nb AS cid FROM seeds s JOIN graph g ON g.src = s.cid)
-              |  WHERE qid <> cid),
-              |sc AS (SELECT qid, cid,
-              |    list_dot_product(qv.v, cv.v)
-              |      / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
-              |  FROM expd JOIN ce qv ON qv.vec_id = qid JOIN ce cv ON cv.vec_id = cid),
-              |r AS (SELECT qid, cid, cos,
-              |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
-              |SELECT qid AS query_id, CAST(rk AS INT) AS rk, cid AS neighbor_id,
-              |  round(cos, 4) AS cosine
-              |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+      Some(s11OracleSql)),
+
+    Q("s21_knn_graph_beam",
+      // Multi-hop beam-search graph ANN (round 12;
+      // Similarity.knnGraphBeam): s11's single neighbor-of-a-neighbor
+      // hop iterated HNSW-style — hop 1 is the FULL seed expansion
+      // (candidates ⊇ s11 by construction), hop 2 expands only each
+      // query's top-4 beam, anti-joined against the visited set
+      // before scoring. Per-query cost after hop 1 is beam × m, not
+      // corpus-sized. Deterministic, so the oracle unrolls both hops.
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnGraphBeam(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, m = 5, beam = 4, hops = 2)
+          .orderBy("query_id", "rk")
+      },
+      Some(s21OracleSql)),
 
     Q("s12_knn_incremental",
       // INCREMENTAL ANN maintenance (round 8) — the append path a
@@ -2931,6 +3006,80 @@ object PipelineQueries {
              |  FROM documents WHERE source = 'src0'
              |ORDER BY version, source""".stripMargin)),
 
+    Q("q65f_sql_dml",
+      // The versioned-table WRITE surface on PURE SQL (round 12;
+      // GraftCatalog + GraftDmlRules): CREATE TABLE AS, INSERT INTO,
+      // MERGE INTO (upsert), UPDATE, DELETE, and VERSION AS OF
+      // read-back — every statement through spark.sql, every mutation
+      // landing on the existing OCC commit paths (commit / merge /
+      // updateWhereDv / deleteWhereDv). The table derives from
+      // `orders`, so both the final state AND each version's count are
+      // DuckDB-derivable: v1 = CREATE's empty commit, v2 = the CTAS
+      // rows, v3 = +INSERT, then MERGE/UPDATE/DELETE shape the final.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65f")
+        s.sql("DROP TABLE IF EXISTS graft.q65f")
+        s.sql("""CREATE TABLE graft.q65f AS
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 CAST(round(o_totalprice) AS BIGINT) AS p
+          FROM orders_q65f WHERE o_orderkey % 100 < 10""")
+        s.sql("""INSERT INTO graft.q65f
+          SELECT o_orderkey, o_custkey, CAST(round(o_totalprice) AS BIGINT)
+          FROM orders_q65f WHERE o_orderkey % 100 = 10""")
+        s.sql("""MERGE INTO graft.q65f t
+          USING (SELECT o_orderkey AS k, o_custkey AS c,
+                        CAST(round(o_totalprice) * 2 + 1 AS BIGINT) AS p
+                 FROM orders_q65f
+                 WHERE o_orderkey % 100 BETWEEN 5 AND 15) s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("UPDATE graft.q65f SET p = p + 7 WHERE k % 10 = 3")
+        s.sql("DELETE FROM graft.q65f WHERE c % 7 = 0")
+        s.sql("""
+          SELECT CAST(-1 AS BIGINT) AS stage, k, c, p FROM graft.q65f
+          UNION ALL
+          SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                 (SELECT count(*) FROM graft.q65f VERSION AS OF 1)
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                 (SELECT count(*) FROM graft.q65f VERSION AS OF 2)
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                 (SELECT count(*) FROM graft.q65f VERSION AS OF 3)
+          ORDER BY stage, k, c""")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice) AS BIGINT) AS p
+             |  FROM orders WHERE o_orderkey % 100 < 10),
+             |ins AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice) AS BIGINT) AS p
+             |  FROM orders WHERE o_orderkey % 100 = 10),
+             |v3 AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+             |m AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice) * 2 + 1 AS BIGINT) AS p
+             |  FROM orders WHERE o_orderkey % 100 BETWEEN 5 AND 15),
+             |v4 AS (
+             |  SELECT * FROM v3 WHERE k NOT IN (SELECT k FROM m)
+             |  UNION ALL SELECT * FROM m),
+             |v5 AS (SELECT k, c,
+             |         CASE WHEN k % 10 = 3 THEN p + 7 ELSE p END AS p FROM v4),
+             |v6 AS (SELECT * FROM v5 WHERE c % 7 <> 0)
+             |SELECT CAST(-1 AS BIGINT) AS stage, k, c, p FROM v6
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |       CAST(0 AS BIGINT)
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |       (SELECT CAST(count(*) AS BIGINT) FROM base)
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |       (SELECT CAST(count(*) AS BIGINT) FROM v3)
+             |ORDER BY stage, k, c""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;
@@ -3105,6 +3254,51 @@ object PipelineQueries {
               |  CAST(CASE WHEN p.cid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
               |  CAST(CASE WHEN csz.n > 65536 THEN 1 ELSE 0 END AS BIGINT) AS cell_capped
               |FROM corpus c JOIN csz ON csz.cell = c.cell LEFT JOIN p ON p.cid = c.cid
+              |ORDER BY vec_id""".stripMargin)),
+
+    Q("d22_semdedup_incremental",
+      // Incremental SemDeDup (round 12; Similarity.semDedupIncremental)
+      // — the frozen-quantizer posture applied to d19: the upper-id
+      // quarter of the corpus arrives as a batch, assigns to the
+      // STANDING corpus's cells, and pairs only against smaller-id
+      // cellmates — O(batch × cell width), the standing pair join
+      // never re-runs. Because batch ids exceed all standing ids and
+      // lloydIters=0 pins the seeds to the first 16 ids, the output
+      // is BIT-IDENTICAL to the full d19 run filtered to the batch —
+      // which is exactly what the oracle computes.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        // 1-row bounded collect: the id split point
+        val split = emb.agg(max("vec_id")).head().getLong(0) * 3 / 4 + 1
+        Similarity.semDedupIncremental(
+          emb.filter(col("vec_id") < split),
+          emb.filter(col("vec_id") >= split),
+          "vec_id", "embedding", threshold = 0.4).orderBy("vec_id")
+      },
+      Some(s"""WITH $cosSql,
+              |sp AS (SELECT 1 + (3 * max(vec_id)) // 4 AS s FROM ce),
+              |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS scv
+              |  FROM (SELECT * FROM ce ORDER BY vec_id LIMIT 16)),
+              |ad AS (SELECT ce.vec_id, seeds.cell,
+              |    list_dot_product(ce.v, ce.v) - 2.0 * list_dot_product(ce.v, seeds.scv)
+              |      + list_dot_product(seeds.scv, seeds.scv) AS dist
+              |  FROM ce, seeds),
+              |crk AS (SELECT vec_id, cell,
+              |  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rk FROM ad),
+              |corpus AS (SELECT vec_id AS cid, cell FROM crk WHERE rk = 1),
+              |csz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM corpus GROUP BY 1),
+              |p AS (SELECT a.cid AS cid, CAST(count(*) AS BIGINT) AS nds
+              |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND b.cid < a.cid
+              |  JOIN ce av ON av.vec_id = a.cid JOIN ce bv ON bv.vec_id = b.cid
+              |  WHERE list_dot_product(av.v, bv.v)
+              |    / (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) >= 0.4
+              |  GROUP BY 1)
+              |SELECT c.cid AS vec_id, CAST(c.cell AS BIGINT) AS cell,
+              |  coalesce(p.nds, 0) AS n_dup_smaller,
+              |  CAST(CASE WHEN p.cid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+              |  CAST(CASE WHEN csz.n > 65536 THEN 1 ELSE 0 END AS BIGINT) AS cell_capped
+              |FROM corpus c JOIN csz ON csz.cell = c.cell LEFT JOIN p ON p.cid = c.cid
+              |WHERE c.cid >= (SELECT s FROM sp)
               |ORDER BY vec_id""".stripMargin)),
 
     Q("t16_char_entropy",
@@ -3435,7 +3629,15 @@ object PipelineQueries {
             Similarity.knnMipsLsh(e, q, "vec_id", "embedding", k = 10), truthMips),
           recallOf("mips_mp2",
             Similarity.knnMipsLsh(e, q, "vec_id", "embedding", k = 10,
-              multiProbe = 2), truthMips)
+              multiProbe = 2), truthMips),
+          // round 12: the graph tiers — s21's beam walk must grade ≥
+          // s11's single hop here by construction (superset candidates)
+          recallOf("graph",
+            Similarity.knnGraph(e, q, "vec_id", "embedding", k = 10, m = 5),
+            truthCos),
+          recallOf("graph_beam",
+            Similarity.knnGraphBeam(e, q, "vec_id", "embedding", k = 10,
+              m = 5, beam = 4, hops = 2), truthCos)
         ).reduce(_.unionByName(_)).orderBy("tier", "query_id")
       },
       // each tier's FULL oracle rides as a nested-WITH subquery — the
@@ -3450,7 +3652,9 @@ object PipelineQueries {
               |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM ($s5OracleSql)
               |  UNION ALL SELECT 'sq', query_id, neighbor_id FROM ($s13OracleSql)
               |  UNION ALL SELECT 'ivfpq', query_id, neighbor_id FROM ($s10OracleSql)
-              |  UNION ALL SELECT 'ivfsq', query_id, neighbor_id FROM ($s14OracleSql)),
+              |  UNION ALL SELECT 'ivfsq', query_id, neighbor_id FROM ($s14OracleSql)
+              |  UNION ALL SELECT 'graph', query_id, neighbor_id FROM ($s11OracleSql)
+              |  UNION ALL SELECT 'graph_beam', query_id, neighbor_id FROM ($s21OracleSql)),
               |resm AS (
               |  SELECT 'mips_lsh' AS tier, query_id, neighbor_id FROM ($s8bOracleSql)
               |  UNION ALL SELECT 'mips_mp2', query_id, neighbor_id FROM ($s8cOracleSql)),
@@ -3463,7 +3667,7 @@ object PipelineQueries {
               |am AS (SELECT * FROM mc UNION ALL SELECT * FROM mm),
               |grid AS (SELECT t.tier, qs.query_id FROM qs CROSS JOIN (VALUES
               |  ('lsh'), ('ivf'), ('pq'), ('sq'), ('ivfpq'), ('ivfsq'),
-              |  ('mips_lsh'), ('mips_mp2')) t(tier))
+              |  ('mips_lsh'), ('mips_mp2'), ('graph'), ('graph_beam')) t(tier))
               |SELECT grid.tier, grid.query_id, CAST(10 AS BIGINT) AS k,
               |  CAST(coalesce(am.n, 0) AS BIGINT) AS n_matched,
               |  CAST(coalesce(am.n, 0) * 1000 AS BIGINT) AS recall_bp

@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12: the graft SQL catalog — CREATE/INSERT/MERGE/UPDATE/
+  * DELETE/time-travel through pure spark.sql, landing on the existing
+  * VersionedTable commit paths. */
+class SqlCatalogLifecycleSpec extends SparkSpec {
+
+  test("pure-SQL lifecycle: create, insert, merge, update, delete, time travel, drop") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.lc")
+    spark.sql("CREATE TABLE graft.lc (k BIGINT, c BIGINT, p BIGINT)")
+    assert(spark.sql("SELECT count(*) FROM graft.lc").head().getLong(0) == 0L,
+      "v1 is the empty schema commit")
+
+    spark.sql("INSERT INTO graft.lc VALUES (1, 10, 100), (2, 20, 200), (3, 30, 300)")
+    val tAfterV2 = System.currentTimeMillis()
+    Thread.sleep(20)
+    spark.sql("INSERT INTO graft.lc SELECT 4, 40, 400")
+    assert(spark.sql("SELECT count(*) FROM graft.lc").head().getLong(0) == 4L)
+
+    // TIMESTAMP AS OF between the two inserts sees only the first
+    val tsLit = java.time.Instant.ofEpochMilli(tAfterV2)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.lc TIMESTAMP AS OF '$tsLit'")
+      .head().getLong(0) == 3L, "timestamp travel must pin v2")
+
+    // upsert: k=2 updated, k=5 inserted
+    spark.sql("""MERGE INTO graft.lc t
+      USING (SELECT 2 AS k, 21 AS c, 201 AS p
+             UNION ALL SELECT 5, 50, 500) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+
+    spark.sql("UPDATE graft.lc SET p = p + 7 WHERE k = 1")
+    spark.sql("DELETE FROM graft.lc WHERE k = 3")
+
+    val got = spark.sql("SELECT k, c, p FROM graft.lc ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 10L, 107L), (2L, 21L, 201L),
+      (4L, 40L, 400L), (5L, 50L, 500L)), s"final state $got")
+
+    // time travel: v1 empty, v2 first insert (3 rows), v3 second (4)
+    assert(spark.sql("SELECT count(*) FROM graft.lc VERSION AS OF 1")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.lc VERSION AS OF 2")
+      .head().getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.lc VERSION AS OF 3")
+      .head().getLong(0) == 4L)
+    // ...and as a scalar subquery inside a bigger statement
+    assert(spark.sql("""SELECT (SELECT count(*) FROM graft.lc VERSION AS OF 2)
+        + count(*) FROM graft.lc""").head().getLong(0) == 3L + 4L)
+
+    spark.sql("INSERT OVERWRITE graft.lc SELECT 9L, 9L, 9L")
+    assert(spark.sql("SELECT count(*) FROM graft.lc").head().getLong(0) == 1L)
+
+    // under partitionOverwriteMode=dynamic Spark plans INSERT
+    // OVERWRITE as OverwritePartitionsDynamic — on an unpartitioned
+    // graft table that must still be a plain full overwrite
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql("INSERT OVERWRITE graft.lc SELECT 8L, 8L, 8L")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    assert(spark.sql("SELECT k FROM graft.lc").collect()
+      .map(_.getLong(0)).toSeq == Seq(8L), "dynamic-mode overwrite")
+    spark.sql("INSERT OVERWRITE graft.lc SELECT 9L, 9L, 9L")
+
+    // CTAS from the catalog's own table
+    spark.sql("DROP TABLE IF EXISTS graft.lc2")
+    spark.sql("CREATE TABLE graft.lc2 AS SELECT k, p * 2 AS p2 FROM graft.lc")
+    assert(spark.sql("SELECT k, p2 FROM graft.lc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9L, 18L)))
+
+    spark.sql("DROP TABLE graft.lc")
+    spark.sql("DROP TABLE graft.lc2")
+    intercept[Exception](spark.sql("SELECT * FROM graft.lc").collect())
+  }
+
+  test("unsupported MERGE shapes and DML subqueries fail with usable messages") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.shapes")
+    spark.sql("CREATE TABLE graft.shapes (k BIGINT, p BIGINT)")
+    spark.sql("INSERT INTO graft.shapes VALUES (1, 1)")
+
+    def rootMsgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ rootMsgs(t.getCause)
+
+    val e1 = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.shapes t
+        USING (SELECT 1 AS k, 2 AS p) s ON t.k = s.k
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(rootMsgs(e1).exists(_.contains("graft SQL MERGE")),
+      rootMsgs(e1).mkString(" | "))
+
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM graft.shapes WHERE k IN (SELECT k FROM graft.shapes)")
+    }
+    assert(rootMsgs(e2).exists(_.contains("subqueries")),
+      rootMsgs(e2).mkString(" | "))
+    spark.sql("DROP TABLE graft.shapes")
+  }
+
+  test("SQL catalog reads keep full parquet pushdown (the swap, not the V1 fallback)") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.pd")
+    spark.sql("CREATE TABLE graft.pd AS SELECT id AS k, id * 2 AS p FROM range(1000)")
+    val df = spark.sql("SELECT p FROM graft.pd WHERE k = 5")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(k,5)"),
+      s"filter must reach the parquet scan:\n${plan.take(2000)}")
+    assert(!plan.contains("RowDataSourceScan"),
+      "read must not fall back to the V1 RDD boundary")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(10L))
+    spark.sql("DROP TABLE graft.pd")
+  }
+}
+
+/** Two concurrent SQL writers must BOTH land — the OCC retry inside
+  * the VersionedTable paths, exercised through pure spark.sql. */
+class SqlCatalogOccSpec extends SparkSpec {
+  import scala.concurrent.{Await, Future}
+  import scala.concurrent.duration._
+  import scala.concurrent.ExecutionContext.Implicits.global
+
+  test("concurrent SQL UPDATE + INSERT both commit under OCC retry") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.cc")
+    spark.sql("CREATE TABLE graft.cc (k BIGINT, p BIGINT)")
+    spark.sql("INSERT INTO graft.cc SELECT id, 0L FROM range(10)")
+
+    // disjoint-predicate updates racing an append: the k < 100 bound
+    // keeps the racing insert outside both predicates, so EVERY commit
+    // order serializes onto the same final state
+    val f1 = Future(spark.sql(
+      "UPDATE graft.cc SET p = p + 1 WHERE k % 2 = 0 AND k < 100"))
+    val f2 = Future(spark.sql(
+      "UPDATE graft.cc SET p = p + 10 WHERE k % 2 = 1 AND k < 100"))
+    val f3 = Future(spark.sql("INSERT INTO graft.cc VALUES (100, 777)"))
+    Await.result(Future.sequence(Seq(f1, f2, f3)), 120.seconds)
+
+    val got = spark.sql("SELECT k, p FROM graft.cc ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = (0L until 10L).map(k =>
+      (k, if (k % 2 == 0) 1L else 10L)) :+ (100L, 777L)
+    assert(got == expect, s"all three writers must land: $got")
+    spark.sql("DROP TABLE graft.cc")
+  }
+}
+
+/** Round-12: the multi-hop beam walk (s21) vs the single hop (s11) —
+  * hop 1 IS s11, so hops=1 must reproduce it exactly, and more hops
+  * can only improve each rank's cosine (superset candidates). */
+class KnnGraphBeamSpec extends SparkSpec {
+  import graft.operators.Similarity
+
+  test("hops=1 == knnGraph; hops=2 dominates rank-wise") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val one = keyed(Similarity.knnGraph(e, q, "vec_id", "embedding",
+      k = 10, m = 5))
+    val oneViaBeam = keyed(Similarity.knnGraphBeam(e, q, "vec_id", "embedding",
+      k = 10, m = 5, beam = 4, hops = 1))
+    assert(oneViaBeam == one, "hops=1 must be exactly the s11 tier")
+    val two = keyed(Similarity.knnGraphBeam(e, q, "vec_id", "embedding",
+      k = 10, m = 5, beam = 4, hops = 2))
+    assert(two.nonEmpty && one.nonEmpty)
+    one.foreach { case (key, (_, cos1)) =>
+      val cos2 = two.get(key).map(_._2).getOrElse(
+        fail(s"rank $key present at 1 hop but missing at 2"))
+      assert(cos2 >= cos1,
+        s"superset candidates cannot worsen rank $key: $cos2 < $cos1")
+    }
+  }
+}
+
+/** Round-12: incremental SemDeDup must equal the full run filtered to
+  * the batch — the d15/d20 exactness gate applied to d19. */
+class SemDedupIncrementalSpec extends SparkSpec {
+  import graft.operators.Similarity
+
+  test("incremental == full-run-filtered-to-batch (frozen standing cells)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val split = emb.agg(max("vec_id")).head().getLong(0) * 3 / 4 + 1
+    val standing = emb.filter(col("vec_id") < split)
+    val batch = emb.filter(col("vec_id") >= split)
+    val full = Similarity.semDedup(emb, "vec_id", "embedding", 0.4)
+      .filter(col("vec_id") >= split).orderBy("vec_id").collect().toSeq
+    val inc = Similarity.semDedupIncremental(standing, batch,
+      "vec_id", "embedding", 0.4).orderBy("vec_id").collect().toSeq
+    assert(inc.nonEmpty && full.nonEmpty)
+    assert(inc == full,
+      s"first diff: ${inc.zip(full).find { case (a, b) => a != b }}")
+  }
+}
+
+/** Round-12 (advice): corrStats must drop rows with a NULL in any
+  * profiled column so n matches the sums it rides with. */
+class CorrStatsNullSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("n counts exactly the complete rows") {
+    val df = Seq[(String, java.lang.Long, java.lang.Long)](
+      ("a", 1L, 2L), ("a", null, 5L), ("a", 3L, null), ("a", 2L, 4L))
+      .toDF("g", "x", "y")
+    val out = graft.operators.Profiler.corrStats(df, "g", Seq("x", "y"))
+      .collect().head
+    assert(out.getAs[Long]("n") == 2L, "only the two complete rows count")
+    assert(out.getAs[Long]("sum_x") == 3L && out.getAs[Long]("sum_y") == 6L)
+    assert(out.getAs[Long]("sum_xy") == 1L * 2L + 2L * 4L)
+  }
+}
