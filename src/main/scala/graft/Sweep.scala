@@ -645,6 +645,82 @@ object Sweep {
         else ""
       },
 
+      "g25_coloring_certificate_100x" -> { () =>
+        // round 12: coloring by peeled MIS rounds at the 100x chain
+        // graph (1.5M nodes) — complete within the round budget,
+        // proper (zero monochrome edges), nontrivial
+        val e = blockedChainEdges(relDir, withSkip = true).cache()
+        val out = GraphOps.colorByMis(e, maxColors = 16).cache()
+        val unc = out.filter(col("color") === -1L).count()
+        val mono = e.filter(col("src") =!= col("dst"))
+          .join(out.withColumnRenamed("node", "src")
+            .withColumnRenamed("color", "cs"), "src")
+          .join(out.withColumnRenamed("node", "dst")
+            .withColumnRenamed("color", "cd"), "dst")
+          .filter(col("cs") === col("cd")).count()
+        val nColors = out.select("color").distinct().count()
+        val n = out.count()
+        e.unpersist(); out.unpersist()
+        if (n == 0) "empty coloring"
+        else if (unc > 0) s"$unc nodes uncolored after 16 rounds"
+        else if (mono > 0) s"$mono monochrome edges"
+        else if (nColors < 2 || nColors > 16) s"$nColors colors"
+        else ""
+      },
+
+      "d22_semdedup_incremental_100x" -> { () =>
+        // round 12: the incremental-equals-full gate at the scale
+        // embeddings corpus — the upper-id quarter arrives as a batch
+        // against frozen standing cells; engine-vs-engine equality
+        // (the d15/d20 pattern applied to SemDeDup)
+        val e = emb(embDir)
+        val split = e.agg(max("vec_id")).collect()(0).getLong(0) * 3 / 4 + 1
+        val full = Similarity.semDedup(e, "vec_id", "embedding", 0.4)
+          .filter(col("vec_id") >= split)
+        val inc = Similarity.semDedupIncremental(
+          e.filter(col("vec_id") < split), e.filter(col("vec_id") >= split),
+          "vec_id", "embedding", 0.4)
+        val nb = inc.count()
+        val diff = full.unionByName(inc).distinct().count() * 2 -
+          full.count() - nb
+        if (nb == 0) "empty batch output"
+        else if (diff != 0) s"$diff rows differ between incremental and full"
+        else ""
+      },
+
+      "s21_beam_certificate_100x" -> { () =>
+        // round 12: the graph-walk tier at the scale embeddings corpus
+        // — hop 1 must BE knnGraph (engine-vs-engine equality), and
+        // the 2-hop beam walk must dominate it rank-wise (superset
+        // candidates can only improve every rank's cosine)
+        val e = emb(embDir)
+        val q = e.filter(col("vec_id") % 4000 === 3)
+        val nq = q.count()
+        val one = Similarity.knnGraph(e, q, "vec_id", "embedding",
+          k = 10, m = 5).cache()
+        val oneBeam = Similarity.knnGraphBeam(e, q, "vec_id", "embedding",
+          k = 10, m = 5, beam = 4, hops = 1)
+        val eqDiff = one.unionByName(oneBeam).distinct().count() * 2 -
+          one.count() - oneBeam.count()
+        val two = Similarity.knnGraphBeam(e, q, "vec_id", "embedding",
+          k = 10, m = 5, beam = 4, hops = 2).cache()
+        val worse = one.select(col("query_id"), col("rk"), col("cosine").as("c1"))
+          .join(two.select(col("query_id"), col("rk"), col("cosine").as("c2")),
+            Seq("query_id", "rk"))
+          .filter(col("c2") < col("c1")).count()
+        val badRanks = two.groupBy("query_id")
+          .agg(countDistinct("rk").as("nrk"), count(lit(1)).as("n"))
+          .filter(col("nrk") =!= col("n") || col("n") > 10).count()
+        val n2 = two.count()
+        one.unpersist(); two.unpersist()
+        if (nq < 2) s"only $nq queries"
+        else if (eqDiff != 0) s"hops=1 differs from knnGraph by $eqDiff rows"
+        else if (worse > 0) s"$worse ranks worsened by the extra hop"
+        else if (badRanks > 0) s"$badRanks queries with duplicate/overflow ranks"
+        else if (n2 == 0) "empty beam output"
+        else ""
+      },
+
       "vt_bloom_100x" -> { () =>
         // round 10 (sharded in round 11): bloom sidecar at 500k rows /
         // 256 files / 16 manifest shards — the lookup column is a

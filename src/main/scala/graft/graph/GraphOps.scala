@@ -697,6 +697,73 @@ object GraphOps {
     matched.result().reduce(_ unionByName _).select("a", "b")
   }
 
+  /** Graph coloring by peeled MIS rounds (round 12) — the third
+    * member of the symmetry-breaking family (MIS g23, matching g24,
+    * and the coloring g23's own doc promised). Each round selects
+    * exactly [[maximalIndependentSet]]'s per-round independent set —
+    * the local priority maxima among still-uncolored nodes — and
+    * assigns it color = round index: two adjacent nodes can never
+    * both be local maxima (one has the strictly greater packed
+    * priority), so every color class is independent and the coloring
+    * is proper BY CONSTRUCTION. Unlike MIS, a selected node's
+    * neighbors stay in play for the NEXT color, so the loop is one
+    * peel per color — frontier-shaped like g23 (the residual node and
+    * edge sets shrink every round, the remaining count rides the
+    * checkpoint as an observe metric, empty frontier exits early).
+    * Rounds needed = the longest strictly-descending priority path,
+    * O(log n) w.h.p. under the md5 priorities — at 100 TB the round
+    * count, not the graph, prices the coloring. Nodes still uncolored
+    * after `maxColors` rounds come back with color = −1 — visible
+    * incompleteness (the cap-observability convention), never a
+    * silently improper answer. Output: (node, color), colors 1-based.
+    */
+  def colorByMis(edges: DataFrame, maxColors: Int): DataFrame = {
+    var e2 = Ckpt.cut(edges.select("src", "dst")
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct())
+    // same packed hash·2³¹+id priorities (and the same [0, 2³¹) node
+    // guard) as maximalIndependentSet — g25's color classes are
+    // exactly g23's per-round independent sets
+    var undecided = Ckpt.cut(vertices(e2)
+      .withColumn("pri", expr(
+        "CASE WHEN node < 0 OR node >= 2147483648 THEN " +
+          "CAST(raise_error(concat('colorByMis: node id ', " +
+          "CAST(node AS STRING), ' outside [0, 2^31) — packed hash*2^31+node " +
+          "priorities would collide or overflow')) AS BIGINT) " +
+          "ELSE CAST(conv(substr(md5(CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT) " +
+          "* 2147483648 + node END")))
+    val out = Seq.newBuilder[DataFrame]
+    var c = 0
+    var empty = false
+    while (c < maxColors && !empty) {
+      c += 1
+      // strongest still-uncolored neighbor; e2 is residual-restricted,
+      // so every endpoint is undecided by construction
+      val mx = e2
+        .join(undecided.select(col("node").as("dst"), col("pri").as("vpri")), "dst")
+        .groupBy("src").agg(max("vpri").as("mx"))
+        .select(col("src").as("node"), col("mx"))
+      val ins = Ckpt.cutLight(undecided.join(mx, Seq("node"), "left")
+        .filter(col("mx").isNull || col("mx") < col("pri"))
+        .select("node"))
+      out += ins.withColumn("color", lit(c.toLong))
+      val obs = org.apache.spark.sql.Observation()
+      val nextU = Ckpt.cut(undecided
+        .join(ins, Seq("node"), "left_anti")
+        .observe(obs, count(lit(1)).as("c")))
+      val left = awaitObserved(obs).getOrElse(nextU.count())
+      val nextE = Ckpt.cut(e2
+        .join(nextU.select(col("node").as("src")), "src", "left_semi")
+        .join(nextU.select(col("node").as("dst")), "dst", "left_semi"))
+      Ckpt.release(undecided); Ckpt.release(e2)
+      undecided = nextU
+      e2 = nextE
+      empty = left == 0
+    }
+    (out.result() :+ undecided.select("node").withColumn("color", lit(-1L)))
+      .reduce(_ unionByName _).select("node", "color")
+  }
+
   /** Multi-source BFS: minimum hop distance (≤ `maxDepth`) from any
     * seed along directed edges, as a (node, depth) table of reached
     * nodes. Each round relaxes one hop — a hash join on `src` plus a

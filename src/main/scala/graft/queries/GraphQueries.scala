@@ -755,6 +755,24 @@ object GraphQueries {
               |${mmSql(12)}
               |SELECT a, b FROM mm ORDER BY a, b""".stripMargin)),
 
+    Q("g25_coloring",
+      // Graph coloring by peeled MIS rounds (round 12;
+      // GraphOps.colorByMis — the symmetry-breaking family's third
+      // member, g23's own "coloring seeds" motivation): round k
+      // colors exactly g23's round-k independent set (the local
+      // priority maxima among uncolored nodes) with color k — proper
+      // by construction, one frontier-shaped peel per color,
+      // converged well inside 14 rounds at every tested SF
+      // (ColoringSpec certifies properness and completeness). The
+      // oracle unrolls the same 14 rounds.
+      (s, d) => GraphOps.colorByMis(
+          chainEdges(s, d, withSkip = true), maxColors = 14)
+        .orderBy("node"),
+      Some(s"""WITH ${chainSql(true)},
+              |${colorSql(14)}
+              |SELECT node, CAST(CASE WHEN color = 0 THEN -1 ELSE color END AS BIGINT) AS color
+              |FROM cs14 ORDER BY node""".stripMargin)),
+
     Q("g22_clustering_coeff",
       // Local clustering coefficient: per vertex, realized neighbor
       // links over possible ones (2·tri / deg·(deg−1), basis points).
@@ -906,6 +924,32 @@ object GraphQueries {
     * neighbors drop out. Priorities are house-hash·2³¹ + node —
     * unique, so no tie rule is needed. Expects an `e` CTE; defines
     * `e2` (undirected, dedup'd), `s0..sN` with st ∈ i/o/u. */
+  /** Unrolled coloring-by-peeled-MIS-rounds rounds — [[misSql]] minus
+    * the neighbor knock-out: round k's local maxima take color k and
+    * only THEY leave the undecided set. The per-node max scans only
+    * undecided neighbors, so the fixed `e2` here equals the engine's
+    * residual-restricted edge set. */
+  private def colorSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""u$k AS (SELECT node, pri FROM cs${k - 1} WHERE color = 0),
+         |m$k AS (SELECT e2.src AS node, max(v.pri) AS mx
+         |  FROM e2 JOIN u$k v ON v.node = e2.dst GROUP BY 1),
+         |i$k AS (SELECT u.node FROM u$k u LEFT JOIN m$k m USING (node)
+         |  WHERE m.mx IS NULL OR m.mx < u.pri),
+         |cs$k AS MATERIALIZED (SELECT s.node, s.pri,
+         |    CASE WHEN s.color <> 0 THEN s.color
+         |         WHEN i.node IS NOT NULL THEN $k ELSE 0 END AS color
+         |  FROM cs${k - 1} s LEFT JOIN i$k i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""e2 AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst
+       |  UNION SELECT dst, src FROM e WHERE src <> dst),
+       |n0 AS (SELECT DISTINCT src AS node FROM e2),
+       |cs0 AS MATERIALIZED (SELECT node,
+       |  ${houseHashSql("CAST(node AS VARCHAR)")} * 2147483648 + node AS pri,
+       |  0 AS color FROM n0),
+       |$rs""".stripMargin
+  }
+
   private def misSql(rounds: Int): String = {
     val rs = (1 to rounds).map { k =>
       s"""u$k AS (SELECT node, pri FROM s${k - 1} WHERE st = 'u'),

@@ -204,6 +204,59 @@ class SemDedupIncrementalSpec extends SparkSpec {
   }
 }
 
+/** Round-12: coloring by peeled MIS rounds — proper by construction,
+  * complete within the round budget, classes = g23's round sets. */
+class ColoringSpec extends SparkSpec {
+  import graft.graph.GraphOps
+  import spark.implicits._
+
+  private def edges(d: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "k")
+    val o = Tables.orders(spark, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("n1", lead("k", 1).over(w))
+      .withColumn("n2", lead("k", 2).over(w))
+    o.filter(col("n1").isNotNull).select(col("k").as("src"), col("n1").as("dst"))
+      .union(o.filter(col("n2").isNotNull)
+        .select(col("k").as("src"), col("n2").as("dst")))
+  }
+
+  test("proper, complete, and round-1 class = the priority local maxima") {
+    val e = edges(sfDir).cache()
+    val out = GraphOps.colorByMis(e, maxColors = 14).cache()
+    assert(out.filter(col("color") === -1L).count() == 0,
+      "must color every node within the round budget")
+    val mono = e.filter(col("src") =!= col("dst"))
+      .join(out.withColumnRenamed("node", "src")
+        .withColumnRenamed("color", "cs"), "src")
+      .join(out.withColumnRenamed("node", "dst")
+        .withColumnRenamed("color", "cd"), "dst")
+      .filter(col("cs") === col("cd")).count()
+    assert(mono == 0, s"$mono monochrome edges — coloring not proper")
+    val nColors = out.select("color").distinct().count()
+    assert(nColors >= 2 && nColors <= 14, s"$nColors colors")
+    // color-1 class == g23's round-1 independent set (the shared
+    // per-round construction, pinned cross-operator)
+    val c1 = out.filter(col("color") === 1L).select("node")
+      .as[Long].collect().sorted.toSeq
+    val sym = e.select("src", "dst")
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val pri = sym.select(col("src").as("node")).distinct()
+      .withColumn("pri", expr(
+        "CAST(conv(substr(md5(CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT)" +
+          " * 2147483648 + node"))
+    val mx = sym.join(pri.select(col("node").as("dst"), col("pri").as("vp")), "dst")
+      .groupBy("src").agg(max("vp").as("mx"))
+    val want = pri.join(mx.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .filter(col("mx").isNull || col("mx") < col("pri"))
+      .select("node").as[Long].collect().sorted.toSeq
+    assert(c1 == want, "round-1 color class must be the local priority maxima")
+    out.unpersist(); e.unpersist()
+  }
+}
+
 /** Round-12 (advice): corrStats must drop rows with a NULL in any
   * profiled column so n matches the sums it rides with. */
 class CorrStatsNullSpec extends SparkSpec {
