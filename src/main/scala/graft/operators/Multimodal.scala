@@ -205,6 +205,194 @@ object Multimodal {
       }).toDF("doc_id", "fmt", "width", "height", "depth")
   }
 
+  /** Minimal spec-valid ISO-BMFF (MP4) container for the m13 parity
+    * surface: ftyp(isom) + a `free` box (the walk must skip unknown
+    * types) + moov(mvhd + nTracks × trak(tkhd)) + mdat. Even ids put
+    * mdat BEFORE moov using the 64-bit `size==1` largesize form — the
+    * walk must step over sample data via the large size to find moov
+    * (the streaming-capture file layout); odd ids use the plain
+    * post-moov mdat. mvhd and tkhd alternate version 0/1 by id so
+    * both header layouts stay exercised. Timescale is fixed at 1000,
+    * so duration == duration_ms. Output: (id, bin). */
+  def encodeMp4Stub(df: DataFrame, idCol: String, durMsCol: String,
+                    tracksCol: String, wCol: String, hCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(durMsCol).cast("long"),
+        col(tracksCol).cast("int"), col(wCol).cast("long"), col(hCol).cast("long"))
+      .as[(Long, Long, Int, Long, Long)]
+      .mapPartitions(_.map { case (id, durMs, nTracks, w, h) =>
+        def boxOf(t: String, body: Array[Byte]): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream()
+          val size = 8L + body.length
+          b.write(((size >> 24) & 0xFF).toInt); b.write(((size >> 16) & 0xFF).toInt)
+          b.write(((size >> 8) & 0xFF).toInt); b.write((size & 0xFF).toInt)
+          t.foreach(c => b.write(c.toInt))
+          b.write(body, 0, body.length)
+          b.toByteArray
+        }
+        def largeBoxOf(t: String, body: Array[Byte]): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream()
+          b.write(0); b.write(0); b.write(0); b.write(1) // size == 1
+          t.foreach(c => b.write(c.toInt))
+          val size = 16L + body.length
+          var i = 56
+          while (i >= 0) { b.write(((size >> i) & 0xFF).toInt); i -= 8 }
+          b.write(body, 0, body.length)
+          b.toByteArray
+        }
+        def bytesOf(write: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream(); write(b); b.toByteArray
+        }
+        def w32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+          b.write(((v >> 24) & 0xFF).toInt); b.write(((v >> 16) & 0xFF).toInt)
+          b.write(((v >> 8) & 0xFF).toInt); b.write((v & 0xFF).toInt)
+        }
+        def w64(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+          var i = 56; while (i >= 0) { b.write(((v >> i) & 0xFF).toInt); i -= 8 }
+        }
+        val ftyp = boxOf("ftyp", bytesOf { b =>
+          "isom".foreach(c => b.write(c.toInt)); w32(b, 0)
+          "isom".foreach(c => b.write(c.toInt))
+        })
+        val free = boxOf("free", Array.fill[Byte](12)(0x5A))
+        val mvhdV = (id % 2).toInt // version alternates by id
+        val mvhd = boxOf("mvhd", bytesOf { b =>
+          b.write(mvhdV); b.write(0); b.write(0); b.write(0) // version+flags
+          if (mvhdV == 0) {
+            w32(b, 0); w32(b, 0)            // creation, modification
+            w32(b, 1000); w32(b, durMs)      // timescale, duration
+          } else {
+            w64(b, 0); w64(b, 0)
+            w32(b, 1000); w64(b, durMs)
+          }
+          w32(b, 0x00010000); b.write(1); b.write(0) // rate, volume
+          (0 until 10).foreach(_ => b.write(0))      // reserved
+          Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+            .foreach(w32(b, _))                      // unity matrix
+          (0 until 24).foreach(_ => b.write(0))      // pre_defined
+          w32(b, nTracks + 1L)                       // next_track_ID
+        })
+        val traks = (0 until nTracks).map { ti =>
+          val v = ti % 2
+          boxOf("trak", boxOf("tkhd", bytesOf { b =>
+            b.write(v); b.write(0); b.write(0); b.write(7)
+            if (v == 0) {
+              w32(b, 0); w32(b, 0); w32(b, ti + 1L); w32(b, 0); w32(b, durMs)
+            } else {
+              w64(b, 0); w64(b, 0); w32(b, ti + 1L); w32(b, 0); w64(b, durMs)
+            }
+            w64(b, 0)                                 // reserved
+            b.write(0); b.write(0); b.write(0); b.write(0) // layer, alt_group
+            b.write(0); b.write(0); b.write(0); b.write(0) // volume, reserved
+            Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+              .foreach(w32(b, _))
+            w32(b, w << 16); w32(b, h << 16)          // 16.16 fixed
+          }))
+        }
+        val moov = boxOf("moov",
+          (Seq(mvhd) ++ traks).reduce(_ ++ _))
+        val mdatBody = Array.tabulate[Byte](64)(i => ((id + i) & 0x7F).toByte)
+        val bytes =
+          if (id % 2 == 0)
+            ftyp ++ free ++ largeBoxOf("mdat", mdatBody) ++ moov
+          else
+            ftyp ++ free ++ moov ++ boxOf("mdat", mdatBody)
+        (id, bytes)
+      }).toDF("id", "bin")
+  }
+
+  /** ISO-BMFF (MP4) HEADER-ONLY metadata: the public-spec size+type
+    * box walk to ftyp (major brand), moov→mvhd (timescale → duration
+    * in ms) and moov→trak→tkhd (track count; max 16.16-fixed video
+    * geometry) — never a byte of sample data (mdat is stepped over by
+    * its declared size, including the 64-bit `size==1` largesize
+    * form). The m11 posture applied to video containers: offsets walk
+    * as Long, and ANY malformed size — non-advancing, overflowing,
+    * truncated largesize, box past EOF — aborts to an 'unknown' row
+    * instead of an exception (the HostileRiffSpec lesson; one hostile
+    * payload must never fail a 100-TB corpus profile). Output:
+    * (doc_id, brand, n_tracks, duration_ms, width, height). */
+  def mp4Meta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, raw) =>
+        val b = if (raw == null) Array.empty[Byte] else raw
+        val n = b.length.toLong
+        @inline def u(i: Long): Int = b(i.toInt) & 0xFF
+        @inline def be32(i: Long): Long =
+          (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+        @inline def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+        @inline def fourcc(i: Long): String =
+          new String(Array(u(i), u(i + 1), u(i + 2), u(i + 3)).map(_.toChar))
+        var bad = false
+        var brand = ""
+        var nTracks = 0L
+        var durMs = 0L
+        var vw = 0L
+        var vh = 0L
+        // walk boxes in [from, to); `visit` returns the child range of
+        // interest (containers recurse via walk again)
+        def walk(from: Long, to: Long)(visit: (String, Long, Long) => Unit): Unit = {
+          var p = from
+          while (!bad && p + 8 <= to) {
+            val sz0 = be32(p)
+            val t = fourcc(p + 4)
+            val (hdr, sz) =
+              if (sz0 == 1L) {
+                if (p + 16 > to) { bad = true; (16L, 0L) }
+                else (16L, be64(p + 8))
+              } else if (sz0 == 0L) (8L, to - p) // box extends to end
+              else (8L, sz0)
+            if (!bad) {
+              if (sz < hdr || p + sz > to) bad = true
+              else {
+                visit(t, p + hdr, p + sz)
+                p += sz // sz >= hdr >= 8: always advances
+              }
+            }
+          }
+          // sub-header trailing bytes inside a box range are malformed
+          if (p < to) bad = true
+        }
+        walk(0L, n) { (t, cFrom, cTo) =>
+          t match {
+            case "ftyp" if cTo - cFrom >= 4 => brand = fourcc(cFrom)
+            case "moov" => walk(cFrom, cTo) { (ct, mFrom, mTo) =>
+              ct match {
+                case "mvhd" if mTo - mFrom >= 20 =>
+                  val v = u(mFrom)
+                  val (ts, dur) =
+                    if (v == 1 && mTo - mFrom >= 28)
+                      (be32(mFrom + 20), be64(mFrom + 24))
+                    else (be32(mFrom + 12), be32(mFrom + 16))
+                  if (ts > 0) durMs = dur * 1000L / ts
+                case "trak" =>
+                  nTracks += 1
+                  walk(mFrom, mTo) { (tt, kFrom, kTo) =>
+                    if (tt == "tkhd" && kTo - kFrom >= 84) {
+                      val v = u(kFrom)
+                      val off = if (v == 1) kFrom + 88 else kFrom + 76
+                      if (off + 8 <= kTo) {
+                        val w = be32(off) >> 16
+                        val h = be32(off + 4) >> 16
+                        if (w > vw) vw = w
+                        if (h > vh) vh = h
+                      }
+                    }
+                  }
+                case _ => ()
+              }
+            }
+            case _ => ()
+          }
+        }
+        if (bad || brand.isEmpty || nTracks == 0)
+          (id, "unknown", 0L, 0L, 0L, 0L)
+        else (id, brand, nTracks, durMs, vw, vh)
+      }).toDF("doc_id", "brand", "n_tracks", "duration_ms", "width", "height")
+  }
+
   /** Deterministic RESIZE (integer box-filter downsample) of the
     * byte-raster convention ([[encodeGrayPng]]'s: byte i = pixel i,
     * `width` wide, zero-padded last row) — the image-preprocessing

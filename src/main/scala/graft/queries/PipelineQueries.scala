@@ -1537,6 +1537,33 @@ object PipelineQueries {
              |  coalesce(px_sum, 0) AS px_sum, coalesce(px_pos_sum, 0) AS px_pos_sum
              |FROM dims d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    Q("m13_mp4_meta",
+      // ISO-BMFF (MP4) HEADER-ONLY box walk (round 12;
+      // Multimodal.mp4Meta): ftyp brand, moov→mvhd duration (ms via
+      // the recorded timescale), trak count, and max 16.16-fixed tkhd
+      // geometry — never a byte of sample data; even ids place a
+      // 64-bit-largesize mdat BEFORE moov (the streaming-capture
+      // layout the walk must step over), mvhd/tkhd alternate
+      // version 0/1. The stub container derives every field from the
+      // documents table, so the oracle recomputes the expected
+      // metadata without parsing a byte — a walk regression on any
+      // box layout fails the hash gate.
+      (s, d) => {
+        val specs = Tables.documents(s, d).select(col("doc_id"),
+          length(col("text")).cast("long").as("dur"),
+          (lit(1) + col("doc_id") % 3).cast("int").as("nt"),
+          (lit(320) + (col("doc_id") % 4) * 16).as("w"),
+          (lit(180) + (col("doc_id") % 5) * 12).as("h"))
+        val stubs = Multimodal.encodeMp4Stub(specs, "doc_id", "dur", "nt", "w", "h")
+        Multimodal.mp4Meta(stubs, "id", "bin").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'isom' AS brand,
+             |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+             |  CAST(length(text) AS BIGINT) AS duration_ms,
+             |  CAST(320 + (doc_id % 4) * 16 AS BIGINT) AS width,
+             |  CAST(180 + (doc_id % 5) * 12 AS BIGINT) AS height
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("m3_frame_sample",
       // Frame sampling over video-like payloads (Multimodal
       // .frameSample): 32-byte frames, every 2nd sampled, exact

@@ -527,6 +527,42 @@ object StreamingOps {
     ()
   }
 
+  /** STREAMING BM25 POSTINGS sink (round 12) — the lexical-index
+    * analogue of [[ivfAppendSink]]: each micro-batch of documents is
+    * scored against FROZEN corpus statistics
+    * ([[graft.operators.Retrieval.Bm25Stats]] — the incremental-BM25
+    * contract: idf and avgdl pinned to the standing snapshot, exactly
+    * [[graft.operators.Retrieval.bm25AppendPostings]]'s arithmetic)
+    * and written as a batch-id-addressed posting segment. Replay of a
+    * batch id OVERWRITES its own segment only (crash-restart
+    * idempotence); per-token caps bind per segment the same way the
+    * batch operator caps them — the segment merge at query time is a
+    * union, never a re-sort of a hot token's full list. */
+  def bm25PostingsSink(docs: DataFrame, idCol: String, textCol: String,
+                       stats: graft.operators.Retrieval.Bm25Stats,
+                       storePath: String, maxDfPct: Int = 90, cap: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        bm25PostingsBatch(batch, batchId, idCol, textCol, stats,
+          storePath, maxDfPct, cap)
+    }
+
+  /** One micro-batch of [[bm25PostingsSink]]; package-visible so
+    * specs can drive a replay without a streaming harness. */
+  private[graft] def bm25PostingsBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      stats: graft.operators.Retrieval.Bm25Stats, storePath: String,
+      maxDfPct: Int, cap: Int): Unit = {
+    val postings = graft.operators.Retrieval
+      .bm25AppendPostings(stats, batch, idCol, textCol, maxDfPct, cap)
+    // empty-batch guard: same poisoned-_SUCCESS-dir rationale as
+    // [[spanDedupBatch]]
+    if (!postings.isEmpty)
+      postings.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    ()
+  }
+
   /** The appended vectors a [[ivfAppendSink]] store currently holds,
     * as `(idCol, vecCol)` — the `batch` argument for a
     * [[graft.operators.Similarity.knnIvfIncremental]] query over

@@ -257,6 +257,100 @@ class ColoringSpec extends SparkSpec {
   }
 }
 
+/** Round-12: hostile ISO-BMFF payloads must degrade to 'unknown' rows
+  * — the HostileRiffSpec lesson applied to the MP4 box walk. */
+class HostileMp4Spec extends SparkSpec {
+  import graft.operators.Multimodal
+  import spark.implicits._
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  test("overflowing, tiny, truncated and wrapped sizes all come back unknown") {
+    val ftypBody = "isom".getBytes ++ be32(0) ++ "isom".getBytes
+    val okFtyp = be32(8L + ftypBody.length) ++ "ftyp".getBytes ++ ftypBody
+    val cases: Seq[(Long, Array[Byte])] = Seq(
+      // declared size far past EOF
+      1L -> (be32(0xFFFFFFF0L) ++ "ftyp".getBytes ++ ftypBody),
+      // size == 1 (largesize form) with no room for the 64-bit size
+      2L -> (be32(1L) ++ "moov".getBytes),
+      // size < header: a walk that trusted it would loop forever
+      3L -> (be32(4L) ++ "ftyp".getBytes ++ ftypBody),
+      // valid ftyp, then a moov whose child overruns the parent
+      4L -> (okFtyp ++ be32(24L) ++ "moov".getBytes ++
+        be32(9999L) ++ "mvhd".getBytes ++ Array.fill[Byte](8)(0)),
+      // largesize with the top bit set — a signed wraparound trap
+      5L -> (be32(1L) ++ "mdat".getBytes ++
+        Array.fill[Byte](8)(0xFF.toByte) ++ Array.fill[Byte](32)(0)),
+      // empty and sub-header payloads
+      6L -> Array.empty[Byte],
+      7L -> "ftyp".getBytes)
+    val out = Multimodal.mp4Meta(cases.toDF("id", "bin"), "id", "bin")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == cases.map(_._1 -> "unknown").toMap,
+      s"every hostile payload must be unknown: $out")
+  }
+
+  test("the stub round-trips, including the pre-moov largesize mdat layout") {
+    val specs = Seq((2L, 1234L, 2, 320L, 240L), (3L, 500L, 1, 640L, 360L))
+      .toDF("doc_id", "dur", "nt", "w", "h")
+    val stubs = Multimodal.encodeMp4Stub(specs, "doc_id", "dur", "nt", "w", "h")
+    val out = Multimodal.mp4Meta(stubs, "id", "bin").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(2L) == (("isom", 2L, 1234L, 320L, 240L)))
+    assert(out(3L) == (("isom", 1L, 500L, 640L, 360L)))
+  }
+}
+
+/** Round-12: streaming BM25 postings sink — one-batch stream equals
+  * the batch operator, replay is segment-idempotent, caps bind. */
+class Bm25PostingsSinkSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import graft.streaming.StreamingOps
+  import graft.operators.Retrieval
+
+  test("micro-batches == bm25AppendPostings; replay idempotent; caps bind") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bm25sink").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val standing = docs.filter(col("doc_id") < 300)
+    val stats = Retrieval.bm25StatsOf(standing, "doc_id", "text")
+    def rows(lo: Long, hi: Long): Seq[(Long, String)] = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .as[(Long, String)].collect().toSeq
+    val cap = 8
+    val in = MemoryStream[(Long, String)]
+    val sink = StreamingOps.bm25PostingsSink(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", stats,
+      s"$dir/store", cap = cap)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    in.addData(rows(300, 350): _*); sink.processAllAvailable()
+    in.addData(rows(350, 400): _*); sink.processAllAvailable()
+    sink.stop()
+    // per-segment output == the batch operator on the same rows with
+    // the same frozen stats
+    val seg0 = spark.read.parquet(s"$dir/store/batch=0").collect().toSet
+    val want0 = Retrieval.bm25AppendPostings(stats,
+      rows(300, 350).toDF("doc_id", "text"), "doc_id", "text", cap = cap)
+      .collect().toSet
+    assert(seg0 == want0 && seg0.nonEmpty,
+      "one-batch stream must equal the batch operator")
+    // crash-restart replay of batch 1 leaves the store byte-equivalent
+    val before = spark.read.parquet(s"$dir/store").collect().toSet
+    StreamingOps.bm25PostingsBatch(rows(350, 400).toDF("doc_id", "text"),
+      1L, "doc_id", "text", stats, s"$dir/store", 90, cap)
+    val after = spark.read.parquet(s"$dir/store").collect().toSet
+    assert(after == before, "replayed batch must be idempotent")
+    // per-segment caps bind
+    val overCap = spark.read.parquet(s"$dir/store/batch=1")
+      .groupBy("tok").count().filter(col("count") > cap).count()
+    assert(overCap == 0, "a token's segment posting list must be capped")
+  }
+}
+
 /** Round-12 (advice): corrStats must drop rows with a NULL in any
   * profiled column so n matches the sums it rides with. */
 class CorrStatsNullSpec extends SparkSpec {
