@@ -3107,6 +3107,41 @@ object PipelineQueries {
              |       (SELECT CAST(count(*) AS BIGINT) FROM v3)
              |ORDER BY stage, k, c""".stripMargin)),
 
+    Q("q65g_sql_alter",
+      // Pure-SQL schema lifecycle on the column-mapping machinery
+      // (round 12; GraftCatalog.alterTable): ALTER TABLE RENAME
+      // COLUMN (metadata-only — the on-disk name never changes), ADD
+      // COLUMN (NULL-backfilled), UPDATE under the NEW name, DROP
+      // COLUMN — and the dropped column remains queryable via
+      // VERSION AS OF, because each era's manifest carries its own
+      // schema+mapping. Every expected value derives from `orders`.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65g")
+        s.sql("DROP TABLE IF EXISTS graft.q65g")
+        s.sql("""CREATE TABLE graft.q65g AS
+          SELECT o_orderkey AS k, CAST(round(o_totalprice) AS BIGINT) AS p,
+                 o_custkey AS c
+          FROM orders_q65g WHERE o_orderkey % 50 = 0""")
+        s.sql("ALTER TABLE graft.q65g RENAME COLUMN p TO price")
+        s.sql("ALTER TABLE graft.q65g ADD COLUMN flag BIGINT")
+        s.sql("UPDATE graft.q65g SET flag = price % 10 WHERE k % 100 = 0")
+        s.sql("ALTER TABLE graft.q65g DROP COLUMN c")
+        s.sql("""
+          SELECT k, price, flag,
+            (SELECT CAST(sum(c) AS BIGINT)
+             FROM graft.q65g VERSION AS OF 2) AS v2_c_sum
+          FROM graft.q65g ORDER BY k""")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice) AS BIGINT) AS p,
+             |         o_custkey AS c
+             |  FROM orders WHERE o_orderkey % 50 = 0)
+             |SELECT k, p AS price,
+             |  CASE WHEN k % 100 = 0 THEN p % 10 ELSE NULL END AS flag,
+             |  (SELECT CAST(sum(c) AS BIGINT) FROM base) AS v2_c_sum
+             |FROM base ORDER BY k""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;

@@ -330,6 +330,73 @@ object VersionedTable {
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  // ───────────────────── column mapping (round 12) ─────────────────────
+  // LOGICAL → PHYSICAL column names, recorded per manifest as the
+  // `colmap` meta key (absent / missing entry = identity). A column's
+  // PHYSICAL name is fixed at its first commit and never changes;
+  // RENAME moves only the logical mapping and DROP only removes the
+  // schema field + mapping — both metadata-only commits, zero data
+  // files rewritten. File stats, statscols, shard aggregates and
+  // bloom sidecars are all keyed by PHYSICAL name, so data skipping
+  // and standing indexes survive any number of renames; readers of an
+  // old version see that ERA's names (its manifest's schema+colmap).
+
+  /** Logical→physical column map of a version's era (empty =
+    * identity — every pre-round-12 table reads this way). */
+  def columnMapping(spark: SparkSession, root: String,
+                    version: Long = -1L): Map[String, String] =
+    manifestMeta(spark, root, version).get("colmap")
+      .map(parseColmap).getOrElse(Map.empty)
+
+  private def parseColmap(json: String): Map[String, String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(json)
+    val it = node.fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+    b.result()
+  }
+
+  private def colmapJson(cm: Map[String, String]): String =
+    cm.toSeq.sortBy(_._1)
+      .map { case (l, p) => s"${jesc(l)}:${jesc(p)}" }
+      .mkString("{", ",", "}")
+
+  private def physNameOf(cm: Map[String, String], c: String): String =
+    cm.getOrElse(c, c)
+
+  private def physStruct(cm: Map[String, String],
+                         sc: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (cm.isEmpty) sc
+    else org.apache.spark.sql.types.StructType(
+      sc.fields.map(f => f.copy(name = physNameOf(cm, f.name))))
+
+  /** Open `files` with `version`'s PHYSICAL schema and return LOGICAL
+    * column names. `scanStage` runs on the raw scan — the place to
+    * capture `input_file_name()` / `_metadata.row_index` and to apply
+    * deletion vectors, both of which need live scan context; columns
+    * it adds survive the logical aliasing. */
+  private def scanLogical(spark: SparkSession, root: String, version: Long,
+                          files: Seq[String],
+                          scanStage: DataFrame => DataFrame = identity)
+      : DataFrame = {
+    val sc = tableSchema(spark, root, version)
+    val cm = columnMapping(spark, root, version)
+    val raw = sc match {
+      case Some(s0) => spark.read.schema(physStruct(cm, s0)).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
+    val staged = scanStage(raw)
+    if (cm.isEmpty) staged
+    else {
+      val physCols = physStruct(cm, sc.get).fieldNames.toSet
+      val extra = staged.columns.filterNot(physCols.contains)
+      staged.select(sc.get.fields.map(f =>
+        col(physNameOf(cm, f.name)).as(f.name)).toSeq ++ extra.map(col): _*)
+    }
+  }
+
   /** DataFrame over a pinned snapshot (latest by default). The plan's
     * scan is built from the explicit file list, so concurrent commits
     * and compactions cannot change — or break — what this reader sees.
@@ -339,13 +406,11 @@ object VersionedTable {
     * schema THEY recorded, so time travel sees the schema of its era. */
   def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
     val s = snapshot(spark, root, version)
-    val base = tableSchema(spark, root, s.version) match {
-      case Some(sc) => spark.read.schema(sc).parquet(s.files: _*)
-      case None => spark.read.parquet(s.files: _*)
-    }
     // merge-on-read: subtract this era's deletion vectors (no-op —
-    // and no plan change — when the manifest records none)
-    applyDv(spark, root, s.version, base)
+    // and no plan change — when the manifest records none); physical
+    // file columns come back under this era's LOGICAL names
+    scanLogical(spark, root, s.version, s.files,
+      raw => applyDv(spark, root, s.version, raw))
   }
 
   /** Stats order must mirror the order the stats were COMPUTED in —
@@ -402,6 +467,9 @@ object VersionedTable {
       c -> schema.flatMap(_.fields.find(_.name == c))
         .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     }.toMap
+    // stats are keyed by PHYSICAL name (stable across renames), so a
+    // probe on a renamed column keeps pruning every era's files
+    val cmPrune = columnMapping(spark, root, v)
     // [min, max] admits the range unless provably disjoint; unparsable
     // recorded stats (a float column's max() propagates NaN/Infinity,
     // which BigDecimal rejects) are treated like MISSING stats: keep
@@ -414,7 +482,8 @@ object VersionedTable {
       case None => true
     }
     def admitsAll(stats: Map[String, (String, String)]): Boolean =
-      ranges.forall { case (c, lo, hi) => admits1(c, lo, hi, stats.get(c)) }
+      ranges.forall { case (c, lo, hi) =>
+        admits1(c, lo, hi, stats.get(physNameOf(cmPrune, c))) }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def keepLine(l: String): Option[String] = {
       val cut = l.indexOf('\t')
@@ -474,8 +543,9 @@ object VersionedTable {
     val s = snapshot(spark, root, version)
     val kept = prunedFilesDetail(spark, root, ranges, s.version).kept
     val base = tableSchema(spark, root, s.version) match {
-      case Some(sc) if kept.nonEmpty =>
-        applyDv(spark, root, s.version, spark.read.schema(sc).parquet(kept: _*))
+      case Some(_) if kept.nonEmpty =>
+        scanLogical(spark, root, s.version, kept,
+          raw => applyDv(spark, root, s.version, raw))
       case None if kept.nonEmpty =>
         applyDv(spark, root, s.version, spark.read.parquet(kept: _*))
       case Some(sc) => spark.createDataFrame(
@@ -611,6 +681,9 @@ object VersionedTable {
                       version: Long = -1L): Long = {
     require(bitsPerFile % 64 == 0 && bitsPerFile > 0, s"bitsPerFile: $bitsPerFile")
     val s = snapshot(spark, root, version)
+    // sidecar dir AND value reads keyed by PHYSICAL name — a later
+    // rename keeps the whole standing index valid
+    val physCol = physNameOf(columnMapping(spark, root, s.version), colName)
     val rels = fileLines(spark, root, s.version).map(lineRel)
     val files = rels.map(r => new Path(root, r).toString)
     require(files.nonEmpty, s"nothing to index at $root v${s.version}")
@@ -619,7 +692,7 @@ object VersionedTable {
       // file identity captured AT THE SCAN (input_file_name is empty
       // after a shuffle), in the manifest's own 3-part rel form
       .select(expr("substring_index(input_file_name(), '/', -3)").as("file"),
-        col(colName).cast("string").as("__v"))
+        col(physCol).cast("string").as("__v"))
       .filter(col("__v").isNotNull)
     val posCols = (0 until numHashes).map(i =>
       pmod(xxhash64(col("__v"), lit(i)), lit(bitsPerFile.toLong)).cast("int"))
@@ -642,7 +715,7 @@ object VersionedTable {
     tagShards(spark, entries, shardOf)
       .unionByName(shardAggregates(spark, rows, shardOf, bitsPerFile, numHashes))
       .write.mode("overwrite")
-      .parquet(new Path(bloomDir(root, colName), s"v${s.version}").toString)
+      .parquet(new Path(bloomDir(root, physCol), s"v${s.version}").toString)
     s.version
   }
 
@@ -663,7 +736,8 @@ object VersionedTable {
                                  colName: String,
                                  version: Long = -1L): Long = {
     val s = snapshot(spark, root, version)
-    val prior = latestBloomDir(spark, root, colName).getOrElse(
+    val physCol = physNameOf(columnMapping(spark, root, s.version), colName)
+    val prior = latestBloomDir(spark, root, physCol).getOrElse(
       return buildBloomIndex(spark, root, colName, version = version))
     val idx = spark.read.parquet(prior)
     val meta = idx.select("m", "k").head()
@@ -685,7 +759,7 @@ object VersionedTable {
     def scanVals(fileRels: Seq[String]): DataFrame =
       spark.read.parquet(fileRels.map(r => new Path(root, r).toString): _*)
         .select(expr("substring_index(input_file_name(), '/', -3)").as("file"),
-          col(colName).cast("string").as("__v"))
+          col(physCol).cast("string").as("__v"))
         .filter(col("__v").isNotNull)
     val fresh: DataFrame =
       if (newRels.isEmpty)
@@ -737,7 +811,7 @@ object VersionedTable {
       .unionByName(carriedShards)
       .unionByName(freshShards)
       .write.mode("overwrite")
-      .parquet(new Path(bloomDir(root, colName), s"v${s.version}").toString)
+      .parquet(new Path(bloomDir(root, physCol), s"v${s.version}").toString)
     s.version
   }
 
@@ -858,10 +932,13 @@ object VersionedTable {
              value: String, version: Long = -1L): DataFrame = {
     val s = snapshot(spark, root, version)
     val (statsKept, _) = prunedFiles(spark, root, colName, value, value, s.version)
-    val kept = bloomCut(spark, root, colName, value, statsKept)
+    // the sidecar is keyed by PHYSICAL name — survives renames
+    val physCol = physNameOf(columnMapping(spark, root, s.version), colName)
+    val kept = bloomCut(spark, root, physCol, value, statsKept)
     val base = tableSchema(spark, root, s.version) match {
-      case Some(sc) if kept.nonEmpty =>
-        applyDv(spark, root, s.version, spark.read.schema(sc).parquet(kept: _*))
+      case Some(_) if kept.nonEmpty =>
+        scanLogical(spark, root, s.version, kept,
+          raw => applyDv(spark, root, s.version, raw))
       case None if kept.nonEmpty =>
         applyDv(spark, root, s.version, spark.read.parquet(kept: _*))
       case Some(sc) => spark.createDataFrame(
@@ -895,7 +972,8 @@ object VersionedTable {
                        value: String, version: Long = -1L): BloomProbeDetail = {
     val s = snapshot(spark, root, version)
     val (statsKept, total) = prunedFiles(spark, root, colName, value, value, s.version)
-    val (kept, so, st) = bloomCutDetail(spark, root, colName, value, statsKept)
+    val physCol = physNameOf(columnMapping(spark, root, s.version), colName)
+    val (kept, so, st) = bloomCutDetail(spark, root, physCol, value, statsKept)
     BloomProbeDetail(kept.size, statsKept.size, total, so, st)
   }
 
@@ -904,6 +982,137 @@ object VersionedTable {
     * (e.g. [[compact]], [[merge]]) must re-read and retry or abort. */
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
+
+  /** METADATA-ONLY commit: carry every file/shard/dv line verbatim and
+    * publish transformed meta as version+1 — zero data files read or
+    * written. `transform` re-derives (and re-validates) against the
+    * CURRENT meta each OCC attempt. */
+  private def metaOnlyCommit(spark: SparkSession, root: String,
+      transform: Map[String, String] => Map[String, String],
+      maxRetries: Int = 5): Long = {
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root)
+      require(v > 0, s"no committed version at $root")
+      val meta2 = transform(manifestMeta(spark, root, v))
+      val metaLines = meta2.toSeq.sortBy(_._1).map { case (k, m) => s"#$k=$m" }
+      val lines = (metaLines ++ rawCarryLines(spark, root, v))
+        .mkString("", "\n", "\n")
+      val nonce = java.util.UUID.randomUUID.toString.take(8)
+      val tmp = new Path(manifestDir(root), s".v${v + 1}-$nonce.tmp")
+      val out = f.create(tmp, true)
+      try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      val won = currentVersion(spark, root) == v &&
+        f.rename(tmp, new Path(manifestDir(root), s"v${v + 1}.manifest"))
+      if (won) return v + 1
+      f.delete(tmp, false)
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new ConcurrentCommitException(
+          s"metadata commit at $root lost $attempt races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** RENAME a column — METADATA-ONLY (round 12, column mapping): the
+    * column's on-disk (physical) name is fixed at its first commit,
+    * so a rename moves only the logical mapping in the new manifest —
+    * zero data files rewritten, file stats / shard aggregates / bloom
+    * sidecars (all physical-keyed) stay valid, time travel sees each
+    * era's names, and MERGE/UPDATE/DELETE keep working under the new
+    * name. Returns the committed version. */
+  def renameColumn(spark: SparkSession, root: String,
+                   oldName: String, newName: String,
+                   maxRetries: Int = 5): Long = {
+    require(oldName != newName, "rename to the same name")
+    require(!newName.exists(c => c == '\n' || c == '\r' || c == '\t'),
+      "new column name must be line-safe")
+    metaOnlyCommit(spark, root, { meta =>
+      val sc = meta.get("schema").map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).getOrElse(
+        throw new IllegalArgumentException(
+          s"renameColumn needs a schema-tracked table at $root"))
+      require(sc.fieldNames.contains(oldName),
+        s"no column $oldName at $root (have ${sc.fieldNames.mkString(", ")})")
+      require(!sc.fieldNames.contains(newName),
+        s"column $newName already exists at $root")
+      val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
+      val phys = physNameOf(cm, oldName)
+      val cm2 = ((cm - oldName) + (newName -> phys))
+        .filter { case (l, p) => l != p }
+      val sc2 = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      (meta - "colmap") + ("schema" -> sc2.json) ++
+        (if (cm2.nonEmpty) Map("colmap" -> colmapJson(cm2)) else Map.empty)
+    }, maxRetries)
+  }
+
+  /** ADD a column — METADATA-ONLY: the new (nullable) field joins the
+    * manifest schema; every existing file simply lacks the physical
+    * column, so reads NULL-backfill it (the same add-on-write
+    * semantics appends already had, now available without writing a
+    * row). Rejects names whose on-disk slot a renamed or dropped
+    * column still owns. */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType,
+                maxRetries: Int = 5): Long = {
+    require(!name.exists(c => c == '\n' || c == '\r' || c == '\t'),
+      "column name must be line-safe")
+    metaOnlyCommit(spark, root, { meta =>
+      val sc = meta.get("schema").map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).getOrElse(
+        throw new IllegalArgumentException(
+          s"addColumn needs a schema-tracked table at $root"))
+      require(!sc.fieldNames.contains(name),
+        s"column $name already exists at $root")
+      val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
+      val dropped = meta.get("dropped").toSeq.flatMap(_.split(","))
+        .filter(_.nonEmpty).toSet
+      if (cm.values.toSet.contains(name) || dropped.contains(name))
+        throw new IllegalArgumentException(
+          s"physical column collision at $root: $name is a renamed or " +
+            "dropped column's on-disk name")
+      val sc2 = org.apache.spark.sql.types.StructType(sc.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+      meta + ("schema" -> sc2.json)
+    }, maxRetries)
+  }
+
+  /** DROP a column — METADATA-ONLY: the schema field and its mapping
+    * leave the manifest; the physical column stays in the immutable
+    * data files (readers never select it; time travel still sees it
+    * at older versions) and its on-disk name stays RESERVED (a new
+    * column may not reuse it — commitCore's collision guard), so the
+    * files need no rewrite. The physical key also leaves `statscols`
+    * so future commits stop computing stats for it. */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+                 maxRetries: Int = 5): Long =
+    metaOnlyCommit(spark, root, { meta =>
+      val sc = meta.get("schema").map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).getOrElse(
+        throw new IllegalArgumentException(
+          s"dropColumn needs a schema-tracked table at $root"))
+      require(sc.fieldNames.contains(name),
+        s"no column $name at $root (have ${sc.fieldNames.mkString(", ")})")
+      require(sc.fields.length > 1, s"cannot drop the last column of $root")
+      val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
+      val phys = physNameOf(cm, name)
+      val cm2 = cm - name
+      val sc2 = org.apache.spark.sql.types.StructType(
+        sc.fields.filterNot(_.name == name))
+      val stats2 = meta.get("statscols").map(_.split(",")
+        .filter(s0 => s0.nonEmpty && s0 != phys).mkString(","))
+        .filter(_.nonEmpty)
+      val dropped2 = (meta.get("dropped").toSeq.flatMap(_.split(","))
+        .filter(_.nonEmpty).toSet + phys).toSeq.sorted.mkString(",")
+      (meta - "colmap" - "statscols") + ("schema" -> sc2.json) ++
+        (if (cm2.nonEmpty) Map("colmap" -> colmapJson(cm2)) else Map.empty) ++
+        stats2.map("statscols" -> _) + ("dropped" -> dropped2)
+    }, maxRetries)
 
   /** Write `df` as a new commit. `mode` "overwrite" makes the new
     * manifest reference only this commit's files; "append" makes it
@@ -973,6 +1182,8 @@ object VersionedTable {
       "meta keys/values must be line-safe")
     require(!meta.contains("schema"), "meta key 'schema' is reserved")
     require(!meta.contains("statscols"), "meta key 'statscols' is reserved")
+    require(!meta.contains("colmap"), "meta key 'colmap' is reserved")
+    require(!meta.contains("dropped"), "meta key 'dropped' is reserved")
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
@@ -982,15 +1193,40 @@ object VersionedTable {
     if (expectBase >= 0 && base != expectBase)
       throw new ConcurrentCommitException(
         s"table at $root moved to v$base (expected v$expectBase) before write")
-    // stats columns: explicit, or inherited from the current manifest
-    // so MERGE/DELETE/compact/append rewrites keep skipping working
-    // without each caller re-stating the table's layout contract
-    val effStats = (if (statsCols.nonEmpty) statsCols
+    // data files are written under PHYSICAL column names — a renamed
+    // column keeps its original on-disk name forever, so every file
+    // of the table agrees and rename stays metadata-only
+    val cm = columnMapping(spark, root, base)
+    val dfPhys =
+      if (cm.isEmpty) df
+      else df.select(df.columns.toSeq.map(c => col(c).as(physNameOf(cm, c))): _*)
+    // fail BEFORE writing when a new logical column would land on a
+    // physical name a renamed or dropped column still owns on disk
+    // (re-checked against the winner's meta in the commit loop)
+    locally {
+      val unioned0 = if (unionWithPrev && base > 0)
+        unionSchema(tableSchema(spark, root, base), df.schema)
+      else df.schema
+      val dropped0 = manifestMeta(spark, root, base).get("dropped").toSeq
+        .flatMap(_.split(",")).filter(_.nonEmpty).toSet
+      val phys0 = unioned0.fieldNames.map(physNameOf(cm, _))
+      if (phys0.distinct.length != phys0.length ||
+          phys0.exists(dropped0.contains))
+        throw new IllegalArgumentException(
+          s"physical column collision at $root: a new column reuses a " +
+            s"renamed or dropped column's on-disk name " +
+            s"(${phys0.mkString(", ")}; dropped: ${dropped0.mkString(", ")})")
+    }
+    // stats columns: explicit (logical — translated to the stable
+    // physical key), or inherited from the current manifest (already
+    // physical) so MERGE/DELETE/compact/append rewrites keep skipping
+    // working without each caller re-stating the table's layout
+    val effStats = (if (statsCols.nonEmpty) statsCols.map(physNameOf(cm, _))
       else manifestMeta(spark, root, base)
         .get("statscols").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
-      .filter(df.columns.contains)
+      .filter(dfPhys.columns.contains)
     val dataDir = new Path(root, s"data/c${base + 1}-$nonce")
-    df.write.parquet(dataDir.toString)
+    dfPhys.write.parquet(dataDir.toString)
     val writtenStatus = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
     val written = writtenStatus
@@ -1053,14 +1289,39 @@ object VersionedTable {
         throw new ConcurrentCommitException(
           s"table at $root moved to v$cur (expected v$expectBase) at commit")
       }
+      // our data files were written under the colmap read at entry —
+      // if a rename/drop landed since, publishing them would mix
+      // physical-name eras; abort like any other lost race
+      if (columnMapping(spark, root, cur) != cm) {
+        f.delete(dataDir, true)
+        throw new ConcurrentCommitException(
+          s"column mapping at $root changed under the write")
+      }
       val carried = carriedLines(cur)
-      val schemaJson = (if (unionWithPrev && cur > 0)
+      val unioned = if (unionWithPrev && cur > 0)
         unionSchema(tableSchema(spark, root, cur), df.schema)
-      else df.schema).json
+      else df.schema
+      // a NEW logical column must not land on a physical name an
+      // older (renamed or dropped) column still owns on disk — the
+      // old files would silently serve THEIR values for it
+      val curMeta = manifestMeta(spark, root, cur)
+      val droppedPhys = curMeta.get("dropped").toSeq
+        .flatMap(_.split(",")).filter(_.nonEmpty).toSet
+      val physNames = unioned.fieldNames.map(physNameOf(cm, _))
+      if (physNames.distinct.length != physNames.length ||
+          physNames.exists(droppedPhys.contains)) {
+        f.delete(dataDir, true)
+        throw new IllegalArgumentException(
+          s"physical column collision at $root: a new column reuses a " +
+            s"renamed or dropped column's on-disk name " +
+            s"(${physNames.mkString(", ")}; dropped: ${droppedPhys.mkString(", ")})")
+      }
+      val schemaJson = unioned.json
       val allMeta = meta + ("schema" -> schemaJson) ++
         (if (effStats.nonEmpty) Map("statscols" -> effStats.mkString(","))
-         else manifestMeta(spark, root, cur).get("statscols")
-           .map("statscols" -> _))
+         else curMeta.get("statscols").map("statscols" -> _)) ++
+        (if (cm.nonEmpty) Map("colmap" -> colmapJson(cm)) else Map.empty) ++
+        curMeta.get("dropped").map("dropped" -> _)
       val lines = (allMeta.toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" }
         ++ carried ++ writtenLines).mkString("", "\n", "\n")
       val tmp = new Path(manifestDir(root), s".v${cur + 1}-$nonce.tmp")
@@ -1090,14 +1351,14 @@ object VersionedTable {
             maxRetries: Int = 5): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     rewrite(updates.sparkSession, root, maxRetries) { (spark, s) =>
-      val schema = tableSchema(spark, root, s.version)
       // __file is captured AT SCAN STAGE, before the DV anti-join —
       // input_file_name() evaluated after a (possibly shuffled) join
-      // has no file context and returns ""
-      val scan0 = schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
-        .parquet(s.files: _*).withColumn("__file", input_file_name())
-      val curLive = applyDv(spark, root, s.version, scan0)
-      keys.foreach(k => require(scan0.columns.contains(k) && updates.columns.contains(k),
+      // has no file context and returns ""; physical columns come
+      // back under LOGICAL names so the key join works after renames
+      val curLive = scanLogical(spark, root, s.version, s.files, raw =>
+        applyDv(spark, root, s.version,
+          raw.withColumn("__file", input_file_name())))
+      keys.foreach(k => require(curLive.columns.contains(k) && updates.columns.contains(k),
         s"key column $k must exist on both sides"))
       val keyRows = updates.select(keys.map(col): _*).distinct()
       // which snapshot files hold a matching LIVE key (file-name
@@ -1116,9 +1377,8 @@ object VersionedTable {
         else {
           // DV-applied: a rewritten file's deletion vectors fold into
           // the rewrite here (its dv lines are then dropped)
-          val kept = applyDv(spark, root, s.version,
-              schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
-                .parquet(touchedAbs: _*))
+          val kept = scanLogical(spark, root, s.version, touchedAbs,
+              raw => applyDv(spark, root, s.version, raw))
             .join(keyRows, keys, "left_anti")
           kept.unionByName(updates, allowMissingColumns = true)
         }
@@ -1133,11 +1393,11 @@ object VersionedTable {
   def deleteWhere(spark: SparkSession, root: String, predicate: String,
                   maxRetries: Int = 5): Long =
     rewrite(spark, root, maxRetries) { (sp, s) =>
-      val schema = tableSchema(sp, root, s.version)
-      // __file captured at scan stage — see [[merge]]'s note
-      val scan0 = schema.map(sc => sp.read.schema(sc)).getOrElse(sp.read)
-        .parquet(s.files: _*).withColumn("__file", input_file_name())
-      val curLive = applyDv(sp, root, s.version, scan0)
+      // __file captured at scan stage — see [[merge]]'s note; the
+      // predicate evaluates over LOGICAL names
+      val curLive = scanLogical(sp, root, s.version, s.files, raw =>
+        applyDv(sp, root, s.version,
+          raw.withColumn("__file", input_file_name())))
       val f = fs(sp, root)
       val touched = curLive
         .filter(predicate)
@@ -1147,9 +1407,8 @@ object VersionedTable {
         s.files.partition(p => touched.contains(f.makeQualified(new Path(p)).toString))
       val kept =
         if (touchedAbs.isEmpty) read(sp, root, s.version).limit(0)
-        else applyDv(sp, root, s.version,
-          schema.map(sc => sp.read.schema(sc)).getOrElse(sp.read)
-            .parquet(touchedAbs: _*)).filter(s"NOT ($predicate)")
+        else scanLogical(sp, root, s.version, touchedAbs,
+          raw => applyDv(sp, root, s.version, raw)).filter(s"NOT ($predicate)")
       (kept, untouchedAbs)
     }
 
@@ -1171,13 +1430,12 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val s = snapshot(spark, root)
-      val schema = tableSchema(spark, root, s.version)
       // (file, pos) of predicate matches among LIVE rows only —
-      // re-deleting an already-vectored row must not grow the vectors
-      val base = schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
-        .parquet(s.files: _*)
+      // re-deleting an already-vectored row must not grow the vectors;
+      // the predicate evaluates over LOGICAL names
+      val base = scanLogical(spark, root, s.version, s.files, raw => raw
         .withColumn("__dvf", expr("substring_index(input_file_name(), '/', -3)"))
-        .withColumn("__dvp", col("_metadata.row_index").cast("long"))
+        .withColumn("__dvp", col("_metadata.row_index").cast("long")))
       val dvs = dvEntries(spark, root, s.version)
       val liveRows =
         if (dvs.isEmpty) base
@@ -1250,10 +1508,9 @@ object VersionedTable {
       set.keys.foreach(c => require(
         schema.forall(_.fieldNames.contains(c)),
         s"set column $c not in table schema"))
-      val base = schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
-        .parquet(s.files: _*)
+      val base = scanLogical(spark, root, s.version, s.files, raw => raw
         .withColumn("__dvf", expr("substring_index(input_file_name(), '/', -3)"))
-        .withColumn("__dvp", col("_metadata.row_index").cast("long"))
+        .withColumn("__dvp", col("_metadata.row_index").cast("long")))
       val dvs = dvEntries(spark, root, s.version)
       val liveRows =
         if (dvs.isEmpty) base
@@ -1285,7 +1542,13 @@ object VersionedTable {
       val updated = preUpdate.select(preUpdate.columns.toSeq.map(c =>
         set.get(c).map(e => expr(e).as(c)).getOrElse(col(c))): _*)
       val dataDirRel = s"data/c${s.version + 1}-$nonce"
-      updated.write.parquet(new Path(root, dataDirRel).toString)
+      // new row versions land under PHYSICAL names like every write
+      val cmU = columnMapping(spark, root, s.version)
+      val updatedPhys =
+        if (cmU.isEmpty) updated
+        else updated.select(updated.columns.toSeq.map(c =>
+          col(c).as(physNameOf(cmU, c))): _*)
+      updatedPhys.write.parquet(new Path(root, dataDirRel).toString)
       val newStatus = f.listStatus(new Path(root, dataDirRel))
         .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
       val newLines = newStatus.map(st =>
@@ -1464,10 +1727,8 @@ object VersionedTable {
         val smallBytes = small.map(_._2).sum
         val nOut = math.max(1L,
           (smallBytes + targetFileBytes - 1) / targetFileBytes).toInt
-        val schema = tableSchema(sp, root, s.version)
-        val folded = applyDv(sp, root, s.version,
-          schema.map(sc => sp.read.schema(sc)).getOrElse(sp.read)
-            .parquet(small.map(_._1): _*)).repartition(nOut)
+        val folded = scanLogical(sp, root, s.version, small.map(_._1),
+          raw => applyDv(sp, root, s.version, raw)).repartition(nOut)
         (folded, big.map(_._1))
       }
     }
@@ -1642,10 +1903,9 @@ object VersionedTable {
     require(fromVersion < toVersion, s"need from < to: $fromVersion, $toVersion")
     val from = snapshot(spark, root, fromVersion)
     val to = snapshot(spark, root, toVersion)
-    val schema = tableSchema(spark, root, toVersion)
+    // change rows surface under the TO version's logical names
     def scan(files: Seq[String]): DataFrame =
-      schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
-        .parquet(files: _*)
+      scanLogical(spark, root, to.version, files)
     def lit3(rel: String): String = rel.split('/').takeRight(3).mkString("/")
     val added = to.files.toSet -- from.files.toSet
     val removed = from.files.toSet -- to.files.toSet

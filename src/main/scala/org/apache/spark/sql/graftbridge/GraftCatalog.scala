@@ -135,10 +135,41 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(root, -1L, ident.toString)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft tables: use the VersionedTable API " +
-        "(schema evolves on write; add-column is a commit)")
+  /** ALTER TABLE on the column-mapping machinery (round 12): RENAME
+    * COLUMN and DROP COLUMN are metadata-only commits (the physical
+    * on-disk name never changes — zero data files rewritten), ADD
+    * COLUMN is a metadata-only schema append (existing files
+    * NULL-backfill at read). Anything else is rejected precisely. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val root = tableDir(ident)
+    def single(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"graft ALTER TABLE $what supports top-level columns only, " +
+          s"got ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        VersionedTable.renameColumn(spark, root,
+          single(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case d: TableChange.DeleteColumn =>
+        val name = single(d.fieldNames(), "DROP COLUMN")
+        val exists = VersionedTable.tableSchema(spark, root)
+          .exists(_.fieldNames.contains(name))
+        if (exists) VersionedTable.dropColumn(spark, root, name)
+        else if (d.ifExists() != java.lang.Boolean.TRUE)
+          throw new IllegalArgumentException(s"no column $name at $root")
+      case a: TableChange.AddColumn =>
+        require(a.position() == null && a.defaultValue() == null,
+          "graft ADD COLUMN appends nullable columns without defaults")
+        VersionedTable.addColumn(spark, root,
+          single(a.fieldNames(), "ADD COLUMN"), a.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE does not support ${other.getClass.getSimpleName}")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = new Path(tableDir(ident))

@@ -351,6 +351,133 @@ class Bm25PostingsSinkSpec extends SparkSpec {
   }
 }
 
+/** Round-12: column-mapping schema evolution — RENAME and DROP are
+  * metadata-only commits; every era reads its own names; stats/bloom
+  * pruning and MERGE/UPDATE survive the rename; reserved physical
+  * names cannot be silently reused. */
+class ColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vcolmap").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  private def dataFiles(root: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root, "data"))
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+  }
+
+  test("rename + drop are metadata-only; eras keep their names; merge/update/prune survive") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (0L until 64L).map(i => (i, i * 10L, i % 7L)).toDF("id", "price", "qty")
+        .repartitionByRange(4, col("id")),
+      root, statsCols = Seq("id", "price"))
+    VersionedTable.commit(
+      (64L until 96L).map(i => (i, i * 10L, i % 7L)).toDF("id", "price", "qty"),
+      root, mode = "append")
+    val filesBefore = dataFiles(root)
+
+    val v3 = VersionedTable.renameColumn(spark, root, "price", "amount")
+    assert(dataFiles(root) == filesBefore, "rename must write ZERO data files")
+    assert(VersionedTable.snapshot(spark, root).files.toSet ==
+      VersionedTable.snapshot(spark, root, v3 - 1).files.toSet,
+      "rename carries the file set verbatim")
+
+    // new era reads the new name; the old era still reads its own
+    val cur = VersionedTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("id", "amount", "qty"))
+    assert(cur.filter(col("id") === 5L).head().getAs[Long]("amount") == 50L)
+    assert(VersionedTable.read(spark, root, v3 - 1).columns.toSeq ==
+      Seq("id", "price", "qty"), "time travel sees the old era's names")
+
+    // stats pruning keys by PHYSICAL name, so the renamed column
+    // still skips files
+    val (kept, total) =
+      VersionedTable.prunedFiles(spark, root, "amount", "100", "200")
+    assert(kept.size < total, s"rename must not break skipping ($kept of $total)")
+    assert(VersionedTable.readRange(spark, root, "amount", "100", "200")
+      .count() == 11L)
+
+    // MERGE after rename — updates arrive under the NEW name and
+    // rewrite only key-holding files
+    VersionedTable.merge(
+      Seq((5L, 999L, 0L), (200L, 111L, 1L)).toDF("id", "amount", "qty"),
+      root, keys = Seq("id"))
+    val merged = VersionedTable.read(spark, root)
+    assert(merged.filter(col("id") === 5L).head().getAs[Long]("amount") == 999L)
+    assert(merged.filter(col("id") === 200L).count() == 1L)
+
+    // merge-on-read UPDATE under the new name
+    VersionedTable.updateWhereDv(spark, root, "id = 7",
+      Map("amount" -> "amount + 3"))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") === 7L).head().getAs[Long]("amount") == 73L)
+
+    // DROP is metadata-only too; old eras still see the column
+    val preDrop = dataFiles(root)
+    VersionedTable.dropColumn(spark, root, "qty")
+    assert(dataFiles(root) == preDrop, "drop must write ZERO data files")
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id", "amount"))
+    assert(VersionedTable.read(spark, root, v3).columns.contains("qty"))
+
+    // reserved physical names cannot be silently reused: "price" is
+    // owned by `amount` on disk, "qty" by the dropped column
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((1000L, 1L, 2L, 3L))
+        .toDF("id", "amount", "price", "x"), root, mode = "append")
+    }
+    assert(e1.getMessage.contains("physical column collision"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.commit(Seq((1000L, 1L, 2L))
+        .toDF("id", "amount", "qty"), root, mode = "append")
+    }
+    assert(e2.getMessage.contains("physical column collision"), e2.getMessage)
+
+    // appends AFTER the rename land under the stable physical names:
+    // a pre-rename reader (time travel) and the current reader agree
+    VersionedTable.commit(Seq((1000L, 123L)).toDF("id", "amount"),
+      root, mode = "append")
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") === 1000L).head().getAs[Long]("amount") == 123L)
+  }
+
+  test("bloom sidecar survives a rename (physical-keyed)") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      (0L until 256L).map(i => (i, s"u$i")).toDF("id", "url")
+        .repartitionByRange(8, col("id")),
+      root, statsCols = Seq("id"))
+    VersionedTable.buildBloomIndex(spark, root, "url", bitsPerFile = 1 << 10)
+    VersionedTable.renameColumn(spark, root, "url", "link")
+    val d = VersionedTable.bloomPruneDetail(spark, root, "link", "u42")
+    assert(d._1 < d._3 && d._1 >= 1,
+      s"probe on the renamed column must still bloom-prune: $d")
+    val hit = VersionedTable.readEq(spark, root, "link", "u42")
+    assert(hit.count() == 1L && hit.head().getAs[Long]("id") == 42L)
+  }
+
+  test("ALTER TABLE RENAME/ADD/DROP COLUMN work through pure SQL") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.rn")
+    spark.sql("CREATE TABLE graft.rn AS SELECT id AS k, id * 2 AS p FROM range(100)")
+    spark.sql("ALTER TABLE graft.rn RENAME COLUMN p TO price")
+    assert(spark.sql("SELECT price FROM graft.rn WHERE k = 3").head().getLong(0) == 6L)
+    spark.sql("UPDATE graft.rn SET price = price + 1 WHERE k = 3")
+    assert(spark.sql("SELECT price FROM graft.rn WHERE k = 3").head().getLong(0) == 7L)
+    spark.sql("ALTER TABLE graft.rn ADD COLUMN note STRING")
+    assert(spark.sql("SELECT count(*) FROM graft.rn WHERE note IS NULL")
+      .head().getLong(0) == 100L, "added column NULL-backfills")
+    spark.sql("ALTER TABLE graft.rn DROP COLUMN note")
+    assert(!spark.sql("SELECT * FROM graft.rn").columns.contains("note"))
+    spark.sql("DROP TABLE graft.rn")
+  }
+}
+
 /** Round-12 (advice): corrStats must drop rows with a NULL in any
   * profiled column so n matches the sums it rides with. */
 class CorrStatsNullSpec extends SparkSpec {
