@@ -319,23 +319,33 @@ object Similarity {
     * throughout (md5 planes, cosine ties to the smaller id), so the
     * oracle replays bucketing, graph, expansion, and rerank exactly.
     */
-  def knnGraph(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-               k: Int, m: Int = 5, planes: Int = 8, tables: Int = 4,
-               dims: Int = 64, maxBucket: Int = 4096): DataFrame = {
+  /** LSH-bucketed row expansion shared by the graph tiers: one row
+    * per (id, table, bucket) with vector + norm. */
+  private def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
+                          prefix: String, planes: Int, tables: Int,
+                          dims: Int): DataFrame = {
     def bucketCol(vcol: String, t: Int) =
       (0 until planes).map { p =>
         val plane = Array.tabulate(dims)(i => planeComponent(t, p, i))
         when(vec_dot(col(vcol), typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-    def bucketed(df: DataFrame, prefix: String): DataFrame =
-      withNorm(df, idCol, vecCol, prefix)
-        .withColumn("__bk", array((0 until tables).map(t => bucketCol(s"${prefix}v", t)): _*))
-        .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
-          posexplode(col("__bk")))
-        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-    val b = Dedup.capBuckets(bucketed(corpus, "c"), Seq("table", "bucket"), "cid", maxBucket)
-    // corpus kNN graph: directional top-m per source among bucket-mates
-    val graph = b.as("x").join(b.as("y"),
+    withNorm(df, idCol, vecCol, prefix)
+      .withColumn("__bk", array((0 until tables).map(t => bucketCol(s"${prefix}v", t)): _*))
+      .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
+        posexplode(col("__bk")))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+  }
+
+  /** The corpus kNN graph s11/s21 walk — directional top-m by cosine
+    * among capped LSH bucket-mates, `(src, nb)`. Exposed so a caller
+    * auditing several graph tiers at once (s9b) builds the expensive
+    * index ONE time and hands it to both. */
+  def lshKnnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 5, planes: Int = 8, tables: Int = 4,
+                  dims: Int = 64, maxBucket: Int = 4096): DataFrame = {
+    val b = Dedup.capBuckets(lshBucketed(corpus, idCol, vecCol, "c", planes, tables, dims),
+      Seq("table", "bucket"), "cid", maxBucket)
+    b.as("x").join(b.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.cid") =!= col("y.cid"))
       .select(col("x.cid").as("src"), col("y.cid").as("nb"),
@@ -347,7 +357,17 @@ object Similarity {
         Window.partitionBy("src").orderBy(desc("gcos"), asc("nb"))))
       .filter(col("grk") <= m)
       .select("src", "nb")
-    val q = bucketed(queries, "q")
+  }
+
+  def knnGraph(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, m: Int = 5, planes: Int = 8, tables: Int = 4,
+               dims: Int = 64, maxBucket: Int = 4096,
+               prebuiltGraph: Option[DataFrame] = None): DataFrame = {
+    val b = Dedup.capBuckets(lshBucketed(corpus, idCol, vecCol, "c", planes, tables, dims),
+      Seq("table", "bucket"), "cid", maxBucket)
+    val graph = prebuiltGraph.getOrElse(
+      lshKnnGraph(corpus, idCol, vecCol, m, planes, tables, dims, maxBucket))
+    val q = lshBucketed(queries, idCol, vecCol, "q", planes, tables, dims)
     val seeds = q.join(b.select("table", "bucket", "cid"), Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
@@ -382,33 +402,16 @@ object Similarity {
   def knnGraphBeam(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, m: Int = 5, beam: Int = 4,
                    hops: Int = 2, planes: Int = 8, tables: Int = 4,
-                   dims: Int = 64, maxBucket: Int = 4096): DataFrame = {
+                   dims: Int = 64, maxBucket: Int = 4096,
+                   prebuiltGraph: Option[DataFrame] = None): DataFrame = {
     require(hops >= 1 && beam >= 1, "need at least one hop and a beam")
-    def bucketCol(vcol: String, t: Int) =
-      (0 until planes).map { p =>
-        val plane = Array.tabulate(dims)(i => planeComponent(t, p, i))
-        when(vec_dot(col(vcol), typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    def bucketed(df: DataFrame, prefix: String): DataFrame =
-      withNorm(df, idCol, vecCol, prefix)
-        .withColumn("__bk", array((0 until tables).map(t => bucketCol(s"${prefix}v", t)): _*))
-        .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
-          posexplode(col("__bk")))
-        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-    val b = Dedup.capBuckets(bucketed(corpus, "c"), Seq("table", "bucket"), "cid", maxBucket)
-    val graph = Ckpt.cut(b.as("x").join(b.as("y"),
-        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
-          col("x.cid") =!= col("y.cid"))
-      .select(col("x.cid").as("src"), col("y.cid").as("nb"),
-        col("x.cv").as("sv"), col("x.cn").as("sn"),
-        col("y.cv").as("nv"), col("y.cn").as("nn"))
-      .distinct()
-      .withColumn("gcos", dot("sv", "nv") / (col("sn") * col("nn")))
-      .withColumn("grk", row_number().over(
-        Window.partitionBy("src").orderBy(desc("gcos"), asc("nb"))))
-      .filter(col("grk") <= m)
-      .select("src", "nb"))
-    val q = bucketed(queries, "q")
+    val b = Dedup.capBuckets(lshBucketed(corpus, idCol, vecCol, "c", planes, tables, dims),
+      Seq("table", "bucket"), "cid", maxBucket)
+    // the graph is consumed once per hop — cut it unless the caller
+    // already materialized a shared one
+    val graph = prebuiltGraph.getOrElse(Ckpt.cut(
+      lshKnnGraph(corpus, idCol, vecCol, m, planes, tables, dims, maxBucket)))
+    val q = lshBucketed(queries, idCol, vecCol, "q", planes, tables, dims)
     val seeds = q.join(b.select("table", "bucket", "cid"), Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
@@ -424,7 +427,7 @@ object Similarity {
         .select(col("qid"), col("nb").as("cid")))
       .filter(col("qid") =!= col("cid"))
       .distinct()))
-    for (_ <- 2 to hops) {
+    for (h <- 2 to hops) {
       val bm = visited.withColumn("rk", row_number().over(
           Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
         .filter(col("rk") <= beam).select("qid", "cid")
@@ -433,8 +436,10 @@ object Similarity {
         .filter(col("qid") =!= col("cid"))
         .distinct()
         .join(visited.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
-      // lineage cut per hop: hop h must not re-derive hops 1..h-1
-      visited = Ckpt.cut(visited.unionByName(scored(fresh)))
+      val next = visited.unionByName(scored(fresh))
+      // lineage cut per INTERMEDIATE hop only: hop h+1 consumes the
+      // union twice (beam + dedup), the final union exactly once
+      visited = if (h < hops) Ckpt.cut(next) else next
     }
     visited
       .withColumn("rk", row_number().over(

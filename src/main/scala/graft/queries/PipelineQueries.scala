@@ -3693,13 +3693,20 @@ object PipelineQueries {
             Similarity.knnMipsLsh(e, q, "vec_id", "embedding", k = 10,
               multiProbe = 2), truthMips),
           // round 12: the graph tiers — s21's beam walk must grade ≥
-          // s11's single hop here by construction (superset candidates)
-          recallOf("graph",
-            Similarity.knnGraph(e, q, "vec_id", "embedding", k = 10, m = 5),
-            truthCos),
-          recallOf("graph_beam",
-            Similarity.knnGraphBeam(e, q, "vec_id", "embedding", k = 10,
-              m = 5, beam = 4, hops = 2), truthCos)
+          // s11's single hop here by construction (superset
+          // candidates); the expensive kNN graph is built ONCE and
+          // shared by both audits
+          {
+            val lshGraph = graft.Ckpt.cut(
+              Similarity.lshKnnGraph(e, "vec_id", "embedding", m = 5))
+            recallOf("graph",
+              Similarity.knnGraph(e, q, "vec_id", "embedding", k = 10, m = 5,
+                prebuiltGraph = Some(lshGraph)), truthCos)
+              .unionByName(recallOf("graph_beam",
+                Similarity.knnGraphBeam(e, q, "vec_id", "embedding", k = 10,
+                  m = 5, beam = 4, hops = 2,
+                  prebuiltGraph = Some(lshGraph)), truthCos))
+          }
         ).reduce(_.unionByName(_)).orderBy("tier", "query_id")
       },
       // each tier's FULL oracle rides as a nested-WITH subquery — the

@@ -35,7 +35,26 @@ import graft.sources.VersionedTable
   * rewrites only its query. */
 case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+  // the rule runs on every analyzer fixed-point iteration of every
+  // query — an allocation-free scan decides whether this plan holds
+  // any graft work at all before the rewriting walk touches it
+  private def hasGraftWork(p: LogicalPlan): Boolean =
+    p.exists {
+      case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
+      case d: DeleteFromTable => graftRel(d.table).isDefined
+      case u: UpdateTable => graftRel(u.table).isDefined
+      case m: MergeIntoTable => graftRel(m.targetTable).isDefined
+      case n if n.containsPattern(
+          org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION) =>
+        n.expressions.exists(_.exists {
+          case s: SubqueryExpression => hasGraftWork(s.plan)
+          case _ => false
+        })
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (hasGraftWork(plan)) rewrite(plan) else plan
 
   private def graftRel(p: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
     p match {
