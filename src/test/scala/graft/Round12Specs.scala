@@ -478,6 +478,33 @@ class ColumnMappingSpec extends SparkSpec {
   }
 }
 
+/** Round-12 (r11 verdict watch item): a bloom probe on a value
+  * present in most files must degrade to the stats prune — bounded
+  * driver transfer — while staying row-exact, and selective probes
+  * must keep pruning. */
+class BloomNonSelectiveSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  test("non-selective probe degrades to statsKept; selective still cuts") {
+    val d = java.nio.file.Files.createTempDirectory("vbloomns").toFile
+    d.delete(); val root = d.getAbsolutePath
+    // 16 files; 'common' appears in EVERY file, unique keys in one
+    VersionedTable.commit(
+      (0L until 512L).map(i => (i, if (i % 32 == 0) s"u$i" else "common"))
+        .toDF("id", "v").repartitionByRange(16, col("id")),
+      root, statsCols = Seq("id"))
+    VersionedTable.buildBloomIndex(spark, root, "v", bitsPerFile = 1 << 10)
+    val ns = VersionedTable.bloomPruneDetail(spark, root, "v", "common")
+    assert(ns._1 == ns._2,
+      s"non-selective probe must fall back to the stats set: $ns")
+    assert(VersionedTable.readEq(spark, root, "v", "common").count() == 496L)
+    val sel = VersionedTable.bloomPruneDetail(spark, root, "v", "u64")
+    assert(sel._1 < sel._2, s"selective probe must still bloom-cut: $sel")
+    assert(VersionedTable.readEq(spark, root, "v", "u64").count() == 1L)
+  }
+}
+
 /** Round-12 (advice): corrStats must drop rows with a NULL in any
   * profiled column so n matches the sums it rides with. */
 class CorrStatsNullSpec extends SparkSpec {
