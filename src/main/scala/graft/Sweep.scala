@@ -817,19 +817,36 @@ object Sweep {
     val only = sys.env.get("SPARK_SWEEP_ONLY").map(_.split(",").toSet)
     val selected = checks.filter { case (n, _) => only.forall(_.contains(n)) }
     var failed = 0
-    for ((name, check) <- selected) {
-      val t0 = System.nanoTime()
-      val detail = try check() catch { case e: Throwable =>
-        s"EXCEPTION ${e.getClass.getSimpleName}: ${e.getMessage}" }
-      val secs = (System.nanoTime() - t0) / 1e9
-      if (detail.isEmpty) println(f"SWEEP $name ok [$secs%.1fs]")
-      else { failed += 1; println(f"SWEEP $name FAIL $detail [$secs%.1fs]") }
+    def cleanup(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       // shuffle files of a finished check are only reclaimed when the
       // ContextCleaner sees their RDDs garbage-collected — at 100x a
       // long-lived sweep JVM fills the disk without this nudge
       System.gc(); Thread.sleep(2000)
+    }
+    for ((name, check) <- selected) {
+      val t0 = System.nanoTime()
+      def attempt(): String = try check() catch { case e: Throwable =>
+        s"EXCEPTION ${e.getClass.getSimpleName}: ${e.getMessage}" }
+      var detail = attempt()
+      var retried = false
+      // an EXCEPTION (executor memory starvation in a long-lived 100x
+      // JVM, a transient FS hiccup) is an ENVIRONMENT failure, not an
+      // invariant verdict — one retry after a deep cleanup separates
+      // the two (an invariant violation returns a detail string, never
+      // throws, and is never retried)
+      if (detail.startsWith("EXCEPTION")) {
+        System.err.println(s"[sweep] $name threw, retrying once: $detail")
+        cleanup(); Thread.sleep(5000)
+        detail = attempt()
+        retried = true
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val tag = if (retried) " (retried)" else ""
+      if (detail.isEmpty) println(f"SWEEP $name ok$tag [$secs%.1fs]")
+      else { failed += 1; println(f"SWEEP $name FAIL $detail$tag [$secs%.1fs]") }
+      cleanup()
     }
     println(s"""{"sweep":"100x","checks":${selected.size},"failed":$failed}""")
     spark.stop()

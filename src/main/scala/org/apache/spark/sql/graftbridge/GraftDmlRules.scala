@@ -38,12 +38,22 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
   // the rule runs on every analyzer fixed-point iteration of every
   // query — an allocation-free scan decides whether this plan holds
   // any graft work at all before the rewriting walk touches it
+  private def isGraftRelation(p: LogicalPlan): Boolean = p.exists {
+    case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
+    case _ => false
+  }
+
   private def hasGraftWork(p: LogicalPlan): Boolean =
     p.exists {
       case r: DataSourceV2Relation => r.table.isInstanceOf[GraftTable]
       case d: DeleteFromTable => graftRel(d.table).isDefined
       case u: UpdateTable => graftRel(u.table).isDefined
       case m: MergeIntoTable => graftRel(m.targetTable).isDefined
+      // a V2 write command's `table` is a FIELD, not a plan child —
+      // plan.exists never descends into it (found the hard way:
+      // OverwritePartitionsDynamic over a graft table read as
+      // "no graft work" and sailed into the capability check)
+      case w: V2WriteCommand => isGraftRelation(w.table)
       case n if n.containsPattern(
           org.apache.spark.sql.catalyst.trees.TreePattern.PLAN_EXPRESSION) =>
         n.expressions.exists(_.exists {

@@ -337,9 +337,15 @@ class IdempotentBatchSinkSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(before == Set((1L, "a"), (2L, "b"), (3L, "c")))
     // simulate an at-least-once REPLAY of batch 1: same data, same id
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    Seq((3L, "c")).toDF("id", "v").withColumn("batch_id", lit(1L))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+    // (restore the conf after — a leaked dynamic mode changes how the
+    // shared session plans every later INSERT OVERWRITE)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      Seq((3L, "c")).toDF("id", "v").withColumn("batch_id", lit(1L))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     val after = spark.read.parquet(dir).select("id", "v")
       .as[(Long, String)].collect().toSet
     assert(after == before) // no duplicate row appeared
