@@ -345,7 +345,12 @@ object Multimodal {
               } else if (sz0 == 0L) (8L, to - p) // box extends to end
               else (8L, sz0)
             if (!bad) {
-              if (sz < hdr || p + sz > to) bad = true
+              // bound vs REMAINING bytes: `p + sz` can wrap negative
+              // for a hostile largesize near Long.MaxValue (passing a
+              // `> to` check and sending the walk to a negative
+              // offset); `to - p` cannot overflow — both are bounded
+              // by the array length
+              if (sz < hdr || sz > to - p) bad = true
               else {
                 visit(t, p + hdr, p + sz)
                 p += sz // sz >= hdr >= 8: always advances

@@ -1026,6 +1026,55 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
+  /** A column name entering the table via DDL must survive the
+    * manifest's line-oriented meta AND its comma-joined lists
+    * (`statscols`, `dropped`) and `k=v` form — reject the separator
+    * characters outright rather than silently corrupting the
+    * physical-name-reuse guard. */
+  private def validColName(name: String, what: String): Unit = {
+    require(name.nonEmpty, s"$what must be non-empty")
+    require(!name.exists(c =>
+        c == '\n' || c == '\r' || c == '\t' || c == ',' || c == '='),
+      s"$what must not contain newlines, tabs, ',' or '=' " +
+        s"(manifest line/list safety), got '$name'")
+  }
+
+  private def schemaOf(meta: Map[String, String], root: String, what: String)
+      : org.apache.spark.sql.types.StructType =
+    meta.get("schema").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what needs a schema-tracked table at $root"))
+
+  /** Manifest-meta transform for RENAME COLUMN; validation re-runs
+    * against the CURRENT meta on every OCC attempt. Name-uniqueness
+    * is CASE-INSENSITIVE (Spark SQL resolution is), so a rename can
+    * never commit a schema whose columns differ only by case — but a
+    * case-only rename of the SAME column stays legal. */
+  def renameColumnTransform(root: String, oldName: String, newName: String)
+      : Map[String, String] => Map[String, String] = {
+    require(oldName != newName, "rename to the same name")
+    validColName(newName, "new column name")
+    meta => {
+      val sc = schemaOf(meta, root, "renameColumn")
+      require(sc.fieldNames.contains(oldName),
+        s"no column $oldName at $root (have ${sc.fieldNames.mkString(", ")})")
+      require(!sc.fieldNames.exists(f =>
+          f.equalsIgnoreCase(newName) && !f.equals(oldName)),
+        s"column $newName already exists at $root (names are " +
+          "case-insensitive under Spark SQL resolution)")
+      val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
+      val phys = physNameOf(cm, oldName)
+      val cm2 = ((cm - oldName) + (newName -> phys))
+        .filter { case (l, p) => l != p }
+      val sc2 = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      (meta - "colmap") + ("schema" -> sc2.json) ++
+        (if (cm2.nonEmpty) Map("colmap" -> colmapJson(cm2)) else Map.empty)
+    }
+  }
+
   /** RENAME a column — METADATA-ONLY (round 12, column mapping): the
     * column's on-disk (physical) name is fixed at its first commit,
     * so a rename moves only the logical mapping in the new manifest —
@@ -1035,30 +1084,9 @@ object VersionedTable {
     * name. Returns the committed version. */
   def renameColumn(spark: SparkSession, root: String,
                    oldName: String, newName: String,
-                   maxRetries: Int = 5): Long = {
-    require(oldName != newName, "rename to the same name")
-    require(!newName.exists(c => c == '\n' || c == '\r' || c == '\t'),
-      "new column name must be line-safe")
-    metaOnlyCommit(spark, root, { meta =>
-      val sc = meta.get("schema").map(j =>
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]).getOrElse(
-        throw new IllegalArgumentException(
-          s"renameColumn needs a schema-tracked table at $root"))
-      require(sc.fieldNames.contains(oldName),
-        s"no column $oldName at $root (have ${sc.fieldNames.mkString(", ")})")
-      require(!sc.fieldNames.contains(newName),
-        s"column $newName already exists at $root")
-      val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
-      val phys = physNameOf(cm, oldName)
-      val cm2 = ((cm - oldName) + (newName -> phys))
-        .filter { case (l, p) => l != p }
-      val sc2 = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
-        if (f.name == oldName) f.copy(name = newName) else f))
-      (meta - "colmap") + ("schema" -> sc2.json) ++
-        (if (cm2.nonEmpty) Map("colmap" -> colmapJson(cm2)) else Map.empty)
-    }, maxRetries)
-  }
+                   maxRetries: Int = 5): Long =
+    metaOnlyCommit(spark, root,
+      renameColumnTransform(root, oldName, newName), maxRetries)
 
   /** ADD a column — METADATA-ONLY: the new (nullable) field joins the
     * manifest schema; every existing file simply lacks the physical
@@ -1068,28 +1096,35 @@ object VersionedTable {
     * column still owns. */
   def addColumn(spark: SparkSession, root: String, name: String,
                 dataType: org.apache.spark.sql.types.DataType,
-                maxRetries: Int = 5): Long = {
-    require(!name.exists(c => c == '\n' || c == '\r' || c == '\t'),
-      "column name must be line-safe")
-    metaOnlyCommit(spark, root, { meta =>
-      val sc = meta.get("schema").map(j =>
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]).getOrElse(
-        throw new IllegalArgumentException(
-          s"addColumn needs a schema-tracked table at $root"))
-      require(!sc.fieldNames.contains(name),
-        s"column $name already exists at $root")
+                maxRetries: Int = 5): Long =
+    metaOnlyCommit(spark, root, addColumnTransform(root, name, dataType),
+      maxRetries)
+
+  /** Manifest-meta transform for ADD COLUMN; both the logical
+    * already-exists check and the physical-slot collision check are
+    * case-insensitive (parquet readers resolve physical names
+    * case-insensitively too). */
+  def addColumnTransform(root: String, name: String,
+                         dataType: org.apache.spark.sql.types.DataType)
+      : Map[String, String] => Map[String, String] = {
+    validColName(name, "column name")
+    meta => {
+      val sc = schemaOf(meta, root, "addColumn")
+      require(!sc.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists at $root (names are " +
+          "case-insensitive under Spark SQL resolution)")
       val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
       val dropped = meta.get("dropped").toSeq.flatMap(_.split(","))
         .filter(_.nonEmpty).toSet
-      if (cm.values.toSet.contains(name) || dropped.contains(name))
+      if (cm.values.exists(_.equalsIgnoreCase(name)) ||
+          dropped.exists(_.equalsIgnoreCase(name)))
         throw new IllegalArgumentException(
           s"physical column collision at $root: $name is a renamed or " +
             "dropped column's on-disk name")
       val sc2 = org.apache.spark.sql.types.StructType(sc.fields :+
         org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
       meta + ("schema" -> sc2.json)
-    }, maxRetries)
+    }
   }
 
   /** DROP a column — METADATA-ONLY: the schema field and its mapping
@@ -1101,17 +1136,30 @@ object VersionedTable {
     * so future commits stop computing stats for it. */
   def dropColumn(spark: SparkSession, root: String, name: String,
                  maxRetries: Int = 5): Long =
-    metaOnlyCommit(spark, root, { meta =>
-      val sc = meta.get("schema").map(j =>
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]).getOrElse(
-        throw new IllegalArgumentException(
-          s"dropColumn needs a schema-tracked table at $root"))
-      require(sc.fieldNames.contains(name),
+    metaOnlyCommit(spark, root,
+      dropColumnTransform(root, name, ifExists = false), maxRetries)
+
+  /** Manifest-meta transform for DROP COLUMN. With `ifExists` a
+    * missing column makes the transform a no-op instead of an error
+    * (the `DROP COLUMN IF EXISTS` leg of an atomic multi-change ALTER
+    * must not fail the whole statement). The physical name entering
+    * the comma-joined `dropped` reservation list is re-validated here:
+    * a legacy comma-bearing name would corrupt the list, so it is
+    * rejected at drop time with a rewrite hint. */
+  def dropColumnTransform(root: String, name: String, ifExists: Boolean)
+      : Map[String, String] => Map[String, String] = meta => {
+    val sc = schemaOf(meta, root, "dropColumn")
+    if (!sc.fieldNames.contains(name)) {
+      if (ifExists) meta
+      else throw new IllegalArgumentException(
         s"no column $name at $root (have ${sc.fieldNames.mkString(", ")})")
+    } else {
       require(sc.fields.length > 1, s"cannot drop the last column of $root")
       val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
       val phys = physNameOf(cm, name)
+      require(!phys.contains(",") && !phys.contains("="),
+        s"cannot reserve physical name '$phys' (contains ',' or '='); " +
+          "RENAME the column and rewrite the table before dropping")
       val cm2 = cm - name
       val sc2 = org.apache.spark.sql.types.StructType(
         sc.fields.filterNot(_.name == name))
@@ -1123,7 +1171,21 @@ object VersionedTable {
       (meta - "colmap" - "statscols") + ("schema" -> sc2.json) ++
         (if (cm2.nonEmpty) Map("colmap" -> colmapJson(cm2)) else Map.empty) ++
         stats2.map("statscols" -> _) + ("dropped" -> dropped2)
-    }, maxRetries)
+    }
+  }
+
+  /** Apply a SEQUENCE of column-DDL transforms as ONE metadata
+    * commit — the all-or-nothing contract a multi-change `ALTER
+    * TABLE` statement carries: either every change publishes together
+    * as version+1 (and OCC-retries together), or a failing change
+    * aborts them all with nothing committed. */
+  def alterColumns(spark: SparkSession, root: String,
+      transforms: Seq[Map[String, String] => Map[String, String]],
+      maxRetries: Int = 5): Long = {
+    require(transforms.nonEmpty, "alterColumns needs at least one change")
+    metaOnlyCommit(spark, root,
+      meta => transforms.foldLeft(meta)((m, t) => t(m)), maxRetries)
+  }
 
   /** Write `df` as a new commit. `mode` "overwrite" makes the new
     * manifest reference only this commit's files; "append" makes it

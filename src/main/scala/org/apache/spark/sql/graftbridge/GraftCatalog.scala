@@ -139,7 +139,11 @@ class GraftCatalog extends TableCatalog {
     * COLUMN and DROP COLUMN are metadata-only commits (the physical
     * on-disk name never changes — zero data files rewritten), ADD
     * COLUMN is a metadata-only schema append (existing files
-    * NULL-backfill at read). Anything else is rejected precisely. */
+    * NULL-backfill at read). One `ALTER TABLE` statement's changes
+    * fold into ONE metadata commit ([[VersionedTable.alterColumns]]),
+    * so a failing change aborts the whole statement with nothing
+    * half-applied — the TableCatalog all-or-nothing contract. Anything
+    * else is rejected precisely. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val root = tableDir(ident)
@@ -149,25 +153,23 @@ class GraftCatalog extends TableCatalog {
           s"got ${fieldNames.mkString(".")}")
       fieldNames(0)
     }
-    changes.foreach {
+    val transforms = changes.map {
       case r: TableChange.RenameColumn =>
-        VersionedTable.renameColumn(spark, root,
+        VersionedTable.renameColumnTransform(root,
           single(r.fieldNames(), "RENAME COLUMN"), r.newName())
       case d: TableChange.DeleteColumn =>
-        val name = single(d.fieldNames(), "DROP COLUMN")
-        val exists = VersionedTable.tableSchema(spark, root)
-          .exists(_.fieldNames.contains(name))
-        if (exists) VersionedTable.dropColumn(spark, root, name)
-        else if (d.ifExists() != java.lang.Boolean.TRUE)
-          throw new IllegalArgumentException(s"no column $name at $root")
+        VersionedTable.dropColumnTransform(root,
+          single(d.fieldNames(), "DROP COLUMN"),
+          ifExists = d.ifExists() == java.lang.Boolean.TRUE)
       case a: TableChange.AddColumn =>
         require(a.position() == null && a.defaultValue() == null,
           "graft ADD COLUMN appends nullable columns without defaults")
-        VersionedTable.addColumn(spark, root,
+        VersionedTable.addColumnTransform(root,
           single(a.fieldNames(), "ADD COLUMN"), a.dataType())
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE does not support ${other.getClass.getSimpleName}")
     }
+    VersionedTable.alterColumns(spark, root, transforms)
     loadTable(ident)
   }
 
