@@ -3142,6 +3142,79 @@ object PipelineQueries {
              |  (SELECT CAST(sum(c) AS BIGINT) FROM base) AS v2_c_sum
              |FROM base ORDER BY k""".stripMargin)),
 
+    Q("q65h_sql_maintenance",
+      // The MAINTENANCE + CDC surface on PURE SQL (round 13): the
+      // vt_changes table function reads the change feed between
+      // versions (insert files, DV deletes, and an OPTIMIZE's full
+      // rewrite), and the DSv2 stored procedures CALL graft.optimize /
+      // CALL graft.restore run cluster-rewrite and rollback with zero
+      // DataFrame calls (GraftProcedures; Spark's public
+      // ProcedureCatalog). Versions: v1 CREATE (empty), v2 CTAS rows,
+      // v3 +INSERT, v4 DV DELETE, v5 OPTIMIZE rewrite, v6 RESTORE to
+      // v3 — every stage's row counts derive from `orders`, so DuckDB
+      // replays the whole lifecycle.
+      (s, d) => {
+        org.apache.spark.sql.graftbridge.GraftTableFunctions.install(s)
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65h")
+        s.sql("DROP TABLE IF EXISTS graft.q65h")
+        s.sql("""CREATE TABLE graft.q65h AS
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 CAST(round(o_totalprice) AS BIGINT) AS p
+          FROM orders_q65h WHERE o_orderkey % 20 < 2""")
+        s.sql("""INSERT INTO graft.q65h
+          SELECT o_orderkey, o_custkey, CAST(round(o_totalprice) AS BIGINT)
+          FROM orders_q65h WHERE o_orderkey % 20 = 2""")
+        s.sql("DELETE FROM graft.q65h WHERE k % 40 = 1")
+        s.sql("CALL graft.optimize('q65h', 'k', 8, 4)")
+        s.sql("CALL graft.restore('q65h', 3)")
+        s.sql("""
+          SELECT 1 AS stage, _change_type, count(*) AS n
+            FROM vt_changes('q65h', 2, 3) GROUP BY _change_type
+          UNION ALL
+          SELECT 2 AS stage, _change_type, count(*) AS n
+            FROM vt_changes('q65h', 3, 4) GROUP BY _change_type
+          UNION ALL
+          SELECT 3 AS stage, _change_type, count(*) AS n
+            FROM vt_changes('q65h', 4, 5) GROUP BY _change_type
+          UNION ALL
+          SELECT 4 AS stage, 'versions' AS _change_type, count(*) AS n
+            FROM vt_history('q65h')
+          UNION ALL
+          SELECT 5 AS stage, 'restored_rows' AS _change_type, count(*) AS n
+            FROM graft.q65h
+          UNION ALL
+          SELECT 6 AS stage, 'sum_p' AS _change_type,
+                 CAST(sum(p) AS BIGINT) AS n
+            FROM graft.q65h
+          ORDER BY stage, _change_type""")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice) AS BIGINT) AS p
+             |  FROM orders WHERE o_orderkey % 20 < 2),
+             |b AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice) AS BIGINT) AS p
+             |  FROM orders WHERE o_orderkey % 20 = 2),
+             |ab AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+             |live AS (SELECT * FROM ab WHERE k % 40 <> 1)
+             |SELECT 1 AS stage, 'insert' AS _change_type,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n
+             |UNION ALL
+             |SELECT 2, 'delete',
+             |  (SELECT CAST(count(*) AS BIGINT) FROM ab WHERE k % 40 = 1)
+             |UNION ALL
+             |SELECT 3, 'delete', (SELECT CAST(count(*) AS BIGINT) FROM live)
+             |UNION ALL
+             |SELECT 3, 'insert', (SELECT CAST(count(*) AS BIGINT) FROM live)
+             |UNION ALL
+             |SELECT 4, 'versions', CAST(6 AS BIGINT)
+             |UNION ALL
+             |SELECT 5, 'restored_rows', (SELECT CAST(count(*) AS BIGINT) FROM ab)
+             |UNION ALL
+             |SELECT 6, 'sum_p', (SELECT CAST(sum(p) AS BIGINT) FROM ab)
+             |ORDER BY stage, _change_type""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;

@@ -58,7 +58,7 @@ import graft.sources.VersionedTable
   * so the catalog holds no state beyond its root — at 1000 executors
   * there is nothing to coordinate but the manifest renames the table
   * format already serializes. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -172,6 +172,15 @@ class GraftCatalog extends TableCatalog {
     VersionedTable.alterColumns(spark, root, transforms)
     loadTable(ident)
   }
+
+  /** Maintenance procedures — `CALL graft.optimize('t', 'k')` etc.
+    * ([[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = new Path(tableDir(ident))

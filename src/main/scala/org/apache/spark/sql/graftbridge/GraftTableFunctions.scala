@@ -20,7 +20,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *                               'k', '100', '200')       -- conjunction
   *   SELECT * FROM vt_history('/path/t')                 -- DESCRIBE HISTORY
   *   SELECT * FROM vt_detail('/path/t')                  -- DESCRIBE DETAIL
+  *   SELECT * FROM vt_changes('/path/t', 2, 5)           -- CDC change feed
   * }}}
+  *
+  * Every `'/path/t'` can instead be a graft-catalog identifier
+  * (`'t'`, `'ns.t'`, `'graft.ns.t'`) — a SQL-only client that created
+  * its table through `CREATE TABLE graft.t ...` never needs to learn
+  * the filesystem layout ([[resolveRoot]]).
   *
   * Arguments must be foldable literals — a table function's plan is
   * built at analysis time, exactly like the version pin it encodes.
@@ -74,6 +80,33 @@ object GraftTableFunctions {
         s"$fn: argument ${i + 1} must be a non-null literal, got $other")
     }
 
+  /** A table argument that contains '/' is a filesystem root; anything
+    * else resolves through a registered [[GraftCatalog]] — the leading
+    * name part when it names one, the session's current catalog when
+    * that is a GraftCatalog, else the conventional `graft`. */
+  private def resolveRoot(spark: SparkSession, table: String): String =
+    if (table.contains('/')) table
+    else {
+      val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.catalogManager
+      val parts = table.split('.')
+      val byPrefix =
+        if (parts.length > 1)
+          scala.util.Try(cm.catalog(parts.head)).toOption.collect {
+            case g: GraftCatalog => (g, parts.tail)
+          }
+        else None
+      val (cat, rest) = byPrefix.getOrElse {
+        val g = scala.util.Try(cm.catalog("graft")).toOption.collect {
+          case g: GraftCatalog => g
+        }.getOrElse(throw new IllegalArgumentException(
+          s"vt function: '$table' is not a path and no 'graft' catalog " +
+            "is registered — pass a root path or configure the catalog"))
+        (g, parts)
+      }
+      GraftProcedures.rootOf(cat, rest.mkString("."))
+    }
+
   private def plan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.logical
@@ -89,19 +122,19 @@ object GraftTableFunctions {
       val spark = SparkSession.active
       val v = if (es.size == 2) litLong(es, 1, "vt_read") else -1L
       plan(graft.sources.VersionedTable.read(
-        spark, litString(es, 0, "vt_read"), v))
+        spark, resolveRoot(spark, litString(es, 0, "vt_read")), v))
     },
     "vt_read_asof" -> { es =>
       arity("vt_read_asof", es, _ == 2, "2")
       val spark = SparkSession.active
       plan(graft.sources.VersionedTable.readAsOf(spark,
-        litString(es, 0, "vt_read_asof"), litMillis(es, 1, "vt_read_asof")))
+        resolveRoot(spark, litString(es, 0, "vt_read_asof")), litMillis(es, 1, "vt_read_asof")))
     },
     "vt_read_eq" -> { es =>
       arity("vt_read_eq", es, _ == 3, "3")
       val spark = SparkSession.active
       plan(graft.sources.VersionedTable.readEq(spark,
-        litString(es, 0, "vt_read_eq"), litString(es, 1, "vt_read_eq"),
+        resolveRoot(spark, litString(es, 0, "vt_read_eq")), litString(es, 1, "vt_read_eq"),
         litString(es, 2, "vt_read_eq")))
     },
     "vt_read_range" -> { es =>
@@ -113,17 +146,32 @@ object GraftTableFunctions {
         litString(es, i + 1, "vt_read_range"),
         litString(es, i + 2, "vt_read_range")))
       plan(graft.sources.VersionedTable.readRange(spark,
-        litString(es, 0, "vt_read_range"), ranges, -1L))
+        resolveRoot(spark, litString(es, 0, "vt_read_range")), ranges, -1L))
+    },
+    "vt_changes" -> { es =>
+      // change feed between two versions (CDC on pure SQL): the
+      // table's columns + `_change_type` ('insert' | 'delete'),
+      // net-state semantics ([[VersionedTable.changesBetween]]). The
+      // first argument is a root path OR a graft-catalog identifier
+      // ('t', 'graft.ns.t') — the SQL-only client that created the
+      // table through the catalog never learns its path.
+      arity("vt_changes", es, _ == 3, "3 (table, from_version, to_version)")
+      val spark = SparkSession.active
+      plan(graft.sources.VersionedTable.changesBetween(spark,
+        resolveRoot(spark, litString(es, 0, "vt_changes")),
+        litLong(es, 1, "vt_changes"), litLong(es, 2, "vt_changes")))
     },
     "vt_history" -> { es =>
       arity("vt_history", es, _ == 1, "1")
+      val spark = SparkSession.active
       plan(graft.sources.VersionedTable.describeHistory(
-        SparkSession.active, litString(es, 0, "vt_history")))
+        SparkSession.active, resolveRoot(spark, litString(es, 0, "vt_history"))))
     },
     "vt_detail" -> { es =>
       arity("vt_detail", es, _ == 1, "1")
+      val spark = SparkSession.active
       plan(graft.sources.VersionedTable.describeDetail(
-        SparkSession.active, litString(es, 0, "vt_detail")))
+        spark, resolveRoot(spark, litString(es, 0, "vt_detail"))))
     })
 
   /** Register all table functions on an already-built session.

@@ -114,3 +114,119 @@ class ColumnDdlGuardSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.at13")
   }
 }
+
+/** Round-13: the SQL maintenance + CDC surface — DSv2 stored
+  * procedures (`CALL graft.optimize/compact_small/vacuum/restore/
+  * shard_manifest`) and the `vt_changes` table function, all usable
+  * by a SQL-only client against catalog identifiers. */
+class SqlMaintenanceSpec extends SparkSpec {
+  import graft.sources.VersionedTable
+  import org.apache.spark.sql.connector.catalog.Identifier
+
+  private def rootOf(name: String): String =
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+      .tableDir(Identifier.of(Array.empty[String], name))
+
+  test("CALL optimize clusters + stats; a selective SQL read then prunes files") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.mt")
+    spark.sql("CREATE TABLE graft.mt AS " +
+      "SELECT /*+ REPARTITION(16) */ id % 97 AS k, id AS v FROM range(5000)")
+    val root = rootOf("mt")
+    // scattered layout: a k-range read keeps ~every file
+    val (kept0, total0) = VersionedTable.prunedFiles(spark, root, "k", "10", "12")
+    assert(total0 >= 8, s"need a multi-file table, got $total0")
+    val ver = spark.sql("CALL graft.optimize('mt', 'k', 8, 8)")
+      .head().getLong(0)
+    assert(ver == VersionedTable.currentVersion(spark, root))
+    val (kept1, total1) = VersionedTable.prunedFiles(spark, root, "k", "10", "12")
+    assert(kept1.size * 2 < total1,
+      s"post-optimize selective read must open a strict minority: " +
+        s"${kept1.size} of $total1 (was ${kept0.size} of $total0)")
+    // the pruned read is reachable from pure SQL too
+    val n = spark.sql(s"SELECT count(*) FROM vt_read_range('mt', 'k', '10', '12')")
+      .head().getLong(0)
+    assert(n == spark.sql("SELECT count(*) FROM graft.mt WHERE k BETWEEN 10 AND 12")
+      .head().getLong(0))
+  }
+
+  test("vt_changes reads the change feed by catalog ident; restore rolls back as a new commit") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.cdc")
+    spark.sql("CREATE TABLE graft.cdc AS SELECT id AS k, id * 2 AS p FROM range(100)")
+    spark.sql("INSERT INTO graft.cdc SELECT id, id * 2 FROM range(100, 130)")
+    spark.sql("DELETE FROM graft.cdc WHERE k % 10 = 7")
+    // v1 empty, v2 CTAS, v3 insert, v4 DV delete
+    val ins = spark.sql(
+      "SELECT _change_type, count(*) AS n FROM vt_changes('cdc', 2, 3) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ins == Map("insert" -> 30L), s"v2->v3 must be the 30 inserts: $ins")
+    val del = spark.sql(
+      "SELECT _change_type, count(*) AS n FROM vt_changes('cdc', 3, 4) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(del == Map("delete" -> 13L), s"v3->v4 must be the 13 DV deletes: $del")
+    // restore to the pre-delete state — a NEW commit, old reads intact
+    val v = spark.sql("CALL graft.restore('cdc', 3)").head().getLong(0)
+    assert(v == 5L)
+    assert(spark.sql("SELECT count(*) FROM graft.cdc").head().getLong(0) == 130L)
+    assert(spark.sql("SELECT count(*) FROM graft.cdc VERSION AS OF 4")
+      .head().getLong(0) == 117L, "the rolled-back era must stay readable")
+    spark.sql("DROP TABLE graft.cdc")
+  }
+
+  test("CALL vacuum honors retention: time travel inside the window survives, outside dies") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.vac")
+    spark.sql("CREATE TABLE graft.vac AS SELECT id AS k FROM range(50)")
+    spark.sql("INSERT OVERWRITE graft.vac SELECT id FROM range(60)")
+    spark.sql("INSERT OVERWRITE graft.vac SELECT id FROM range(70)")
+    val root = rootOf("vac")
+    // retain the last 2 versions; grace 0 so the test sees deletions
+    val deleted = spark.sql("CALL graft.vacuum('vac', 2, 0)")
+      .head().getInt(0)
+    assert(deleted > 0, "the overwritten v2 files must be collected")
+    assert(spark.sql("SELECT count(*) FROM graft.vac VERSION AS OF 3")
+      .head().getLong(0) == 60L, "inside the retention window")
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graft.vac VERSION AS OF 2").collect()
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.vac").head().getLong(0) == 70L)
+    spark.sql("DROP TABLE graft.vac")
+  }
+
+  test("maintenance races a writer under OCC: optimize + INSERT both land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.mocc")
+    spark.sql("CREATE TABLE graft.mocc AS " +
+      "SELECT id % 31 AS k, id AS v FROM range(2000) DISTRIBUTE BY id % 8")
+    val f1 = Future(spark.sql("CALL graft.optimize('mocc', 'k', 8, 4)"))
+    val f2 = Future(spark.sql(
+      "INSERT INTO graft.mocc SELECT 1000 + id, id FROM range(5)"))
+    Await.result(Future.sequence(Seq(f1, f2)), 120.seconds)
+    // whichever order the commits serialized in, nothing is lost
+    assert(spark.sql("SELECT count(*) FROM graft.mocc").head().getLong(0) == 2005L)
+    assert(spark.sql("SELECT count(*) FROM graft.mocc WHERE k >= 1000")
+      .head().getLong(0) == 5L)
+    spark.sql("DROP TABLE graft.mocc")
+  }
+
+  test("CALL compact_small folds the append frontier from pure SQL") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.cs")
+    spark.sql("CREATE TABLE graft.cs (k BIGINT)")
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO graft.cs SELECT id + ${i * 10} FROM range(10)")
+    val root = rootOf("cs")
+    val before = VersionedTable.snapshot(spark, root).files.size
+    val v = spark.sql("CALL graft.compact_small('cs')").head().getLong(0)
+    assert(v == VersionedTable.currentVersion(spark, root))
+    val after = VersionedTable.snapshot(spark, root).files.size
+    assert(after < before, s"small files must fold: $before -> $after")
+    assert(spark.sql("SELECT count(*) FROM graft.cs").head().getLong(0) == 40L)
+    spark.sql("DROP TABLE graft.cs")
+  }
+}
