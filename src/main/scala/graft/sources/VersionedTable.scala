@@ -1070,8 +1070,12 @@ object VersionedTable {
         .filter { case (l, p) => l != p }
       val sc2 = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
+      // the declared clustering layout follows the LOGICAL name
+      val clust2 = meta.get("clustering").map(_.split(',')
+        .map(c => if (c == oldName) newName else c).mkString(","))
       (meta - "colmap") + ("schema" -> sc2.json) ++
-        (if (cm2.nonEmpty) Map("colmap" -> colmapJson(cm2)) else Map.empty)
+        (if (cm2.nonEmpty) Map("colmap" -> colmapJson(cm2)) else Map.empty) ++
+        clust2.map("clustering" -> _)
     }
   }
 
@@ -1168,9 +1172,14 @@ object VersionedTable {
         .filter(_.nonEmpty)
       val dropped2 = (meta.get("dropped").toSeq.flatMap(_.split(","))
         .filter(_.nonEmpty).toSet + phys).toSeq.sorted.mkString(",")
-      (meta - "colmap" - "statscols") + ("schema" -> sc2.json) ++
+      // a dropped column leaves the declared clustering layout too
+      val clust2 = meta.get("clustering").map(_.split(',')
+        .filterNot(_ == name).mkString(",")).filter(_.nonEmpty)
+      (meta - "colmap" - "statscols" - "clustering") +
+        ("schema" -> sc2.json) ++
         (if (cm2.nonEmpty) Map("colmap" -> colmapJson(cm2)) else Map.empty) ++
-        stats2.map("statscols" -> _) + ("dropped" -> dropped2)
+        stats2.map("statscols" -> _) + ("dropped" -> dropped2) ++
+        clust2.map("clustering" -> _)
     }
   }
 
@@ -1390,7 +1399,12 @@ object VersionedTable {
             s"(${physNames.mkString(", ")}; dropped: ${droppedPhys.mkString(", ")})")
       }
       val schemaJson = unioned.json
-      val allMeta = meta + ("schema" -> schemaJson) ++
+      // `clustering`(+bits) is a TABLE property (the declared layout),
+      // not a commit note — carry it like statscols unless this
+      // commit explicitly restates it
+      val allMeta = Seq("clustering", "clustering_bits")
+        .flatMap(k => curMeta.get(k).map(k -> _)).toMap ++
+        meta + ("schema" -> schemaJson) ++
         (if (effStats.nonEmpty) Map("statscols" -> effStats.mkString(","))
          else curMeta.get("statscols").map("statscols" -> _)) ++
         (if (cm.nonEmpty) Map("colmap" -> colmapJson(cm)) else Map.empty) ++
@@ -2039,6 +2053,31 @@ object VersionedTable {
     * inherently O(files) that one time) — on a sharded table, run
     * [[shardManifest]] again afterwards; cluster order makes the
     * re-shard's range-disjoint grouping ideal. */
+  /** The curve-cluster shuffle [[optimize]] rewrites with, reusable at
+    * WRITE time: interleave (Morton for 2 dims, Hilbert for 3+) or a
+    * plain range sort for one column, range-partitioned into ~nFiles
+    * key-disjoint files and sorted within each — the shape that makes
+    * a selective [[readRange]] on any cluster column open a strict
+    * minority of files from the manifest stats alone. */
+  def clusterLayout(df: DataFrame, clusterCols: Seq[String],
+                    bits: Int = 8, nFiles: Int = 64): DataFrame = {
+    require(clusterCols.nonEmpty, "clusterLayout needs cluster columns")
+    val key =
+      if (clusterCols.size == 1) col(clusterCols.head).cast("long")
+      else if (clusterCols.size <= 2)
+        graft.operators.Layout.zorderKey(col(clusterCols(0)), col(clusterCols(1)), bits)
+      else graft.operators.Layout.hilbertKey(clusterCols.map(col), bits)
+    // range-partition on the curve key itself: the range partitioner
+    // SAMPLES the real key distribution, so files come out balanced
+    // and key-disjoint whatever subset of curve space the data
+    // occupies (a fixed key-span split degrades to a handful of fat
+    // files whenever the domain is narrow or skewed)
+    df.withColumn("__k", key)
+      .repartitionByRange(nFiles, col("__k"))
+      .sortWithinPartitions("__k")
+      .drop("__k")
+  }
+
   def optimize(spark: SparkSession, root: String, clusterCols: Seq[String],
                bits: Int = 8, nFiles: Int = 64, maxRetries: Int = 5): Long = {
     require(clusterCols.nonEmpty, "optimize needs cluster columns")
@@ -2046,17 +2085,7 @@ object VersionedTable {
     while (true) {
       val s = snapshot(spark, root)
       val cur = read(spark, root, s.version)
-      val key =
-        if (clusterCols.size == 1) col(clusterCols.head).cast("long")
-        else if (clusterCols.size <= 2)
-          graft.operators.Layout.zorderKey(col(clusterCols(0)), col(clusterCols(1)), bits)
-        else graft.operators.Layout.hilbertKey(clusterCols.map(col), bits)
-      val span = math.max(1L, (1L << (bits.toLong * math.max(clusterCols.size, 1))) / nFiles)
-      val clustered = cur.withColumn("__k", key)
-        .withColumn("__fid", expr(s"__k div $span"))
-        .repartitionByRange(nFiles, col("__fid"))
-        .sortWithinPartitions("__k")
-        .drop("__k", "__fid")
+      val clustered = clusterLayout(cur, clusterCols, bits, nFiles)
       try {
         return commit(clustered, root, mode = "overwrite",
           expectBase = s.version, statsCols = clusterCols)

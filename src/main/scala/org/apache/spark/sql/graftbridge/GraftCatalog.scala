@@ -121,17 +121,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
-      "graft tables cluster via OPTIMIZE/statsCols, not static partitions")
+      "graft tables cluster via the 'clustering' table property or " +
+        "OPTIMIZE, not static partitions")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident.toString)
     val root = tableDir(ident)
-    val statsCols = Option(properties.get("statscols")).toSeq
-      .flatMap(_.split(",")).filter(_.nonEmpty)
+    // `clustering = 'a,b,c'` declares the table's curve-cluster layout
+    // at birth: it becomes a carried manifest property, every write
+    // through this catalog routes its rows through the interleave
+    // sink ([[GraftWriteBuilder]]), and the cluster columns join
+    // statsCols — so a SQL-created table is PRUNABLE from its first
+    // inserted row, no OPTIMIZE pass needed
+    val clustering = Option(properties.get("clustering")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    clustering.foreach(c => require(schema.fieldNames.contains(c),
+      s"clustering column '$c' is not in the table schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    val statsCols = (Option(properties.get("statscols")).toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty) ++ clustering).distinct
+    val meta = if (clustering.isEmpty) Map.empty[String, String]
+      else Map("clustering" -> clustering.mkString(",")) ++
+        Option(properties.get("clustering_bits")).map("clustering_bits" -> _)
     // v1 = an empty commit carrying the schema; CTAS's follow-up
     // INSERT is then v2, so `VERSION AS OF 1` of a CTAS table is the
     // empty pre-insert state only for plain CREATE TABLE
     VersionedTable.commit(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
-      root, statsCols = statsCols)
+      root, meta = meta, statsCols = statsCols)
     new GraftTable(root, -1L, ident.toString)
   }
 
@@ -268,7 +283,23 @@ class GraftWriteBuilder(root: String)
       new InsertableRelation {
         override def insert(data: Dataset[Row], overwrite: Boolean): Unit = {
           val mode = if (overwriteAll || overwrite) "overwrite" else "append"
-          VersionedTable.commit(data, root, mode = mode)
+          val spark = data.sparkSession
+          // a declared `clustering` layout shapes EVERY catalog write:
+          // rows route through the interleave sink so the commit's
+          // files are key-disjoint and stats-prunable at birth (the
+          // per-commit analogue of OPTIMIZE; nFiles follows the
+          // session's shuffle parallelism, the scale-out knob)
+          val meta = VersionedTable.manifestMeta(spark, root)
+          val clusterCols = meta.get("clustering").toSeq
+            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+          val shaped =
+            if (clusterCols.nonEmpty &&
+                clusterCols.forall(data.columns.contains)) {
+              val bits = meta.get("clustering_bits").map(_.toInt).getOrElse(8)
+              val nFiles = spark.conf.get("spark.sql.shuffle.partitions").toInt
+              VersionedTable.clusterLayout(data.toDF(), clusterCols, bits, nFiles)
+            } else data.toDF()
+          VersionedTable.commit(shaped, root, mode = mode)
         }
       }
   }

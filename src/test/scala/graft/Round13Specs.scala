@@ -230,3 +230,75 @@ class SqlMaintenanceSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.cs")
   }
 }
+
+/** Round-13: CREATE TABLE with a declared clustered layout — the
+  * `clustering` table property routes EVERY catalog write through the
+  * interleave sink, so a SQL-created table is prunable from its first
+  * inserted row, and the declared layout survives appends, renames
+  * and drops. */
+class ClusteredCreateTableSpec extends SparkSpec {
+  import graft.sources.VersionedTable
+  import org.apache.spark.sql.connector.catalog.Identifier
+
+  private def rootOf(name: String): String =
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+      .tableDir(Identifier.of(Array.empty[String], name))
+
+  test("a CTAS with clustering='k' is born prunable; appends stay clustered") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.born")
+    spark.sql("""CREATE TABLE graft.born TBLPROPERTIES ('clustering' = 'k')
+      AS SELECT /*+ REPARTITION(16) */ id % 997 AS k, id AS v
+      FROM range(20000)""")
+    val root = rootOf("born")
+    val (kept, total) = VersionedTable.prunedFiles(spark, root, "k", "100", "120")
+    assert(total >= 3, s"need a multi-file table, got $total")
+    assert(kept.size * 2 < total,
+      s"a selective read on a BORN-clustered table must open a strict " +
+        s"minority of files: ${kept.size} of $total")
+    assert(spark.sql(
+      "SELECT count(*) FROM vt_read_range('born', 'k', '100', '120')")
+      .head().getLong(0) ==
+      spark.sql("SELECT count(*) FROM graft.born WHERE k BETWEEN 100 AND 120")
+        .head().getLong(0))
+    // an APPEND through the catalog routes through the same sink:
+    // the new commit's files are key-disjoint too, so the selective
+    // read still prunes across both commits
+    spark.sql("INSERT INTO graft.born " +
+      "SELECT /*+ REPARTITION(16) */ id % 997, id FROM range(20000, 40000)")
+    val (kept2, total2) = VersionedTable.prunedFiles(spark, root, "k", "100", "120")
+    assert(total2 > total, "append must add files")
+    assert(kept2.size * 2 < total2,
+      s"appends must stay clustered: ${kept2.size} of $total2")
+    spark.sql("DROP TABLE graft.born")
+  }
+
+  test("the declared layout follows renames and leaves on drop") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.cl2")
+    spark.sql("""CREATE TABLE graft.cl2 TBLPROPERTIES ('clustering' = 'k')
+      AS SELECT id % 97 AS k, id AS v FROM range(2000)""")
+    val root = rootOf("cl2")
+    spark.sql("ALTER TABLE graft.cl2 RENAME COLUMN k TO kk")
+    assert(VersionedTable.manifestMeta(spark, root).get("clustering")
+      .contains("kk"), "clustering must follow the rename")
+    // an append under the new name still clusters (logical name)
+    spark.sql("INSERT INTO graft.cl2 SELECT id % 97, id FROM range(2000, 4000)")
+    assert(VersionedTable.manifestMeta(spark, root).get("clustering")
+      .contains("kk"), "clustering must survive the append")
+    spark.sql("ALTER TABLE graft.cl2 DROP COLUMN kk")
+    assert(VersionedTable.manifestMeta(spark, root).get("clustering").isEmpty,
+      "dropping the cluster column must clear the declared layout")
+    spark.sql("DROP TABLE graft.cl2")
+  }
+
+  test("clustering on a column missing from the schema is rejected at CREATE") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.cl3")
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE graft.cl3 (k BIGINT) TBLPROPERTIES ('clustering' = 'nope')")
+    }
+  }
+}
