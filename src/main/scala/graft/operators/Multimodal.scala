@@ -606,4 +606,380 @@ object Multimodal {
         }
       })
   }
+
+  // ────────────────── ISO-BMFF sample tables (round 13) ──────────────────
+
+  /** One sample-table row: where a sample LIVES (offset relative to
+    * the mdat body — the portable form of stco's absolute offsets),
+    * how BIG it is (stsz) and WHEN it plays (stts, in ms via the mdhd
+    * timescale). Exactly the map a container-aware demuxer needs to
+    * read one frame without scanning the stream. */
+  case class SampleRef(doc_id: Long, track_id: Long, sample_idx: Long,
+                       chunk_idx: Long, size: Long, pts_ms: Long,
+                       rel_offset: Long)
+
+  /** [[encodeMp4Stub]] extended with REAL sample tables: each track
+    * carries mdia(mdhd(timescale 1000) + minf(stbl(stts + stsc + stsz
+    * + stco))) describing the payload as 32-byte samples (last one
+    * partial), 4 samples per chunk, constant 40 ms sample duration —
+    * and mdat's body IS the payload, with stco holding true ABSOLUTE
+    * file offsets (moov is assembled twice: once to learn its size,
+    * once with the resolved offsets). Even ids keep the
+    * mdat-before-moov 64-bit-largesize layout, odd ids the post-moov
+    * plain form, so offset resolution is exercised in both. Every
+    * track maps the same payload region (a stub simplification —
+    * real containers interleave; the per-track tables are still
+    * independently walked). Output: (id, bin). */
+  def encodeMp4Sampled(df: DataFrame, idCol: String, payloadCol: String,
+                       tracksCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"),
+        col(tracksCol).cast("int"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions(_.map { case (id, payload0, nTracks) =>
+        val payload = if (payload0 == null) Array.empty[Byte] else payload0
+        val n = payload.length
+        val nSamples = (n + 31) / 32
+        val nChunks = (nSamples + 3) / 4
+        def boxOf(t: String, body: Array[Byte]): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream()
+          val size = 8L + body.length
+          b.write(((size >> 24) & 0xFF).toInt); b.write(((size >> 16) & 0xFF).toInt)
+          b.write(((size >> 8) & 0xFF).toInt); b.write((size & 0xFF).toInt)
+          t.foreach(c => b.write(c.toInt))
+          b.write(body, 0, body.length)
+          b.toByteArray
+        }
+        def largeBoxOf(t: String, body: Array[Byte]): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream()
+          b.write(0); b.write(0); b.write(0); b.write(1)
+          t.foreach(c => b.write(c.toInt))
+          val size = 16L + body.length
+          var i = 56
+          while (i >= 0) { b.write(((size >> i) & 0xFF).toInt); i -= 8 }
+          b.write(body, 0, body.length)
+          b.toByteArray
+        }
+        def bytesOf(write: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+          val b = new java.io.ByteArrayOutputStream(); write(b); b.toByteArray
+        }
+        def w32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+          b.write(((v >> 24) & 0xFF).toInt); b.write(((v >> 16) & 0xFF).toInt)
+          b.write(((v >> 8) & 0xFF).toInt); b.write((v & 0xFF).toInt)
+        }
+        val durMs = nSamples * 40L
+        val ftyp = boxOf("ftyp", bytesOf { b =>
+          "isom".foreach(c => b.write(c.toInt)); w32(b, 0)
+          "isom".foreach(c => b.write(c.toInt))
+        })
+        val free = boxOf("free", Array.fill[Byte](12)(0x5A))
+        // moov depends on stco which depends on where mdat's body
+        // starts which (odd ids) depends on moov's size — but moov's
+        // SIZE is offset-independent, so assemble once with zero
+        // offsets to measure, then again with the real ones
+        def moovOf(mdatBodyStart: Long): Array[Byte] = {
+          val mvhd = boxOf("mvhd", bytesOf { b =>
+            b.write(0); b.write(0); b.write(0); b.write(0)
+            w32(b, 0); w32(b, 0)
+            w32(b, 1000); w32(b, durMs)
+            w32(b, 0x00010000); b.write(1); b.write(0)
+            (0 until 10).foreach(_ => b.write(0))
+            Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+              .foreach(w32(b, _))
+            (0 until 24).foreach(_ => b.write(0))
+            w32(b, nTracks + 1L)
+          })
+          val traks = (0 until nTracks).map { ti =>
+            val tkhd = boxOf("tkhd", bytesOf { b =>
+              b.write(0); b.write(0); b.write(0); b.write(7)
+              w32(b, 0); w32(b, 0); w32(b, ti + 1L); w32(b, 0); w32(b, durMs)
+              (0 until 8).foreach(_ => b.write(0))          // reserved
+              (0 until 8).foreach(_ => b.write(0))          // layer..volume+res
+              Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+                .foreach(w32(b, _))
+              w32(b, 320L << 16); w32(b, 180L << 16)
+            })
+            val mdhd = boxOf("mdhd", bytesOf { b =>
+              b.write(0); b.write(0); b.write(0); b.write(0)
+              w32(b, 0); w32(b, 0)
+              w32(b, 1000); w32(b, durMs)                   // timescale, duration
+              b.write(0); b.write(0); b.write(0); b.write(0) // lang + pre_defined
+            })
+            val stts = boxOf("stts", bytesOf { b =>
+              w32(b, 0); w32(b, if (nSamples > 0) 1L else 0L)
+              if (nSamples > 0) { w32(b, nSamples); w32(b, 40L) }
+            })
+            val stsc = boxOf("stsc", bytesOf { b =>
+              w32(b, 0); w32(b, if (nChunks > 0) 1L else 0L)
+              if (nChunks > 0) { w32(b, 1L); w32(b, 4L); w32(b, 1L) }
+            })
+            val stsz = boxOf("stsz", bytesOf { b =>
+              w32(b, 0); w32(b, 0); w32(b, nSamples)
+              (0 until nSamples).foreach(si =>
+                w32(b, math.min(32L, n - si * 32L)))
+            })
+            val stco = boxOf("stco", bytesOf { b =>
+              w32(b, 0); w32(b, nChunks)
+              (0 until nChunks).foreach(ci =>
+                w32(b, mdatBodyStart + ci * 128L))           // 4 samples × 32 B
+            })
+            boxOf("trak", tkhd ++ boxOf("mdia",
+              mdhd ++ boxOf("minf", boxOf("stbl", stts ++ stsc ++ stsz ++ stco))))
+          }
+          boxOf("moov", (Seq(mvhd) ++ traks).reduce(_ ++ _))
+        }
+        val moovLen = moovOf(0L).length
+        val bytes =
+          if (id % 2 == 0) {
+            val bodyStart = ftyp.length + free.length + 16L // largesize hdr
+            ftyp ++ free ++ largeBoxOf("mdat", payload) ++ moovOf(bodyStart)
+          } else {
+            val bodyStart = ftyp.length + free.length + moovLen + 8L
+            ftyp ++ free ++ moovOf(bodyStart) ++ boxOf("mdat", payload)
+          }
+        (id, bytes)
+      }).toDF("id", "bin")
+  }
+
+  /** HEADER-ONLY sample map: walk moov→trak→mdia→{mdhd, minf→stbl→
+    * {stts, stsc, stsz, stco}} and join the four tables into one row
+    * per sample — (chunk from stsc run-lengths + stco count, size from
+    * stsz, pts from cumulative stts in mdhd-timescale ms, offset from
+    * stco + intra-chunk size sum) — without touching a byte of sample
+    * data. Offsets are emitted RELATIVE to the mdat body (found
+    * during the same walk), which both ports the map across file
+    * relocation and end-to-end-verifies stco: the stub wrote
+    * `mdat_start + rel`, the walker recovers `rel` by subtracting the
+    * mdat it found, so either side being wrong breaks the match.
+    *
+    * Hostile posture (the m11/m13 contract): every count is bounded
+    * against its box's REMAINING BYTES before any allocation, the four
+    * tables must agree (stts total == stsz count; chunks == stco
+    * count), and every resolved sample range must land inside the
+    * mdat body — ANY violation aborts that document to ZERO rows
+    * (a sample map, unlike a profile, has no 'unknown' row shape);
+    * the job never throws. */
+  def mp4SampleMap(df: DataFrame, idCol: String, binCol: String)
+      : Dataset[SampleRef] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, raw) => sampleMapOf(id, raw) })
+  }
+
+  /** Per-document walk behind [[mp4SampleMap]]; also feeds
+    * [[mp4SampleDemux]] (which slices the SAME ranges out of mdat). */
+  private def sampleMapOf(id: Long, raw: Array[Byte])
+      : Seq[SampleRef] = {
+    val b = if (raw == null) Array.empty[Byte] else raw
+    val n = b.length.toLong
+    @inline def u(i: Long): Int = b(i.toInt) & 0xFF
+    @inline def be32(i: Long): Long =
+      (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    @inline def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+    @inline def fourcc(i: Long): String =
+      new String(Array(u(i), u(i + 1), u(i + 2), u(i + 3)).map(_.toChar))
+    var bad = false
+    var mdatFrom = -1L
+    var mdatTo = -1L
+    val out = Seq.newBuilder[SampleRef]
+    def walk(from: Long, to: Long)(visit: (String, Long, Long) => Unit): Unit = {
+      var p = from
+      while (!bad && p + 8 <= to) {
+        val sz0 = be32(p)
+        val t = fourcc(p + 4)
+        val (hdr, sz) =
+          if (sz0 == 1L) {
+            if (p + 16 > to) { bad = true; (16L, 0L) }
+            else (16L, be64(p + 8))
+          } else if (sz0 == 0L) (8L, to - p)
+          else (8L, sz0)
+        if (!bad) {
+          if (sz < hdr || sz > to - p) bad = true
+          else { visit(t, p + hdr, p + sz); p += sz }
+        }
+      }
+      if (p < to) bad = true
+    }
+    // a full-box table at [from, to): version+flags, then entry data;
+    // every read below re-checks its bound so a hostile count can
+    // never index past the box (let alone the array)
+    def tableEntries(from: Long, to: Long): Long =
+      if (to - from < 8) { bad = true; 0L } else be32(from + 4)
+    // PHASE 1 — locate: stco offsets resolve against mdat, which in
+    // the post-moov layout the walk has not reached yet while inside
+    // moov; find both top-level ranges first, process moov second
+    var moovFrom = -1L
+    var moovTo = -1L
+    walk(0L, n) { (t, cFrom, cTo) =>
+      t match {
+        case "mdat" => mdatFrom = cFrom; mdatTo = cTo
+        case "moov" => moovFrom = cFrom; moovTo = cTo
+        case _ => ()
+      }
+    }
+    // PHASE 2 — per-track sample tables
+    if (!bad && moovFrom >= 0) {
+      walk(moovFrom, moovTo) { (ct, mFrom, mTo) =>
+          if (ct == "trak") {
+            var trackId = -1L
+            var stts = Seq.empty[(Long, Long)]   // (count, delta)
+            var stsc = Seq.empty[(Long, Long)]   // (first_chunk, per_chunk)
+            var sizes = Array.empty[Long]
+            var stco = Array.empty[Long]
+            var timescale = 1000L
+            walk(mFrom, mTo) { (tt, kFrom, kTo) =>
+              tt match {
+                case "tkhd" if kTo - kFrom >= 84 =>
+                  val v = u(kFrom)
+                  trackId = if (v == 1) be32(kFrom + 20) else be32(kFrom + 12)
+                case "mdia" => walk(kFrom, kTo) { (dt, dFrom, dTo) =>
+                  dt match {
+                    case "mdhd" if dTo - dFrom >= 20 =>
+                      val v = u(dFrom)
+                      val ts = if (v == 1) be32(dFrom + 20) else be32(dFrom + 12)
+                      if (ts > 0) timescale = ts else bad = true
+                    case "minf" => walk(dFrom, dTo) { (ft, fFrom, fTo) =>
+                      if (ft == "stbl") walk(fFrom, fTo) { (st, sFrom, sTo) =>
+                        st match {
+                          case "stts" =>
+                            val ec = tableEntries(sFrom, sTo)
+                            if (ec < 0 || sFrom + 8 + ec * 8 > sTo) bad = true
+                            else stts = (0L until ec).map(i =>
+                              (be32(sFrom + 8 + i * 8), be32(sFrom + 12 + i * 8)))
+                          case "stsc" =>
+                            val ec = tableEntries(sFrom, sTo)
+                            if (ec < 0 || sFrom + 8 + ec * 12 > sTo) bad = true
+                            else stsc = (0L until ec).map(i =>
+                              (be32(sFrom + 8 + i * 12), be32(sFrom + 12 + i * 12)))
+                          case "stsz" =>
+                            if (sTo - sFrom < 12) bad = true
+                            else {
+                              val fixed = be32(sFrom + 4)
+                              val sc = be32(sFrom + 8)
+                              // fixed-size counts are NOT bounded by the
+                              // box, so a hostile count must be caught
+                              // before allocation: the samples must fit
+                              // in the (already located) mdat body
+                              if ((fixed == 0L && sFrom + 12 + sc * 4 > sTo) ||
+                                  (fixed != 0L && (mdatFrom < 0 ||
+                                    sc > (mdatTo - mdatFrom) / fixed)))
+                                bad = true
+                              else sizes =
+                                if (fixed != 0L) Array.fill(sc.toInt)(fixed)
+                                else Array.tabulate(sc.toInt)(i =>
+                                  be32(sFrom + 12 + i * 4L))
+                            }
+                          case "stco" =>
+                            val ec = tableEntries(sFrom, sTo)
+                            if (ec < 0 || sFrom + 8 + ec * 4 > sTo) bad = true
+                            else stco = Array.tabulate(ec.toInt)(i =>
+                              be32(sFrom + 8 + i * 4L))
+                          case _ => ()
+                        }
+                      }
+                    }
+                    case _ => ()
+                  }
+                }
+                case _ => ()
+              }
+            }
+            if (!bad && trackId > 0 && sizes.nonEmpty) {
+              // cross-table agreement: stts total must cover stsz count
+              val sttsTotal = stts.map(_._1).sum
+              if (sttsTotal != sizes.length || stsc.isEmpty || stco.isEmpty)
+                bad = true
+              else {
+                // samples → chunks via stsc run-lengths (entry i rules
+                // chunks [first_i, first_{i+1}); last entry to stco end)
+                var si = 0                         // sample index
+                var pts = 0L                       // in media timescale
+                var sttsI = 0; var sttsLeft = stts.head._1
+                var ci = 0
+                while (!bad && ci < stco.length && si < sizes.length) {
+                  val perChunk = {
+                    val applies = stsc.takeWhile(_._1 <= ci + 1).lastOption
+                    applies.map(_._2).getOrElse { bad = true; 0L }
+                  }
+                  if (perChunk <= 0) bad = true
+                  var intra = 0L
+                  var k = 0L
+                  while (!bad && k < perChunk && si < sizes.length) {
+                    val sz = sizes(si)
+                    val abs = stco(ci) + intra
+                    val rel = abs - mdatFrom
+                    if (sz < 0 || mdatFrom < 0 || rel < 0 ||
+                        abs + sz > mdatTo) bad = true
+                    else {
+                      out += SampleRef(id, trackId, si.toLong, ci.toLong,
+                        sz, pts * 1000L / timescale, rel)
+                      // advance pts through the stts runs
+                      pts += stts(sttsI)._2
+                      sttsLeft -= 1
+                      if (sttsLeft == 0 && sttsI + 1 < stts.length) {
+                        sttsI += 1; sttsLeft = stts(sttsI)._1
+                      }
+                      intra += sz; si += 1
+                    }
+                    k += 1
+                  }
+                  ci += 1
+                }
+                if (si < sizes.length) bad = true  // chunks ran out early
+              }
+            }
+          }
+      }
+    }
+    if (bad) Seq.empty else out.result()
+  }
+
+  /** Container-real demux: resolve each sample's byte range through
+    * the HEADER walk ([[sampleMapOf]]) and slice it out of the mdat
+    * body — the m3 frame-sampling semantics driven by the container's
+    * OWN sample tables instead of raw-payload arithmetic. Emits exact
+    * per-sample byte sums so the full walk+slice pipeline is
+    * oracle-verifiable. `track` selects one track (every track maps
+    * the same region in the stub; a real file differs per track).
+    * Malformed containers contribute zero rows, never an exception. */
+  def mp4SampleDemux(df: DataFrame, idCol: String, binCol: String,
+                     track: Long = 1L): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, raw) =>
+        val refs = sampleMapOf(id, raw).filter(_.track_id == track)
+        if (refs.isEmpty) Iterator.empty
+        else {
+          // re-locate mdat once (sampleMapOf validated the ranges)
+          val b = raw
+          @inline def u(i: Long): Int = b(i.toInt) & 0xFF
+          @inline def be32(i: Long): Long =
+            (u(i).toLong << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+          @inline def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+          var mdatFrom = -1L
+          var p = 0L
+          val n = b.length.toLong
+          while (mdatFrom < 0 && p + 8 <= n) {
+            val sz0 = be32(p)
+            val t = new String(Array(u(p + 4), u(p + 5), u(p + 6), u(p + 7))
+              .map(_.toChar))
+            val (hdr, sz) =
+              if (sz0 == 1L && p + 16 <= n) (16L, be64(p + 8))
+              else if (sz0 == 0L) (8L, n - p) else (8L, sz0)
+            if (t == "mdat") mdatFrom = p + hdr
+            else if (sz < hdr || sz > n - p) p = n // bail (validated already)
+            else p += sz
+          }
+          refs.iterator.map { r =>
+            var s = 0L
+            var i = mdatFrom + r.rel_offset
+            val end = i + r.size
+            while (i < end) { s += u(i); i += 1 }
+            (r.doc_id, r.track_id, r.sample_idx, r.pts_ms, r.size, s)
+          }
+        }
+      }).toDF("doc_id", "track_id", "sample_idx", "pts_ms", "n_bytes", "byte_sum")
+  }
 }

@@ -1564,6 +1564,74 @@ object PipelineQueries {
              |  CAST(180 + (doc_id % 5) * 12 AS BIGINT) AS height
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("m14_mp4_sample_map",
+      // ISO-BMFF SAMPLE TABLES, header-only (round 13; Multimodal
+      // .mp4SampleMap): stts/stsc/stsz/stco joined into one row per
+      // sample — chunk assignment from stsc run-lengths, size from
+      // stsz, pts from cumulative stts in mdhd-timescale ms, and the
+      // stco offset resolved RELATIVE to the mdat body the same walk
+      // located (the stub wrote absolute offsets; recovering the
+      // relative form verifies stco end-to-end). The sampled stub
+      // derives every table from the document text (32-byte samples,
+      // 4 per chunk, 40 ms deltas; mdat before moov via 64-bit
+      // largesize on even ids, after on odd), so the oracle recomputes
+      // the full map from text length alone — never a byte parsed.
+      (s, d) => {
+        val specs = Tables.documents(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          (lit(1) + col("doc_id") % 3).cast("int").as("nt"))
+        val stubs = Multimodal.encodeMp4Sampled(specs, "doc_id", "payload", "nt")
+        Multimodal.mp4SampleMap(stubs, "id", "bin").toDF()
+          .orderBy("doc_id", "track_id", "sample_idx")
+      },
+      Some("""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+             |        1 + doc_id % 3 AS nt FROM documents),
+             |s AS (SELECT doc_id, nt, n,
+             |        unnest(generate_series(0, (n + 31) // 32 - 1)) AS si
+             |      FROM b WHERE n > 0),
+             |t AS (SELECT doc_id, si, n,
+             |        unnest(generate_series(1, nt)) AS tid FROM s)
+             |SELECT doc_id, CAST(tid AS BIGINT) AS track_id,
+             |  CAST(si AS BIGINT) AS sample_idx,
+             |  CAST(si // 4 AS BIGINT) AS chunk_idx,
+             |  CAST(least(32, n - si * 32) AS BIGINT) AS size,
+             |  CAST(si * 40 AS BIGINT) AS pts_ms,
+             |  CAST(si * 32 AS BIGINT) AS rel_offset
+             |FROM t ORDER BY 1, 2, 3""".stripMargin)),
+
+    Q("m15_mp4_demux",
+      // Container-real frame extraction (round 13; Multimodal
+      // .mp4SampleDemux): each sample's byte range is resolved through
+      // the header-only sample map and sliced out of mdat — the m3
+      // frame-sampling semantics driven by the container's OWN
+      // stts/stsc/stsz/stco instead of raw-payload arithmetic. Exact
+      // per-sample byte sums pin walk + offset resolution + slice in
+      // one oracle (a one-byte offset error flips a sum).
+      (s, d) => {
+        val specs = Tables.documents(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          (lit(1) + col("doc_id") % 3).cast("int").as("nt"))
+        val stubs = Multimodal.encodeMp4Sampled(specs, "doc_id", "payload", "nt")
+        Multimodal.mp4SampleDemux(stubs, "id", "bin", track = 1L)
+          .orderBy("doc_id", "sample_idx")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+             |        FROM documents),
+             |f AS (SELECT doc_id, text, n,
+             |        unnest(generate_series(0, (n + 31) // 32 - 1)) AS si
+             |      FROM b WHERE n > 0),
+             |sel AS (SELECT doc_id, text, si, least(n - si * 32, 32) AS nb
+             |        FROM f),
+             |pos AS (SELECT doc_id, si, nb,
+             |        ascii(substr(text, CAST(si * 32 + i AS INT), 1)) AS v
+             |      FROM sel, unnest(generate_series(1, nb)) AS t(i))
+             |SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+             |  CAST(si AS BIGINT) AS sample_idx,
+             |  CAST(si * 40 AS BIGINT) AS pts_ms,
+             |  CAST(nb AS BIGINT) AS n_bytes,
+             |  CAST(sum(v) AS BIGINT) AS byte_sum
+             |FROM pos GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 3""".stripMargin)),
+
     Q("m3_frame_sample",
       // Frame sampling over video-like payloads (Multimodal
       // .frameSample): 32-byte frames, every 2nd sampled, exact
@@ -3720,17 +3788,27 @@ object PipelineQueries {
       // joint audit the per-tier specs can't provide. s3b's
       // Lloyd-refined variant is EXCLUDED by construction (float
       // accumulation order is engine-specific; its own containment
-      // oracle is its standing audit). Cost: the tier scans + an
-      // O(tiers × queries × k) semi-join — the same sample-of-
-      // queries posture as s9; at 100 TB this runs over a query
-      // sample, never the full log.
+      // oracle is its standing audit).
+      //
+      // COST GOVERNANCE (round 13): the audit's query sample is the
+      // EXPLICIT `s9bQuerySample` constant below (today: vec_id < 5,
+      // the full historical set at driver SF — at 100 TB this is a
+      // sample of the query log, never all of it), and both brute
+      // truths are lineage-cut so the O(corpus × queries) brute scan
+      // runs ONCE per modality instead of once per tier that grades
+      // against it (8× for cosine, 2× for MIPS before round 13).
+      // Adding a tier adds ONLY that tier's own scan + one semi-join —
+      // audit growth is linear in tiers, not tiers × brute.
       (s, d) => {
+        val s9bQuerySample = 5L // audit query-sample bound (vec_id < N)
         val e = Tables.embeddings(s, d)
-        val q = e.filter(col("vec_id") < 5)
-        val truthCos = Similarity.knnBrute(e, q, "vec_id", "embedding", k = 10)
-          .select("query_id", "neighbor_id")
-        val truthMips = Similarity.knnMips(e, q, "vec_id", "embedding", k = 10)
-          .select("query_id", "neighbor_id")
+        val q = e.filter(col("vec_id") < s9bQuerySample)
+        val truthCos = graft.Ckpt.cut(
+          Similarity.knnBrute(e, q, "vec_id", "embedding", k = 10)
+            .select("query_id", "neighbor_id"))
+        val truthMips = graft.Ckpt.cut(
+          Similarity.knnMips(e, q, "vec_id", "embedding", k = 10)
+            .select("query_id", "neighbor_id"))
         def recallOf(tier: String, approx: DataFrame, truth: DataFrame): DataFrame = {
           val matched = truth
             .join(approx.select("query_id", "neighbor_id"),

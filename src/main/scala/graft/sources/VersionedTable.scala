@@ -362,15 +362,125 @@ object VersionedTable {
       .map { case (l, p) => s"${jesc(l)}:${jesc(p)}" }
       .mkString("{", ",", "}")
 
+  // Round 13: colmap keys may be DOTTED LOGICAL PATHS into struct
+  // fields (`props.lang`); the value is always the PHYSICAL LEAF name
+  // of that field within its parent. A field's physical PATH is
+  // resolved segment-by-segment (each prefix may itself be renamed),
+  // so nested RENAME/DROP stay metadata-only and nested stats keys
+  // (dotted PHYSICAL paths) survive any rename above or at the leaf.
+
+  /** Physical leaf name of the field at logical path `c` (identity
+    * when unmapped) — the original single-segment behavior falls out
+    * as the path of depth 1. */
   private def physNameOf(cm: Map[String, String], c: String): String =
-    cm.getOrElse(c, c)
+    cm.getOrElse(c, c.split('.').last)
+
+  /** Full dotted PHYSICAL path of logical path `c`: every prefix
+    * resolves through the map, so `props.lang` with `props` renamed
+    * from `p0` and `lang` from `l0` yields `p0.l0`. */
+  private def physPathOf(cm: Map[String, String], c: String): String = {
+    if (cm.isEmpty) c
+    else {
+      val segs = c.split('.')
+      segs.indices.map { i =>
+        cm.getOrElse(segs.take(i + 1).mkString("."), segs(i))
+      }.mkString(".")
+    }
+  }
 
   private def physStruct(cm: Map[String, String],
-                         sc: org.apache.spark.sql.types.StructType)
+                         sc: org.apache.spark.sql.types.StructType,
+                         lprefix: String = "")
       : org.apache.spark.sql.types.StructType =
     if (cm.isEmpty) sc
     else org.apache.spark.sql.types.StructType(
-      sc.fields.map(f => f.copy(name = physNameOf(cm, f.name))))
+      sc.fields.map { f =>
+        val lpath = if (lprefix.isEmpty) f.name else s"$lprefix.${f.name}"
+        val dt = f.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            physStruct(cm, st, lpath)
+          case other => other
+        }
+        f.copy(name = cm.getOrElse(lpath, f.name), dataType = dt)
+      })
+
+  /** Every field's dotted PHYSICAL path, all depths — the commit-time
+    * collision domain (a new field may not land on any on-disk path a
+    * live, renamed or dropped field owns). */
+  private def allPhysPaths(cm: Map[String, String],
+                           sc: org.apache.spark.sql.types.StructType,
+                           pprefix: String = "", lprefix: String = "")
+      : Seq[String] =
+    sc.fields.toSeq.flatMap { f =>
+      val lpath = if (lprefix.isEmpty) f.name else s"$lprefix.${f.name}"
+      val pname = cm.getOrElse(lpath, f.name)
+      val ppath = if (pprefix.isEmpty) pname else s"$pprefix.$pname"
+      ppath +: (f.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          allPhysPaths(cm, st, ppath, lpath)
+        case _ => Seq.empty[String]
+      })
+    }
+
+  /** The StructField at dotted path `path` (None when any segment is
+    * missing or a non-struct blocks the descent). */
+  private[graft] def fieldAtPath(sc: org.apache.spark.sql.types.StructType,
+                                 path: String)
+      : Option[org.apache.spark.sql.types.StructField] = {
+    val segs = path.split('.')
+    var cur: Option[org.apache.spark.sql.types.StructField] = None
+    var st = sc
+    var i = 0
+    while (i < segs.length) {
+      cur = st.fields.find(_.name == segs(i))
+      if (i + 1 < segs.length) cur.map(_.dataType) match {
+        case Some(s: org.apache.spark.sql.types.StructType) => st = s
+        case _ => return None
+      }
+      i += 1
+    }
+    cur
+  }
+
+  /** LOGICAL-named frame → PHYSICAL-named frame (the write-side
+    * projection). Nested mappings ride a struct→struct CAST, which
+    * renames inner fields positionally and preserves null structs;
+    * unmapped subtrees keep the bare alias so nothing sits between
+    * them and pushdown/codegen. */
+  private def toPhysical(df: DataFrame, cm: Map[String, String]): DataFrame =
+    if (cm.isEmpty) df
+    else {
+      val physSc = physStruct(cm, df.schema)
+      df.select(df.schema.fields.zip(physSc.fields).map { case (lf, pf) =>
+        if (pf.dataType == lf.dataType) col(lf.name).as(pf.name)
+        else col(lf.name).cast(pf.dataType).as(pf.name)
+      }.toSeq: _*)
+    }
+
+  /** Rewrite the struct at `parentSegs` (root when empty) through
+    * `fn`; every segment on the way must name a struct field. */
+  private def rewriteAt(sc: org.apache.spark.sql.types.StructType,
+                        parentSegs: Seq[String], root: String, what: String)
+      (fn: org.apache.spark.sql.types.StructType =>
+           org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (parentSegs.isEmpty) fn(sc)
+    else {
+      val seg = parentSegs.head
+      val hit = sc.fields.find(_.name == seg).getOrElse(
+        throw new IllegalArgumentException(
+          s"$what: no field '$seg' at $root (have ${sc.fieldNames.mkString(", ")})"))
+      val inner = hit.dataType match {
+        case st: org.apache.spark.sql.types.StructType => st
+        case other => throw new IllegalArgumentException(
+          s"$what: '$seg' is not a struct (is ${other.simpleString}) at $root — " +
+            "column paths may only traverse struct fields (not maps/arrays)")
+      }
+      org.apache.spark.sql.types.StructType(sc.fields.map(f =>
+        if (f.name == seg)
+          f.copy(dataType = rewriteAt(inner, parentSegs.tail, root, what)(fn))
+        else f))
+    }
 
   /** Open `files` with `version`'s PHYSICAL schema and return LOGICAL
     * column names. `scanStage` runs on the raw scan — the place to
@@ -390,10 +500,20 @@ object VersionedTable {
     val staged = scanStage(raw)
     if (cm.isEmpty) staged
     else {
-      val physCols = physStruct(cm, sc.get).fieldNames.toSet
+      val physSc = physStruct(cm, sc.get)
+      val physCols = physSc.fieldNames.toSet
       val extra = staged.columns.filterNot(physCols.contains)
-      staged.select(sc.get.fields.map(f =>
-        col(physNameOf(cm, f.name)).as(f.name)).toSeq ++ extra.map(col): _*)
+      // nested renames: CAST struct→struct renames fields positionally
+      // AND preserves null structs (rebuilding via struct(children)
+      // would turn a NULL parent into a struct of nulls); fields whose
+      // subtree is unmapped keep the plain alias — no cast in the way
+      // of pushdown or codegen. The cast target is nullability-RELAXED:
+      // a parquet scan serves every leaf nullable, and casting nullable
+      // → NOT NULL is (rightly) rejected by the analyzer.
+      staged.select(sc.get.fields.zip(physSc.fields).map { case (lf, pf) =>
+        if (pf.dataType == lf.dataType) col(pf.name).as(lf.name)
+        else col(pf.name).cast(relaxNullability(lf.dataType)).as(lf.name)
+      }.toSeq ++ extra.map(col): _*)
     }
   }
 
@@ -464,7 +584,7 @@ object VersionedTable {
     require(v > 0, s"no committed version at $root")
     val schema = tableSchema(spark, root, v)
     val numericOf: Map[String, Boolean] = ranges.map { case (c, _, _) =>
-      c -> schema.flatMap(_.fields.find(_.name == c))
+      c -> schema.flatMap(fieldAtPath(_, c))
         .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     }.toMap
     // stats are keyed by PHYSICAL name (stable across renames), so a
@@ -483,7 +603,7 @@ object VersionedTable {
     }
     def admitsAll(stats: Map[String, (String, String)]): Boolean =
       ranges.forall { case (c, lo, hi) =>
-        admits1(c, lo, hi, stats.get(physNameOf(cmPrune, c))) }
+        admits1(c, lo, hi, stats.get(physPathOf(cmPrune, c))) }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def keepLine(l: String): Option[String] = {
       val cut = l.indexOf('\t')
@@ -555,7 +675,9 @@ object VersionedTable {
     // row filter in each COLUMN's type (string compare would order
     // "10" < "9"); lit(lo).cast(dt) is identity for string columns
     ranges.foldLeft(base) { case (df, (c, lo, hi)) =>
-      val dt = base.schema(c).dataType
+      val dt = fieldAtPath(base.schema, c)
+        .getOrElse(throw new IllegalArgumentException(
+          s"readRange: no column path '$c' at $root")).dataType
       df.filter(col(c).geq(org.apache.spark.sql.functions.lit(lo).cast(dt)) &&
         col(c).leq(org.apache.spark.sql.functions.lit(hi).cast(dt)))
     }
@@ -683,7 +805,7 @@ object VersionedTable {
     val s = snapshot(spark, root, version)
     // sidecar dir AND value reads keyed by PHYSICAL name — a later
     // rename keeps the whole standing index valid
-    val physCol = physNameOf(columnMapping(spark, root, s.version), colName)
+    val physCol = physPathOf(columnMapping(spark, root, s.version), colName)
     val rels = fileLines(spark, root, s.version).map(lineRel)
     val files = rels.map(r => new Path(root, r).toString)
     require(files.nonEmpty, s"nothing to index at $root v${s.version}")
@@ -736,7 +858,7 @@ object VersionedTable {
                                  colName: String,
                                  version: Long = -1L): Long = {
     val s = snapshot(spark, root, version)
-    val physCol = physNameOf(columnMapping(spark, root, s.version), colName)
+    val physCol = physPathOf(columnMapping(spark, root, s.version), colName)
     val prior = latestBloomDir(spark, root, physCol).getOrElse(
       return buildBloomIndex(spark, root, colName, version = version))
     val idx = spark.read.parquet(prior)
@@ -944,7 +1066,7 @@ object VersionedTable {
     val s = snapshot(spark, root, version)
     val (statsKept, _) = prunedFiles(spark, root, colName, value, value, s.version)
     // the sidecar is keyed by PHYSICAL name — survives renames
-    val physCol = physNameOf(columnMapping(spark, root, s.version), colName)
+    val physCol = physPathOf(columnMapping(spark, root, s.version), colName)
     val kept = bloomCut(spark, root, physCol, value, statsKept)
     val base = tableSchema(spark, root, s.version) match {
       case Some(_) if kept.nonEmpty =>
@@ -983,7 +1105,7 @@ object VersionedTable {
                        value: String, version: Long = -1L): BloomProbeDetail = {
     val s = snapshot(spark, root, version)
     val (statsKept, total) = prunedFiles(spark, root, colName, value, value, s.version)
-    val physCol = physNameOf(columnMapping(spark, root, s.version), colName)
+    val physCol = physPathOf(columnMapping(spark, root, s.version), colName)
     val (kept, so, st) = bloomCutDetail(spark, root, physCol, value, statsKept)
     BloomProbeDetail(kept.size, statsKept.size, total, so, st)
   }
@@ -1051,33 +1173,81 @@ object VersionedTable {
     * against the CURRENT meta on every OCC attempt. Name-uniqueness
     * is CASE-INSENSITIVE (Spark SQL resolution is), so a rename can
     * never commit a schema whose columns differ only by case — but a
-    * case-only rename of the SAME column stays legal. */
+    * case-only rename of the SAME column stays legal.
+    *
+    * Round 13: `oldName` may be a DOTTED PATH into struct fields
+    * (`props.lang`); `newName` is the new LEAF name (a dotted
+    * `newName` is accepted when its parent path equals `oldName`'s —
+    * the ALTER TABLE ... RENAME COLUMN a.b TO a.c convenience).
+    * Uniqueness is checked among the parent struct's SIBLINGS, and
+    * colmap entries UNDER the renamed field re-key to the new logical
+    * prefix (their physical leaves — and therefore every stats/shard/
+    * bloom key, which are physical-path-keyed — stay put). */
   def renameColumnTransform(root: String, oldName: String, newName: String)
       : Map[String, String] => Map[String, String] = {
     require(oldName != newName, "rename to the same name")
-    validColName(newName, "new column name")
+    val parentSegs = oldName.split('.').toSeq.init
+    val oldLeaf = oldName.split('.').last
+    val newLeaf =
+      if (!newName.contains('.')) newName
+      else {
+        require(newName.split('.').toSeq.init == parentSegs,
+          s"rename cannot MOVE a column across structs: $oldName -> $newName")
+        newName.split('.').last
+      }
+    validColName(newLeaf, "new column name")
+    require(oldLeaf != newLeaf, "rename to the same name")
+    val newPath = (parentSegs :+ newLeaf).mkString(".")
     meta => {
       val sc = schemaOf(meta, root, "renameColumn")
-      require(sc.fieldNames.contains(oldName),
-        s"no column $oldName at $root (have ${sc.fieldNames.mkString(", ")})")
-      require(!sc.fieldNames.exists(f =>
-          f.equalsIgnoreCase(newName) && !f.equals(oldName)),
-        s"column $newName already exists at $root (names are " +
+      val parentSt = parentStructOf(sc, parentSegs, root, "renameColumn")
+      require(parentSt.fieldNames.contains(oldLeaf),
+        s"no column $oldName at $root (have ${parentSt.fieldNames.mkString(", ")})")
+      require(!parentSt.fieldNames.exists(f =>
+          f.equalsIgnoreCase(newLeaf) && !f.equals(oldLeaf)),
+        s"column $newPath already exists at $root (names are " +
           "case-insensitive under Spark SQL resolution)")
       val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
       val phys = physNameOf(cm, oldName)
-      val cm2 = ((cm - oldName) + (newName -> phys))
-        .filter { case (l, p) => l != p }
-      val sc2 = org.apache.spark.sql.types.StructType(sc.fields.map(f =>
-        if (f.name == oldName) f.copy(name = newName) else f))
+      // the renamed field's own entry moves; entries for fields INSIDE
+      // it re-key their logical prefix (physical names never move)
+      val cm2 = (cm.flatMap { case (l, p) =>
+        if (l == oldName) None
+        else if (l.startsWith(oldName + "."))
+          Some((newPath + l.substring(oldName.length)) -> p)
+        else Some(l -> p)
+      } + (newPath -> phys))
+        .filter { case (l, p) => l.split('.').last != p }
+      val sc2 = rewriteAt(sc, parentSegs, root, "renameColumn")(st =>
+        org.apache.spark.sql.types.StructType(st.fields.map(f =>
+          if (f.name == oldLeaf) f.copy(name = newLeaf) else f)))
       // the declared clustering layout follows the LOGICAL name
       val clust2 = meta.get("clustering").map(_.split(',')
-        .map(c => if (c == oldName) newName else c).mkString(","))
+        .map(c => if (c == oldName) newPath else c).mkString(","))
       (meta - "colmap") + ("schema" -> sc2.json) ++
         (if (cm2.nonEmpty) Map("colmap" -> colmapJson(cm2)) else Map.empty) ++
         clust2.map("clustering" -> _)
     }
   }
+
+  /** The struct `parentSegs` names (the root schema when empty);
+    * every segment must be a struct field. */
+  private def parentStructOf(sc: org.apache.spark.sql.types.StructType,
+                             parentSegs: Seq[String], root: String,
+                             what: String)
+      : org.apache.spark.sql.types.StructType =
+    parentSegs.foldLeft(sc) { (cur, seg) =>
+      cur.fields.find(_.name == seg) match {
+        case Some(f) => f.dataType match {
+          case st: org.apache.spark.sql.types.StructType => st
+          case other => throw new IllegalArgumentException(
+            s"$what: '$seg' is not a struct (is ${other.simpleString}) at " +
+              s"$root — column paths may only traverse struct fields")
+        }
+        case None => throw new IllegalArgumentException(
+          s"$what: no field '$seg' at $root (have ${cur.fieldNames.mkString(", ")})")
+      }
+    }
 
   /** RENAME a column — METADATA-ONLY (round 12, column mapping): the
     * column's on-disk (physical) name is fixed at its first commit,
@@ -1107,26 +1277,41 @@ object VersionedTable {
   /** Manifest-meta transform for ADD COLUMN; both the logical
     * already-exists check and the physical-slot collision check are
     * case-insensitive (parquet readers resolve physical names
-    * case-insensitively too). */
+    * case-insensitively too). Round 13: `name` may be a dotted path —
+    * `props.new_field` adds a nullable field INSIDE the struct at
+    * `props` (metadata-only like the top-level form: old files lack
+    * the nested physical column and read NULL for it); the collision
+    * domain is the full physical-PATH set, so a new nested field can
+    * never land on a slot a renamed or dropped field still owns. */
   def addColumnTransform(root: String, name: String,
                          dataType: org.apache.spark.sql.types.DataType)
       : Map[String, String] => Map[String, String] = {
-    validColName(name, "column name")
+    val parentSegs = name.split('.').toSeq.init
+    val leaf = name.split('.').last
+    validColName(leaf, "column name")
     meta => {
       val sc = schemaOf(meta, root, "addColumn")
-      require(!sc.fieldNames.exists(_.equalsIgnoreCase(name)),
+      val parentSt = parentStructOf(sc, parentSegs, root, "addColumn")
+      require(!parentSt.fieldNames.exists(_.equalsIgnoreCase(leaf)),
         s"column $name already exists at $root (names are " +
           "case-insensitive under Spark SQL resolution)")
       val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
       val dropped = meta.get("dropped").toSeq.flatMap(_.split(","))
         .filter(_.nonEmpty).toSet
-      if (cm.values.exists(_.equalsIgnoreCase(name)) ||
-          dropped.exists(_.equalsIgnoreCase(name)))
+      // the new field's on-disk path: parent prefix resolves through
+      // the map, the new leaf is born unmapped (physical == logical)
+      val physParent = physPathOf(cm, parentSegs.mkString("."))
+      val newPhysPath =
+        if (parentSegs.isEmpty) leaf else s"$physParent.$leaf"
+      if (allPhysPaths(cm, sc).exists(_.equalsIgnoreCase(newPhysPath)) ||
+          dropped.exists(_.equalsIgnoreCase(newPhysPath)))
         throw new IllegalArgumentException(
-          s"physical column collision at $root: $name is a renamed or " +
-            "dropped column's on-disk name")
-      val sc2 = org.apache.spark.sql.types.StructType(sc.fields :+
-        org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+          s"physical column collision at $root: $newPhysPath is a renamed " +
+            "or dropped column's on-disk name")
+      val sc2 = rewriteAt(sc, parentSegs, root, "addColumn")(st =>
+        org.apache.spark.sql.types.StructType(st.fields :+
+          org.apache.spark.sql.types.StructField(leaf, dataType,
+            nullable = true)))
       meta + ("schema" -> sc2.json)
     }
   }
@@ -1153,28 +1338,42 @@ object VersionedTable {
   def dropColumnTransform(root: String, name: String, ifExists: Boolean)
       : Map[String, String] => Map[String, String] = meta => {
     val sc = schemaOf(meta, root, "dropColumn")
-    if (!sc.fieldNames.contains(name)) {
+    val parentSegs = name.split('.').toSeq.init
+    val leaf = name.split('.').last
+    if (fieldAtPath(sc, name).isEmpty) {
       if (ifExists) meta
       else throw new IllegalArgumentException(
         s"no column $name at $root (have ${sc.fieldNames.mkString(", ")})")
     } else {
-      require(sc.fields.length > 1, s"cannot drop the last column of $root")
+      val parentSt = parentStructOf(sc, parentSegs, root, "dropColumn")
+      require(parentSt.fields.length > 1,
+        if (parentSegs.isEmpty) s"cannot drop the last column of $root"
+        else s"cannot drop the last field of struct " +
+          s"${parentSegs.mkString(".")} at $root (drop the struct instead)")
       val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
-      val phys = physNameOf(cm, name)
+      // reserve the full dotted PHYSICAL path (old files keep serving
+      // it at old versions; a new field must never land on it)
+      val phys = physPathOf(cm, name)
       require(!phys.contains(",") && !phys.contains("="),
         s"cannot reserve physical name '$phys' (contains ',' or '='); " +
           "RENAME the column and rewrite the table before dropping")
-      val cm2 = cm - name
-      val sc2 = org.apache.spark.sql.types.StructType(
-        sc.fields.filterNot(_.name == name))
+      // the field's own mapping leaves, and so do mappings INSIDE it
+      val cm2 = cm.filterNot { case (l, _) =>
+        l == name || l.startsWith(name + ".") }
+      val sc2 = rewriteAt(sc, parentSegs, root, "dropColumn")(st =>
+        org.apache.spark.sql.types.StructType(
+          st.fields.filterNot(_.name == leaf)))
+      // stats keyed AT or UNDER the dropped physical path go too
       val stats2 = meta.get("statscols").map(_.split(",")
-        .filter(s0 => s0.nonEmpty && s0 != phys).mkString(","))
+        .filter(s0 => s0.nonEmpty && s0 != phys &&
+          !s0.startsWith(phys + ".")).mkString(","))
         .filter(_.nonEmpty)
       val dropped2 = (meta.get("dropped").toSeq.flatMap(_.split(","))
         .filter(_.nonEmpty).toSet + phys).toSeq.sorted.mkString(",")
       // a dropped column leaves the declared clustering layout too
       val clust2 = meta.get("clustering").map(_.split(',')
-        .filterNot(_ == name).mkString(",")).filter(_.nonEmpty)
+        .filterNot(c => c == name || c.startsWith(name + "."))
+        .mkString(",")).filter(_.nonEmpty)
       (meta - "colmap" - "statscols" - "clustering") +
         ("schema" -> sc2.json) ++
         (if (cm2.nonEmpty) Map("colmap" -> colmapJson(cm2)) else Map.empty) ++
@@ -1233,16 +1432,43 @@ object VersionedTable {
     * (in order) plus `next`'s NEW fields appended. A field present in
     * both must keep its type — silent type rewrites are data
     * corruption, not evolution. */
+  /** `dt` with every nested struct field / array element / map value
+    * marked nullable — the shape a parquet scan actually serves. */
+  private def relaxNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(st.fields.map(f =>
+        f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = relaxNullability(at.elementType),
+        containsNull = true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(valueType = relaxNullability(mt.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+
   private def unionSchema(prev: Option[org.apache.spark.sql.types.StructType],
                           next: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = prev match {
     case None => next
     case Some(p) =>
+      // types must agree MODULO NESTED NULLABILITY (a struct literal's
+      // non-null inner field vs the committed nullable one is the same
+      // column); a real mismatch keeps throwing. On a nullability-only
+      // difference the committed field RELAXES to nullable — the only
+      // direction that is always read-safe.
       for (f <- next.fields; pf <- p.fields.find(_.name == f.name))
-        require(pf.dataType == f.dataType,
+        require(relaxNullability(pf.dataType) == relaxNullability(f.dataType),
           s"column ${f.name}: type ${f.dataType} != committed ${pf.dataType}")
       org.apache.spark.sql.types.StructType(
-        p.fields ++ next.fields.filter(f => !p.fieldNames.contains(f.name)))
+        p.fields.map { pf =>
+          next.fields.find(_.name == pf.name) match {
+            case Some(f) if f.dataType != pf.dataType =>
+              pf.copy(dataType = relaxNullability(pf.dataType))
+            case _ => pf
+          }
+        } ++ next.fields.filter(f => !p.fieldNames.contains(f.name)))
   }
 
   /** JSON-string escape for stats values: the manifest is
@@ -1279,11 +1505,9 @@ object VersionedTable {
     // column keeps its original on-disk name forever, so every file
     // of the table agrees and rename stays metadata-only
     val cm = columnMapping(spark, root, base)
-    val dfPhys =
-      if (cm.isEmpty) df
-      else df.select(df.columns.toSeq.map(c => col(c).as(physNameOf(cm, c))): _*)
+    val dfPhys = toPhysical(df, cm)
     // fail BEFORE writing when a new logical column would land on a
-    // physical name a renamed or dropped column still owns on disk
+    // physical PATH a renamed or dropped column still owns on disk
     // (re-checked against the winner's meta in the commit loop)
     locally {
       val unioned0 = if (unionWithPrev && base > 0)
@@ -1291,7 +1515,7 @@ object VersionedTable {
       else df.schema
       val dropped0 = manifestMeta(spark, root, base).get("dropped").toSeq
         .flatMap(_.split(",")).filter(_.nonEmpty).toSet
-      val phys0 = unioned0.fieldNames.map(physNameOf(cm, _))
+      val phys0 = allPhysPaths(cm, unioned0)
       if (phys0.distinct.length != phys0.length ||
           phys0.exists(dropped0.contains))
         throw new IllegalArgumentException(
@@ -1300,13 +1524,13 @@ object VersionedTable {
             s"(${phys0.mkString(", ")}; dropped: ${dropped0.mkString(", ")})")
     }
     // stats columns: explicit (logical — translated to the stable
-    // physical key), or inherited from the current manifest (already
+    // physical PATH), or inherited from the current manifest (already
     // physical) so MERGE/DELETE/compact/append rewrites keep skipping
     // working without each caller re-stating the table's layout
-    val effStats = (if (statsCols.nonEmpty) statsCols.map(physNameOf(cm, _))
+    val effStats = (if (statsCols.nonEmpty) statsCols.map(physPathOf(cm, _))
       else manifestMeta(spark, root, base)
         .get("statscols").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
-      .filter(dfPhys.columns.contains)
+      .filter(p => fieldAtPath(dfPhys.schema, p).isDefined)
     val dataDir = new Path(root, s"data/c${base + 1}-$nonce")
     dfPhys.write.parquet(dataDir.toString)
     val writtenStatus = f.listStatus(dataDir)
@@ -1389,7 +1613,7 @@ object VersionedTable {
       val curMeta = manifestMeta(spark, root, cur)
       val droppedPhys = curMeta.get("dropped").toSeq
         .flatMap(_.split(",")).filter(_.nonEmpty).toSet
-      val physNames = unioned.fieldNames.map(physNameOf(cm, _))
+      val physNames = allPhysPaths(cm, unioned)
       if (physNames.distinct.length != physNames.length ||
           physNames.exists(droppedPhys.contains)) {
         f.delete(dataDir, true)
@@ -1631,10 +1855,7 @@ object VersionedTable {
       val dataDirRel = s"data/c${s.version + 1}-$nonce"
       // new row versions land under PHYSICAL names like every write
       val cmU = columnMapping(spark, root, s.version)
-      val updatedPhys =
-        if (cmU.isEmpty) updated
-        else updated.select(updated.columns.toSeq.map(c =>
-          col(c).as(physNameOf(cmU, c))): _*)
+      val updatedPhys = toPhysical(updated, cmU)
       updatedPhys.write.parquet(new Path(root, dataDirRel).toString)
       val newStatus = f.listStatus(new Path(root, dataDirRel))
         .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)

@@ -157,30 +157,38 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * NULL-backfill at read). One `ALTER TABLE` statement's changes
     * fold into ONE metadata commit ([[VersionedTable.alterColumns]]),
     * so a failing change aborts the whole statement with nothing
-    * half-applied — the TableCatalog all-or-nothing contract. Anything
-    * else is rejected precisely. */
+    * half-applied — the TableCatalog all-or-nothing contract.
+    *
+    * Round 13: multi-part field names address NESTED STRUCT fields by
+    * path (`ALTER TABLE t RENAME COLUMN props.lang TO language`) —
+    * still metadata-only; paths through maps/arrays are rejected
+    * precisely by the transform's own schema walk. A path segment
+    * containing a literal '.' cannot be addressed (the manifest keys
+    * paths dot-joined) and is rejected here rather than silently
+    * mis-resolved. Anything else is rejected precisely. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val root = tableDir(ident)
-    def single(fieldNames: Array[String], what: String): String = {
-      require(fieldNames.length == 1,
-        s"graft ALTER TABLE $what supports top-level columns only, " +
-          s"got ${fieldNames.mkString(".")}")
-      fieldNames(0)
+    def pathOf(fieldNames: Array[String], what: String): String = {
+      fieldNames.find(_.contains(".")).foreach(seg =>
+        throw new IllegalArgumentException(
+          s"graft ALTER TABLE $what: field name segment '$seg' contains " +
+            "'.' — dotted segments collide with path keys"))
+      fieldNames.mkString(".")
     }
     val transforms = changes.map {
       case r: TableChange.RenameColumn =>
         VersionedTable.renameColumnTransform(root,
-          single(r.fieldNames(), "RENAME COLUMN"), r.newName())
+          pathOf(r.fieldNames(), "RENAME COLUMN"), r.newName())
       case d: TableChange.DeleteColumn =>
         VersionedTable.dropColumnTransform(root,
-          single(d.fieldNames(), "DROP COLUMN"),
+          pathOf(d.fieldNames(), "DROP COLUMN"),
           ifExists = d.ifExists() == java.lang.Boolean.TRUE)
       case a: TableChange.AddColumn =>
         require(a.position() == null && a.defaultValue() == null,
           "graft ADD COLUMN appends nullable columns without defaults")
         VersionedTable.addColumnTransform(root,
-          single(a.fieldNames(), "ADD COLUMN"), a.dataType())
+          pathOf(a.fieldNames(), "ADD COLUMN"), a.dataType())
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE does not support ${other.getClass.getSimpleName}")
     }

@@ -302,3 +302,319 @@ class ClusteredCreateTableSpec extends SparkSpec {
     }
   }
 }
+
+/** Round-13: the SQL-only change-feed poll loop — the manual form of a
+  * streaming change-feed client on the SQL surface. The consumer keeps
+  * ONE watermark (the last version it applied), reads the head via
+  * `vt_history`, and drains `vt_changes(t, last, cur)` windows. The
+  * exactly-once argument is structural: windows are half-open
+  * `(last, cur]` intervals chained end-to-start, so every committed
+  * version lands in EXACTLY one window; `vt_changes` net-change
+  * semantics inside a window is what a net-state consumer wants
+  * (transient versions cancel), and replaying the deltas in window
+  * order reproduces the table bit-for-bit. The push-based equivalent
+  * is [[graft.streaming.StreamingOps.followVersionedTable]]; this spec
+  * pins the pull-based SQL contract it composes with. */
+class SqlChangeFeedPollSpec extends SparkSpec {
+
+  test("disjoint vt_changes windows deliver every commit exactly once and replay to the table") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.feed")
+    spark.sql("CREATE TABLE graft.feed (k BIGINT, v BIGINT)") // v1: empty
+    def cur(): Long = spark.sql(
+      "SELECT max(version) FROM vt_history('feed')").head().getLong(0)
+
+    // the consumer: watermark + multiset state (file-level CDF emits
+    // delete+insert pairs for rewritten files, so state is a counted
+    // bag, deltas applied deletes-first within a window)
+    var last = cur()
+    val state = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    val windows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def poll(): Unit = {
+      val c = cur()
+      if (c > last) { // nothing new ⇒ no vt_changes call (from < to)
+        val rows = spark.sql(
+          s"SELECT k, v, _change_type FROM vt_changes('feed', $last, $c)")
+          .collect()
+        rows.filter(_.getString(2) == "delete").foreach { r =>
+          val key = (r.getLong(0), r.getLong(1))
+          val n = state.getOrElse(key, 0) - 1
+          assert(n >= 0, s"delete of a row the consumer never saw: $key")
+          if (n == 0) state.remove(key) else state(key) = n
+        }
+        rows.filter(_.getString(2) == "insert").foreach { r =>
+          val key = (r.getLong(0), r.getLong(1))
+          state(key) = state.getOrElse(key, 0) + 1
+        }
+        windows += ((last, c)); last = c
+      }
+    }
+
+    spark.sql("INSERT INTO graft.feed SELECT id, id * 3 FROM range(20)")  // v2
+    spark.sql("INSERT INTO graft.feed SELECT id, id * 3 FROM range(20, 30)") // v3
+    poll() // one window spanning TWO commits
+    poll() // idle poll: must be a no-op, not a re-delivery
+    spark.sql("DELETE FROM graft.feed WHERE k % 5 = 1")                   // v4 (DV)
+    poll()
+    spark.sql("CALL graft.optimize('feed', 'k', 4, 4)")                   // v5 rewrite
+    spark.sql("INSERT INTO graft.feed SELECT id, id FROM range(100, 105)") // v6
+    poll() // rewrite window: delete+insert pairs must cancel in the bag
+
+    // exactly-once: the windows chain (last, cur] with no gap/overlap
+    // from the subscription point to the final head
+    assert(windows.head._1 == 1L && windows.last._2 == cur(),
+      s"windows must cover (1, head]: $windows")
+    windows.sliding(2).foreach { case Seq((_, a), (b, _)) =>
+      assert(a == b, s"windows must chain end-to-start: $windows")
+    case _ => () }
+
+    // replay convergence: the consumer's bag IS the table
+    assert(state.values.forall(_ == 1), s"duplicate delivery: $state")
+    val table = spark.sql("SELECT k, v FROM graft.feed").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state.keySet == table,
+      s"replayed state must equal the table: ${state.keySet.size} vs ${table.size}")
+    spark.sql("DROP TABLE graft.feed")
+  }
+}
+
+/** Round-13: ISO-BMFF sample tables — parity on the sampled stub and
+  * the hostile-degradation contract (any malformed table ⇒ ZERO rows
+  * for that document, never an exception — the m11/m13 posture on the
+  * stts/stsc/stsz/stco surface). */
+class Mp4SampleTableSpec extends SparkSpec {
+  import graft.operators.Multimodal
+  import spark.implicits._
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def box(t: String, body: Array[Byte]): Array[Byte] =
+    be32(8L + body.length) ++ t.getBytes ++ body
+
+  test("the sample map recovers the stub's exact layout in both mdat positions") {
+    // 70 bytes -> 3 samples (32, 32, 6), 1 chunk; id 2 (mdat-first,
+    // largesize) and id 3 (moov-first) must both resolve offsets
+    val payload = Array.tabulate[Byte](70)(i => (i + 1).toByte)
+    val in = Seq((2L, payload, 2), (3L, payload, 1))
+      .toDF("doc_id", "payload", "nt")
+    val stubs = Multimodal.encodeMp4Sampled(in, "doc_id", "payload", "nt")
+    val rows = Multimodal.mp4SampleMap(stubs, "id", "bin").collect()
+      .map(r => (r.doc_id, r.track_id, r.sample_idx) ->
+        (r.chunk_idx, r.size, r.pts_ms, r.rel_offset)).toMap
+    assert(rows.size == 2 * 3 + 3, s"2 tracks x 3 + 1 track x 3: ${rows.size}")
+    for (doc <- Seq(2L, 3L); tid <- 1L to (if (doc == 2) 2L else 1L)) {
+      assert(rows((doc, tid, 0L)) == ((0L, 32L, 0L, 0L)))
+      assert(rows((doc, tid, 1L)) == ((0L, 32L, 40L, 32L)))
+      assert(rows((doc, tid, 2L)) == ((0L, 6L, 80L, 64L)))
+    }
+    // demux slices the true bytes: sample 1 covers payload[32..64)
+    val sums = Multimodal.mp4SampleDemux(stubs, "id", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(5)).toMap
+    val expect1 = (32 until 64).map(i => (payload(i) & 0xFF).toLong).sum
+    assert(sums((2L, 1L)) == expect1 && sums((3L, 1L)) == expect1)
+    val expect2 = (64 until 70).map(i => (payload(i) & 0xFF).toLong).sum
+    assert(sums((2L, 2L)) == expect2)
+  }
+
+  test("hostile sample tables degrade to zero rows, never an exception") {
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    def trak(stts: Array[Byte], stsc: Array[Byte], stsz: Array[Byte],
+             stco: Array[Byte]): Array[Byte] = {
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+        be32(1) ++ be32(0) ++ be32(120) ++ Array.fill[Byte](60)(0))
+      val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32(120) ++ be32(0))
+      box("trak", tkhd ++ box("mdia", mdhd ++ box("minf",
+        box("stbl", stts ++ stsc ++ stsz ++ stco))))
+    }
+    val mdat = box("mdat", Array.tabulate[Byte](96)(_.toByte))
+    def file(t: Array[Byte]): Array[Byte] = {
+      val moov = box("moov", box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+        be32(0) ++ be32(1000) ++ be32(120) ++ Array.fill[Byte](80)(0)) ++ t)
+      ftyp ++ moov ++ mdat
+    }
+    def okStts(n: Long) = box("stts", be32(0) ++ be32(1) ++ be32(n) ++ be32(40))
+    def okStsc() = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(4) ++ be32(1))
+    def okStsz(sizes: Seq[Long]) = box("stsz",
+      be32(0) ++ be32(0) ++ be32(sizes.length) ++
+        sizes.flatMap(be32(_)).toArray)
+    def okStco(off: Long) = box("stco", be32(0) ++ be32(1) ++ be32(off))
+    // hostile variants, each a distinct degradation path:
+    val cases = Seq(
+      // stsz entry count overruns its box
+      "stsz_overrun" -> file(trak(okStts(3), okStsc(),
+        box("stsz", be32(0) ++ be32(0) ++ be32(1000) ++ be32(32)), okStco(0))),
+      // fixed-size arm: count x size cannot fit in mdat (allocation trap)
+      "stsz_fixed_huge" -> file(trak(okStts(3), okStsc(),
+        box("stsz", be32(0) ++ be32(32) ++ be32(0x7FFFFFFFL)), okStco(0))),
+      // stts total disagrees with stsz count
+      "stts_mismatch" -> file(trak(okStts(99), okStsc(),
+        okStsz(Seq(32L, 32L, 32L)), okStco(0))),
+      // stco offset sends a sample past the mdat body
+      "stco_past_mdat" -> file(trak(okStts(3), okStsc(),
+        okStsz(Seq(32L, 32L, 32L)), okStco(1 << 20))),
+      // stsc first run starts past chunk 1: no rule for the first chunk
+      "stsc_gap" -> file(trak(okStts(3),
+        box("stsc", be32(0) ++ be32(1) ++ be32(9) ++ be32(4) ++ be32(1)),
+        okStsz(Seq(32L, 32L, 32L)), okStco(0))),
+      // stco count overruns its box
+      "stco_overrun" -> file(trak(okStts(3), okStsc(),
+        okStsz(Seq(32L, 32L, 32L)),
+        box("stco", be32(0) ++ be32(500) ++ be32(0))))
+    )
+    val in = cases.zipWithIndex.map { case ((_, bytes), i) => (i.toLong, bytes) }
+      .toDF("id", "bin")
+    val n = Multimodal.mp4SampleMap(in, "id", "bin").count()
+    assert(n == 0L, s"every hostile case must degrade to zero rows, got $n")
+    assert(Multimodal.mp4SampleDemux(in, "id", "bin").count() == 0L)
+  }
+}
+
+/** Round-13: NESTED-STRUCT column mapping — RENAME/DROP/ADD of struct
+  * fields by dotted path are metadata-only (colmap keys logical
+  * paths; stats/shards/bloom stay keyed by dotted PHYSICAL path), the
+  * prune serves nested stats leaves, and the logical↔physical
+  * projection rides struct→struct CASTs that preserve NULL parents. */
+class NestedColumnMappingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+  import org.apache.spark.sql.types._
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vnest").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  private def dataFiles(root: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root, "data"))
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+  }
+
+  private def mk(root: String): Unit = {
+    // props is NULL every 16th row — the null-preservation probe
+    val df = (0L until 64L).map(i => (i, i % 16L == 7L, i)).toDF("id", "nl", "i")
+      .select(col("id"),
+        when(!col("nl"), struct(
+          concat(lit("L"), (col("i") % 3).cast("string")).as("lang"),
+          (col("i") * 10).as("score"))).as("props"),
+        (col("i") % 7).as("qty"))
+      .repartitionByRange(4, col("id"))
+    VersionedTable.commit(df, root, statsCols = Seq("id", "props.score"))
+  }
+
+  test("nested rename/drop/add are metadata-only; stats + prune survive by physical path") {
+    val root = freshRoot()
+    mk(root)
+    val before = dataFiles(root)
+
+    // nested stats were computed under the dotted physical key
+    val (k0, t0) = VersionedTable.prunedFiles(spark, root, "props.score", "100", "200")
+    assert(t0 >= 4 && k0.size < t0, s"nested stats must prune: ${k0.size} of $t0")
+
+    // rename the LEAF, then the PARENT — both zero-data-file commits
+    val v2 = VersionedTable.renameColumn(spark, root, "props.lang", "language")
+    val v3 = VersionedTable.renameColumn(spark, root, "props", "meta")
+    assert(dataFiles(root) == before, "nested renames must write ZERO data files")
+
+    val cur = VersionedTable.read(spark, root)
+    assert(cur.schema("meta").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("language", "score"))
+    assert(cur.filter(col("id") === 5L).head().getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Long]("score") == 50L)
+    // NULL parents stay NULL through the rename cast (not struct-of-nulls)
+    assert(cur.filter(col("id") === 7L).head().isNullAt(1),
+      "a NULL struct must survive the logical aliasing as NULL")
+    // time travel sees each era's names
+    assert(VersionedTable.read(spark, root, v2 - 1).schema("props")
+      .dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("lang", "score"))
+
+    // prune + readRange on the renamed nested leaf (stats key unchanged)
+    val (k1, t1) = VersionedTable.prunedFiles(spark, root, "meta.score", "100", "200")
+    assert(k1.size == k0.size && t1 == t0, "rename must not break nested skipping")
+    assert(VersionedTable.readRange(spark, root, "meta.score", "100", "200")
+      .count() == cur.filter(col("meta.score").between(100L, 200L)).count())
+
+    // nested ADD: metadata-only, NULL-backfills inside the struct
+    VersionedTable.addColumn(spark, root, "meta.note", StringType)
+    assert(dataFiles(root) == before, "nested add must write ZERO data files")
+    val withNote = VersionedTable.read(spark, root)
+    assert(withNote.filter(col("meta").isNotNull &&
+      col("meta.note").isNull).count() == 60L, "added nested field NULL-backfills")
+
+    // nested DROP: metadata-only; old era still sees it; the physical
+    // slot (props.score on disk) stays reserved
+    VersionedTable.dropColumn(spark, root, "meta.score")
+    assert(dataFiles(root) == before, "nested drop must write ZERO data files")
+    assert(!VersionedTable.read(spark, root).schema("meta").dataType
+      .asInstanceOf[StructType].fieldNames.contains("score"))
+    assert(VersionedTable.read(spark, root, v3).schema("meta").dataType
+      .asInstanceOf[StructType].fieldNames.contains("score"),
+      "the dropped nested field stays readable at its era")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.addColumn(spark, root, "meta.score", LongType)
+    }
+    assert(e.getMessage.contains("physical column collision"), e.getMessage)
+    // a DIFFERENT leaf lands on a fresh physical slot: legal
+    VersionedTable.addColumn(spark, root, "meta.score2", LongType)
+
+    // appends after the renames land under stable physical names:
+    // time-travel readers and current readers agree on the bytes
+    val app = Seq((1000L, ("LX", "hi", 123L))).toDF("id", "m")
+      .select(col("id"), col("m").cast(VersionedTable.read(spark, root)
+        .schema("meta").dataType).as("meta"), lit(0L).as("qty"))
+    VersionedTable.commit(app, root, mode = "append")
+    assert(VersionedTable.read(spark, root).filter(col("id") === 1000L)
+      .head().getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("score2") == 123L)
+  }
+
+  test("path errors are precise; maps/arrays are rejected; DDL stays case-safe") {
+    val root = freshRoot()
+    mk(root)
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "props.nope", "x")
+    }
+    assert(e1.getMessage.contains("no column props.nope"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "qty.sub", "x")
+    }
+    assert(e2.getMessage.contains("not a struct"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "props.lang", "props.SCORE")
+    }
+    assert(e3.getMessage.contains("already exists"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "props.lang", "other.lang2")
+    }
+    assert(e4.getMessage.contains("across structs"), e4.getMessage)
+    // dropping the last field of a struct is a precise error
+    VersionedTable.dropColumn(spark, root, "props.lang")
+    val e5 = intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, root, "props.score")
+    }
+    assert(e5.getMessage.contains("last field"), e5.getMessage)
+  }
+
+  test("nested paths work through SQL ALTER TABLE, and eras time-travel") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.nst")
+    spark.sql("""CREATE TABLE graft.nst AS
+      SELECT id AS k, named_struct('lang', concat('L', id % 3),
+        'score', id * 10) AS props FROM range(50)""")
+    spark.sql("ALTER TABLE graft.nst RENAME COLUMN props.lang TO language")
+    assert(spark.sql("SELECT props.language FROM graft.nst WHERE k = 4")
+      .head().getString(0) == "L1")
+    spark.sql("ALTER TABLE graft.nst ADD COLUMNS (props.flag BOOLEAN)")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.nst WHERE props.flag IS NULL")
+      .head().getLong(0) == 50L)
+    spark.sql("ALTER TABLE graft.nst DROP COLUMN props.flag")
+    assert(!spark.sql("SELECT props.* FROM graft.nst").columns.contains("flag"))
+    // the pre-rename era answers under ITS names
+    assert(spark.sql("SELECT props.lang FROM graft.nst VERSION AS OF 2 WHERE k = 4")
+      .head().getString(0) == "L1")
+    spark.sql("DROP TABLE graft.nst")
+  }
+}
