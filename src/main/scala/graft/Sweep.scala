@@ -811,6 +811,71 @@ object Sweep {
         else if (degenerate > 0) s"$degenerate sources admitted none/all (budget didn't bind)"
         else if (nSrc == 0) "no sources"
         else ""
+      },
+
+      "vt_clone_nested_100x" -> { () =>
+        // round 13: shallow clone + nested column mapping at the 100x
+        // corpus (500k rows / 256 files / 16 manifest shards). The
+        // clone must be METADATA-ONLY (zero parquet under its data/),
+        // byte-equal to the pinned era, and — because stats lines
+        // carry verbatim under dotted PHYSICAL keys — must data-skip
+        // on a NESTED stats leaf even after the parent struct AND the
+        // leaf are renamed on the clone; its vacuum must never touch
+        // source bytes.
+        import graft.sources.VersionedTable
+        def tmpRoot(tag: String) = {
+          val f = java.nio.file.Files.createTempDirectory(tag).toFile
+          f.delete(); f.getAbsolutePath
+        }
+        val src = tmpRoot("vclsrc100x"); val dst = tmpRoot("vcldst100x")
+        val base = docs(docDir).select(col("doc_id"),
+          struct(length(col("text")).cast("long").as("len"),
+            col("source").as("src0")).as("props"))
+        // cluster on the NESTED leaf so its per-file ranges are tight —
+        // the layout a real table would OPTIMIZE into
+        VersionedTable.commit(
+          base.repartitionByRange(256, col("props.len"), col("doc_id")), src,
+          statsCols = Seq("doc_id", "props.len"))
+        VersionedTable.shardManifest(spark, src, targetFilesPerShard = 16)
+        val nSrc0 = VersionedTable.read(spark, src).count()
+        def parquetUnder(root: String): Int = {
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+          val d = new java.io.File(root, "data")
+          if (!d.exists()) 0 else walk(d).count(_.getName.endsWith(".parquet"))
+        }
+        VersionedTable.cloneShallow(spark, src, dst)
+        val cloneFiles0 = parquetUnder(dst)
+        val nClone = VersionedTable.read(spark, dst).count()
+        // nested DDL on the CLONE only: the source must not see it,
+        // and the physical-keyed stats must keep pruning through both
+        VersionedTable.renameColumn(spark, dst, "props", "meta")
+        VersionedTable.renameColumn(spark, dst, "meta.len", "length")
+        val d0 = VersionedTable.prunedFilesDetail(spark, dst, "meta.length",
+          "100", "140")
+        val srcCols = VersionedTable.read(spark, src)
+          .schema("props").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+        // divergent write + root-scoped vacuum
+        val srcFiles0 = parquetUnder(src)
+        VersionedTable.commit(
+          VersionedTable.read(spark, dst).limit(0), dst, mode = "overwrite")
+        VersionedTable.vacuum(spark, dst, retainVersions = 1, graceMs = 0L)
+        val srcFiles1 = parquetUnder(src)
+        val nSrc1 = VersionedTable.read(spark, src).count()
+        if (nSrc0 == 0) "empty corpus"
+        else if (cloneFiles0 != 0) s"clone copied $cloneFiles0 data files"
+        else if (nClone != nSrc0) s"clone rows $nClone != source $nSrc0"
+        else if (d0.kept.size * 2 >= d0.totalFiles)
+          // (shard refs are INLINED by clone, so shardsTotal == 0 here
+          // by design — the prune gate is on files, not shards)
+          s"nested prune on the renamed clone kept ${d0.kept.size} of ${d0.totalFiles}"
+        else if (srcCols != Seq("len", "src0"))
+          s"clone DDL leaked into the source: $srcCols"
+        else if (srcFiles1 != srcFiles0)
+          s"clone vacuum deleted ${srcFiles0 - srcFiles1} SOURCE files"
+        else if (nSrc1 != nSrc0) s"source rows changed: $nSrc1 != $nSrc0"
+        else ""
       }
     )
 

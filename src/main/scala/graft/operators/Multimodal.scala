@@ -875,6 +875,13 @@ object Multimodal {
                             if (ec < 0 || sFrom + 8 + ec * 4 > sTo) bad = true
                             else stco = Array.tabulate(ec.toInt)(i =>
                               be32(sFrom + 8 + i * 4L))
+                          // 64-bit chunk offsets — what a >4 GiB capture
+                          // actually writes; same table, wider entries
+                          case "co64" =>
+                            val ec = tableEntries(sFrom, sTo)
+                            if (ec < 0 || sFrom + 8 + ec * 8 > sTo) bad = true
+                            else stco = Array.tabulate(ec.toInt)(i =>
+                              be64(sFrom + 8 + i * 8L))
                           case _ => ()
                         }
                       }
@@ -909,7 +916,10 @@ object Multimodal {
                     val sz = sizes(si)
                     val abs = stco(ci) + intra
                     val rel = abs - mdatFrom
-                    if (sz < 0 || mdatFrom < 0 || rel < 0 ||
+                    // abs < 0 first: a hostile co64 top-bit offset (or
+                    // an offset+intra wrap) must fail here — `rel` and
+                    // `abs + sz` can themselves wrap positive otherwise
+                    if (sz < 0 || abs < 0 || mdatFrom < 0 || rel < 0 ||
                         abs + sz > mdatTo) bad = true
                     else {
                       out += SampleRef(id, trackId, si.toLong, ci.toLong,

@@ -3283,6 +3283,90 @@ object PipelineQueries {
              |SELECT 6, 'sum_p', (SELECT CAST(sum(p) AS BIGINT) FROM ab)
              |ORDER BY stage, _change_type""".stripMargin)),
 
+    Q("q65i_sql_nested_alter",
+      // Pure-SQL NESTED schema lifecycle (round 13; nested-struct
+      // column mapping): RENAME COLUMN props.p (a struct leaf — the
+      // colmap keys the dotted logical path, the on-disk name never
+      // changes), ADD COLUMNS (props.flag) NULL-backfilled INSIDE the
+      // struct, RENAME the PARENT struct (its mapped descendants
+      // re-key their logical prefix; physical paths — and therefore
+      // every stats key — never move), DROP a nested leaf, then read
+      // the current era flat AND the v2 era under ITS nested names
+      // via VERSION AS OF. All metadata-only commits; every expected
+      // value derives from `orders`.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65i")
+        s.sql("DROP TABLE IF EXISTS graft.q65i")
+        s.sql("""CREATE TABLE graft.q65i AS
+          SELECT o_orderkey AS k,
+                 named_struct('p', CAST(round(o_totalprice) AS BIGINT),
+                              'c', o_custkey) AS props
+          FROM orders_q65i WHERE o_orderkey % 50 = 0""")
+        s.sql("ALTER TABLE graft.q65i RENAME COLUMN props.p TO price")
+        s.sql("ALTER TABLE graft.q65i ADD COLUMNS (props.flag BIGINT)")
+        s.sql("ALTER TABLE graft.q65i RENAME COLUMN props TO meta")
+        s.sql("ALTER TABLE graft.q65i DROP COLUMN meta.c")
+        s.sql("""
+          SELECT k, meta.price AS price, meta.flag AS flag,
+            (SELECT CAST(sum(props.c) AS BIGINT)
+             FROM graft.q65i VERSION AS OF 2) AS v2_c_sum
+          FROM graft.q65i ORDER BY k""")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice) AS BIGINT) AS p,
+             |         o_custkey AS c
+             |  FROM orders WHERE o_orderkey % 50 = 0)
+             |SELECT k, p AS price, CAST(NULL AS BIGINT) AS flag,
+             |  (SELECT CAST(sum(c) AS BIGINT) FROM base) AS v2_c_sum
+             |FROM base ORDER BY k""".stripMargin)),
+
+    Q("q65j_sql_clone",
+      // SHALLOW CLONE on PURE SQL (round 13; CALL graft.clone): fork
+      // a table (metadata-only — the clone references the source's
+      // files by absolute path), write to the fork, and read source
+      // and fork back independently: the source must not observe the
+      // fork's insert/delete, the fork keeps the source's DV-deleted
+      // rows deleted, and the pre-clone source era stays
+      // time-travelable. Every count derives from `orders`.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65j")
+        s.sql("DROP TABLE IF EXISTS graft.q65j_src")
+        s.sql("DROP TABLE IF EXISTS graft.q65j_fork")
+        s.sql("""CREATE TABLE graft.q65j_src AS
+          SELECT o_orderkey AS k, o_custkey AS c
+          FROM orders_q65j WHERE o_orderkey % 10 = 0""")
+        s.sql("DELETE FROM graft.q65j_src WHERE k % 30 = 0")
+        s.sql("CALL graft.clone('q65j_src', 'q65j_fork')")
+        s.sql("INSERT INTO graft.q65j_fork SELECT -k, c FROM graft.q65j_fork")
+        s.sql("DELETE FROM graft.q65j_fork WHERE k > 0 AND k % 50 = 10")
+        s.sql("""
+          SELECT 'src' AS side, count(*) AS n,
+                 CAST(sum(k) AS BIGINT) AS sum_k FROM graft.q65j_src
+          UNION ALL
+          SELECT 'src_v2', count(*), CAST(sum(k) AS BIGINT)
+          FROM graft.q65j_src VERSION AS OF 2
+          UNION ALL
+          SELECT 'fork', count(*), CAST(sum(k) AS BIGINT) FROM graft.q65j_fork
+          ORDER BY side""")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c
+             |  FROM orders WHERE o_orderkey % 10 = 0),
+             |live AS (SELECT * FROM base WHERE k % 30 <> 0),
+             |fork AS (
+             |  SELECT k FROM live WHERE NOT (k > 0 AND k % 50 = 10)
+             |  UNION ALL SELECT -k FROM live)
+             |SELECT 'src' AS side, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(k) AS BIGINT) AS sum_k FROM live
+             |UNION ALL
+             |SELECT 'src_v2', CAST(count(*) AS BIGINT),
+             |  CAST(sum(k) AS BIGINT) FROM base
+             |UNION ALL
+             |SELECT 'fork', CAST(count(*) AS BIGINT),
+             |  CAST(sum(k) AS BIGINT) FROM fork
+             |ORDER BY side""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;

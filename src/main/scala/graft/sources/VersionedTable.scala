@@ -2500,6 +2500,65 @@ object VersionedTable {
     committed
   }
 
+  /** SHALLOW CLONE: create a NEW table at `dstRoot` whose v1 manifest
+    * references the SOURCE's data (and deletion-vector) files by
+    * ABSOLUTE path — zero bytes copied, metadata-only, O(manifest).
+    * The public lakehouse shallow-clone concept: a writable fork for
+    * experiments/dev against production data, where only files the
+    * clone itself writes land under its own root.
+    *
+    * Independence is structural: every mutation path (commit, merge,
+    * DV delete, optimize, compact) writes new files under the CLONE's
+    * root and new manifests in the clone's `_manifests`, so the source
+    * never observes the clone; the clone's [[vacuum]] only scans the
+    * clone's own `data/` directory, so it can never delete source
+    * bytes. The ONE documented caveat (shared with Delta's shallow
+    * clone): vacuuming or dropping the SOURCE invalidates clones that
+    * still reference its files — materialize via [[optimize]]/
+    * [[compact]] first.
+    *
+    * Shard refs are resolved INLINE into the clone's v1 (shard member
+    * lines are source-relative and would mis-resolve); a huge clone
+    * re-shards with [[shardManifest]]. Stats lines carry verbatim
+    * (path-agnostic), so data skipping works on the clone from birth;
+    * dv lines keep their 3-segment data key (how [[applyDv]] joins —
+    * absolute scan paths reduce to the same key) with the dv parquet
+    * made absolute. Returns the clone's version (always 1). */
+  def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
+                   version: Long = -1L): Long = {
+    val v = if (version > 0) version else currentVersion(spark, srcRoot)
+    require(v > 0, s"no committed version at $srcRoot")
+    require(currentVersion(spark, dstRoot) == 0,
+      s"clone target $dstRoot already has commits")
+    require(new Path(srcRoot).toUri.getPath != new Path(dstRoot).toUri.getPath,
+      "clone target must differ from the source")
+    val f = fs(spark, dstRoot)
+    def abs(rel: String): String =
+      if (rel.startsWith("/") || rel.contains(":/")) rel // chained clones
+      else new Path(srcRoot, rel).toString
+    val metaLines = manifestMeta(spark, srcRoot, v).toSeq.sortBy(_._1)
+      .map { case (k, mv) => s"#$k=$mv" }
+    val fileAbs = fileLines(spark, srcRoot, v).map { l =>
+      val cut = l.indexOf('\t')
+      if (cut < 0) abs(l) else abs(l.substring(0, cut)) + l.substring(cut)
+    }
+    val dvAbs = rawDvLines(spark, srcRoot, v).map { l =>
+      val p = l.split('\t') // !dv, dataKey3, dvRel
+      s"!dv\t${p(1)}\t${abs(p(2))}"
+    }
+    val lines = (metaLines ++ dvAbs ++ fileAbs).mkString("", "\n", "\n")
+    f.mkdirs(manifestDir(dstRoot))
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(manifestDir(dstRoot), s".v1-$nonce.tmp")
+    val out = f.create(tmp, true)
+    try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    require(f.rename(tmp, new Path(manifestDir(dstRoot), "v1.manifest")), {
+      f.delete(tmp, false)
+      s"clone lost a creation race at $dstRoot"
+    })
+    1L
+  }
+
   /** Delete data files referenced by NO retained manifest, keeping the
     * newest `retainVersions` manifests (and every file they name).
     * Returns the number of data files deleted. The only deletion path

@@ -24,6 +24,7 @@ import graft.sources.VersionedTable
   *   CALL graft.vacuum('t', 3)                -- GC unreferenced files
   *   CALL graft.restore('t', 5)               -- roll back as a NEW commit
   *   CALL graft.shard_manifest('t', 4096)     -- two-level manifest
+  *   CALL graft.clone('src', 'dst')            -- shallow clone (v pin ok)
   * }}}
   *
   * Each lands on the EXISTING VersionedTable path (optimize /
@@ -36,7 +37,8 @@ import graft.sources.VersionedTable
 object GraftProcedures {
 
   private val names =
-    Seq("optimize", "compact_small", "vacuum", "restore", "shard_manifest")
+    Seq("optimize", "compact_small", "vacuum", "restore", "shard_manifest",
+      "clone")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) names.map(Identifier.of(Array.empty[String], _)).toArray
@@ -97,6 +99,10 @@ private class GraftProcedure(catalog: GraftCatalog, procName: String)
     case "shard_manifest" => Array(
       in("table", StringType).build(),
       in("files_per_shard", IntegerType).defaultValue("4096").build())
+    case "clone" => Array(
+      in("source", StringType).build(),
+      in("target", StringType).build(),
+      in("version", LongType).defaultValue("-1").build())
   }
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -124,6 +130,12 @@ private class GraftProcedure(catalog: GraftCatalog, procName: String)
       case "shard_manifest" =>
         val v = VersionedTable.shardManifest(spark, root,
           targetFilesPerShard = input.getInt(1))
+        (StructType(Seq(StructField("version", LongType))), Array[Any](v))
+      case "clone" =>
+        val dst = GraftProcedures.rootOf(catalog,
+          input.getUTF8String(1).toString)
+        val v = VersionedTable.cloneShallow(spark, root, dst,
+          version = input.getLong(2))
         (StructType(Seq(StructField("version", LongType))), Array[Any](v))
     }
     val scan: Scan = new LocalScan {

@@ -469,6 +469,45 @@ class Mp4SampleTableSpec extends SparkSpec {
     assert(n == 0L, s"every hostile case must degrade to zero rows, got $n")
     assert(Multimodal.mp4SampleDemux(in, "id", "bin").count() == 0L)
   }
+
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+
+  test("co64 chunk offsets resolve like stco; a hostile top-bit co64 degrades") {
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    def trakCo64(off: Long): Array[Byte] = {
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+        be32(1) ++ be32(0) ++ be32(120) ++ Array.fill[Byte](60)(0))
+      val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32(120) ++ be32(0))
+      val stts = box("stts", be32(0) ++ be32(1) ++ be32(3) ++ be32(40))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(4) ++ be32(1))
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(3) ++
+        be32(32) ++ be32(32) ++ be32(6))
+      val co64 = box("co64", be32(0) ++ be32(1) ++ be64(off))
+      box("trak", tkhd ++ box("mdia", mdhd ++ box("minf",
+        box("stbl", stts ++ stsc ++ stsz ++ co64))))
+    }
+    def fileOf(off: Long): Array[Byte] = {
+      val moov = box("moov", box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+        be32(0) ++ be32(1000) ++ be32(120) ++ Array.fill[Byte](80)(0)) ++
+        trakCo64(off))
+      ftyp ++ moov ++ box("mdat", Array.tabulate[Byte](70)(i => (i + 1).toByte))
+    }
+    // two-pass: measure where mdat's body lands, then point co64 at it
+    val bodyStart = fileOf(0L).length - 70L
+    val good = fileOf(bodyStart)
+    val rows = Multimodal.mp4SampleMap(
+      Seq((1L, good)).toDF("id", "bin"), "id", "bin").collect()
+      .map(r => r.sample_idx -> (r.size, r.pts_ms, r.rel_offset)).toMap
+    assert(rows == Map(0L -> ((32L, 0L, 0L)), 1L -> ((32L, 40L, 32L)),
+      2L -> ((6L, 80L, 64L))), s"co64 must resolve like stco: $rows")
+    // a top-bit co64 offset wraps `rel`/`abs + sz` if unguarded
+    val hostile = fileOf(java.lang.Long.MIN_VALUE + 7L)
+    assert(Multimodal.mp4SampleMap(
+      Seq((2L, hostile)).toDF("id", "bin"), "id", "bin").count() == 0L)
+    assert(Multimodal.mp4SampleDemux(
+      Seq((2L, hostile)).toDF("id", "bin"), "id", "bin").count() == 0L)
+  }
 }
 
 /** Round-13: NESTED-STRUCT column mapping — RENAME/DROP/ADD of struct
@@ -616,5 +655,98 @@ class NestedColumnMappingSpec extends SparkSpec {
     assert(spark.sql("SELECT props.lang FROM graft.nst VERSION AS OF 2 WHERE k = 4")
       .head().getString(0) == "L1")
     spark.sql("DROP TABLE graft.nst")
+  }
+}
+
+/** Round-13: SHALLOW CLONE — a metadata-only writable fork. The v1
+  * manifest references the source's files by absolute path (zero
+  * bytes copied); mutations land under the clone's own root; the
+  * clone's vacuum can never delete source bytes (it only scans the
+  * clone's data/); OPTIMIZE materializes the clone into full
+  * independence. */
+class ShallowCloneSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(tag).toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  private def dataFileCount(root: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val d = new java.io.File(root, "data")
+    if (!d.exists()) 0
+    else walk(d).count(_.getName.endsWith(".parquet"))
+  }
+
+  test("clone reads the pinned source era; writes diverge; vacuum is root-scoped") {
+    val src = freshRoot("vclsrc"); val dst = freshRoot("vcldst")
+    VersionedTable.commit(
+      (0L until 200L).map(i => (i, i * 3L)).toDF("id", "p")
+        .repartitionByRange(4, col("id")),
+      src, statsCols = Seq("id"))
+    VersionedTable.renameColumn(spark, src, "p", "price")    // colmap carries
+    VersionedTable.deleteWhereDv(spark, src, "id % 50 = 1")  // dv lines carry
+    val vPin = VersionedTable.currentVersion(spark, src)
+    VersionedTable.commit(Seq((999L, 1L)).toDF("id", "price"),
+      src, mode = "append")                                  // post-pin commit
+
+    assert(VersionedTable.cloneShallow(spark, src, dst, vPin) == 1L)
+    assert(dataFileCount(dst) == 0, "a shallow clone copies ZERO data files")
+    // the clone IS the pinned era: schema (colmap), rows (DVs applied)
+    val cloneDf = VersionedTable.read(spark, dst)
+    assert(cloneDf.columns.toSeq == Seq("id", "price"))
+    assert(cloneDf.count() == 196L, "the 4 DV-deleted rows stay deleted")
+    assert(cloneDf.filter(col("id") === 999L).isEmpty,
+      "commits after the pin are not in the clone")
+    // stats lines carried verbatim: the clone prunes from birth
+    val (kept, total) = VersionedTable.prunedFiles(spark, dst, "id", "10", "20")
+    assert(kept.size < total, s"clone must data-skip: ${kept.size} of $total")
+
+    // writes land under the CLONE only; the source never observes them
+    VersionedTable.commit(Seq((5000L, 7L)).toDF("id", "price"),
+      dst, mode = "append")
+    VersionedTable.deleteWhereDv(spark, dst, "id = 0")
+    assert(VersionedTable.read(spark, dst).count() == 196L)
+    assert(VersionedTable.read(spark, src).count() == 197L,
+      "the source must not observe clone writes")
+    assert(dataFileCount(dst) >= 1, "clone writes live under the clone root")
+
+    // the clone's vacuum scans only its own data/: source files survive
+    val srcFiles = dataFileCount(src)
+    VersionedTable.vacuum(spark, dst, retainVersions = 1, graceMs = 0L)
+    assert(dataFileCount(src) == srcFiles,
+      "clone vacuum must NEVER touch source bytes")
+    assert(VersionedTable.read(spark, dst).count() == 196L)
+
+    // OPTIMIZE materializes: every referenced file now lives under dst
+    VersionedTable.optimize(spark, dst, Seq("id"), nFiles = 4)
+    val snap = VersionedTable.snapshot(spark, dst)
+    assert(snap.files.forall(_.startsWith(dst)),
+      s"post-optimize clone must be self-contained: ${snap.files.take(2)}")
+    assert(VersionedTable.read(spark, dst).count() == 196L)
+  }
+
+  test("CALL graft.clone works end-to-end on pure SQL") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.csrc")
+    spark.sql("DROP TABLE IF EXISTS graft.cdst")
+    spark.sql("CREATE TABLE graft.csrc AS SELECT id AS k, id * 2 AS p FROM range(100)")
+    spark.sql("DELETE FROM graft.csrc WHERE k % 10 = 3")
+    val v = spark.sql("CALL graft.clone('csrc', 'cdst')").head().getLong(0)
+    assert(v == 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.cdst").head().getLong(0) == 90L)
+    spark.sql("INSERT INTO graft.cdst SELECT 1000 + id, id FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM graft.cdst").head().getLong(0) == 95L)
+    assert(spark.sql("SELECT count(*) FROM graft.csrc").head().getLong(0) == 90L,
+      "SQL clone writes must not reach the source")
+    // clone target with prior commits is rejected precisely
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.clone('csrc', 'cdst')").collect()
+    }
+    assert(e.getMessage.contains("already has commits"), e.getMessage)
+    spark.sql("DROP TABLE graft.csrc"); spark.sql("DROP TABLE graft.cdst")
   }
 }
