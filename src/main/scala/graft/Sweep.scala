@@ -867,9 +867,11 @@ object Sweep {
         else if (cloneFiles0 != 0) s"clone copied $cloneFiles0 data files"
         else if (nClone != nSrc0) s"clone rows $nClone != source $nSrc0"
         else if (d0.kept.size * 2 >= d0.totalFiles)
-          // (shard refs are INLINED by clone, so shardsTotal == 0 here
-          // by design — the prune gate is on files, not shards)
           s"nested prune on the renamed clone kept ${d0.kept.size} of ${d0.totalFiles}"
+        else if (d0.shardsTotal != 16)
+          // clone rewrites shard files (absolutized members) instead of
+          // inlining — a 10M-file clone's root must stay O(shards)
+          s"clone lost the two-level layout: ${d0.shardsTotal} shards"
         else if (srcCols != Seq("len", "src0"))
           s"clone DDL leaked into the source: $srcCols"
         else if (srcFiles1 != srcFiles0)

@@ -423,9 +423,11 @@ object VersionedTable {
     }
 
   /** The StructField at dotted path `path` (None when any segment is
-    * missing or a non-struct blocks the descent). */
-  private[graft] def fieldAtPath(sc: org.apache.spark.sql.types.StructType,
-                                 path: String)
+    * missing or a non-struct blocks the descent). Public: the catalog
+    * validates dotted `clustering`/`statscols` table properties with
+    * it. */
+  def fieldAtPath(sc: org.apache.spark.sql.types.StructType,
+                  path: String)
       : Option[org.apache.spark.sql.types.StructField] = {
     val segs = path.split('.')
     var cur: Option[org.apache.spark.sql.types.StructField] = None
@@ -1221,9 +1223,14 @@ object VersionedTable {
       val sc2 = rewriteAt(sc, parentSegs, root, "renameColumn")(st =>
         org.apache.spark.sql.types.StructType(st.fields.map(f =>
           if (f.name == oldLeaf) f.copy(name = newLeaf) else f)))
-      // the declared clustering layout follows the LOGICAL name
-      val clust2 = meta.get("clustering").map(_.split(',')
-        .map(c => if (c == oldName) newPath else c).mkString(","))
+      // the declared clustering layout follows the LOGICAL name —
+      // including entries UNDER a renamed struct (their dotted paths
+      // re-prefix exactly like their colmap keys)
+      val clust2 = meta.get("clustering").map(_.split(',').map(c =>
+        if (c == oldName) newPath
+        else if (c.startsWith(oldName + "."))
+          newPath + c.substring(oldName.length)
+        else c).mkString(","))
       (meta - "colmap") + ("schema" -> sc2.json) ++
         (if (cm2.nonEmpty) Map("colmap" -> colmapJson(cm2)) else Map.empty) ++
         clust2.map("clustering" -> _)
@@ -2353,7 +2360,7 @@ object VersionedTable {
       require(cur > 0, s"no committed version at $root")
       val schema = tableSchema(spark, root, cur)
       def colNumeric(c: String): Boolean = schema
-        .flatMap(_.fields.find(_.name == c))
+        .flatMap(fieldAtPath(_, c)) // stats keys may be nested paths
         .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       val statsCols = manifestMeta(spark, root, cur).get("statscols")
         .toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
@@ -2517,9 +2524,13 @@ object VersionedTable {
     * still reference its files — materialize via [[optimize]]/
     * [[compact]] first.
     *
-    * Shard refs are resolved INLINE into the clone's v1 (shard member
-    * lines are source-relative and would mis-resolve); a huge clone
-    * re-shards with [[shardManifest]]. Stats lines carry verbatim
+    * A SHARDED source keeps its two-level layout: each shard file is
+    * REWRITTEN into the clone's own shards dir with absolutized member
+    * lines (member rels are source-relative and would mis-resolve),
+    * and the root carries refs with the source's shard aggregates
+    * verbatim — the clone's root stays O(shards), not O(files), so
+    * cloning a 10M-file table writes a small root + its shard files,
+    * never a 10M-line manifest. Stats lines carry verbatim
     * (path-agnostic), so data skipping works on the clone from birth;
     * dv lines keep their 3-segment data key (how [[applyDv]] joins —
     * absolute scan paths reduce to the same key) with the dv parquet
@@ -2536,19 +2547,37 @@ object VersionedTable {
     def abs(rel: String): String =
       if (rel.startsWith("/") || rel.contains(":/")) rel // chained clones
       else new Path(srcRoot, rel).toString
-    val metaLines = manifestMeta(spark, srcRoot, v).toSeq.sortBy(_._1)
-      .map { case (k, mv) => s"#$k=$mv" }
-    val fileAbs = fileLines(spark, srcRoot, v).map { l =>
+    def absLine(l: String): String = {
       val cut = l.indexOf('\t')
       if (cut < 0) abs(l) else abs(l.substring(0, cut)) + l.substring(cut)
     }
-    val dvAbs = rawDvLines(spark, srcRoot, v).map { l =>
-      val p = l.split('\t') // !dv, dataKey3, dvRel
-      s"!dv\t${p(1)}\t${abs(p(2))}"
-    }
-    val lines = (metaLines ++ dvAbs ++ fileAbs).mkString("", "\n", "\n")
-    f.mkdirs(manifestDir(dstRoot))
+    val metaLines = manifestMeta(spark, srcRoot, v).toSeq.sortBy(_._1)
+      .map { case (k, mv) => s"#$k=$mv" }
     val nonce = java.util.UUID.randomUUID.toString.take(8)
+    // walk the source ROOT: inline lines absolutize in place; shard
+    // refs rewrite their shard file under the clone (same aggregate,
+    // same nFiles — only the member paths change)
+    f.mkdirs(manifestDir(dstRoot))
+    var shardIdx = 0
+    val bodyLines = manifestBody(spark, srcRoot, v).split("\n").toSeq.flatMap { l =>
+      if (l.isEmpty || l.startsWith("#")) Seq.empty
+      else if (l.startsWith("!dv\t")) {
+        val p = l.split('\t') // !dv, dataKey3, dvRel
+        Seq(s"!dv\t${p(1)}\t${abs(p(2))}")
+      } else if (l.startsWith(ShardPrefix)) {
+        val p = l.split('\t') // @shard, rel, nFiles, statsJson
+        val members = shardFileLines(spark, srcRoot, p(1)).map(absLine)
+        val rel = s"_manifests/shards/clone1-$nonce-$shardIdx.shard"
+        shardIdx += 1
+        f.mkdirs(shardsDir(dstRoot))
+        val out = f.create(new Path(dstRoot, rel), true)
+        try out.write(members.mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8)) finally out.close()
+        Seq((Seq(ShardPrefix.stripSuffix("\t"), rel) ++ p.drop(2))
+          .mkString("\t"))
+      } else Seq(absLine(l))
+    }
+    val lines = (metaLines ++ bodyLines).mkString("", "\n", "\n")
     val tmp = new Path(manifestDir(dstRoot), s".v1-$nonce.tmp")
     val out = f.create(tmp, true)
     try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()

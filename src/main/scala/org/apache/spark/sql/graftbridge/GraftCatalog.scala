@@ -133,7 +133,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // inserted row, no OPTIMIZE pass needed
     val clustering = Option(properties.get("clustering")).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    clustering.foreach(c => require(schema.fieldNames.contains(c),
+    // dotted paths cluster/stat on NESTED struct leaves (round 13)
+    clustering.foreach(c => require(
+      VersionedTable.fieldAtPath(schema, c).isDefined,
       s"clustering column '$c' is not in the table schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
     val statsCols = (Option(properties.get("statscols")).toSeq
@@ -301,8 +303,8 @@ class GraftWriteBuilder(root: String)
           val clusterCols = meta.get("clustering").toSeq
             .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
           val shaped =
-            if (clusterCols.nonEmpty &&
-                clusterCols.forall(data.columns.contains)) {
+            if (clusterCols.nonEmpty && clusterCols.forall(c =>
+                VersionedTable.fieldAtPath(data.schema, c).isDefined)) {
               val bits = meta.get("clustering_bits").map(_.toInt).getOrElse(8)
               val nFiles = spark.conf.get("spark.sql.shuffle.partitions").toInt
               VersionedTable.clusterLayout(data.toDF(), clusterCols, bits, nFiles)

@@ -750,3 +750,54 @@ class ShallowCloneSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.csrc"); spark.sql("DROP TABLE graft.cdst")
   }
 }
+
+/** Round-13: clustered layout on a NESTED stats leaf — the
+  * `clustering` table property accepts dotted paths, the curve key
+  * rides the nested column, stats land under the dotted physical key,
+  * and the declared layout re-prefixes when the parent struct is
+  * renamed. */
+class NestedClusteringSpec extends SparkSpec {
+  import graft.sources.VersionedTable
+  import org.apache.spark.sql.connector.catalog.Identifier
+
+  private def rootOf(name: String): String =
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+      .tableDir(Identifier.of(Array.empty[String], name))
+
+  test("CTAS clustering='props.len' is born-prunable; the layout follows a parent rename") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.ncl")
+    spark.sql("""CREATE TABLE graft.ncl TBLPROPERTIES ('clustering' = 'props.len')
+      AS SELECT /*+ REPARTITION(16) */ id AS k,
+         named_struct('len', id % 997, 'tag', concat('t', id % 5)) AS props
+      FROM range(20000)""")
+    val root = rootOf("ncl")
+    val d = VersionedTable.prunedFilesDetail(spark, root,
+      Seq(("props.len", "100", "120")), -1L)
+    assert(d.totalFiles >= 4, s"need a multi-file table: ${d.totalFiles}")
+    assert(d.kept.size * 2 < d.totalFiles,
+      s"nested-clustered CTAS must be born prunable: ${d.kept.size} of ${d.totalFiles}")
+    // the SQL surface prunes too, with correct rows
+    val n = spark.sql(
+      "SELECT count(*) FROM vt_read_range('ncl', 'props.len', '100', '120')")
+      .head().getLong(0)
+    assert(n == spark.sql(
+      "SELECT count(*) FROM graft.ncl WHERE props.len BETWEEN 100 AND 120")
+      .head().getLong(0))
+    // renaming the PARENT re-prefixes the declared layout; appends
+    // keep clustering (and keep pruning) under the new path
+    spark.sql("ALTER TABLE graft.ncl RENAME COLUMN props TO meta")
+    assert(VersionedTable.manifestMeta(spark, root).get("clustering")
+      .contains("meta.len"), "clustering must re-prefix with the parent")
+    spark.sql("""INSERT INTO graft.ncl
+      SELECT /*+ REPARTITION(16) */ id, named_struct('len', id % 997,
+        'tag', concat('t', id % 5)) FROM range(20000, 40000)""")
+    val d2 = VersionedTable.prunedFilesDetail(spark, root,
+      Seq(("meta.len", "100", "120")), -1L)
+    assert(d2.totalFiles > d.totalFiles, "append must add files")
+    assert(d2.kept.size * 2 < d2.totalFiles,
+      s"appends must stay nested-clustered: ${d2.kept.size} of ${d2.totalFiles}")
+    spark.sql("DROP TABLE graft.ncl")
+  }
+}
