@@ -1860,6 +1860,45 @@ object PipelineQueries {
              |WHERE ((doc_id % 1000003) * 2654435761) % 10000 < least(9000, n_chars * 12)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("smp9_priority_sample",
+      // PRIORITY SAMPLING (Duffield–Lund–Thorup): each doc draws
+      // priority w/u (w = n_chars, u = md5-uniform in (0,1]); the k
+      // highest priorities are a weighted-without-replacement sample
+      // whose DLT estimator max(w, tau) — tau the (k+1)-th priority —
+      // is unbiased for any subset-sum query. INTEGER-exact: priority
+      // = (w << 32) div (hk+1) so both engines rank identically, and
+      // DISTRIBUTED: sample and tau ride top-(k+1) (TakeOrdered —
+      // per-partition heads, never a global sort/window at any
+      // scale). The bounded-size weighted companion to smp3's
+      // Bernoulli (unbounded size) and smp4's uniform bottom-k.
+      (s, d) => {
+        val p = Tables.documents(s, d).select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          expr("CAST(n_chars AS BIGINT) * 4294967296 DIV (" +
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)" +
+            " + 1)").as("priority"))
+        val top26 = p.orderBy(col("priority").desc, col("doc_id")).limit(26)
+        val tau = top26.agg(min("priority").as("tau")) // the 26th priority
+        top26.orderBy(col("priority").desc, col("doc_id")).limit(25)
+          .crossJoin(org.apache.spark.sql.functions.broadcast(tau))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("priority"),
+            greatest(col("n_chars").cast("long"), col("tau")).as("w_est"))
+          .orderBy(col("priority").desc, col("doc_id"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT doc_id, lang, n_chars,
+              |    CAST(n_chars AS BIGINT) * 4294967296 // (
+              |      ${(0 until 8).map { m =>
+                       s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), ${m + 1}, 1)) - 1) * ${1L << (4 * (7 - m))}"
+                     }.mkString("(", " + ", ")")} + 1) AS priority
+              |  FROM documents),
+              |top26 AS (SELECT * FROM p ORDER BY priority DESC, doc_id LIMIT 26),
+              |tau AS (SELECT min(priority) AS tau FROM top26)
+              |SELECT doc_id, lang, n_chars, priority,
+              |  CAST(greatest(n_chars, tau) AS BIGINT) AS w_est
+              |FROM (SELECT * FROM top26 ORDER BY priority DESC, doc_id LIMIT 25), tau
+              |ORDER BY priority DESC, doc_id""".stripMargin)),
+
     Q("s5_knn_pq",
       // Product-quantization ANN — the compression tier: 64-dim
       // floats stored as 8 4-bit codes (8 bytes/vector), search over
