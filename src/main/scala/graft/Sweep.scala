@@ -844,7 +844,7 @@ object Sweep {
           val d = new java.io.File(root, "data")
           if (!d.exists()) 0 else walk(d).count(_.getName.endsWith(".parquet"))
         }
-        VersionedTable.cloneShallow(spark, src, dst)
+        VersionedTable.clone(spark, src, dst)
         val cloneFiles0 = parquetUnder(dst)
         val nClone = VersionedTable.read(spark, dst).count()
         // nested DDL on the CLONE only: the source must not see it,

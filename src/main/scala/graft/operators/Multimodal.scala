@@ -899,16 +899,22 @@ object Multimodal {
                 bad = true
               else {
                 // samples → chunks via stsc run-lengths (entry i rules
-                // chunks [first_i, first_{i+1}); last entry to stco end)
+                // chunks [first_i, first_{i+1}); last entry to stco
+                // end). The run pointer advances MONOTONICALLY with
+                // the chunk index — stsc is ordered by first_chunk —
+                // so the join is O(chunks + entries), never a rescan
+                // per chunk (a one-entry-per-chunk fragmented file
+                // would otherwise go quadratic per document).
                 var si = 0                         // sample index
                 var pts = 0L                       // in media timescale
                 var sttsI = 0; var sttsLeft = stts.head._1
                 var ci = 0
+                var scI = 0                        // stsc run pointer
+                if (stsc.head._1 != 1L) bad = true // no rule for chunk 1
                 while (!bad && ci < stco.length && si < sizes.length) {
-                  val perChunk = {
-                    val applies = stsc.takeWhile(_._1 <= ci + 1).lastOption
-                    applies.map(_._2).getOrElse { bad = true; 0L }
-                  }
+                  while (scI + 1 < stsc.length && stsc(scI + 1)._1 <= ci + 1)
+                    scI += 1
+                  val perChunk = stsc(scI)._2
                   if (perChunk <= 0) bad = true
                   var intra = 0L
                   var k = 0L
@@ -916,11 +922,17 @@ object Multimodal {
                     val sz = sizes(si)
                     val abs = stco(ci) + intra
                     val rel = abs - mdatFrom
-                    // abs < 0 first: a hostile co64 top-bit offset (or
-                    // an offset+intra wrap) must fail here — `rel` and
-                    // `abs + sz` can themselves wrap positive otherwise
+                    // abs < 0 first (a hostile co64 top-bit offset, or
+                    // offset+intra wrap); then bound sz against the
+                    // REMAINING mdat bytes — `abs + sz` itself can
+                    // wrap past Long.MaxValue for a large POSITIVE
+                    // offset (the same trap as the box walk's p + sz),
+                    // while `mdatTo - abs` cannot overflow once both
+                    // are non-negative. pts is bounded before the ms
+                    // conversion multiply for the same reason.
                     if (sz < 0 || abs < 0 || mdatFrom < 0 || rel < 0 ||
-                        abs + sz > mdatTo) bad = true
+                        sz > mdatTo - abs ||
+                        pts > Long.MaxValue / 1000L) bad = true
                     else {
                       out += SampleRef(id, trackId, si.toLong, ci.toLong,
                         sz, pts * 1000L / timescale, rel)
@@ -962,7 +974,10 @@ object Multimodal {
         val refs = sampleMapOf(id, raw).filter(_.track_id == track)
         if (refs.isEmpty) Iterator.empty
         else {
-          // re-locate mdat once (sampleMapOf validated the ranges)
+          // re-locate mdat once — the LAST top-level mdat, exactly as
+          // the map walk recorded it (phase 1 overwrites on each hit;
+          // stopping at the FIRST of several mdat boxes would slice
+          // validated refs from the wrong region, silently)
           val b = raw
           @inline def u(i: Long): Int = b(i.toInt) & 0xFF
           @inline def be32(i: Long): Long =
@@ -971,16 +986,18 @@ object Multimodal {
           var mdatFrom = -1L
           var p = 0L
           val n = b.length.toLong
-          while (mdatFrom < 0 && p + 8 <= n) {
+          while (p + 8 <= n) {
             val sz0 = be32(p)
             val t = new String(Array(u(p + 4), u(p + 5), u(p + 6), u(p + 7))
               .map(_.toChar))
             val (hdr, sz) =
               if (sz0 == 1L && p + 16 <= n) (16L, be64(p + 8))
               else if (sz0 == 0L) (8L, n - p) else (8L, sz0)
-            if (t == "mdat") mdatFrom = p + hdr
-            else if (sz < hdr || sz > n - p) p = n // bail (validated already)
-            else p += sz
+            if (sz < hdr || sz > n - p) p = n // bail (validated already)
+            else {
+              if (t == "mdat") mdatFrom = p + hdr
+              p += sz
+            }
           }
           refs.iterator.map { r =>
             var s = 0L

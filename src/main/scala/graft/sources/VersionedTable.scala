@@ -423,12 +423,20 @@ object VersionedTable {
     }
 
   /** The StructField at dotted path `path` (None when any segment is
-    * missing or a non-struct blocks the descent). Public: the catalog
-    * validates dotted `clustering`/`statscols` table properties with
-    * it. */
+    * missing or a non-struct blocks the descent). An EXACT top-level
+    * name wins over path descent: a pre-nested-era table may carry a
+    * column literally named `a.b` (commit() accepted any frame
+    * column), and classifying it through the path walk would silently
+    * flip its prune comparisons from numeric to string. Public: the
+    * catalog validates dotted `clustering`/`statscols` table
+    * properties with it. */
   def fieldAtPath(sc: org.apache.spark.sql.types.StructType,
                   path: String)
       : Option[org.apache.spark.sql.types.StructField] = {
+    sc.fields.find(_.name == path) match {
+      case hit @ Some(_) => return hit
+      case None => ()
+    }
     val segs = path.split('.')
     var cur: Option[org.apache.spark.sql.types.StructField] = None
     var st = sc
@@ -2300,10 +2308,16 @@ object VersionedTable {
     // and key-disjoint whatever subset of curve space the data
     // occupies (a fixed key-span split degrades to a handful of fat
     // files whenever the domain is narrow or skewed)
-    df.withColumn("__k", key)
-      .repartitionByRange(nFiles, col("__k"))
-      .sortWithinPartitions("__k")
-      .drop("__k")
+    // collision-proof temp name: withColumn REPLACES an existing
+    // column, and the declared-clustering write path runs this on
+    // every catalog INSERT — a user column named like the temp key
+    // must not be silently destroyed
+    val kc = Iterator.from(0).map(i => s"__graft_ck$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(kc, key)
+      .repartitionByRange(nFiles, col(kc))
+      .sortWithinPartitions(kc)
+      .drop(kc)
   }
 
   def optimize(spark: SparkSession, root: String, clusterCols: Seq[String],
@@ -2432,53 +2446,6 @@ object VersionedTable {
     sys.error("unreachable")
   }
 
-  /** SHALLOW CLONE: a new table at `dstRoot` whose first manifest
-    * references the SOURCE's data files (and deletion vectors) as
-    * absolute paths — zero data copied, the public table-format
-    * clone semantics: the clone pins the source snapshot it was taken
-    * from (later source commits never affect it), clone commits write
-    * under the clone's own root (never touching source files), and —
-    * the documented caveat every shallow clone carries — vacuuming
-    * the SOURCE can remove files the clone still references, so
-    * retention policy must cover live clones. A sharded source's
-    * refs are EXPANDED into absolute file lines (the clone must not
-    * reference metadata the source's vacuum may GC independently of
-    * its data-retention promise). Returns the clone's committed
-    * version (1). */
-  def clone(spark: SparkSession, srcRoot: String, dstRoot: String,
-            version: Long = -1L): Long = {
-    val s = snapshot(spark, srcRoot, version)
-    val f = fs(spark, dstRoot)
-    require(currentVersion(spark, dstRoot) == 0, s"$dstRoot already exists")
-    f.mkdirs(manifestDir(dstRoot))
-    val srcFs = fs(spark, srcRoot)
-    // Full QUALIFIED URI (scheme + authority), not toUri.getPath —
-    // stripping to the path part would lose the bucket/namenode on
-    // s3a://... or hdfs://nn/... sources and the clone would resolve
-    // its file lines against the wrong filesystem.
-    def abs(rel: String): String =
-      srcFs.makeQualified(new Path(srcRoot, rel)).toString
-    // carry file lines (stats included) and dv lines with their
-    // relpaths rewritten absolute against the SOURCE root
-    val files = fileLines(spark, srcRoot, s.version).map { l =>
-      val cut = l.indexOf('\t')
-      if (cut < 0) abs(l) else abs(l.substring(0, cut)) + l.substring(cut)
-    }
-    val dvs = rawDvLines(spark, srcRoot, s.version).map { l =>
-      val p = l.split('\t'); s"!dv\t${abs(p(1))}\t${abs(p(2))}"
-    }
-    val meta = manifestMeta(spark, srcRoot, s.version).toSeq.sortBy(_._1)
-      .map { case (k, v) => s"#$k=$v" }
-    val lines = (meta ++ files ++ dvs).mkString("", "\n", "\n")
-    val nonce = java.util.UUID.randomUUID.toString.take(8)
-    val tmp = new Path(manifestDir(dstRoot), s".v1-$nonce.tmp")
-    val out = f.create(tmp, true)
-    try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    require(f.rename(tmp, new Path(manifestDir(dstRoot), "v1.manifest")),
-      s"clone commit lost a race at $dstRoot")
-    1L
-  }
-
   /** RESTORE: roll the table back to `version`'s contents AS A NEW
     * COMMIT (the public table-format RESTORE semantics) — the bad
     * commits stay in history for audit/time travel, nothing is
@@ -2509,44 +2476,51 @@ object VersionedTable {
 
   /** SHALLOW CLONE: create a NEW table at `dstRoot` whose v1 manifest
     * references the SOURCE's data (and deletion-vector) files by
-    * ABSOLUTE path — zero bytes copied, metadata-only, O(manifest).
-    * The public lakehouse shallow-clone concept: a writable fork for
-    * experiments/dev against production data, where only files the
-    * clone itself writes land under its own root.
+    * ABSOLUTE QUALIFIED path — zero bytes copied, metadata-only,
+    * O(manifest). The public lakehouse shallow-clone concept: a
+    * writable fork for experiments/dev against production data, where
+    * only files the clone itself writes land under its own root.
+    * Paths are qualified through the SOURCE filesystem
+    * (`makeQualified`) — stripping to the path part would lose the
+    * bucket/namenode on s3a://… or hdfs://nn/… sources and the clone
+    * would resolve its lines against the wrong filesystem.
     *
     * Independence is structural: every mutation path (commit, merge,
     * DV delete, optimize, compact) writes new files under the CLONE's
     * root and new manifests in the clone's `_manifests`, so the source
     * never observes the clone; the clone's [[vacuum]] only scans the
     * clone's own `data/` directory, so it can never delete source
-    * bytes. The ONE documented caveat (shared with Delta's shallow
-    * clone): vacuuming or dropping the SOURCE invalidates clones that
+    * bytes. The ONE documented caveat (shared with the public shallow
+    * clones): vacuuming or dropping the SOURCE invalidates clones that
     * still reference its files — materialize via [[optimize]]/
     * [[compact]] first.
     *
     * A SHARDED source keeps its two-level layout: each shard file is
     * REWRITTEN into the clone's own shards dir with absolutized member
-    * lines (member rels are source-relative and would mis-resolve),
-    * and the root carries refs with the source's shard aggregates
-    * verbatim — the clone's root stays O(shards), not O(files), so
-    * cloning a 10M-file table writes a small root + its shard files,
-    * never a 10M-line manifest. Stats lines carry verbatim
-    * (path-agnostic), so data skipping works on the clone from birth;
-    * dv lines keep their 3-segment data key (how [[applyDv]] joins —
-    * absolute scan paths reduce to the same key) with the dv parquet
-    * made absolute. Returns the clone's version (always 1). */
-  def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
-                   version: Long = -1L): Long = {
+    * lines (member rels are source-relative and would mis-resolve; and
+    * the clone must own its shard files — the source's vacuum GCs
+    * shard metadata on the source's own retention schedule), and the
+    * root carries refs with the source's shard aggregates verbatim —
+    * the clone's root stays O(shards), not O(files), so cloning a
+    * 10M-file table writes a small root + its shard files, never a
+    * 10M-line manifest. Stats lines carry verbatim (path-agnostic), so
+    * data skipping works on the clone from birth; dv lines keep their
+    * data key verbatim (every dv consumer compares on the 3-segment
+    * key, both forms accepted) with the dv parquet made absolute.
+    * Returns the clone's version (always 1). */
+  def clone(spark: SparkSession, srcRoot: String, dstRoot: String,
+            version: Long = -1L): Long = {
     val v = if (version > 0) version else currentVersion(spark, srcRoot)
     require(v > 0, s"no committed version at $srcRoot")
     require(currentVersion(spark, dstRoot) == 0,
       s"clone target $dstRoot already has commits")
-    require(new Path(srcRoot).toUri.getPath != new Path(dstRoot).toUri.getPath,
+    val srcFs = fs(spark, srcRoot)
+    require(srcFs.makeQualified(new Path(srcRoot)) !=
+        fs(spark, dstRoot).makeQualified(new Path(dstRoot)),
       "clone target must differ from the source")
     val f = fs(spark, dstRoot)
     def abs(rel: String): String =
-      if (rel.startsWith("/") || rel.contains(":/")) rel // chained clones
-      else new Path(srcRoot, rel).toString
+      srcFs.makeQualified(new Path(srcRoot, rel)).toString
     def absLine(l: String): String = {
       val cut = l.indexOf('\t')
       if (cut < 0) abs(l) else abs(l.substring(0, cut)) + l.substring(cut)
@@ -2562,7 +2536,7 @@ object VersionedTable {
     val bodyLines = manifestBody(spark, srcRoot, v).split("\n").toSeq.flatMap { l =>
       if (l.isEmpty || l.startsWith("#")) Seq.empty
       else if (l.startsWith("!dv\t")) {
-        val p = l.split('\t') // !dv, dataKey3, dvRel
+        val p = l.split('\t') // !dv, dataKey, dvRel
         Seq(s"!dv\t${p(1)}\t${abs(p(2))}")
       } else if (l.startsWith(ShardPrefix)) {
         val p = l.split('\t') // @shard, rel, nFiles, statsJson

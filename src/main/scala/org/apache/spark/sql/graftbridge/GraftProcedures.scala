@@ -134,7 +134,7 @@ private class GraftProcedure(catalog: GraftCatalog, procName: String)
       case "clone" =>
         val dst = GraftProcedures.rootOf(catalog,
           input.getUTF8String(1).toString)
-        val v = VersionedTable.cloneShallow(spark, root, dst,
+        val v = VersionedTable.clone(spark, root, dst,
           version = input.getLong(2))
         (StructType(Seq(StructField("version", LongType))), Array[Any](v))
     }

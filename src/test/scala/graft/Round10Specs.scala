@@ -59,7 +59,7 @@ class CloneDvRewriteSpec extends SparkSpec {
     d.delete(); d.getAbsolutePath
   }
 
-  test("clone manifest lines keep the URI scheme") {
+  test("clone manifest PATHS keep the URI scheme (dv data keys stay join keys)") {
     val src = newRoot(); val dst = newRoot()
     VersionedTable.commit(
       (0 until 20).map(i => (i.toLong, i.toLong)).toDF("id", "v").repartition(2), src)
@@ -71,8 +71,13 @@ class CloneDvRewriteSpec extends SparkSpec {
     val refs = body.split("\n").filterNot(_.startsWith("#")).filter(_.nonEmpty)
     assert(refs.nonEmpty)
     for (l <- refs) {
-      val p = if (l.startsWith("!dv\t")) l.split('\t')(1) else l.split('\t')(0)
-      assert(p.startsWith("file:/"), s"clone line lost its scheme: $l")
+      // every PATH the clone will OPEN must be scheme-qualified
+      // (stripping to the path part would lose the bucket/namenode on
+      // s3a://… sources); the dv line's DATA field is a JOIN KEY, not
+      // a path — every consumer reduces it to the 3-segment form, so
+      // the clone carries it verbatim in either form
+      val p = if (l.startsWith("!dv\t")) l.split('\t')(2) else l.split('\t')(0)
+      assert(p.startsWith("file:/"), s"clone path lost its scheme: $l")
     }
   }
 
@@ -774,7 +779,7 @@ class CloneShardedSpec extends SparkSpec {
     d.delete(); d.getAbsolutePath
   }
 
-  test("clone of a sharded source expands refs and pins rows + DVs") {
+  test("clone of a sharded source KEEPS the two-level layout under its own root") {
     val src = newRoot(); val dst = newRoot()
     VersionedTable.commit(
       (0L until 512L).toDF("k").repartitionByRange(8, col("k")), src,
@@ -783,11 +788,18 @@ class CloneShardedSpec extends SparkSpec {
     VersionedTable.shardManifest(spark, src, targetFilesPerShard = 2)
     assert(VersionedTable.shardRefs(spark, src).size == 4)
     VersionedTable.clone(spark, src, dst)
-    val body = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dst, "_manifests", "v1.manifest")),
-      java.nio.charset.StandardCharsets.UTF_8)
-    assert(!body.contains("@shard"), "clone must expand shard refs")
-    assert(VersionedTable.shardRefs(spark, dst).isEmpty)
+    // round 13: shard refs are REWRITTEN (absolutized members) under
+    // the CLONE's own shards dir, not inlined — the root stays
+    // O(shards) for a 10M-file source, the clone owns its shard
+    // metadata (the source's vacuum GCs shard files on the source's
+    // schedule), and shard-level pruning works from birth
+    val refs = VersionedTable.shardRefs(spark, dst)
+    assert(refs.size == 4, s"clone must keep the two-level layout: $refs")
+    assert(refs.forall(_.rel.startsWith("_manifests/shards/clone1-")),
+      s"clone shard files must live under the CLONE root: ${refs.map(_.rel)}")
+    val d = VersionedTable.prunedFilesDetail(spark, dst, "k", "0", "63")
+    assert(d.shardsTotal == 4 && d.shardsOpened == 1,
+      s"shard-level pruning must work on the clone: $d")
     assert(VersionedTable.read(spark, dst).count() == 511)
     assert(VersionedTable.read(spark, dst).filter("k = 9").isEmpty,
       "source DV must pin into the clone")

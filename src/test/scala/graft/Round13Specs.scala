@@ -507,6 +507,45 @@ class Mp4SampleTableSpec extends SparkSpec {
       Seq((2L, hostile)).toDF("id", "bin"), "id", "bin").count() == 0L)
     assert(Multimodal.mp4SampleDemux(
       Seq((2L, hostile)).toDF("id", "bin"), "id", "bin").count() == 0L)
+    // and a LARGE POSITIVE co64 offset (top bit clear) wraps abs + sz
+    // past Long.MaxValue — must degrade too, not emit garbage refs
+    val hostilePos = fileOf(java.lang.Long.MAX_VALUE - 100L)
+    assert(Multimodal.mp4SampleMap(
+      Seq((3L, hostilePos)).toDF("id", "bin"), "id", "bin").count() == 0L)
+    assert(Multimodal.mp4SampleDemux(
+      Seq((3L, hostilePos)).toDF("id", "bin"), "id", "bin").count() == 0L)
+  }
+
+  test("with two mdat boxes, demux slices the LAST one (the one the map validated)") {
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    val decoy = box("mdat", Array.fill[Byte](70)(9)) // first mdat: garbage
+    val payload = Array.tabulate[Byte](70)(i => (i + 1).toByte)
+    def trakAt(off: Long): Array[Byte] = {
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+        be32(1) ++ be32(0) ++ be32(120) ++ Array.fill[Byte](60)(0))
+      val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32(120) ++ be32(0))
+      val stts = box("stts", be32(0) ++ be32(1) ++ be32(3) ++ be32(40))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(4) ++ be32(1))
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(3) ++
+        be32(32) ++ be32(32) ++ be32(6))
+      val stco = box("stco", be32(0) ++ be32(1) ++ be32(off))
+      box("trak", tkhd ++ box("mdia", mdhd ++ box("minf",
+        box("stbl", stts ++ stsc ++ stsz ++ stco))))
+    }
+    def fileAt(off: Long): Array[Byte] = {
+      val moov = box("moov", box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+        be32(0) ++ be32(1000) ++ be32(120) ++ Array.fill[Byte](80)(0)) ++
+        trakAt(off))
+      ftyp ++ decoy ++ moov ++ box("mdat", payload)
+    }
+    val bodyStart = fileAt(0L).length - 70L // the SECOND mdat's body
+    val sums = Multimodal.mp4SampleDemux(
+      Seq((1L, fileAt(bodyStart))).toDF("id", "bin"), "id", "bin").collect()
+      .map(r => r.getLong(2) -> r.getLong(5)).toMap
+    val expect0 = (0 until 32).map(i => (payload(i) & 0xFF).toLong).sum
+    assert(sums(0L) == expect0,
+      s"demux must slice the LAST mdat (decoy sum would be ${32 * 9}): $sums")
   }
 }
 
@@ -693,7 +732,7 @@ class ShallowCloneSpec extends SparkSpec {
     VersionedTable.commit(Seq((999L, 1L)).toDF("id", "price"),
       src, mode = "append")                                  // post-pin commit
 
-    assert(VersionedTable.cloneShallow(spark, src, dst, vPin) == 1L)
+    assert(VersionedTable.clone(spark, src, dst, vPin) == 1L)
     assert(dataFileCount(dst) == 0, "a shallow clone copies ZERO data files")
     // the clone IS the pinned era: schema (colmap), rows (DVs applied)
     val cloneDf = VersionedTable.read(spark, dst)
