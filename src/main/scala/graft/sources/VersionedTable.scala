@@ -2562,6 +2562,106 @@ object VersionedTable {
     1L
   }
 
+  /** MATERIALIZE: copy every file this table references OUTSIDE its
+    * own root — a shallow [[clone]]'s source files — into the table's
+    * own directory tree and commit a manifest pointing at the copies,
+    * CLOSING the shallow-clone caveat: after materialize, vacuuming
+    * or dropping the source can no longer invalidate the clone.
+    *
+    * Byte-for-byte `FileUtil.copy`: no shuffle, no decode, no
+    * re-clustering — stats lines, shard aggregates and the file
+    * layout carry verbatim, so pruning and the two-level manifest are
+    * untouched (contrast [[optimize]], which also self-contains a
+    * clone but rewrites its layout). Copies keep their LAST THREE
+    * path segments under the new root (`data/<commitdir>/<file>`) —
+    * deletion vectors address data files by exactly that 3-segment
+    * key, so preserving it keeps every recorded delete bound to its
+    * copied file. Foreign DV parquets copy the same way; foreign
+    * shard files are rewritten with localized member lines. A table
+    * with nothing foreign returns its current version unchanged.
+    * Publishes as version+1 under the usual manifest-rename OCC. */
+  def materialize(spark: SparkSession, root: String,
+                  maxRetries: Int = 5): Long = {
+    val f = fs(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootQ = f.makeQualified(new Path(root)).toString
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      require(cur > 0, s"no committed version at $root")
+      def foreignOf(rel: String): Option[Path] = {
+        val q = new Path(root, rel)
+        val qf = q.getFileSystem(conf).makeQualified(q)
+        if (qf.toString.startsWith(rootQ + "/")) None else Some(qf)
+      }
+      def key3(p: Path): String =
+        p.toString.split('/').takeRight(3).mkString("/")
+      var copied = 0
+      def localize(rel: String): String = foreignOf(rel) match {
+        case None => rel
+        case Some(src) =>
+          val dstRel = key3(src)
+          val dst = new Path(root, dstRel)
+          if (!f.exists(dst)) { // idempotent across OCC retries
+            f.mkdirs(dst.getParent)
+            org.apache.hadoop.fs.FileUtil.copy(
+              src.getFileSystem(conf), src, f, dst, false, conf)
+          }
+          copied += 1
+          dstRel
+      }
+      val nonce = java.util.UUID.randomUUID.toString.take(8)
+      var shardIdx = 0
+      val body = manifestBody(spark, root, cur).split("\n").toSeq.flatMap { l =>
+        if (l.isEmpty) Seq.empty
+        else if (l.startsWith("#")) Seq(l)
+        else if (l.startsWith("!dv\t")) {
+          val p = l.split('\t')
+          // normalize the data key to 3-segment form: the copied data
+          // file keeps those segments, so recorded deletes stay bound
+          val dk = p(1).split('/').takeRight(3).mkString("/")
+          Seq(s"!dv\t$dk\t${localize(p(2))}")
+        } else if (l.startsWith(ShardPrefix)) {
+          val p = l.split('\t')
+          val members = shardFileLines(spark, root, p(1))
+          val local = members.map { m =>
+            val cut = m.indexOf('\t')
+            if (cut < 0) localize(m)
+            else localize(m.substring(0, cut)) + m.substring(cut)
+          }
+          if (local == members) Seq(l) // fully-local shard carries as-is
+          else {
+            val rel = s"_manifests/shards/m${cur + 1}-$nonce-$shardIdx.shard"
+            shardIdx += 1
+            f.mkdirs(shardsDir(root))
+            val out = f.create(new Path(root, rel), true)
+            try out.write(local.mkString("", "\n", "\n")
+              .getBytes(StandardCharsets.UTF_8)) finally out.close()
+            Seq((Seq(ShardPrefix.stripSuffix("\t"), rel) ++ p.drop(2))
+              .mkString("\t"))
+          }
+        } else {
+          val cut = l.indexOf('\t')
+          Seq(if (cut < 0) localize(l)
+              else localize(l.substring(0, cut)) + l.substring(cut))
+        }
+      }
+      if (copied == 0) return cur // nothing foreign: already material
+      val tmp = new Path(manifestDir(root), s".v${cur + 1}-$nonce.tmp")
+      val out = f.create(tmp, true)
+      try out.write(body.mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8)) finally out.close()
+      if (f.rename(tmp, new Path(manifestDir(root), s"v${cur + 1}.manifest")))
+        return cur + 1
+      f.delete(tmp, false) // lost the race — re-derive from the winner
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new ConcurrentCommitException(
+          s"materialize at $root lost $attempt races")
+    }
+    sys.error("unreachable")
+  }
+
   /** Delete data files referenced by NO retained manifest, keeping the
     * newest `retainVersions` manifests (and every file they name).
     * Returns the number of data files deleted. The only deletion path

@@ -25,6 +25,7 @@ import graft.sources.VersionedTable
   *   CALL graft.restore('t', 5)               -- roll back as a NEW commit
   *   CALL graft.shard_manifest('t', 4096)     -- two-level manifest
   *   CALL graft.clone('src', 'dst')            -- shallow clone (v pin ok)
+  *   CALL graft.materialize('dst')             -- self-contain a clone
   * }}}
   *
   * Each lands on the EXISTING VersionedTable path (optimize /
@@ -38,7 +39,7 @@ object GraftProcedures {
 
   private val names =
     Seq("optimize", "compact_small", "vacuum", "restore", "shard_manifest",
-      "clone")
+      "clone", "materialize")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) names.map(Identifier.of(Array.empty[String], _)).toArray
@@ -103,6 +104,8 @@ private class GraftProcedure(catalog: GraftCatalog, procName: String)
       in("source", StringType).build(),
       in("target", StringType).build(),
       in("version", LongType).defaultValue("-1").build())
+    case "materialize" => Array(
+      in("table", StringType).build())
   }
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -136,6 +139,9 @@ private class GraftProcedure(catalog: GraftCatalog, procName: String)
           input.getUTF8String(1).toString)
         val v = VersionedTable.clone(spark, root, dst,
           version = input.getLong(2))
+        (StructType(Seq(StructField("version", LongType))), Array[Any](v))
+      case "materialize" =>
+        val v = VersionedTable.materialize(spark, root)
         (StructType(Seq(StructField("version", LongType))), Array[Any](v))
     }
     val scan: Scan = new LocalScan {

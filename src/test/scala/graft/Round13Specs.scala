@@ -840,3 +840,71 @@ class NestedClusteringSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.ncl")
   }
 }
+
+/** Round-13: MATERIALIZE closes the shallow-clone caveat — foreign
+  * (source-rooted) files byte-copy under the clone's own root with
+  * their 3-segment keys preserved (deletion vectors stay bound),
+  * stats/shards carry verbatim (pruning untouched, layout NOT
+  * rewritten), and after materialize the SOURCE can be vacuumed or
+  * dropped without invalidating the clone. */
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def freshRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(tag).toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("materialize self-contains a sharded clone; source drop no longer breaks it") {
+    val src = freshRoot("vmsrc"); val dst = freshRoot("vmdst")
+    VersionedTable.commit(
+      (0L until 512L).map(i => (i, i * 2L)).toDF("k", "v")
+        .repartitionByRange(8, col("k")), src, statsCols = Seq("k"))
+    VersionedTable.deleteWhereDv(spark, src, "k % 100 = 9")
+    VersionedTable.shardManifest(spark, src, targetFilesPerShard = 2)
+    VersionedTable.clone(spark, src, dst)
+    // one clone-local commit so materialize sees a MIX of local and
+    // foreign files (only the foreign ones must copy)
+    VersionedTable.commit(Seq((9000L, 1L)).toDF("k", "v"), dst, mode = "append")
+    val before = VersionedTable.read(spark, dst).collect().toSet
+    val v = VersionedTable.materialize(spark, dst)
+    assert(v == VersionedTable.currentVersion(spark, dst))
+    // every referenced file now lives under the clone root
+    val snap = VersionedTable.snapshot(spark, dst)
+    assert(snap.files.forall(_.startsWith(dst)),
+      s"materialize must localize every file: ${snap.files.filterNot(_.startsWith(dst)).take(2)}")
+    // identical rows — including the DV-deleted ones STAYING deleted
+    // (the 3-segment key preservation contract)
+    assert(VersionedTable.read(spark, dst).collect().toSet == before)
+    assert(VersionedTable.read(spark, dst).filter("k = 9").isEmpty,
+      "source-era DV must stay bound to the copied file")
+    // stats carried verbatim: pruning still works, layout untouched
+    val d = VersionedTable.prunedFilesDetail(spark, dst, "k", "0", "63")
+    assert(d.kept.size < d.totalFiles, s"stats must survive materialize: $d")
+    assert(d.shardsTotal > 0, "the two-level layout must survive materialize")
+    // idempotent: nothing foreign remains
+    assert(VersionedTable.materialize(spark, dst) == v)
+    // THE CAVEAT IS CLOSED: destroy the source entirely
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(src))
+    assert(VersionedTable.read(spark, dst).collect().toSet == before,
+      "a materialized clone must survive source destruction")
+  }
+
+  test("CALL graft.materialize works on pure SQL") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.msrc")
+    spark.sql("DROP TABLE IF EXISTS graft.mdst")
+    spark.sql("CREATE TABLE graft.msrc AS SELECT id AS k FROM range(100)")
+    spark.sql("CALL graft.clone('msrc', 'mdst')")
+    val v = spark.sql("CALL graft.materialize('mdst')").head().getLong(0)
+    assert(v == 2L, s"clone v1 + materialize commit = v2, got $v")
+    spark.sql("DROP TABLE graft.msrc") // the source is gone...
+    assert(spark.sql("SELECT count(*) FROM graft.mdst").head().getLong(0) == 100L,
+      "...and the materialized clone must not care")
+    spark.sql("DROP TABLE graft.mdst")
+  }
+}
