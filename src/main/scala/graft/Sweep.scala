@@ -856,6 +856,14 @@ object Sweep {
         val srcCols = VersionedTable.read(spark, src)
           .schema("props").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+        // materialize at scale: every referenced file localizes, rows
+        // and the nested prune survive byte-copy self-containment
+        VersionedTable.materialize(spark, dst)
+        val matSnap = VersionedTable.snapshot(spark, dst)
+        val matForeign = matSnap.files.count(!_.startsWith(dst))
+        val nMat = VersionedTable.read(spark, dst).count()
+        val dMat = VersionedTable.prunedFilesDetail(spark, dst, "meta.length",
+          "100", "140")
         // divergent write + root-scoped vacuum
         val srcFiles0 = parquetUnder(src)
         VersionedTable.commit(
@@ -874,6 +882,11 @@ object Sweep {
           s"clone lost the two-level layout: ${d0.shardsTotal} shards"
         else if (srcCols != Seq("len", "src0"))
           s"clone DDL leaked into the source: $srcCols"
+        else if (matForeign > 0)
+          s"materialize left $matForeign foreign files"
+        else if (nMat != nSrc0) s"materialized rows $nMat != $nSrc0"
+        else if (dMat.kept.size * 2 >= dMat.totalFiles)
+          s"nested prune lost after materialize: ${dMat.kept.size} of ${dMat.totalFiles}"
         else if (srcFiles1 != srcFiles0)
           s"clone vacuum deleted ${srcFiles0 - srcFiles1} SOURCE files"
         else if (nSrc1 != nSrc0) s"source rows changed: $nSrc1 != $nSrc0"

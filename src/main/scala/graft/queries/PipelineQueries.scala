@@ -3379,6 +3379,10 @@ object PipelineQueries {
         s.sql("CALL graft.clone('q65j_src', 'q65j_fork')")
         s.sql("INSERT INTO graft.q65j_fork SELECT -k, c FROM graft.q65j_fork")
         s.sql("DELETE FROM graft.q65j_fork WHERE k > 0 AND k % 50 = 10")
+        // self-contain the fork (byte-copy localization): rows must be
+        // IDENTICAL after — the oracle's counts double as the
+        // materialize-preserves-content gate
+        s.sql("CALL graft.materialize('q65j_fork')")
         s.sql("""
           SELECT 'src' AS side, count(*) AS n,
                  CAST(sum(k) AS BIGINT) AS sum_k FROM graft.q65j_src
