@@ -2562,51 +2562,139 @@ object VersionedTable {
     1L
   }
 
-  /** MATERIALIZE: copy every file this table references OUTSIDE its
-    * own root — a shallow [[clone]]'s source files — into the table's
-    * own directory tree and commit a manifest pointing at the copies,
-    * CLOSING the shallow-clone caveat: after materialize, vacuuming
-    * or dropping the source can no longer invalidate the clone.
+  /** A Hadoop Configuration that survives a Spark closure (the
+    * standard writeObject/readFields wrapper — Configuration itself
+    * is not Serializable). Used by [[materialize]]'s distributed
+    * copy stage. */
+  private class SerializableHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends java.io.Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Torn-copy-proof byte copy: reuse `dst` only when its LENGTH
+    * matches the source (a crashed copy leaves a shorter file), else
+    * copy to a nonce'd temp sibling and RENAME into place — our own
+    * crash can only leave `.tmp` junk, never a trusted-looking
+    * partial. A lost rename race against a concurrent materialize is
+    * success iff the winner's file checks out. */
+  private def safeCopy(srcFs: FileSystem, src: Path,
+                       dstFs: FileSystem, dst: Path,
+                       conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val want = srcFs.getFileStatus(src).getLen
+    def ok: Boolean =
+      dstFs.exists(dst) && dstFs.getFileStatus(dst).getLen == want
+    if (ok) return
+    dstFs.mkdirs(dst.getParent)
+    val tmp = new Path(dst.getParent,
+      s".${dst.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, tmp, false, conf)
+    if (dstFs.exists(dst)) dstFs.delete(dst, false) // stale partial
+    if (!dstFs.rename(tmp, dst)) {
+      dstFs.delete(tmp, false)
+      require(ok, s"materialize copy lost a race and the winner's " +
+        s"$dst does not match the source length $want")
+    }
+  }
+
+  /** MATERIALIZE: copy every file the CURRENT version references
+    * OUTSIDE its own root — a shallow [[clone]]'s source files — into
+    * the table's own directory tree and commit a manifest pointing at
+    * the copies. After materialize, the current version (and
+    * everything committed after it) no longer depends on the source.
     *
-    * Byte-for-byte `FileUtil.copy`: no shuffle, no decode, no
-    * re-clustering — stats lines, shard aggregates and the file
-    * layout carry verbatim, so pruning and the two-level manifest are
-    * untouched (contrast [[optimize]], which also self-contains a
-    * clone but rewrites its layout). Copies keep their LAST THREE
-    * path segments under the new root (`data/<commitdir>/<file>`) —
-    * deletion vectors address data files by exactly that 3-segment
-    * key, so preserving it keeps every recorded delete bound to its
-    * copied file. Foreign DV parquets copy the same way; foreign
-    * shard files are rewritten with localized member lines. A table
-    * with nothing foreign returns its current version unchanged.
-    * Publishes as version+1 under the usual manifest-rename OCC. */
+    * HISTORY SEMANTICS, honestly: PRE-materialize manifests still
+    * reference the source — `VERSION AS OF`, [[changesBetween]] and
+    * [[restore]] onto those versions depend on the source while it
+    * lives (restore deliberately resurrects its era's references,
+    * localized again by a follow-up materialize). To drop the source
+    * safely, first retire the foreign history: `vacuum(clone,
+    * retainVersions = 1)` after materialize leaves no manifest that
+    * references it.
+    *
+    * Byte-for-byte copy — no shuffle, no decode, no re-clustering:
+    * stats lines, shard aggregates and the file layout carry
+    * verbatim, so pruning and the two-level manifest are untouched
+    * (contrast [[optimize]], which also self-contains a clone but
+    * rewrites its layout). The copy stage runs as a DISTRIBUTED Spark
+    * job over the foreign-file list BEFORE the OCC window (driver-
+    * sequential copies inside it would hold the race open for the
+    * whole transfer on a large clone); the manifest rewrite afterward
+    * is pure path work, with a [[safeCopy]] fallback for stragglers a
+    * concurrent restore might reintroduce. Copies keep their LAST
+    * THREE path segments under the new root (`data/<commitdir>/
+    * <file>`) — deletion vectors address data files by exactly that
+    * 3-segment key, so preserving it keeps every recorded delete
+    * bound to its copied file; [[safeCopy]] makes partial copies
+    * unobservable (length-checked reuse + temp-and-rename). Foreign
+    * DV parquets copy the same way; foreign shard files are rewritten
+    * with localized member lines. A table with nothing foreign
+    * returns its current version unchanged. Publishes as version+1
+    * under the usual manifest-rename OCC. */
   def materialize(spark: SparkSession, root: String,
                   maxRetries: Int = 5): Long = {
     val f = fs(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
     val rootQ = f.makeQualified(new Path(root)).toString
+    def foreignOf(rel: String): Option[Path] = {
+      val q = new Path(root, rel)
+      val qf = q.getFileSystem(conf).makeQualified(q)
+      if (qf.toString.startsWith(rootQ + "/")) None else Some(qf)
+    }
+    def key3(p: Path): String =
+      p.toString.split('/').takeRight(3).mkString("/")
+    // every foreign path one manifest references, in body-line order
+    def foreignPaths(version: Long): Seq[Path] =
+      manifestBody(spark, root, version).split("\n").toSeq.flatMap { l =>
+        if (l.isEmpty || l.startsWith("#")) Seq.empty
+        else if (l.startsWith("!dv\t")) foreignOf(l.split('\t')(2)).toSeq
+        else if (l.startsWith(ShardPrefix))
+          shardFileLines(spark, root, l.split('\t')(1))
+            .flatMap(m => foreignOf(lineRel(m)).toSeq)
+        else foreignOf(lineRel(l)).toSeq
+      }
+    // PHASE 1 — distributed byte copy, OUTSIDE the OCC window: the
+    // transfer is the expensive part and is idempotent (stable
+    // destination rels, torn copies unobservable), so losing a commit
+    // race later never re-pays it
+    val first = foreignPaths(currentVersion(spark, root) match {
+      case v => require(v > 0, s"no committed version at $root"); v
+    })
+    if (first.isEmpty) return currentVersion(spark, root)
+    locally {
+      val serConf = new SerializableHadoopConf(conf)
+      val rootStr = root
+      val pairs = first.map(p => (p.toString, key3(p))).distinct
+      spark.sparkContext
+        .parallelize(pairs, math.max(1, math.min(pairs.size, 64)))
+        .foreach { case (srcStr, dstRel) =>
+          val hc = serConf.value
+          val srcP = new Path(srcStr)
+          val dstP = new Path(rootStr, dstRel)
+          safeCopy(srcP.getFileSystem(hc), srcP,
+            dstP.getFileSystem(hc), dstP, hc)
+        }
+    }
+    // PHASE 2 — OCC manifest rewrite (pure path work; safeCopy covers
+    // any straggler a concurrent restore reintroduced)
     var attempt = 0
     while (true) {
       val cur = currentVersion(spark, root)
-      require(cur > 0, s"no committed version at $root")
-      def foreignOf(rel: String): Option[Path] = {
-        val q = new Path(root, rel)
-        val qf = q.getFileSystem(conf).makeQualified(q)
-        if (qf.toString.startsWith(rootQ + "/")) None else Some(qf)
-      }
-      def key3(p: Path): String =
-        p.toString.split('/').takeRight(3).mkString("/")
       var copied = 0
       def localize(rel: String): String = foreignOf(rel) match {
         case None => rel
         case Some(src) =>
           val dstRel = key3(src)
-          val dst = new Path(root, dstRel)
-          if (!f.exists(dst)) { // idempotent across OCC retries
-            f.mkdirs(dst.getParent)
-            org.apache.hadoop.fs.FileUtil.copy(
-              src.getFileSystem(conf), src, f, dst, false, conf)
-          }
+          safeCopy(src.getFileSystem(conf), src, f,
+            new Path(root, dstRel), conf)
           copied += 1
           dstRel
       }

@@ -885,7 +885,10 @@ class MaterializeSpec extends SparkSpec {
     assert(d.shardsTotal > 0, "the two-level layout must survive materialize")
     // idempotent: nothing foreign remains
     assert(VersionedTable.materialize(spark, dst) == v)
-    // THE CAVEAT IS CLOSED: destroy the source entirely
+    // THE DOCUMENTED DROP PROCEDURE: retire the pre-materialize
+    // history (those manifests still reference the source), then
+    // destroy the source entirely
+    VersionedTable.vacuum(spark, dst, retainVersions = 1, graceMs = 0L)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
     }
