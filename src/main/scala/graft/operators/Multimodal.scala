@@ -842,14 +842,28 @@ object Multimodal {
                     case "minf" => walk(dFrom, dTo) { (ft, fFrom, fTo) =>
                       if (ft == "stbl") walk(fFrom, fTo) { (st, sFrom, sTo) =>
                         st match {
+                          // stts/stsc entry counts are box-bounded, but
+                          // each 8/12-byte entry materializes as a ~48 B
+                          // tuple — bound the count against the (already
+                          // located) mdat body too, BEFORE allocating:
+                          // every stts entry covers ≥1 sample and every
+                          // stsc run ≥1 chunk, and samples/chunks cannot
+                          // exceed mdat's byte count — matching stsz's
+                          // fixed-size posture, so a hostile-but-box-
+                          // bounded count can no longer amplify ~6x into
+                          // tuples
                           case "stts" =>
                             val ec = tableEntries(sFrom, sTo)
-                            if (ec < 0 || sFrom + 8 + ec * 8 > sTo) bad = true
+                            if (ec < 0 || sFrom + 8 + ec * 8 > sTo ||
+                                (ec > 0 && (mdatFrom < 0 ||
+                                  ec > mdatTo - mdatFrom))) bad = true
                             else stts = (0L until ec).map(i =>
                               (be32(sFrom + 8 + i * 8), be32(sFrom + 12 + i * 8)))
                           case "stsc" =>
                             val ec = tableEntries(sFrom, sTo)
-                            if (ec < 0 || sFrom + 8 + ec * 12 > sTo) bad = true
+                            if (ec < 0 || sFrom + 8 + ec * 12 > sTo ||
+                                (ec > 0 && (mdatFrom < 0 ||
+                                  ec > mdatTo - mdatFrom))) bad = true
                             else stsc = (0L until ec).map(i =>
                               (be32(sFrom + 8 + i * 12), be32(sFrom + 12 + i * 12)))
                           case "stsz" =>

@@ -452,6 +452,46 @@ object VersionedTable {
     cur
   }
 
+  /** [[physPathOf]] with [[fieldAtPath]]'s exact-top-level-name-wins
+    * rule: a column literally named `a.b` (a pre-nested-era commit
+    * accepted any frame column name) resolves as ONE leaf — its
+    * physical key is its own mapping or itself — never as a struct
+    * descent. Mirrors the read side so DDL, stats keys and prune
+    * probes can never mis-key a legacy dotted name. */
+  private def physPathAt(cm: Map[String, String],
+                         sc: org.apache.spark.sql.types.StructType,
+                         c: String): String =
+    if (c.contains('.') && sc.fields.exists(_.name == c)) cm.getOrElse(c, c)
+    else physPathOf(cm, c)
+
+  /** Split a DDL path into (parentSegs, leaf) under the SAME
+    * exact-top-level-name-wins rule [[fieldAtPath]] applies on the
+    * read side: a column literally named `a.b` is one top-level leaf,
+    * never a struct descent — so RENAME/DROP on a legacy dotted name
+    * operate on the column itself instead of failing with
+    * "no field 'a'". */
+  private def ddlSplit(sc: org.apache.spark.sql.types.StructType,
+                       path: String): (Seq[String], String) =
+    if (path.contains('.') && sc.fields.exists(_.name == path)) (Nil, path)
+    else (path.split('.').toSeq.init, path.split('.').last)
+
+  /** A Column reference that can never be MIS-PARSED as a struct
+    * path: backtick-quoted, so a top-level name containing a literal
+    * '.' (pre-nested-era commits accepted any frame column name)
+    * resolves as itself. Used wherever the referenced name is KNOWN
+    * to be a top-level field. */
+  private def topCol(name: String): org.apache.spark.sql.Column =
+    col(s"`$name`")
+
+  /** Column reference for a user-supplied PATH under the read side's
+    * exact-top-level-name-wins rule ([[fieldAtPath]]): an exact
+    * top-level match is quoted (a literal-dot leaf), anything else
+    * stays a dotted struct-path reference. */
+  private def colRef(sc: org.apache.spark.sql.types.StructType,
+                     name: String): org.apache.spark.sql.Column =
+    if (name.contains('.') && sc.fields.exists(_.name == name)) topCol(name)
+    else col(name)
+
   /** LOGICAL-named frame → PHYSICAL-named frame (the write-side
     * projection). Nested mappings ride a struct→struct CAST, which
     * renames inner fields positionally and preserves null structs;
@@ -462,8 +502,8 @@ object VersionedTable {
     else {
       val physSc = physStruct(cm, df.schema)
       df.select(df.schema.fields.zip(physSc.fields).map { case (lf, pf) =>
-        if (pf.dataType == lf.dataType) col(lf.name).as(pf.name)
-        else col(lf.name).cast(pf.dataType).as(pf.name)
+        if (pf.dataType == lf.dataType) topCol(lf.name).as(pf.name)
+        else topCol(lf.name).cast(pf.dataType).as(pf.name)
       }.toSeq: _*)
     }
 
@@ -521,8 +561,8 @@ object VersionedTable {
       // a parquet scan serves every leaf nullable, and casting nullable
       // → NOT NULL is (rightly) rejected by the analyzer.
       staged.select(sc.get.fields.zip(physSc.fields).map { case (lf, pf) =>
-        if (pf.dataType == lf.dataType) col(pf.name).as(lf.name)
-        else col(pf.name).cast(relaxNullability(lf.dataType)).as(lf.name)
+        if (pf.dataType == lf.dataType) topCol(pf.name).as(lf.name)
+        else topCol(pf.name).cast(relaxNullability(lf.dataType)).as(lf.name)
       }.toSeq ++ extra.map(col): _*)
     }
   }
@@ -611,9 +651,16 @@ object VersionedTable {
         scala.util.Try(leq(lo, mx) && leq(mn, hi)).getOrElse(true)
       case None => true
     }
+    // the probe key honors exact-top-level-name-wins: a legacy column
+    // literally named `a.b` probes its own stats key, not a per-segment
+    // walk that would mis-key it whenever a rename shares its first
+    // segment (conservative either way — this only restores pruning)
+    val physKeyOf: Map[String, String] = ranges.map { case (c, _, _) =>
+      c -> schema.map(physPathAt(cmPrune, _, c)).getOrElse(physPathOf(cmPrune, c))
+    }.toMap
     def admitsAll(stats: Map[String, (String, String)]): Boolean =
       ranges.forall { case (c, lo, hi) =>
-        admits1(c, lo, hi, stats.get(physPathOf(cmPrune, c))) }
+        admits1(c, lo, hi, stats.get(physKeyOf(c))) }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def keepLine(l: String): Option[String] = {
       val cut = l.indexOf('\t')
@@ -688,8 +735,11 @@ object VersionedTable {
       val dt = fieldAtPath(base.schema, c)
         .getOrElse(throw new IllegalArgumentException(
           s"readRange: no column path '$c' at $root")).dataType
-      df.filter(col(c).geq(org.apache.spark.sql.functions.lit(lo).cast(dt)) &&
-        col(c).leq(org.apache.spark.sql.functions.lit(hi).cast(dt)))
+      df.filter(
+        colRef(base.schema, c)
+          .geq(org.apache.spark.sql.functions.lit(lo).cast(dt)) &&
+        colRef(base.schema, c)
+          .leq(org.apache.spark.sql.functions.lit(hi).cast(dt)))
     }
   }
 
@@ -815,7 +865,11 @@ object VersionedTable {
     val s = snapshot(spark, root, version)
     // sidecar dir AND value reads keyed by PHYSICAL name — a later
     // rename keeps the whole standing index valid
-    val physCol = physPathOf(columnMapping(spark, root, s.version), colName)
+    val physCol = locally { // exact-top-level-name-wins, like the prune
+      val cm0 = columnMapping(spark, root, s.version)
+      tableSchema(spark, root, s.version).map(physPathAt(cm0, _, colName))
+        .getOrElse(physPathOf(cm0, colName))
+    }
     val rels = fileLines(spark, root, s.version).map(lineRel)
     val files = rels.map(r => new Path(root, r).toString)
     require(files.nonEmpty, s"nothing to index at $root v${s.version}")
@@ -868,7 +922,11 @@ object VersionedTable {
                                  colName: String,
                                  version: Long = -1L): Long = {
     val s = snapshot(spark, root, version)
-    val physCol = physPathOf(columnMapping(spark, root, s.version), colName)
+    val physCol = locally { // exact-top-level-name-wins, like the prune
+      val cm0 = columnMapping(spark, root, s.version)
+      tableSchema(spark, root, s.version).map(physPathAt(cm0, _, colName))
+        .getOrElse(physPathOf(cm0, colName))
+    }
     val prior = latestBloomDir(spark, root, physCol).getOrElse(
       return buildBloomIndex(spark, root, colName, version = version))
     val idx = spark.read.parquet(prior)
@@ -1076,7 +1134,11 @@ object VersionedTable {
     val s = snapshot(spark, root, version)
     val (statsKept, _) = prunedFiles(spark, root, colName, value, value, s.version)
     // the sidecar is keyed by PHYSICAL name — survives renames
-    val physCol = physPathOf(columnMapping(spark, root, s.version), colName)
+    val physCol = locally { // exact-top-level-name-wins, like the prune
+      val cm0 = columnMapping(spark, root, s.version)
+      tableSchema(spark, root, s.version).map(physPathAt(cm0, _, colName))
+        .getOrElse(physPathOf(cm0, colName))
+    }
     val kept = bloomCut(spark, root, physCol, value, statsKept)
     val base = tableSchema(spark, root, s.version) match {
       case Some(_) if kept.nonEmpty =>
@@ -1089,7 +1151,8 @@ object VersionedTable {
       case None => return read(spark, root, version).limit(0)
     }
     val dt = base.schema(colName).dataType
-    base.filter(col(colName) === org.apache.spark.sql.functions.lit(value).cast(dt))
+    base.filter(colRef(base.schema, colName) ===
+      org.apache.spark.sql.functions.lit(value).cast(dt))
   }
 
   /** How many of the snapshot's stats-kept files a `colName = value`
@@ -1115,7 +1178,11 @@ object VersionedTable {
                        value: String, version: Long = -1L): BloomProbeDetail = {
     val s = snapshot(spark, root, version)
     val (statsKept, total) = prunedFiles(spark, root, colName, value, value, s.version)
-    val physCol = physPathOf(columnMapping(spark, root, s.version), colName)
+    val physCol = locally { // exact-top-level-name-wins, like the prune
+      val cm0 = columnMapping(spark, root, s.version)
+      tableSchema(spark, root, s.version).map(physPathAt(cm0, _, colName))
+        .getOrElse(physPathOf(cm0, colName))
+    }
     val (kept, so, st) = bloomCutDetail(spark, root, physCol, value, statsKept)
     BloomProbeDetail(kept.size, statsKept.size, total, so, st)
   }
@@ -1196,20 +1263,29 @@ object VersionedTable {
   def renameColumnTransform(root: String, oldName: String, newName: String)
       : Map[String, String] => Map[String, String] = {
     require(oldName != newName, "rename to the same name")
-    val parentSegs = oldName.split('.').toSeq.init
-    val oldLeaf = oldName.split('.').last
-    val newLeaf =
-      if (!newName.contains('.')) newName
-      else {
-        require(newName.split('.').toSeq.init == parentSegs,
-          s"rename cannot MOVE a column across structs: $oldName -> $newName")
-        newName.split('.').last
-      }
-    validColName(newLeaf, "new column name")
-    require(oldLeaf != newLeaf, "rename to the same name")
-    val newPath = (parentSegs :+ newLeaf).mkString(".")
     meta => {
       val sc = schemaOf(meta, root, "renameColumn")
+      // exact-top-level-name-wins ([[ddlSplit]], mirroring
+      // [[fieldAtPath]]): a legacy column literally named `a.b` renames
+      // as one leaf; the split therefore runs against the CURRENT
+      // schema inside the OCC closure
+      val (parentSegs, oldLeaf) = ddlSplit(sc, oldName)
+      val exactTop = parentSegs.isEmpty && oldLeaf == oldName &&
+        oldName.contains('.')
+      val newLeaf =
+        if (!newName.contains('.')) newName
+        else if (exactTop) throw new IllegalArgumentException(
+          s"renaming legacy dotted column '$oldName' to another dotted " +
+            s"name '$newName' would re-create the path ambiguity — " +
+            "pick an undotted name")
+        else {
+          require(newName.split('.').toSeq.init == parentSegs,
+            s"rename cannot MOVE a column across structs: $oldName -> $newName")
+          newName.split('.').last
+        }
+      validColName(newLeaf, "new column name")
+      require(oldLeaf != newLeaf, "rename to the same name")
+      val newPath = (parentSegs :+ newLeaf).mkString(".")
       val parentSt = parentStructOf(sc, parentSegs, root, "renameColumn")
       require(parentSt.fieldNames.contains(oldLeaf),
         s"no column $oldName at $root (have ${parentSt.fieldNames.mkString(", ")})")
@@ -1218,7 +1294,9 @@ object VersionedTable {
         s"column $newPath already exists at $root (names are " +
           "case-insensitive under Spark SQL resolution)")
       val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
-      val phys = physNameOf(cm, oldName)
+      // a legacy dotted leaf's physical default is its FULL literal
+      // name (that is what sits in the files), not its last segment
+      val phys = cm.getOrElse(oldName, if (exactTop) oldName else oldLeaf)
       // the renamed field's own entry moves; entries for fields INSIDE
       // it re-key their logical prefix (physical names never move)
       val cm2 = (cm.flatMap { case (l, p) =>
@@ -1353,8 +1431,9 @@ object VersionedTable {
   def dropColumnTransform(root: String, name: String, ifExists: Boolean)
       : Map[String, String] => Map[String, String] = meta => {
     val sc = schemaOf(meta, root, "dropColumn")
-    val parentSegs = name.split('.').toSeq.init
-    val leaf = name.split('.').last
+    // exact-top-level-name-wins, mirroring [[fieldAtPath]]'s read-side
+    // rule: a legacy column literally named `a.b` drops as one leaf
+    val (parentSegs, leaf) = ddlSplit(sc, name)
     if (fieldAtPath(sc, name).isEmpty) {
       if (ifExists) meta
       else throw new IllegalArgumentException(
@@ -1367,8 +1446,10 @@ object VersionedTable {
           s"${parentSegs.mkString(".")} at $root (drop the struct instead)")
       val cm = meta.get("colmap").map(parseColmap).getOrElse(Map.empty)
       // reserve the full dotted PHYSICAL path (old files keep serving
-      // it at old versions; a new field must never land on it)
-      val phys = physPathOf(cm, name)
+      // it at old versions; a new field must never land on it); a
+      // legacy literal-dot column reserves its OWN name, not a
+      // mis-keyed per-segment walk ([[physPathAt]])
+      val phys = physPathAt(cm, sc, name)
       require(!phys.contains(",") && !phys.contains("="),
         s"cannot reserve physical name '$phys' (contains ',' or '='); " +
           "RENAME the column and rewrite the table before dropping")
@@ -1542,7 +1623,8 @@ object VersionedTable {
     // physical PATH), or inherited from the current manifest (already
     // physical) so MERGE/DELETE/compact/append rewrites keep skipping
     // working without each caller re-stating the table's layout
-    val effStats = (if (statsCols.nonEmpty) statsCols.map(physPathOf(cm, _))
+    val effStats = (if (statsCols.nonEmpty)
+        statsCols.map(physPathAt(cm, df.schema, _))
       else manifestMeta(spark, root, base)
         .get("statscols").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
       .filter(p => fieldAtPath(dfPhys.schema, p).isDefined)
@@ -1571,8 +1653,10 @@ object VersionedTable {
         }
       else {
         val aggs = effStats.flatMap(c => Seq(
-          org.apache.spark.sql.functions.min(col(c)).cast("string").as(s"__mn_$c"),
-          org.apache.spark.sql.functions.max(col(c)).cast("string").as(s"__mx_$c"))) :+
+          org.apache.spark.sql.functions.min(colRef(dfPhys.schema, c))
+            .cast("string").as(s"__mn_$c"),
+          org.apache.spark.sql.functions.max(colRef(dfPhys.schema, c))
+            .cast("string").as(s"__mx_$c"))) :+
           org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("__nrows")
         val rows = spark.read.parquet(dataDir.toString)
@@ -2474,6 +2558,90 @@ object VersionedTable {
     committed
   }
 
+  // ───────────────────────────── named tags ──────────────────────────────
+  // The public Iceberg/Delta snapshot-pin concept on this layout: a tag
+  // is one small file `_manifests/tags/<name>` holding a version
+  // number. Corpus-era pins a training-data pipeline reads back BY NAME
+  // ("v1-corpus") instead of recording version numbers out-of-band;
+  // vacuum refuses to retire a tagged era.
+
+  private def tagsDir(root: String) = new Path(manifestDir(root), "tags")
+
+  /** Tag names survive the filesystem, the manifest layout and the
+    * `t@name` read syntax — and can never shadow a numeric version. */
+  private def validTagName(name: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    require(name.exists(!_.isDigit),
+      s"tag name '$name' would shadow a numeric version")
+    require(!name.startsWith("."), s"tag name may not start with '.': '$name'")
+  }
+
+  /** Pin `version` (default: current) under a human-readable name.
+    * Tags are IMMUTABLE — create-once, `dropTag` + re-tag to move —
+    * the reproducibility posture a corpus pin wants: nothing can
+    * silently re-point "v1-corpus" at different data. Atomic via
+    * temp-and-rename; losing a creation race to the same name throws
+    * (first writer wins). The pinned version must still be retained.
+    * Returns the pinned version. */
+  def tag(spark: SparkSession, root: String, name: String,
+          version: Long = -1L): Long = {
+    validTagName(name)
+    val f = fs(spark, root)
+    val v = if (version > 0) version else currentVersion(spark, root)
+    require(v > 0, s"no committed version at $root")
+    require(f.exists(new Path(manifestDir(root), s"v$v.manifest")),
+      s"version $v is not retained at $root (vacuumed, or never committed)")
+    val p = new Path(tagsDir(root), name)
+    require(!f.exists(p),
+      s"tag '$name' already exists at $root (tags are immutable — " +
+        "dropTag first to re-point)")
+    f.mkdirs(tagsDir(root))
+    val tmp = new Path(tagsDir(root),
+      s".$name.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$v\n".getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"tag '$name' lost a creation race at $root")
+    }
+    v
+  }
+
+  /** Remove a tag (the version it pinned becomes vacuum-eligible
+    * again once outside the retention window). Returns whether a tag
+    * existed. */
+  def dropTag(spark: SparkSession, root: String, name: String): Boolean = {
+    validTagName(name)
+    fs(spark, root).delete(new Path(tagsDir(root), name), false)
+  }
+
+  /** Every tag: name → pinned version. */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val f = fs(spark, root)
+    val d = tagsDir(root)
+    if (!f.exists(d)) Map.empty
+    else f.listStatus(d).toSeq
+      .filter(st => !st.getPath.getName.startsWith("."))
+      .flatMap(st => scala.util.Try(readSmallFile(f, st.getPath).trim.toLong)
+        .toOption.map(st.getPath.getName -> _)).toMap
+  }
+
+  /** The version `name` pins; error when the tag does not exist. */
+  def tagVersion(spark: SparkSession, root: String, name: String): Long = {
+    val f = fs(spark, root)
+    val p = new Path(tagsDir(root), name)
+    require(f.exists(p), s"no tag '$name' at $root " +
+      s"(have ${tags(spark, root).keys.toSeq.sorted.mkString(", ")})")
+    readSmallFile(f, p).trim.toLong
+  }
+
+  /** [[read]] pinned at a tag. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, tagVersion(spark, root, name))
+
   /** SHALLOW CLONE: create a NEW table at `dstRoot` whose v1 manifest
     * references the SOURCE's data (and deletion-vector) files by
     * ABSOLUTE QUALIFIED path — zero bytes copied, metadata-only,
@@ -2555,10 +2723,16 @@ object VersionedTable {
     val tmp = new Path(manifestDir(dstRoot), s".v1-$nonce.tmp")
     val out = f.create(tmp, true)
     try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    require(f.rename(tmp, new Path(manifestDir(dstRoot), "v1.manifest")), {
+    // explicit loser cleanup (not a by-name require message, which a
+    // refactor to a strict message would silently stop running): the
+    // tmp manifest AND this attempt's already-written shard files go,
+    // so a lost creation race orphans nothing under the winner's tree
+    if (!f.rename(tmp, new Path(manifestDir(dstRoot), "v1.manifest"))) {
       f.delete(tmp, false)
-      s"clone lost a creation race at $dstRoot"
-    })
+      (0 until shardIdx).foreach(i => f.delete(
+        new Path(dstRoot, s"_manifests/shards/clone1-$nonce-$i.shard"), false))
+      throw new IllegalStateException(s"clone lost a creation race at $dstRoot")
+    }
     1L
   }
 
@@ -2581,17 +2755,36 @@ object VersionedTable {
   }
 
   /** Torn-copy-proof byte copy: reuse `dst` only when its LENGTH
-    * matches the source (a crashed copy leaves a shorter file), else
-    * copy to a nonce'd temp sibling and RENAME into place — our own
-    * crash can only leave `.tmp` junk, never a trusted-looking
-    * partial. A lost rename race against a concurrent materialize is
-    * success iff the winner's file checks out. */
+    * matches the source (a crashed copy leaves a shorter file) AND —
+    * where both filesystems expose comparable checksums
+    * (`getFileChecksum`, e.g. HDFS's MD5-of-block-CRCs) — the
+    * checksums agree; else copy to a nonce'd temp sibling and RENAME
+    * into place — our own crash can only leave `.tmp` junk, never a
+    * trusted-looking partial. Filesystems without checksums (the
+    * local fs returns null) fall back to the length check alone —
+    * trusted there as an invariant of the nonce'd commit-dir rel
+    * scheme (two different files can only collide on a rel by
+    * colliding on the nonce). A lost rename race against a concurrent
+    * materialize is success iff the winner's file checks out. */
   private def safeCopy(srcFs: FileSystem, src: Path,
                        dstFs: FileSystem, dst: Path,
                        conf: org.apache.hadoop.conf.Configuration): Unit = {
     val want = srcFs.getFileStatus(src).getLen
+    def checksumOk: Boolean = {
+      val (sc, dc) = (Option(srcFs.getFileChecksum(src)),
+        Option(dstFs.getFileChecksum(dst)))
+      (sc, dc) match {
+        // comparable only when both sides compute the same algorithm
+        // (block-size-sensitive on HDFS — mismatched algorithm names
+        // mean "cannot verify", not "differs")
+        case (Some(a), Some(b)) if a.getAlgorithmName == b.getAlgorithmName =>
+          a == b
+        case _ => true
+      }
+    }
     def ok: Boolean =
-      dstFs.exists(dst) && dstFs.getFileStatus(dst).getLen == want
+      dstFs.exists(dst) && dstFs.getFileStatus(dst).getLen == want &&
+        checksumOk
     if (ok) return
     dstFs.mkdirs(dst.getParent)
     val tmp = new Path(dst.getParent,
@@ -2611,14 +2804,24 @@ object VersionedTable {
     * the copies. After materialize, the current version (and
     * everything committed after it) no longer depends on the source.
     *
-    * HISTORY SEMANTICS, honestly: PRE-materialize manifests still
+    * HISTORY SEMANTICS: by default PRE-materialize manifests still
     * reference the source — `VERSION AS OF`, [[changesBetween]] and
     * [[restore]] onto those versions depend on the source while it
     * lives (restore deliberately resurrects its era's references,
     * localized again by a follow-up materialize). To drop the source
-    * safely, first retire the foreign history: `vacuum(clone,
-    * retainVersions = 1)` after materialize leaves no manifest that
-    * references it.
+    * safely, either retire the foreign history (`vacuum(clone,
+    * retainVersions = 1)`) — or pass `allRetained = true` (round 14,
+    * DEEP materialize): every retained manifest is localized too, so
+    * the fork keeps its FULL time-travel history after the source
+    * drops — the reproducibility posture a training-data fork wants.
+    * Old manifests are rewritten IN PLACE (their content semantics are
+    * unchanged — same files, localized paths) via temp + atomic
+    * overwrite-rename (FileContext); the one caveat is a reader
+    * resolving a historic version in the instant of the swap on a
+    * filesystem without atomic overwrite — deep materialize is a
+    * maintenance op, run it like one. Superseded shard files simply
+    * stop being referenced; a later [[vacuum]] GCs them on the normal
+    * schedule.
     *
     * Byte-for-byte copy — no shuffle, no decode, no re-clustering:
     * stats lines, shard aggregates and the file layout carry
@@ -2640,7 +2843,7 @@ object VersionedTable {
     * returns its current version unchanged. Publishes as version+1
     * under the usual manifest-rename OCC. */
   def materialize(spark: SparkSession, root: String,
-                  maxRetries: Int = 5): Long = {
+                  maxRetries: Int = 5, allRetained: Boolean = false): Long = {
     val f = fs(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
     val rootQ = f.makeQualified(new Path(root)).toString
@@ -2661,14 +2864,20 @@ object VersionedTable {
             .flatMap(m => foreignOf(lineRel(m)).toSeq)
         else foreignOf(lineRel(l)).toSeq
       }
+    def retainedVersions(): Seq[Long] =
+      f.listStatus(manifestDir(root)).toSeq.map(_.getPath.getName).collect {
+        case ManifestName(v) => v.toLong
+      }.sorted
     // PHASE 1 — distributed byte copy, OUTSIDE the OCC window: the
     // transfer is the expensive part and is idempotent (stable
     // destination rels, torn copies unobservable), so losing a commit
-    // race later never re-pays it
-    val first = foreignPaths(currentVersion(spark, root) match {
-      case v => require(v > 0, s"no committed version at $root"); v
-    })
-    if (first.isEmpty) return currentVersion(spark, root)
+    // race later never re-pays it. Deep materialize scans EVERY
+    // retained manifest's foreign refs into the same one copy job.
+    val curV0 = currentVersion(spark, root)
+    require(curV0 > 0, s"no committed version at $root")
+    val scanVs = if (allRetained) retainedVersions() else Seq(curV0)
+    val first = scanVs.flatMap(foreignPaths).distinct
+    if (first.isEmpty) return curV0
     locally {
       val serConf = new SerializableHadoopConf(conf)
       val rootStr = root
@@ -2683,11 +2892,11 @@ object VersionedTable {
             dstP.getFileSystem(hc), dstP, hc)
         }
     }
-    // PHASE 2 — OCC manifest rewrite (pure path work; safeCopy covers
-    // any straggler a concurrent restore reintroduced)
-    var attempt = 0
-    while (true) {
-      val cur = currentVersion(spark, root)
+    // shared localizing rewrite of version `v`'s manifest lines:
+    // (body lines, count of refs localized). `shardTag` keys this
+    // call's fresh shard files; safeCopy covers any straggler a
+    // concurrent restore reintroduced after the phase-1 job.
+    def localizedBody(v: Long, shardTag: String): (Seq[String], Int) = {
       var copied = 0
       def localize(rel: String): String = foreignOf(rel) match {
         case None => rel
@@ -2700,7 +2909,7 @@ object VersionedTable {
       }
       val nonce = java.util.UUID.randomUUID.toString.take(8)
       var shardIdx = 0
-      val body = manifestBody(spark, root, cur).split("\n").toSeq.flatMap { l =>
+      val body = manifestBody(spark, root, v).split("\n").toSeq.flatMap { l =>
         if (l.isEmpty) Seq.empty
         else if (l.startsWith("#")) Seq(l)
         else if (l.startsWith("!dv\t")) {
@@ -2719,7 +2928,7 @@ object VersionedTable {
           }
           if (local == members) Seq(l) // fully-local shard carries as-is
           else {
-            val rel = s"_manifests/shards/m${cur + 1}-$nonce-$shardIdx.shard"
+            val rel = s"_manifests/shards/$shardTag-$nonce-$shardIdx.shard"
             shardIdx += 1
             f.mkdirs(shardsDir(root))
             val out = f.create(new Path(root, rel), true)
@@ -2734,20 +2943,65 @@ object VersionedTable {
               else localize(l.substring(0, cut)) + l.substring(cut))
         }
       }
-      if (copied == 0) return cur // nothing foreign: already material
-      val tmp = new Path(manifestDir(root), s".v${cur + 1}-$nonce.tmp")
-      val out = f.create(tmp, true)
-      try out.write(body.mkString("", "\n", "\n")
-        .getBytes(StandardCharsets.UTF_8)) finally out.close()
-      if (f.rename(tmp, new Path(manifestDir(root), s"v${cur + 1}.manifest")))
-        return cur + 1
-      f.delete(tmp, false) // lost the race — re-derive from the winner
-      attempt += 1
-      if (attempt > maxRetries)
-        throw new ConcurrentCommitException(
-          s"materialize at $root lost $attempt races")
+      (body, copied)
     }
-    sys.error("unreachable")
+    // PHASE 2 — OCC manifest rewrite of the CURRENT version (pure
+    // path work): publishes the localized snapshot as version+1 under
+    // the usual manifest-rename race
+    def publishCurrent(): Long = {
+      var attempt = 0
+      while (true) {
+        val cur = currentVersion(spark, root)
+        val (body, copied) = localizedBody(cur, s"m${cur + 1}")
+        if (copied == 0) return cur // nothing foreign: already material
+        val nonce = java.util.UUID.randomUUID.toString.take(8)
+        val tmp = new Path(manifestDir(root), s".v${cur + 1}-$nonce.tmp")
+        val out = f.create(tmp, true)
+        try out.write(body.mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8)) finally out.close()
+        if (f.rename(tmp, new Path(manifestDir(root), s"v${cur + 1}.manifest")))
+          return cur + 1
+        f.delete(tmp, false) // lost the race — re-derive from the winner
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new ConcurrentCommitException(
+            s"materialize at $root lost $attempt races")
+      }
+      sys.error("unreachable")
+    }
+    val published = publishCurrent()
+    // PHASE 3 — deep materialize: localize every OLDER retained
+    // manifest IN PLACE (content semantics unchanged — same rows,
+    // local paths), via temp + atomic overwrite-rename, so the fork's
+    // full time-travel history survives a source drop. The published
+    // current version is already local; superseded shard files are
+    // left for vacuum.
+    if (allRetained) {
+      for (v <- retainedVersions() if v < published) {
+        val (body, copied) = localizedBody(v, s"m$v")
+        if (copied > 0) {
+          val nonce = java.util.UUID.randomUUID.toString.take(8)
+          val tmp = new Path(manifestDir(root), s".v$v-deep-$nonce.tmp")
+          val out = f.create(tmp, true)
+          try out.write(body.mkString("", "\n", "\n")
+            .getBytes(StandardCharsets.UTF_8)) finally out.close()
+          val dst = new Path(manifestDir(root), s"v$v.manifest")
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              dst.toUri, conf)
+            fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          } catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              // no atomic overwrite on this fs: delete + rename, the
+              // documented maintenance-op window
+              f.delete(dst, false)
+              require(f.rename(tmp, dst),
+                s"deep materialize could not replace v$v.manifest at $root")
+          }
+        }
+      }
+    }
+    published
   }
 
   /** Delete data files referenced by NO retained manifest, keeping the
@@ -2767,7 +3021,16 @@ object VersionedTable {
     val f = fs(spark, root)
     val cur = currentVersion(spark, root)
     require(cur > 0, s"no committed version at $root")
-    val keepVs = ((cur - retainVersions + 1) max 1L) to cur
+    val windowStart = (cur - retainVersions + 1) max 1L
+    // TAGGED versions are pinned eras: vacuum refuses to retire them —
+    // their manifests stay resolvable and every file they name stays
+    // live, however old they are (drop the tag to release the era).
+    // Defensive exists-filter: a tag whose manifest a PRE-TAG-ERA
+    // vacuum already removed cannot resurrect anything.
+    val taggedVs = tags(spark, root).values.toSet.filter(v =>
+      v < windowStart && v >= 1 &&
+        f.exists(new Path(manifestDir(root), s"v$v.manifest")))
+    val keepVs = ((windowStart to cur) ++ taggedVs).toSeq.distinct.sorted
     // qualify through the filesystem: listStatus returns scheme-
     // qualified paths (file:/…), manifest resolution does not
     val live = keepVs.flatMap(v => snapshot(spark, root, v).files ++
@@ -2784,10 +3047,12 @@ object VersionedTable {
       if (f.delete(st.getPath, false)) deleted += 1
     }
     // drop manifests older than the retention window so time travel
-    // can't resolve to files vacuum just removed
+    // can't resolve to files vacuum just removed — EXCEPT tagged eras,
+    // whose manifests (and, above, files) are pinned by name
     for (st <- f.listStatus(manifestDir(root)))
       st.getPath.getName match {
-        case ManifestName(v) if v.toLong < keepVs.head => f.delete(st.getPath, false)
+        case ManifestName(v) if v.toLong < windowStart &&
+            !taggedVs.contains(v.toLong) => f.delete(st.getPath, false)
         case _ => ()
       }
     // shard files referenced by NO retained manifest are dead metadata

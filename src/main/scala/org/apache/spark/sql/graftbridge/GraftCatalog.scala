@@ -99,14 +99,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(tableDir(ident), -1L, ident.toString)
   }
 
-  /** `VERSION AS OF <v>` — the version string must be the numeric
-    * manifest version. */
+  /** `VERSION AS OF <v>` — a numeric manifest version, or (round 14)
+    * a NAMED TAG: `SELECT * FROM graft.t VERSION AS OF 'v1-corpus'`
+    * resolves through the table's tag pins
+    * ([[VersionedTable.tagVersion]]), so a corpus era reads back by
+    * name with zero out-of-band bookkeeping. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val root = tableDir(ident)
     val v = scala.util.Try(version.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft table version must be a number, got '$version'"))
-    new GraftTable(tableDir(ident), v, s"${ident.toString}@v$version")
+      scala.util.Try(VersionedTable.tagVersion(spark, root, version))
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft table version must be a number or a tag name, " +
+            s"got '$version' (tags: ${VersionedTable.tags(spark, root)
+              .keys.toSeq.sorted.mkString(", ")})")))
+    new GraftTable(root, v, s"${ident.toString}@v$v")
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch. */

@@ -26,6 +26,9 @@ import graft.sources.VersionedTable
   *   CALL graft.shard_manifest('t', 4096)     -- two-level manifest
   *   CALL graft.clone('src', 'dst')            -- shallow clone (v pin ok)
   *   CALL graft.materialize('dst')             -- self-contain a clone
+  *   CALL graft.materialize('dst', true)       -- + localize ALL history
+  *   CALL graft.tag('t', 'v1-corpus', 12)      -- pin an era by name
+  *   CALL graft.drop_tag('t', 'v1-corpus')     -- release the pin
   * }}}
   *
   * Each lands on the EXISTING VersionedTable path (optimize /
@@ -39,7 +42,7 @@ object GraftProcedures {
 
   private val names =
     Seq("optimize", "compact_small", "vacuum", "restore", "shard_manifest",
-      "clone", "materialize")
+      "clone", "materialize", "tag", "drop_tag")
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) names.map(Identifier.of(Array.empty[String], _)).toArray
@@ -105,7 +108,17 @@ private class GraftProcedure(catalog: GraftCatalog, procName: String)
       in("target", StringType).build(),
       in("version", LongType).defaultValue("-1").build())
     case "materialize" => Array(
-      in("table", StringType).build())
+      in("table", StringType).build(),
+      in("all_retained", BooleanType).defaultValue("false")
+        .comment("localize EVERY retained manifest, not just current")
+        .build())
+    case "tag" => Array(
+      in("table", StringType).build(),
+      in("name", StringType).build(),
+      in("version", LongType).defaultValue("-1").build())
+    case "drop_tag" => Array(
+      in("table", StringType).build(),
+      in("name", StringType).build())
   }
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -141,8 +154,18 @@ private class GraftProcedure(catalog: GraftCatalog, procName: String)
           version = input.getLong(2))
         (StructType(Seq(StructField("version", LongType))), Array[Any](v))
       case "materialize" =>
-        val v = VersionedTable.materialize(spark, root)
+        val v = VersionedTable.materialize(spark, root,
+          allRetained = input.getBoolean(1))
         (StructType(Seq(StructField("version", LongType))), Array[Any](v))
+      case "tag" =>
+        val v = VersionedTable.tag(spark, root,
+          input.getUTF8String(1).toString, version = input.getLong(2))
+        (StructType(Seq(StructField("version", LongType))), Array[Any](v))
+      case "drop_tag" =>
+        val existed = VersionedTable.dropTag(spark, root,
+          input.getUTF8String(1).toString)
+        (StructType(Seq(StructField("dropped", BooleanType))),
+          Array[Any](existed))
     }
     val scan: Scan = new LocalScan {
       override def readSchema(): StructType = schema

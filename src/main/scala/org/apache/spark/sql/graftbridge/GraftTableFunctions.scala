@@ -120,9 +120,23 @@ object GraftTableFunctions {
     "vt_read" -> { es =>
       arity("vt_read", es, n => n == 1 || n == 2, "1 or 2")
       val spark = SparkSession.active
-      val v = if (es.size == 2) litLong(es, 1, "vt_read") else -1L
-      plan(graft.sources.VersionedTable.read(
-        spark, resolveRoot(spark, litString(es, 0, "vt_read")), v))
+      // `vt_read('t@v1-corpus')` pins a NAMED TAG (round 14): the
+      // suffix after the last '@' resolves through the table's tag
+      // pins. '@' cannot appear in a tag name or a graft identifier,
+      // so the split is unambiguous for every table this catalog
+      // created; a path that legitimately contains '@' still reads
+      // via the 1-arg form when it carries no tag suffix.
+      val arg = litString(es, 0, "vt_read")
+      val at = arg.lastIndexOf('@')
+      if (at > 0 && es.size == 1 && !arg.substring(at + 1).contains('/')) {
+        val root = resolveRoot(spark, arg.substring(0, at))
+        plan(graft.sources.VersionedTable.readTag(
+          spark, root, arg.substring(at + 1)))
+      } else {
+        val v = if (es.size == 2) litLong(es, 1, "vt_read") else -1L
+        plan(graft.sources.VersionedTable.read(
+          spark, resolveRoot(spark, arg), v))
+      }
     },
     "vt_read_asof" -> { es =>
       arity("vt_read_asof", es, _ == 2, "2")
