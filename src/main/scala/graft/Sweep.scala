@@ -23,10 +23,33 @@ import graft.graph.GraphOps
   * a final summary line; exit 1 on any failure.
   */
 object Sweep {
+
+  /** Fingerprint of the classpath directory this JVM loads from:
+    * (file count, max mtime) over target's .class files. Recorded at
+    * sweep start and re-checked before each gate — a concurrent `sbt
+    * compile` swapping classes under the live lazy-loading JVM
+    * surfaces as an EXPLICIT refusal instead of a mid-gate
+    * NoSuchMethodError (the r12 d15 OOM and r13 vt_clone class-swap
+    * lessons: close sweeps run ONLY against one consistent binary). */
+  private def classpathFingerprint(): Option[(Long, Long)] = {
+    val url = getClass.getProtectionDomain.getCodeSource
+    Option(url).map(_.getLocation.getPath).filter(_.nonEmpty).map { dir =>
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      val classes = walk(new java.io.File(dir))
+        .filter(_.getName.endsWith(".class"))
+      (classes.size.toLong, classes.map(_.lastModified()).maxOption.getOrElse(0L))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(relDir, docDir, embDir, baseDir) = args.padTo(4, "").map {
       case "" => "/root/testdata/sf0.1"; case x => x
     }
+    val fp0 = classpathFingerprint()
+    fp0.foreach { case (n, mt) =>
+      println(s"SWEEP classpath fingerprint: $n classes, maxMtime $mt") }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -891,6 +914,68 @@ object Sweep {
           s"clone vacuum deleted ${srcFiles0 - srcFiles1} SOURCE files"
         else if (nSrc1 != nSrc0) s"source rows changed: $nSrc1 != $nSrc0"
         else ""
+      },
+
+      "vt_stream_tags_100x" -> { () =>
+        // round 14: the STREAMING SOURCE + NAMED TAGS at the 100x
+        // corpus (500k docs / 64 files). Invariants: the initial
+        // snapshot batch delivers EXACTLY the table (row count,
+        // distributed count — never a driver loop), a checkpointed
+        // second run delivers EXACTLY the appended delta (no snapshot
+        // replay, no duplicates — the offsets-are-versions design),
+        // and a tagged era survives a retain-1 vacuum after two
+        // overwrites while untagged history dies.
+        import graft.sources.VersionedTable
+        def tmpRoot(tag: String) = {
+          val f = java.nio.file.Files.createTempDirectory(tag).toFile
+          f.delete(); f.getAbsolutePath
+        }
+        val parent = tmpRoot("vstream100x")
+        new java.io.File(parent).mkdirs()
+        spark.conf.set("spark.sql.catalog.graft",
+          "org.apache.spark.sql.graftbridge.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graft.root", parent)
+        val root = parent + "/st"
+        val base = docs(docDir).select(col("doc_id"),
+          length(col("text")).cast("long").as("len"))
+        VersionedTable.commit(base.repartition(64), root,
+          statsCols = Seq("doc_id"))
+        val n0 = VersionedTable.read(spark, root).count()
+        VersionedTable.tag(spark, root, "era1")
+        val ckpt = tmpRoot("vstreamckpt")
+        val got = new java.util.concurrent.atomic.AtomicLong()
+        def drain(): Long = {
+          got.set(0L)
+          val q = spark.readStream.table("graft.st").writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+              got.addAndGet(b.count()); ()
+            })
+            .start()
+          q.awaitTermination(600000L)
+          q.exception.foreach(throw _)
+          got.get()
+        }
+        val run1 = drain()
+        val nApp = 10000L
+        VersionedTable.commit(base.limit(nApp.toInt), root, mode = "append")
+        val run2 = drain()
+        // tag survival: two overwrites push era1 out of any window
+        VersionedTable.commit(base.limit(10), root, mode = "overwrite")
+        VersionedTable.commit(base.limit(10), root, mode = "overwrite")
+        VersionedTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
+        val tagRows = VersionedTable.readTag(spark, root, "era1").count()
+        val v2Dead = scala.util.Try(
+          VersionedTable.read(spark, root, 2L).count()).isFailure
+        if (n0 == 0) "empty corpus"
+        else if (run1 != n0) s"snapshot batch delivered $run1 of $n0 rows"
+        else if (run2 != nApp)
+          s"restart delivered $run2 rows, expected the $nApp appended"
+        else if (tagRows != n0)
+          s"tagged era lost rows across vacuum: $tagRows != $n0"
+        else if (!v2Dead) "untagged v2 survived a retain-1 vacuum"
+        else ""
       }
     )
 
@@ -906,6 +991,16 @@ object Sweep {
       System.gc(); Thread.sleep(2000)
     }
     for ((name, check) <- selected) {
+      // single-binary guard: refuse to RUN a gate whose classpath was
+      // recompiled under this live JVM — an explicit refusal names the
+      // cause; the alternative is a NoSuchMethodError mid-gate that
+      // reads as an invariant failure (the r13 vt_clone lesson)
+      val fpNow = classpathFingerprint()
+      if (fp0 != fpNow) {
+        println(s"SWEEP $name REFUSED classpath changed under the live " +
+          s"JVM ($fp0 -> $fpNow) — rebuild and re-run the sweep")
+        failed += 1
+      } else {
       val t0 = System.nanoTime()
       def attempt(): String = try check() catch { case e: Throwable =>
         s"EXCEPTION ${e.getClass.getSimpleName}: ${e.getMessage}" }
@@ -927,6 +1022,7 @@ object Sweep {
       if (detail.isEmpty) println(f"SWEEP $name ok$tag [$secs%.1fs]")
       else { failed += 1; println(f"SWEEP $name FAIL $detail$tag [$secs%.1fs]") }
       cleanup()
+      }
     }
     println(s"""{"sweep":"100x","checks":${selected.size},"failed":$failed}""")
     spark.stop()

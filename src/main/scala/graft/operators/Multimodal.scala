@@ -611,12 +611,15 @@ object Multimodal {
 
   /** One sample-table row: where a sample LIVES (offset relative to
     * the mdat body — the portable form of stco's absolute offsets),
-    * how BIG it is (stsz) and WHEN it plays (stts, in ms via the mdhd
-    * timescale). Exactly the map a container-aware demuxer needs to
-    * read one frame without scanning the stream. */
+    * how BIG it is (stsz), when it DECODES (dts: cumulative stts) and
+    * when it PLAYS (pts: dts + the ctts composition offset, shifted by
+    * the elst edit list — round 14; on I-frame-only media with no
+    * edits the two coincide). Both in ms via the mdhd timescale.
+    * Exactly the map a container-aware demuxer needs to read one
+    * frame without scanning the stream. */
   case class SampleRef(doc_id: Long, track_id: Long, sample_idx: Long,
-                       chunk_idx: Long, size: Long, pts_ms: Long,
-                       rel_offset: Long)
+                       chunk_idx: Long, size: Long, dts_ms: Long,
+                       pts_ms: Long, rel_offset: Long)
 
   /** [[encodeMp4Stub]] extended with REAL sample tables: each track
     * carries mdia(mdhd(timescale 1000) + minf(stbl(stts + stsc + stsz
@@ -709,6 +712,25 @@ object Multimodal {
               w32(b, 0); w32(b, if (nSamples > 0) 1L else 0L)
               if (nSamples > 0) { w32(b, nSamples); w32(b, 40L) }
             })
+            // ODD track ids carry a ctts (composition offsets — what
+            // B-frame media writes): every sample presents 25 media
+            // units after it decodes. One run covering all samples.
+            val ctts =
+              if ((ti + 1) % 2 == 1 && nSamples > 0)
+                boxOf("ctts", bytesOf { b =>
+                  w32(b, 0); w32(b, 1L); w32(b, nSamples); w32(b, 25L)
+                })
+              else Array.empty[Byte]
+            // track ids divisible by 3 carry an edit list shifting
+            // presentation 20 media units earlier (media_time = 20,
+            // rate 1.0) — the elst form a trimmed capture writes
+            val edts =
+              if ((ti + 1) % 3 == 0 && nSamples > 0)
+                boxOf("edts", boxOf("elst", bytesOf { b =>
+                  w32(b, 0); w32(b, 1L)
+                  w32(b, durMs); w32(b, 20L); w32(b, 0x00010000L)
+                }))
+              else Array.empty[Byte]
             val stsc = boxOf("stsc", bytesOf { b =>
               w32(b, 0); w32(b, if (nChunks > 0) 1L else 0L)
               if (nChunks > 0) { w32(b, 1L); w32(b, 4L); w32(b, 1L) }
@@ -723,8 +745,9 @@ object Multimodal {
               (0 until nChunks).foreach(ci =>
                 w32(b, mdatBodyStart + ci * 128L))           // 4 samples × 32 B
             })
-            boxOf("trak", tkhd ++ boxOf("mdia",
-              mdhd ++ boxOf("minf", boxOf("stbl", stts ++ stsc ++ stsz ++ stco))))
+            boxOf("trak", tkhd ++ edts ++ boxOf("mdia",
+              mdhd ++ boxOf("minf",
+                boxOf("stbl", stts ++ ctts ++ stsc ++ stsz ++ stco))))
           }
           boxOf("moov", (Seq(mvhd) ++ traks).reduce(_ ++ _))
         }
@@ -820,19 +843,68 @@ object Multimodal {
     }
     // PHASE 2 — per-track sample tables
     if (!bad && moovFrom >= 0) {
+      // movie timescale first (mvhd): elst EMPTY-EDIT durations are
+      // recorded in it, not the track's media timescale
+      var movieTs = 1000L
+      walk(moovFrom, moovTo) { (ct, mFrom, mTo) =>
+        if (ct == "mvhd" && mTo - mFrom >= 20) {
+          val v = u(mFrom)
+          val ts = if (v == 1) be32(mFrom + 20) else be32(mFrom + 12)
+          if (ts > 0) movieTs = ts
+        }
+      }
       walk(moovFrom, moovTo) { (ct, mFrom, mTo) =>
           if (ct == "trak") {
             var trackId = -1L
             var stts = Seq.empty[(Long, Long)]   // (count, delta)
+            var ctts = Seq.empty[(Long, Long)]   // (count, offset) signed
             var stsc = Seq.empty[(Long, Long)]   // (first_chunk, per_chunk)
             var sizes = Array.empty[Long]
             var stco = Array.empty[Long]
             var timescale = 1000L
+            var elstShift = 0L                   // media units
+            var elstDelayMovie = 0L              // MOVIE units (empty edits)
+            // valid-but-unsupported edit shapes (multi-segment,
+            // non-1.0 rate) skip THIS track only — they are not
+            // hostile, so they must not zero the whole document
+            var trackSkip = false
             walk(mFrom, mTo) { (tt, kFrom, kTo) =>
               tt match {
                 case "tkhd" if kTo - kFrom >= 84 =>
                   val v = u(kFrom)
                   trackId = if (v == 1) be32(kFrom + 20) else be32(kFrom + 12)
+                case "edts" => walk(kFrom, kTo) { (et, eFrom, eTo) =>
+                  if (et == "elst") {
+                    if (eTo - eFrom < 8) bad = true
+                    else {
+                      val v = u(eFrom)
+                      val ec = be32(eFrom + 4)
+                      val esz = if (v == 1) 20L else 12L
+                      if (ec < 0 || eFrom + 8 + ec * esz > eTo) bad = true
+                      else {
+                        var seenShift = false
+                        var i = 0L
+                        while (!bad && !trackSkip && i < ec) {
+                          val p = eFrom + 8 + i * esz
+                          val (segDur, mediaT, rate) =
+                            if (v == 1) (be64(p), be64(p + 8), be32(p + 16))
+                            else {
+                              val mt0 = be32(p + 4)
+                              (be32(p), if (mt0 > Int.MaxValue)
+                                mt0 - 0x100000000L else mt0, be32(p + 8))
+                            }
+                          if (mediaT == -1L) elstDelayMovie += segDur
+                          else if (mediaT < 0 || rate != 0x00010000L)
+                            trackSkip = true // dwell / reverse: unsupported
+                          else if (!seenShift) {
+                            elstShift = mediaT; seenShift = true
+                          } else trackSkip = true // multi-segment edit
+                          i += 1
+                        }
+                      }
+                    }
+                  }
+                }
                 case "mdia" => walk(kFrom, kTo) { (dt, dFrom, dTo) =>
                   dt match {
                     case "mdhd" if dTo - dFrom >= 20 =>
@@ -859,6 +931,21 @@ object Multimodal {
                                   ec > mdatTo - mdatFrom))) bad = true
                             else stts = (0L until ec).map(i =>
                               (be32(sFrom + 8 + i * 8), be32(sFrom + 12 + i * 8)))
+                          // composition offsets (round 14): pts = dts +
+                          // offset; version 1 offsets are SIGNED. Same
+                          // mdat-bounded allocation posture as stts.
+                          case "ctts" =>
+                            val v = u(sFrom)
+                            val ec = tableEntries(sFrom, sTo)
+                            if (ec < 0 || sFrom + 8 + ec * 8 > sTo ||
+                                (ec > 0 && (mdatFrom < 0 ||
+                                  ec > mdatTo - mdatFrom))) bad = true
+                            else ctts = (0L until ec).map { i =>
+                              val off0 = be32(sFrom + 12 + i * 8)
+                              val off = if (v == 1 && off0 > Int.MaxValue)
+                                off0 - 0x100000000L else off0
+                              (be32(sFrom + 8 + i * 8), off)
+                            }
                           case "stsc" =>
                             val ec = tableEntries(sFrom, sTo)
                             if (ec < 0 || sFrom + 8 + ec * 12 > sTo ||
@@ -906,10 +993,12 @@ object Multimodal {
                 case _ => ()
               }
             }
-            if (!bad && trackId > 0 && sizes.nonEmpty) {
-              // cross-table agreement: stts total must cover stsz count
+            if (!bad && !trackSkip && trackId > 0 && sizes.nonEmpty) {
+              // cross-table agreement: stts total must cover stsz
+              // count, and a PRESENT ctts must cover it too
               val sttsTotal = stts.map(_._1).sum
-              if (sttsTotal != sizes.length || stsc.isEmpty || stco.isEmpty)
+              if (sttsTotal != sizes.length || stsc.isEmpty || stco.isEmpty ||
+                  (ctts.nonEmpty && ctts.map(_._1).sum != sizes.length))
                 bad = true
               else {
                 // samples → chunks via stsc run-lengths (entry i rules
@@ -920,8 +1009,13 @@ object Multimodal {
                 // per chunk (a one-entry-per-chunk fragmented file
                 // would otherwise go quadratic per document).
                 var si = 0                         // sample index
-                var pts = 0L                       // in media timescale
+                var dts = 0L                       // in media timescale
                 var sttsI = 0; var sttsLeft = stts.head._1
+                var cttsI = 0                      // ctts run pointer
+                var cttsLeft = if (ctts.isEmpty) 0L else ctts.head._1
+                // elst: presentation = composition − shift + delay
+                // (empty-edit durations convert movie → media units)
+                val delayMedia = elstDelayMovie * timescale / movieTs
                 var ci = 0
                 var scI = 0                        // stsc run pointer
                 if (stsc.head._1 != 1L) bad = true // no rule for chunk 1
@@ -936,25 +1030,41 @@ object Multimodal {
                     val sz = sizes(si)
                     val abs = stco(ci) + intra
                     val rel = abs - mdatFrom
+                    // pts: decode time + this run's composition offset,
+                    // shifted by the edit list
+                    val ptsMedia = dts +
+                      (if (ctts.isEmpty) 0L else ctts(cttsI)._2) -
+                      elstShift + delayMedia
                     // abs < 0 first (a hostile co64 top-bit offset, or
                     // offset+intra wrap); then bound sz against the
                     // REMAINING mdat bytes — `abs + sz` itself can
                     // wrap past Long.MaxValue for a large POSITIVE
                     // offset (the same trap as the box walk's p + sz),
                     // while `mdatTo - abs` cannot overflow once both
-                    // are non-negative. pts is bounded before the ms
-                    // conversion multiply for the same reason.
+                    // are non-negative. dts/pts are bounded before the
+                    // ms conversion multiply for the same reason (a
+                    // hostile unsigned ctts offset lands here).
                     if (sz < 0 || abs < 0 || mdatFrom < 0 || rel < 0 ||
                         sz > mdatTo - abs ||
-                        pts > Long.MaxValue / 1000L) bad = true
+                        dts > Long.MaxValue / 1000L ||
+                        math.abs(ptsMedia) > Long.MaxValue / 1000L) bad = true
                     else {
                       out += SampleRef(id, trackId, si.toLong, ci.toLong,
-                        sz, pts * 1000L / timescale, rel)
-                      // advance pts through the stts runs
-                      pts += stts(sttsI)._2
+                        sz, dts * 1000L / timescale,
+                        ptsMedia * 1000L / timescale, rel)
+                      // advance dts through the stts runs (and the
+                      // composition pointer through the ctts runs —
+                      // both monotone, O(samples + entries))
+                      dts += stts(sttsI)._2
                       sttsLeft -= 1
                       if (sttsLeft == 0 && sttsI + 1 < stts.length) {
                         sttsI += 1; sttsLeft = stts(sttsI)._1
+                      }
+                      if (ctts.nonEmpty) {
+                        cttsLeft -= 1
+                        if (cttsLeft == 0 && cttsI + 1 < ctts.length) {
+                          cttsI += 1; cttsLeft = ctts(cttsI)._1
+                        }
                       }
                       intra += sz; si += 1
                     }

@@ -1565,17 +1565,20 @@ object PipelineQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("m14_mp4_sample_map",
-      // ISO-BMFF SAMPLE TABLES, header-only (round 13; Multimodal
-      // .mp4SampleMap): stts/stsc/stsz/stco joined into one row per
-      // sample — chunk assignment from stsc run-lengths, size from
-      // stsz, pts from cumulative stts in mdhd-timescale ms, and the
-      // stco offset resolved RELATIVE to the mdat body the same walk
-      // located (the stub wrote absolute offsets; recovering the
-      // relative form verifies stco end-to-end). The sampled stub
-      // derives every table from the document text (32-byte samples,
-      // 4 per chunk, 40 ms deltas; mdat before moov via 64-bit
-      // largesize on even ids, after on odd), so the oracle recomputes
-      // the full map from text length alone — never a byte parsed.
+      // ISO-BMFF SAMPLE TABLES, header-only (round 13+14; Multimodal
+      // .mp4SampleMap): stts/ctts/stsc/stsz/stco + elst joined into
+      // one row per sample — chunk assignment from stsc run-lengths,
+      // size from stsz, dts from cumulative stts, pts = dts + the
+      // ctts composition offset shifted by the elst edit list (both
+      // in mdhd-timescale ms), and the stco offset resolved RELATIVE
+      // to the mdat body the same walk located (the stub wrote
+      // absolute offsets; recovering the relative form verifies stco
+      // end-to-end). The sampled stub derives every table from the
+      // document text (32-byte samples, 4 per chunk, 40 ms deltas;
+      // ODD track ids carry a +25 ctts, track ids divisible by 3 an
+      // elst media_time=20; mdat before moov via 64-bit largesize on
+      // even ids, after on odd), so the oracle recomputes the full
+      // map from text length alone — never a byte parsed.
       (s, d) => {
         val specs = Tables.documents(s, d).select(col("doc_id"),
           col("text").cast("binary").as("payload"),
@@ -1595,7 +1598,10 @@ object PipelineQueries {
              |  CAST(si AS BIGINT) AS sample_idx,
              |  CAST(si // 4 AS BIGINT) AS chunk_idx,
              |  CAST(least(32, n - si * 32) AS BIGINT) AS size,
-             |  CAST(si * 40 AS BIGINT) AS pts_ms,
+             |  CAST(si * 40 AS BIGINT) AS dts_ms,
+             |  CAST(si * 40
+             |    + CASE WHEN tid % 2 = 1 THEN 25 ELSE 0 END
+             |    - CASE WHEN tid % 3 = 0 THEN 20 ELSE 0 END AS BIGINT) AS pts_ms,
              |  CAST(si * 32 AS BIGINT) AS rel_offset
              |FROM t ORDER BY 1, 2, 3""".stripMargin)),
 
@@ -1606,7 +1612,8 @@ object PipelineQueries {
       // frame-sampling semantics driven by the container's OWN
       // stts/stsc/stsz/stco instead of raw-payload arithmetic. Exact
       // per-sample byte sums pin walk + offset resolution + slice in
-      // one oracle (a one-byte offset error flips a sum).
+      // one oracle (a one-byte offset error flips a sum). Track 1 is
+      // odd, so its pts carries the round-14 ctts offset (+25 ms).
       (s, d) => {
         val specs = Tables.documents(s, d).select(col("doc_id"),
           col("text").cast("binary").as("payload"),
@@ -1627,7 +1634,7 @@ object PipelineQueries {
              |      FROM sel, unnest(generate_series(1, nb)) AS t(i))
              |SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
              |  CAST(si AS BIGINT) AS sample_idx,
-             |  CAST(si * 40 AS BIGINT) AS pts_ms,
+             |  CAST(si * 40 + 25 AS BIGINT) AS pts_ms,
              |  CAST(nb AS BIGINT) AS n_bytes,
              |  CAST(sum(v) AS BIGINT) AS byte_sum
              |FROM pos GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 3""".stripMargin)),
@@ -3360,6 +3367,46 @@ object PipelineQueries {
              |  (SELECT CAST(sum(c) AS BIGINT) FROM base) AS v2_c_sum
              |FROM base ORDER BY k""".stripMargin)),
 
+    Q("q65l_sql_array_alter",
+      // Pure-SQL ARRAY-OF-STRUCT schema lifecycle (round 14; the
+      // `<arr>.element.<field>` colmap convention — the public
+      // Iceberg/Parquet element path): RENAME an element-struct field
+      // (metadata-only — the colmap keys `events.element.amt`, the
+      // on-disk name never changes), ADD a field INSIDE the element
+      // struct (NULL-backfilled per element on old files), DROP one,
+      // then read the current era EXPLODED and the v2 era under ITS
+      // element names via VERSION AS OF. Real event schemas carry
+      // array<struct<...>> — this was the remaining evolution gap.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65l")
+        s.sql("DROP TABLE IF EXISTS graft.q65l")
+        s.sql("""CREATE TABLE graft.q65l AS
+          SELECT o_custkey AS k,
+                 sort_array(collect_list(named_struct(
+                   'ts', o_orderkey,
+                   'amt', CAST(round(o_totalprice) AS BIGINT),
+                   'tmp', o_custkey))) AS events
+          FROM orders_q65l WHERE o_orderkey % 20 = 0
+          GROUP BY o_custkey""")
+        s.sql("ALTER TABLE graft.q65l RENAME COLUMN events.element.amt TO amount")
+        s.sql("ALTER TABLE graft.q65l ADD COLUMNS (events.element.note BIGINT)")
+        s.sql("ALTER TABLE graft.q65l DROP COLUMN events.element.tmp")
+        s.sql("""
+          SELECT k, e.ts AS ts, e.amount AS amount, e.note AS note,
+            (SELECT CAST(sum(ev.amt) AS BIGINT) FROM (
+               SELECT explode(events) AS ev
+               FROM graft.q65l VERSION AS OF 2)) AS v2_amt_sum
+          FROM graft.q65l LATERAL VIEW explode(events) x AS e
+          ORDER BY k, ts""")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_custkey AS k, o_orderkey AS ts,
+             |         CAST(round(o_totalprice) AS BIGINT) AS amt
+             |  FROM orders WHERE o_orderkey % 20 = 0)
+             |SELECT k, ts, amt AS amount, CAST(NULL AS BIGINT) AS note,
+             |  (SELECT CAST(sum(amt) AS BIGINT) FROM base) AS v2_amt_sum
+             |FROM base ORDER BY k, ts""".stripMargin)),
+
     Q("q65j_sql_clone",
       // SHALLOW CLONE on PURE SQL (round 13; CALL graft.clone): fork
       // a table (metadata-only — the clone references the source's
@@ -3409,6 +3456,58 @@ object PipelineQueries {
              |SELECT 'fork', CAST(count(*) AS BIGINT),
              |  CAST(sum(k) AS BIGINT) FROM fork
              |ORDER BY side""".stripMargin)),
+
+    Q("q65k_sql_tags",
+      // Pure-SQL NAMED TAGS (round 14; the public Iceberg/Delta
+      // snapshot-pin concept): `CALL graft.tag` pins the current
+      // version under a human-readable name, more data lands, and the
+      // pinned era reads back THREE ways — `vt_read('t@name')`,
+      // `VERSION AS OF 'name'`, and (after `drop_tag` + re-tag) the
+      // moved pin — with zero out-of-band version bookkeeping. The
+      // vacuum interaction (a tagged era survives retention) is
+      // spec-gated in TagSpec; here the oracle pins the read
+      // semantics end-to-end from `orders` alone.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65k")
+        s.sql("DROP TABLE IF EXISTS graft.q65k")
+        s.sql("""CREATE TABLE graft.q65k AS
+          SELECT o_orderkey AS k, CAST(round(o_totalprice) AS BIGINT) AS amt
+          FROM orders_q65k WHERE o_orderkey % 40 = 0""")
+        s.sql("CALL graft.tag('q65k', 'v1-corpus')")
+        s.sql("""INSERT INTO graft.q65k
+          SELECT o_orderkey + 10000000, o_custkey
+          FROM orders_q65k WHERE o_orderkey % 40 = 20""")
+        s.sql("CALL graft.tag('q65k', 'v2-corpus')")
+        s.sql("""
+          SELECT 'era1' AS era, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(amt) AS BIGINT) AS amt_sum
+          FROM vt_read('q65k@v1-corpus')
+          UNION ALL
+          SELECT 'era1_asof', CAST(count(*) AS BIGINT),
+                 CAST(sum(amt) AS BIGINT)
+          FROM graft.q65k VERSION AS OF 'v1-corpus'
+          UNION ALL
+          SELECT 'era2', CAST(count(*) AS BIGINT),
+                 CAST(sum(amt) AS BIGINT)
+          FROM vt_read('q65k@v2-corpus')
+          ORDER BY era""")
+      },
+      Some("""WITH era1 AS (
+             |  SELECT o_orderkey AS k, CAST(round(o_totalprice) AS BIGINT) AS amt
+             |  FROM orders WHERE o_orderkey % 40 = 0),
+             |era2 AS (SELECT * FROM era1
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_custkey
+             |  FROM orders WHERE o_orderkey % 40 = 20)
+             |SELECT 'era1' AS era, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(amt) AS BIGINT) AS amt_sum FROM era1
+             |UNION ALL
+             |SELECT 'era1_asof', CAST(count(*) AS BIGINT),
+             |  CAST(sum(amt) AS BIGINT) FROM era1
+             |UNION ALL
+             |SELECT 'era2', CAST(count(*) AS BIGINT),
+             |  CAST(sum(amt) AS BIGINT) FROM era2
+             |ORDER BY era""".stripMargin)),
 
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the

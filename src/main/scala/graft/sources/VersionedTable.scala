@@ -399,6 +399,15 @@ object VersionedTable {
         val dt = f.dataType match {
           case st: org.apache.spark.sql.types.StructType =>
             physStruct(cm, st, lpath)
+          // round 14: array-of-struct ELEMENT fields map through the
+          // `<path>.element.<field>` key convention (the public
+          // Iceberg/Parquet element path)
+          case at: org.apache.spark.sql.types.ArrayType =>
+            at.elementType match {
+              case st: org.apache.spark.sql.types.StructType =>
+                at.copy(elementType = physStruct(cm, st, s"$lpath.element"))
+              case _ => at
+            }
           case other => other
         }
         f.copy(name = cm.getOrElse(lpath, f.name), dataType = dt)
@@ -418,9 +427,27 @@ object VersionedTable {
       ppath +: (f.dataType match {
         case st: org.apache.spark.sql.types.StructType =>
           allPhysPaths(cm, st, ppath, lpath)
+        case at: org.apache.spark.sql.types.ArrayType =>
+          at.elementType match {
+            case st: org.apache.spark.sql.types.StructType =>
+              allPhysPaths(cm, st, s"$ppath.element", s"$lpath.element")
+            case _ => Seq.empty[String]
+          }
         case _ => Seq.empty[String]
       })
     }
+
+  /** The PHYSICAL-named variant of a version's recorded schema — what
+    * the era's parquet files actually store ([[physStruct]] over the
+    * era's column mapping; physical names are FIXED at first commit,
+    * so this schema addresses every file of every era). Public for
+    * the streaming source, which reads files positionally under the
+    * physical names and surfaces rows under the logical ones. */
+  def physicalReadSchema(spark: SparkSession, root: String,
+                         version: Long = -1L)
+      : Option[org.apache.spark.sql.types.StructType] =
+    tableSchema(spark, root, version).map(sc =>
+      physStruct(columnMapping(spark, root, version), sc))
 
   /** The StructField at dotted path `path` (None when any segment is
     * missing or a non-struct blocks the descent). An EXACT top-level
@@ -445,6 +472,17 @@ object VersionedTable {
       cur = st.fields.find(_.name == segs(i))
       if (i + 1 < segs.length) cur.map(_.dataType) match {
         case Some(s: org.apache.spark.sql.types.StructType) => st = s
+        // `<arr>.element.<field>`: step through an array-of-struct's
+        // element (round 14) — a pseudo-field named `element` carries
+        // the element struct so the walk (and a path ENDING at
+        // `.element`) stays uniform
+        case Some(at: org.apache.spark.sql.types.ArrayType)
+            if segs(i + 1) == "element" &&
+              at.elementType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          val est = at.elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          i += 1
+          cur = Some(org.apache.spark.sql.types.StructField("element", est))
+          st = est
         case _ => return None
       }
       i += 1
@@ -508,7 +546,9 @@ object VersionedTable {
     }
 
   /** Rewrite the struct at `parentSegs` (root when empty) through
-    * `fn`; every segment on the way must name a struct field. */
+    * `fn`; every segment on the way must name a struct field — or an
+    * array-of-struct field followed by the `element` segment (round
+    * 14). Maps and non-struct array elements are rejected precisely. */
   private def rewriteAt(sc: org.apache.spark.sql.types.StructType,
                         parentSegs: Seq[String], root: String, what: String)
       (fn: org.apache.spark.sql.types.StructType =>
@@ -520,16 +560,23 @@ object VersionedTable {
       val hit = sc.fields.find(_.name == seg).getOrElse(
         throw new IllegalArgumentException(
           s"$what: no field '$seg' at $root (have ${sc.fieldNames.mkString(", ")})"))
-      val inner = hit.dataType match {
-        case st: org.apache.spark.sql.types.StructType => st
+      val newDt: org.apache.spark.sql.types.DataType = hit.dataType match {
+        case st: org.apache.spark.sql.types.StructType =>
+          rewriteAt(st, parentSegs.tail, root, what)(fn)
+        case at: org.apache.spark.sql.types.ArrayType
+            if parentSegs.tail.headOption.contains("element") &&
+              at.elementType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          at.copy(elementType = rewriteAt(
+            at.elementType.asInstanceOf[org.apache.spark.sql.types.StructType],
+            parentSegs.drop(2), root, what)(fn))
         case other => throw new IllegalArgumentException(
           s"$what: '$seg' is not a struct (is ${other.simpleString}) at $root — " +
-            "column paths may only traverse struct fields (not maps/arrays)")
+            "column paths may only traverse struct fields, or an " +
+            "array<struct> via '.element.' (maps and non-struct array " +
+            "elements are not addressable)")
       }
       org.apache.spark.sql.types.StructType(sc.fields.map(f =>
-        if (f.name == seg)
-          f.copy(dataType = rewriteAt(inner, parentSegs.tail, root, what)(fn))
-        else f))
+        if (f.name == seg) f.copy(dataType = newDt) else f))
     }
 
   /** Open `files` with `version`'s PHYSICAL schema and return LOGICAL
@@ -1236,6 +1283,11 @@ object VersionedTable {
         c == '\n' || c == '\r' || c == '\t' || c == ',' || c == '='),
       s"$what must not contain newlines, tabs, ',' or '=' " +
         s"(manifest line/list safety), got '$name'")
+    // 'element' is the array-element path segment (round 14) — a FIELD
+    // named element inside an array-of-struct would be unaddressable
+    require(name != "element",
+      s"$what may not be 'element' (reserved as the array-element " +
+        "path segment)")
   }
 
   private def schemaOf(meta: Map[String, String], root: String, what: String)
@@ -1324,23 +1376,36 @@ object VersionedTable {
   }
 
   /** The struct `parentSegs` names (the root schema when empty);
-    * every segment must be a struct field. */
+    * every segment must be a struct field, or an array-of-struct
+    * field followed by `element` (round 14). */
   private def parentStructOf(sc: org.apache.spark.sql.types.StructType,
                              parentSegs: Seq[String], root: String,
                              what: String)
-      : org.apache.spark.sql.types.StructType =
-    parentSegs.foldLeft(sc) { (cur, seg) =>
+      : org.apache.spark.sql.types.StructType = {
+    var cur = sc
+    var i = 0
+    while (i < parentSegs.length) {
+      val seg = parentSegs(i)
       cur.fields.find(_.name == seg) match {
         case Some(f) => f.dataType match {
-          case st: org.apache.spark.sql.types.StructType => st
+          case st: org.apache.spark.sql.types.StructType => cur = st
+          case at: org.apache.spark.sql.types.ArrayType
+              if i + 1 < parentSegs.length && parentSegs(i + 1) == "element" &&
+                at.elementType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            cur = at.elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+            i += 1
           case other => throw new IllegalArgumentException(
             s"$what: '$seg' is not a struct (is ${other.simpleString}) at " +
-              s"$root — column paths may only traverse struct fields")
+              s"$root — column paths may only traverse struct fields, or " +
+              "an array<struct> via '.element.'")
         }
         case None => throw new IllegalArgumentException(
           s"$what: no field '$seg' at $root (have ${cur.fieldNames.mkString(", ")})")
       }
+      i += 1
     }
+    cur
+  }
 
   /** RENAME a column — METADATA-ONLY (round 12, column mapping): the
     * column's on-disk (physical) name is fixed at its first commit,
@@ -2060,9 +2125,11 @@ object VersionedTable {
   /** (absolute path, bytes) for every live file of a snapshot: byte
     * sizes come from the manifest's recorded `"#bytes"` (one metadata
     * read); only files committed before size tracking fall back to a
-    * per-file getFileStatus RPC. */
-  private def fileSizes(spark: SparkSession, root: String,
-                        version: Long): Seq[(String, Long)] = {
+    * per-file getFileStatus RPC. Public: the streaming source sizes
+    * its [[org.apache.spark.sql.execution.datasources.PartitionedFile]]s
+    * from it without touching the filesystem. */
+  def fileSizes(spark: SparkSession, root: String,
+                version: Long): Seq[(String, Long)] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val f = fs(spark, root)
     fileLines(spark, root, version).map { l =>

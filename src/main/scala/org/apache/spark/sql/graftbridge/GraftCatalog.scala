@@ -250,21 +250,27 @@ class GraftTable(val root: String, val pinnedVersion: Long,
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE).asJava
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new GraftV1Scan(root, pinnedVersion, schema)
+      override def build(): Scan =
+        new GraftV1Scan(root, pinnedVersion, schema, options)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root)
 }
 
-/** Defensive read fallback (sessions with the catalog but without the
-  * extension): correctness-exact, but the RDD boundary blocks parquet
-  * pushdown — the swap rule is the real read path. */
-class GraftV1Scan(root: String, version: Long, tableSchema: StructType)
+/** The graft Scan: batch reads fall back to [[V1Scan]] (defensive —
+  * sessions with the catalog but without the extension; the
+  * [[GraftDmlRules]] swap is the real batch path), and STREAMING
+  * reads plan through [[GraftMicroBatchStream]] (round 14), making
+  * `spark.readStream.table("graft.t")` a first-class source. */
+class GraftV1Scan(root: String, version: Long, tableSchema: StructType,
+                  options: CaseInsensitiveStringMap =
+                    CaseInsensitiveStringMap.empty())
     extends V1Scan {
   override def readSchema(): StructType = tableSchema
   override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -275,6 +281,12 @@ class GraftV1Scan(root: String, version: Long, tableSchema: StructType)
       override def buildScan(): RDD[Row] =
         VersionedTable.read(context.sparkSession, root, version).rdd
     }.asInstanceOf[T]
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(version < 0,
+      "streaming reads follow the LIVE table; drop the VERSION AS OF pin")
+    new GraftMicroBatchStream(root, tableSchema, options)
+  }
 }
 
 /** INSERT INTO → commit(append); INSERT OVERWRITE / TRUNCATE →

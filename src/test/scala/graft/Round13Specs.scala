@@ -401,12 +401,15 @@ class Mp4SampleTableSpec extends SparkSpec {
     val stubs = Multimodal.encodeMp4Sampled(in, "doc_id", "payload", "nt")
     val rows = Multimodal.mp4SampleMap(stubs, "id", "bin").collect()
       .map(r => (r.doc_id, r.track_id, r.sample_idx) ->
-        (r.chunk_idx, r.size, r.pts_ms, r.rel_offset)).toMap
+        (r.chunk_idx, r.size, r.dts_ms, r.pts_ms, r.rel_offset)).toMap
     assert(rows.size == 2 * 3 + 3, s"2 tracks x 3 + 1 track x 3: ${rows.size}")
     for (doc <- Seq(2L, 3L); tid <- 1L to (if (doc == 2) 2L else 1L)) {
-      assert(rows((doc, tid, 0L)) == ((0L, 32L, 0L, 0L)))
-      assert(rows((doc, tid, 1L)) == ((0L, 32L, 40L, 32L)))
-      assert(rows((doc, tid, 2L)) == ((0L, 6L, 80L, 64L)))
+      // round 14: odd track ids carry the stub's +25 ctts composition
+      // offset (pts = dts + 25); even tracks decode = present
+      val c = if (tid % 2 == 1) 25L else 0L
+      assert(rows((doc, tid, 0L)) == ((0L, 32L, 0L, 0L + c, 0L)))
+      assert(rows((doc, tid, 1L)) == ((0L, 32L, 40L, 40L + c, 32L)))
+      assert(rows((doc, tid, 2L)) == ((0L, 6L, 80L, 80L + c, 64L)))
     }
     // demux slices the true bytes: sample 1 covers payload[32..64)
     val sums = Multimodal.mp4SampleDemux(stubs, "id", "bin").collect()

@@ -256,3 +256,339 @@ class DeepMaterializeSpec extends SparkSpec {
       "default materialize must not rewrite historic manifests")
   }
 }
+
+class GraftStreamSourceSpec extends SparkSpec {
+  import graft.sources.VersionedTable
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def runAvailableNow(df: org.apache.spark.sql.DataFrame,
+                              ckpt: String)
+                             (sink: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(sink)
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive, "AvailableNow query must terminate")
+    q.exception.foreach(throw _)
+  }
+
+  test("readStream.table: initial snapshot, then appends, exactly-once across a restart") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.st1")
+    spark.sql("CREATE TABLE graft.st1 AS SELECT id AS k FROM range(20)")
+    val ckpt = tmpDir("stckpt")
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    def sink(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      got.synchronized { got += ((id, b.collect().map(_.getLong(0)).toSeq)) }
+    // RUN 1 — the initial snapshot
+    runAvailableNow(
+      spark.readStream.option("skipChangeCommits", "true").table("graft.st1"),
+      ckpt)(sink)
+    assert(got.flatMap(_._2).sorted == (0L until 20L),
+      s"snapshot must deliver the full table once, got ${got.map(_._2.size)}")
+    // between runs: an append (streams), a DV DELETE and a RESTORE
+    // (data-change commits — skipped), then another append
+    spark.sql("INSERT INTO graft.st1 SELECT id + 100 FROM range(5)")
+    spark.sql("DELETE FROM graft.st1 WHERE k = 3")
+    spark.sql("CALL graft.restore('st1', 2)") // back to the 20-row era
+    spark.sql("INSERT INTO graft.st1 SELECT id + 200 FROM range(7)")
+    // RUN 2 — same checkpoint: ONLY the two appends' rows, no snapshot
+    // replay, no duplicate of anything from run 1
+    val before = got.size
+    runAvailableNow(
+      spark.readStream.option("skipChangeCommits", "true").table("graft.st1"),
+      ckpt)(sink)
+    val newRows = got.drop(before).flatMap(_._2)
+    assert(newRows.sorted ==
+      ((100L until 105L) ++ (200L until 207L)).sorted,
+      s"restart must deliver exactly the appends, got ${newRows.sorted}")
+    // exactly-once overall: nothing delivered twice
+    val all = got.flatMap(_._2)
+    assert(all.size == all.distinct.size, "duplicate delivery detected")
+    spark.sql("DROP TABLE graft.st1")
+  }
+
+  test("a data-change commit fails the stream loudly without skipChangeCommits") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.st2")
+    spark.sql("CREATE TABLE graft.st2 AS SELECT id AS k FROM range(10)")
+    val ckpt = tmpDir("stckpt2")
+    runAvailableNow(spark.readStream.table("graft.st2"), ckpt)((_, _) => ())
+    spark.sql("DELETE FROM graft.st2 WHERE k = 1") // DV growth
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runAvailableNow(spark.readStream.table("graft.st2"), ckpt)((_, _) => ())
+    }
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+    assert(msg.contains("skipChangeCommits"),
+      s"the failure must name the option: $msg")
+    spark.sql("DROP TABLE graft.st2")
+  }
+
+  test("maxVersionsPerBatch paces delivery; startingVersion=latest skips the snapshot") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.st3")
+    spark.sql("CREATE TABLE graft.st3 AS SELECT id AS k FROM range(4)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.st3 SELECT id + ${10 * (i + 1)} FROM range(2)"))
+    val ckpt = tmpDir("stckpt3")
+    var batches = 0
+    var rows = 0L
+    runAvailableNow(
+      spark.readStream.option("maxVersionsPerBatch", "1").table("graft.st3"),
+      ckpt) { (b, _) => val n = b.count(); if (n > 0) { batches += 1; rows += n } }
+    // snapshot batch (v5 era: all 10 rows) — deltas beyond it are
+    // already inside the snapshot version
+    assert(rows == 10L, s"expected all 10 rows, got $rows")
+    // now three more appends pace out one version per micro-batch
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.st3 SELECT id + ${100 * (i + 1)} FROM range(2)"))
+    var deltaBatches = 0
+    runAvailableNow(
+      spark.readStream.option("maxVersionsPerBatch", "1").table("graft.st3"),
+      ckpt) { (b, _) => if (b.count() > 0) deltaBatches += 1 }
+    assert(deltaBatches == 3,
+      s"3 appended versions at maxVersionsPerBatch=1 = 3 batches, got $deltaBatches")
+    // startingVersion=latest: a fresh stream sees ONLY what comes next
+    val ckpt2 = tmpDir("stckpt3b")
+    var lateRows = Seq.empty[Long]
+    runAvailableNow(
+      spark.readStream.option("startingVersion", "latest").table("graft.st3"),
+      ckpt2) { (b, _) => lateRows ++= b.collect().map(_.getLong(0)) }
+    assert(lateRows.isEmpty, s"latest must skip history, got $lateRows")
+    spark.sql("INSERT INTO graft.st3 SELECT id + 900 FROM range(3)")
+    runAvailableNow(
+      spark.readStream.option("startingVersion", "latest").table("graft.st3"),
+      ckpt2) { (b, _) => lateRows ++= b.collect().map(_.getLong(0)) }
+    assert(lateRows.sorted == (900L until 903L),
+      s"only the post-start append streams, got ${lateRows.sorted}")
+    spark.sql("DROP TABLE graft.st3")
+  }
+
+  test("composed: graft-to-graft streaming replication through versionedCommitSink") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.srcrep")
+    spark.sql("CREATE TABLE graft.srcrep AS SELECT id AS k, id * 2 AS v FROM range(50)")
+    val dstRoot = tmpDir("streprep") + "/dst"
+    val ckpt = tmpDir("stckpt4")
+    def replicate(): Unit = {
+      val q = spark.readStream.option("skipChangeCommits", "true")
+        .table("graft.srcrep")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (id > VersionedTable.lastBatchId(b.sparkSession, dstRoot)) {
+            VersionedTable.commit(b, dstRoot, mode = "append",
+              meta = Map("batch" -> id.toString))
+            ()
+          } else ()
+        }.start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    replicate()
+    assert(VersionedTable.read(spark, dstRoot).count() == 50L)
+    spark.sql("INSERT INTO graft.srcrep SELECT id + 1000, id FROM range(8)")
+    replicate()
+    // the replica matches the source exactly — exactly-once riding the
+    // checkpointed offsets AND the sink's #batch watermark
+    val src = spark.sql("SELECT * FROM graft.srcrep").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dst = VersionedTable.read(spark, dstRoot).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dst == src, s"replica diverged: ${dst.size} vs ${src.size}")
+    // replaying the LAST batch against the sink is a no-op (watermark)
+    replicate()
+    assert(VersionedTable.read(spark, dstRoot).count() == 58L)
+    spark.sql("DROP TABLE graft.srcrep")
+  }
+}
+
+class CttsElstSpec extends SparkSpec {
+  import graft.operators.Multimodal
+  import spark.implicits._
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def box(t: String, body: Array[Byte]): Array[Byte] =
+    be32(8L + body.length) ++ t.getBytes ++ body
+  private val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+
+  // one 3-sample track (32/32/6 bytes, 40ms deltas) with optional
+  // ctts and elst boxes, stco at `off`
+  private def trakOf(off: Long, ctts: Array[Byte] = Array.empty,
+                     edts: Array[Byte] = Array.empty,
+                     sttsOverride: Array[Byte] = null): Array[Byte] = {
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++
+      be32(1) ++ be32(0) ++ be32(120) ++ Array.fill[Byte](60)(0))
+    val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(120) ++ be32(0))
+    val stts = if (sttsOverride != null) sttsOverride
+      else box("stts", be32(0) ++ be32(1) ++ be32(3) ++ be32(40))
+    val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(4) ++ be32(1))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(3) ++
+      be32(32) ++ be32(32) ++ be32(6))
+    val stco = box("stco", be32(0) ++ be32(1) ++ be32(off))
+    box("trak", tkhd ++ edts ++ box("mdia", mdhd ++ box("minf",
+      box("stbl", stts ++ ctts ++ stsc ++ stsz ++ stco))))
+  }
+
+  private def fileOf(traks: Long => Seq[Array[Byte]]): Array[Byte] = {
+    def assemble(off: Long): Array[Byte] = {
+      val moov = box("moov", box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+        be32(0) ++ be32(1000) ++ be32(120) ++ Array.fill[Byte](80)(0)) ++
+        traks(off).reduce(_ ++ _))
+      ftyp ++ moov ++ box("mdat", Array.tabulate[Byte](70)(i => (i + 1).toByte))
+    }
+    assemble(assemble(0L).length - 70L)
+  }
+
+  private def mapOf(bytes: Array[Byte]): Map[Long, (Long, Long)] =
+    Multimodal.mp4SampleMap(Seq((1L, bytes)).toDF("id", "bin"), "id", "bin")
+      .collect().map(r => r.sample_idx -> (r.dts_ms, r.pts_ms)).toMap
+
+  test("ctts version 1 SIGNED offsets and an elst shift combine into pts") {
+    // ctts v1: two runs — first sample -15, next two +30
+    val ctts = box("ctts", Array[Byte](1, 0, 0, 0) ++ be32(2) ++
+      be32(1) ++ be32(0xFFFFFFF1L) ++ be32(2) ++ be32(30)) // -15, +30
+    val got = mapOf(fileOf(off => Seq(trakOf(off, ctts = ctts))))
+    assert(got == Map(0L -> ((0L, -15L)), 1L -> ((40L, 70L)),
+      2L -> ((80L, 110L))), s"signed ctts must shift pts: $got")
+  }
+
+  test("elst media_time shifts presentation; empty edits delay it") {
+    // media_time=20 at rate 1.0: presentation starts 20 media units in
+    val shift = box("edts", box("elst", be32(0) ++ be32(1) ++
+      be32(120) ++ be32(20) ++ be32(0x00010000L)))
+    val g1 = mapOf(fileOf(off => Seq(trakOf(off, edts = shift))))
+    assert(g1 == Map(0L -> ((0L, -20L)), 1L -> ((40L, 20L)),
+      2L -> ((80L, 60L))), s"elst shift: $g1")
+    // an EMPTY edit (media_time = -1) of 100 movie units delays the
+    // whole track (movie ts == media ts == 1000 here)
+    val delay = box("edts", box("elst", be32(0) ++ be32(2) ++
+      be32(100) ++ be32(0xFFFFFFFFL) ++ be32(0x00010000L) ++
+      be32(120) ++ be32(0) ++ be32(0x00010000L)))
+    val g2 = mapOf(fileOf(off => Seq(trakOf(off, edts = delay))))
+    assert(g2 == Map(0L -> ((0L, 100L)), 1L -> ((40L, 140L)),
+      2L -> ((80L, 180L))), s"empty-edit delay: $g2")
+  }
+
+  test("unsupported-but-valid elst shapes skip THE TRACK, not the document") {
+    // track 1: a multi-segment edit (two non-empty entries) — beyond
+    // the model, skipped; track 2 (plain) must still emit its rows
+    val multi = box("edts", box("elst", be32(0) ++ be32(2) ++
+      be32(60) ++ be32(0) ++ be32(0x00010000L) ++
+      be32(60) ++ be32(0) ++ be32(0x00010000L)))
+    def trak2(off: Long): Array[Byte] = {
+      // same track with id 2 (patch tkhd track_id)
+      val t = trakOf(off)
+      val idx = t.indexOfSlice("tkhd".getBytes) + 4 + 12
+      t.updated(idx + 3, 2.toByte)
+    }
+    val rows = Multimodal.mp4SampleMap(
+      Seq((1L, fileOf(off => Seq(trakOf(off, edts = multi), trak2(off)))))
+        .toDF("id", "bin"), "id", "bin")
+      .collect()
+    assert(rows.map(_.track_id).distinct.toSeq == Seq(2L),
+      s"multi-segment-edit track skipped, plain track kept: ${rows.length}")
+  }
+
+  test("hostile ctts degrades the document to zero rows") {
+    // count disagreement: ctts covers 2 samples, stsz says 3
+    val short = box("ctts", be32(0) ++ be32(1) ++ be32(2) ++ be32(10))
+    assert(mapOf(fileOf(off => Seq(trakOf(off, ctts = short)))).isEmpty)
+    // box-bounded count exceeding mdat bytes (allocation amplification)
+    val huge = box("ctts", be32(0) ++ be32(4096) ++
+      Array.fill[Byte](4096 * 8)(0))
+    assert(mapOf(fileOf(off => Seq(trakOf(off, ctts = huge)))).isEmpty)
+    // a hostile UNSIGNED v0 offset that would overflow the ms multiply
+    val wrap = box("ctts", be32(0) ++ be32(1) ++ be32(3) ++ be32(0xFFFFFFF0L))
+    val g = mapOf(fileOf(off => Seq(trakOf(off, ctts = wrap))))
+    // v0 offsets are unsigned: +4294967280 media units is bounded fine
+    // (no overflow at ms conversion) — the map stays exact
+    assert(g(0L) == ((0L, 4294967280L)), s"unsigned v0 ctts: $g")
+  }
+}
+
+class ArrayElementMappingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+  import org.apache.spark.sql.types._
+
+  private def freshRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("varr").toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  private def dataFiles(root: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(root, "data"))
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+  }
+
+  private def mk(root: String): Unit = {
+    val df = (0L until 32L).map(i => (i, Seq((i, i * 10L), (i + 1, i * 20L))))
+      .toDF("id", "pairs")
+      .select(col("id"), expr(
+        "transform(pairs, p -> named_struct('ts', p._1, 'amt', p._2))")
+        .as("events"))
+    VersionedTable.commit(df, root, statsCols = Seq("id"))
+  }
+
+  test("array-of-struct element rename/add/drop are metadata-only; eras time-travel") {
+    val root = freshRoot()
+    mk(root)
+    val before = dataFiles(root)
+    VersionedTable.renameColumn(spark, root, "events.element.amt", "amount")
+    VersionedTable.addColumn(spark, root, "events.element.note", LongType)
+    assert(dataFiles(root) == before,
+      "element-field DDL must write ZERO data files")
+    val cur = VersionedTable.read(spark, root)
+    val est = cur.schema("events").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(est.fieldNames.toSeq == Seq("ts", "amount", "note"))
+    // values ride the rename; the added field NULL-backfills per element
+    val got = cur.selectExpr("id", "explode(events) AS e")
+      .selectExpr("sum(e.amount)", "count(e.note)").head()
+    assert(got.getLong(0) == (0L until 32L).map(i => i * 30L).sum)
+    assert(got.getLong(1) == 0L, "added element field must be NULL on old files")
+    // the pre-rename era answers under ITS element names
+    val v1 = VersionedTable.read(spark, root, 1L)
+      .selectExpr("explode(events) AS e").selectExpr("sum(e.amt)").head()
+    assert(v1.getLong(0) == (0L until 32L).map(i => i * 30L).sum)
+    // drop an element field: gone now, still present in the v1 era
+    VersionedTable.dropColumn(spark, root, "events.element.ts")
+    assert(VersionedTable.read(spark, root).schema("events").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("amount", "note"))
+    assert(dataFiles(root) == before)
+  }
+
+  test("maps, non-struct elements, and the 'element' name stay precisely rejected") {
+    val root = freshRoot()
+    val df = (0L until 8L).map(i => (i, Seq(i, i + 1), Map("a" -> i)))
+      .toDF("id", "nums", "m")
+    VersionedTable.commit(df, root)
+    // non-struct array element: no '.element.' hop to offer
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "nums.element.x", "y")
+    }
+    assert(e1.getMessage.contains("not a struct"), e1.getMessage)
+    // maps are not addressable
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "m.key", "y")
+    }
+    assert(e2.getMessage.contains("not a struct"), e2.getMessage)
+    // 'element' is a reserved path segment, not a legal field name
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedTable.addColumn(spark, root, "element", LongType)
+    }
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
+  }
+}
