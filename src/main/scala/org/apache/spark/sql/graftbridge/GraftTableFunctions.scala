@@ -21,6 +21,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *   SELECT * FROM vt_history('/path/t')                 -- DESCRIBE HISTORY
   *   SELECT * FROM vt_detail('/path/t')                  -- DESCRIBE DETAIL
   *   SELECT * FROM vt_changes('/path/t', 2, 5)           -- CDC change feed
+  *   SELECT * FROM vt_tags('/path/t')                    -- named tags
+  *   SELECT * FROM vt_read('t@v1-corpus')                -- read a tag
   * }}}
   *
   * Every `'/path/t'` can instead be a graft-catalog identifier
@@ -174,6 +176,17 @@ object GraftTableFunctions {
       plan(graft.sources.VersionedTable.changesBetween(spark,
         resolveRoot(spark, litString(es, 0, "vt_changes")),
         litLong(es, 1, "vt_changes"), litLong(es, 2, "vt_changes")))
+    },
+    "vt_tags" -> { es =>
+      // list a table's NAMED TAGS (round 14): name + pinned version —
+      // the SQL-only client's way to discover corpus-era pins before
+      // reading one via vt_read('t@name') / VERSION AS OF '<name>'
+      arity("vt_tags", es, _ == 1, "1")
+      val spark = SparkSession.active
+      val root = resolveRoot(spark, litString(es, 0, "vt_tags"))
+      import spark.implicits._
+      plan(graft.sources.VersionedTable.tags(spark, root).toSeq
+        .sortBy(_._1).toDF("tag", "version"))
     },
     "vt_history" -> { es =>
       arity("vt_history", es, _ == 1, "1")

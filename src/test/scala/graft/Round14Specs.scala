@@ -191,6 +191,9 @@ class TagSpec extends SparkSpec {
       .head().getLong(0) == 50L)
     assert(spark.sql("SELECT count(*) FROM vt_read('tagt@v1-corpus')")
       .head().getLong(0) == 50L)
+    // discovery: a SQL-only client lists the pins before reading one
+    assert(spark.sql("SELECT tag, version FROM vt_tags('tagt')").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("v1-corpus", 2L)))
     assert(spark.sql("CALL graft.drop_tag('tagt', 'v1-corpus')")
       .head().getBoolean(0))
     intercept[Exception] {
