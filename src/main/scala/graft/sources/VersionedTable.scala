@@ -2358,9 +2358,11 @@ object VersionedTable {
   /** CHANGE FEED between two committed versions, at FILE granularity
     * (the public change-data-feed concept on a file-manifest layout):
     * rows in files the later manifest ADDED are `insert`s, rows in
-    * files it REMOVED are `delete`s, and deletion-vector growth on a
+    * files it REMOVED are `delete`s, deletion-vector growth on a
     * carried file yields `delete`s for exactly the newly vectored
-    * positions. A copy-on-write rewrite (MERGE/deleteWhere) therefore
+    * positions, and deletion-vector SHRINK (a restore into a
+    * pre-delete era) yields `insert`s for exactly the resurfaced
+    * positions (round 14). A copy-on-write rewrite (MERGE/deleteWhere) therefore
     * reports its rewritten file's rows as delete+insert pairs even
     * where a row was carried unchanged — the documented granularity
     * trade of file-level CDF; consumers needing row-exact diffs
@@ -2400,6 +2402,12 @@ object VersionedTable {
     val carried3 = (from.files.toSet intersect to.files.toSet).map(lit3)
     val newlyVectored = dvRows(dvTo).exceptAll(dvRows(dvFrom))
       .filter(col("file").isin(carried3.toSeq: _*))
+    // DV SHRINK on a carried file (a restore into a pre-delete era):
+    // the un-vectored positions RESURFACE — a net-state consumer must
+    // see them as inserts or it keeps them deleted forever (round 14;
+    // found by the CDC stream's per-version replay gate)
+    val unVectored = dvRows(dvFrom).exceptAll(dvRows(dvTo))
+      .filter(col("file").isin(carried3.toSeq: _*))
     def tagged(df: DataFrame, t: String): DataFrame =
       df.withColumn("_change_type", org.apache.spark.sql.functions.lit(t))
     val inserts =
@@ -2410,18 +2418,21 @@ object VersionedTable {
       // removed files' rows count as deleted AS THE FROM-ERA SAW THEM
       else Some(tagged(applyDv(spark, root, from.version, scan(removed.toSeq)), "delete"))
     val carriedFiles = (from.files.toSet intersect to.files.toSet).toSeq
-    val dvDeletes =
+    def dvRowsOf(positions: DataFrame, t: String): Option[DataFrame] =
       if (carriedFiles.isEmpty) None
       else {
         val base = scan(carriedFiles)
           .withColumn("__dvf", expr("substring_index(input_file_name(), '/', -3)"))
           .withColumn("__dvp", col("_metadata.row_index").cast("long"))
-        Some(tagged(base.join(newlyVectored
+        Some(tagged(base.join(positions
             .select(col("file").as("__dvf"), col("pos").as("__dvp")),
             Seq("__dvf", "__dvp"), "left_semi")
-          .drop("__dvf", "__dvp"), "delete"))
+          .drop("__dvf", "__dvp"), t))
       }
-    val parts = inserts.toSeq ++ deletes.toSeq ++ dvDeletes.toSeq
+    val dvDeletes = dvRowsOf(newlyVectored, "delete")
+    val dvInserts = dvRowsOf(unVectored, "insert")
+    val parts = inserts.toSeq ++ deletes.toSeq ++ dvDeletes.toSeq ++
+      dvInserts.toSeq
     if (parts.isEmpty)
       read(spark, root, toVersion).limit(0)
         .withColumn("_change_type", org.apache.spark.sql.functions.lit("insert"))

@@ -89,22 +89,7 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
     VersionedTable.physicalReadSchema(spark, root).getOrElse(streamSchema)
 
   override def initialOffset(): Offset =
-    Option(options.get("startingversion")) match {
-      case Some(s) if s.equalsIgnoreCase("latest") =>
-        GraftStreamOffset(VersionedTable.currentVersion(spark, root),
-          snapshotDone = true)
-      case Some(s) =>
-        val v = scala.util.Try(s.toLong).getOrElse(
-          throw new IllegalArgumentException(
-            s"startingVersion must be a version number or 'latest', got '$s'"))
-        require(v >= 1, s"startingVersion must be >= 1, got $v")
-        // changes FROM version v on, no initial snapshot — offset sits
-        // just before it
-        GraftStreamOffset(v - 1, snapshotDone = true)
-      case None =>
-        GraftStreamOffset(VersionedTable.currentVersion(spark, root),
-          snapshotDone = false)
-    }
+    GraftStreamShared.initialOffset(spark, root, options)
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset.fromJson(json)
@@ -115,19 +100,10 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-controlled entry")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[GraftStreamOffset]
-    if (!s.snapshotDone) s.copy(snapshotDone = true) // batch 1: snapshot
-    else {
-      val cur = math.min(availableNowCap,
-        VersionedTable.currentVersion(spark, root))
-      // saturating add: the default cap is Long.MaxValue
-      val reach = if (maxVersionsPerBatch > Long.MaxValue - s.version)
-        Long.MaxValue else s.version + maxVersionsPerBatch
-      val end = math.min(cur, reach)
-      if (end <= s.version) s else GraftStreamOffset(end, snapshotDone = true)
-    }
-  }
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    GraftStreamShared.nextOffset(spark, root,
+      start.asInstanceOf[GraftStreamOffset], availableNowCap,
+      maxVersionsPerBatch)
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
@@ -148,12 +124,16 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
       // MERGE's rewritten file must classify as a data change, which
       // only the per-commit granularity can see
       (s.version + 1 to e.version).toArray.flatMap { v =>
-        val prev = VersionedTable.snapshot(spark, root, v - 1)
+        // v == 1 diffs against the EMPTY pre-table state
+        // (startingVersion=1 streams the first commit as inserts)
+        val prevFiles = if (v == 1) Set.empty[String]
+          else VersionedTable.snapshot(spark, root, v - 1).files.toSet
+        val prevDv = if (v == 1) Set.empty[(String, String)]
+          else VersionedTable.dvEntries(spark, root, v - 1).toSet
         val cur = VersionedTable.snapshot(spark, root, v)
-        val added = cur.files.toSet -- prev.files.toSet
-        val removed = prev.files.toSet -- cur.files.toSet
-        val dvGrew = VersionedTable.dvEntries(spark, root, v).toSet !=
-          VersionedTable.dvEntries(spark, root, v - 1).toSet
+        val added = cur.files.toSet -- prevFiles
+        val removed = prevFiles -- cur.files.toSet
+        val dvGrew = VersionedTable.dvEntries(spark, root, v).toSet != prevDv
         if (removed.nonEmpty || dvGrew) {
           if (!skipChangeCommits) throw new UnsupportedOperationException(
             s"graft stream at $root: version $v changed existing data " +
@@ -176,37 +156,14 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
   private def key3(p: String): String =
     p.split('/').takeRight(3).mkString("/")
 
-  /** Deletion-vector positions of `version`, grouped by 3-segment data
-    * key — the snapshot batch's skip lists. Driver-materialized and
-    * bounded: DVs are delete diffs, folded away by compaction. */
-  private def dvPositions(version: Long): Map[String, Array[Long]] = {
-    val rels = VersionedTable.dvEntries(spark, root, version)
-      .map(_._2).distinct
-    if (rels.isEmpty) Map.empty
-    else spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
-      .select("file", "pos").distinct().collect()
-      .groupBy(_.getString(0))
-      .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
-  }
+  private def dvPositions(version: Long): Map[String, Array[Long]] =
+    GraftStreamShared.dvPositions(spark, root, version)
 
   // built once per stream on the driver and serialized to executors —
   // the same reader function a batch FileSourceScanExec ships, so the
   // stream rides the stock (vectorized) parquet path
   private lazy val readerFn: PartitionedFile => Iterator[InternalRow] =
-    new ParquetFileFormat().buildReaderWithPartitionValues(
-      sparkSession = spark,
-      dataSchema = physSchema,
-      partitionSchema = new StructType(),
-      requiredSchema = physSchema,
-      filters = Seq.empty,
-      // rows, not ColumnarBatch: the vectorized reader still runs
-      // underneath, surfacing its batches one row at a time — which is
-      // what a PartitionReader[InternalRow] must emit (and what keeps
-      // the per-row DV position filter straightforward)
-      options = Map(
-        org.apache.spark.sql.execution.datasources.FileFormat
-          .OPTION_RETURNING_BATCH -> "false"),
-      hadoopConf = spark.sessionState.newHadoopConf())
+    GraftStreamShared.readerFn(spark, physSchema)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStreamReaderFactory(readerFn)
@@ -216,6 +173,92 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStream[$root]"
+}
+
+/** Machinery both graft streams share — the append-only table stream
+  * ([[GraftMicroBatchStream]]) and the CDC stream
+  * ([[GraftCdcMicroBatchStream]], `format("graft-cdc")`). */
+private[graftbridge] object GraftStreamShared {
+
+  /** Where a stream starts: `startingVersion` = number (changes FROM
+    * that version on, no snapshot) | 'latest' (only future changes) |
+    * absent (full snapshot of the current version, then deltas). */
+  def initialOffset(spark: SparkSession, root: String,
+                    options: CaseInsensitiveStringMap): GraftStreamOffset =
+    Option(options.get("startingversion")) match {
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        GraftStreamOffset(VersionedTable.currentVersion(spark, root),
+          snapshotDone = true)
+      case Some(s) =>
+        val v = scala.util.Try(s.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"startingVersion must be a version number or 'latest', got '$s'"))
+        require(v >= 1, s"startingVersion must be >= 1, got $v")
+        GraftStreamOffset(v - 1, snapshotDone = true)
+      case None =>
+        GraftStreamOffset(VersionedTable.currentVersion(spark, root),
+          snapshotDone = false)
+    }
+
+  /** Admission control: the snapshot batch first, then at most
+    * `maxVersions` versions per batch, never past `cap` (the
+    * Trigger.AvailableNow target). */
+  def nextOffset(spark: SparkSession, root: String, s: GraftStreamOffset,
+                 cap: Long, maxVersions: Long): GraftStreamOffset =
+    if (!s.snapshotDone) s.copy(snapshotDone = true)
+    else {
+      val cur = math.min(cap, VersionedTable.currentVersion(spark, root))
+      // saturating add: the default reach is Long.MaxValue
+      val reach = if (maxVersions > Long.MaxValue - s.version)
+        Long.MaxValue else s.version + maxVersions
+      val end = math.min(cur, reach)
+      if (end <= s.version) s else GraftStreamOffset(end, snapshotDone = true)
+    }
+
+  /** Deletion-vector positions of `version`, grouped by 3-segment data
+    * key. Driver-materialized and bounded: DVs are delete diffs,
+    * folded away by compaction. */
+  def dvPositions(spark: SparkSession, root: String,
+                  version: Long): Map[String, Array[Long]] = {
+    val rels = VersionedTable.dvEntries(spark, root, version)
+      .map(_._2).distinct
+    if (rels.isEmpty) Map.empty
+    else spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
+      .select("file", "pos").distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+  }
+
+  /** The serialized executor-side parquet reader — the same function a
+    * batch FileSourceScanExec ships (vectorized underneath, rows out:
+    * OPTION_RETURNING_BATCH=false keeps the per-row DV position filter
+    * straightforward). */
+  def readerFn(spark: SparkSession, physSchema: StructType)
+      : PartitionedFile => Iterator[InternalRow] =
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = physSchema,
+      partitionSchema = new StructType(),
+      requiredSchema = physSchema,
+      filters = Seq.empty,
+      options = Map(
+        org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+
+  /** Open one whole file through `fn`, flattening vectorized batches —
+    * enumeration order IS `row_index` (no filters, no row-group
+    * skipping), the identity every DV position filter keys on. */
+  def openFile(fn: PartitionedFile => Iterator[InternalRow],
+               path: String, size: Long): Iterator[InternalRow] = {
+    val pf = PartitionedFile(InternalRow.empty,
+      SparkPath.fromPathString(path), 0L, size, Array.empty, 0L, size,
+      Map.empty[String, Any])
+    fn(pf).asInstanceOf[Iterator[Any]].flatMap {
+      case b: ColumnarBatch => b.rowIterator().asScala
+      case r: InternalRow => Iterator.single(r)
+    }
+  }
 }
 
 /** `(version, snapshotDone)`: `snapshotDone = false` means the full
@@ -261,20 +304,8 @@ class GraftStreamReaderFactory(
       private var rowIdx = -1L
 
       private def it: Iterator[InternalRow] = {
-        if (opened == null) {
-          val pf = PartitionedFile(InternalRow.empty,
-            SparkPath.fromPathString(p.filePath), 0L, p.fileSize,
-            Array.empty, 0L, p.fileSize,
-            Map.empty[String, Any])
-          // the reader may emit ColumnarBatch (vectorized) — flatten;
-          // batch rows are REUSED views, but they are consumed before
-          // the next batch loads, and the engine's own exec copies
-          // what it buffers
-          opened = readerFn(pf).asInstanceOf[Iterator[Any]].flatMap {
-            case b: ColumnarBatch => b.rowIterator().asScala
-            case r: InternalRow => Iterator.single(r)
-          }
-        }
+        if (opened == null)
+          opened = GraftStreamShared.openFile(readerFn, p.filePath, p.fileSize)
         opened
       }
 

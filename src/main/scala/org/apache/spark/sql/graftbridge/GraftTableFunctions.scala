@@ -86,7 +86,7 @@ object GraftTableFunctions {
     * else resolves through a registered [[GraftCatalog]] — the leading
     * name part when it names one, the session's current catalog when
     * that is a GraftCatalog, else the conventional `graft`. */
-  private def resolveRoot(spark: SparkSession, table: String): String =
+  private[graftbridge] def resolveRoot(spark: SparkSession, table: String): String =
     if (table.contains('/')) table
     else {
       val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

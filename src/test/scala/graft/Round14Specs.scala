@@ -595,3 +595,84 @@ class ArrayElementMappingSpec extends SparkSpec {
     assert(e3.getMessage.contains("reserved"), e3.getMessage)
   }
 }
+
+class GraftCdcStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def drain(root: String, ckpt: String,
+                    opts: Map[String, String] = Map.empty)
+      : Seq[(Long, String, Long)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    var r = spark.readStream.format("graft-cdc").option("table", root)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load().writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(row =>
+          (row.getLong(0), row.getString(row.length - 2),
+            row.getLong(row.length - 1))) }
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    out.toSeq
+  }
+
+  test("the CDC stream is the per-version replay of the batch change feed") {
+    val root = tmpDir("cdcstream") + "/t"
+    VersionedTable.commit((0L until 20L).map(i => (i, i)).toDF("k", "v"), root)
+    VersionedTable.commit((100L until 105L).map(i => (i, i)).toDF("k", "v"),
+      root, mode = "append")
+    VersionedTable.deleteWhereDv(spark, root, "k % 7 = 3")
+    VersionedTable.restore(spark, root, 2L) // DV shrink: rows resurface
+    VersionedTable.commit((200L until 203L).map(i => (i, i)).toDF("k", "v"),
+      root, mode = "overwrite") // delete+insert pairs
+    val cur = VersionedTable.currentVersion(spark, root)
+    assert(cur == 5L)
+    // streamed from the very beginning: version 1 diffs against the
+    // empty pre-table state
+    val got = drain(root, tmpDir("cdcck"),
+      Map("startingVersion" -> "1", "maxVersionsPerBatch" -> "1"))
+    // bag-equal to the batch change feed, version by version
+    val want = (1L to cur).flatMap { v =>
+      val changes =
+        if (v == 1) VersionedTable.read(spark, root, 1L)
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("insert"))
+        else VersionedTable.changesBetween(spark, root, v - 1, v)
+      changes.collect().map(r => (r.getLong(0), r.getString(2), v))
+    }
+    assert(got.sorted == want.sorted,
+      s"CDC stream diverged from the batch feed:\n got ${got.sorted.take(8)}" +
+        s"\nwant ${want.sorted.take(8)} (sizes ${got.size} vs ${want.size})")
+    // spot semantics: the delete commit carries exactly the DV'd keys,
+    // the restore resurfaces exactly them
+    val dels = got.filter(t => t._3 == 3L)
+    assert(dels.forall(_._2 == "delete") &&
+      dels.map(_._1).sorted == Seq(3L, 10L, 17L, 101L))
+    val resur = got.filter(t => t._3 == 4L)
+    assert(resur.forall(_._2 == "insert") &&
+      resur.map(_._1).sorted == Seq(3L, 10L, 17L, 101L))
+  }
+
+  test("CDC restart is exactly-once; snapshot start emits inserts at the pinned version") {
+    val root = tmpDir("cdcstream2") + "/t"
+    VersionedTable.commit((0L until 10L).map(i => (i, i)).toDF("k", "v"), root)
+    val ckpt = tmpDir("cdcck2")
+    val run1 = drain(root, ckpt) // default: snapshot of v1
+    assert(run1.map(_._1).sorted == (0L until 10L) &&
+      run1.forall(t => t._2 == "insert" && t._3 == 1L))
+    VersionedTable.deleteWhereDv(spark, root, "k = 4")
+    VersionedTable.commit(Seq((50L, 1L)).toDF("k", "v"), root, mode = "append")
+    val run2 = drain(root, ckpt)
+    assert(run2.sorted == Seq((4L, "delete", 2L), (50L, "insert", 3L)),
+      s"restart must deliver exactly the two commits: $run2")
+    // idle re-run: nothing
+    assert(drain(root, ckpt).isEmpty)
+  }
+}
