@@ -182,7 +182,10 @@ private[graftbridge] object GraftStreamShared {
 
   /** Where a stream starts: `startingVersion` = number (changes FROM
     * that version on, no snapshot) | 'latest' (only future changes) |
-    * absent (full snapshot of the current version, then deltas). */
+    * a NAMED TAG (changes AFTER the pinned era — "resume from the
+    * corpus pin": the consumer processed up to the tag, the stream
+    * delivers what landed since) | absent (full snapshot of the
+    * current version, then deltas). */
   def initialOffset(spark: SparkSession, root: String,
                     options: CaseInsensitiveStringMap): GraftStreamOffset =
     Option(options.get("startingversion")) match {
@@ -190,11 +193,19 @@ private[graftbridge] object GraftStreamShared {
         GraftStreamOffset(VersionedTable.currentVersion(spark, root),
           snapshotDone = true)
       case Some(s) =>
-        val v = scala.util.Try(s.toLong).getOrElse(
-          throw new IllegalArgumentException(
-            s"startingVersion must be a version number or 'latest', got '$s'"))
-        require(v >= 1, s"startingVersion must be >= 1, got $v")
-        GraftStreamOffset(v - 1, snapshotDone = true)
+        val v = scala.util.Try(s.toLong).toOption match {
+          case Some(n) =>
+            require(n >= 1, s"startingVersion must be >= 1, got $n")
+            n - 1 // numeric start is INCLUSIVE of that version
+          case None => scala.util.Try(
+            VersionedTable.tagVersion(spark, root, s)).getOrElse(
+            throw new IllegalArgumentException(
+              s"startingVersion must be a version number, 'latest', or " +
+                s"a tag name, got '$s' (tags: ${VersionedTable
+                  .tags(spark, root).keys.toSeq.sorted.mkString(", ")})"))
+          // a tag start is EXCLUSIVE: the pinned era was processed
+        }
+        GraftStreamOffset(v, snapshotDone = true)
       case None =>
         GraftStreamOffset(VersionedTable.currentVersion(spark, root),
           snapshotDone = false)

@@ -676,3 +676,45 @@ class GraftCdcStreamSpec extends SparkSpec {
     assert(drain(root, ckpt).isEmpty)
   }
 }
+
+class TagStartStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.VersionedTable
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("startingVersion accepts a tag name: resume AFTER the pinned era") {
+    val root = tmpDir("tagstart") + "/t"
+    VersionedTable.commit((0L until 12L).map(i => (i, i)).toDF("k", "v"), root)
+    VersionedTable.tag(spark, root, "processed-v1")
+    VersionedTable.commit((100L until 104L).map(i => (i, i)).toDF("k", "v"),
+      root, mode = "append")
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-cdc")
+      .option("table", root).option("startingVersion", "processed-v1")
+      .load().writeStream
+      .option("checkpointLocation", tmpDir("tagck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(_.getLong(0)) }; ()
+      }.start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    assert(out.sorted == (100L until 104L),
+      s"a tag start must deliver only what landed AFTER the pin: ${out.sorted}")
+    // an unknown tag fails with the available pins named
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-cdc")
+        .option("table", root).option("startingVersion", "nope")
+        .load().writeStream
+        .option("checkpointLocation", tmpDir("tagck2"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start().awaitTermination(60000)
+    }
+    assert(e.toString.contains("processed-v1") ||
+      Option(e.getCause).exists(_.toString.contains("processed-v1")),
+      s"the failure should name the available tags: $e")
+  }
+}
