@@ -997,7 +997,15 @@ object Multimodal {
               // cross-table agreement: stts total must cover stsz
               // count, and a PRESENT ctts must cover it too
               val sttsTotal = stts.map(_._1).sum
+              // a ZERO-COUNT run is hostile even when the totals still
+              // match: the walk's run pointers advance on `left == 0`
+              // AFTER a decrement, so a 0-count run would start at -1
+              // and never advance — every later sample silently reads
+              // run 0's value. Reject the table instead (the same
+              // degrade-to-zero-rows posture as every other hostile
+              // shape here).
               if (sttsTotal != sizes.length || stsc.isEmpty || stco.isEmpty ||
+                  stts.exists(_._1 <= 0) || ctts.exists(_._1 <= 0) ||
                   (ctts.nonEmpty && ctts.map(_._1).sum != sizes.length))
                 bad = true
               else {

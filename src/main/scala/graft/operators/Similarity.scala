@@ -1107,15 +1107,17 @@ object Similarity {
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(asc("dist"), asc("cell"))))
       .filter(col("rk") <= nProbe).select("cell", "qid", "qv", "qn")
-    val cand = queryCells.join(cells, Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
-      .select("qid", "qv", "qn", "cid").distinct()
-      .join(recon, Seq("cid"))
-      .withColumn("apx", dot("qv", "crv") / (col("qn") * col("crn")))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
-      .filter(col("ark") <= rerank * k)
-      .select("qid", "qv", "qn", "cid", "apx")
+    // bounded-state top-(rerank·k) cut — see [[knnIvfPq]]'s note; the
+    // distinct() stays on the slim (qid, cid) pair set pre-cut
+    val cand = flatTopCut(
+      queryCells.join(cells, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .select("qid", "cid").distinct()
+        .join(recon, Seq("cid"))
+        .join(broadcast(q.select("qid", "qv", "qn")), Seq("qid"))
+        .withColumn("apx", dot("qv", "crv") / (col("qn") * col("crn")))
+        .select("qid", "cid", "apx"),
+      q, rerank * k)
     cand.join(withNorm(base.unionByName(batch), idCol, vecCol, "c")
         .withColumnRenamed("cid", "cid2")
         .withColumnRenamed("cv", "cv2").withColumnRenamed("cn", "cn2"),
@@ -1136,13 +1138,16 @@ object Similarity {
       ivfCells(corpus, queries, idCol, vecCol, nCells, nProbe, lloydIters)
     val recon = pqReconstruct(corpus, idCol, vecCol, m, ksub, dims)
     val cSide = corpusCells.select("cell", "cid").join(recon, Seq("cid"))
-    val cand = queryCells.join(cSide, Seq("cell"))
-      .filter(col("qid") =!= col("cid"))
-      .withColumn("apx", dot("qv", "crv") / (col("qn") * col("crn")))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("apx"), asc("cid"))))
-      .filter(col("ark") <= rerank * k)
-      .select("qid", "qv", "qn", "cid", "apx")
+    // bounded-state top-(rerank·k) cut — [[flatTopCut]], the same
+    // TopKAgg rewrite s5/s13/s18 got in round 9: the row_number-window
+    // form sorted O(queries × probed-cell width) rows through the
+    // exchange, the last unbounded per-query sort in the ANN family
+    val cand = flatTopCut(
+      queryCells.join(cSide, Seq("cell"))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("apx", dot("qv", "crv") / (col("qn") * col("crn")))
+        .select("qid", "cid", "apx"),
+      withNorm(queries, idCol, vecCol, "q"), rerank * k)
     cand.join(withNorm(corpus, idCol, vecCol, "c"), Seq("cid"))
       .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(

@@ -2680,10 +2680,30 @@ object VersionedTable {
       s".$name.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(s"$v\n".getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!f.rename(tmp, p)) {
-      f.delete(tmp, false)
+    // publish via FileContext.rename WITHOUT Rename.OVERWRITE — it
+    // enforces no-clobber even on RawLocalFileSystem, whose
+    // FileSystem.rename (POSIX renameTo) silently overwrites: two
+    // racing tag() calls can both pass the exists check above, and
+    // first-writer-wins must hold on the filesystem the tests run on
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, p)
+    } catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException) =>
+        f.delete(tmp, false)
+        throw new IllegalStateException(
+          s"tag '$name' lost a creation race at $root", e)
+    }
+    // re-verify AFTER publishing: the retained-manifest check above
+    // races a concurrent vacuum (TOCTOU) — a tag must never point at
+    // an era vacuum just retired, so un-publish and fail loudly
+    if (!f.exists(new Path(manifestDir(root), s"v$v.manifest"))) {
+      f.delete(p, false)
       throw new IllegalStateException(
-        s"tag '$name' lost a creation race at $root")
+        s"tag '$name' at $root: version $v was vacuumed concurrently " +
+          "with the tag creation — the era is gone")
     }
     v
   }
@@ -3070,11 +3090,22 @@ object VersionedTable {
             fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
           } catch {
             case _: UnsupportedOperationException | _: java.io.IOException =>
-              // no atomic overwrite on this fs: delete + rename, the
-              // documented maintenance-op window
+              // no atomic overwrite on this fs: stage the replacement
+              // at its RECOVERY NAME first (v$v.manifest.new), THEN
+              // delete + rename. A crash between the delete and the
+              // final rename leaves v$v.manifest.new holding the
+              // complete localized manifest — the era (possibly a
+              // tagged corpus pin) is recoverable by renaming it into
+              // place, never permanently lost (the old order deleted
+              // the only copy before the tmp had a resolvable name).
+              val recovery = new Path(manifestDir(root), s"v$v.manifest.new")
+              f.delete(recovery, false) // stale artifact of a prior crash
+              require(f.rename(tmp, recovery),
+                s"deep materialize could not stage v$v.manifest.new at $root")
               f.delete(dst, false)
-              require(f.rename(tmp, dst),
-                s"deep materialize could not replace v$v.manifest at $root")
+              require(f.rename(recovery, dst),
+                s"deep materialize could not replace v$v.manifest at $root " +
+                  s"— recover by renaming v$v.manifest.new into place")
           }
         }
       }
@@ -3099,16 +3130,25 @@ object VersionedTable {
     val f = fs(spark, root)
     val cur = currentVersion(spark, root)
     require(cur > 0, s"no committed version at $root")
-    val windowStart = (cur - retainVersions + 1) max 1L
+    val retainStart = (cur - retainVersions + 1) max 1L
     // TAGGED versions are pinned eras: vacuum refuses to retire them —
-    // their manifests stay resolvable and every file they name stays
-    // live, however old they are (drop the tag to release the era).
-    // Defensive exists-filter: a tag whose manifest a PRE-TAG-ERA
-    // vacuum already removed cannot resurrect anything.
+    // and (round 15) it keeps the WHOLE CHAIN from the oldest tag
+    // forward, not just the tagged versions themselves. Streaming
+    // resume from a tag (`startingVersion=<tag>`) diffs
+    // snapshot(v-1) vs snapshot(v) for EVERY version after the pin,
+    // so the intermediate manifests — and the files they name — must
+    // survive vacuum for the advertised resume flow to work; keeping
+    // only the tagged version's manifest made tag-resume fail the
+    // moment vacuum retired an untagged intermediate era. Tags are
+    // explicit opt-in pins: the chain is the documented price, and
+    // dropping the tag releases it. Defensive exists-filter: a tag
+    // whose manifest a PRE-TAG-ERA vacuum already removed cannot
+    // resurrect anything.
     val taggedVs = tags(spark, root).values.toSet.filter(v =>
-      v < windowStart && v >= 1 &&
-        f.exists(new Path(manifestDir(root), s"v$v.manifest")))
-    val keepVs = ((windowStart to cur) ++ taggedVs).toSeq.distinct.sorted
+      v >= 1 && f.exists(new Path(manifestDir(root), s"v$v.manifest")))
+    val windowStart =
+      if (taggedVs.isEmpty) retainStart else math.min(retainStart, taggedVs.min)
+    val keepVs = (windowStart to cur).toSeq
     // qualify through the filesystem: listStatus returns scheme-
     // qualified paths (file:/…), manifest resolution does not
     val live = keepVs.flatMap(v => snapshot(spark, root, v).files ++
@@ -3124,13 +3164,14 @@ object VersionedTable {
          if !live.contains(st.getPath.toString)) {
       if (f.delete(st.getPath, false)) deleted += 1
     }
-    // drop manifests older than the retention window so time travel
-    // can't resolve to files vacuum just removed — EXCEPT tagged eras,
-    // whose manifests (and, above, files) are pinned by name
+    // drop manifests older than the kept window so time travel can't
+    // resolve to files vacuum just removed — the window already starts
+    // at the oldest tag (chain pin), so every surviving manifest's
+    // files are live above
     for (st <- f.listStatus(manifestDir(root)))
       st.getPath.getName match {
-        case ManifestName(v) if v.toLong < windowStart &&
-            !taggedVs.contains(v.toLong) => f.delete(st.getPath, false)
+        case ManifestName(v) if v.toLong < windowStart =>
+          f.delete(st.getPath, false)
         case _ => ()
       }
     // shard files referenced by NO retained manifest are dead metadata

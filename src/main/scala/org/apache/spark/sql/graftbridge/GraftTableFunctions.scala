@@ -125,16 +125,23 @@ object GraftTableFunctions {
       // `vt_read('t@v1-corpus')` pins a NAMED TAG (round 14): the
       // suffix after the last '@' resolves through the table's tag
       // pins. '@' cannot appear in a tag name or a graft identifier,
-      // so the split is unambiguous for every table this catalog
-      // created; a path that legitimately contains '@' still reads
-      // via the 1-arg form when it carries no tag suffix.
+      // so the split is unambiguous for CATALOG identifiers; a plain
+      // PATH argument whose last component contains '@'
+      // (`vt_read('/data/run@2024')`) is ambiguous — try the tag
+      // lookup first, and when the pre-'@' prefix is itself a path
+      // and no such tag exists, fall back to reading the full path
+      // (the pre-round-14 behavior such paths always had).
       val arg = litString(es, 0, "vt_read")
       val at = arg.lastIndexOf('@')
-      if (at > 0 && es.size == 1 && !arg.substring(at + 1).contains('/')) {
-        val root = resolveRoot(spark, arg.substring(0, at))
-        plan(graft.sources.VersionedTable.readTag(
-          spark, root, arg.substring(at + 1)))
-      } else {
+      val tagRead: Option[LogicalPlan] =
+        if (at > 0 && es.size == 1 && !arg.substring(at + 1).contains('/')) {
+          val prefix = arg.substring(0, at)
+          val tg = scala.util.Try(graft.sources.VersionedTable.readTag(
+            spark, resolveRoot(spark, prefix), arg.substring(at + 1)))
+          if (prefix.contains('/')) tg.toOption.map(plan)
+          else Some(plan(tg.get)) // catalog identifier: tag errors surface
+        } else None
+      tagRead.getOrElse {
         val v = if (es.size == 2) litLong(es, 1, "vt_read") else -1L
         plan(graft.sources.VersionedTable.read(
           spark, resolveRoot(spark, arg), v))

@@ -169,13 +169,17 @@ class TagSpec extends SparkSpec {
     (0 until 3).foreach(i => VersionedTable.commit(
       (0L until 8L).map(j => (j + i * 100L, j)).toDF("k", "v"), root))
     VersionedTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
-    // the tagged era still reads in full; untagged mid-history is gone
+    // the tagged era still reads in full — and so does the CHAIN from
+    // the tag forward (round 15): streaming resume from the tag diffs
+    // every intermediate version's manifest, so vacuum keeps the whole
+    // v1..cur chain while the pin stands
     assert(VersionedTable.readTag(spark, root, "keepme").count() == 64L)
-    intercept[Exception] { VersionedTable.read(spark, root, 2L).collect() }
-    // dropping the tag releases the era to the NEXT vacuum
+    assert(VersionedTable.read(spark, root, 2L).count() == 8L)
+    // dropping the tag releases the chain to the NEXT vacuum
     VersionedTable.dropTag(spark, root, "keepme")
     VersionedTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
     intercept[Exception] { VersionedTable.read(spark, root, 1L).collect() }
+    intercept[Exception] { VersionedTable.read(spark, root, 2L).collect() }
   }
 
   test("pure-SQL surface: CALL graft.tag / drop_tag, VERSION AS OF 'name', vt_read('t@name')") {
