@@ -3509,6 +3509,64 @@ object PipelineQueries {
              |  CAST(sum(amt) AS BIGINT) FROM era2
              |ORDER BY era""".stripMargin)),
 
+    Q("q65m_sql_merge_cdc",
+      // CDC-APPLY MERGE (round 15): the graft-cdc feed's SQL consumer
+      // idiom — conditional WHEN MATCHED DELETE / UPDATE with a
+      // guarded INSERT, first-match-wins clause order — lowered onto
+      // VersionedTable.mergeApply's conditional copy-on-write (only
+      // files holding an applicable key rewrite; one atomic commit, so
+      // VERSION AS OF still serves the pre-apply era). The CDC batch
+      // derives from `orders`: deletes for k%50 IN (0,1), updates for
+      // (2,3) (price doubled, partial SET keeps c), inserts for 5,
+      // and delete rows for ABSENT keys (6) that must no-op.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65m")
+        s.sql("DROP TABLE IF EXISTS graft.q65m")
+        s.sql("""CREATE TABLE graft.q65m AS
+          SELECT o_orderkey AS k, o_custkey AS c,
+                 CAST(round(o_totalprice) AS BIGINT) AS p
+          FROM orders_q65m WHERE o_orderkey % 50 < 5""")
+        s.sql("""
+          MERGE INTO graft.q65m t USING (
+            SELECT o_orderkey AS k, o_custkey AS c,
+                   CAST(round(o_totalprice) * 2 AS BIGINT) AS p,
+                   CASE WHEN o_orderkey % 50 IN (0, 1, 6) THEN 'delete'
+                        WHEN o_orderkey % 50 IN (2, 3) THEN 'update'
+                        ELSE 'insert' END AS _change_type
+            FROM orders_q65m WHERE o_orderkey % 50 IN (0, 1, 2, 3, 5, 6)) s
+          ON t.k = s.k
+          WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET p = s.p
+          WHEN NOT MATCHED AND s._change_type <> 'delete'
+            THEN INSERT (k, c, p) VALUES (s.k, s.c, s.p)""")
+        s.sql("""
+          SELECT CAST(-1 AS BIGINT) AS stage, k, c, p FROM graft.q65m
+          UNION ALL
+          SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                 (SELECT count(*) FROM graft.q65m VERSION AS OF 2)
+          ORDER BY stage, k, c, p""")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice) AS BIGINT) AS p
+             |  FROM orders WHERE o_orderkey % 50 < 5),
+             |cdcp AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice) * 2 AS BIGINT) AS p
+             |  FROM orders),
+             |final AS (
+             |  SELECT b.k, b.c,
+             |         CASE WHEN b.k % 50 IN (2, 3) THEN u.p ELSE b.p END AS p
+             |  FROM base b JOIN cdcp u ON b.k = u.k
+             |  WHERE b.k % 50 NOT IN (0, 1)
+             |  UNION ALL
+             |  SELECT k, c, p FROM cdcp WHERE k % 50 = 5)
+             |SELECT CAST(-1 AS BIGINT) AS stage, k, c, p FROM final
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |       (SELECT CAST(count(*) AS BIGINT) FROM base)
+             |ORDER BY stage, k, c, p""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;

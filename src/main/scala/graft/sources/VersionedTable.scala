@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, broadcast, col, collect_list, concat, count, element_at, explode, expr, input_file_name, lit, map_from_entries, pmod, posexplode, struct, sum, xxhash64}
+import org.apache.spark.sql.functions.{array, broadcast, col, collect_list, concat, count, element_at, explode, expr, input_file_name, lit, map_from_entries, pmod, posexplode, struct, sum, when, xxhash64}
 import java.nio.charset.StandardCharsets
 
 /** Versioned-manifest table layout — snapshot isolation for the batch
@@ -1589,6 +1589,51 @@ object VersionedTable {
       statsCols = statsCols)
   }
 
+  /** Commit parquet files ALREADY WRITTEN under `root` (`written`:
+    * relative path → byte size, holding PHYSICAL-named columns of
+    * `logicalSchema` under the column mapping `cm`) as ONE manifest
+    * commit — the DSv2 STREAMING WRITE's landing: each epoch's
+    * executors write their files directly through the parquet
+    * OutputWriter (no driver re-shuffle, no second write), and the
+    * driver publishes the epoch with this call. Same OCC loop, stats
+    * pass, schema union and collision checks as [[commit]]; the loop
+    * aborts (dropping `cleanupDirs`) if the column mapping moved under
+    * the write. Returns the committed version. */
+  def commitStagedFiles(spark: SparkSession, root: String,
+                        written: Seq[(String, Long)],
+                        logicalSchema: org.apache.spark.sql.types.StructType,
+                        cm: Map[String, String],
+                        meta: Map[String, String],
+                        mode: String = "append",
+                        cleanupDirs: Seq[String] = Nil): Long = {
+    require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    require(meta.forall { case (k, v) =>
+      !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r') },
+      "meta keys/values must be line-safe")
+    Seq("schema", "statscols", "colmap", "dropped").foreach(k =>
+      require(!meta.contains(k), s"meta key '$k' is reserved"))
+    val physSchema = physStruct(cm, logicalSchema)
+    // inherit the table's statscols (already physical), same as commit
+    val effStats = manifestMeta(spark, root).get("statscols").toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+      .filter(p => fieldAtPath(physSchema, p).isDefined)
+    publishStaged(spark, root, written, logicalSchema, physSchema, cm,
+      meta, expectBase = -1L,
+      carriedLines = cur =>
+        if (mode == "append" && cur > 0) rawCarryLines(spark, root, cur)
+        else Seq.empty,
+      unionWithPrev = mode == "append",
+      effStats = effStats,
+      cleanupDirs = cleanupDirs.map(new Path(root, _)))
+  }
+
+  /** PHYSICAL-named variant of a logical write schema under mapping
+    * `cm` — what a staged writer's parquet files must store
+    * ([[commitStagedFiles]]). */
+  def physicalWriteSchema(cm: Map[String, String],
+                          logical: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = physStruct(cm, logical)
+
   /** Evolved schema of the next version: the previous schema's fields
     * (in order) plus `next`'s NEW fields appended. A field present in
     * both must keep its type — silent type rewrites are data
@@ -1699,10 +1744,38 @@ object VersionedTable {
       .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
     val written = writtenStatus
       .map(st => s"data/c${base + 1}-$nonce/${st.getPath.getName}")
-    // every committed line records its byte size (free — the
-    // listStatus above already has it): [[compactSmall]] then finds
-    // its candidates from the manifest alone, no per-file RPCs
-    val sizeByName = writtenStatus.map(st => st.getPath.getName -> st.getLen).toMap
+      .toSeq.zip(writtenStatus.map(_.getLen).toSeq)
+    publishStaged(spark, root, written, df.schema, dfPhys.schema, cm,
+      meta, expectBase, carriedLines, unionWithPrev, effStats,
+      cleanupDirs = Seq(dataDir))
+  }
+
+  /** Publish ALREADY-WRITTEN parquet files (`written`: (relPath,
+    * bytes), physical-named columns under `cm`) as one manifest
+    * commit: compute the per-file stats lines with one distributed
+    * pass over the new files only, then run the OCC commit loop. The
+    * tail of [[commitCore]], factored out so the STREAMING WRITE
+    * (whose executors write their epoch's files directly through the
+    * DSv2 writer — the driver never re-shuffles the data) lands on the
+    * exact same publish path as every batch commit. `cleanupDirs` are
+    * dropped when the commit aborts (lost race / collision). */
+  private def publishStaged(spark: SparkSession, root: String,
+                            written: Seq[(String, Long)],
+                            logicalSchema: org.apache.spark.sql.types.StructType,
+                            physSchema: org.apache.spark.sql.types.StructType,
+                            cm: Map[String, String],
+                            meta: Map[String, String], expectBase: Long,
+                            carriedLines: Long => Seq[String],
+                            unionWithPrev: Boolean,
+                            effStats: Seq[String],
+                            cleanupDirs: Seq[Path]): Long = {
+    val f = fs(spark, root)
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    // every committed line records its byte size: [[compactSmall]]
+    // then finds its candidates from the manifest alone, no per-file
+    // RPCs
+    val sizeByName = written.map { case (rel, len) =>
+      new Path(rel).getName -> len }.toMap
     // per-file min/max for the stats columns — the data-skipping
     // index [[fileStats]] serves. One extra scan of THIS COMMIT's
     // files only (commit-sized, never table-sized; the parquet
@@ -1712,19 +1785,20 @@ object VersionedTable {
     // files-per-commit — the manifest-sized planner read.
     val writtenLines: Seq[String] =
       if (effStats.isEmpty || written.isEmpty)
-        written.toSeq.map { rel =>
+        written.map { case (rel, _) =>
           val nm = new Path(rel).getName
           s"""$rel\t{"#bytes":${sizeByName(nm)}}"""
         }
       else {
         val aggs = effStats.flatMap(c => Seq(
-          org.apache.spark.sql.functions.min(colRef(dfPhys.schema, c))
+          org.apache.spark.sql.functions.min(colRef(physSchema, c))
             .cast("string").as(s"__mn_$c"),
-          org.apache.spark.sql.functions.max(colRef(dfPhys.schema, c))
+          org.apache.spark.sql.functions.max(colRef(physSchema, c))
             .cast("string").as(s"__mx_$c"))) :+
           org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("__nrows")
-        val rows = spark.read.parquet(dataDir.toString)
+        val rows = spark.read
+          .parquet(written.map(w => new Path(root, w._1).toString): _*)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
@@ -1741,12 +1815,13 @@ object VersionedTable {
             :+ s""""#bytes":${sizeByName.getOrElse(name, 0L)}""").mkString("{", ",", "}")
           name -> json
         }.toMap
-        written.toSeq.map { rel =>
+        written.map { case (rel, _) =>
           val nm = new Path(rel).getName
           byName.get(nm).map(j => s"$rel\t$j")
             .getOrElse(s"""$rel\t{"#bytes":${sizeByName(nm)}}""")
         }
       }
+    def dropStaged(): Unit = cleanupDirs.foreach(d => f.delete(d, true))
     // commit loop: build the manifest (file list AND schema) against
     // the CURRENT version each attempt, so an append that loses a race
     // re-reads the winner's list and evolves the winner's schema
@@ -1755,7 +1830,7 @@ object VersionedTable {
       val cur = currentVersion(spark, root)
       if (expectBase >= 0 && cur != expectBase) {
         // another writer won since our snapshot: abort, drop our files
-        f.delete(dataDir, true)
+        dropStaged()
         throw new ConcurrentCommitException(
           s"table at $root moved to v$cur (expected v$expectBase) at commit")
       }
@@ -1763,14 +1838,14 @@ object VersionedTable {
       // if a rename/drop landed since, publishing them would mix
       // physical-name eras; abort like any other lost race
       if (columnMapping(spark, root, cur) != cm) {
-        f.delete(dataDir, true)
+        dropStaged()
         throw new ConcurrentCommitException(
           s"column mapping at $root changed under the write")
       }
       val carried = carriedLines(cur)
       val unioned = if (unionWithPrev && cur > 0)
-        unionSchema(tableSchema(spark, root, cur), df.schema)
-      else df.schema
+        unionSchema(tableSchema(spark, root, cur), logicalSchema)
+      else logicalSchema
       // a NEW logical column must not land on a physical name an
       // older (renamed or dropped) column still owns on disk — the
       // old files would silently serve THEIR values for it
@@ -1780,7 +1855,7 @@ object VersionedTable {
       val physNames = allPhysPaths(cm, unioned)
       if (physNames.distinct.length != physNames.length ||
           physNames.exists(droppedPhys.contains)) {
-        f.delete(dataDir, true)
+        dropStaged()
         throw new IllegalArgumentException(
           s"physical column collision at $root: a new column reuses a " +
             s"renamed or dropped column's on-disk name " +
@@ -1858,6 +1933,111 @@ object VersionedTable {
           kept.unionByName(updates, allowMissingColumns = true)
         }
       (newRows, untouchedAbs)
+    }
+  }
+
+  /** CONDITIONAL merge (round 15) — the general MERGE shape the SQL
+    * surface lowers richer statements onto, and the natural CONSUMER
+    * of the graft-cdc feed:
+    *
+    * {{{
+    *   MERGE INTO t USING cdc ON t.k = cdc.k
+    *     WHEN MATCHED AND cdc._change_type = 'delete' THEN DELETE
+    *     WHEN MATCHED THEN UPDATE SET *
+    *     WHEN NOT MATCHED AND cdc._change_type <> 'delete' THEN INSERT *
+    * }}}
+    *
+    * `srcPrep` is the PRE-SHAPED source: the key columns, `__act`
+    * (index of the first WHEN MATCHED clause whose condition holds for
+    * this source row, −1 = none — conditions are source-side, so they
+    * evaluate before the join), `__iact` (same for WHEN NOT MATCHED),
+    * and each clause's assigned values as `__u<i>__<col>` /
+    * `__i<j>__<col>` columns. `matched(i)` is None for a DELETE clause
+    * or Some(assigned column names) for UPDATE; `notMatched(j)` lists
+    * the INSERT clause's assigned columns. First-match-wins clause
+    * order (the standard MERGE semantics; `__act` encodes it).
+    *
+    * Copy-on-write like [[merge]]: only files holding a live row whose
+    * key has an APPLICABLE matched clause are rewritten; matched rows
+    * with no applicable clause — and every row of every other file —
+    * carry forward untouched. The source must be key-unique (the
+    * standard MERGE cardinality contract, checked — a CDC batch is
+    * key-unique after per-key reduction). Same OCC/retry contract. */
+  def mergeApply(srcPrep: DataFrame, root: String, keys: Seq[String],
+                 matched: Seq[Option[Seq[String]]],
+                 notMatched: Seq[Seq[String]],
+                 maxRetries: Int = 5): Long = {
+    require(keys.nonEmpty, "mergeApply needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty, "no WHEN clauses")
+    val deleteIdx = matched.zipWithIndex.collect { case (None, i) => i }
+    rewrite(srcPrep.sparkSession, root, maxRetries) { (spark, s) =>
+      val curLive = scanLogical(spark, root, s.version, s.files, raw =>
+        applyDv(spark, root, s.version,
+          raw.withColumn("__file", input_file_name())))
+      keys.foreach(k => require(
+        curLive.columns.contains(k) && srcPrep.columns.contains(k),
+        s"key column $k must exist on both sides"))
+      val targetCols = curLive.columns.filterNot(_ == "__file").toSeq
+      // cardinality: at most one source row per key — silent
+      // last-writer-wins here would be wrong rows, not a trade
+      val dup = srcPrep.groupBy(keys.map(topCol): _*)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        s"MERGE source has multiple rows for key " +
+          keys.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
+            .mkString(", ") + " — reduce the source to one row per key")
+      // files holding a live row whose key has an APPLICABLE clause
+      // (file-name collect is manifest-bounded, the documented
+      // stats-collect pattern; qualified like vacuum's rule)
+      val actKeys = srcPrep.filter(col("__act") >= 0)
+        .select(keys.map(topCol): _*).distinct()
+      val f = fs(spark, root)
+      val touched = curLive.join(actKeys, keys, "left_semi")
+        .select("__file").distinct().collect()
+        .map(r => f.makeQualified(new Path(r.getString(0))).toString).toSet
+      val (touchedAbs, untouchedAbs) =
+        s.files.partition(p => touched.contains(f.makeQualified(new Path(p)).toString))
+      // rewritten files: per row, the first applicable clause decides —
+      // DELETE drops it, UPDATE swaps the assigned columns to the
+      // source values, no clause (or no match) keeps the row verbatim
+      val kept =
+        if (touchedAbs.isEmpty) read(spark, root, s.version).limit(0)
+        else {
+          val live = scanLogical(spark, root, s.version, touchedAbs,
+            raw => applyDv(spark, root, s.version, raw))
+          val j = live.join(
+            srcPrep.withColumn("__m", lit(1)), keys, "left")
+          val noDelete =
+            if (deleteIdx.isEmpty) lit(true)
+            else col("__m").isNull || !col("__act").isin(deleteIdx: _*)
+          j.filter(noDelete).select(targetCols.map { c =>
+            matched.zipWithIndex.collect {
+              case (Some(set), i) if set.contains(c) => i
+            }.foldRight(topCol(c)) { (i, rest) =>
+              when(col("__m") === 1 && col("__act") === i,
+                topCol(s"__u${i}__$c")).otherwise(rest)
+            }.as(c)
+          }: _*)
+        }
+      // inserts: unmatched-key source rows whose first applicable NOT
+      // MATCHED clause provides the row (key anti-join against the
+      // FULL live key set — a matched key whose clauses all passed is
+      // still matched, never an insert)
+      val liveKeys = curLive.select(keys.map(topCol): _*).distinct()
+      val inserts = srcPrep.filter(col("__iact") >= 0)
+        .join(liveKeys, keys, "left_anti")
+        .select(targetCols.map { c =>
+          // a column no insert clause assigns lands NULL, typed to the
+          // target column so the union lines up
+          val base = lit(null).cast(curLive.schema(c).dataType)
+          notMatched.zipWithIndex.collect {
+            case (set, j) if set.contains(c) => j
+          }.foldRight(base) { (j, rest) =>
+            when(col("__iact") === j, topCol(s"__i${j}__$c")).otherwise(rest)
+          }.as(c)
+        }: _*)
+      (kept.unionByName(inserts, allowMissingColumns = true), untouchedAbs)
     }
   }
 

@@ -251,7 +251,8 @@ class GraftTable(val root: String, val pinnedVersion: Long,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -260,7 +261,7 @@ class GraftTable(val root: String, val pinnedVersion: Long,
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(root)
+    new GraftWriteBuilder(root, info)
 }
 
 /** The graft Scan: batch reads fall back to [[V1Scan]] (defensive —
@@ -291,8 +292,11 @@ class GraftV1Scan(root: String, version: Long, tableSchema: StructType,
 
 /** INSERT INTO → commit(append); INSERT OVERWRITE / TRUNCATE →
   * commit(overwrite). Partition-level overwrite has no meaning here
-  * (no static partitions), so only the full-table filter is accepted. */
-class GraftWriteBuilder(root: String)
+  * (no static partitions), so only the full-table filter is accepted.
+  * STREAMING writes (round 15) build [[GraftStreamingWrite]]: append
+  * output mode lands epoch-exactly-once append commits, complete mode
+  * (the engine calls truncate() first) an overwrite commit per epoch. */
+class GraftWriteBuilder(root: String, info: LogicalWriteInfo = null)
     extends WriteBuilder with SupportsOverwrite {
 
   private var overwriteAll = false
@@ -308,6 +312,12 @@ class GraftWriteBuilder(root: String)
   }
 
   override def build(): Write = new V1Write {
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(info != null, "streaming write needs LogicalWriteInfo")
+      new GraftStreamingWrite(root, info.schema(), info.queryId(),
+        overwriteEachEpoch = overwriteAll)
+    }
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: Dataset[Row], overwrite: Boolean): Unit = {

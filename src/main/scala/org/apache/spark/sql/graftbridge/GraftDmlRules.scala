@@ -200,23 +200,30 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
     Project(projections, readPlan)
   }
 
-  /** The upsert shape — `ON` equality of same-named columns, one
-    * unconditional `UPDATE` + one unconditional `INSERT` assigning
-    * every target column the SAME source-side expression (what
-    * `UPDATE SET * / INSERT *` aligns to) — maps exactly onto
-    * [[VersionedTable.merge]]: matched keys replaced, unmatched
-    * inserted, only key-holding files rewritten. Richer shapes get a
-    * precise rejection, not silent wrong semantics. */
+  /** MERGE lowering (extended in round 15 to the CDC-APPLY shapes).
+    * Supported: `ON` equality of same-named columns; any ordered mix of
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE`; any
+    * ordered `WHEN NOT MATCHED [AND cond] THEN INSERT ...` — conditions
+    * and assignment values must be SOURCE-side expressions (the CDC
+    * idiom: `WHEN MATCHED AND s._change_type = 'delete' THEN DELETE`),
+    * first-match-wins clause order. The classic unconditional
+    * `UPDATE SET * + INSERT *` upsert keeps its dedicated
+    * [[VersionedTable.merge]] wholesale-replacement path; every richer
+    * accepted shape lowers onto [[VersionedTable.mergeApply]]'s
+    * conditional copy-on-write. Still rejected precisely: WHEN NOT
+    * MATCHED BY SOURCE, non-equality ON terms, target-side conditions
+    * or assignment values, nested-field assignments. */
   private def rewriteMerge(m: MergeIntoTable): LogicalPlan = {
     val (_, t) = graftRel(m.targetTable).get
     def bad(why: String): Nothing = unsupported("MERGE",
-      s"$why (supported shape: ON same-named column equality, " +
-        "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *)")
+      s"$why (supported: ON same-named column equality; WHEN MATCHED " +
+        "[AND source-side cond] THEN UPDATE SET ... | DELETE; " +
+        "WHEN NOT MATCHED [AND source-side cond] THEN INSERT ...)")
     if (m.notMatchedBySourceActions.nonEmpty)
       bad("WHEN NOT MATCHED BY SOURCE is not supported")
     val targetSet = m.targetTable.outputSet
     val sourceSet = m.sourceTable.outputSet
-    val keys = splitConjuncts(m.mergeCondition).map { term =>
+    val keyPairs = splitConjuncts(m.mergeCondition).map { term =>
       term match {
         case EqualTo(le, re) => (stripCast(le), stripCast(re)) match {
           case (a: AttributeReference, b: AttributeReference) =>
@@ -228,46 +235,113 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
             if (!tc.name.equalsIgnoreCase(sc.name))
               bad(s"ON term compares differently-named columns " +
                 s"${tc.name} and ${sc.name}")
-            tc.name
+            (tc.name, sc)
           case _ => bad(s"ON term must be a column equality, got ${term.sql}")
         }
         case other => bad(s"ON term must be a column equality, got ${other.sql}")
       }
     }
-    def assignMap(actions: Seq[MergeAction], label: String)
-        : Map[String, Expression] = actions match {
-      case Seq(u: UpdateAction) if label == "MATCHED" && u.condition.isEmpty =>
-        u.assignments.map(kv(label)).toMap
-      case Seq(i: InsertAction) if label == "NOT MATCHED" && i.condition.isEmpty =>
-        i.assignments.map(kv(label)).toMap
-      case other => bad(s"WHEN $label must be exactly one unconditional " +
-        s"${if (label == "MATCHED") "UPDATE" else "INSERT"}, got " +
-        other.map(_.getClass.getSimpleName).mkString(", "))
+    val keys = keyPairs.map(_._1)
+    val targetCols = m.targetTable.output.map(_.name)
+
+    def srcOnly(e: Expression, what: String): Expression = {
+      e.foreach {
+        case _: SubqueryExpression =>
+          bad(s"$what holds a subquery; materialize it into the source")
+        case _ => ()
+      }
+      if (e.references.exists(targetSet.contains))
+        bad(s"$what references target columns; only source-side " +
+          "expressions are supported")
+      e
     }
-    def kv(label: String)(a: Assignment): (String, Expression) = a.key match {
-      case ar: AttributeReference => ar.name -> a.value
+    def colName(a: Assignment, label: String): String = a.key match {
+      case ar: AttributeReference => ar.name
       case other => bad(s"WHEN $label assigns a nested field ${other.sql}")
     }
-    val up = assignMap(m.matchedActions, "MATCHED")
-    val ins = assignMap(m.notMatchedActions, "NOT MATCHED")
-    val targetCols = m.targetTable.output.map(_.name)
-    val rowExprs = targetCols.map { c =>
-      val u = up.getOrElse(c, bad(s"UPDATE action does not set column $c"))
-      val i = ins.getOrElse(c, bad(s"INSERT action does not set column $c"))
-      if (!u.semanticEquals(i))
-        bad(s"UPDATE and INSERT assign column $c differently — " +
-          "merge() replaces matched rows with the source row wholesale")
-      if (u.references.exists(targetSet.contains))
-        bad(s"assignment to $c references target columns; only " +
-          "source-side expressions are supported")
-      c -> u
+    // identity entries from Spark's alignment pass (target col = its
+    // own attribute) mean "keep" — they drop here, and mergeApply's
+    // per-column default keeps the target value
+    def updateSet(u: UpdateAction): Seq[(String, Expression)] =
+      u.assignments.flatMap { a =>
+        val name = colName(a, "MATCHED")
+        a.value match {
+          case v: AttributeReference
+              if targetSet.contains(v) && v.name == name => None
+          case v => Some(name -> srcOnly(v, s"UPDATE assignment to $name"))
+        }
+      }
+    def insertSet(i: InsertAction): Seq[(String, Expression)] =
+      i.assignments.map { a =>
+        val name = colName(a, "NOT MATCHED")
+        name -> srcOnly(a.value, s"INSERT assignment to $name")
+      }
+
+    // ── fast path: the classic unconditional upsert ────────────────
+    // one unconditional UPDATE + one unconditional INSERT assigning
+    // every target column the SAME source-side expression (what
+    // `UPDATE SET * / INSERT *` aligns to) — wholesale replacement on
+    // [[VersionedTable.merge]], exactly as before round 15
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(u: UpdateAction), Seq(i: InsertAction))
+          if u.condition.isEmpty && i.condition.isEmpty =>
+        val up = u.assignments.map(a => colName(a, "MATCHED") -> a.value).toMap
+        val ins = i.assignments.map(a => colName(a, "NOT MATCHED") -> a.value).toMap
+        val wholesale = targetCols.forall(c =>
+          up.get(c).zip(ins.get(c)).exists { case (ue, ie) =>
+            ue.semanticEquals(ie) && !ue.references.exists(targetSet.contains)
+          })
+        if (wholesale) {
+          val proj = Project(
+            targetCols.map(c => Alias(up(c), c)()), m.sourceTable)
+          return GraftMergeCommand(t.root, keys, proj)
+        }
+      case _ => ()
     }
-    // the source, projected to the target's column names — exactly the
-    // `updates` DataFrame merge() takes; executed at command run time
-    // (re-analysis swaps any graft reads inside the source)
-    val proj = Project(
-      rowExprs.map { case (c, e) => Alias(e, c)() }, m.sourceTable)
-    GraftMergeCommand(t.root, keys, proj)
+
+    // ── general path: conditional clauses onto mergeApply ──────────
+    val matchedSpecs: Seq[(Option[Expression], Option[Seq[(String, Expression)]])] =
+      m.matchedActions.map {
+        case d: DeleteAction =>
+          (d.condition.map(srcOnly(_, "WHEN MATCHED DELETE condition")), None)
+        case u: UpdateAction =>
+          (u.condition.map(srcOnly(_, "WHEN MATCHED UPDATE condition")),
+            Some(updateSet(u)))
+        case other => bad(
+          s"unsupported WHEN MATCHED action ${other.getClass.getSimpleName}")
+      }
+    val insertSpecs: Seq[(Option[Expression], Seq[(String, Expression)])] =
+      m.notMatchedActions.map {
+        case i: InsertAction =>
+          (i.condition.map(srcOnly(_, "WHEN NOT MATCHED condition")),
+            insertSet(i))
+        case other => bad(
+          s"unsupported WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
+      }
+    // first-match-wins, encoded per source row BEFORE the join (the
+    // conditions are source-side by construction)
+    def firstIdx(conds: Seq[Option[Expression]]): Expression =
+      conds.zipWithIndex.foldRight(Literal(-1): Expression) {
+        case ((c, i), rest) =>
+          c.map(org.apache.spark.sql.catalyst.expressions.If(
+            _, Literal(i), rest)).getOrElse(Literal(i))
+      }
+    val projCols: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] =
+      keyPairs.map { case (name, attr) => Alias(attr, name)() } ++
+        Seq(Alias(firstIdx(matchedSpecs.map(_._1)), "__act")(),
+          Alias(firstIdx(insertSpecs.map(_._1)), "__iact")()) ++
+        matchedSpecs.zipWithIndex.flatMap {
+          case ((_, Some(set)), i) =>
+            set.map { case (c, e) => Alias(e, s"__u${i}__$c")() }
+          case _ => Nil
+        } ++
+        insertSpecs.zipWithIndex.flatMap { case ((_, set), j) =>
+          set.map { case (c, e) => Alias(e, s"__i${j}__$c")() }
+        }
+    GraftMergeApplyCommand(t.root, keys,
+      matchedSpecs.map(_._2.map(_.map(_._1))),
+      insertSpecs.map(_._2.map(_._1)),
+      Project(projCols, m.sourceTable))
   }
 }
 
@@ -323,6 +397,25 @@ case class GraftMergeCommand(root: String, keys: Seq[String],
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val updates = org.apache.spark.sql.classic.Dataset.ofRows(classic, source)
     VersionedTable.merge(updates, root, keys)
+    Seq.empty
+  }
+}
+
+/** Conditional MERGE (round 15) → [[VersionedTable.mergeApply]]:
+  * `source` is the pre-shaped projection (keys, `__act`/`__iact`
+  * first-match clause indexes, per-clause assigned values) built by
+  * [[GraftDmlRules.rewriteMerge]]; re-analysis at run time swaps any
+  * graft reads inside it. */
+case class GraftMergeApplyCommand(root: String, keys: Seq[String],
+                                  matched: Seq[Option[Seq[String]]],
+                                  notMatched: Seq[Seq[String]],
+                                  source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val prep = org.apache.spark.sql.classic.Dataset.ofRows(classic, source)
+    VersionedTable.mergeApply(prep, root, keys, matched, notMatched)
     Seq.empty
   }
 }

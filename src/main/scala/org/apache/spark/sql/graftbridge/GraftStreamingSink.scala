@@ -1,0 +1,172 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.VersionedTable
+
+/** The graft table as a first-class Structured Streaming SINK (round
+  * 15): `df.writeStream.toTable("graft.t")` works end-to-end — the
+  * write-side mirror of round 14's streaming source, closing the last
+  * foreachBatch workaround (versionedCommitSink in StreamingOps).
+  *
+  * Shape (the public Delta/Iceberg streaming-sink design on this
+  * layout):
+  *
+  *  - **Executors write, the driver publishes.** Each task's
+  *    [[DataWriter]] streams its partition's rows straight into ONE
+  *    parquet file under `data/e<epoch>-<runNonce>/` through the stock
+  *    [[ParquetFileFormat]] OutputWriter — the same executor-side
+  *    write path a batch insert uses; the driver never sees a row.
+  *    At 1000 executors an epoch is a 1000-way parallel file write
+  *    plus one manifest rename.
+  *  - **Epoch = commit, exactly-once.** `commit(epochId, messages)`
+  *    publishes exactly the committed tasks' files as one
+  *    VersionedTable append commit carrying `#batch=<epochId>` — the
+  *    same watermark versionedCommitSink uses — so a crash-replayed
+  *    epoch sees `epochId <= lastBatchId`, drops its staged files and
+  *    skips: no dupes, no gaps, and a reader never observes a
+  *    half-epoch (snapshot isolation via the manifest rename).
+  *  - **Failed/speculative tasks can't leak rows.** Only files named
+  *    in the SUCCESSFUL tasks' commit messages are published;
+  *    stragglers' orphans in the staging dir are never referenced and
+  *    vacuum retires them.
+  *  - **Complete mode** rides the same path with an overwrite commit
+  *    per epoch (the builder's truncate()).
+  *
+  * Rows land under PHYSICAL column names (column mapping, captured at
+  * run start); a rename/drop landing mid-run aborts the epoch commit
+  * loudly rather than mixing physical-name eras — restart picks up
+  * the new mapping. A table with a declared `clustering` layout
+  * accepts streaming appends as-written (micro-batches are small);
+  * OPTIMIZE folds them into the curve order, exactly like any other
+  * unclustered append. */
+class GraftStreamingWrite(root: String, logicalSchema: StructType,
+                          queryId: String, overwriteEachEpoch: Boolean)
+    extends StreamingWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  // captured ONCE per run: the mapping the epoch files are written
+  // under; the publish loop re-verifies it before every rename
+  private val cm: Map[String, String] =
+    VersionedTable.columnMapping(spark, root)
+  private val physSchema: StructType =
+    VersionedTable.physicalWriteSchema(cm, logicalSchema)
+
+  // distinguishes this RUN's staging dirs from a restarted run's
+  // replay of the same epoch (the replay stages fresh files, finds
+  // the epoch already published, and drops them)
+  private val runNonce: String = java.util.UUID.randomUUID.toString.take(8)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    // prepareWrite configures the job conf exactly as a batch insert
+    // would (write support class, schema, compression) — serialize
+    // THAT conf to the executors, the FileFormatWriter recipe
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val factory = new ParquetFileFormat().prepareWrite(
+      spark, job, Map.empty, physSchema)
+    GraftStreamingWriterFactory(root, runNonce, physSchema, factory,
+      new SerializableConfiguration(job.getConfiguration))
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case m: GraftEpochFile if m.relPath != null => (m.relPath, m.bytes)
+    }.toSeq.sortBy(_._1)
+    val stagedDir = s"data/e$epochId-$runNonce"
+    if (epochId <= VersionedTable.lastBatchId(spark, root)) {
+      // crash-replayed epoch: already published by a prior run — the
+      // replay's staged files must go, the table must not
+      fsDelete(stagedDir)
+    } else if (files.isEmpty) {
+      fsDelete(stagedDir) // empty epoch: no empty commits
+    } else {
+      VersionedTable.commitStagedFiles(spark, root, files, logicalSchema,
+        cm, meta = Map("batch" -> epochId.toString),
+        mode = if (overwriteEachEpoch) "overwrite" else "append",
+        cleanupDirs = Seq(stagedDir))
+      ()
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    fsDelete(s"data/e$epochId-$runNonce")
+
+  private def fsDelete(rel: String): Unit = {
+    val p = new Path(root, rel)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true)
+    ()
+  }
+
+  override def toString: String = s"GraftStreamingWrite[$root]"
+}
+
+/** One committed task file: its table-relative path and byte size —
+  * everything the driver needs to build the manifest line. `relPath`
+  * is null for a task that saw no rows (no empty parquet files). */
+case class GraftEpochFile(relPath: String, bytes: Long)
+    extends WriterCommitMessage
+
+/** Executor-side factory: opens the stock parquet OutputWriter lazily
+  * (first row), so empty partitions stage nothing. File names carry
+  * (partitionId, taskId) — task retries and speculative attempts get
+  * distinct names, and only the committed attempt's name reaches the
+  * driver. */
+case class GraftStreamingWriterFactory(
+    root: String, runNonce: String, physSchema: StructType,
+    factory: OutputWriterFactory, conf: SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val relPath =
+        f"data/e$epochId-$runNonce/part-$partitionId%05d-$taskId.parquet"
+      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var rows = 0L
+
+      private def open(): Unit = if (writer == null) {
+        val hc = new org.apache.hadoop.conf.Configuration(conf.value)
+        val attempt = new TaskAttemptID(
+          new TaskID(new JobID(runNonce, (epochId & 0x7FFFFFFF).toInt),
+            TaskType.MAP, partitionId), (taskId & 0x7FFFFFFF).toInt)
+        writer = factory.newInstance(
+          new Path(root, relPath).toString, physSchema,
+          new TaskAttemptContextImpl(hc, attempt))
+      }
+
+      override def write(record: InternalRow): Unit = {
+        open(); writer.write(record); rows += 1
+      }
+
+      override def commit(): WriterCommitMessage =
+        if (writer == null) GraftEpochFile(null, 0L)
+        else {
+          writer.close()
+          val p = new Path(root, relPath)
+          val f = p.getFileSystem(conf.value)
+          GraftEpochFile(relPath, f.getFileStatus(p).getLen)
+        }
+
+      override def abort(): Unit = if (writer != null) {
+        writer.close()
+        val p = new Path(root, relPath)
+        p.getFileSystem(conf.value).delete(p, false)
+        ()
+      }
+
+      override def close(): Unit = ()
+    }
+}

@@ -135,6 +135,272 @@ class VtReadAtPathSpec extends SparkSpec {
   }
 }
 
+class GraftStreamingSinkSpec extends SparkSpec {
+  import graft.sources.VersionedTable
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+    q.exception.foreach(throw _)
+  }
+
+  test("writeStream.toTable: append epochs land as exactly-once table commits") {
+    SparkEntry.configure(spark)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.snk1")
+    spark.sql("CREATE TABLE graft.snk1 (k BIGINT, v BIGINT)")
+    val root = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+      .tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "snk1"))
+    val ckpt = tmpDir("snkck")
+    val in = MemoryStream[(Long, Long)]
+    def start() = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt).toTable("graft.snk1")
+    // two epochs in run 1
+    val q1 = start()
+    in.addData((0L until 5L).map(i => (i, i * 2)): _*)
+    q1.processAllAvailable()
+    in.addData((10L until 13L).map(i => (i, i * 2)): _*)
+    drain(q1)
+    assert(spark.sql("SELECT count(*) FROM graft.snk1").head().getLong(0) == 8L)
+    // each epoch is ONE table commit carrying its #batch watermark
+    assert(VersionedTable.lastBatchId(spark, root) >= 1L)
+    // RUN 2 over the same checkpoint: the engine replays nothing, new
+    // data lands once; a replayed epoch id would be skipped by the
+    // watermark (exercised by the direct replay below)
+    val q2 = start()
+    in.addData((20L until 24L).map(i => (i, i)): _*)
+    drain(q2)
+    val all = spark.sql("SELECT k FROM graft.snk1").collect().map(_.getLong(0))
+    assert(all.sorted.toSeq ==
+      ((0L until 5L) ++ (10L until 13L) ++ (20L until 24L)).sorted,
+      s"restart must not duplicate or drop: ${all.sorted.toSeq}")
+    assert(all.length == all.distinct.length)
+    // snapshot isolation: every version is a whole epoch — counts per
+    // version step by epoch sizes, never a partial file set
+    val v = VersionedTable.currentVersion(spark, root)
+    assert(VersionedTable.read(spark, root, v - 1).count() == 8L)
+    spark.sql("DROP TABLE graft.snk1")
+  }
+
+  test("a replayed epoch publishes nothing and leaves no staged files") {
+    SparkEntry.configure(spark)
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.snk2")
+    spark.sql("CREATE TABLE graft.snk2 (k BIGINT)")
+    val root = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+      .tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "snk2"))
+    // drive the StreamingWrite DIRECTLY so the replayed-epoch path is
+    // deterministic: epoch 7 committed once, then "replayed" (the
+    // crash-restart shape: staged again, then commit called again)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "bigint", nullable = false)
+    def writeEpoch(w: org.apache.spark.sql.graftbridge.GraftStreamingWrite,
+                   epoch: Long, base: Long): Unit = {
+      val factory = w.createStreamingWriterFactory(
+        new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+          override def numPartitions(): Int = 2
+        })
+      val msgs = (0 until 2).map { pid =>
+        val dw = factory.createWriter(pid, pid.toLong, epoch)
+        (0 until 3).foreach(i => dw.write(
+          org.apache.spark.sql.catalyst.InternalRow(base + pid * 3 + i)))
+        dw.commit()
+      }
+      w.commit(epoch, msgs.toArray)
+    }
+    val w1 = new org.apache.spark.sql.graftbridge.GraftStreamingWrite(
+      root, schema, "q-spec", overwriteEachEpoch = false)
+    writeEpoch(w1, 7L, 0L)
+    assert(VersionedTable.read(spark, root).count() == 6L)
+    // the restart: a NEW write instance replays epoch 7 with the same
+    // rows — the watermark skips the publish and drops the staging
+    val w2 = new org.apache.spark.sql.graftbridge.GraftStreamingWrite(
+      root, schema, "q-spec", overwriteEachEpoch = false)
+    writeEpoch(w2, 7L, 0L)
+    assert(VersionedTable.read(spark, root).count() == 6L,
+      "replayed epoch must not duplicate")
+    // nothing staged survives under data/
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = f.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+      .map(_.getPath.getName).filter(_.startsWith("e7-"))
+    val live = VersionedTable.snapshot(spark, root).files
+      .map(p => p.split('/').takeRight(2).head).toSet
+    assert(staged.forall(live.contains),
+      s"replay staging must be dropped: ${staged.mkString(", ")} vs $live")
+    // and epoch 8 continues normally
+    writeEpoch(w2, 8L, 100L)
+    assert(VersionedTable.read(spark, root).count() == 12L)
+    spark.sql("DROP TABLE graft.snk2")
+  }
+
+  test("composed replication is now declarative on BOTH ends: readStream.table -> writeStream.toTable") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.repsrc")
+    spark.sql("DROP TABLE IF EXISTS graft.repdst")
+    spark.sql("CREATE TABLE graft.repsrc AS SELECT id AS k, id * 2 AS v FROM range(40)")
+    spark.sql("CREATE TABLE graft.repdst (k BIGINT, v BIGINT)")
+    val ckpt = tmpDir("repck")
+    def replicate(): Unit = {
+      val q = spark.readStream.option("skipChangeCommits", "true")
+        .table("graft.repsrc")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.repdst")
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    replicate()
+    assert(spark.sql("SELECT count(*) FROM graft.repdst").head().getLong(0) == 40L)
+    spark.sql("INSERT INTO graft.repsrc SELECT id + 1000, id FROM range(6)")
+    replicate()
+    val src = spark.sql("SELECT * FROM graft.repsrc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dst = spark.sql("SELECT * FROM graft.repdst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dst == src, s"replica diverged: ${dst.size} vs ${src.size}")
+    // idempotent re-run: nothing new at the source, nothing lands
+    replicate()
+    assert(spark.sql("SELECT count(*) FROM graft.repdst").head().getLong(0) == 46L)
+    spark.sql("DROP TABLE graft.repsrc")
+    spark.sql("DROP TABLE graft.repdst")
+  }
+}
+
+class MergeCdcApplySpec extends SparkSpec {
+
+  test("MERGE with conditional DELETE/UPDATE/INSERT: the CDC-apply idiom") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.mrg15")
+    spark.sql(
+      "CREATE TABLE graft.mrg15 AS SELECT id AS k, id * 10 AS p FROM range(10)")
+    // a CDC batch: delete k=2,3; update k=5 (p=555); insert k=20
+    // (and a 'delete' for an absent key, which must do nothing)
+    spark.sql("""
+      SELECT * FROM VALUES
+        (2L, 0L,   'delete'), (3L, 0L, 'delete'), (5L, 555L, 'update'),
+        (20L, 200L, 'insert'), (30L, 0L, 'delete')
+      AS cdc(k, p, _change_type)""").createOrReplaceTempView("cdc15")
+    spark.sql("""
+      MERGE INTO graft.mrg15 t USING cdc15 s ON t.k = s.k
+      WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED AND s._change_type <> 'delete' THEN INSERT *""")
+    val got = spark.sql("SELECT k, p FROM graft.mrg15 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (0L until 10L).filterNot(Set(2L, 3L))
+      .map(k => (k, if (k == 5L) 555L else k * 10)) :+ ((20L, 200L))
+    assert(got == want, s"CDC apply diverged: $got")
+    // time travel still serves the pre-merge era (one atomic commit)
+    assert(spark.sql("SELECT count(*) FROM graft.mrg15 VERSION AS OF 2")
+      .head().getLong(0) == 10L)
+    spark.sql("DROP TABLE graft.mrg15")
+  }
+
+  test("first-match-wins clause order and partial SET keep unassigned columns") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.mrg15b")
+    spark.sql("""CREATE TABLE graft.mrg15b AS
+      SELECT id AS k, id AS a, id * 100 AS b FROM range(6)""")
+    spark.sql("""
+      SELECT * FROM VALUES (1L, 11L, 1L), (2L, 22L, 9L), (4L, 44L, 9L)
+      AS s(k, a, tier)""").createOrReplaceTempView("src15b")
+    // clause 1 matches tier=1 (k=1 → a=11); clause 2 is the fallback
+    // (k=2,4 → DELETE); unassigned column b must keep its value
+    spark.sql("""
+      MERGE INTO graft.mrg15b t USING src15b s ON t.k = s.k
+      WHEN MATCHED AND s.tier = 1 THEN UPDATE SET a = s.a
+      WHEN MATCHED THEN DELETE""")
+    val got = spark.sql("SELECT k, a, b FROM graft.mrg15b ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(0L, 1L, 3L, 5L).map(k =>
+      (k, if (k == 1L) 11L else k, k * 100))
+    assert(got == want, s"clause order / partial SET diverged: $got")
+    spark.sql("DROP TABLE graft.mrg15b")
+  }
+
+  test("still rejected precisely: BY SOURCE, target-side conditions, duplicate source keys") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.mrg15c")
+    spark.sql("CREATE TABLE graft.mrg15c AS SELECT id AS k, id AS p FROM range(4)")
+    spark.sql("SELECT * FROM VALUES (1L, 9L), (1L, 8L), (3L, 7L) AS s(k, p)")
+      .createOrReplaceTempView("src15c")
+    val e1 = intercept[Exception] { spark.sql("""
+      MERGE INTO graft.mrg15c t USING (SELECT DISTINCT * FROM src15c) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""") }
+    assert(e1.getMessage.contains("BY SOURCE"), e1.getMessage)
+    val e2 = intercept[Exception] { spark.sql("""
+      MERGE INTO graft.mrg15c t USING src15c s ON t.k = s.k
+      WHEN MATCHED AND t.p > 1 THEN DELETE""") }
+    assert(e2.getMessage.contains("target columns"), e2.getMessage)
+    // the standard MERGE cardinality contract: duplicate source keys
+    // matching a target row must throw, never last-writer-wins
+    val e3 = intercept[Exception] { spark.sql("""
+      MERGE INTO graft.mrg15c t USING src15c s ON t.k = s.k
+      WHEN MATCHED AND s.p < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET p = s.p""") }
+    assert(e3.getMessage.contains("multiple rows"), e3.getMessage)
+    spark.sql("DROP TABLE graft.mrg15c")
+  }
+
+  test("composed: a graft-cdc stream batch applies downstream via MERGE") {
+    SparkEntry.configure(spark)
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.cdcsrc15")
+    spark.sql("DROP TABLE IF EXISTS graft.cdcdst15")
+    spark.sql("CREATE TABLE graft.cdcsrc15 AS SELECT id AS k, id AS v FROM range(12)")
+    spark.sql("CREATE TABLE graft.cdcdst15 AS SELECT k, v FROM graft.cdcsrc15")
+    // upstream mutates: delete two keys, append two rows
+    spark.sql("DELETE FROM graft.cdcsrc15 WHERE k IN (3, 7)")
+    spark.sql("INSERT INTO graft.cdcsrc15 SELECT id + 100, id FROM range(2)")
+    val srcRoot = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+      .tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "cdcsrc15"))
+    val ckpt = java.nio.file.Files.createTempDirectory("cdcapply").toString
+    val q = spark.readStream.format("graft-cdc")
+      .option("table", srcRoot).option("startingVersion", "3")
+      .load().writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-key reduction, then THE SQL consumer idiom
+        b.createOrReplaceTempView("cdc_batch15")
+        b.sparkSession.sql("""
+          WITH latest AS (
+            SELECT k, v, _change_type FROM (
+              SELECT *, row_number() OVER (PARTITION BY k
+                ORDER BY _commit_version DESC,
+                         CASE _change_type WHEN 'insert' THEN 0 ELSE 1 END
+              ) AS rn FROM cdc_batch15) WHERE rn = 1)
+          MERGE INTO graft.cdcdst15 t USING latest s ON t.k = s.k
+          WHEN MATCHED AND s._change_type = 'delete' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED AND s._change_type <> 'delete' THEN INSERT *""")
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    val src = spark.sql("SELECT * FROM graft.cdcsrc15").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dst = spark.sql("SELECT * FROM graft.cdcdst15").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dst == src, s"CDC apply diverged: ${dst.size} vs ${src.size}")
+    spark.sql("DROP TABLE graft.cdcsrc15")
+    spark.sql("DROP TABLE graft.cdcdst15")
+  }
+}
+
 class HostileZeroRunSpec extends SparkSpec {
   import graft.operators.Multimodal
   import spark.implicits._
