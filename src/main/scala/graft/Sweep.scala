@@ -930,12 +930,16 @@ object Sweep {
           val f = java.nio.file.Files.createTempDirectory(tag).toFile
           f.delete(); f.getAbsolutePath
         }
-        val parent = tmpRoot("vstream100x")
-        new java.io.File(parent).mkdirs()
         spark.conf.set("spark.sql.catalog.graft",
           "org.apache.spark.sql.graftbridge.GraftCatalog")
-        spark.conf.set("spark.sql.catalog.graft.root", parent)
-        val root = parent + "/st"
+        spark.conf.set("spark.sql.catalog.graft.root",
+          tmpRoot("vstream100x"))
+        // resolve through the LIVE catalog instance — Spark caches it
+        // after first use, so a prior gate's root wins over the conf
+        val root = spark.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+          .tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array.empty, "st"))
         val base = docs(docDir).select(col("doc_id"),
           length(col("text")).cast("long").as("len"))
         VersionedTable.commit(base.repartition(64), root,
@@ -961,11 +965,19 @@ object Sweep {
         val nApp = 10000L
         VersionedTable.commit(base.limit(nApp.toInt), root, mode = "append")
         val run2 = drain()
-        // tag survival: two overwrites push era1 out of any window
+        // tag survival: two overwrites push era1 out of any window.
+        // Round 15: vacuum keeps the WHOLE CHAIN from the oldest tag
+        // forward (stream resume from the tag diffs every intermediate
+        // manifest), so v2 must stay RESOLVABLE while era1 stands and
+        // die once the tag drops.
         VersionedTable.commit(base.limit(10), root, mode = "overwrite")
         VersionedTable.commit(base.limit(10), root, mode = "overwrite")
         VersionedTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
         val tagRows = VersionedTable.readTag(spark, root, "era1").count()
+        val v2Alive = scala.util.Try(
+          VersionedTable.read(spark, root, 2L).count()).isSuccess
+        VersionedTable.dropTag(spark, root, "era1")
+        VersionedTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
         val v2Dead = scala.util.Try(
           VersionedTable.read(spark, root, 2L).count()).isFailure
         if (n0 == 0) "empty corpus"
@@ -974,7 +986,87 @@ object Sweep {
           s"restart delivered $run2 rows, expected the $nApp appended"
         else if (tagRows != n0)
           s"tagged era lost rows across vacuum: $tagRows != $n0"
-        else if (!v2Dead) "untagged v2 survived a retain-1 vacuum"
+        else if (!v2Alive)
+          "tag chain lost: v2 must stay resolvable while era1 stands"
+        else if (!v2Dead) "v2 survived vacuum after the tag dropped"
+        else ""
+      },
+
+      "vt_stream_sink_100x" -> { () =>
+        // round 15: the STREAMING SINK at the 100x corpus — a fully
+        // declarative graft-to-graft replication (readStream.table ->
+        // writeStream.toTable) under snapshot-splitting admission
+        // control. Invariants: the replica matches the source as a
+        // SET after snapshot + append runs (distributed anti-joins,
+        // never a driver collect), maxFilesPerTrigger actually split
+        // the 64-file snapshot into multiple epoch COMMITS (each an
+        // atomic table version carrying the #batch watermark), and a
+        // re-run over the drained checkpoint commits nothing.
+        import graft.sources.VersionedTable
+        def tmpRoot(tag: String) = {
+          val f = java.nio.file.Files.createTempDirectory(tag).toFile
+          f.delete(); f.getAbsolutePath
+        }
+        spark.conf.set("spark.sql.catalog.graft",
+          "org.apache.spark.sql.graftbridge.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graft.root",
+          tmpRoot("vsink100x"))
+        // Spark caches the catalog INSTANCE after first use — a prior
+        // gate's root wins over the conf just set. Resolve the roots
+        // through the LIVE instance so this gate is order-independent.
+        val cat = spark.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+        def dirOf(t: String) = cat.tableDir(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            Array.empty, t))
+        val srcRoot = dirOf("sksrc")
+        val dstRoot = dirOf("skdst")
+        val base = docs(docDir).select(col("doc_id"),
+          length(col("text")).cast("long").as("len"))
+        VersionedTable.commit(base.repartition(64), srcRoot)
+        val n0 = VersionedTable.read(spark, srcRoot).count()
+        VersionedTable.commit(base.limit(0), dstRoot) // CREATE-equivalent
+        val ckpt = tmpRoot("vsinkckpt")
+        def replicate(): Unit = {
+          val q = spark.readStream
+            .option("maxFilesPerTrigger", "16")
+            .table("graft.sksrc").writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable("graft.skdst")
+          q.awaitTermination(600000L)
+          q.exception.foreach(throw _)
+        }
+        replicate()
+        val vAfterSnap = VersionedTable.currentVersion(spark, dstRoot)
+        val n1 = VersionedTable.read(spark, dstRoot).count()
+        val nApp = 10000L
+        VersionedTable.commit(base.limit(nApp.toInt)
+          .withColumn("doc_id", col("doc_id") + 10000000L),
+          srcRoot, mode = "append")
+        replicate()
+        val n2 = VersionedTable.read(spark, dstRoot).count()
+        // set equality both ways, distributed
+        val srcDf = VersionedTable.read(spark, srcRoot)
+        val dstDf = VersionedTable.read(spark, dstRoot)
+        val missing = srcDf.join(dstDf, Seq("doc_id", "len"), "left_anti").count()
+        val extra = dstDf.join(srcDf, Seq("doc_id", "len"), "left_anti").count()
+        val wm = VersionedTable.lastBatchId(spark, dstRoot)
+        val vFinal = VersionedTable.currentVersion(spark, dstRoot)
+        replicate() // drained: nothing lands
+        val vIdle = VersionedTable.currentVersion(spark, dstRoot)
+        if (n0 == 0) "empty corpus"
+        else if (n1 != n0) s"replica after snapshot run: $n1 != $n0"
+        // 64 files / 16 per trigger = 4 slices -> >= 4 epoch commits
+        // on top of the empty v1
+        else if (vAfterSnap < 5)
+          s"snapshot landed in ${vAfterSnap - 1} commits, expected >= 4 slices"
+        else if (n2 != n0 + nApp) s"replica after append run: $n2 != ${n0 + nApp}"
+        else if (missing + extra != 0)
+          s"replica diverged: $missing missing, $extra extra"
+        else if (wm < 4) s"batch watermark $wm, expected >= 4 epochs"
+        else if (vIdle != vFinal)
+          s"idle re-run committed: v$vFinal -> v$vIdle"
         else ""
       }
     )

@@ -123,6 +123,21 @@ class GraftCdcMicroBatchStream(root: String, cdcSchema: StructType,
       .getOrElse(Long.MaxValue)
   require(maxVersionsPerBatch > 0,
     s"maxVersionsPerBatch must be positive, got $maxVersionsPerBatch")
+  // round 15: file/byte-granular admission + snapshot splitting and
+  // the fail-loud schema-drift posture — same options, same semantics
+  // as the table stream (GraftStreamSource)
+  private val maxFilesPerTrigger: Long =
+    Option(options.get("maxfilespertrigger")).map(_.toLong)
+      .getOrElse(Long.MaxValue)
+  require(maxFilesPerTrigger > 0,
+    s"maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
+  private val maxBytesPerTrigger: Long =
+    Option(options.get("maxbytespertrigger")).map(_.toLong)
+      .getOrElse(Long.MaxValue)
+  require(maxBytesPerTrigger > 0,
+    s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
+  private val allowSchemaDrift: Boolean =
+    Option(options.get("allowschemadrift")).exists(_.toBoolean)
 
   // the physical read schema covers the TABLE columns only (the two
   // CDC columns are appended reader-side)
@@ -145,7 +160,7 @@ class GraftCdcMicroBatchStream(root: String, cdcSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     GraftStreamShared.nextOffset(spark, root,
       start.asInstanceOf[GraftStreamOffset], availableNowCap,
-      maxVersionsPerBatch)
+      maxVersionsPerBatch, maxFilesPerTrigger, maxBytesPerTrigger)
 
   private def key3(p: String): String =
     p.split('/').takeRight(3).mkString("/")
@@ -155,16 +170,23 @@ class GraftCdcMicroBatchStream(root: String, cdcSchema: StructType,
     val s = start.asInstanceOf[GraftStreamOffset]
     val e = end.asInstanceOf[GraftStreamOffset]
     if (!s.snapshotDone) {
-      // initial snapshot: the pinned era's live rows, all inserts
-      require(e.snapshotDone && e.version == s.version,
-        s"snapshot batch must close its own version: $s -> $e")
+      // an initial-snapshot batch: this batch's SLICE of the pinned
+      // era's live rows, all inserts (round 15: file/byte admission
+      // splits the snapshot across micro-batches)
+      require(e.version == s.version,
+        s"snapshot batch must stay inside its version: $s -> $e")
+      val all = GraftStreamShared.snapshotFiles(spark, root, s.version)
+      val until = if (e.snapshotDone) all.size else e.fileIdx.toInt
       val skip = GraftStreamShared.dvPositions(spark, root, s.version)
-      VersionedTable.fileSizes(spark, root, s.version).map { case (f, b) =>
+      all.slice(s.fileIdx.toInt, until).map { case (f, b) =>
         GraftCdcPartition(f, b, skip.getOrElse(key3(f), Array.emptyLongArray),
           keepMode = false, "insert", s.version)
       }.toArray[InputPartition]
     } else {
+      val startFields = cdcSchema.fields.map(_.name).dropRight(2).toSet
       (s.version + 1 to e.version).toArray.flatMap { v =>
+        GraftStreamShared.checkSchemaDrift(spark, root, v, startFields,
+          allowSchemaDrift)
         // v == 1 diffs against the EMPTY pre-table state
         // (startingVersion=1 streams the first commit as inserts)
         val prevFiles = if (v == 1) Set.empty[String]

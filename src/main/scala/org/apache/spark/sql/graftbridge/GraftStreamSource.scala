@@ -40,13 +40,19 @@ import graft.sources.VersionedTable
   *    `skipChangeCommits=true` (the public Delta option and
   *    semantics), which skips those commits' row changes entirely.
   *  - **Rate limit.** `maxVersionsPerBatch` caps how many versions one
-  *    micro-batch may span ([[SupportsAdmissionControl]]).
+  *    micro-batch may span; `maxFilesPerTrigger` / `maxBytesPerTrigger`
+  *    (round 15) cap the batch by file count / manifest-recorded bytes
+  *    — INCLUDING the initial snapshot, which drains in slices across
+  *    micro-batches (the offset carries an intra-snapshot file index),
+  *    so a fresh checkpoint over a 100-TB table never lands as one
+  *    batch ([[SupportsAdmissionControl]]).
   *
   * Rows surface under the STREAM-START logical schema: physical names
   * are fixed at first commit (column mapping), so one physical read
-  * schema addresses every era's files — a rename mid-stream simply
-  * keeps serving the start-era names until the stream restarts;
-  * columns added mid-stream appear after a restart. Scale posture:
+  * schema addresses every era's files. A column ADDED (or renamed)
+  * mid-stream FAILS the stream loudly (round 15) — it would otherwise
+  * silently never appear until a manual restart; restart to pick it
+  * up, or opt out with `allowSchemaDrift=true`. Scale posture:
   * planning is manifest-only (no data file is opened on the driver);
   * each snapshot/added file becomes one [[InputPartition]] read by
   * the stock vectorized parquet reader ([[ParquetFileFormat
@@ -78,8 +84,24 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
       .getOrElse(Long.MaxValue)
   require(maxVersionsPerBatch > 0,
     s"maxVersionsPerBatch must be positive, got $maxVersionsPerBatch")
+  // round 15: file/byte-granular admission (Delta's maxFilesPerTrigger
+  // / maxBytesPerTrigger) — including splitting the INITIAL SNAPSHOT
+  // across micro-batches, so a fresh checkpoint over a 100-TB table
+  // never materializes the whole table in one batch
+  private val maxFilesPerTrigger: Long =
+    Option(options.get("maxfilespertrigger")).map(_.toLong)
+      .getOrElse(Long.MaxValue)
+  require(maxFilesPerTrigger > 0,
+    s"maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
+  private val maxBytesPerTrigger: Long =
+    Option(options.get("maxbytespertrigger")).map(_.toLong)
+      .getOrElse(Long.MaxValue)
+  require(maxBytesPerTrigger > 0,
+    s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
   private val skipChangeCommits: Boolean =
     Option(options.get("skipchangecommits")).exists(_.toBoolean)
+  private val allowSchemaDrift: Boolean =
+    Option(options.get("allowschemadrift")).exists(_.toBoolean)
 
   // the physical read schema addresses every era's files (names are
   // fixed at first commit); rows line up POSITIONALLY with the
@@ -103,27 +125,33 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     GraftStreamShared.nextOffset(spark, root,
       start.asInstanceOf[GraftStreamOffset], availableNowCap,
-      maxVersionsPerBatch)
+      maxVersionsPerBatch, maxFilesPerTrigger, maxBytesPerTrigger)
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset]
     val e = end.asInstanceOf[GraftStreamOffset]
     if (!s.snapshotDone) {
-      // the initial-snapshot batch: every live file of the pinned
-      // version, with that era's deletion vectors applied
-      require(e.snapshotDone && e.version == s.version,
-        s"snapshot batch must close its own version: $s -> $e")
-      val sizes = VersionedTable.fileSizes(spark, root, s.version)
+      // an initial-snapshot batch: this batch's SLICE of the pinned
+      // version's live files (the whole list when no file/byte cap),
+      // with that era's deletion vectors applied
+      require(e.version == s.version,
+        s"snapshot batch must stay inside its version: $s -> $e")
+      val all = GraftStreamShared.snapshotFiles(spark, root, s.version)
+      val until = if (e.snapshotDone) all.size else e.fileIdx.toInt
       val skip = dvPositions(s.version)
-      sizes.map { case (f, bytes) => GraftStreamPartition(f, bytes,
-        skip.getOrElse(key3(f), Array.emptyLongArray))
+      all.slice(s.fileIdx.toInt, until).map { case (f, bytes) =>
+        GraftStreamPartition(f, bytes,
+          skip.getOrElse(key3(f), Array.emptyLongArray))
       }.toArray[InputPartition]
     } else {
       // delta batches walk PER-VERSION diffs (not the net diff): a
       // MERGE's rewritten file must classify as a data change, which
       // only the per-commit granularity can see
+      val startFields = streamSchema.fields.map(_.name).toSet
       (s.version + 1 to e.version).toArray.flatMap { v =>
+        GraftStreamShared.checkSchemaDrift(spark, root, v, startFields,
+          allowSchemaDrift)
         // v == 1 diffs against the EMPTY pre-table state
         // (startingVersion=1 streams the first commit as inserts)
         val prevFiles = if (v == 1) Set.empty[String]
@@ -184,15 +212,22 @@ private[graftbridge] object GraftStreamShared {
     * that version on, no snapshot) | 'latest' (only future changes) |
     * a NAMED TAG (changes AFTER the pinned era — "resume from the
     * corpus pin": the consumer processed up to the tag, the stream
-    * delivers what landed since) | absent (full snapshot of the
-    * current version, then deltas). */
+    * delivers what landed since) | `startingTimestamp` (round 15 —
+    * resolved through [[VersionedTable.versionAsOf]]'s at-or-before
+    * rule, then changes AFTER that version, the AS OF TIMESTAMP
+    * parity; pre-retention instants rejected loudly by versionAsOf) |
+    * absent (full snapshot of the current version, then deltas). */
   def initialOffset(spark: SparkSession, root: String,
-                    options: CaseInsensitiveStringMap): GraftStreamOffset =
-    Option(options.get("startingversion")) match {
-      case Some(s) if s.equalsIgnoreCase("latest") =>
+                    options: CaseInsensitiveStringMap): GraftStreamOffset = {
+    val sv = Option(options.get("startingversion"))
+    val st = Option(options.get("startingtimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    (sv, st) match {
+      case (Some(s), _) if s.equalsIgnoreCase("latest") =>
         GraftStreamOffset(VersionedTable.currentVersion(spark, root),
           snapshotDone = true)
-      case Some(s) =>
+      case (Some(s), _) =>
         val v = scala.util.Try(s.toLong).toOption match {
           case Some(n) =>
             require(n >= 1, s"startingVersion must be >= 1, got $n")
@@ -206,24 +241,113 @@ private[graftbridge] object GraftStreamShared {
           // a tag start is EXCLUSIVE: the pinned era was processed
         }
         GraftStreamOffset(v, snapshotDone = true)
-      case None =>
+      case (None, Some(ts)) =>
+        // at-or-before resolution, then EXCLUSIVE: the consumer holds
+        // the state as of `ts`, the stream delivers what landed since
+        GraftStreamOffset(
+          VersionedTable.versionAsOf(spark, root, parseMillis(ts)),
+          snapshotDone = true)
+      case (None, None) =>
         GraftStreamOffset(VersionedTable.currentVersion(spark, root),
           snapshotDone = false)
     }
+  }
 
-  /** Admission control: the snapshot batch first, then at most
-    * `maxVersions` versions per batch, never past `cap` (the
-    * Trigger.AvailableNow target). */
+  /** Epoch millis | `yyyy-MM-dd HH:mm:ss[.f]` | ISO-8601 instant. */
+  private def parseMillis(s: String): Long =
+    scala.util.Try(s.toLong).getOrElse(
+      scala.util.Try(java.sql.Timestamp.valueOf(s).getTime).getOrElse(
+        scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse(
+          throw new IllegalArgumentException(
+            s"startingTimestamp must be epoch millis, " +
+              s"'yyyy-MM-dd HH:mm:ss[.f]' or an ISO-8601 instant, got '$s'"))))
+
+  /** A snapshot version's live files in the STABLE order both
+    * [[nextOffset]] and the planners slice — the snapshot-split
+    * admission contract. */
+  def snapshotFiles(spark: SparkSession, root: String,
+                    version: Long): Seq[(String, Long)] =
+    VersionedTable.fileSizes(spark, root, version).sortBy(_._1)
+
+  /** Admission control (round 15: file/byte-granular): the initial
+    * snapshot drains in slices of ≤ `maxFiles` files / `maxBytes`
+    * bytes per micro-batch (`fileIdx` is the intra-snapshot
+    * watermark — a 100 TB table's first checkpointed batch is no
+    * longer the whole table); delta batches then admit whole versions,
+    * at most `maxVersions` per batch, stopping early when the NEXT
+    * version's added files would blow the file/byte budget (a batch
+    * always advances by at least one file slice / one version), never
+    * past `cap` (the Trigger.AvailableNow target). */
   def nextOffset(spark: SparkSession, root: String, s: GraftStreamOffset,
-                 cap: Long, maxVersions: Long): GraftStreamOffset =
-    if (!s.snapshotDone) s.copy(snapshotDone = true)
-    else {
+                 cap: Long, maxVersions: Long,
+                 maxFiles: Long = Long.MaxValue,
+                 maxBytes: Long = Long.MaxValue): GraftStreamOffset =
+    if (!s.snapshotDone) {
+      if (maxFiles == Long.MaxValue && maxBytes == Long.MaxValue)
+        s.copy(snapshotDone = true, fileIdx = 0L)
+      else {
+        val all = snapshotFiles(spark, root, s.version)
+        var i = s.fileIdx.toInt
+        var nFiles = 0L
+        var nBytes = 0L
+        while (i < all.size && (nFiles == 0 ||
+            (nFiles < maxFiles && nBytes + all(i)._2 <= maxBytes))) {
+          nBytes += all(i)._2; nFiles += 1; i += 1
+        }
+        if (i >= all.size) s.copy(snapshotDone = true, fileIdx = 0L)
+        else s.copy(fileIdx = i.toLong)
+      }
+    } else {
       val cur = math.min(cap, VersionedTable.currentVersion(spark, root))
       // saturating add: the default reach is Long.MaxValue
       val reach = if (maxVersions > Long.MaxValue - s.version)
         Long.MaxValue else s.version + maxVersions
-      val end = math.min(cur, reach)
-      if (end <= s.version) s else GraftStreamOffset(end, snapshotDone = true)
+      var end = math.min(cur, reach)
+      if (end > s.version &&
+          (maxFiles != Long.MaxValue || maxBytes != Long.MaxValue)) {
+        // version-granular budget walk: admit versions while their
+        // ADDED files fit; the first version always admits (progress)
+        var v = s.version
+        var nFiles = 0L
+        var nBytes = 0L
+        var stop = false
+        while (v < end && !stop) {
+          val prev = if (v == 0) Set.empty[String]
+            else VersionedTable.snapshot(spark, root, v).files.toSet
+          val szs = VersionedTable.fileSizes(spark, root, v + 1)
+            .filter { case (f, _) => !prev.contains(f) }
+          val af = szs.size.toLong
+          val ab = szs.map(_._2).sum
+          if (v > s.version &&
+              (nFiles + af > maxFiles || nBytes + ab > maxBytes)) stop = true
+          else { nFiles += af; nBytes += ab; v += 1 }
+        }
+        end = v
+      }
+      if (end <= s.version) s
+      else GraftStreamOffset(end, snapshotDone = true)
+    }
+
+  /** Round 15 — fail-loud mid-stream schema posture: the stream serves
+    * its START schema, so a column ADDED (or renamed) after stream
+    * start would silently never appear until a manual restart. The
+    * public posture is to FAIL the stream on such a change so the
+    * operator restarts it deliberately; `allowSchemaDrift=true` opts
+    * back into serving the start schema. Dropped/narrowed columns in
+    * OLDER versions pass (positional read NULL-backfills them);
+    * checked per delta version against the stream-start field set. */
+  def checkSchemaDrift(spark: SparkSession, root: String, v: Long,
+                       startFields: Set[String], allow: Boolean): Unit =
+    if (!allow) {
+      VersionedTable.tableSchema(spark, root, v).foreach { sc =>
+        val added = sc.fields.map(_.name).filterNot(startFields.contains)
+        if (added.nonEmpty) throw new UnsupportedOperationException(
+          s"graft stream at $root: version $v changed the table schema " +
+            s"(new column(s): ${added.mkString(", ")}). The stream " +
+            "serves its start-era schema — restart the stream to pick " +
+            "up the new columns, or set allowSchemaDrift=true to keep " +
+            "serving the start schema.")
+      }
     }
 
   /** Deletion-vector positions of `version`, grouped by 3-segment data
@@ -272,13 +396,18 @@ private[graftbridge] object GraftStreamShared {
   }
 }
 
-/** `(version, snapshotDone)`: `snapshotDone = false` means the full
-  * snapshot AT `version` has not been delivered yet; after it, offsets
-  * advance by version only. */
-case class GraftStreamOffset(version: Long, snapshotDone: Boolean)
+/** `(version, snapshotDone, fileIdx)`: `snapshotDone = false` means
+  * the snapshot AT `version` is not fully delivered yet — `fileIdx`
+  * counts the snapshot files (in [[GraftStreamShared.snapshotFiles]]
+  * order) already delivered by prior micro-batches (round 15: the
+  * snapshot-split watermark; 0 for a fresh stream and for every
+  * pre-round-15 checkpoint, which is exactly the old semantics).
+  * After the snapshot, offsets advance by version only. */
+case class GraftStreamOffset(version: Long, snapshotDone: Boolean,
+                             fileIdx: Long = 0L)
     extends Offset {
   override def json: String =
-    s"""{"version":$version,"snapshotDone":$snapshotDone}"""
+    s"""{"version":$version,"snapshotDone":$snapshotDone,"fileIdx":$fileIdx}"""
 }
 
 object GraftStreamOffset {
@@ -286,7 +415,9 @@ object GraftStreamOffset {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = om.readTree(json)
     GraftStreamOffset(n.get("version").asLong(),
-      n.get("snapshotDone").asBoolean())
+      n.get("snapshotDone").asBoolean(),
+      // absent in pre-round-15 checkpoints = nothing delivered yet
+      Option(n.get("fileIdx")).map(_.asLong()).getOrElse(0L))
   }
 }
 

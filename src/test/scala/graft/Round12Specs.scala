@@ -92,10 +92,13 @@ class SqlCatalogLifecycleSpec extends SparkSpec {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ rootMsgs(t.getCause)
 
+    // round 15 made WHEN MATCHED THEN DELETE a SUPPORTED shape
+    // (MergeCdcApplySpec); WHEN NOT MATCHED BY SOURCE stays rejected
     val e1 = intercept[Exception] {
       spark.sql("""MERGE INTO graft.shapes t
         USING (SELECT 1 AS k, 2 AS p) s ON t.k = s.k
-        WHEN MATCHED THEN DELETE""")
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     }
     assert(rootMsgs(e1).exists(_.contains("graft SQL MERGE")),
       rootMsgs(e1).mkString(" | "))

@@ -401,6 +401,205 @@ class MergeCdcApplySpec extends SparkSpec {
   }
 }
 
+class StreamAdmissionSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.sources.VersionedTable
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  // exactly N files: parallelize with N slices, no shuffle — AQE can
+  // coalesce even a user repartition's tiny partitions
+  private def exactFiles(root: String, n: Int, base: Long = 0L): Unit = {
+    val rows = (0 until n).map(i => org.apache.spark.sql.Row(base + i))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, n),
+      new org.apache.spark.sql.types.StructType().add("k", "long", false))
+    VersionedTable.commit(df, root,
+      mode = if (base == 0L) "overwrite" else "append")
+    ()
+  }
+
+  test("maxFilesPerTrigger splits the initial snapshot; exactly-once across a mid-snapshot restart") {
+    // a 100-file snapshot (1 row per file) under maxFilesPerTrigger=25
+    // must drain in exactly 4 micro-batches, survive a crash INSIDE
+    // the snapshot, and deliver every row exactly once overall
+    val root = tmpDir("snapsplit") + "/t"
+    exactFiles(root, 100)
+    val ckpt = tmpDir("snapsplitck")
+    val byBatch = scala.collection.mutable.Map[Long, Seq[Long]]()
+    def run(failAt: Long): Option[Throwable] = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", root)
+        .option("maxFilesPerTrigger", "25")
+        .load().writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (id == failAt) sys.error("injected mid-snapshot crash")
+          byBatch.synchronized {
+            byBatch(id) = b.collect().map(_.getLong(0)).toSeq }
+          ()
+        }.start()
+      val term = scala.util.Try(q.awaitTermination(120000))
+      q.exception.map(e => e: Throwable).orElse(term.failed.toOption)
+    }
+    // run 1 crashes on the THIRD slice — two slices committed
+    assert(run(failAt = 2L).isDefined, "injected crash must surface")
+    assert(byBatch.keys.max == 1L && byBatch.values.map(_.size).sum == 50)
+    // run 2 resumes MID-SNAPSHOT from the checkpointed file index
+    assert(run(failAt = -1L).isEmpty)
+    val all = byBatch.values.flatten.toSeq
+    assert(byBatch.size == 4,
+      s"100 files / 25 per trigger must be 4 batches, got ${byBatch.size}")
+    assert(byBatch.values.forall(_.size <= 25),
+      s"a slice exceeded the cap: ${byBatch.view.mapValues(_.size).toMap}")
+    assert(all.sorted == (0L until 100L),
+      s"exactly-once across the mid-snapshot restart, got ${all.size} rows")
+  }
+
+  test("delta versions admit by file budget; a huge version still lands whole") {
+    val root = tmpDir("deltabudget") + "/t"
+    exactFiles(root, 2)
+    // three appended versions, exactly 2 files each
+    for (b <- 1 to 3) exactFiles(root, 2, base = b * 100L)
+    val ckpt = tmpDir("deltabudgetck")
+    var batches = 0
+    val q = spark.readStream
+      .option("startingVersion", "2") // deltas only: v2..v4
+      .option("maxFilesPerTrigger", "2")
+      .format("graft-cdc").option("table", root)
+      .load().writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (b.count() > 0) batches += 1; ()
+      }.start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    // 3 versions x 2 files under a 2-file budget = one version per batch
+    assert(batches == 3, s"expected 3 version-granular batches, got $batches")
+  }
+
+  test("startingTimestamp resolves at-or-before and streams what landed after") {
+    val root = tmpDir("startts") + "/t"
+    VersionedTable.commit((0L until 5L).map(i => (i, i)).toDF("k", "v"), root)
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    VersionedTable.commit((100L until 103L).map(i => (i, i)).toDF("k", "v"),
+      root, mode = "append")
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-cdc")
+      .option("table", root).option("startingTimestamp", mid.toString)
+      .load().writeStream
+      .option("checkpointLocation", tmpDir("starttsck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.collect().map(_.getLong(0)) }; ()
+      }.start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    assert(out.sorted == (100L until 103L),
+      s"only the post-timestamp commit streams, got ${out.sorted}")
+    // both options together are rejected; a pre-table instant fails
+    // loudly through versionAsOf's at-or-before rule
+    def failsWith(needle: String)(opts: (String, String)*): Unit = {
+      val e = intercept[Exception] {
+        var r = spark.readStream.format("graft-cdc").option("table", root)
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        val qq = r.load().writeStream
+          .option("checkpointLocation", tmpDir("starttsfail"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+          .start()
+        qq.awaitTermination(60000)
+        qq.exception.foreach(throw _)
+      }
+      def deep(t: Throwable): String =
+        if (t == null) "" else t.toString + deep(t.getCause)
+      assert(deep(e).contains(needle), s"wanted '$needle' in: ${deep(e)}")
+    }
+    failsWith("mutually exclusive")(
+      "startingTimestamp" -> "5", "startingVersion" -> "1")
+    failsWith("precedes")("startingTimestamp" -> "5")
+  }
+}
+
+class StreamSchemaDriftSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("ALTER TABLE ADD COLUMN mid-stream fails the LIVE stream precisely; a restart serves it") {
+    // the drift posture only bites a LIVE stream: a restarted stream
+    // re-reads the table schema, so its start era already includes the
+    // new column — exactly the recovery the failure message names
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.drift15")
+    spark.sql("CREATE TABLE graft.drift15 AS SELECT id AS k FROM range(6)")
+    val ckpt = tmpDir("driftck")
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = spark.readStream.option("skipChangeCommits", "true")
+      .table("graft.drift15").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized { rows ++= b.collect() }; ()
+      }.start()
+    q.processAllAvailable() // the snapshot, under the start schema
+    assert(rows.size == 6 && q.exception.isEmpty)
+    // mid-stream additive change + rows under the new schema: the LIVE
+    // query must fail naming the column and the opt-out
+    spark.sql("ALTER TABLE graft.drift15 ADD COLUMNS (tag BIGINT)")
+    spark.sql("INSERT INTO graft.drift15 SELECT id + 100, id FROM range(3)")
+    val err = intercept[Exception] {
+      q.processAllAvailable()
+      q.exception.foreach(throw _)
+    }
+    def deep(t: Throwable): String =
+      if (t == null) "" else t.toString + deep(t.getCause)
+    assert(deep(err).contains("allowSchemaDrift") && deep(err).contains("tag"),
+      s"drift must fail naming the column and the opt-out: ${deep(err)}")
+    // the RESTART (same checkpoint!) picks up the new schema: the two
+    // delta rows arrive WITH the tag column, nothing replays
+    val rows2 = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q2 = spark.readStream.option("skipChangeCommits", "true")
+      .table("graft.drift15").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows2.synchronized { rows2 ++= b.collect() }; ()
+      }.start()
+    q2.awaitTermination(120000)
+    q2.exception.foreach(throw _)
+    assert(rows2.nonEmpty && rows2.head.schema.fieldNames.contains("tag"),
+      s"restart must serve the new column: ${rows2.headOption}")
+    assert(rows2.map(_.getLong(0)).sorted.toSeq == Seq(100L, 101L, 102L))
+    // the opt-out keeps the LIVE stream alive under its start schema
+    spark.sql("DROP TABLE IF EXISTS graft.drift15b")
+    spark.sql("CREATE TABLE graft.drift15b AS SELECT id AS k FROM range(4)")
+    val rows3 = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q3 = spark.readStream.option("skipChangeCommits", "true")
+      .option("allowSchemaDrift", "true")
+      .table("graft.drift15b").writeStream
+      .option("checkpointLocation", tmpDir("driftck3"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows3.synchronized { rows3 ++= b.collect().map(_.getLong(0)) }; ()
+      }.start()
+    q3.processAllAvailable()
+    spark.sql("ALTER TABLE graft.drift15b ADD COLUMNS (extra BIGINT)")
+    spark.sql("INSERT INTO graft.drift15b SELECT id + 50, id FROM range(2)")
+    q3.processAllAvailable()
+    q3.stop()
+    q3.exception.foreach(throw _)
+    assert(rows3.sorted == Seq(0L, 1L, 2L, 3L, 50L, 51L),
+      s"opt-out keeps serving the start schema: ${rows3.sorted}")
+    spark.sql("DROP TABLE graft.drift15")
+    spark.sql("DROP TABLE graft.drift15b")
+  }
+}
+
 class HostileZeroRunSpec extends SparkSpec {
   import graft.operators.Multimodal
   import spark.implicits._
