@@ -1957,8 +1957,20 @@ object VersionedTable {
     * the INSERT clause's assigned columns. First-match-wins clause
     * order (the standard MERGE semantics; `__act` encodes it).
     *
+    * `bySource` (round 15b) carries the WHEN NOT MATCHED BY SOURCE
+    * clauses — applied to TARGET rows whose key has no source row,
+    * first-match-wins like the others, but conditions and assignment
+    * values are TARGET-side SQL strings evaluated against the live
+    * row (they cannot be pre-shaped on the source): `(cond, None)` =
+    * DELETE, `(cond, Some(col -> expr))` = UPDATE. The full-sync
+    * idiom — `WHEN NOT MATCHED BY SOURCE THEN DELETE` makes the
+    * target mirror the source exactly — and its documented cost: an
+    * unconditional BY SOURCE clause touches every file holding an
+    * unmatched row.
+    *
     * Copy-on-write like [[merge]]: only files holding a live row whose
-    * key has an APPLICABLE matched clause are rewritten; matched rows
+    * key has an APPLICABLE matched clause (or an applicable BY SOURCE
+    * row) are rewritten; matched rows
     * with no applicable clause — and every row of every other file —
     * carry forward untouched. The source must be key-unique (the
     * standard MERGE cardinality contract, checked — a CDC batch is
@@ -1966,10 +1978,13 @@ object VersionedTable {
   def mergeApply(srcPrep: DataFrame, root: String, keys: Seq[String],
                  matched: Seq[Option[Seq[String]]],
                  notMatched: Seq[Seq[String]],
+                 bySource: Seq[(Option[String], Option[Seq[(String, String)]])] = Nil,
                  maxRetries: Int = 5): Long = {
     require(keys.nonEmpty, "mergeApply needs at least one key column")
-    require(matched.nonEmpty || notMatched.nonEmpty, "no WHEN clauses")
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "no WHEN clauses")
     val deleteIdx = matched.zipWithIndex.collect { case (None, i) => i }
+    val bDeleteIdx = bySource.zipWithIndex.collect { case ((_, None), i) => i }
     rewrite(srcPrep.sparkSession, root, maxRetries) { (spark, s) =>
       val curLive = scanLogical(spark, root, s.version, s.files, raw =>
         applyDv(spark, root, s.version,
@@ -1978,6 +1993,13 @@ object VersionedTable {
         curLive.columns.contains(k) && srcPrep.columns.contains(k),
         s"key column $k must exist on both sides"))
       val targetCols = curLive.columns.filterNot(_ == "__file").toSeq
+      // first applicable BY SOURCE clause for an UNMATCHED target row
+      // (target-side conditions — evaluable on curLive/the join alike)
+      val bIdxExpr = bySource.zipWithIndex
+        .foldRight(lit(-1)) { case (((cond, _), i), rest) =>
+          cond.map(t => when(expr(t), lit(i)).otherwise(rest))
+            .getOrElse(lit(i))
+        }
       // cardinality: at most one source row per key — silent
       // last-writer-wins here would be wrong rows, not a trade
       val dup = srcPrep.groupBy(keys.map(topCol): _*)
@@ -1987,36 +2009,57 @@ object VersionedTable {
         s"MERGE source has multiple rows for key " +
           keys.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
             .mkString(", ") + " — reduce the source to one row per key")
-      // files holding a live row whose key has an APPLICABLE clause
-      // (file-name collect is manifest-bounded, the documented
-      // stats-collect pattern; qualified like vacuum's rule)
+      // files holding a live row whose key has an APPLICABLE clause —
+      // or, with BY SOURCE clauses, an unmatched row an applicable
+      // clause hits (file-name collect is manifest-bounded, the
+      // documented stats-collect pattern; qualified like vacuum's rule)
       val actKeys = srcPrep.filter(col("__act") >= 0)
         .select(keys.map(topCol): _*).distinct()
       val f = fs(spark, root)
-      val touched = curLive.join(actKeys, keys, "left_semi")
-        .select("__file").distinct().collect()
+      val touchedMatched = curLive.join(actKeys, keys, "left_semi")
+        .select("__file").distinct()
+      val touchedFiles =
+        if (bySource.isEmpty) touchedMatched
+        else touchedMatched.unionByName(
+          curLive.join(srcPrep.select(keys.map(topCol): _*).distinct(),
+              keys, "left_anti")
+            .filter(bIdxExpr >= 0)
+            .select("__file").distinct()).distinct()
+      val touched = touchedFiles.collect()
         .map(r => f.makeQualified(new Path(r.getString(0))).toString).toSet
       val (touchedAbs, untouchedAbs) =
         s.files.partition(p => touched.contains(f.makeQualified(new Path(p)).toString))
       // rewritten files: per row, the first applicable clause decides —
-      // DELETE drops it, UPDATE swaps the assigned columns to the
-      // source values, no clause (or no match) keeps the row verbatim
+      // DELETE drops it, UPDATE swaps the assigned columns (matched:
+      // to the source values; BY SOURCE: to target-side expressions),
+      // no applicable clause keeps the row verbatim
       val kept =
         if (touchedAbs.isEmpty) read(spark, root, s.version).limit(0)
         else {
           val live = scanLogical(spark, root, s.version, touchedAbs,
             raw => applyDv(spark, root, s.version, raw))
           val j = live.join(
-            srcPrep.withColumn("__m", lit(1)), keys, "left")
+              srcPrep.withColumn("__m", lit(1)), keys, "left")
+            .withColumn("__bact",
+              if (bySource.isEmpty) lit(-1)
+              else when(col("__m").isNull, bIdxExpr).otherwise(lit(-1)))
           val noDelete =
-            if (deleteIdx.isEmpty) lit(true)
-            else col("__m").isNull || !col("__act").isin(deleteIdx: _*)
+            (if (deleteIdx.isEmpty) lit(true)
+             else col("__m").isNull || !col("__act").isin(deleteIdx: _*)) &&
+            (if (bDeleteIdx.isEmpty) lit(true)
+             else !col("__bact").isin(bDeleteIdx: _*))
           j.filter(noDelete).select(targetCols.map { c =>
-            matched.zipWithIndex.collect {
+            val matchedWhens = matched.zipWithIndex.collect {
               case (Some(set), i) if set.contains(c) => i
             }.foldRight(topCol(c)) { (i, rest) =>
               when(col("__m") === 1 && col("__act") === i,
                 topCol(s"__u${i}__$c")).otherwise(rest)
+            }
+            bySource.zipWithIndex.collect {
+              case ((_, Some(set)), i) if set.exists(_._1 == c) =>
+                (i, set.find(_._1 == c).get._2)
+            }.foldRight(matchedWhens) { case ((i, e), rest) =>
+              when(col("__bact") === i, expr(e)).otherwise(rest)
             }.as(c)
           }: _*)
         }

@@ -200,27 +200,31 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
     Project(projections, readPlan)
   }
 
-  /** MERGE lowering (extended in round 15 to the CDC-APPLY shapes).
+  /** MERGE lowering (extended in round 15 to the CDC-APPLY and
+    * FULL-SYNC shapes).
     * Supported: `ON` equality of same-named columns; any ordered mix of
     * `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE`; any
     * ordered `WHEN NOT MATCHED [AND cond] THEN INSERT ...` — conditions
     * and assignment values must be SOURCE-side expressions (the CDC
-    * idiom: `WHEN MATCHED AND s._change_type = 'delete' THEN DELETE`),
-    * first-match-wins clause order. The classic unconditional
+    * idiom: `WHEN MATCHED AND s._change_type = 'delete' THEN DELETE`);
+    * and `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... |
+    * DELETE` — TARGET-side expressions (the full-sync idiom: BY SOURCE
+    * DELETE makes the target mirror the source). First-match-wins
+    * clause order per family. The classic unconditional
     * `UPDATE SET * + INSERT *` upsert keeps its dedicated
     * [[VersionedTable.merge]] wholesale-replacement path; every richer
     * accepted shape lowers onto [[VersionedTable.mergeApply]]'s
-    * conditional copy-on-write. Still rejected precisely: WHEN NOT
-    * MATCHED BY SOURCE, non-equality ON terms, target-side conditions
-    * or assignment values, nested-field assignments. */
+    * conditional copy-on-write. Still rejected precisely: non-equality
+    * ON terms, side-crossing conditions or assignment values,
+    * nested-field assignments. */
   private def rewriteMerge(m: MergeIntoTable): LogicalPlan = {
     val (_, t) = graftRel(m.targetTable).get
     def bad(why: String): Nothing = unsupported("MERGE",
       s"$why (supported: ON same-named column equality; WHEN MATCHED " +
         "[AND source-side cond] THEN UPDATE SET ... | DELETE; " +
-        "WHEN NOT MATCHED [AND source-side cond] THEN INSERT ...)")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      bad("WHEN NOT MATCHED BY SOURCE is not supported")
+        "WHEN NOT MATCHED [AND source-side cond] THEN INSERT ...; " +
+        "WHEN NOT MATCHED BY SOURCE [AND target-side cond] THEN " +
+        "UPDATE SET ... | DELETE)")
     val targetSet = m.targetTable.outputSet
     val sourceSet = m.sourceTable.outputSet
     val keyPairs = splitConjuncts(m.mergeCondition).map { term =>
@@ -284,7 +288,8 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
     // [[VersionedTable.merge]], exactly as before round 15
     (m.matchedActions, m.notMatchedActions) match {
       case (Seq(u: UpdateAction), Seq(i: InsertAction))
-          if u.condition.isEmpty && i.condition.isEmpty =>
+          if u.condition.isEmpty && i.condition.isEmpty &&
+            m.notMatchedBySourceActions.isEmpty =>
         val up = u.assignments.map(a => colName(a, "MATCHED") -> a.value).toMap
         val ins = i.assignments.map(a => colName(a, "NOT MATCHED") -> a.value).toMap
         val wholesale = targetCols.forall(c =>
@@ -318,6 +323,35 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
         case other => bad(
           s"unsupported WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
       }
+    // BY SOURCE clauses see only the TARGET row — rendered to SQL over
+    // the target's bare column names (the GraftUpdateCommand recipe;
+    // mergeApply evaluates them against its own fresh scan)
+    def tgtOnlySql(e: Expression, what: String): String = {
+      if (e.references.exists(sourceSet.contains))
+        bad(s"$what references source columns; WHEN NOT MATCHED BY " +
+          "SOURCE sees only the target row")
+      toSql(e, what)
+    }
+    val bySourceSpecs: Seq[(Option[String], Option[Seq[(String, String)]])] =
+      m.notMatchedBySourceActions.map {
+        case d: DeleteAction =>
+          (d.condition.map(tgtOnlySql(_, "WHEN NOT MATCHED BY SOURCE " +
+            "DELETE condition")), None)
+        case u: UpdateAction =>
+          val set = u.assignments.flatMap { a =>
+            val name = colName(a, "NOT MATCHED BY SOURCE")
+            a.value match {
+              case v: AttributeReference
+                  if targetSet.contains(v) && v.name == name => None
+              case v => Some(name -> tgtOnlySql(v,
+                s"BY SOURCE assignment to $name"))
+            }
+          }
+          (u.condition.map(tgtOnlySql(_, "WHEN NOT MATCHED BY SOURCE " +
+            "UPDATE condition")), Some(set))
+        case other => bad(s"unsupported WHEN NOT MATCHED BY SOURCE " +
+          s"action ${other.getClass.getSimpleName}")
+      }
     // first-match-wins, encoded per source row BEFORE the join (the
     // conditions are source-side by construction)
     def firstIdx(conds: Seq[Option[Expression]]): Expression =
@@ -341,6 +375,7 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
     GraftMergeApplyCommand(t.root, keys,
       matchedSpecs.map(_._2.map(_.map(_._1))),
       insertSpecs.map(_._2.map(_._1)),
+      bySourceSpecs,
       Project(projCols, m.sourceTable))
   }
 }
@@ -409,13 +444,14 @@ case class GraftMergeCommand(root: String, keys: Seq[String],
 case class GraftMergeApplyCommand(root: String, keys: Seq[String],
                                   matched: Seq[Option[Seq[String]]],
                                   notMatched: Seq[Seq[String]],
+                                  bySource: Seq[(Option[String], Option[Seq[(String, String)]])],
                                   source: LogicalPlan)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val prep = org.apache.spark.sql.classic.Dataset.ofRows(classic, source)
-    VersionedTable.mergeApply(prep, root, keys, matched, notMatched)
+    VersionedTable.mergeApply(prep, root, keys, matched, notMatched, bySource)
     Seq.empty
   }
 }

@@ -92,13 +92,14 @@ class SqlCatalogLifecycleSpec extends SparkSpec {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ rootMsgs(t.getCause)
 
-    // round 15 made WHEN MATCHED THEN DELETE a SUPPORTED shape
-    // (MergeCdcApplySpec); WHEN NOT MATCHED BY SOURCE stays rejected
+    // round 15 made WHEN MATCHED THEN DELETE and NOT MATCHED BY
+    // SOURCE supported shapes (MergeCdcApplySpec); a non-equality ON
+    // term stays rejected
     val e1 = intercept[Exception] {
       spark.sql("""MERGE INTO graft.shapes t
-        USING (SELECT 1 AS k, 2 AS p) s ON t.k = s.k
+        USING (SELECT 1 AS k, 2 AS p) s ON t.k = s.k + 1
         WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        WHEN NOT MATCHED THEN INSERT *""")
     }
     assert(rootMsgs(e1).exists(_.contains("graft SQL MERGE")),
       rootMsgs(e1).mkString(" | "))

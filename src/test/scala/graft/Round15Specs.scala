@@ -328,17 +328,52 @@ class MergeCdcApplySpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mrg15b")
   }
 
-  test("still rejected precisely: BY SOURCE, target-side conditions, duplicate source keys") {
+  test("WHEN NOT MATCHED BY SOURCE: the full-sync idiom (DELETE) and target-side UPDATE") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.mrg15d")
+    spark.sql(
+      "CREATE TABLE graft.mrg15d AS SELECT id AS k, id AS p FROM range(8)")
+    spark.sql("""SELECT * FROM VALUES (2L, 22L), (5L, 55L), (20L, 200L)
+      AS s(k, p)""").createOrReplaceTempView("src15d")
+    // full sync: target becomes exactly the source
+    spark.sql("""
+      MERGE INTO graft.mrg15d t USING src15d s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val got = spark.sql("SELECT k, p FROM graft.mrg15d ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((2L, 22L), (5L, 55L), (20L, 200L)),
+      s"full sync diverged: $got")
+    // conditional BY SOURCE UPDATE with a target-side expression
+    spark.sql("""
+      MERGE INTO graft.mrg15d t
+      USING (SELECT 2 AS k, 0 AS p) s ON t.k = s.k
+      WHEN NOT MATCHED BY SOURCE AND t.p > 100 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET p = t.p + 1000""")
+    val got2 = spark.sql("SELECT k, p FROM graft.mrg15d ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((2L, 22L), (5L, 1055L)),
+      s"conditional BY SOURCE diverged: $got2")
+    spark.sql("DROP TABLE graft.mrg15d")
+  }
+
+  test("still rejected precisely: side-crossing conditions, duplicate source keys") {
     SparkEntry.configure(spark)
     spark.sql("DROP TABLE IF EXISTS graft.mrg15c")
     spark.sql("CREATE TABLE graft.mrg15c AS SELECT id AS k, id AS p FROM range(4)")
     spark.sql("SELECT * FROM VALUES (1L, 9L), (1L, 8L), (3L, 7L) AS s(k, p)")
       .createOrReplaceTempView("src15c")
+    // a BY SOURCE condition referencing SOURCE columns is meaningless
+    // (there is no source row) — Spark's own analyzer refuses to
+    // resolve it (UNRESOLVED_COLUMN); our tgtOnlySql check stays as
+    // defense-in-depth for direct-API construction
     val e1 = intercept[Exception] { spark.sql("""
       MERGE INTO graft.mrg15c t USING (SELECT DISTINCT * FROM src15c) s ON t.k = s.k
       WHEN MATCHED THEN UPDATE SET *
-      WHEN NOT MATCHED BY SOURCE THEN DELETE""") }
-    assert(e1.getMessage.contains("BY SOURCE"), e1.getMessage)
+      WHEN NOT MATCHED BY SOURCE AND s.p > 0 THEN DELETE""") }
+    assert(e1.getMessage.contains("cannot be resolved") ||
+      e1.getMessage.contains("source columns"), e1.getMessage)
     val e2 = intercept[Exception] { spark.sql("""
       MERGE INTO graft.mrg15c t USING src15c s ON t.k = s.k
       WHEN MATCHED AND t.p > 1 THEN DELETE""") }
