@@ -311,7 +311,44 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo = null)
     this
   }
 
-  override def build(): Write = new V1Write {
+  override def build(): Write = new V1Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+    // a declared clustered layout asks the ENGINE for an ordered
+    // (range) distribution on the top-level cluster columns — for a
+    // STREAMING write this is what makes each epoch's files
+    // key-disjoint and prunable at birth (the writers can't reshuffle
+    // themselves); a batch insert still routes through clusterLayout's
+    // interleave curve below (the engine's pre-sort costs one extra
+    // exchange on clustered batch writes, the price of sharing one
+    // Write surface — non-clustered tables are untouched). Nested
+    // cluster paths aren't addressable as connector expressions and
+    // keep relying on clusterLayout alone.
+    private val distCols: Seq[String] =
+      if (info == null) Nil
+      else VersionedTable.manifestMeta(SparkSession.active, root)
+        .get("clustering").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        .filter(c => info.schema().fieldNames.contains(c))
+
+    private def sortOrders
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      distCols.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    }
+
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution = {
+      import org.apache.spark.sql.connector.{distributions => D}
+      if (distCols.isEmpty) D.Distributions.unspecified()
+      else D.Distributions.ordered(sortOrders)
+    }
+
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      if (distCols.isEmpty) Array.empty else sortOrders
+
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(info != null, "streaming write needs LogicalWriteInfo")

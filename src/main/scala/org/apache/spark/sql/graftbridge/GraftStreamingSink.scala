@@ -46,10 +46,14 @@ import graft.sources.VersionedTable
   * Rows land under PHYSICAL column names (column mapping, captured at
   * run start); a rename/drop landing mid-run aborts the epoch commit
   * loudly rather than mixing physical-name eras — restart picks up
-  * the new mapping. A table with a declared `clustering` layout
-  * accepts streaming appends as-written (micro-batches are small);
-  * OPTIMIZE folds them into the curve order, exactly like any other
-  * unclustered append. */
+  * the new mapping. A table with a declared `clustering` layout gets
+  * PRUNABLE EPOCHS: the write declares
+  * [[RequiresDistributionAndOrdering]] (clustered distribution + sort
+  * on the top-level cluster columns), so the engine shuffles+sorts
+  * each micro-batch BEFORE the writers run and every epoch's files
+  * are key-disjoint on the leading cluster column — stats-prunable at
+  * birth, the streaming analogue of the batch path's interleave
+  * routing (the full curve order still lands via OPTIMIZE). */
 class GraftStreamingWrite(root: String, logicalSchema: StructType,
                           queryId: String, overwriteEachEpoch: Boolean)
     extends StreamingWrite {

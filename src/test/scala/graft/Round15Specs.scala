@@ -242,6 +242,52 @@ class GraftStreamingSinkSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.snk2")
   }
 
+  test("a clustered table's streaming epochs are key-disjoint and prunable at birth") {
+    // the write declares RequiresDistributionAndOrdering on the
+    // cluster columns, so the engine range-shuffles each micro-batch
+    // before the writers run — per-epoch files carry disjoint [min,
+    // max] on the leading cluster column and a selective read prunes
+    // from the manifest alone, no OPTIMIZE pass needed
+    SparkEntry.configure(spark)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS graft.snkclu")
+    spark.sql("""CREATE TABLE graft.snkclu (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('clustering' = 'k', 'statscols' = 'k')""")
+    val root = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+      .tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "snkclu"))
+    // AQE would coalesce a 400-row epoch's four range partitions into
+    // ONE file (adjacent-range coalescing preserves disjointness, but
+    // one file can't demonstrate pruning) — hold it off for the stream
+    val coalesce0 = spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val in = MemoryStream[(Long, Long)]
+      val q = in.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", tmpDir("snkcluck"))
+        .toTable("graft.snkclu")
+      // keys arrive SHUFFLED — without the range exchange every file
+      // would span the whole domain and nothing could prune
+      in.addData(scala.util.Random.shuffle((0L until 400L).toList)
+        .map(i => (i, i)): _*)
+      drain(q)
+    } finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", coalesce0)
+    val d = VersionedTable.prunedFilesDetail(spark, root, "k", "0", "40")
+    // 4 disjoint epoch files + the CREATE's stats-less empty file
+    // (conservatively kept): the [0,40] probe keeps 2 of 5
+    assert(d.totalFiles >= 5, s"expected a multi-file epoch: ${d.totalFiles}")
+    assert(d.kept.size * 2 <= d.totalFiles,
+      s"epoch files must be key-disjoint enough to prune: " +
+        s"kept ${d.kept.size} of ${d.totalFiles}")
+    assert(spark.sql("SELECT count(*) FROM graft.snkclu WHERE k < 40")
+      .head().getLong(0) == 40L)
+    spark.sql("DROP TABLE graft.snkclu")
+  }
+
   test("composed replication is now declarative on BOTH ends: readStream.table -> writeStream.toTable") {
     SparkEntry.configure(spark)
     spark.sql("DROP TABLE IF EXISTS graft.repsrc")
