@@ -183,6 +183,8 @@ class GraftCdcMicroBatchStream(root: String, cdcSchema: StructType,
           keepMode = false, "insert", s.version)
       }.toArray[InputPartition]
     } else {
+      GraftStreamShared.requireRetainedRange(spark, root,
+        s.version, e.version)
       val startFields = cdcSchema.fields.map(_.name).dropRight(2).toSet
       (s.version + 1 to e.version).toArray.flatMap { v =>
         GraftStreamShared.checkSchemaDrift(spark, root, v, startFields,

@@ -148,6 +148,8 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
       // delta batches walk PER-VERSION diffs (not the net diff): a
       // MERGE's rewritten file must classify as a data change, which
       // only the per-commit granularity can see
+      GraftStreamShared.requireRetainedRange(spark, root,
+        s.version, e.version)
       val startFields = streamSchema.fields.map(_.name).toSet
       (s.version + 1 to e.version).toArray.flatMap { v =>
         GraftStreamShared.checkSchemaDrift(spark, root, v, startFields,
@@ -327,6 +329,29 @@ private[graftbridge] object GraftStreamShared {
       if (end <= s.version) s
       else GraftStreamOffset(end, snapshotDone = true)
     }
+
+  /** The delta walk diffs snapshot(v-1) vs snapshot(v) for every
+    * version in a batch, so every manifest in `[from, to]` must still
+    * be retained. A numeric startingVersion at (or a stream resuming
+    * from) an era vacuum retired would otherwise surface as a raw
+    * missing-file read — name the cause and the recovery instead
+    * (tags retain their chain through vacuum; round 15). */
+  def requireRetainedRange(spark: SparkSession, root: String,
+                           from: Long, to: Long): Unit = {
+    val f = new Path(root, "_manifests")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var v = math.max(from, 1L)
+    while (v <= to) {
+      if (!f.exists(new Path(new Path(root, "_manifests"), s"v$v.manifest")))
+        throw new IllegalStateException(
+          s"graft stream at $root: version $v's manifest is no longer " +
+            "retained (vacuumed) — the delta walk needs every " +
+            "intermediate manifest. Resume from a TAG (vacuum keeps the " +
+            "manifest chain from the oldest tag forward) or from a " +
+            "still-retained startingVersion.")
+      v += 1
+    }
+  }
 
   /** Round 15 — fail-loud mid-stream schema posture: the stream serves
     * its START schema, so a column ADDED (or renamed) after stream

@@ -77,6 +77,31 @@ class TagChainVacuumSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 18L)
   }
 
+  test("startingVersion into a vacuumed era fails naming the cause and the tag recovery") {
+    val root = tmpDir("vacstart") + "/t"
+    VersionedTable.commit((0L until 4L).map(i => (i, i)).toDF("k", "v"), root)
+    for (b <- 1 to 3)
+      VersionedTable.commit(
+        (b * 10L until b * 10L + 2L).map(i => (i, i)).toDF("k", "v"),
+        root, mode = "append")
+    VersionedTable.vacuum(spark, root, retainVersions = 1, graceMs = 0L)
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", root).option("startingVersion", "1")
+        .load().writeStream
+        .option("checkpointLocation", tmpDir("vacstartck"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start()
+      q.awaitTermination(60000)
+      q.exception.foreach(throw _)
+    }
+    def deep(t: Throwable): String =
+      if (t == null) "" else t.toString + deep(t.getCause)
+    assert(deep(e).contains("vacuumed") && deep(e).contains("TAG"),
+      s"must name the vacuumed manifest and the tag recovery: ${deep(e)}")
+  }
+
   test("racing tag() calls: exactly one wins even on RawLocalFileSystem") {
     // FileSystem.rename on the local fs silently overwrites, so the
     // no-clobber publish must come from FileContext.rename — two
