@@ -183,56 +183,69 @@ class GraftCdcMicroBatchStream(root: String, cdcSchema: StructType,
           keepMode = false, "insert", s.version)
       }.toArray[InputPartition]
     } else {
-      GraftStreamShared.requireRetainedRange(spark, root,
-        s.version, e.version)
+      // a batch may start/end MID-VERSION under the file/byte budget
+      // (fileIdx over the version's path-sorted added list) — only
+      // PURE-APPEND versions split; a data-change version lands whole
+      val lastV = if (e.fileIdx > 0) e.version + 1 else e.version
+      GraftStreamShared.requireRetainedRange(spark, root, s.version, lastV)
       val startFields = cdcSchema.fields.map(_.name).dropRight(2).toSet
-      (s.version + 1 to e.version).toArray.flatMap { v =>
+      (s.version + 1 to lastV).toArray.flatMap { v =>
         GraftStreamShared.checkSchemaDrift(spark, root, v, startFields,
           allowSchemaDrift)
         // v == 1 diffs against the EMPTY pre-table state
         // (startingVersion=1 streams the first commit as inserts)
-        val prevFiles = if (v == 1) Set.empty[String]
-          else VersionedTable.snapshot(spark, root, v - 1).files.toSet
-        val dvPrev = if (v == 1) Map.empty[String, Array[Long]]
-          else GraftStreamShared.dvPositions(spark, root, v - 1)
-        val szPrev = if (v == 1) Map.empty[String, Long]
-          else VersionedTable.fileSizes(spark, root, v - 1).toMap
-        val cur = VersionedTable.snapshot(spark, root, v)
-        val added = cur.files.toSet -- prevFiles
-        val removed = prevFiles -- cur.files.toSet
-        val dvCur = GraftStreamShared.dvPositions(spark, root, v)
-        val szCur = VersionedTable.fileSizes(spark, root, v).toMap
-        val ins = added.toSeq.sorted.map(f =>
-          // an added file can carry a DV in its own arrival version
-          // (a restore resurrecting a file + its era's vector): its
-          // LIVE rows insert
-          GraftCdcPartition(f, szCur.getOrElse(f, 0L),
-            dvCur.getOrElse(key3(f), Array.emptyLongArray),
-            keepMode = false, "insert", v))
-        val del = removed.toSeq.sorted.map(f =>
-          // removed rows delete AS THE PRE-COMMIT ERA SAW THEM: rows
-          // already DV'd before this commit are not re-deleted
-          GraftCdcPartition(f, szPrev.getOrElse(f, 0L),
-            dvPrev.getOrElse(key3(f), Array.emptyLongArray),
-            keepMode = false, "delete", v))
-        // carried files: DV growth = deletes at exactly the new
-        // positions; DV shrink (restore into a pre-delete era) =
-        // inserts at exactly the resurfaced positions
-        val carried = (prevFiles intersect cur.files.toSet).toSeq.sorted
-        val dvDelta = carried.flatMap { f =>
-          val k = key3(f)
-          val p0 = dvPrev.getOrElse(k, Array.emptyLongArray).toSet
-          val p1 = dvCur.getOrElse(k, Array.emptyLongArray).toSet
-          val grew = (p1 -- p0).toArray.sorted
-          val shrank = (p0 -- p1).toArray.sorted
-          (if (grew.nonEmpty) Seq(GraftCdcPartition(f,
-            szCur.getOrElse(f, 0L), grew, keepMode = true, "delete", v))
-           else Seq.empty) ++
-          (if (shrank.nonEmpty) Seq(GraftCdcPartition(f,
-            szCur.getOrElse(f, 0L), shrank, keepMode = true, "insert", v))
-           else Seq.empty)
+        val delta = GraftStreamShared.versionAdmissionInfo(spark, root, v)
+        if (!delta.dataChange) {
+          // pure-append: added files carry no DV of their own era
+          // (the DVs did not move), so the slice streams as inserts
+          val from = if (v == s.version + 1) s.fileIdx.toInt else 0
+          val until = if (v == e.version + 1) e.fileIdx.toInt
+            else delta.added.size
+          delta.added.slice(from, until).map { case (f, b) =>
+            GraftCdcPartition(f, b, Array.emptyLongArray,
+              keepMode = false, "insert", v) }
+        } else {
+          val prevFiles = if (v == 1) Set.empty[String]
+            else VersionedTable.snapshot(spark, root, v - 1).files.toSet
+          val dvPrev = if (v == 1) Map.empty[String, Array[Long]]
+            else GraftStreamShared.dvPositions(spark, root, v - 1)
+          val szPrev = if (v == 1) Map.empty[String, Long]
+            else VersionedTable.fileSizes(spark, root, v - 1).toMap
+          val cur = VersionedTable.snapshot(spark, root, v)
+          val dvCur = GraftStreamShared.dvPositions(spark, root, v)
+          val szCur = VersionedTable.fileSizes(spark, root, v).toMap
+          val ins = delta.added.map { case (f, b) =>
+            // an added file can carry a DV in its own arrival version
+            // (a restore resurrecting a file + its era's vector): its
+            // LIVE rows insert
+            GraftCdcPartition(f, b,
+              dvCur.getOrElse(key3(f), Array.emptyLongArray),
+              keepMode = false, "insert", v) }
+          val del = delta.removedFiles.map(f =>
+            // removed rows delete AS THE PRE-COMMIT ERA SAW THEM: rows
+            // already DV'd before this commit are not re-deleted
+            GraftCdcPartition(f, szPrev.getOrElse(f, 0L),
+              dvPrev.getOrElse(key3(f), Array.emptyLongArray),
+              keepMode = false, "delete", v))
+          // carried files: DV growth = deletes at exactly the new
+          // positions; DV shrink (restore into a pre-delete era) =
+          // inserts at exactly the resurfaced positions
+          val carried = (prevFiles intersect cur.files.toSet).toSeq.sorted
+          val dvDelta = carried.flatMap { f =>
+            val k = key3(f)
+            val p0 = dvPrev.getOrElse(k, Array.emptyLongArray).toSet
+            val p1 = dvCur.getOrElse(k, Array.emptyLongArray).toSet
+            val grew = (p1 -- p0).toArray.sorted
+            val shrank = (p0 -- p1).toArray.sorted
+            (if (grew.nonEmpty) Seq(GraftCdcPartition(f,
+              szCur.getOrElse(f, 0L), grew, keepMode = true, "delete", v))
+             else Seq.empty) ++
+            (if (shrank.nonEmpty) Seq(GraftCdcPartition(f,
+              szCur.getOrElse(f, 0L), shrank, keepMode = true, "insert", v))
+             else Seq.empty)
+          }
+          ins ++ del ++ dvDelta
         }
-        ins ++ del ++ dvDelta
       }.map(p => p: InputPartition)
     }
   }

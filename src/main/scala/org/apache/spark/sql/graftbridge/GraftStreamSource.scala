@@ -147,37 +147,36 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
     } else {
       // delta batches walk PER-VERSION diffs (not the net diff): a
       // MERGE's rewritten file must classify as a data change, which
-      // only the per-commit granularity can see
-      GraftStreamShared.requireRetainedRange(spark, root,
-        s.version, e.version)
+      // only the per-commit granularity can see. Under a file/byte
+      // budget a batch may START mid-version (s.fileIdx) and END
+      // mid-version (e.fileIdx over version e.version + 1) — only
+      // pure-append versions split, so the slices are always over the
+      // version's path-sorted added list.
+      val lastV = if (e.fileIdx > 0) e.version + 1 else e.version
+      GraftStreamShared.requireRetainedRange(spark, root, s.version, lastV)
       val startFields = streamSchema.fields.map(_.name).toSet
-      (s.version + 1 to e.version).toArray.flatMap { v =>
+      (s.version + 1 to lastV).toArray.flatMap { v =>
         GraftStreamShared.checkSchemaDrift(spark, root, v, startFields,
           allowSchemaDrift)
         // v == 1 diffs against the EMPTY pre-table state
         // (startingVersion=1 streams the first commit as inserts)
-        val prevFiles = if (v == 1) Set.empty[String]
-          else VersionedTable.snapshot(spark, root, v - 1).files.toSet
-        val prevDv = if (v == 1) Set.empty[(String, String)]
-          else VersionedTable.dvEntries(spark, root, v - 1).toSet
-        val cur = VersionedTable.snapshot(spark, root, v)
-        val added = cur.files.toSet -- prevFiles
-        val removed = prevFiles -- cur.files.toSet
-        val dvGrew = VersionedTable.dvEntries(spark, root, v).toSet != prevDv
-        if (removed.nonEmpty || dvGrew) {
+        val delta = GraftStreamShared.versionAdmissionInfo(spark, root, v)
+        if (delta.dataChange) {
           if (!skipChangeCommits) throw new UnsupportedOperationException(
             s"graft stream at $root: version $v changed existing data " +
-              s"(${removed.size} files removed" +
-              (if (dvGrew) ", deletion vectors grew" else "") +
+              s"(${delta.removedFiles.size} files removed" +
+              (if (delta.dvMoved) ", deletion vectors moved" else "") +
               "). Streaming delivers appends; set skipChangeCommits=true " +
               "to skip data-change commits, or use vt_changes() for CDC.")
           Seq.empty // the commit's row changes are skipped wholesale
         } else {
           // pure-append commit: fresh files carry no DV of their own
           // era, so the rows stream as-is
-          val sizeOf = VersionedTable.fileSizes(spark, root, v).toMap
-          added.toSeq.sorted.map(f => GraftStreamPartition(f,
-            sizeOf.getOrElse(f, 0L), Array.emptyLongArray))
+          val from = if (v == s.version + 1) s.fileIdx.toInt else 0
+          val until = if (v == e.version + 1) e.fileIdx.toInt
+            else delta.added.size
+          delta.added.slice(from, until).map { case (f, bytes) =>
+            GraftStreamPartition(f, bytes, Array.emptyLongArray) }
         }
       }.map(p => p: InputPartition)
     }
@@ -271,15 +270,44 @@ private[graftbridge] object GraftStreamShared {
                     version: Long): Seq[(String, Long)] =
     VersionedTable.fileSizes(spark, root, version).sortBy(_._1)
 
+  /** One delta version's admission facts, in the STABLE order every
+    * planner slices: a DATA-CHANGE version (files removed or deletion
+    * vectors moved) lands WHOLE — its classification needs the full
+    * diff; a PURE-APPEND version's `added` list (path-sorted,
+    * manifest-recorded sizes) is what the intra-version file budget
+    * slices. */
+  final case class VersionDelta(removedFiles: Seq[String], dvMoved: Boolean,
+                                added: Seq[(String, Long)]) {
+    def dataChange: Boolean = removedFiles.nonEmpty || dvMoved
+  }
+
+  def versionAdmissionInfo(spark: SparkSession, root: String, w: Long)
+      : VersionDelta = {
+    val prevFiles = if (w == 1) Set.empty[String]
+      else VersionedTable.snapshot(spark, root, w - 1).files.toSet
+    val prevDv = if (w == 1) Set.empty[(String, String)]
+      else VersionedTable.dvEntries(spark, root, w - 1).toSet
+    val cur = VersionedTable.snapshot(spark, root, w)
+    val added = VersionedTable.fileSizes(spark, root, w)
+      .filter { case (f, _) => !prevFiles.contains(f) }.sortBy(_._1)
+    val removed = (prevFiles -- cur.files.toSet).toSeq.sorted
+    val dvMoved = VersionedTable.dvEntries(spark, root, w).toSet != prevDv
+    VersionDelta(removed, dvMoved, added)
+  }
+
   /** Admission control (round 15: file/byte-granular): the initial
     * snapshot drains in slices of ≤ `maxFiles` files / `maxBytes`
     * bytes per micro-batch (`fileIdx` is the intra-snapshot
     * watermark — a 100 TB table's first checkpointed batch is no
-    * longer the whole table); delta batches then admit whole versions,
-    * at most `maxVersions` per batch, stopping early when the NEXT
-    * version's added files would blow the file/byte budget (a batch
-    * always advances by at least one file slice / one version), never
-    * past `cap` (the Trigger.AvailableNow target). */
+    * longer the whole table). Delta batches admit at most
+    * `maxVersions` versions, and under a file/byte budget a
+    * PURE-APPEND version itself SPLITS across micro-batches (`fileIdx`
+    * becomes the intra-version watermark over the version's
+    * path-sorted added files — one 10k-file INSERT is no longer one
+    * batch); a DATA-CHANGE version still lands whole (its
+    * classification needs the full diff). A batch always advances by
+    * at least one file / one version; never past `cap` (the
+    * Trigger.AvailableNow target). */
   def nextOffset(spark: SparkSession, root: String, s: GraftStreamOffset,
                  cap: Long, maxVersions: Long,
                  maxFiles: Long = Long.MaxValue,
@@ -301,33 +329,58 @@ private[graftbridge] object GraftStreamShared {
       }
     } else {
       val cur = math.min(cap, VersionedTable.currentVersion(spark, root))
+      val unbounded = maxFiles == Long.MaxValue && maxBytes == Long.MaxValue
       // saturating add: the default reach is Long.MaxValue
       val reach = if (maxVersions > Long.MaxValue - s.version)
         Long.MaxValue else s.version + maxVersions
-      var end = math.min(cur, reach)
-      if (end > s.version &&
-          (maxFiles != Long.MaxValue || maxBytes != Long.MaxValue)) {
-        // version-granular budget walk: admit versions while their
-        // ADDED files fit; the first version always admits (progress)
-        var v = s.version
-        var nFiles = 0L
-        var nBytes = 0L
-        var stop = false
-        while (v < end && !stop) {
-          val prev = if (v == 0) Set.empty[String]
-            else VersionedTable.snapshot(spark, root, v).files.toSet
-          val szs = VersionedTable.fileSizes(spark, root, v + 1)
-            .filter { case (f, _) => !prev.contains(f) }
-          val af = szs.size.toLong
-          val ab = szs.map(_._2).sum
-          if (v > s.version &&
-              (nFiles + af > maxFiles || nBytes + ab > maxBytes)) stop = true
-          else { nFiles += af; nBytes += ab; v += 1 }
+      if (unbounded) {
+        // a leftover partial version (caps removed across a restart)
+        // must still complete before plain version admission resumes
+        val end = math.max(math.min(cur, reach),
+          if (s.fileIdx > 0 && s.version < cur) s.version + 1 else s.version)
+        if (end <= s.version) s else GraftStreamOffset(end, snapshotDone = true)
+      } else {
+        var v = s.version          // last FULLY delivered version
+        var fidx = s.fileIdx       // delivered added-file count of v+1
+        var nF = 0L; var nB = 0L
+        var admitted = false
+        var nVersions = 0L
+        var done = false
+        while (!done && v < cur && nVersions < maxVersions) {
+          val w = v + 1
+          val delta = versionAdmissionInfo(spark, root, w)
+          val added = delta.added
+          if (delta.dataChange) {
+            // whole or not at all; budget still charges its files so a
+            // later version stops the batch
+            val aF = added.size.toLong
+            val aB = added.map(_._2).sum
+            if (admitted && (nF + aF > maxFiles || nB + aB > maxBytes))
+              done = true
+            else {
+              nF += aF; nB += aB; v = w; fidx = 0L
+              admitted = true; nVersions += 1
+            }
+          } else {
+            var i = fidx.toInt
+            var progressed = false
+            while (i < added.size &&
+                ((!admitted && !progressed) ||
+                 (nF < maxFiles && nB + added(i)._2 <= maxBytes))) {
+              nB += added(i)._2; nF += 1; i += 1; progressed = true
+            }
+            if (i >= added.size) {
+              v = w; fidx = 0L; nVersions += 1
+              if (progressed || added.isEmpty) admitted = true
+            } else {
+              if (progressed) { fidx = i.toLong; admitted = true }
+              done = true
+            }
+          }
         }
-        end = v
+        if (v == s.version && fidx == s.fileIdx) s
+        else GraftStreamOffset(v, snapshotDone = true, fidx)
       }
-      if (end <= s.version) s
-      else GraftStreamOffset(end, snapshotDone = true)
     }
 
   /** The delta walk diffs snapshot(v-1) vs snapshot(v) for every

@@ -565,7 +565,7 @@ class StreamAdmissionSpec extends SparkSpec {
       s"exactly-once across the mid-snapshot restart, got ${all.size} rows")
   }
 
-  test("delta versions admit by file budget; a huge version still lands whole") {
+  test("delta versions admit by file budget: exact-fit versions land one per batch") {
     val root = tmpDir("deltabudget") + "/t"
     exactFiles(root, 2)
     // three appended versions, exactly 2 files each
@@ -586,6 +586,50 @@ class StreamAdmissionSpec extends SparkSpec {
     q.exception.foreach(throw _)
     // 3 versions x 2 files under a 2-file budget = one version per batch
     assert(batches == 3, s"expected 3 version-granular batches, got $batches")
+  }
+
+  test("a single huge pure-append VERSION splits across micro-batches; data-change versions land whole") {
+    // one INSERT committing 12 files under maxFilesPerTrigger=4 must
+    // drain in 3 batches (the r14 verdict's 'a version is unbounded'
+    // seam), survive a mid-version crash exactly-once, and a DV
+    // delete (data-change) must still land as ONE whole batch
+    val root = tmpDir("versplit") + "/t"
+    exactFiles(root, 2)          // v1: the starting snapshot (2 files)
+    val ckpt = tmpDir("versplitck")
+    val byBatch = scala.collection.mutable.Map[Long, Seq[Long]]()
+    def run(failAt: Long): Option[Throwable] = {
+      val q = spark.readStream.format("graft-cdc")
+        .option("table", root)
+        .option("startingVersion", "2")
+        .option("maxFilesPerTrigger", "4")
+        .load().writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (id == failAt) sys.error("injected mid-version crash")
+          byBatch.synchronized {
+            byBatch(id) = b.collect().map(_.getLong(0)).toSeq }
+          ()
+        }.start()
+      val term = scala.util.Try(q.awaitTermination(120000))
+      q.exception.map(e => e: Throwable).orElse(term.failed.toOption)
+    }
+    exactFiles(root, 12, base = 100L) // v2: ONE 12-file append
+    // crash after the first 4-file slice — restart resumes mid-version
+    assert(run(failAt = 1L).isDefined, "injected crash must surface")
+    assert(byBatch.values.map(_.size).sum == 4, s"one slice committed: $byBatch")
+    assert(run(failAt = -1L).isEmpty)
+    assert(byBatch.size == 3,
+      s"12 files / 4 per trigger must be 3 batches, got ${byBatch.size}")
+    assert(byBatch.values.flatten.toSeq.sorted == (100L until 112L),
+      "exactly-once across the mid-version restart")
+    // a data-change commit (DV delete) still lands whole in one batch
+    graft.sources.VersionedTable.deleteWhereDv(spark, root, "k >= 100 AND k < 110")
+    val before = byBatch.size
+    assert(run(failAt = -1L).isEmpty)
+    val dels = byBatch.toSeq.drop(before).flatMap(_._2)
+    assert(byBatch.size == before + 1 && dels.size == 10,
+      s"the 10-row DV delete must be ONE whole batch: ${byBatch.size - before} batches, ${dels.size} rows")
   }
 
   test("startingTimestamp resolves at-or-before and streams what landed after") {
