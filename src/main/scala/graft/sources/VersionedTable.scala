@@ -1605,7 +1605,8 @@ object VersionedTable {
                         cm: Map[String, String],
                         meta: Map[String, String],
                         mode: String = "append",
-                        cleanupDirs: Seq[String] = Nil): Long = {
+                        cleanupDirs: Seq[String] = Nil,
+                        skipIfBatchAtLeast: Option[Long] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     require(meta.forall { case (k, v) =>
       !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r') },
@@ -1624,7 +1625,8 @@ object VersionedTable {
         else Seq.empty,
       unionWithPrev = mode == "append",
       effStats = effStats,
-      cleanupDirs = cleanupDirs.map(new Path(root, _)))
+      cleanupDirs = cleanupDirs.map(new Path(root, _)),
+      skipIfBatchAtLeast = skipIfBatchAtLeast)
   }
 
   /** PHYSICAL-named variant of a logical write schema under mapping
@@ -1768,7 +1770,8 @@ object VersionedTable {
                             carriedLines: Long => Seq[String],
                             unionWithPrev: Boolean,
                             effStats: Seq[String],
-                            cleanupDirs: Seq[Path]): Long = {
+                            cleanupDirs: Seq[Path],
+                            skipIfBatchAtLeast: Option[Long] = None): Long = {
     val f = fs(spark, root)
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     // every committed line records its byte size: [[compactSmall]]
@@ -1828,6 +1831,17 @@ object VersionedTable {
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(spark, root)
+      // streaming-epoch idempotence, checked INSIDE the loop so it
+      // re-evaluates against each rename attempt's winner: a replayed
+      // (or zombie-raced) epoch whose id the table already carries
+      // publishes nothing — exactly-once without trusting any check
+      // made before the serialization point
+      if (skipIfBatchAtLeast.exists(epoch =>
+          manifestMeta(spark, root, cur).get("batch")
+            .exists(_.toLong >= epoch))) {
+        dropStaged()
+        return cur
+      }
       if (expectBase >= 0 && cur != expectBase) {
         // another writer won since our snapshot: abort, drop our files
         dropStaged()
@@ -1864,8 +1878,12 @@ object VersionedTable {
       val schemaJson = unioned.json
       // `clustering`(+bits) is a TABLE property (the declared layout),
       // not a commit note — carry it like statscols unless this
-      // commit explicitly restates it
-      val allMeta = Seq("clustering", "clustering_bits")
+      // commit explicitly restates it. `batch` (round 15) carries the
+      // same way: the streaming sink's exactly-once watermark must
+      // survive interleaved maintenance commits (compact/OPTIMIZE/a
+      // batch INSERT), or a crash-replayed epoch after maintenance
+      // would re-append (lastBatchId would read -1)
+      val allMeta = Seq("clustering", "clustering_bits", "batch")
         .flatMap(k => curMeta.get(k).map(k -> _)).toMap ++
         meta + ("schema" -> schemaJson) ++
         (if (effStats.nonEmpty) Map("statscols" -> effStats.mkString(","))
@@ -2907,11 +2925,22 @@ object VersionedTable {
     // enforces no-clobber even on RawLocalFileSystem, whose
     // FileSystem.rename (POSIX renameTo) silently overwrites: two
     // racing tag() calls can both pass the exists check above, and
-    // first-writer-wins must hold on the filesystem the tests run on
+    // first-writer-wins must hold on the filesystem the tests run on.
+    // A store with NO AbstractFileSystem binding (s3a/gs without
+    // fs.AbstractFileSystem.<scheme>.impl) cannot build a FileContext
+    // at all — fall back to the plain FileSystem rename there (the
+    // pre-round-15 behavior: object-store renames don't clobber like
+    // POSIX, and failing every tag() with a bogus 'lost a race' would
+    // be a regression for those stores).
     try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+      val fc = try org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
         spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, p)
+      catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => null
+      }
+      if (fc != null) fc.rename(tmp, p)
+      else if (f.exists(p) || !f.rename(tmp, p))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
     } catch {
       case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
                 _: java.io.IOException) =>
@@ -3367,11 +3396,21 @@ object VersionedTable {
     // dropping the tag releases it. Defensive exists-filter: a tag
     // whose manifest a PRE-TAG-ERA vacuum already removed cannot
     // resurrect anything.
-    val taggedVs = tags(spark, root).values.toSet.filter(v =>
-      v >= 1 && f.exists(new Path(manifestDir(root), s"v$v.manifest")))
+    val retainedVs = f.listStatus(manifestDir(root)).toSeq
+      .flatMap(_.getPath.getName match {
+        case ManifestName(v) => Some(v.toLong)
+        case _ => None
+      }).toSet
+    val taggedVs = tags(spark, root).values.toSet
+      .filter(v => v >= 1 && retainedVs.contains(v))
     val windowStart =
       if (taggedVs.isEmpty) retainStart else math.min(retainStart, taggedVs.min)
-    val keepVs = (windowStart to cur).toSeq
+    // only versions whose manifest still EXISTS: a table vacuumed
+    // under the pre-round-15 semantics (tagged version kept, untagged
+    // intermediates dropped) has GAPS above the oldest tag — skipping
+    // them keeps vacuum runnable instead of throwing on a manifest a
+    // prior era already retired
+    val keepVs = (windowStart to cur).filter(retainedVs.contains)
     // qualify through the filesystem: listStatus returns scheme-
     // qualified paths (file:/…), manifest resolution does not
     val live = keepVs.flatMap(v => snapshot(spark, root, v).files ++

@@ -728,9 +728,13 @@ object StreamingOps {
     * of foreachBatch's at-least-once replay, without rewriting any
     * prior data (contrast [[idempotentBatchSink]], which relies on
     * partition overwrite). Batch ids stay monotone because each
-    * commit carries the previous manifest forward; interleaving
-    * non-streaming commits on the same table would drop the watermark
-    * — give the stream its own table root.
+    * commit carries the previous manifest forward; since round 15 the
+    * `#batch` watermark ALSO carries through non-streaming commits
+    * (compact/OPTIMIZE/batch INSERT — commitCore carries it like the
+    * clustering table property), so interleaved maintenance no longer
+    * resets it. The first-class sink is `writeStream.toTable`
+    * ([[org.apache.spark.sql.graftbridge.GraftStreamingWrite]]); this
+    * foreachBatch form remains the arbitrary-transform escape hatch.
     */
   def versionedCommitSink(docs: DataFrame, root: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

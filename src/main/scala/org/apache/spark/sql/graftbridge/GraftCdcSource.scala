@@ -118,26 +118,21 @@ class GraftCdcMicroBatchStream(root: String, cdcSchema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = VersionedTable.currentVersion(spark, root)
 
-  private val maxVersionsPerBatch: Long =
-    Option(options.get("maxversionsperbatch")).map(_.toLong)
-      .getOrElse(Long.MaxValue)
-  require(maxVersionsPerBatch > 0,
-    s"maxVersionsPerBatch must be positive, got $maxVersionsPerBatch")
-  // round 15: file/byte-granular admission + snapshot splitting and
-  // the fail-loud schema-drift posture — same options, same semantics
-  // as the table stream (GraftStreamSource)
-  private val maxFilesPerTrigger: Long =
-    Option(options.get("maxfilespertrigger")).map(_.toLong)
-      .getOrElse(Long.MaxValue)
-  require(maxFilesPerTrigger > 0,
-    s"maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
-  private val maxBytesPerTrigger: Long =
-    Option(options.get("maxbytespertrigger")).map(_.toLong)
-      .getOrElse(Long.MaxValue)
-  require(maxBytesPerTrigger > 0,
-    s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
-  private val allowSchemaDrift: Boolean =
-    Option(options.get("allowschemadrift")).exists(_.toBoolean)
+  // one shared option contract with the table stream (round 15:
+  // file/byte-granular admission incl. snapshot/version splitting,
+  // fail-loud schema drift) — GraftStreamShared.readOptions
+  private val opts = GraftStreamShared.readOptions(options)
+
+  // per-version admission facts are immutable — cached so the capped
+  // admission loop and the planner share one manifest read per version
+  private val deltaCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long,
+      GraftStreamShared.VersionDelta]()
+  private def deltaOf(v: Long): GraftStreamShared.VersionDelta = {
+    if (deltaCache.size > 1024) deltaCache.clear()
+    deltaCache.computeIfAbsent(v,
+      w => GraftStreamShared.versionAdmissionInfo(spark, root, w))
+  }
 
   // the physical read schema covers the TABLE columns only (the two
   // CDC columns are appended reader-side)
@@ -160,7 +155,8 @@ class GraftCdcMicroBatchStream(root: String, cdcSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     GraftStreamShared.nextOffset(spark, root,
       start.asInstanceOf[GraftStreamOffset], availableNowCap,
-      maxVersionsPerBatch, maxFilesPerTrigger, maxBytesPerTrigger)
+      opts.maxVersionsPerBatch, opts.maxFilesPerTrigger,
+      opts.maxBytesPerTrigger, deltaOf)
 
   private def key3(p: String): String =
     p.split('/').takeRight(3).mkString("/")
@@ -191,10 +187,10 @@ class GraftCdcMicroBatchStream(root: String, cdcSchema: StructType,
       val startFields = cdcSchema.fields.map(_.name).dropRight(2).toSet
       (s.version + 1 to lastV).toArray.flatMap { v =>
         GraftStreamShared.checkSchemaDrift(spark, root, v, startFields,
-          allowSchemaDrift)
+          opts.allowSchemaDrift)
         // v == 1 diffs against the EMPTY pre-table state
         // (startingVersion=1 streams the first commit as inserts)
-        val delta = GraftStreamShared.versionAdmissionInfo(spark, root, v)
+        val delta = deltaOf(v)
         if (!delta.dataChange) {
           // pure-append: added files carry no DV of their own era
           // (the DVs did not move), so the slice streams as inserts

@@ -79,29 +79,22 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
 
   private def spark: SparkSession = SparkSession.active
 
-  private val maxVersionsPerBatch: Long =
-    Option(options.get("maxversionsperbatch")).map(_.toLong)
-      .getOrElse(Long.MaxValue)
-  require(maxVersionsPerBatch > 0,
-    s"maxVersionsPerBatch must be positive, got $maxVersionsPerBatch")
-  // round 15: file/byte-granular admission (Delta's maxFilesPerTrigger
-  // / maxBytesPerTrigger) — including splitting the INITIAL SNAPSHOT
-  // across micro-batches, so a fresh checkpoint over a 100-TB table
-  // never materializes the whole table in one batch
-  private val maxFilesPerTrigger: Long =
-    Option(options.get("maxfilespertrigger")).map(_.toLong)
-      .getOrElse(Long.MaxValue)
-  require(maxFilesPerTrigger > 0,
-    s"maxFilesPerTrigger must be positive, got $maxFilesPerTrigger")
-  private val maxBytesPerTrigger: Long =
-    Option(options.get("maxbytespertrigger")).map(_.toLong)
-      .getOrElse(Long.MaxValue)
-  require(maxBytesPerTrigger > 0,
-    s"maxBytesPerTrigger must be positive, got $maxBytesPerTrigger")
-  private val skipChangeCommits: Boolean =
-    Option(options.get("skipchangecommits")).exists(_.toBoolean)
-  private val allowSchemaDrift: Boolean =
-    Option(options.get("allowschemadrift")).exists(_.toBoolean)
+  // one shared option contract for both streams (round 15:
+  // file/byte-granular admission incl. snapshot/version splitting,
+  // fail-loud schema drift) — GraftStreamShared.readOptions
+  private val opts = GraftStreamShared.readOptions(options)
+
+  // VersionDelta per version is immutable — cache it so the capped
+  // admission loop and the planner don't re-read the same manifests
+  // twice per version per micro-batch (4+ metadata RPCs become ~2)
+  private val deltaCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long,
+      GraftStreamShared.VersionDelta]()
+  private def deltaOf(v: Long): GraftStreamShared.VersionDelta = {
+    if (deltaCache.size > 1024) deltaCache.clear()
+    deltaCache.computeIfAbsent(v,
+      w => GraftStreamShared.versionAdmissionInfo(spark, root, w))
+  }
 
   // the physical read schema addresses every era's files (names are
   // fixed at first commit); rows line up POSITIONALLY with the
@@ -125,7 +118,8 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     GraftStreamShared.nextOffset(spark, root,
       start.asInstanceOf[GraftStreamOffset], availableNowCap,
-      maxVersionsPerBatch, maxFilesPerTrigger, maxBytesPerTrigger)
+      opts.maxVersionsPerBatch, opts.maxFilesPerTrigger,
+      opts.maxBytesPerTrigger, deltaOf)
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
@@ -157,12 +151,12 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
       val startFields = streamSchema.fields.map(_.name).toSet
       (s.version + 1 to lastV).toArray.flatMap { v =>
         GraftStreamShared.checkSchemaDrift(spark, root, v, startFields,
-          allowSchemaDrift)
+          opts.allowSchemaDrift)
         // v == 1 diffs against the EMPTY pre-table state
         // (startingVersion=1 streams the first commit as inserts)
-        val delta = GraftStreamShared.versionAdmissionInfo(spark, root, v)
+        val delta = deltaOf(v)
         if (delta.dataChange) {
-          if (!skipChangeCommits) throw new UnsupportedOperationException(
+          if (!opts.skipChangeCommits) throw new UnsupportedOperationException(
             s"graft stream at $root: version $v changed existing data " +
               s"(${delta.removedFiles.size} files removed" +
               (if (delta.dvMoved) ", deletion vectors moved" else "") +
@@ -208,6 +202,33 @@ class GraftMicroBatchStream(root: String, streamSchema: StructType,
   * ([[GraftMicroBatchStream]]) and the CDC stream
   * ([[GraftCdcMicroBatchStream]], `format("graft-cdc")`). */
 private[graftbridge] object GraftStreamShared {
+
+  /** The admission/posture options both streams accept, parsed once —
+    * ONE copy of the option contract (names, bounds, messages), so
+    * the two streams cannot silently diverge. */
+  final case class StreamReadOptions(maxVersionsPerBatch: Long,
+                                     maxFilesPerTrigger: Long,
+                                     maxBytesPerTrigger: Long,
+                                     skipChangeCommits: Boolean,
+                                     allowSchemaDrift: Boolean) {
+    def capped: Boolean = maxFilesPerTrigger != Long.MaxValue ||
+      maxBytesPerTrigger != Long.MaxValue
+  }
+
+  def readOptions(options: CaseInsensitiveStringMap): StreamReadOptions = {
+    def positive(name: String): Long = {
+      val v = Option(options.get(name.toLowerCase)).map(_.toLong)
+        .getOrElse(Long.MaxValue)
+      require(v > 0, s"$name must be positive, got $v")
+      v
+    }
+    StreamReadOptions(
+      positive("maxVersionsPerBatch"),
+      positive("maxFilesPerTrigger"),
+      positive("maxBytesPerTrigger"),
+      Option(options.get("skipchangecommits")).exists(_.toBoolean),
+      Option(options.get("allowschemadrift")).exists(_.toBoolean))
+  }
 
   /** Where a stream starts: `startingVersion` = number (changes FROM
     * that version on, no snapshot) | 'latest' (only future changes) |
@@ -283,6 +304,10 @@ private[graftbridge] object GraftStreamShared {
 
   def versionAdmissionInfo(spark: SparkSession, root: String, w: Long)
       : VersionDelta = {
+    // the capped admission loop reads manifests BEFORE the planner
+    // runs — the vacuumed-era failure must be the same precise one
+    // requireRetainedRange raises there, not a raw missing-file read
+    requireRetainedRange(spark, root, math.max(w - 1, 1L), w)
     val prevFiles = if (w == 1) Set.empty[String]
       else VersionedTable.snapshot(spark, root, w - 1).files.toSet
     val prevDv = if (w == 1) Set.empty[(String, String)]
@@ -311,7 +336,8 @@ private[graftbridge] object GraftStreamShared {
   def nextOffset(spark: SparkSession, root: String, s: GraftStreamOffset,
                  cap: Long, maxVersions: Long,
                  maxFiles: Long = Long.MaxValue,
-                 maxBytes: Long = Long.MaxValue): GraftStreamOffset =
+                 maxBytes: Long = Long.MaxValue,
+                 deltaOf: Long => VersionDelta = null): GraftStreamOffset =
     if (!s.snapshotDone) {
       if (maxFiles == Long.MaxValue && maxBytes == Long.MaxValue)
         s.copy(snapshotDone = true, fileIdx = 0L)
@@ -346,9 +372,12 @@ private[graftbridge] object GraftStreamShared {
         var admitted = false
         var nVersions = 0L
         var done = false
+        val lookup: Long => VersionDelta =
+          if (deltaOf != null) deltaOf
+          else versionAdmissionInfo(spark, root, _)
         while (!done && v < cur && nVersions < maxVersions) {
           val w = v + 1
-          val delta = versionAdmissionInfo(spark, root, w)
+          val delta = lookup(w)
           val added = delta.added
           if (delta.dataChange) {
             // whole or not at all; budget still charges its files so a

@@ -96,10 +96,15 @@ class GraftStreamingWrite(root: String, logicalSchema: StructType,
     } else if (files.isEmpty) {
       fsDelete(stagedDir) // empty epoch: no empty commits
     } else {
+      // the same epoch-id guard re-runs INSIDE the OCC loop
+      // (skipIfBatchAtLeast): a zombie driver racing a restarted run
+      // cannot double-publish — whoever loses the manifest rename
+      // re-reads the winner's watermark and skips
       VersionedTable.commitStagedFiles(spark, root, files, logicalSchema,
         cm, meta = Map("batch" -> epochId.toString),
         mode = if (overwriteEachEpoch) "overwrite" else "append",
-        cleanupDirs = Seq(stagedDir))
+        cleanupDirs = Seq(stagedDir),
+        skipIfBatchAtLeast = Some(epochId))
       ()
     }
   }

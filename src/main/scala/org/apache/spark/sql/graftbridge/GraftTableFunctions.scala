@@ -136,10 +136,22 @@ object GraftTableFunctions {
       val tagRead: Option[LogicalPlan] =
         if (at > 0 && es.size == 1 && !arg.substring(at + 1).contains('/')) {
           val prefix = arg.substring(0, at)
-          val tg = scala.util.Try(graft.sources.VersionedTable.readTag(
-            spark, resolveRoot(spark, prefix), arg.substring(at + 1)))
-          if (prefix.contains('/')) tg.toOption.map(plan)
-          else Some(plan(tg.get)) // catalog identifier: tag errors surface
+          val name = arg.substring(at + 1)
+          if (prefix.contains('/')) {
+            // path prefix: fall back to the plain path read ONLY when
+            // the tag genuinely does not exist — a tag that resolves
+            // but fails to READ (damaged/vacuumed pin) must surface
+            // ITS error, not a bogus no-such-table from the fallback
+            val tagged = scala.util.Try(
+              graft.sources.VersionedTable.tags(spark,
+                resolveRoot(spark, prefix)).contains(name))
+              .getOrElse(false)
+            if (tagged) Some(plan(graft.sources.VersionedTable.readTag(
+              spark, resolveRoot(spark, prefix), name)))
+            else None
+          } else Some(plan(graft.sources.VersionedTable.readTag(
+            spark, resolveRoot(spark, prefix), name)))
+          // catalog identifier: tag errors always surface
         } else None
       tagRead.getOrElse {
         val v = if (es.size == 2) litLong(es, 1, "vt_read") else -1L

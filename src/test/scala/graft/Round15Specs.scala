@@ -264,6 +264,21 @@ class GraftStreamingSinkSpec extends SparkSpec {
     // and epoch 8 continues normally
     writeEpoch(w2, 8L, 100L)
     assert(VersionedTable.read(spark, root).count() == 12L)
+    // the #batch watermark SURVIVES interleaved maintenance commits
+    // (round-15 review finding): a plain batch INSERT between epochs
+    // must not reset it to -1, or a crash-replayed epoch after
+    // maintenance would re-append
+    import spark.implicits._
+    VersionedTable.commit(Seq(999L).toDF("k"), root, mode = "append")
+    assert(VersionedTable.lastBatchId(spark, root) == 8L,
+      "maintenance commit must carry the epoch watermark forward")
+    // replay AFTER maintenance (a fresh restart = fresh write
+    // instance/staging nonce): still skipped by the carried watermark
+    val w3 = new org.apache.spark.sql.graftbridge.GraftStreamingWrite(
+      root, schema, "q-spec", overwriteEachEpoch = false)
+    writeEpoch(w3, 8L, 100L)
+    assert(VersionedTable.read(spark, root).count() == 13L,
+      "replayed epoch after a maintenance commit must not duplicate")
     spark.sql("DROP TABLE graft.snk2")
   }
 
