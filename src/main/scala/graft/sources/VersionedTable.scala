@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, broadcast, col, collect_list, concat, count, element_at, explode, expr, input_file_name, lit, map_from_entries, pmod, posexplode, struct, sum, when, xxhash64}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_list, concat, count, element_at, explode, expr, input_file_name, lit, map_from_entries, pmod, posexplode, struct, sum, when, xxhash64}
 import java.nio.charset.StandardCharsets
 
 /** Versioned-manifest table layout — snapshot isolation for the batch
@@ -315,9 +315,38 @@ object VersionedTable {
   }
 
   /** Highest streaming batch id recorded in the current manifest, or
-    * −1 when none — the streaming sink's idempotence watermark. */
-  def lastBatchId(spark: SparkSession, root: String): Long =
-    manifestMeta(spark, root).get("batch").map(_.toLong).getOrElse(-1L)
+    * −1 when none — the streaming sink's idempotence watermark.
+    *
+    * Round 16: the watermark is keyed PER WRITER (`batch.<queryId>`
+    * meta entries) so a fresh-checkpoint restart (new queryId, epochs
+    * restarting at 0) or a second concurrent query appending to the
+    * same table can never be silently muted by ANOTHER writer's
+    * watermark — the r15 table-global `batch` key made exactly that a
+    * latent data-loss path. The bare legacy `batch` key is consulted
+    * only while a table carries NO keyed entry, so a pre-r16 streamed
+    * table keeps its crash-replay protection across the upgrade; the
+    * first keyed commit supersedes it for every writer.
+    *
+    * `queryId = null` reads the OBSERVATION watermark — the max over
+    * every writer's entry and the bare key — what "has any epoch
+    * landed yet" progress checks want. */
+  def lastBatchId(spark: SparkSession, root: String,
+                  queryId: String = null): Long = {
+    val m = manifestMeta(spark, root)
+    if (queryId == null) {
+      val all = m.collect {
+        case (k, v) if k == "batch" || k.startsWith("batch.") => v.toLong }
+      if (all.isEmpty) -1L else all.max
+    } else batchWatermark(m, queryId)
+  }
+
+  /** Per-writer watermark out of a manifest meta map — see
+    * [[lastBatchId]] for the legacy-fallback rule. */
+  private def batchWatermark(meta: Map[String, String], queryId: String): Long =
+    meta.get(s"batch.$queryId").map(_.toLong).getOrElse {
+      if (meta.keys.exists(_.startsWith("batch."))) -1L
+      else meta.get("batch").map(_.toLong).getOrElse(-1L)
+    }
 
   /** Table schema recorded in the given (or latest) manifest, or None
     * for manifests written before schema tracking. Schema lives in the
@@ -1606,7 +1635,7 @@ object VersionedTable {
                         meta: Map[String, String],
                         mode: String = "append",
                         cleanupDirs: Seq[String] = Nil,
-                        skipIfBatchAtLeast: Option[Long] = None): Long = {
+                        skipIfBatchAtLeast: Option[(String, Long)] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     require(meta.forall { case (k, v) =>
       !k.contains("=") && !(k + v).exists(c => c == '\n' || c == '\r') },
@@ -1771,7 +1800,7 @@ object VersionedTable {
                             unionWithPrev: Boolean,
                             effStats: Seq[String],
                             cleanupDirs: Seq[Path],
-                            skipIfBatchAtLeast: Option[Long] = None): Long = {
+                            skipIfBatchAtLeast: Option[(String, Long)] = None): Long = {
     val f = fs(spark, root)
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     // every committed line records its byte size: [[compactSmall]]
@@ -1833,12 +1862,14 @@ object VersionedTable {
       val cur = currentVersion(spark, root)
       // streaming-epoch idempotence, checked INSIDE the loop so it
       // re-evaluates against each rename attempt's winner: a replayed
-      // (or zombie-raced) epoch whose id the table already carries
-      // publishes nothing — exactly-once without trusting any check
-      // made before the serialization point
-      if (skipIfBatchAtLeast.exists(epoch =>
-          manifestMeta(spark, root, cur).get("batch")
-            .exists(_.toLong >= epoch))) {
+      // (or zombie-raced) epoch whose id THIS WRITER's watermark
+      // already covers publishes nothing — exactly-once without
+      // trusting any check made before the serialization point. The
+      // comparison is against the CALLER's own `batch.<queryId>` key
+      // (round 16), so a second concurrent writer's higher epochs can
+      // never mute this one's commits.
+      if (skipIfBatchAtLeast.exists { case (qid, epoch) =>
+          batchWatermark(manifestMeta(spark, root, cur), qid) >= epoch }) {
         dropStaged()
         return cur
       }
@@ -1878,12 +1909,18 @@ object VersionedTable {
       val schemaJson = unioned.json
       // `clustering`(+bits) is a TABLE property (the declared layout),
       // not a commit note — carry it like statscols unless this
-      // commit explicitly restates it. `batch` (round 15) carries the
-      // same way: the streaming sink's exactly-once watermark must
-      // survive interleaved maintenance commits (compact/OPTIMIZE/a
-      // batch INSERT), or a crash-replayed epoch after maintenance
-      // would re-append (lastBatchId would read -1)
-      val allMeta = Seq("clustering", "clustering_bits", "batch")
+      // commit explicitly restates it. `batch` / `batch.<queryId>`
+      // (rounds 15/16) carry the same way: the streaming sink's
+      // exactly-once watermarks must survive interleaved maintenance
+      // commits (compact/OPTIMIZE/a batch INSERT), or a crash-replayed
+      // epoch after maintenance would re-append (lastBatchId would
+      // read -1). `constraint.*` / `default.*` / `upsert_keys` /
+      // `autocompact` (round 16) are declared table properties too.
+      val carriedKeys = Seq("clustering", "clustering_bits", "batch",
+        "upsert_keys", "autocompact") ++
+        curMeta.keys.filter(k => k.startsWith("batch.") ||
+          k.startsWith("constraint.") || k.startsWith("default."))
+      val allMeta = carriedKeys
         .flatMap(k => curMeta.get(k).map(k -> _)).toMap ++
         meta + ("schema" -> schemaJson) ++
         (if (effStats.nonEmpty) Map("statscols" -> effStats.mkString(","))
@@ -1986,17 +2023,28 @@ object VersionedTable {
     * unconditional BY SOURCE clause touches every file holding an
     * unmatched row.
     *
+    * `targetCond` (round 16) is the ON clause's TARGET-SIDE residual
+    * predicate (`ON t.k = s.k AND t.ds = '2024-01'`): MATCHED means
+    * key-equal AND predicate-true (NULL-as-false), a pred-false
+    * target row is unmatched (BY SOURCE sees it; a source key
+    * matching only pred-false rows inserts), and the predicate
+    * narrows the copy-on-write file set — it reaches the parquet scan,
+    * so a clustered table's out-of-range files never rewrite.
+    *
     * Copy-on-write like [[merge]]: only files holding a live row whose
     * key has an APPLICABLE matched clause (or an applicable BY SOURCE
     * row) are rewritten; matched rows
     * with no applicable clause — and every row of every other file —
-    * carry forward untouched. The source must be key-unique (the
-    * standard MERGE cardinality contract, checked — a CDC batch is
-    * key-unique after per-key reduction). Same OCC/retry contract. */
+    * carry forward untouched. The source must be key-unique among
+    * keys that MATCH a live target row (the standard MERGE cardinality
+    * contract, checked; duplicate UNMATCHED keys legitimately insert
+    * one row each — round 16, was a global rejection). Same OCC/retry
+    * contract. */
   def mergeApply(srcPrep: DataFrame, root: String, keys: Seq[String],
                  matched: Seq[Option[Seq[String]]],
                  notMatched: Seq[Seq[String]],
                  bySource: Seq[(Option[String], Option[Seq[(String, String)]])] = Nil,
+                 targetCond: Option[String] = None,
                  maxRetries: Int = 5): Long = {
     require(keys.nonEmpty, "mergeApply needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
@@ -2011,6 +2059,18 @@ object VersionedTable {
         curLive.columns.contains(k) && srcPrep.columns.contains(k),
         s"key column $k must exist on both sides"))
       val targetCols = curLive.columns.filterNot(_ == "__file").toSeq
+      // round 16: a compound ON carries a TARGET-SIDE residual
+      // predicate (`ON t.k = s.k AND t.ds = '2024-01'`) — MATCHED
+      // means key-equal AND predicate-true; a pred-false target row
+      // is unmatched (BY SOURCE clauses see it, and a source row
+      // whose key exists only among pred-false rows inserts). The
+      // predicate is evaluated under NULL-as-false (SQL WHERE
+      // semantics). Target rows that are MATCHED under the predicate
+      // narrow the copy-on-write file set: the filter reaches the
+      // parquet scan, so a clustered table's out-of-range files are
+      // row-group-pruned at plan time and never enter `touched`.
+      val predT: org.apache.spark.sql.Column =
+        targetCond.map(t => coalesce(expr(t), lit(false))).getOrElse(lit(true))
       // first applicable BY SOURCE clause for an UNMATCHED target row
       // (target-side conditions — evaluable on curLive/the join alike)
       val bIdxExpr = bySource.zipWithIndex
@@ -2018,31 +2078,51 @@ object VersionedTable {
           cond.map(t => when(expr(t), lit(i)).otherwise(rest))
             .getOrElse(lit(i))
         }
-      // cardinality: at most one source row per key — silent
-      // last-writer-wins here would be wrong rows, not a trade
-      val dup = srcPrep.groupBy(keys.map(topCol): _*)
+      // cardinality: at most one source row per key AMONG KEYS THAT
+      // MATCH A LIVE TARGET ROW — multiple updates to one target row
+      // are ambiguous (the standard/Delta MERGE error), but duplicate
+      // UNMATCHED source keys legitimately insert one row each, so
+      // they pass through to the insert leg instead of failing the
+      // whole statement (round 16; was a global duplicate rejection)
+      val dupKeys = srcPrep.groupBy(keys.map(topCol): _*)
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).limit(1).collect()
+        .filter(col("__n") > 1)
+      val dup = dupKeys.join(
+          curLive.filter(predT).select(keys.map(topCol): _*).distinct(),
+          keys, "left_semi").limit(1).collect()
       if (dup.nonEmpty) throw new IllegalArgumentException(
-        s"MERGE source has multiple rows for key " +
+        s"MERGE source has multiple rows for matched key " +
           keys.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
             .mkString(", ") + " — reduce the source to one row per key")
-      // files holding a live row whose key has an APPLICABLE clause —
-      // or, with BY SOURCE clauses, an unmatched row an applicable
-      // clause hits (file-name collect is manifest-bounded, the
-      // documented stats-collect pattern; qualified like vacuum's rule)
+      // files holding a live MATCHED row whose key has an APPLICABLE
+      // clause — or, with BY SOURCE clauses, an unmatched row an
+      // applicable clause hits (file-name collect is manifest-bounded,
+      // the documented stats-collect pattern; qualified like vacuum's
+      // rule)
       val actKeys = srcPrep.filter(col("__act") >= 0)
         .select(keys.map(topCol): _*).distinct()
       val f = fs(spark, root)
-      val touchedMatched = curLive.join(actKeys, keys, "left_semi")
+      val touchedMatched = curLive.filter(predT).join(actKeys, keys, "left_semi")
         .select("__file").distinct()
       val touchedFiles =
         if (bySource.isEmpty) touchedMatched
-        else touchedMatched.unionByName(
+        else if (targetCond.isEmpty) touchedMatched.unionByName(
           curLive.join(srcPrep.select(keys.map(topCol): _*).distinct(),
               keys, "left_anti")
             .filter(bIdxExpr >= 0)
             .select("__file").distinct()).distinct()
+        else {
+          // with a residual predicate, "unmatched by source" includes
+          // pred-FALSE rows whose key IS in the source — the anti-join
+          // shape can't express that, so mark and filter
+          val unmatchedRows = curLive.join(
+              srcPrep.select(keys.map(topCol): _*).distinct()
+                .withColumn("__srck", lit(1)), keys, "left")
+            .filter(col("__srck").isNull || !predT)
+          touchedMatched.unionByName(
+            unmatchedRows.filter(bIdxExpr >= 0)
+              .select("__file").distinct()).distinct()
+        }
       val touched = touchedFiles.collect()
         .map(r => f.makeQualified(new Path(r.getString(0))).toString).toSet
       val (touchedAbs, untouchedAbs) =
@@ -2056,21 +2136,29 @@ object VersionedTable {
         else {
           val live = scanLogical(spark, root, s.version, touchedAbs,
             raw => applyDv(spark, root, s.version, raw))
+          // __mt: MATCHED under both the key join and the residual
+          // predicate, null-safed to a strict boolean (a left-join
+          // miss makes `__m === 1` NULL, and `!NULL` is NULL — an
+          // unguarded negation would silently drop unmatched rows
+          // from the BY SOURCE legs)
           val j = live.join(
               srcPrep.withColumn("__m", lit(1)), keys, "left")
+            .withColumn("__mt", coalesce(
+              targetCond.map(t => col("__m") === 1 && expr(t))
+                .getOrElse(col("__m") === 1), lit(false)))
             .withColumn("__bact",
               if (bySource.isEmpty) lit(-1)
-              else when(col("__m").isNull, bIdxExpr).otherwise(lit(-1)))
+              else when(!col("__mt"), bIdxExpr).otherwise(lit(-1)))
           val noDelete =
             (if (deleteIdx.isEmpty) lit(true)
-             else col("__m").isNull || !col("__act").isin(deleteIdx: _*)) &&
+             else !col("__mt") || !col("__act").isin(deleteIdx: _*)) &&
             (if (bDeleteIdx.isEmpty) lit(true)
              else !col("__bact").isin(bDeleteIdx: _*))
           j.filter(noDelete).select(targetCols.map { c =>
             val matchedWhens = matched.zipWithIndex.collect {
               case (Some(set), i) if set.contains(c) => i
             }.foldRight(topCol(c)) { (i, rest) =>
-              when(col("__m") === 1 && col("__act") === i,
+              when(col("__mt") && col("__act") === i,
                 topCol(s"__u${i}__$c")).otherwise(rest)
             }
             bySource.zipWithIndex.collect {
@@ -2083,9 +2171,11 @@ object VersionedTable {
         }
       // inserts: unmatched-key source rows whose first applicable NOT
       // MATCHED clause provides the row (key anti-join against the
-      // FULL live key set — a matched key whose clauses all passed is
-      // still matched, never an insert)
-      val liveKeys = curLive.select(keys.map(topCol): _*).distinct()
+      // MATCHED live key set — pred-true under a residual ON
+      // predicate; a matched key whose clauses all passed is still
+      // matched, never an insert, while a key existing only among
+      // pred-false rows IS unmatched and inserts)
+      val liveKeys = curLive.filter(predT).select(keys.map(topCol): _*).distinct()
       val inserts = srcPrep.filter(col("__iact") >= 0)
         .join(liveKeys, keys, "left_anti")
         .select(targetCols.map { c =>
@@ -2942,11 +3032,18 @@ object VersionedTable {
       else if (f.exists(p) || !f.rename(tmp, p))
         throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
     } catch {
+      // ONLY a target-exists outcome is a lost creation race; any
+      // other IOException (transient FS failure, permissions) must
+      // surface as itself — reporting it as "lost a race" would
+      // misdiagnose the failure and hide the real cause
       case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                _: java.io.IOException) =>
+                _: org.apache.hadoop.fs.PathExistsException) =>
         f.delete(tmp, false)
         throw new IllegalStateException(
           s"tag '$name' lost a creation race at $root", e)
+      case e: java.io.IOException =>
+        f.delete(tmp, false)
+        throw e
     }
     // re-verify AFTER publishing: the retained-manifest check above
     // races a concurrent vacuum (TOCTOU) — a tag must never point at

@@ -740,11 +740,23 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        if (batchId > graft.sources.VersionedTable.lastBatchId(batch.sparkSession, root)) {
+        // round 16: the watermark is keyed PER QUERY like the
+        // first-class sink's (`batch.<queryId>`), so a fresh
+        // checkpoint (batch ids restarting at 0) appends instead of
+        // being muted by a previous query's table-global watermark.
+        // foreachBatch runs on the stream-execution thread, where the
+        // engine publishes the query id as a local property; absent
+        // (unit-test direct calls), fall back to the legacy bare key.
+        val qid = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId"))
+          .map(_.replaceAll("[=\\n\\r\\t ]", "-"))
+        val key = qid.map(q => s"batch.$q").getOrElse("batch")
+        if (batchId > graft.sources.VersionedTable.lastBatchId(
+            batch.sparkSession, root, qid.orNull)) {
           graft.sources.VersionedTable.commit(batch, root, mode = "append",
-            meta = Map("batch" -> batchId.toString))
+            meta = Map(key -> batchId.toString))
           ()
-        } else () // replayed batch — already committed, skip
+        } else () // replayed batch — already committed by THIS query, skip
     }
 
   /** Streaming data-quality monitoring — run an expectation suite

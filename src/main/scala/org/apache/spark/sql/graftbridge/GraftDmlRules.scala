@@ -227,24 +227,51 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
         "UPDATE SET ... | DELETE)")
     val targetSet = m.targetTable.outputSet
     val sourceSet = m.sourceTable.outputSet
-    val keyPairs = splitConjuncts(m.mergeCondition).map { term =>
-      term match {
+    // ON splits into EQUALITY KEY terms (the join) and — round 16 —
+    // TARGET-SIDE RESIDUAL terms (`ON t.k = s.k AND t.ds = '2024-01'`,
+    // the common shape against a partitioned/clustered table): a
+    // residual narrows what counts as MATCHED (a pred-false target
+    // row is unmatched — BY SOURCE clauses see it, and a source row
+    // matching only pred-false rows inserts) and prunes the
+    // copy-on-write file set (only files holding pred-true matches
+    // rewrite; the predicate reaches the parquet scan). Side-CROSSING
+    // non-equality terms stay rejected precisely.
+    val (eqTerms, residualTerms) =
+      splitConjuncts(m.mergeCondition).partition {
         case EqualTo(le, re) => (stripCast(le), stripCast(re)) match {
           case (a: AttributeReference, b: AttributeReference) =>
-            val (tc, sc) =
-              if (targetSet.contains(a) && sourceSet.contains(b)) (a, b)
-              else if (targetSet.contains(b) && sourceSet.contains(a)) (b, a)
-              else bad(s"ON term ${a.name} = ${b.name} must compare a " +
-                "target column to a source column")
-            if (!tc.name.equalsIgnoreCase(sc.name))
-              bad(s"ON term compares differently-named columns " +
-                s"${tc.name} and ${sc.name}")
-            (tc.name, sc)
-          case _ => bad(s"ON term must be a column equality, got ${term.sql}")
+            (targetSet.contains(a) && sourceSet.contains(b)) ||
+              (targetSet.contains(b) && sourceSet.contains(a))
+          case _ => false
         }
-        case other => bad(s"ON term must be a column equality, got ${other.sql}")
+        case _ => false
       }
+    val keyPairs = eqTerms.map {
+      case EqualTo(le, re) => (stripCast(le), stripCast(re)) match {
+        case (a: AttributeReference, b: AttributeReference) =>
+          val (tc, sc) =
+            if (targetSet.contains(a) && sourceSet.contains(b)) (a, b)
+            else (b, a)
+          if (!tc.name.equalsIgnoreCase(sc.name))
+            bad(s"ON term compares differently-named columns " +
+              s"${tc.name} and ${sc.name}")
+          (tc.name, sc)
+        case _ => bad("unreachable: eqTerms filtered to attribute equality")
+      }
+      case _ => bad("unreachable: eqTerms are equalities")
     }
+    if (keyPairs.isEmpty)
+      bad("ON must contain at least one target-to-source column equality")
+    residualTerms.foreach { term =>
+      if (term.references.exists(sourceSet.contains))
+        bad(s"ON term ${term.sql} mixes source columns into a " +
+          "non-equality predicate; only target-side residual " +
+          "predicates are supported alongside the key equalities")
+    }
+    val targetCond: Option[String] =
+      if (residualTerms.isEmpty) None
+      else Some(residualTerms.map(t =>
+        s"(${toSql(t, "MERGE ON predicate")})").mkString(" AND "))
     val keys = keyPairs.map(_._1)
     val targetCols = m.targetTable.output.map(_.name)
 
@@ -289,7 +316,7 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
     (m.matchedActions, m.notMatchedActions) match {
       case (Seq(u: UpdateAction), Seq(i: InsertAction))
           if u.condition.isEmpty && i.condition.isEmpty &&
-            m.notMatchedBySourceActions.isEmpty =>
+            m.notMatchedBySourceActions.isEmpty && targetCond.isEmpty =>
         val up = u.assignments.map(a => colName(a, "MATCHED") -> a.value).toMap
         val ins = i.assignments.map(a => colName(a, "NOT MATCHED") -> a.value).toMap
         val wholesale = targetCols.forall(c =>
@@ -376,7 +403,8 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
       matchedSpecs.map(_._2.map(_.map(_._1))),
       insertSpecs.map(_._2.map(_._1)),
       bySourceSpecs,
-      Project(projCols, m.sourceTable))
+      Project(projCols, m.sourceTable),
+      targetCond)
   }
 }
 
@@ -445,13 +473,15 @@ case class GraftMergeApplyCommand(root: String, keys: Seq[String],
                                   matched: Seq[Option[Seq[String]]],
                                   notMatched: Seq[Seq[String]],
                                   bySource: Seq[(Option[String], Option[Seq[(String, String)]])],
-                                  source: LogicalPlan)
+                                  source: LogicalPlan,
+                                  targetCond: Option[String] = None)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val prep = org.apache.spark.sql.classic.Dataset.ofRows(classic, source)
-    VersionedTable.mergeApply(prep, root, keys, matched, notMatched, bySource)
+    VersionedTable.mergeApply(prep, root, keys, matched, notMatched, bySource,
+      targetCond = targetCond)
     Seq.empty
   }
 }

@@ -29,13 +29,18 @@ import graft.sources.VersionedTable
   *    write path a batch insert uses; the driver never sees a row.
   *    At 1000 executors an epoch is a 1000-way parallel file write
   *    plus one manifest rename.
-  *  - **Epoch = commit, exactly-once.** `commit(epochId, messages)`
-  *    publishes exactly the committed tasks' files as one
-  *    VersionedTable append commit carrying `#batch=<epochId>` — the
-  *    same watermark versionedCommitSink uses — so a crash-replayed
-  *    epoch sees `epochId <= lastBatchId`, drops its staged files and
-  *    skips: no dupes, no gaps, and a reader never observes a
-  *    half-epoch (snapshot isolation via the manifest rename).
+  *  - **Epoch = commit, exactly-once PER WRITER.** `commit(epochId,
+  *    messages)` publishes exactly the committed tasks' files as one
+  *    VersionedTable append commit carrying
+  *    `#batch.<queryId>=<epochId>` (round 16: the watermark is keyed
+  *    by Spark's checkpoint-stable queryId, the txn-appId of the
+  *    public Delta idempotent-write design) — so a crash-replayed
+  *    epoch of THIS query sees `epochId <= lastBatchId(queryId)`,
+  *    drops its staged files and skips, while a fresh-checkpoint
+  *    query (epochs restarting at 0) or a second concurrent writer
+  *    lands every epoch: no dupes, no gaps, no cross-writer muting,
+  *    and a reader never observes a half-epoch (snapshot isolation
+  *    via the manifest rename).
   *  - **Failed/speculative tasks can't leak rows.** Only files named
   *    in the SUCCESSFUL tasks' commit messages are published;
   *    stragglers' orphans in the staging dir are never referenced and
@@ -72,6 +77,18 @@ class GraftStreamingWrite(root: String, logicalSchema: StructType,
   // the epoch already published, and drops them)
   private val runNonce: String = java.util.UUID.randomUUID.toString.take(8)
 
+  // the PER-WRITER idempotence key (round 16): Spark's queryId is
+  // stable across restarts of one checkpoint and fresh per new
+  // checkpoint, exactly the txn-appId contract the watermark needs —
+  // a fresh-checkpoint query (epochs restarting at 0) appends from
+  // epoch 0 instead of being silently muted by a previous writer's
+  // table-global watermark, and two concurrent writers each track
+  // their own epochs. Sanitized defensively: the manifest meta line
+  // is `#batch.<id>=<epoch>`.
+  private val writerKey: String =
+    Option(queryId).getOrElse("unknown")
+      .replaceAll("[=\\n\\r\\t ]", "-")
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     // prepareWrite configures the job conf exactly as a batch insert
@@ -89,22 +106,28 @@ class GraftStreamingWrite(root: String, logicalSchema: StructType,
       case m: GraftEpochFile if m.relPath != null => (m.relPath, m.bytes)
     }.toSeq.sortBy(_._1)
     val stagedDir = s"data/e$epochId-$runNonce"
-    if (epochId <= VersionedTable.lastBatchId(spark, root)) {
-      // crash-replayed epoch: already published by a prior run — the
-      // replay's staged files must go, the table must not
+    if (epochId <= VersionedTable.lastBatchId(spark, root, writerKey)) {
+      // crash-replayed epoch: already published by a prior run of THIS
+      // query — the replay's staged files must go, the table must not.
+      // Another writer's (or a fresh checkpoint's predecessor's)
+      // watermark never trips this guard: the comparison is against
+      // this query's own `batch.<queryId>` entry.
       fsDelete(stagedDir)
-    } else if (files.isEmpty) {
-      fsDelete(stagedDir) // empty epoch: no empty commits
+    } else if (files.isEmpty && !overwriteEachEpoch) {
+      fsDelete(stagedDir) // empty append epoch: no empty commits
     } else {
-      // the same epoch-id guard re-runs INSIDE the OCC loop
+      // complete mode publishes even an EMPTY epoch: the result
+      // legitimately shrank to zero rows, and keeping the previous
+      // epoch's rows would serve stale data forever. The same
+      // epoch-id guard re-runs INSIDE the OCC loop
       // (skipIfBatchAtLeast): a zombie driver racing a restarted run
       // cannot double-publish — whoever loses the manifest rename
       // re-reads the winner's watermark and skips
       VersionedTable.commitStagedFiles(spark, root, files, logicalSchema,
-        cm, meta = Map("batch" -> epochId.toString),
+        cm, meta = Map(s"batch.$writerKey" -> epochId.toString),
         mode = if (overwriteEachEpoch) "overwrite" else "append",
         cleanupDirs = Seq(stagedDir),
-        skipIfBatchAtLeast = Some(epochId))
+        skipIfBatchAtLeast = Some((writerKey, epochId)))
       ()
     }
   }

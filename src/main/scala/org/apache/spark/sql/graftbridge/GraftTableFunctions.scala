@@ -138,14 +138,15 @@ object GraftTableFunctions {
           val prefix = arg.substring(0, at)
           val name = arg.substring(at + 1)
           if (prefix.contains('/')) {
-            // path prefix: fall back to the plain path read ONLY when
-            // the tag genuinely does not exist — a tag that resolves
-            // but fails to READ (damaged/vacuumed pin) must surface
-            // ITS error, not a bogus no-such-table from the fallback
-            val tagged = scala.util.Try(
-              graft.sources.VersionedTable.tags(spark,
-                resolveRoot(spark, prefix)).contains(name))
-              .getOrElse(false)
+            // path prefix: fall back to the plain path read ONLY on a
+            // DEFINITE no-such-tag result — a tag that resolves but
+            // fails to READ (damaged/vacuumed pin) must surface ITS
+            // error, and a transient FS failure while LISTING the tags
+            // must propagate as itself, not silently reroute a genuine
+            // tag read onto the fallback path (round 16: the listing
+            // is no longer wrapped in a swallow-everything Try)
+            val tagged = graft.sources.VersionedTable.tags(spark,
+              resolveRoot(spark, prefix)).contains(name)
             if (tagged) Some(plan(graft.sources.VersionedTable.readTag(
               spark, resolveRoot(spark, prefix), name)))
             else None
