@@ -3567,6 +3567,97 @@ object PipelineQueries {
              |       (SELECT CAST(count(*) AS BIGINT) FROM base)
              |ORDER BY stage, k, c, p""".stripMargin)),
 
+    Q("q65n_sql_constraints",
+      // Write-path CHECK constraints (round 16): `ALTER TABLE ... ADD
+      // CONSTRAINT p_pos CHECK (p >= 0)` records a carried table
+      // property every write path enforces as ONE commit-sized
+      // vectorized pass — a violating INSERT aborts before publish,
+      // leaving the table AND its version counter unchanged (the
+      // VERSION AS OF 3 row proves the failed insert never became an
+      // era), then a valid INSERT lands normally. The `-1` flag row
+      // asserts the violation actually threw.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65n")
+        s.sql("DROP TABLE IF EXISTS graft.q65n")
+        s.sql("""CREATE TABLE graft.q65n AS
+          SELECT o_orderkey AS k, CAST(round(o_totalprice) AS BIGINT) AS p
+          FROM orders_q65n WHERE o_orderkey % 60 = 0""")
+        s.sql("ALTER TABLE graft.q65n ADD CONSTRAINT p_pos CHECK (p >= 0)")
+        val failed = try {
+          s.sql("""INSERT INTO graft.q65n
+            SELECT o_orderkey + 20000000,
+                   -CAST(round(o_totalprice) AS BIGINT)
+            FROM orders_q65n WHERE o_orderkey % 60 = 30""")
+          99L
+        } catch { case _: Exception => 1L }
+        s.sql("""INSERT INTO graft.q65n
+          SELECT o_orderkey + 10000000, CAST(round(o_totalprice) AS BIGINT)
+          FROM orders_q65n WHERE o_orderkey % 60 = 30""")
+        s.sql(s"""
+          SELECT k, p FROM graft.q65n
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT), CAST(-$failed AS BIGINT)
+          UNION ALL
+          SELECT CAST(-2 AS BIGINT),
+                 (SELECT count(*) FROM graft.q65n VERSION AS OF 3)
+          ORDER BY k, p""")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, CAST(round(o_totalprice) AS BIGINT) AS p
+             |  FROM orders WHERE o_orderkey % 60 = 0),
+             |ins AS (
+             |  SELECT o_orderkey + 10000000 AS k,
+             |         CAST(round(o_totalprice) AS BIGINT) AS p
+             |  FROM orders WHERE o_orderkey % 60 = 30)
+             |SELECT k, p FROM base
+             |UNION ALL SELECT k, p FROM ins
+             |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+             |UNION ALL SELECT CAST(-2 AS BIGINT),
+             |  (SELECT CAST(count(*) AS BIGINT) FROM base)
+             |ORDER BY k, p""".stripMargin)),
+
+    Q("q65p_sql_merge_on_pred",
+      // Compound-ON MERGE (round 16): `ON t.k = s.k AND t.seg = 0` —
+      // the partitioned/clustered-table idiom. MATCHED narrows to the
+      // pred-true rows (seg 0 updates), a key existing only among
+      // pred-false rows is UNMATCHED (its source row inserts alongside
+      // the untouched seg 1/2 rows), and the copy-on-write file set is
+      // pruned to files holding pred-true matches.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65p")
+        s.sql("DROP TABLE IF EXISTS graft.q65p")
+        s.sql("""CREATE TABLE graft.q65p AS
+          SELECT o_orderkey AS k, o_orderkey % 3 AS seg,
+                 CAST(round(o_totalprice) AS BIGINT) AS p
+          FROM orders_q65p WHERE o_orderkey % 20 = 0""")
+        s.sql("""
+          MERGE INTO graft.q65p t USING (
+            SELECT o_orderkey AS k,
+                   CAST(round(o_totalprice) * 3 AS BIGINT) AS p
+            FROM orders_q65p WHERE o_orderkey % 10 = 0) s
+          ON t.k = s.k AND t.seg = 0
+          WHEN MATCHED AND s.p > 0 THEN UPDATE SET p = s.p
+          WHEN NOT MATCHED THEN INSERT (k, seg, p) VALUES (s.k, -1, s.p)""")
+        s.sql("SELECT k, seg, p FROM graft.q65p ORDER BY k, seg, p")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_orderkey % 3 AS seg,
+             |         CAST(round(o_totalprice) AS BIGINT) AS p
+             |  FROM orders WHERE o_orderkey % 20 = 0),
+             |src AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice) * 3 AS BIGINT) AS p
+             |  FROM orders WHERE o_orderkey % 10 = 0)
+             |SELECT b.k, b.seg,
+             |       CASE WHEN b.seg = 0 THEN s.p ELSE b.p END AS p
+             |FROM base b LEFT JOIN src s ON b.k = s.k
+             |UNION ALL
+             |SELECT s.k, CAST(-1 AS BIGINT) AS seg, s.p
+             |FROM src s LEFT JOIN (SELECT k FROM base WHERE seg = 0) m
+             |  ON s.k = m.k
+             |WHERE m.k IS NULL
+             |ORDER BY k, seg, p""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;

@@ -1585,6 +1585,115 @@ object VersionedTable {
       meta => transforms.foldLeft(meta)((m, t) => t(m)), maxRetries)
   }
 
+  // ──────────────────── write-path constraints (round 16) ────────────────────
+  // Declared table constraints live as `constraint.<name>` manifest
+  // meta entries holding a CHECK predicate (SQL text over LOGICAL
+  // column names; NOT NULL is the `col IS NOT NULL` special case).
+  // They are TABLE properties: carried through every commit like
+  // `clustering`, visible per era (time travel sees the constraints
+  // of its version). Enforcement is ONE vectorized aggregate pass
+  // over each commit's OWN files — commit-sized, never table-sized —
+  // on every write path (INSERT/CTAS/MERGE/UPDATE/streaming epoch);
+  // a violation fails the commit with per-constraint row counts and
+  // the staged files are dropped, so the table is left unchanged.
+  // Pipelines get loud writes instead of post-hoc audits.
+
+  /** Declared constraints of a version's era: name → CHECK predicate. */
+  def constraintsOf(spark: SparkSession, root: String,
+                    version: Long = -1L): Map[String, String] =
+    manifestMeta(spark, root, version).collect {
+      case (k, v) if k.startsWith("constraint.") =>
+        k.stripPrefix("constraint.") -> v
+    }
+
+  /** Per-constraint violation counts over a LOGICAL-named frame
+    * (SQL CHECK semantics: NULL passes, only FALSE violates) — one
+    * aggregate pass, no shuffle. Returns (name, violations, total). */
+  private def violationCounts(df: DataFrame,
+                              constraints: Seq[(String, String)])
+      : Seq[(String, Long, Long)] = {
+    val aggs = constraints.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(expr(p).isNull || expr(p), 0L).otherwise(1L)).as(s"__c$i")
+    } :+ count(lit(1)).as("__n")
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = r.getAs[Long]("__n")
+    constraints.zipWithIndex.map { case ((n, _), i) =>
+      (n, Option(r.getAs[Any](s"__c$i")).map(_.toString.toLong).getOrElse(0L),
+        total)
+    }
+  }
+
+  /** Enforce `constraints` over `df`; columns of the table schema
+    * missing from `df` evaluate as NULL (what the committed files
+    * will serve), so `c IS NOT NULL` rightly fails a write that omits
+    * a mandatory column. Throws with per-constraint counts. */
+  private def enforceConstraints(df: DataFrame,
+                                 constraints: Seq[(String, String)],
+                                 tableSc: Option[org.apache.spark.sql.types.StructType],
+                                 root: String, what: String): Unit = {
+    if (constraints.isEmpty) return
+    val widened = tableSc match {
+      case Some(sc) =>
+        val missing = sc.fields.filterNot(f => df.columns.contains(f.name))
+        missing.foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      case None => df
+    }
+    val bad = violationCounts(widened, constraints).filter(_._2 > 0)
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$what at $root violates CHECK constraint" +
+          (if (bad.size > 1) "s " else " ") +
+          bad.map { case (n, v, t) => s"'$n' ($v of $t rows)" }
+            .mkString(", ") + " — the commit was aborted, the table is " +
+          "unchanged")
+  }
+
+  private def validConstraintName(name: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_'),
+      s"constraint name must be [A-Za-z0-9_-]+, got '$name'")
+  }
+
+  /** ADD a CHECK constraint (metadata commit). The predicate must
+    * analyze against the table's schema, and EXISTING rows must pass
+    * (one table scan; the standard ADD CONSTRAINT contract — adding a
+    * constraint the data already violates would make every later
+    * write fail for someone else's rows). */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    predicate: String, maxRetries: Int = 5): Long = {
+    validConstraintName(name)
+    // manifest meta is line-oriented: a predicate with newlines would
+    // corrupt it — normalize rather than reject (SQL is whitespace-
+    // insensitive)
+    val pred = predicate.replaceAll("[\\n\\r\\t]", " ").trim
+    require(pred.nonEmpty, "empty constraint predicate")
+    val cur = read(spark, root)
+    cur.limit(0).filter(pred).collect() // analysis check, fails loudly
+    enforceConstraints(cur, Seq(name -> pred), None, root,
+      s"ADD CONSTRAINT $name: existing data")
+    metaOnlyCommit(spark, root, meta => {
+      require(!meta.contains(s"constraint.$name"),
+        s"constraint '$name' already exists at $root")
+      meta + (s"constraint.$name" -> pred)
+    }, maxRetries)
+  }
+
+  /** DROP a constraint (metadata commit). */
+  def dropConstraint(spark: SparkSession, root: String, name: String,
+                     ifExists: Boolean = false, maxRetries: Int = 5): Long = {
+    validConstraintName(name)
+    metaOnlyCommit(spark, root, meta => {
+      if (!meta.contains(s"constraint.$name") && !ifExists)
+        throw new IllegalArgumentException(
+          s"no constraint '$name' at $root (have " +
+            meta.keys.filter(_.startsWith("constraint."))
+              .map(_.stripPrefix("constraint.")).toSeq.sorted
+              .mkString(", ") + ")")
+      meta - s"constraint.$name"
+    }, maxRetries)
+  }
+
   /** Write `df` as a new commit. `mode` "overwrite" makes the new
     * manifest reference only this commit's files; "append" makes it
     * reference the previous manifest's files plus this commit's.
@@ -1656,6 +1765,153 @@ object VersionedTable {
       effStats = effStats,
       cleanupDirs = cleanupDirs.map(new Path(root, _)),
       skipIfBatchAtLeast = skipIfBatchAtLeast)
+  }
+
+  /** UPDATE-MODE streaming epoch (round 16): commit parquet files
+    * ALREADY WRITTEN under `root` as one atomic KEYED UPSERT — the
+    * epoch's rows replace every live row sharing their `keys` values
+    * (a merge-on-read deletion vector records the replaced positions;
+    * NO existing data file rewrites) and append as fresh files, all
+    * under the same per-writer exactly-once watermark as an append
+    * epoch. This is the landing shape of a watermarked streaming
+    * aggregate in update output mode: each epoch re-emits only its
+    * CHANGED keys, and the table converges to one row per key without
+    * complete mode's whole-table rewrite per epoch. The DV derivation
+    * re-runs per OCC attempt against the current snapshot (losing a
+    * race re-derives the vectors; the staged data files are reused),
+    * the column-mapping and watermark guards re-check inside the
+    * loop, and declared CHECK constraints gate the epoch rows.
+    * Returns the committed version. */
+  def upsertStagedFiles(spark: SparkSession, root: String,
+                        written: Seq[(String, Long)],
+                        logicalSchema: org.apache.spark.sql.types.StructType,
+                        cm: Map[String, String],
+                        keys: Seq[String],
+                        meta: Map[String, String],
+                        cleanupDirs: Seq[String] = Nil,
+                        skipIfBatchAtLeast: Option[(String, Long)] = None,
+                        maxRetries: Int = 5): Long = {
+    require(keys.nonEmpty, "upsertStagedFiles needs at least one key column")
+    require(written.nonEmpty, "upsertStagedFiles needs staged files")
+    keys.foreach(k => require(logicalSchema.fieldNames.contains(k),
+      s"upsert key '$k' missing from the write schema " +
+        s"(${logicalSchema.fieldNames.mkString(", ")})"))
+    val f = fs(spark, root)
+    def dropStaged(): Unit =
+      cleanupDirs.foreach(d => f.delete(new Path(root, d), true))
+    val physSchema = physStruct(cm, logicalSchema)
+    // logical view of the staged epoch rows (the scanLogical rename
+    // recipe, against explicit files)
+    val epochRows = {
+      val raw = spark.read.schema(physSchema)
+        .parquet(written.map(w => new Path(root, w._1).toString): _*)
+      if (cm.isEmpty) raw
+      else raw.select(logicalSchema.fields.zip(physSchema.fields).map {
+        case (lf, pf) =>
+          if (pf.dataType == lf.dataType) topCol(pf.name).as(lf.name)
+          else topCol(pf.name).cast(relaxNullability(lf.dataType)).as(lf.name)
+      }.toSeq: _*)
+    }
+    locally {
+      val declared = constraintsOf(spark, root).toSeq.sortBy(_._1)
+      if (declared.nonEmpty)
+        try enforceConstraints(epochRows, declared,
+          tableSchema(spark, root), root, "streaming upsert")
+        catch { case e: Throwable => dropStaged(); throw e }
+    }
+    // the epoch's distinct keys — epoch-sized, reused across attempts
+    val epochKeys = epochRows.select(keys.map(topCol): _*)
+      .distinct().localCheckpoint(true)
+    var attempt = 0
+    while (true) {
+      val s = snapshot(spark, root)
+      val curMeta = manifestMeta(spark, root, s.version)
+      if (skipIfBatchAtLeast.exists { case (qid, epoch) =>
+          batchWatermark(curMeta, qid) >= epoch }) {
+        dropStaged()
+        return s.version
+      }
+      if (columnMapping(spark, root, s.version) != cm) {
+        dropStaged()
+        throw new ConcurrentCommitException(
+          s"column mapping at $root changed under the write")
+      }
+      // live rows the epoch's keys replace → deletion-vector entries
+      val base = scanLogical(spark, root, s.version, s.files, raw => raw
+        .withColumn("__dvf", expr("substring_index(input_file_name(), '/', -3)"))
+        .withColumn("__dvp", col("_metadata.row_index").cast("long")))
+      val dvs = dvEntries(spark, root, s.version)
+      val liveRows =
+        if (dvs.isEmpty) base
+        else base.join(
+          spark.read.parquet(dvs.map(_._2).distinct
+              .map(rel => new Path(root, rel).toString): _*)
+            .select(col("file").as("__dvf"), col("pos").as("__dvp")).distinct(),
+          Seq("__dvf", "__dvp"), "left_anti")
+      val hits = liveRows.join(broadcast(epochKeys), keys, "left_semi")
+        .select(col("__dvf").as("file"), col("__dvp").as("pos"))
+        .localCheckpoint(true)
+      val nonce = java.util.UUID.randomUUID.toString.take(8)
+      val dvDirRel = s"data/c${s.version + 1}-$nonce-dv"
+      val dvLines: Seq[String] =
+        if (hits.isEmpty) Nil
+        else {
+          hits.coalesce(1).write.parquet(new Path(root, dvDirRel).toString)
+          val dvRels = f.listStatus(new Path(root, dvDirRel))
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(st => s"$dvDirRel/${st.getPath.getName}").sorted.toSeq
+          val touched = hits.select("file").distinct()
+            .collect().map(_.getString(0)).sorted.toSeq
+          for (t <- touched; dRel <- dvRels) yield s"!dv\t$t\t$dRel"
+        }
+      // the epoch's files land with per-file stats like any commit
+      // (prunable at birth on a clustered table)
+      val effStats = curMeta.get("statscols").toSeq
+        .flatMap(_.split(",")).filter(_.nonEmpty)
+        .filter(p => fieldAtPath(physSchema, p).isDefined)
+      val sizeByName = written.map { case (rel, len) =>
+        new Path(rel).getName -> len }.toMap
+      val newLines = statLines(spark, root, written, physSchema, effStats,
+        sizeByName)
+      val unioned = unionSchema(tableSchema(spark, root, s.version),
+        logicalSchema)
+      val carriedKeys = Seq("clustering", "clustering_bits", "batch",
+        "upsert_keys", "autocompact") ++
+        curMeta.keys.filter(k => k.startsWith("batch.") ||
+          k.startsWith("constraint.") || k.startsWith("default."))
+      val allMeta = carriedKeys
+        .flatMap(k => curMeta.get(k).map(k -> _)).toMap ++
+        meta + ("schema" -> unioned.json) ++
+        (if (effStats.nonEmpty) Map("statscols" -> effStats.mkString(","))
+         else curMeta.get("statscols").map("statscols" -> _)) ++
+        (if (cm.nonEmpty) Map("colmap" -> colmapJson(cm)) else Map.empty) ++
+        curMeta.get("dropped").map("dropped" -> _)
+      // one rename publishes vectors AND epoch files atomically; prior
+      // lines carried verbatim (shard refs stay refs)
+      val lines = (allMeta.toSeq.sortBy(_._1).map { case (k, v2) => s"#$k=$v2" } ++
+        rawCarryLines(spark, root, s.version) ++ newLines ++ dvLines)
+        .mkString("", "\n", "\n")
+      val lost = currentVersion(spark, root) != s.version || {
+        val tmp = new Path(manifestDir(root), s".v${s.version + 1}-$nonce.tmp")
+        val out = f.create(tmp, true)
+        try out.write(lines.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        val renamed = f.rename(tmp,
+          new Path(manifestDir(root), s"v${s.version + 1}.manifest"))
+        if (!renamed) f.delete(tmp, false)
+        !renamed
+      }
+      if (!lost) return s.version + 1
+      // lost the race: drop our vectors (re-derived next attempt),
+      // KEEP the staged data files — they are attempt-independent
+      f.delete(new Path(root, dvDirRel), true)
+      attempt += 1
+      if (attempt > maxRetries) {
+        dropStaged()
+        throw new ConcurrentCommitException(
+          s"upsertStagedFiles at $root lost $attempt commit races")
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** PHYSICAL-named variant of a logical write schema under mapping
@@ -1790,6 +2046,57 @@ object VersionedTable {
     * DSv2 writer — the driver never re-shuffles the data) lands on the
     * exact same publish path as every batch commit. `cleanupDirs` are
     * dropped when the commit aborts (lost race / collision). */
+  /** Per-file manifest lines for freshly-written files: min/max for
+    * the stats columns — the data-skipping index [[fileStats]]
+    * serves. One extra scan of THIS COMMIT's files only (commit-
+    * sized, never table-sized; the parquet footers hold the same
+    * numbers, but one distributed pass over the fresh files avoids
+    * per-file footer opens on the driver and handles every type Spark
+    * can min/max). Collect is bounded by files-per-commit — the
+    * manifest-sized planner read. */
+  private def statLines(spark: SparkSession, root: String,
+                        written: Seq[(String, Long)],
+                        physSchema: org.apache.spark.sql.types.StructType,
+                        effStats: Seq[String],
+                        sizeByName: Map[String, Long]): Seq[String] =
+    if (effStats.isEmpty || written.isEmpty)
+      written.map { case (rel, _) =>
+        val nm = new Path(rel).getName
+        s"""$rel\t{"#bytes":${sizeByName(nm)}}"""
+      }
+    else {
+      val aggs = effStats.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(colRef(physSchema, c))
+          .cast("string").as(s"__mn_$c"),
+        org.apache.spark.sql.functions.max(colRef(physSchema, c))
+          .cast("string").as(s"__mx_$c"))) :+
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__nrows")
+      val rows = spark.read
+        .parquet(written.map(w => new Path(root, w._1).toString): _*)
+        .groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val byName = rows.map { r =>
+        val name = new Path(r.getString(0)).getName
+        // "#rows" can never collide with a column: the '#' prefix is
+        // reserved (manifest meta convention). fileStats' min/max
+        // parser skips non-array values, so old readers ignore it.
+        val json = (effStats.map { c =>
+          val mn = r.getAs[String](s"__mn_$c"); val mx = r.getAs[String](s"__mx_$c")
+          val v = if (mn == null || mx == null) "null" else s"[${jesc(mn)},${jesc(mx)}]"
+          s"${jesc(c)}:$v"
+        } :+ s""""#rows":${r.getAs[Long]("__nrows")}"""
+          :+ s""""#bytes":${sizeByName.getOrElse(name, 0L)}""").mkString("{", ",", "}")
+        name -> json
+      }.toMap
+      written.map { case (rel, _) =>
+        val nm = new Path(rel).getName
+        byName.get(nm).map(j => s"$rel\t$j")
+          .getOrElse(s"""$rel\t{"#bytes":${sizeByName(nm)}}""")
+      }
+    }
+
   private def publishStaged(spark: SparkSession, root: String,
                             written: Seq[(String, Long)],
                             logicalSchema: org.apache.spark.sql.types.StructType,
@@ -1808,52 +2115,35 @@ object VersionedTable {
     // RPCs
     val sizeByName = written.map { case (rel, len) =>
       new Path(rel).getName -> len }.toMap
-    // per-file min/max for the stats columns — the data-skipping
-    // index [[fileStats]] serves. One extra scan of THIS COMMIT's
-    // files only (commit-sized, never table-sized; the parquet
-    // footers hold the same numbers, but one distributed pass over
-    // the fresh files avoids per-file footer opens on the driver and
-    // handles every type Spark can min/max). Collect is bounded by
-    // files-per-commit — the manifest-sized planner read.
     val writtenLines: Seq[String] =
-      if (effStats.isEmpty || written.isEmpty)
-        written.map { case (rel, _) =>
-          val nm = new Path(rel).getName
-          s"""$rel\t{"#bytes":${sizeByName(nm)}}"""
-        }
-      else {
-        val aggs = effStats.flatMap(c => Seq(
-          org.apache.spark.sql.functions.min(colRef(physSchema, c))
-            .cast("string").as(s"__mn_$c"),
-          org.apache.spark.sql.functions.max(colRef(physSchema, c))
-            .cast("string").as(s"__mx_$c"))) :+
-          org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("__nrows")
-        val rows = spark.read
-          .parquet(written.map(w => new Path(root, w._1).toString): _*)
-          .groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-        val byName = rows.map { r =>
-          val name = new Path(r.getString(0)).getName
-          // "#rows" can never collide with a column: the '#' prefix is
-          // reserved (manifest meta convention). fileStats' min/max
-          // parser skips non-array values, so old readers ignore it.
-          val json = (effStats.map { c =>
-            val mn = r.getAs[String](s"__mn_$c"); val mx = r.getAs[String](s"__mx_$c")
-            val v = if (mn == null || mx == null) "null" else s"[${jesc(mn)},${jesc(mx)}]"
-            s"${jesc(c)}:$v"
-          } :+ s""""#rows":${r.getAs[Long]("__nrows")}"""
-            :+ s""""#bytes":${sizeByName.getOrElse(name, 0L)}""").mkString("{", ",", "}")
-          name -> json
-        }.toMap
-        written.map { case (rel, _) =>
-          val nm = new Path(rel).getName
-          byName.get(nm).map(j => s"$rel\t$j")
-            .getOrElse(s"""$rel\t{"#bytes":${sizeByName(nm)}}""")
-        }
-      }
+      statLines(spark, root, written, physSchema, effStats, sizeByName)
     def dropStaged(): Unit = cleanupDirs.foreach(d => f.delete(d, true))
+    // round 16: declared CHECK constraints gate the publish — one
+    // vectorized pass over THIS COMMIT's files only (commit-sized,
+    // never table-sized; rewrites validate exactly their touched
+    // footprint); a violation drops the staged files and aborts with
+    // per-constraint counts, leaving the table unchanged. Evaluated
+    // under LOGICAL names so constraints survive renames; table
+    // columns this write omits evaluate as NULL — what the committed
+    // files would serve — so `c IS NOT NULL` rightly rejects a write
+    // omitting a mandatory column.
+    locally {
+      val declared = constraintsOf(spark, root).toSeq.sortBy(_._1)
+      if (declared.nonEmpty && written.nonEmpty) {
+        val raw = spark.read.schema(physSchema)
+          .parquet(written.map(w => new Path(root, w._1).toString): _*)
+        val logicalView =
+          if (cm.isEmpty) raw
+          else raw.select(logicalSchema.fields.zip(physSchema.fields).map {
+            case (lf, pf) =>
+              if (pf.dataType == lf.dataType) topCol(pf.name).as(lf.name)
+              else topCol(pf.name).cast(relaxNullability(lf.dataType)).as(lf.name)
+          }.toSeq: _*)
+        try enforceConstraints(logicalView, declared,
+          tableSchema(spark, root), root, "write")
+        catch { case e: Throwable => dropStaged(); throw e }
+      }
+    }
     // commit loop: build the manifest (file list AND schema) against
     // the CURRENT version each attempt, so an append that loses a race
     // re-reads the winner's list and evolves the winner's schema
@@ -2347,6 +2637,12 @@ object VersionedTable {
       val preUpdate = hits.drop("__dvf", "__dvp")
       val updated = preUpdate.select(preUpdate.columns.toSeq.map(c =>
         set.get(c).map(e => expr(e).as(c)).getOrElse(col(c))): _*)
+      // declared CHECK constraints gate the UPDATE's new row versions
+      // (update-sized pass; this path writes its own manifest and so
+      // does not flow through publishStaged's gate)
+      enforceConstraints(updated,
+        constraintsOf(spark, root, s.version).toSeq.sortBy(_._1),
+        schema, root, "UPDATE")
       val dataDirRel = s"data/c${s.version + 1}-$nonce"
       // new row versions land under PHYSICAL names like every write
       val cmU = columnMapping(spark, root, s.version)

@@ -147,9 +147,26 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         s"(${schema.fieldNames.mkString(", ")})"))
     val statsCols = (Option(properties.get("statscols")).toSeq
       .flatMap(_.split(",")).filter(_.nonEmpty) ++ clustering).distinct
-    val meta = if (clustering.isEmpty) Map.empty[String, String]
+    // `upsert_keys = 'k1,k2'` declares a KEYED table (round 16): every
+    // streaming epoch lands as an atomic keyed upsert — the UPDATE
+    // output-mode landing shape; `autocompact = N` folds small-file
+    // compaction into the streaming sink's commit loop every N epochs
+    val upsertKeys = Option(properties.get("upsert_keys")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    upsertKeys.foreach(c => require(schema.fieldNames.contains(c),
+      s"upsert_keys column '$c' is not in the table schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    val autoCompact = Option(properties.get("autocompact")).map { v =>
+      require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0),
+        s"autocompact must be a positive epoch count, got '$v'")
+      v.trim
+    }
+    val meta = (if (clustering.isEmpty) Map.empty[String, String]
       else Map("clustering" -> clustering.mkString(",")) ++
-        Option(properties.get("clustering_bits")).map("clustering_bits" -> _)
+        Option(properties.get("clustering_bits")).map("clustering_bits" -> _)) ++
+      (if (upsertKeys.isEmpty) Map.empty[String, String]
+       else Map("upsert_keys" -> upsertKeys.mkString(","))) ++
+      autoCompact.map("autocompact" -> _)
     // v1 = an empty commit carrying the schema; CTAS's follow-up
     // INSERT is then v2, so `VERSION AS OF 1` of a CTAS table is the
     // empty pre-insert state only for plain CREATE TABLE
@@ -175,9 +192,41 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * containing a literal '.' cannot be addressed (the manifest keys
     * paths dot-joined) and is rejected here rather than silently
     * mis-resolved. Anything else is rejected precisely. */
+  /** The analyzer gates `ALTER TABLE ... ADD CONSTRAINT` on this
+    * capability (round 16): CHECK constraints land as table-property
+    * metadata commits and every write path enforces them. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val root = tableDir(ident)
+    // CONSTRAINT changes (round 16): their own statements, never mixed
+    // with column DDL by the parser — ADD validates existing data then
+    // commits the `constraint.<name>` table property; only CHECK (and
+    // the NOT-NULL special case it expresses) is supported, the
+    // unenforced informational kinds (PK/FK/UNIQUE) are rejected
+    // precisely rather than silently recorded-but-unchecked
+    val (constraintChanges, columnChanges) = changes.partition {
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    constraintChanges.foreach {
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          VersionedTable.addConstraint(spark, root, c.name(), c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"graft tables enforce CHECK constraints only; " +
+            s"${other.getClass.getSimpleName} is not supported " +
+            "(express NOT NULL as CHECK (col IS NOT NULL))")
+      }
+      case d: TableChange.DropConstraint =>
+        VersionedTable.dropConstraint(spark, root, d.name(),
+          ifExists = d.ifExists())
+      case _ => ()
+    }
+    if (constraintChanges.nonEmpty && columnChanges.isEmpty)
+      return loadTable(ident)
     def pathOf(fieldNames: Array[String], what: String): String = {
       fieldNames.find(_.contains(".")).foreach(seg =>
         throw new IllegalArgumentException(
@@ -248,6 +297,17 @@ class GraftTable(val root: String, val pinnedVersion: Long,
     VersionedTable.tableSchema(spark, root, pinnedVersion)
       .getOrElse(VersionedTable.read(spark, root, pinnedVersion).schema)
 
+  /** Declared CHECK constraints of this era (round 16) — reported
+    * enforced: every graft write path validates them at commit. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    VersionedTable.constraintsOf(spark, root, pinnedVersion)
+      .toSeq.sortBy(_._1).map { case (n, p) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(p).build()
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints.Constraint]
+      }.toArray
+
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE,
@@ -295,9 +355,16 @@ class GraftV1Scan(root: String, version: Long, tableSchema: StructType,
   * (no static partitions), so only the full-table filter is accepted.
   * STREAMING writes (round 15) build [[GraftStreamingWrite]]: append
   * output mode lands epoch-exactly-once append commits, complete mode
-  * (the engine calls truncate() first) an overwrite commit per epoch. */
+  * (the engine calls truncate() first) an overwrite commit per epoch.
+  * UPDATE output mode (round 16) is accepted through the
+  * [[SupportsStreamingUpdateAsAppend]] marker — the engine hands the
+  * sink each epoch's changed rows, and a table declaring
+  * `upsert_keys` lands them as atomic keyed upserts (DV-delete the
+  * epoch's keys + append their new rows in ONE commit), so a
+  * watermarked streaming aggregate converges to one row per key. */
 class GraftWriteBuilder(root: String, info: LogicalWriteInfo = null)
-    extends WriteBuilder with SupportsOverwrite {
+    extends WriteBuilder with SupportsOverwrite
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
 
   private var overwriteAll = false
 

@@ -147,6 +147,13 @@ case class GraftDmlRules(session: SparkSession) extends Rule[LogicalPlan] {
     case dml @ (_: DeleteFromTable | _: UpdateTable | _: MergeIntoTable)
         if !dml.resolved => dml
 
+    // ALTER TABLE ... ADD CONSTRAINT (round 16): the command's child
+    // IS the table relation — the session-catalog resolver re-extracts
+    // it to build the AlterTable change, so the read swap must leave
+    // the node whole (the constraint predicate is only ANALYZED
+    // against it, never executed through it)
+    case acc: AddCheckConstraint => acc
+
     // resolved DML over someone ELSE's table: only the merge source
     // can hold graft reads
     case m: MergeIntoTable => m.copy(sourceTable = rewrite(m.sourceTable))

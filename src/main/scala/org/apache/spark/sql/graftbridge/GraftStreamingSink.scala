@@ -89,6 +89,22 @@ class GraftStreamingWrite(root: String, logicalSchema: StructType,
     Option(queryId).getOrElse("unknown")
       .replaceAll("[=\\n\\r\\t ]", "-")
 
+  // table-DECLARED streaming behavior, read once per run like the
+  // column mapping (round 16): `upsert_keys = 'k1,k2'` makes every
+  // append epoch a keyed UPSERT — the landing shape of a watermarked
+  // streaming aggregate in UPDATE output mode (each epoch re-emits
+  // only its changed keys; the table converges to one row per key
+  // without complete mode's whole-table rewrite). `autocompact = N`
+  // folds a small-file compaction into the commit loop every N
+  // epochs, bounding the one-file-per-task-per-epoch fragmentation of
+  // a long-running stream.
+  private val tableMeta0: Map[String, String] =
+    VersionedTable.manifestMeta(spark, root)
+  private val upsertKeys: Seq[String] = tableMeta0.get("upsert_keys").toSeq
+    .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  private val autoCompactEvery: Long = tableMeta0.get("autocompact")
+    .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
     // prepareWrite configures the job conf exactly as a batch insert
@@ -123,14 +139,36 @@ class GraftStreamingWrite(root: String, logicalSchema: StructType,
       // (skipIfBatchAtLeast): a zombie driver racing a restarted run
       // cannot double-publish — whoever loses the manifest rename
       // re-reads the winner's watermark and skips
-      VersionedTable.commitStagedFiles(spark, root, files, logicalSchema,
-        cm, meta = Map(s"batch.$writerKey" -> epochId.toString),
-        mode = if (overwriteEachEpoch) "overwrite" else "append",
-        cleanupDirs = Seq(stagedDir),
-        skipIfBatchAtLeast = Some((writerKey, epochId)))
-      ()
+      if (upsertKeys.nonEmpty && !overwriteEachEpoch)
+        VersionedTable.upsertStagedFiles(spark, root, files, logicalSchema,
+          cm, upsertKeys,
+          meta = Map(s"batch.$writerKey" -> epochId.toString),
+          cleanupDirs = Seq(stagedDir),
+          skipIfBatchAtLeast = Some((writerKey, epochId)))
+      else
+        VersionedTable.commitStagedFiles(spark, root, files, logicalSchema,
+          cm, meta = Map(s"batch.$writerKey" -> epochId.toString),
+          mode = if (overwriteEachEpoch) "overwrite" else "append",
+          cleanupDirs = Seq(stagedDir),
+          skipIfBatchAtLeast = Some((writerKey, epochId)))
+      maybeAutoCompact(epochId)
     }
   }
+
+  /** Every `autocompact` epochs, fold [[VersionedTable.compactSmall]]
+    * into the commit loop — best-effort under the same OCC
+    * protections as any maintenance commit: a lost race (another
+    * writer landed first) skips this cadence and the next one
+    * retries; readers pinned mid-compaction are unaffected (their
+    * snapshot's files survive until vacuum), and the keyed epoch
+    * watermarks carry through the compaction commit like any other
+    * table property. */
+  private def maybeAutoCompact(epochId: Long): Unit =
+    if (autoCompactEvery > 0 &&
+        epochId % autoCompactEvery == autoCompactEvery - 1) {
+      try { VersionedTable.compactSmall(spark, root); () }
+      catch { case _: VersionedTable.ConcurrentCommitException => () }
+    }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     fsDelete(s"data/e$epochId-$runNonce")

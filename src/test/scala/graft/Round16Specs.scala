@@ -246,6 +246,295 @@ class MergeOnPredicateSpec extends SparkSpec {
   }
 }
 
+class ConstraintSpec extends SparkSpec {
+  import graft.sources.VersionedTable
+
+  test("ADD CONSTRAINT ... CHECK: a violating INSERT fails loudly and " +
+      "leaves the table unchanged; a valid one lands") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.con1")
+    spark.sql("CREATE TABLE graft.con1 AS SELECT id AS k, id * 10 AS v FROM range(5)")
+    spark.sql("ALTER TABLE graft.con1 ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.con1 VALUES (100L, -1L)")
+    }
+    assert(e.getMessage.contains("v_nonneg") ||
+      e.getMessage.toLowerCase.contains("constraint"), e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graft.con1").head().getLong(0) == 5L,
+      "a violating INSERT must leave the table unchanged")
+    spark.sql("INSERT INTO graft.con1 VALUES (100L, 1L)")
+    assert(spark.sql("SELECT count(*) FROM graft.con1").head().getLong(0) == 6L)
+    // NULL passes a plain CHECK (SQL semantics) …
+    spark.sql("INSERT INTO graft.con1 VALUES (101L, CAST(NULL AS BIGINT))")
+    // … and IS NOT NULL expresses NOT NULL
+    spark.sql("ALTER TABLE graft.con1 ADD CONSTRAINT k_nn CHECK (k IS NOT NULL)")
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.con1 VALUES (CAST(NULL AS BIGINT), 5L)")
+    }
+    assert(e2.getMessage.contains("k_nn") ||
+      e2.getMessage.toLowerCase.contains("constraint"), e2.getMessage)
+    // DROP releases enforcement
+    spark.sql("ALTER TABLE graft.con1 DROP CONSTRAINT k_nn")
+    spark.sql("INSERT INTO graft.con1 VALUES (CAST(NULL AS BIGINT), 5L)")
+    assert(spark.sql("SELECT count(*) FROM graft.con1").head().getLong(0) == 8L)
+    spark.sql("DROP TABLE graft.con1")
+  }
+
+  test("ADD CONSTRAINT validates EXISTING data and fails when rows violate") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.con2")
+    spark.sql("CREATE TABLE graft.con2 AS SELECT id - 2 AS v FROM range(5)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.con2 ADD CONSTRAINT pos CHECK (v >= 0)")
+    }
+    assert(e.getMessage.toLowerCase.contains("constraint"), e.getMessage)
+    // nothing recorded — writes stay unconstrained
+    spark.sql("INSERT INTO graft.con2 VALUES (-99L)")
+    assert(spark.sql("SELECT count(*) FROM graft.con2").head().getLong(0) == 6L)
+    spark.sql("DROP TABLE graft.con2")
+  }
+
+  test("constraints gate MERGE and UPDATE (merge-on-read) paths too") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.con3")
+    spark.sql("CREATE TABLE graft.con3 AS SELECT id AS k, id * 10 AS v FROM range(5)")
+    spark.sql("ALTER TABLE graft.con3 ADD CONSTRAINT v_cap CHECK (v < 1000)")
+    val em = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO graft.con3 t USING (SELECT 1L AS k, 5000L AS v) s
+        ON t.k = s.k
+        WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    }
+    assert(em.getMessage.contains("v_cap") ||
+      em.getMessage.toLowerCase.contains("constraint"), em.getMessage)
+    val eu = intercept[Exception] {
+      spark.sql("UPDATE graft.con3 SET v = v * 1000 WHERE k = 2")
+    }
+    assert(eu.getMessage.contains("v_cap") ||
+      eu.getMessage.toLowerCase.contains("constraint"), eu.getMessage)
+    val rows = spark.sql("SELECT k, v FROM graft.con3 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == (0L until 5L).map(i => (i, i * 10)),
+      s"failed DML must leave the table unchanged: $rows")
+    spark.sql("DROP TABLE graft.con3")
+  }
+
+  test("constraints gate the STREAMING sink: a violating epoch fails the " +
+      "stream and publishes nothing") {
+    SparkEntry.configure(spark)
+    val root = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+      .tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "con4"))
+    spark.sql("DROP TABLE IF EXISTS graft.con4")
+    spark.sql("CREATE TABLE graft.con4 (k BIGINT)")
+    spark.sql("ALTER TABLE graft.con4 ADD CONSTRAINT k_pos CHECK (k >= 0)")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "bigint", nullable = false)
+    val w = new org.apache.spark.sql.graftbridge.GraftStreamingWrite(
+      root, schema, "con4-q", overwriteEachEpoch = false)
+    def writeEpoch(epoch: Long, base: Long): Unit = {
+      val factory = w.createStreamingWriterFactory(
+        new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+          override def numPartitions(): Int = 1
+        })
+      val dw = factory.createWriter(0, 0L, epoch)
+      (0 until 3).foreach(i => dw.write(
+        org.apache.spark.sql.catalyst.InternalRow(base + i)))
+      w.commit(epoch, Array(dw.commit()))
+    }
+    writeEpoch(0L, 5L)
+    assert(spark.sql("SELECT count(*) FROM graft.con4").head().getLong(0) == 3L)
+    val e = intercept[Exception] { writeEpoch(1L, -10L) }
+    assert(e.getMessage.contains("k_pos") ||
+      e.getMessage.toLowerCase.contains("constraint"), e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graft.con4").head().getLong(0) == 3L,
+      "a violating epoch must publish nothing")
+    // no staged orphans for the failed epoch
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+      .map(_.getPath.getName).exists(_.startsWith("e1-")),
+      "violating epoch's staged files must be dropped")
+    spark.sql("DROP TABLE graft.con4")
+  }
+
+  test("constraints are era properties: carried through maintenance, " +
+      "reported via Table.constraints, absent in pre-add eras") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("con5").toString + "/t"
+    VersionedTable.commit((0L until 4L).map(i => (i, i)).toDF("k", "v"), root)
+    VersionedTable.addConstraint(spark, root, "v-ok", "v >= 0")
+    VersionedTable.commit((10L until 14L).map(i => (i, i)).toDF("k", "v"),
+      root, mode = "append")
+    assert(VersionedTable.constraintsOf(spark, root) == Map("v-ok" -> "v >= 0"),
+      "append must carry the constraint forward")
+    assert(VersionedTable.constraintsOf(spark, root, 1L).isEmpty,
+      "the pre-add era has no constraint")
+    intercept[Exception] {
+      VersionedTable.commit(Seq((-1L, -5L)).toDF("k", "v"), root, mode = "append")
+    }
+    assert(VersionedTable.read(spark, root).count() == 8L)
+  }
+}
+
+class StreamUpdateModeSpec extends SparkSpec {
+  import graft.sources.VersionedTable
+
+  test("update output mode onto an upsert_keys table: a watermarked-style " +
+      "keyed aggregate converges to one row per key across restarts") {
+    SparkEntry.configure(spark)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("DROP TABLE IF EXISTS graft.upd1")
+    spark.sql("CREATE TABLE graft.upd1 (k STRING, n BIGINT) " +
+      "TBLPROPERTIES ('upsert_keys' = 'k')")
+    val ckpt = java.nio.file.Files.createTempDirectory("upd1ck").toString
+    val in = MemoryStream[String]
+    def start() = in.toDF().toDF("k")
+      .groupBy("k").count().select(
+        org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("count").as("n"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt).toTable("graft.upd1")
+    val q1 = start()
+    in.addData("a", "a", "b")
+    q1.processAllAvailable()
+    in.addData("a", "c")
+    q1.processAllAvailable(); q1.stop(); q1.exception.foreach(throw _)
+    def state() = spark.sql("SELECT k, n FROM graft.upd1 ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(state() == Seq(("a", 3L), ("b", 1L), ("c", 1L)),
+      s"epochs must UPSERT, not append: ${state()}")
+    // restart over the SAME checkpoint: replays nothing, new deltas land
+    val q2 = start()
+    in.addData("b", "b")
+    q2.processAllAvailable(); q2.stop(); q2.exception.foreach(throw _)
+    assert(state() == Seq(("a", 3L), ("b", 3L), ("c", 1L)),
+      s"restart must keep converged totals: ${state()}")
+    spark.sql("DROP TABLE graft.upd1")
+  }
+
+  test("append output mode still rejects an unwatermarked aggregate loudly") {
+    SparkEntry.configure(spark)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    spark.sql("DROP TABLE IF EXISTS graft.upd2")
+    spark.sql("CREATE TABLE graft.upd2 (k STRING, n BIGINT) " +
+      "TBLPROPERTIES ('upsert_keys' = 'k')")
+    val in = MemoryStream[String]
+    val e = intercept[Exception] {
+      val q = in.toDF().toDF("k").groupBy("k").count()
+        .select(org.apache.spark.sql.functions.col("k"),
+          org.apache.spark.sql.functions.col("count").as("n"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("upd2ck").toString)
+        .toTable("graft.upd2")
+      q.processAllAvailable(); q.stop()
+      q.exception.foreach(throw _)
+    }
+    assert(e.getMessage.toLowerCase.contains("append") ||
+      e.getMessage.toLowerCase.contains("watermark"), e.getMessage)
+    spark.sql("DROP TABLE graft.upd2")
+  }
+
+  test("upsert epochs are exactly-once per writer and keep time travel eras") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.upd3")
+    spark.sql("CREATE TABLE graft.upd3 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('upsert_keys' = 'k')")
+    val root = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+      .tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "upd3"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "bigint", nullable = false).add("v", "bigint", nullable = false)
+    def writeEpoch(w: org.apache.spark.sql.graftbridge.GraftStreamingWrite,
+                   epoch: Long, kv: Seq[(Long, Long)]): Unit = {
+      val factory = w.createStreamingWriterFactory(
+        new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+          override def numPartitions(): Int = 1
+        })
+      val dw = factory.createWriter(0, 0L, epoch)
+      kv.foreach { case (k, v) => dw.write(
+        org.apache.spark.sql.catalyst.InternalRow(k, v)) }
+      w.commit(epoch, Array(dw.commit()))
+    }
+    val w = new org.apache.spark.sql.graftbridge.GraftStreamingWrite(
+      root, schema, "upd3-q", overwriteEachEpoch = false)
+    writeEpoch(w, 0L, Seq((1L, 10L), (2L, 20L)))
+    val v1 = VersionedTable.currentVersion(spark, root)
+    writeEpoch(w, 1L, Seq((2L, 99L), (3L, 30L)))
+    def state() = spark.sql("SELECT k, v FROM graft.upd3 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(state() == Seq((1L, 10L), (2L, 99L), (3L, 30L)), state().toString)
+    // crash-replay of epoch 1 (fresh write instance, same queryId):
+    // the keyed watermark inside the upsert's OCC loop skips it
+    val w2 = new org.apache.spark.sql.graftbridge.GraftStreamingWrite(
+      root, schema, "upd3-q", overwriteEachEpoch = false)
+    writeEpoch(w2, 1L, Seq((2L, 99L), (3L, 30L)))
+    assert(state() == Seq((1L, 10L), (2L, 99L), (3L, 30L)),
+      "replayed upsert epoch must be exactly-once")
+    // the pre-upsert era is intact (merge-on-read: no file rewrites)
+    val era1 = VersionedTable.read(spark, root, v1).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(era1 == Seq((1L, 10L), (2L, 20L)),
+      s"time travel must serve the pre-upsert era: $era1")
+    spark.sql("DROP TABLE graft.upd3")
+  }
+}
+
+class AutoCompactSpec extends SparkSpec {
+  import graft.sources.VersionedTable
+
+  test("autocompact = N bounds a long stream's file count, row-exact, " +
+      "with pinned readers unaffected") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.ac1")
+    spark.sql("CREATE TABLE graft.ac1 (k BIGINT) " +
+      "TBLPROPERTIES ('autocompact' = '5')")
+    val root = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+      .tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "ac1"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "bigint", nullable = false)
+    val w = new org.apache.spark.sql.graftbridge.GraftStreamingWrite(
+      root, schema, "ac1-q", overwriteEachEpoch = false)
+    def writeEpoch(epoch: Long, base: Long): Unit = {
+      val factory = w.createStreamingWriterFactory(
+        new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+          override def numPartitions(): Int = 1
+        })
+      val dw = factory.createWriter(0, 0L, epoch)
+      (0 until 10).foreach(i => dw.write(
+        org.apache.spark.sql.catalyst.InternalRow(base + i)))
+      w.commit(epoch, Array(dw.commit()))
+    }
+    // pin a reader mid-stream and check it later
+    writeEpoch(0L, 0L)
+    val pinnedV = VersionedTable.currentVersion(spark, root)
+    (1L until 20L).foreach(e => writeEpoch(e, e * 10L))
+    val files = VersionedTable.snapshot(spark, root).files
+    assert(files.size < 20,
+      s"50-epoch-class stream must end with a bounded file count, got " +
+        s"${files.size}")
+    val ks = spark.sql("SELECT k FROM graft.ac1").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ks == (0L until 200L).toSeq, "compaction must be row-exact")
+    // the pinned pre-compaction reader still serves its era (files
+    // survive until vacuum)
+    assert(VersionedTable.read(spark, root, pinnedV).count() == 10L)
+    // the watermark survived every compaction commit
+    assert(VersionedTable.lastBatchId(spark, root, "ac1-q") == 19L)
+    spark.sql("DROP TABLE graft.ac1")
+  }
+}
+
 class MergeCardinalitySpec extends SparkSpec {
 
   test("duplicate UNMATCHED source keys insert one row each; duplicate " +
