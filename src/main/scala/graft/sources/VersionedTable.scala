@@ -1472,10 +1472,32 @@ object VersionedTable {
     * never land on a slot a renamed or dropped field still owns. */
   def addColumnTransform(root: String, name: String,
                          dataType: org.apache.spark.sql.types.DataType)
+      : Map[String, String] => Map[String, String] =
+    addColumnTransform(root, name, dataType, None)
+
+  /** ADD COLUMN with an optional DEFAULT (round 16) — still
+    * metadata-only, NO data rewrite: the default lands as the field's
+    * `CURRENT_DEFAULT` / `EXISTS_DEFAULT` metadata in the manifest
+    * schema. The parquet scan applies the EXISTS default for every
+    * file that predates the column (the engine's native existence-
+    * default backfill — per-file-exact, so a post-add explicit NULL
+    * stays NULL), and the SQL INSERT path fills the CURRENT default
+    * for writes that omit the column. `SET DEFAULT` later moves only
+    * CURRENT (new writes), never EXISTS (history keeps the add-time
+    * backfill — the public Delta/Iceberg initial-default contract).
+    * The default must be a constant literal expression; the manifest
+    * meta is line-oriented, so the SQL is normalized to one line. */
+  def addColumnTransform(root: String, name: String,
+                         dataType: org.apache.spark.sql.types.DataType,
+                         defaultSql: Option[String])
       : Map[String, String] => Map[String, String] = {
     val parentSegs = name.split('.').toSeq.init
     val leaf = name.split('.').last
     validColName(leaf, "column name")
+    val dflt = defaultSql.map(_.replaceAll("[\\n\\r\\t]", " ").trim)
+      .filter(_.nonEmpty)
+    dflt.foreach(_ => require(parentSegs.isEmpty,
+      s"DEFAULT is supported on top-level columns only, got '$name'"))
     meta => {
       val sc = schemaOf(meta, root, "addColumn")
       val parentSt = parentStructOf(sc, parentSegs, root, "addColumn")
@@ -1495,10 +1517,69 @@ object VersionedTable {
         throw new IllegalArgumentException(
           s"physical column collision at $root: $newPhysPath is a renamed " +
             "or dropped column's on-disk name")
+      val fieldMeta = dflt match {
+        case Some(d) => new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .CURRENT_DEFAULT_COLUMN_METADATA_KEY, d)
+          .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .EXISTS_DEFAULT_COLUMN_METADATA_KEY, d)
+          .build()
+        case None => org.apache.spark.sql.types.Metadata.empty
+      }
       val sc2 = rewriteAt(sc, parentSegs, root, "addColumn")(st =>
         org.apache.spark.sql.types.StructType(st.fields :+
           org.apache.spark.sql.types.StructField(leaf, dataType,
-            nullable = true)))
+            nullable = true, fieldMeta)))
+      meta + ("schema" -> sc2.json)
+    }
+  }
+
+  /** SET / DROP a top-level column's CURRENT default (round 16) —
+    * metadata-only. DROP removes only the CURRENT default (new writes
+    * stop filling it); the EXISTS default stays so files from before
+    * the column keep their add-time backfill. An empty `newDefault`
+    * means DROP. */
+  def setColumnDefault(spark: SparkSession, root: String, name: String,
+                       newDefault: Option[String],
+                       maxRetries: Int = 5): Long =
+    metaOnlyCommit(spark, root,
+      setColumnDefaultTransform(root, name, newDefault), maxRetries)
+
+  /** Manifest-meta transform for SET/DROP DEFAULT — composable into a
+    * multi-change ALTER's one-commit contract ([[alterColumns]]). */
+  def setColumnDefaultTransform(root: String, name: String,
+                                newDefault: Option[String])
+      : Map[String, String] => Map[String, String] = {
+    val curKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    val existsKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    val dflt = newDefault.map(_.replaceAll("[\\n\\r\\t]", " ").trim)
+      .filter(_.nonEmpty)
+    meta => {
+      val sc = schemaOf(meta, root, "setColumnDefault")
+      require(sc.fieldNames.contains(name),
+        s"no top-level column $name at $root " +
+          s"(have ${sc.fieldNames.mkString(", ")}; defaults are " +
+          "top-level only)")
+      val sc2 = org.apache.spark.sql.types.StructType(sc.fields.map { f =>
+        if (f.name != name) f
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          dflt match {
+            case Some(d) =>
+              mb.putString(curKey, d)
+              // first-ever default on an existing column backfills
+              // like ADD COLUMN DEFAULT: files lacking the column
+              // serve it (files HOLDING null keep null — per-file
+              // existence semantics)
+              if (!f.metadata.contains(existsKey)) mb.putString(existsKey, d)
+            case None => mb.remove(curKey)
+          }
+          f.copy(metadata = mb.build())
+        }
+      })
       meta + ("schema" -> sc2.json)
     }
   }
@@ -1632,11 +1713,18 @@ object VersionedTable {
                                  tableSc: Option[org.apache.spark.sql.types.StructType],
                                  root: String, what: String): Unit = {
     if (constraints.isEmpty) return
+    val existsKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
     val widened = tableSc match {
       case Some(sc) =>
         val missing = sc.fields.filterNot(f => df.columns.contains(f.name))
+        // a missing DEFAULTed column serves its existence default at
+        // read, so the gate must evaluate that, not NULL
         missing.foldLeft(df)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
+          d.withColumn(f.name,
+            (if (f.metadata.contains(existsKey))
+               expr(f.metadata.getString(existsKey))
+             else lit(null)).cast(f.dataType)))
       case None => df
     }
     val bad = violationCounts(widened, constraints).filter(_._2 > 0)

@@ -192,11 +192,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * containing a literal '.' cannot be addressed (the manifest keys
     * paths dot-joined) and is rejected here rather than silently
     * mis-resolved. Anything else is rejected precisely. */
-  /** The analyzer gates `ALTER TABLE ... ADD CONSTRAINT` on this
-    * capability (round 16): CHECK constraints land as table-property
-    * metadata commits and every write path enforces them. */
+  /** The analyzer gates `ALTER TABLE ... ADD CONSTRAINT` and column
+    * DEFAULT DDL on these capabilities (round 16): CHECK constraints
+    * land as table-property metadata commits every write path
+    * enforces, and column defaults land as `CURRENT_DEFAULT` /
+    * `EXISTS_DEFAULT` field metadata in the manifest schema — the SQL
+    * INSERT path fills the current default for omitted columns and
+    * the parquet scan backfills the existence default for files
+    * predating the column (metadata-only, zero data rewrites). */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -243,10 +249,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           pathOf(d.fieldNames(), "DROP COLUMN"),
           ifExists = d.ifExists() == java.lang.Boolean.TRUE)
       case a: TableChange.AddColumn =>
-        require(a.position() == null && a.defaultValue() == null,
-          "graft ADD COLUMN appends nullable columns without defaults")
+        require(a.position() == null,
+          "graft ADD COLUMN appends columns (no FIRST/AFTER positions)")
         VersionedTable.addColumnTransform(root,
-          pathOf(a.fieldNames(), "ADD COLUMN"), a.dataType())
+          pathOf(a.fieldNames(), "ADD COLUMN"), a.dataType(),
+          Option(a.defaultValue()).map(_.getSql))
+      case u: TableChange.UpdateColumnDefaultValue =>
+        VersionedTable.setColumnDefaultTransform(root,
+          pathOf(u.fieldNames(), "ALTER COLUMN ... DEFAULT"),
+          Option(u.newCurrentDefault()).map(_.getSql)
+            .filter(s => s != null && s.nonEmpty))
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE does not support ${other.getClass.getSimpleName}")
     }

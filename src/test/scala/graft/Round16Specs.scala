@@ -535,6 +535,82 @@ class AutoCompactSpec extends SparkSpec {
   }
 }
 
+class DefaultColumnSpec extends SparkSpec {
+  import graft.sources.VersionedTable
+
+  test("ADD COLUMN ... DEFAULT backfills pre-add files at read, fills " +
+      "omitted columns at insert, and keeps explicit NULLs null") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.dft1")
+    spark.sql("CREATE TABLE graft.dft1 AS SELECT id AS k FROM range(3)")
+    spark.sql("ALTER TABLE graft.dft1 ADD COLUMN lang STRING DEFAULT 'en'")
+    // pre-add rows: files lack the column ⇒ existence default
+    val pre = spark.sql("SELECT k, lang FROM graft.dft1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(pre == Seq((0L, "en"), (1L, "en"), (2L, "en")), pre.toString)
+    // INSERT omitting the column fills the CURRENT default
+    spark.sql("INSERT INTO graft.dft1 (k) VALUES (10L)")
+    // explicit NULL stays NULL (per-file existence semantics: the
+    // post-add file HOLDS the column)
+    spark.sql("INSERT INTO graft.dft1 VALUES (11L, CAST(NULL AS STRING))")
+    spark.sql("INSERT INTO graft.dft1 VALUES (12L, 'fr')")
+    val rows = spark.sql("SELECT k, lang FROM graft.dft1 WHERE k >= 10 ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(rows == Seq((10L, Some("en")), (11L, None), (12L, Some("fr"))),
+      rows.toString)
+    // SET DEFAULT moves only the CURRENT default: new omitted inserts
+    // fill the new value, pre-add history keeps the add-time backfill
+    spark.sql("ALTER TABLE graft.dft1 ALTER COLUMN lang SET DEFAULT 'de'")
+    spark.sql("INSERT INTO graft.dft1 (k) VALUES (13L)")
+    val after = spark.sql("SELECT k, lang FROM graft.dft1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(after == Seq((0L, Some("en")), (1L, Some("en")), (2L, Some("en")),
+      (10L, Some("en")), (11L, None), (12L, Some("fr")), (13L, Some("de"))),
+      after.toString)
+    spark.sql("DROP TABLE graft.dft1")
+  }
+
+  test("defaults are era metadata: time travel predates them; the " +
+      "DataFrame API sees the same backfill") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dft2").toString + "/t"
+    VersionedTable.commit((0L until 4L).map(i => (i, i * 2)).toDF("k", "v"), root)
+    VersionedTable.alterColumns(spark, root, Seq(
+      VersionedTable.addColumnTransform(root, "score",
+        org.apache.spark.sql.types.LongType, Some("100"))))
+    val cur = VersionedTable.read(spark, root).orderBy("k")
+      .select("k", "score").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cur == (0L until 4L).map(i => (i, 100L)), cur.toString)
+    // the pre-add era has no such column at all
+    assert(!VersionedTable.read(spark, root, 1L).columns.contains("score"))
+    // appends carrying the column write real values
+    VersionedTable.commit(Seq((9L, 9L, 7L)).toDF("k", "v", "score"),
+      root, mode = "append")
+    val all = VersionedTable.read(spark, root).orderBy("k")
+      .select("k", "score").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(all == (0L until 4L).map(i => (i, 100L)) :+ (9L, 7L), all.toString)
+  }
+
+  test("a NOT NULL-style constraint accepts a write omitting a DEFAULTed " +
+      "column (the stored files serve the default, not NULL)") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.dft3")
+    spark.sql("CREATE TABLE graft.dft3 AS SELECT id AS k FROM range(2)")
+    spark.sql("ALTER TABLE graft.dft3 ADD COLUMN tag STRING DEFAULT 'x'")
+    spark.sql("ALTER TABLE graft.dft3 ADD CONSTRAINT tag_nn " +
+      "CHECK (tag IS NOT NULL)")
+    spark.sql("INSERT INTO graft.dft3 (k) VALUES (5L)")
+    assert(spark.sql("SELECT count(*) FROM graft.dft3 WHERE tag = 'x'")
+      .head().getLong(0) == 3L)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.dft3 VALUES (6L, CAST(NULL AS STRING))")
+    }
+    assert(e.getMessage.contains("tag_nn") ||
+      e.getMessage.toLowerCase.contains("constraint"), e.getMessage)
+    spark.sql("DROP TABLE graft.dft3")
+  }
+}
+
 class MergeCardinalitySpec extends SparkSpec {
 
   test("duplicate UNMATCHED source keys insert one row each; duplicate " +
