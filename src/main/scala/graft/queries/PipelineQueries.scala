@@ -3706,6 +3706,48 @@ object PipelineQueries {
              |  (SELECT CAST(count(*) AS BIGINT) FROM b0), 'era2'
              |ORDER BY k, p, src""".stripMargin)),
 
+    Q("q65q_sql_identity",
+      // IDENTITY columns (round 16): `id BIGINT GENERATED ALWAYS AS
+      // IDENTITY` — the surrogate-key DDL. Values are generated at
+      // the INSERT path from a carried manifest high-water mark
+      // (`identitynext.<phys>`), unique by construction and
+      // range-disjoint across commits under OCC (a racing writer
+      // regenerates from the winner's mark); SPARSE like the public
+      // Delta/Iceberg contract (uniqueness + direction, never
+      // contiguity), so the oracle checks the INVARIANTS — count,
+      // uniqueness, positivity, cross-commit disjointness — which ARE
+      // deterministic, not the layout-dependent raw values.
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_q65q")
+        s.sql("DROP TABLE IF EXISTS graft.q65q")
+        s.sql("""CREATE TABLE graft.q65q
+          (id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT, p BIGINT)""")
+        s.sql("""INSERT INTO graft.q65q (k, p)
+          SELECT o_orderkey, CAST(round(o_totalprice) AS BIGINT)
+          FROM orders_q65q WHERE o_orderkey % 30 = 0""")
+        s.sql("""INSERT INTO graft.q65q (k, p)
+          SELECT o_orderkey, CAST(round(o_totalprice) AS BIGINT)
+          FROM orders_q65q WHERE o_orderkey % 30 = 15""")
+        s.sql("""
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT id) AS BIGINT) AS n_ids,
+                 CAST(min(id) >= 1 AS BIGINT) AS ids_positive,
+                 CAST((SELECT min(id) FROM graft.q65q WHERE k % 30 = 15) >
+                      (SELECT max(id) FROM graft.q65q WHERE k % 30 = 0)
+                      AS BIGINT) AS ranges_disjoint,
+                 CAST(sum(p) AS BIGINT) AS p_sum
+          FROM graft.q65q""")
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderkey AS k, CAST(round(o_totalprice) AS BIGINT) AS p
+             |  FROM orders WHERE o_orderkey % 30 IN (0, 15))
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |       CAST(count(*) AS BIGINT) AS n_ids,
+             |       CAST(1 AS BIGINT) AS ids_positive,
+             |       CAST(1 AS BIGINT) AS ranges_disjoint,
+             |       CAST(sum(p) AS BIGINT) AS p_sum
+             |FROM b""".stripMargin)),
+
     Q("d17_paragraph_dedup",
       // Paragraph-granularity exact dedup (the CCNet recipe): only the
       // corpus-wide first occurrence of each paragraph survives;

@@ -1801,6 +1801,12 @@ object VersionedTable {
              expectBase: Long = -1L,
              statsCols: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    val idFields = identityFields(
+      tableSchema(df.sparkSession, root,
+        currentVersion(df.sparkSession, root)))
+    if (idFields.nonEmpty)
+      return commitWithIdentity(df, root, mode, meta, expectBase, statsCols,
+        idFields)
     commitCore(df, root, meta, expectBase,
       carriedLines = cur =>
         // append carries the previous files AND their deletion
@@ -1813,6 +1819,138 @@ object VersionedTable {
         else Seq.empty,
       unionWithPrev = mode == "append",
       statsCols = statsCols)
+  }
+
+  // ─────────────────────── identity columns (round 16) ───────────────────────
+  // `id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT
+  // BY k)` — the spec lands in the field's metadata (the engine's
+  // identity.start/step/allowExplicitInsert keys, round-tripped
+  // through the manifest schema), and VALUE GENERATION is this
+  // layout's job: the next-value HIGH-WATER mark is a carried
+  // manifest property (`identitynext.<phys>`), each generating commit
+  // assigns `next + step * monotonically_increasing_id()` (unique by
+  // construction; SPARSE — partition indices leave gaps, the public
+  // Delta/Iceberg identity contract promises uniqueness and
+  // direction, never contiguity) and advances the mark to
+  // bound + step, all under OCC: a commit that loses the manifest
+  // race re-derives from the winner's mark and REGENERATES, so two
+  // concurrent inserts can never allocate overlapping ranges.
+  // GENERATED ALWAYS rejects explicit non-NULL values; BY DEFAULT
+  // fills only the NULL slots (per-row coalesce — exactly the SQL
+  // contract, and what an INSERT omitting the column null-pads to).
+
+  /** Top-level IDENTITY fields of a schema with their specs. */
+  private def identityFields(sc: Option[org.apache.spark.sql.types.StructType])
+      : Seq[(org.apache.spark.sql.types.StructField,
+             org.apache.spark.sql.connector.catalog.IdentityColumnSpec)] =
+    sc.toSeq.flatMap(_.fields.toSeq.flatMap(f =>
+      org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f)
+        .map(spec => (f, spec))))
+
+  /** True when `sc` carries a GENERATED ALWAYS identity column —
+    * the paths that cannot generate (MERGE inserts, streaming
+    * epochs, UPDATE SET) reject those tables precisely. */
+  private[graft] def hasStrictIdentity(
+      sc: Option[org.apache.spark.sql.types.StructType]): Seq[String] =
+    identityFields(sc).collect {
+      case (f, s) if !s.isAllowExplicitInsert => f.name }
+
+  /** Precise rejection for mutation paths that cannot GENERATE
+    * identity values — silently landing NULL or caller-supplied ids
+    * in a GENERATED ALWAYS column would corrupt the sequence. */
+  def rejectStrictIdentity(spark: SparkSession, root: String,
+                           what: String): Unit = {
+    val strict = hasStrictIdentity(tableSchema(spark, root))
+    if (strict.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$what is not supported on a table with GENERATED ALWAYS " +
+          s"identity column${if (strict.size > 1) "s" else ""} " +
+          strict.mkString(", ") + s" at $root — identity generation is " +
+          "an INSERT-path contract; declare GENERATED BY DEFAULT for " +
+          "writer-supplied ids")
+  }
+
+  private def commitWithIdentity(df: DataFrame, root: String, mode: String,
+                                 meta: Map[String, String], expectBase: Long,
+                                 statsCols: Seq[String],
+                                 idFields: Seq[(org.apache.spark.sql.types.StructField,
+                                   org.apache.spark.sql.connector.catalog.IdentityColumnSpec)])
+      : Long = {
+    val spark = df.sparkSession
+    // GENERATED ALWAYS forbids explicit values — checked ONCE against
+    // the caller's frame (an INSERT omitting the column null-pads it;
+    // nulls are the "generate here" slots, not explicit values)
+    idFields.foreach { case (f, s) =>
+      if (!s.isAllowExplicitInsert && df.columns.contains(f.name) &&
+          !df.filter(topCol(f.name).isNotNull).isEmpty)
+        throw new IllegalArgumentException(
+          s"identity column ${f.name} at $root is GENERATED ALWAYS — " +
+            "explicit values are not accepted (use GENERATED BY DEFAULT " +
+            "for writer-supplied ids)")
+    }
+    var attempt = 0
+    while (true) {
+      val base = currentVersion(spark, root)
+      if (expectBase >= 0 && base != expectBase)
+        throw new ConcurrentCommitException(
+          s"table at $root moved to v$base (expected v$expectBase) before write")
+      val curMeta = manifestMeta(spark, root, base)
+      val cmI = columnMapping(spark, root, base)
+      var filled = df
+      idFields.foreach { case (f, s) =>
+        val phys = physNameOf(cmI, f.name)
+        val next = curMeta.get(s"identitynext.$phys").map(_.toLong)
+          .getOrElse(s.getStart)
+        val gen = (lit(next) + lit(s.getStep) *
+          org.apache.spark.sql.functions.monotonically_increasing_id())
+          .cast(f.dataType)
+        filled =
+          if (!filled.columns.contains(f.name))
+            filled.withColumn(f.name, gen)
+          else filled.withColumn(f.name, coalesce(topCol(f.name), gen))
+      }
+      // freeze the generated values: the high-water advance below and
+      // the data write must observe the SAME ids (commit-sized
+      // materialization, identity tables only)
+      val materialized = filled.localCheckpoint(true)
+      try {
+        val bounds = materialized.agg(
+          count(lit(1)).as("__n"),
+          idFields.map { case (f, s) =>
+            (if (s.getStep > 0)
+               org.apache.spark.sql.functions.max(topCol(f.name))
+             else org.apache.spark.sql.functions.min(topCol(f.name)))
+              .cast("long").as(s"__b_${f.name}")
+          }: _*).head()
+        val nextMeta = idFields.flatMap { case (f, s) =>
+          val phys = physNameOf(cmI, f.name)
+          val cur = curMeta.get(s"identitynext.$phys").map(_.toLong)
+            .getOrElse(s.getStart)
+          Option(bounds.getAs[Any](s"__b_${f.name}"))
+            .map(_.toString.toLong).map { b =>
+              val n2 = if (s.getStep > 0) math.max(cur, b + s.getStep)
+                       else math.min(cur, b + s.getStep)
+              s"identitynext.$phys" -> n2.toString
+            }
+        }.toMap
+        // OCC pinned to OUR base: a racing writer's win invalidates
+        // the reserved range — regenerate from the winner's mark
+        return commitCore(materialized, root, meta ++ nextMeta,
+          expectBase = base,
+          carriedLines = cur =>
+            if (mode == "append" && cur > 0) rawCarryLines(spark, root, cur)
+            else Seq.empty,
+          unionWithPrev = mode == "append",
+          statsCols = statsCols)
+      } catch {
+        case _: ConcurrentCommitException if expectBase < 0 && attempt < 5 =>
+          attempt += 1
+      } finally {
+        materialized.unpersist(false)
+        ()
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Commit parquet files ALREADY WRITTEN under `root` (`written`:
@@ -1966,7 +2104,8 @@ object VersionedTable {
       val carriedKeys = Seq("clustering", "clustering_bits", "batch",
         "upsert_keys", "autocompact") ++
         curMeta.keys.filter(k => k.startsWith("batch.") ||
-          k.startsWith("constraint.") || k.startsWith("default."))
+          k.startsWith("constraint.") || k.startsWith("default.") ||
+          k.startsWith("identitynext."))
       val allMeta = carriedKeys
         .flatMap(k => curMeta.get(k).map(k -> _)).toMap ++
         meta + ("schema" -> unioned.json) ++
@@ -2297,7 +2436,8 @@ object VersionedTable {
       val carriedKeys = Seq("clustering", "clustering_bits", "batch",
         "upsert_keys", "autocompact") ++
         curMeta.keys.filter(k => k.startsWith("batch.") ||
-          k.startsWith("constraint.") || k.startsWith("default."))
+          k.startsWith("constraint.") || k.startsWith("default.") ||
+          k.startsWith("identitynext."))
       val allMeta = carriedKeys
         .flatMap(k => curMeta.get(k).map(k -> _)).toMap ++
         meta + ("schema" -> schemaJson) ++
@@ -2333,6 +2473,7 @@ object VersionedTable {
   def merge(updates: DataFrame, root: String, keys: Seq[String],
             maxRetries: Int = 5): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
+    rejectStrictIdentity(updates.sparkSession, root, "MERGE")
     rewrite(updates.sparkSession, root, maxRetries) { (spark, s) =>
       // __file is captured AT SCAN STAGE, before the DV anti-join —
       // input_file_name() evaluated after a (possibly shuffled) join
@@ -2427,6 +2568,7 @@ object VersionedTable {
     require(keys.nonEmpty, "mergeApply needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "no WHEN clauses")
+    rejectStrictIdentity(srcPrep.sparkSession, root, "MERGE")
     val deleteIdx = matched.zipWithIndex.collect { case (None, i) => i }
     val bDeleteIdx = bySource.zipWithIndex.collect { case ((_, None), i) => i }
     rewrite(srcPrep.sparkSession, root, maxRetries) { (spark, s) =>
@@ -2692,6 +2834,12 @@ object VersionedTable {
       set.keys.foreach(c => require(
         schema.forall(_.fieldNames.contains(c)),
         s"set column $c not in table schema"))
+      // updating a GENERATED ALWAYS identity column would corrupt the
+      // sequence contract — reject precisely (BY DEFAULT stays legal:
+      // writer-supplied ids are that declaration's whole point)
+      val strictId = hasStrictIdentity(schema).toSet
+      set.keys.foreach(c => require(!strictId.contains(c),
+        s"cannot UPDATE GENERATED ALWAYS identity column $c at $root"))
       val base = scanLogical(spark, root, s.version, s.files, raw => raw
         .withColumn("__dvf", expr("substring_index(input_file_name(), '/', -3)"))
         .withColumn("__dvp", col("_metadata.row_index").cast("long")))

@@ -124,6 +124,43 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(root, v, s"${ident.toString}@t$timestamp")
   }
 
+  /** Column-based create (the analyzer's entry since DSv2 columns):
+    * the default StructType conversion DROPS identity specs, so this
+    * override encodes identity (`identity.start/step/
+    * allowExplicitInsert` — the engine's own field-metadata keys,
+    * which [[graft.sources.VersionedTable]]'s insert path reads to
+    * generate values) and column DEFAULTs (CURRENT/EXISTS metadata)
+    * into the manifest schema itself; generated (computed) columns
+    * are rejected precisely. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val idc = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val rdc = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    val fields = columns.map { c =>
+      require(c.generationExpression() == null,
+        s"graft tables do not support generated (computed) columns " +
+          s"(column ${c.name()})")
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j =>
+        mb.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(j)))
+      Option(c.defaultValue()).foreach { d =>
+        mb.putString(rdc.CURRENT_DEFAULT_COLUMN_METADATA_KEY, d.getSql)
+        mb.putString(rdc.EXISTS_DEFAULT_COLUMN_METADATA_KEY, d.getSql)
+      }
+      Option(c.identityColumnSpec()).foreach { s =>
+        mb.putLong(idc.IDENTITY_INFO_START, s.getStart)
+        mb.putLong(idc.IDENTITY_INFO_STEP, s.getStep)
+        mb.putBoolean(idc.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+          s.isAllowExplicitInsert)
+      }
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), mb.build())
+    }
+    createTable(ident, StructType(fields), partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -202,7 +239,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * predating the column (metadata-only, zero data rewrites). */
   override def capabilities(): util.Set[TableCatalogCapability] =
     Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS).asJava
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)

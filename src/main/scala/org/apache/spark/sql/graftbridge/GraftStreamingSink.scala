@@ -65,6 +65,11 @@ class GraftStreamingWrite(root: String, logicalSchema: StructType,
 
   private def spark: SparkSession = SparkSession.active
 
+  // a GENERATED ALWAYS identity table cannot accept a stream (epochs
+  // can neither generate nor carry explicit ids) — fail at run start,
+  // not per epoch (round 16)
+  VersionedTable.rejectStrictIdentity(spark, root, "streaming write")
+
   // captured ONCE per run: the mapping the epoch files are written
   // under; the publish loop re-verifies it before every rename
   private val cm: Map[String, String] =

@@ -208,6 +208,19 @@ object GraftTableFunctions {
       plan(graft.sources.VersionedTable.tags(spark, root).toSeq
         .sortBy(_._1).toDF("tag", "version"))
     },
+    "vt_constraints" -> { es =>
+      // list a table's declared CHECK constraints (round 16): name +
+      // predicate — the SQL-only client's way to discover what the
+      // write paths will enforce (second arg pins a version: each era
+      // sees ITS constraint set, like every other table property)
+      arity("vt_constraints", es, n => n == 1 || n == 2, "1 or 2")
+      val spark = SparkSession.active
+      val root = resolveRoot(spark, litString(es, 0, "vt_constraints"))
+      val v = if (es.size == 2) litLong(es, 1, "vt_constraints") else -1L
+      import spark.implicits._
+      plan(graft.sources.VersionedTable.constraintsOf(spark, root, v).toSeq
+        .sortBy(_._1).toDF("name", "predicate"))
+    },
     "vt_history" -> { es =>
       arity("vt_history", es, _ == 1, "1")
       val spark = SparkSession.active

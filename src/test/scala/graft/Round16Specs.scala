@@ -376,6 +376,12 @@ class ConstraintSpec extends SparkSpec {
       VersionedTable.commit(Seq((-1L, -5L)).toDF("k", "v"), root, mode = "append")
     }
     assert(VersionedTable.read(spark, root).count() == 8L)
+    // the SQL-only discovery surface: vt_constraints lists per era
+    SparkEntry.configure(spark)
+    val listed = spark.sql(s"SELECT name, predicate FROM vt_constraints('$root')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(listed == Seq(("v-ok", "v >= 0")), listed.toString)
+    assert(spark.sql(s"SELECT * FROM vt_constraints('$root', 1)").count() == 0L)
   }
 }
 
@@ -608,6 +614,95 @@ class DefaultColumnSpec extends SparkSpec {
     assert(e.getMessage.contains("tag_nn") ||
       e.getMessage.toLowerCase.contains("constraint"), e.getMessage)
     spark.sql("DROP TABLE graft.dft3")
+  }
+}
+
+class IdentityColumnSpec16 extends SparkSpec {
+  import graft.sources.VersionedTable
+
+  test("GENERATED ALWAYS AS IDENTITY: inserts omitting the column get " +
+      "unique ascending ids; explicit values are rejected") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.idt1")
+    spark.sql("CREATE TABLE graft.idt1 " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT)")
+    spark.sql("INSERT INTO graft.idt1 (k) VALUES (10L), (20L), (30L)")
+    spark.sql("INSERT INTO graft.idt1 (k) VALUES (40L), (50L)")
+    val rows = spark.sql("SELECT id, k FROM graft.idt1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size == 5 && rows.map(_._1).distinct.size == 5,
+      s"ids must be unique: $rows")
+    assert(rows.map(_._1).forall(_ >= 1L), s"START WITH 1: $rows")
+    // the second commit's ids sit strictly above the first's range
+    val firstIds = rows.filter(r => r._2 <= 30L).map(_._1)
+    val secondIds = rows.filter(r => r._2 >= 40L).map(_._1)
+    assert(secondIds.min > firstIds.max,
+      s"ranges must not overlap: $firstIds vs $secondIds")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.idt1 VALUES (999L, 60L)")
+    }
+    assert(e.getMessage.toLowerCase.contains("identity") ||
+      e.getMessage.toLowerCase.contains("always"), e.getMessage)
+    spark.sql("DROP TABLE graft.idt1")
+  }
+
+  test("GENERATED BY DEFAULT: explicit ids pass through, NULL slots " +
+      "generate, and the high-water clears explicit values") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.idt2")
+    spark.sql("CREATE TABLE graft.idt2 (id BIGINT GENERATED BY DEFAULT " +
+      "AS IDENTITY (START WITH 100 INCREMENT BY 10), k BIGINT)")
+    spark.sql("INSERT INTO graft.idt2 VALUES (5000L, 1L)")
+    spark.sql("INSERT INTO graft.idt2 (k) VALUES (2L)")
+    val rows = spark.sql("SELECT id, k FROM graft.idt2 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.head == (5000L, 1L), rows.toString)
+    val gen = rows(1)._1
+    assert(gen != 5000L && gen >= 100L, s"generated id: $gen")
+    // the explicit 5000 advanced the mark: later generated ids clear it
+    spark.sql("INSERT INTO graft.idt2 (k) VALUES (3L)")
+    val gen3 = spark.sql("SELECT id FROM graft.idt2 WHERE k = 3").head().getLong(0)
+    assert(gen3 > 5000L,
+      s"high-water must clear explicit values, got $gen3")
+    spark.sql("DROP TABLE graft.idt2")
+  }
+
+  test("paths that cannot generate reject GENERATED ALWAYS tables " +
+      "precisely; maintenance carries the high-water mark") {
+    SparkEntry.configure(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.idt3")
+    spark.sql("CREATE TABLE graft.idt3 " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT)")
+    spark.sql("INSERT INTO graft.idt3 (k) VALUES (1L), (2L)")
+    val root = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.graftbridge.GraftCatalog]
+      .tableDir(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "idt3"))
+    val em = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.idt3 t USING (SELECT 1L AS id, 9L AS k) s
+        ON t.id = s.id WHEN MATCHED AND s.k > 0 THEN UPDATE SET k = s.k
+        WHEN NOT MATCHED THEN INSERT (id, k) VALUES (s.id, s.k)""")
+    }
+    assert(em.getMessage.contains("GENERATED ALWAYS"), em.getMessage)
+    val eu = intercept[Exception] {
+      spark.sql("UPDATE graft.idt3 SET id = 77 WHERE k = 1")
+    }
+    assert(eu.getMessage.contains("GENERATED ALWAYS") ||
+      eu.getMessage.toLowerCase.contains("identity"), eu.getMessage)
+    val es = intercept[Exception] {
+      new org.apache.spark.sql.graftbridge.GraftStreamingWrite(root,
+        new org.apache.spark.sql.types.StructType().add("k", "bigint"),
+        "q-id", overwriteEachEpoch = false)
+    }
+    assert(es.getMessage.contains("GENERATED ALWAYS"), es.getMessage)
+    // a DELETE (merge-on-read, no generation) still works, and the
+    // high-water mark survives it: the next insert's ids stay unique
+    spark.sql("DELETE FROM graft.idt3 WHERE k = 1")
+    spark.sql("INSERT INTO graft.idt3 (k) VALUES (3L)")
+    val ids = spark.sql("SELECT id FROM graft.idt3").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == ids.size, s"ids must stay unique: $ids")
+    spark.sql("DROP TABLE graft.idt3")
   }
 }
 
