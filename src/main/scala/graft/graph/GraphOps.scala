@@ -105,6 +105,92 @@ object GraphOps {
     None
   }
 
+  /** MONOTONE iteration (r16 optimization round) for relaxation-shaped
+    * fixpoints (bfs / sssp / topo layering / min-label): the state is
+    * a 2-column (key, value) frame where every `hop` application (a)
+    * only ever ADDS keys and (b) moves each key's value monotonically
+    * in one direction. Two structural savings over [[iterate]]:
+    *
+    *  - `stepsPerRound` hops compose lazily into ONE checkpointed job
+    *    per round: total relax-join count is unchanged (the
+    *    fundamentally required passes), but checkpoint
+    *    materializations, convergence checks, and per-job scheduling
+    *    shrink by the factor — at 100 TB each avoided checkpoint is a
+    *    full pass of the state table to the checkpoint filesystem, and
+    *    in the sf0.1 bench the per-round fixed cost dominates the
+    *    whole query (measured: g16_sssp ran ~100 jobs of ~60 ms fixed
+    *    cost for 17 s of summed task time).
+    *  - convergence needs NO per-round changed-join: under (a)+(b) the
+    *    state changed iff (row count, Σ value) changed, so both ride
+    *    the checkpoint materialization as observe metrics and are
+    *    compared against the previous round — the changed-computing
+    *    left join (one more exchange per round) disappears. Values
+    *    are summed as DECIMAL(38,0): exact, overflow-free at any
+    *    scale, so metric equality is a PROOF of convergence, not a
+    *    heuristic (the monotonicity argument: a value move strictly
+    *    moves the sum; a new key strictly moves the count).
+    *
+    * `maxSteps` bounds TOTAL hop applications exactly (the final
+    * round applies `maxSteps mod stepsPerRound` hops), so bounded
+    * semantics like bfs's maxDepth are preserved hop-for-hop.
+    * Returns (state, converged).
+    */
+  private def iterateMonotoneCore(init: DataFrame, maxSteps: Int,
+                                  stepsPerRound: Int)
+                                 (hop: DataFrame => DataFrame): (DataFrame, Boolean) = {
+    val valueCol = init.columns(1)
+    def observed(df: DataFrame, obs: org.apache.spark.sql.Observation): DataFrame =
+      df.observe(obs, count(lit(1)).as("n"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+    def metricsOf(obs: org.apache.spark.sql.Observation,
+                  cut: DataFrame): (Long, String) =
+      awaitObservedPair(obs).getOrElse {
+        val r = cut.agg(count(lit(1)),
+          sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).first()
+        (r.getLong(0), String.valueOf(r.get(1)))
+      }
+    val obs0 = org.apache.spark.sql.Observation()
+    var curCut = Ckpt.cut(observed(init, obs0))
+    var prev = metricsOf(obs0, curCut)
+    var used = 0
+    var done = false
+    while (!done && used < maxSteps) {
+      val s = math.min(stepsPerRound, maxSteps - used)
+      used += s
+      var nxt: DataFrame = curCut
+      for (_ <- 1 to s) nxt = hop(nxt)
+      val obs = org.apache.spark.sql.Observation()
+      val nextCut = Ckpt.cut(observed(nxt, obs))
+      val cur = metricsOf(obs, nextCut)
+      done = cur == prev
+      prev = cur
+      Ckpt.release(curCut)
+      curCut = nextCut
+    }
+    (curCut, done)
+  }
+
+  /** [[awaitObserved]] for the (n, s) metric pair; the decimal sum is
+    * normalized to a string so null/scale differences cannot produce
+    * a spurious inequality. */
+  private def awaitObservedPair(obs: org.apache.spark.sql.Observation,
+                                timeoutMs: Long = 2000): Option[(Long, String)] = {
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    while (System.nanoTime < deadline) {
+      val m = org.apache.spark.sql.graftbridge.ObservationBridge.getOrEmpty(obs)
+      if (m.nonEmpty) {
+        val n = m("n") match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => other.toString.toLong
+        }
+        return Some((n, String.valueOf(m("s"))))
+      }
+      Thread.sleep(2)
+    }
+    None
+  }
+
   /** Bounded iteration for monotonically shrinking frames (e.g.
     * repeated pruning): converges when the row count stops moving.
     * The count rides the checkpoint materialization itself as an
@@ -775,7 +861,7 @@ object GraphOps {
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     val e = Ckpt.cutLight(edges.select("src", "dst"))
-    iterate(bfsInit(seeds), maxRounds = maxDepth)(bfsStep(e))
+    iterateMonotoneCore(bfsInit(seeds), maxDepth, RelaxSteps)(bfsHop(e))._1
   }
 
   /** [[bfs]] with FULL-reachability semantics: min hop distance from
@@ -787,23 +873,40 @@ object GraphOps {
     */
   def bfsCertified(edges: DataFrame, seeds: DataFrame, safetyCap: Int = 256): DataFrame = {
     val e = Ckpt.cutLight(edges.select("src", "dst"))
-    iterateCertified(bfsInit(seeds), safetyCap)(bfsStep(e))
+    val (out, converged) =
+      iterateMonotoneCore(bfsInit(seeds), safetyCap, RelaxSteps)(bfsHop(e))
+    if (!converged) throw new NotConvergedException(
+      s"iteration still changing after $safetyCap relaxations (safety cap); " +
+        "raise the cap or use the bounded variant if truncation is intended")
+    out
   }
+
+  /** Relaxation hops composed per checkpointed round in the
+    * bfs/sssp/topo family ([[iterateMonotoneCore]]). MEASURED at 1:
+    * a relax hop consumes its input twice (merge base + message
+    * source), and physical exchange reuse does NOT dedup the two
+    * branches across composed hops, so s hops per round re-execute
+    * hop k's aggregation 2^(s−k) times — at s = 4, g16_sssp's summed
+    * task time went 16.8 s → 42.8 s and wall time REGRESSED 8.5 →
+    * 9.9 s despite 100 → 78 jobs. The round win that survives is the
+    * metric-based convergence (no changed-join); hop batching does
+    * not. */
+  private val RelaxSteps = 1
 
   private def bfsInit(seeds: DataFrame): DataFrame =
     seeds.select(col("node"), lit(0L).as("depth"))
 
-  private def bfsStep(e: DataFrame)(cur: DataFrame): DataFrame = {
-    val cand = cur.join(e, cur("node") === e("src"))
-      .select(e("dst").as("node"), (cur("depth") + 1).as("depth"))
-    val merged = cur.select("node", "depth").unionByName(cand)
+  /** One hop of multi-source BFS min-relaxation: keys only appear,
+    * depths only decrease — the [[iterateMonotoneCore]] contract.
+    * The edge side is re-projected with fresh aliases per hop so that
+    * composed hops (multi-step rounds) never hold two ambiguous
+    * references to the same edge attributes. */
+  private def bfsHop(e: DataFrame)(cur: DataFrame): DataFrame = {
+    val ed = e.select(col("src").as("__hs"), col("dst").as("__hd"))
+    cur.select("node", "depth")
+      .unionByName(cur.join(ed, cur("node") === col("__hs"))
+        .select(col("__hd").as("node"), (col("depth") + 1).as("depth")))
       .groupBy("node").agg(min("depth").as("depth"))
-    merged.join(
-        cur.select(col("node").as("pn"), col("depth").as("pd")),
-        merged("node") === col("pn"), "left")
-      .select(merged("node"), merged("depth"),
-        (col("pd").isNull || col("pd") =!= merged("depth"))
-          .cast("int").as("__changed"))
   }
 
   /** Topological layering of a DAG: `layer(v)` = length of the
@@ -819,7 +922,7 @@ object GraphOps {
     */
   def topoLayers(edges: DataFrame, maxDepth: Int): DataFrame = {
     val e = Ckpt.cutLight(edges.select("src", "dst"))
-    iterate(topoInit(e), maxRounds = maxDepth)(topoStep(e))
+    iterateMonotoneCore(topoInit(e), maxDepth, RelaxSteps)(topoHop(e))._1
   }
 
   /** [[topoLayers]] to the certified fixpoint: exact longest-path
@@ -830,23 +933,27 @@ object GraphOps {
     */
   def topoLayersCertified(edges: DataFrame, safetyCap: Int = 256): DataFrame = {
     val e = Ckpt.cutLight(edges.select("src", "dst"))
-    iterateCertified(topoInit(e), safetyCap)(topoStep(e))
+    val (out, converged) =
+      iterateMonotoneCore(topoInit(e), safetyCap, RelaxSteps)(topoHop(e))
+    if (!converged) throw new NotConvergedException(
+      s"iteration still changing after $safetyCap relaxations (safety cap); " +
+        "raise the cap or use the bounded variant if truncation is intended")
+    out
   }
 
   private def topoInit(e: DataFrame): DataFrame =
     vertices(e).select(col("node"), lit(0L).as("layer"))
 
-  private def topoStep(e: DataFrame)(cur: DataFrame): DataFrame = {
-    val cand = cur.join(e, cur("node") === e("src"))
-      .select(e("dst").as("node"), (cur("layer") + 1).as("layer"))
-    val merged = cur.select("node", "layer").unionByName(cand)
+  /** One hop of longest-path max-relaxation: the node set is fixed
+    * (every vertex is seeded) and layers only increase — the
+    * [[iterateMonotoneCore]] contract in the increasing direction.
+    * Fresh edge aliases per hop, as in [[bfsHop]]. */
+  private def topoHop(e: DataFrame)(cur: DataFrame): DataFrame = {
+    val ed = e.select(col("src").as("__hs"), col("dst").as("__hd"))
+    cur.select("node", "layer")
+      .unionByName(cur.join(ed, cur("node") === col("__hs"))
+        .select(col("__hd").as("node"), (col("layer") + 1).as("layer")))
       .groupBy("node").agg(max("layer").as("layer"))
-    merged.join(
-        cur.select(col("node").as("pn"), col("layer").as("pl")),
-        merged("node") === col("pn"), "left")
-      .select(merged("node"), merged("layer"),
-        (col("pl").isNull || col("pl") =!= merged("layer"))
-          .cast("int").as("__changed"))
   }
 
   /** Undirected triangle count (single row `n_triangles`). Canonical
@@ -930,7 +1037,7 @@ object GraphOps {
     */
   def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int): DataFrame = {
     val e = Ckpt.cutLight(edges.select("src", "dst", "w"))
-    iterate(ssspInit(seeds), maxRounds)(ssspStep(e))
+    iterateMonotoneCore(ssspInit(seeds), maxRounds, RelaxSteps)(ssspHop(e))._1
   }
 
   /** [[sssp]] to the certified Bellman-Ford fixpoint: true shortest
@@ -941,23 +1048,27 @@ object GraphOps {
     */
   def ssspCertified(edges: DataFrame, seeds: DataFrame, safetyCap: Int = 256): DataFrame = {
     val e = Ckpt.cutLight(edges.select("src", "dst", "w"))
-    iterateCertified(ssspInit(seeds), safetyCap)(ssspStep(e))
+    val (out, converged) =
+      iterateMonotoneCore(ssspInit(seeds), safetyCap, RelaxSteps)(ssspHop(e))
+    if (!converged) throw new NotConvergedException(
+      s"iteration still changing after $safetyCap relaxations (safety cap); " +
+        "raise the cap or use the bounded variant if truncation is intended")
+    out
   }
 
   private def ssspInit(seeds: DataFrame): DataFrame =
     seeds.select(col("node"), lit(0L).as("dist"))
 
-  private def ssspStep(e: DataFrame)(cur: DataFrame): DataFrame = {
-    val cand = cur.join(e, cur("node") === e("src"))
-      .select(e("dst").as("node"), (cur("dist") + e("w")).as("dist"))
-    val merged = cur.select("node", "dist").unionByName(cand)
+  /** One Bellman-Ford relaxation: keys only appear, distances only
+    * decrease (weights are non-negative by the operator contract) —
+    * the [[iterateMonotoneCore]] contract. Fresh edge aliases per
+    * hop, as in [[bfsHop]]. */
+  private def ssspHop(e: DataFrame)(cur: DataFrame): DataFrame = {
+    val ed = e.select(col("src").as("__hs"), col("dst").as("__hd"), col("w").as("__hw"))
+    cur.select("node", "dist")
+      .unionByName(cur.join(ed, cur("node") === col("__hs"))
+        .select(col("__hd").as("node"), (col("dist") + col("__hw")).as("dist")))
       .groupBy("node").agg(min("dist").as("dist"))
-    merged.join(
-        cur.select(col("node").as("pn"), col("dist").as("pd")),
-        merged("node") === col("pn"), "left")
-      .select(merged("node"), merged("dist"),
-        (col("pd").isNull || col("pd") =!= merged("dist"))
-          .cast("int").as("__changed"))
   }
 
   /** Min-label propagation to fixpoint along directed edges: lbl(v) =
@@ -973,24 +1084,26 @@ object GraphOps {
     * ~5 rounds vs 25 — measured directly on g15's fw/bw phases).
     */
   private def minLabelFixpoint(nodes: DataFrame, e: DataFrame,
-                               maxRounds: Int): DataFrame =
-    iterate(nodes.select(col("node"), col("node").as("lbl")), maxRounds) { cur =>
-      val cand = cur.join(e, cur("node") === e("src"))
-        .select(e("dst").as("node"), cur("lbl"))
-      val relaxed = cur.select("node", "lbl").unionByName(cand)
+                               maxRounds: Int): DataFrame = {
+    // lbl(v) is always an ancestor-or-self and only ever DECREASES
+    // over a fixed node set, so the round rides iterateMonotoneCore:
+    // convergence comes from the (count, Σ lbl) observe metrics and
+    // the per-round changed-computing left join is gone (one fewer
+    // exchange per round; r16).
+    iterateMonotoneCore(
+        nodes.select(col("node"), col("node").as("lbl")), maxRounds, 1) { cur =>
+      val ed = e.select(col("src").as("__hs"), col("dst").as("__hd"))
+      val relaxed = cur.select("node", "lbl")
+        .unionByName(cur.join(ed, cur("node") === col("__hs"))
+          .select(col("__hd").as("node"), col("lbl")))
         .groupBy("node").agg(min("lbl").as("lbl"))
-      val jumped = relaxed.as("m").join(
+      relaxed.as("m").join(
           relaxed.select(col("node").as("jn"), col("lbl").as("jl")).as("j"),
           col("m.lbl") === col("j.jn"), "left")
         .select(col("m.node").as("node"),
           least(col("m.lbl"), coalesce(col("j.jl"), col("m.lbl"))).as("lbl"))
-      jumped.join(
-          cur.select(col("node").as("pn"), col("lbl").as("pl")),
-          jumped("node") === col("pn"), "left")
-        .select(jumped("node"), jumped("lbl"),
-          (col("pl").isNull || col("pl") =!= jumped("lbl"))
-            .cast("int").as("__changed"))
-    }
+    }._1
+  }
 
   /** Strongly connected components of a directed graph, labeled by
     * their minimum member: trim + forward/backward min-label peeling
@@ -1021,11 +1134,12 @@ object GraphOps {
     var outer = 0
     while (activeCount > 0 && outer < maxOuter) {
       outer += 1
+      // the semi-join build sides need no pre-distinct (a semi join
+      // dedups its build side internally) — dropping the two
+      // aggregates removes two exchanges per trim round (r16)
       val core = iterateToFixpoint(e, maxInner) { ed =>
-        val srcs = ed.select(col("src").as("n")).distinct()
-        val dsts = ed.select(col("dst").as("n")).distinct()
-        ed.join(dsts.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
-          .join(srcs.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
+        ed.join(ed.select(col("dst").as("src")), Seq("src"), "left_semi")
+          .join(ed.select(col("src").as("dst")), Seq("dst"), "left_semi")
           .select("src", "dst")
       }
       val coreNodes = Ckpt.cut(vertices(core).select("node"))
@@ -1034,9 +1148,21 @@ object GraphOps {
       // of this round, so the part must not stay a lazy view over it.
       parts ::= Ckpt.cut(active.join(coreNodes, Seq("node"), "left_anti")
         .select(col("node"), col("node").as("scc")))
-      val f = minLabelFixpoint(coreNodes, core, maxInner)
-      val b = minLabelFixpoint(coreNodes,
-        core.select(col("dst").as("src"), col("src").as("dst")), maxInner)
+      // forward and backward fixpoints are INDEPENDENT (both read only
+      // the checkpointed core) — run them as concurrent driver-side
+      // jobs (guide §2.6): each loop's tail tasks back-fill the other
+      // loop's idle executors, roughly halving this phase's wall time
+      // at any scale. No shared mutable state: Ckpt.cut /
+      // CheckpointStats are stateless over distinct frames and each
+      // loop owns its Observations.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fF = Future(minLabelFixpoint(coreNodes, core, maxInner))
+      val bF = Future(minLabelFixpoint(coreNodes,
+        core.select(col("dst").as("src"), col("src").as("dst")), maxInner))
+      val f = Await.result(fF, Duration.Inf)
+      val b = Await.result(bF, Duration.Inf)
       val settled = Ckpt.cut(
         f.as("f").join(b.as("b"), col("f.node") === col("b.node"))
           .filter(col("f.lbl") === col("b.lbl"))

@@ -532,35 +532,35 @@ object Similarity {
       cbook(mi)(ci).foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
 
     // encode: argmin_c (−2·v_sub·ctr + ctr·ctr) per subspace — the
-    // common v_sub·v_sub term cannot change the argmin and is dropped;
-    // array_sort on (score, c) structs breaks float ties toward the
-    // smaller centroid id, mirroring the oracle's (d, c) row_number
-    val codesCol = array((0 until m).map { mi =>
-      expr(s"array_sort(array(${(0 until ksub).map { ci =>
-        s"struct(__d_${mi}_$ci AS d, $ci AS c)"
-      }.mkString(", ")}))[0].c")
-    }: _*)
-    val withSubs = (0 until m).foldLeft(
-      corpus.select(col(idCol).as("cid"), col(vecCol).as("cv0"))) {
-      (d, mi) => d.withColumn(s"__sub_$mi", expr(s"slice(cv0, ${mi * sub + 1}, $sub)"))
-    }
-    val withDists = (0 until m).foldLeft(withSubs) { (d, mi) =>
-      (0 until ksub).foldLeft(d) { (dd, ci) =>
-        dd.withColumn(s"__d_${mi}_$ci",
-          lit(-2.0) * vec_dot(col(s"__sub_$mi"), typedLit(cbook(mi)(ci))) + lit(cc(mi, ci)))
-      }
-    }
-    val encoded = withDists.withColumn("ccodes", codesCol)
-      .select(col("cid"), col("ccodes"))
+    // common v_sub·v_sub term cannot change the argmin and is dropped.
+    // The argmin is `least` over the ksub (score, c) structs: the
+    // same (d, c) total order the oracle's row_number replays (float
+    // ties break toward the smaller centroid id), but codegen'd
+    // struct comparison instead of an interpreted array_sort per
+    // subspace per row. Plans are built as THREE flat selects rather
+    // than the previous 137-withColumn fold — each withColumn is an
+    // analyzer pass over a fresh Project, and the fold cost ~1.2 s of
+    // driver planning per run (measured: s5 wall 2.7 s vs 1.5 s total
+    // task time at sf0.1).
+    val withSubs = corpus.select(
+      col(idCol).as("cid") +: (0 until m).map(mi =>
+        expr(s"slice(`$vecCol`, ${mi * sub + 1}, $sub)").as(s"__sub_$mi")): _*)
+    val encoded = withSubs.select(
+      col("cid") +: (0 until m).map { mi =>
+        least((0 until ksub).map { ci =>
+          struct((lit(-2.0) * vec_dot(col(s"__sub_$mi"), typedLit(cbook(mi)(ci)))
+            + lit(cc(mi, ci))).as("d"), lit(ci).as("c"))
+        }: _*).getField("c").as(s"__c_$mi")
+      }: _*)
 
-    // reconstruct from codes: codebook literal (array<array<array<float>>>),
-    // flatten the per-subspace centroid lookups in subspace order
-    val cbookLit = typedLit(cbook.map(_.map(_.toSeq).toSeq).toSeq)
-    encoded
-      .withColumn("__cb", cbookLit)
-      .withColumn("crv", expr(
-        s"CAST(flatten(transform(sequence(0, ${m - 1}), mi -> __cb[mi][ccodes[mi]])) AS ARRAY<FLOAT>)"))
-      .select(col("cid"), col("crv"))
+    // reconstruct from codes: per-subspace codebook-literal lookup +
+    // array concat — all codegen'd (the previous
+    // flatten ∘ transform ∘ nested-literal-index form ran the
+    // interpreted higher-order path per row)
+    encoded.select(col("cid"),
+        concat((0 until m).map { mi =>
+          element_at(typedLit(cbook(mi).map(_.toSeq).toSeq), col(s"__c_$mi") + 1)
+        }: _*).as("crv"))
       .withColumn("crn", vec_norm(col("crv")))
   }
 
@@ -833,13 +833,20 @@ object Similarity {
     // of an interpreted HOF fold (measured 4.8s → sub-2s on the s13
     // suite entry), and the oracle mirrors the float rounding with an
     // explicit REAL cast — the s5 reconstruction-parity convention.
+    //
+    // code + dequant are ONE fused transform (r16): as two chained
+    // columns, CollapseProject inlined the whole 64-element `codes`
+    // transform into EVERY element of the dequant lambda — 64×64
+    // interpreted CASE evaluations per row instead of 64 (measured in
+    // the s13 physical plan; the encode stage was ~64× overweight).
+    // The per-element arithmetic is unchanged (same INT code, same
+    // +0.5D double promotion), so reconstruction is bit-identical.
     c.crossJoin(broadcast(stats))
-      .withColumn("codes", expr(
-        s"transform(sequence(0, $dims - 1), d -> CASE WHEN his[d] = los[d] THEN 0 " +
-          "ELSE least(255, greatest(0, CAST(floor((cv[d] - los[d]) / (his[d] - los[d]) * 256) AS INT))) END)"))
       .withColumn("rv", expr(
-        s"CAST(transform(sequence(0, $dims - 1), " +
-          "d -> los[d] + (codes[d] + 0.5D) * (his[d] - los[d]) / 256.0D) AS ARRAY<FLOAT>)"))
+        s"CAST(transform(sequence(0, $dims - 1), d -> " +
+          "los[d] + ((CASE WHEN his[d] = los[d] THEN 0 " +
+          "ELSE least(255, greatest(0, CAST(floor((cv[d] - los[d]) / (his[d] - los[d]) * 256) AS INT))) END) " +
+          "+ 0.5D) * (his[d] - los[d]) / 256.0D) AS ARRAY<FLOAT>)"))
       .withColumn("rn", vec_norm(col("rv")))
       .select("cid", "rv", "rn")
   }
