@@ -47,6 +47,33 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Parallelism floor for a COMPUTE-HEAVY per-row stage fed by a
+    * small table (real codec encode/decode, quantizer encode): when
+    * the table's on-disk bytes fit inside ONE scan split
+    * (`spark.sql.files.maxPartitionBytes`), the scan is a single task
+    * no matter how many cores the session has — a single-row-group
+    * parquet file cannot be split finer — and the heavy per-row work
+    * serializes on one core (measured: m8's PNG encode+decode ran
+    * 2.8 s single-task at sf0.1 on local[32]). The floor is derived
+    * from INPUT SIZE, never a constant: above one split the frame is
+    * returned unchanged (zero-cost at any real scale, where the scan
+    * already carries ≥ defaultParallelism tasks); below it, one
+    * round-robin exchange of a sub-split (< 128 MB) table buys full-
+    * width execution of everything downstream.
+    */
+  def spreadSmall(spark: SparkSession, dir: String, name: String,
+                  df: DataFrame): DataFrame = {
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => Long.MaxValue } // unknown: assume big, no-op
+    val split = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val par = spark.sparkContext.defaultParallelism
+    if (bytes < split && par > 1) df.repartition(par) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -418,10 +418,18 @@ object GraphOps {
     */
   def chainLabels(edges: DataFrame): DataFrame = {
     // Restrict to chain edges: src has outdeg 1 and dst has indeg 1.
-    val deg = degrees(edges)
+    // The two degree filters are computed DIRECTLY (one aggregate
+    // each) rather than through [[degrees]] — its union + full-outer
+    // join exist to serve absent-side zeros, which a ==1 filter can
+    // never select, so routing through it cost two extra exchanges
+    // per call (r16).
+    val out1 = edges.groupBy("src").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 1).select("src")
+    val in1 = edges.groupBy("dst").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 1).select("dst")
     val chain = Ckpt.cut(edges
-      .join(deg.filter(col("outdeg") === 1).select(col("node").as("src")), Seq("src"), "left_semi")
-      .join(deg.filter(col("indeg") === 1).select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .join(out1, Seq("src"), "left_semi")
+      .join(in1, Seq("dst"), "left_semi")
       .select("src", "dst"))
     val parent = chain.select(col("dst").as("node"), col("src").as("lbl"), lit(1L).as("dist"))
     val heads = vertices(chain).join(parent.select("node"), Seq("node"), "left_anti")
@@ -639,10 +647,13 @@ object GraphOps {
       val nbLbl = und.join(labels, und("src") === labels("node"))
         .select(und("dst").as("node"), col("lbl"))
         .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
-      val picked = nbLbl
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(desc("c"), asc("lbl"))))
-        .filter(col("rn") === 1).select(col("node"), col("lbl").as("nl"))
+      // per-node argmax by (c DESC, lbl ASC) as a min-struct AGGREGATE
+      // (map-side combinable, no per-partition sort) instead of a
+      // row_number window — same total order, same winner (r16).
+      // −c cannot overflow: c ≤ degree ≤ n.
+      val picked = nbLbl.groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("nl"))
       val next = Ckpt.cut(labels.join(picked, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl")))
       Ckpt.release(labels)
@@ -684,51 +695,67 @@ object GraphOps {
     // silently breaking the tie-free invariant the operator and its
     // oracle rely on (no extra validation job: the guard rides the
     // same projection).
-    var undecided = Ckpt.cut(vertices(e2)
+    var state = Ckpt.cut(vertices(e2)
       .withColumn("pri", expr(
         "CASE WHEN node < 0 OR node >= 2147483648 THEN " +
           "CAST(raise_error(concat('maximalIndependentSet: node id ', " +
           "CAST(node AS STRING), ' outside [0, 2^31) — packed hash*2^31+node " +
           "priorities would collide or overflow')) AS BIGINT) " +
           "ELSE CAST(conv(substr(md5(CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT) " +
-          "* 2147483648 + node END")))
-    val decided = Seq.newBuilder[DataFrame]
+          "* 2147483648 + node END"))
+      .withColumn("st", lit("u")))
+    // r16 round restructure: ONE state frame (node, pri, st) is
+    // checkpointed per round instead of four (ins / decided / nextU /
+    // nextE were each their own cut = their own job). The round's
+    // decided slice stays a lazy FILTER over that round's
+    // materialized leaf (never recomputed, never released), so jobs
+    // per round drop from 4 to 2 (state + residual edges). The cost:
+    // the local-maxima join is evaluated twice inside the one job
+    // (once for the ins flag, once under the neighbor expansion) — a
+    // frontier-sized recompute traded for a frontier-sized
+    // checkpoint write, neutral at scale, and one fewer scheduling
+    // round-trip locally (measured: g23 3.9 s with 56 stage-jobs).
+    val parts = Seq.newBuilder[DataFrame]
     var r = 0
     var empty = false
     while (r < rounds && !empty) {
       r += 1
+      val undec = state.filter(col("st") === "u").select("node", "pri")
       // every e2 endpoint is undecided by construction, so the
       // strongest-undecided-neighbor aggregate needs no state join
       val mx = e2
-        .join(undecided.select(col("node").as("dst"), col("pri").as("vpri")), "dst")
+        .join(undec.select(col("node").as("dst"), col("pri").as("vpri")), "dst")
         .groupBy("src").agg(max("vpri").as("mx"))
         .select(col("src").as("node"), col("mx"))
-      val ins = Ckpt.cutLight(undecided.join(mx, Seq("node"), "left")
-        .filter(col("mx").isNull || col("mx") < col("pri"))
-        .select("node"))
+      val flagged = undec.join(mx, Seq("node"), "left")
+        .withColumn("isin", col("mx").isNull || col("mx") < col("pri"))
       // neighbors of new members — all undecided, since e2 is
       // frontier-restricted; ins ∩ outs = ∅ (two adjacent local
-      // maxima would each need the strictly greater priority)
-      val outs = e2.join(ins.select(col("node").as("dst")), "dst")
+      // maxima would each need the strictly greater priority), and
+      // outs ⊆ undec, so one left join attaches the flag
+      val outs = e2
+        .join(flagged.filter(col("isin")).select(col("node").as("dst")), "dst")
         .select(col("src").as("node")).distinct()
-      decided += Ckpt.cut(
-        ins.withColumn("st", lit("i"))
-          .unionByName(outs.withColumn("st", lit("o"))))
-      val gone = decided.result().last
+        .withColumn("iso", lit(true))
       val obs = org.apache.spark.sql.Observation()
-      val nextU = Ckpt.cut(undecided
-        .join(gone, Seq("node"), "left_anti")
-        .observe(obs, count(lit(1)).as("c")))
-      val left = awaitObserved(obs).getOrElse(nextU.count())
+      val next = Ckpt.cut(flagged.join(outs, Seq("node"), "left")
+        .select(col("node"), col("pri"),
+          when(col("isin"), "i").when(col("iso"), "o").otherwise("u").as("st"))
+        .observe(obs, coalesce(sum((col("st") === "u").cast("long")), lit(0L)).as("c")))
+      parts += next.filter(col("st") =!= "u").select("node", "st")
+      val left = awaitObserved(obs).getOrElse(
+        next.filter(col("st") === "u").count())
+      empty = left == 0
+      val nextU = next.filter(col("st") === "u")
       val nextE = Ckpt.cut(e2
         .join(nextU.select(col("node").as("src")), "src", "left_semi")
         .join(nextU.select(col("node").as("dst")), "dst", "left_semi"))
-      Ckpt.release(undecided); Ckpt.release(e2)
-      undecided = nextU
+      Ckpt.release(e2) // prior state cuts stay: parts filter over them
+      state = next
       e2 = nextE
-      empty = left == 0
     }
-    (decided.result() :+ undecided.select("node").withColumn("st", lit("u")))
+    (parts.result() :+ state.filter(col("st") === "u").select("node")
+        .withColumn("st", lit("u")))
       .reduce(_ unionByName _)
       .select("node", "st")
   }
@@ -762,9 +789,13 @@ object GraphOps {
       r += 1
       val inc = rem.select(col("a").as("node"), col("a"), col("b"), col("pri"))
         .unionByName(rem.select(col("b").as("node"), col("a"), col("b"), col("pri")))
-      val best = inc.withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(desc("pri"), asc("a"), asc("b"))))
-        .filter(col("rn") === 1).select("node", "a", "b")
+      // per-node best incident edge by (pri DESC, a, b) as a
+      // min-struct aggregate (map-side combinable) instead of a
+      // row_number window — same total order, same edge (r16); pri is
+      // a 31-bit hash, so −pri cannot overflow
+      val best = inc.groupBy("node")
+        .agg(min(struct((-col("pri")).as("np"), col("a").as("ba"), col("b").as("bb"))).as("m"))
+        .select(col("node"), col("m.ba").as("a"), col("m.bb").as("b"))
       val mt = Ckpt.cutLight(best.groupBy("a", "b")
         .agg(count(lit(1)).as("c")).filter(col("c") === 2).select("a", "b"))
       matched += mt
@@ -810,43 +841,49 @@ object GraphOps {
     // same packed hash·2³¹+id priorities (and the same [0, 2³¹) node
     // guard) as maximalIndependentSet — g25's color classes are
     // exactly g23's per-round independent sets
-    var undecided = Ckpt.cut(vertices(e2)
+    var state = Ckpt.cut(vertices(e2)
       .withColumn("pri", expr(
         "CASE WHEN node < 0 OR node >= 2147483648 THEN " +
           "CAST(raise_error(concat('colorByMis: node id ', " +
           "CAST(node AS STRING), ' outside [0, 2^31) — packed hash*2^31+node " +
           "priorities would collide or overflow')) AS BIGINT) " +
           "ELSE CAST(conv(substr(md5(CAST(node AS STRING)), 1, 8), 16, 10) AS BIGINT) " +
-          "* 2147483648 + node END")))
+          "* 2147483648 + node END"))
+      .withColumn("isin", lit(false)))
     val out = Seq.newBuilder[DataFrame]
     var c = 0
     var empty = false
+    // r16 round restructure (see [[maximalIndependentSet]]): one
+    // flagged state frame checkpointed per color instead of separate
+    // ins / nextU cuts — the color class stays a lazy filter over the
+    // round's leaf; jobs per color drop from 3 to 2
     while (c < maxColors && !empty) {
       c += 1
+      val undec = state.filter(!col("isin")).select("node", "pri")
       // strongest still-uncolored neighbor; e2 is residual-restricted,
       // so every endpoint is undecided by construction
       val mx = e2
-        .join(undecided.select(col("node").as("dst"), col("pri").as("vpri")), "dst")
+        .join(undec.select(col("node").as("dst"), col("pri").as("vpri")), "dst")
         .groupBy("src").agg(max("vpri").as("mx"))
         .select(col("src").as("node"), col("mx"))
-      val ins = Ckpt.cutLight(undecided.join(mx, Seq("node"), "left")
-        .filter(col("mx").isNull || col("mx") < col("pri"))
-        .select("node"))
-      out += ins.withColumn("color", lit(c.toLong))
       val obs = org.apache.spark.sql.Observation()
-      val nextU = Ckpt.cut(undecided
-        .join(ins, Seq("node"), "left_anti")
-        .observe(obs, count(lit(1)).as("c")))
-      val left = awaitObserved(obs).getOrElse(nextU.count())
+      val next = Ckpt.cut(undec.join(mx, Seq("node"), "left")
+        .select(col("node"), col("pri"),
+          (col("mx").isNull || col("mx") < col("pri")).as("isin"))
+        .observe(obs, coalesce(sum((!col("isin")).cast("long")), lit(0L)).as("c")))
+      out += next.filter(col("isin")).select("node").withColumn("color", lit(c.toLong))
+      val left = awaitObserved(obs).getOrElse(next.filter(!col("isin")).count())
+      val nextU = next.filter(!col("isin"))
       val nextE = Ckpt.cut(e2
         .join(nextU.select(col("node").as("src")), "src", "left_semi")
         .join(nextU.select(col("node").as("dst")), "dst", "left_semi"))
-      Ckpt.release(undecided); Ckpt.release(e2)
-      undecided = nextU
+      Ckpt.release(e2) // prior state cuts stay: `out` filters over them
+      state = next
       e2 = nextE
       empty = left == 0
     }
-    (out.result() :+ undecided.select("node").withColumn("color", lit(-1L)))
+    (out.result() :+ state.filter(!col("isin")).select("node")
+        .withColumn("color", lit(-1L)))
       .reduce(_ unionByName _).select("node", "color")
   }
 
@@ -975,16 +1012,19 @@ object GraphOps {
     * set). Each iteration: one join + one aggregate shuffle.
     */
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val e = Ckpt.cutLight(edges.select("src", "dst"))
-    val verts = Ckpt.cut(vertices(e))
+    val e0 = Ckpt.cutLight(edges.select("src", "dst"))
+    val verts = Ckpt.cut(vertices(e0))
     val n = verts.count().toDouble
-    val outdeg = Ckpt.cut(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")))
+    // out-degree is iteration-invariant: fold it into the edge table
+    // ONCE instead of re-joining it every iteration (one fewer join —
+    // and at scale one fewer full-edge-table shuffle — per round; r16)
+    val e = Ckpt.cut(e0.join(
+      e0.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")))
     var ranks = verts.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, col("src") === col("node"))
-        .join(outdeg.withColumnRenamed("node", "src2"), col("src") === col("src2"))
-        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
-        .groupBy("node").agg(sum("c").as("insum"))
+        .select(col("dst").as("node2"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("node2").as("node")).agg(sum("c").as("insum"))
       val nr = Ckpt.cut(verts.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("insum"), lit(0.0))).as("rank")))
@@ -1004,16 +1044,18 @@ object GraphOps {
     */
   def pagerankExact(edges: DataFrame, iters: Int): DataFrame = {
     val R = 1000000000000L
-    val e = Ckpt.cutLight(edges.select("src", "dst"))
-    val verts = Ckpt.cut(vertices(e))
+    val e0 = Ckpt.cutLight(edges.select("src", "dst"))
+    val verts = Ckpt.cut(vertices(e0))
     val n = verts.count()
-    val outdeg = Ckpt.cut(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("od")))
+    // fold the iteration-invariant out-degree into the edge table
+    // once — see [[pagerank]]'s note (r16)
+    val e = Ckpt.cut(e0.join(
+      e0.groupBy("src").agg(count(lit(1)).as("od")), Seq("src")))
     val base = (R * 15L / 100L) / n // Scala Long division == SQL integer div (positive operands)
     var ranks = verts.withColumn("rank_u", lit(R / n))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("rank_u div od").as("c"))
         .groupBy("node").agg(sum("c").as("insum"))
       val nr = Ckpt.cut(verts.join(contribs, Seq("node"), "left")

@@ -404,7 +404,11 @@ object Dedup {
       .filter(col("__rn") === 1).select("sigKey", "mh")
 
     // band signature = the band's minhashes in slot order, as a string
-    // (cross-engine equality; no engine-private hash)
+    // (cross-engine equality; no engine-private hash). An ARRAY<BIGINT>
+    // slice key was tried in r16 (bijective with the string, so
+    // bucket-identical) and REVERTED: the array-keyed cap window +
+    // self-join measured slower than the string path (d3 summed task
+    // time 53 s → 59 s), not faster.
     val sig = Ckpt.cut(reps.select(col("sigKey"), explode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> struct(b AS band, " +
           s"array_join(transform(sequence(0, ${rows - 1}), r -> CAST(mh[b * $rows + r] AS STRING)), ',') AS sig))")).as("bs"))

@@ -218,7 +218,16 @@ object ImageIoCodec extends MediaCodec {
 
   def accepts(b: Array[Byte]): Boolean = isPng(b) || isJpeg(b)
 
+  // ImageIO's default ImageInputStream cache is a TEMP FILE per read:
+  // under task-parallel decode the tmp-dir create/delete churn plus
+  // the synchronized stream-SPI path serializes the codec (r16
+  // measured: spreading m9's decode over 32 tasks REGRESSED 4.9 s →
+  // 7.5 s until this was disabled). Memory-cached streams are the
+  // documented posture for small in-memory payloads.
+  private lazy val memCached: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   def decode(b: Array[Byte], nFeat: Int): MediaCodec.Decoded = {
+    memCached
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
     require(img != null, "ImageIO could not decode an accepted payload")
     val w = img.getWidth; val h = img.getHeight

@@ -60,7 +60,11 @@ object Multimodal {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytesRaw) =>
+      .mapPartitions { it =>
+        // file-backed ImageIO stream caching serializes parallel
+        // encode via tmp-file churn — see MediaCodecs.memCached (r16)
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytesRaw) =>
         val bytes = if (bytesRaw == null) Array.empty[Byte] else bytesRaw
         val h = math.max((bytes.length + width - 1) / width, 1)
         val img = new java.awt.image.BufferedImage(
@@ -74,7 +78,7 @@ object Multimodal {
         val out = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", out)
         (id, out.toByteArray)
-      }).toDF("id", "png")
+      } }.toDF("id", "png")
   }
 
   /** Encode a binary column into REAL JPEG payloads, partition-wise:

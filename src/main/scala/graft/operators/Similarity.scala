@@ -266,11 +266,18 @@ object Similarity {
         val plane = Array.tabulate(dims)(i => planeComponent(t, p, i))
         when(vec_dot(col(vcol), typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
+    // bucket rows carry IDS ONLY through every exchange (cap window,
+    // bucket join, candidate distinct); the vectors rejoin AFTER the
+    // candidate pairs are deduped — guide §2.3/§8: shuffle keys, not
+    // payloads. Before r16 each bucket row carried the full
+    // float-vector + norm through the explode, the cap exchange, the
+    // join, AND the distinct (tables× the corpus vector bytes on the
+    // wire); now those stages move 8-byte ids and the vectors cross
+    // once, in the final scoring join.
     def bucketed(df: DataFrame, prefix: String): DataFrame =
-      withNorm(df, idCol, vecCol, prefix)
+      df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}v"))
         .withColumn("__bk", array((0 until tables).map(t => bucketCol(s"${prefix}v", t)): _*))
-        .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
-          posexplode(col("__bk")))
+        .select(col(s"${prefix}id"), posexplode(col("__bk")))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     // MULTI-PROBE (query side only): each query additionally probes
     // the buckets at Hamming distance 1 in its first `multiProbe` sign
@@ -280,15 +287,17 @@ object Similarity {
     val q0 = bucketed(queries, "q")
     val q =
       if (multiProbe == 0) q0
-      else q0.select(col("qid"), col("qv"), col("qn"), col("table"),
+      else q0.select(col("qid"), col("table"),
         explode(array(col("bucket") +:
           (0 until multiProbe).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
           .as("bucket"))
     val c = Dedup.capBuckets(bucketed(corpus, "c"), Seq("table", "bucket"), "cid", maxBucket)
     val cand = q.join(c, Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
-      .select("qid", "qv", "qn", "cid", "cv", "cn").distinct()
+      .select("qid", "cid").distinct()
     cand
+      .join(withNorm(queries, idCol, vecCol, "q"), Seq("qid"))
+      .join(withNorm(corpus, idCol, vecCol, "c"), Seq("cid"))
       .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))))
@@ -320,7 +329,8 @@ object Similarity {
     * oracle replays bucketing, graph, expansion, and rerank exactly.
     */
   /** LSH-bucketed row expansion shared by the graph tiers: one row
-    * per (id, table, bucket) with vector + norm. */
+    * per (id, table, bucket) — ids only; vectors rejoin by id after
+    * candidate dedup (guide §2.3: shuffle keys, not payloads; r16). */
   private def lshBucketed(df: DataFrame, idCol: String, vecCol: String,
                           prefix: String, planes: Int, tables: Int,
                           dims: Int): DataFrame = {
@@ -329,10 +339,9 @@ object Similarity {
         val plane = Array.tabulate(dims)(i => planeComponent(t, p, i))
         when(vec_dot(col(vcol), typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-    withNorm(df, idCol, vecCol, prefix)
+    df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}v"))
       .withColumn("__bk", array((0 until tables).map(t => bucketCol(s"${prefix}v", t)): _*))
-      .select(col(s"${prefix}id"), col(s"${prefix}v"), col(s"${prefix}n"),
-        posexplode(col("__bk")))
+      .select(col(s"${prefix}id"), posexplode(col("__bk")))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
   }
 
@@ -345,14 +354,19 @@ object Similarity {
                   dims: Int = 64, maxBucket: Int = 4096): DataFrame = {
     val b = Dedup.capBuckets(lshBucketed(corpus, idCol, vecCol, "c", planes, tables, dims),
       Seq("table", "bucket"), "cid", maxBucket)
+    val cv = withNorm(corpus, idCol, vecCol, "c")
+    // dedup the (src, nb) ID pairs first; vectors rejoin once for the
+    // scoring — before r16 both sides' vectors rode the self-join AND
+    // the distinct (2 × vector bytes per candidate pair on the wire)
     b.as("x").join(b.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.cid") =!= col("y.cid"))
-      .select(col("x.cid").as("src"), col("y.cid").as("nb"),
-        col("x.cv").as("sv"), col("x.cn").as("sn"),
-        col("y.cv").as("nv"), col("y.cn").as("nn"))
+      .select(col("x.cid").as("src"), col("y.cid").as("nb"))
       .distinct()
+      .join(cv.select(col("cid").as("src"), col("cv").as("sv"), col("cn").as("sn")), Seq("src"))
+      .join(cv.select(col("cid").as("nb"), col("cv").as("nv"), col("cn").as("nn")), Seq("nb"))
       .withColumn("gcos", dot("sv", "nv") / (col("sn") * col("nn")))
+      .select("src", "nb", "gcos")
       .withColumn("grk", row_number().over(
         Window.partitionBy("src").orderBy(desc("gcos"), asc("nb"))))
       .filter(col("grk") <= m)
@@ -462,23 +476,19 @@ object Similarity {
   def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planes: Int = 8, tables: Int = 4,
                         dims: Int = 64, maxBucket: Int = 4096): DataFrame = {
-    def bucketCol(vcol: String, t: Int) =
-      (0 until planes).map { p =>
-        val plane = Array.tabulate(dims)(i => planeComponent(t, p, i))
-        when(vec_dot(col(vcol), typedLit(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    // ids-only bucket rows; vectors rejoin after the pair dedup —
+    // guide §2.3/§8 (r16), same restructure as [[knnLsh]]
     val b = Dedup.capBuckets(
-      withNorm(df, idCol, vecCol, "c")
-        .withColumn("__bk", array((0 until tables).map(t => bucketCol("cv", t)): _*))
-        .select(col("cid"), col("cv"), col("cn"), posexplode(col("__bk")))
-        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket"),
+      lshBucketed(df, idCol, vecCol, "c", planes, tables, dims),
       Seq("table", "bucket"), "cid", maxBucket)
+    val cv = withNorm(df, idCol, vecCol, "c")
     b.as("x").join(b.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.cid") < col("y.cid"))
-      .select(col("x.cid").as("a"), col("x.cv").as("va"), col("x.cn").as("na"),
-        col("y.cid").as("b"), col("y.cv").as("vb"), col("y.cn").as("nb"))
+      .select(col("x.cid").as("a"), col("y.cid").as("b"))
       .distinct()
+      .join(cv.select(col("cid").as("a"), col("cv").as("va"), col("cn").as("na")), Seq("a"))
+      .join(cv.select(col("cid").as("b"), col("cv").as("vb"), col("cn").as("nb")), Seq("b"))
       .withColumn("cosine", dot("va", "vb") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))

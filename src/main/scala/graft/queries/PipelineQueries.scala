@@ -1404,8 +1404,11 @@ object PipelineQueries {
       // verifies an actual PNG encode→decode round trip without
       // itself decoding PNG.
       (s, d) => {
-        val payload = Tables.documents(s, d)
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        // spreadSmall: the real-codec encode+decode below is the
+        // heavy stage, and a sub-split documents table scans as ONE
+        // task (r16 — 2.8 s single-core measured); no-op at scale
+        val payload = Tables.spreadSmall(s, d, "documents", Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
         val pngs = Multimodal.encodeGrayPng(payload, "doc_id", "payload", width = 32)
         Multimodal.decode(pngs, "id", "png", nFeat = 4,
             codecs = Seq(graft.operators.ImageIoCodec))
@@ -1451,8 +1454,9 @@ object PipelineQueries {
       // see DC error only). A decode regression past the bound flips
       // dev_ok and fails the hash gate.
       (s, d) => {
-        val payload = Tables.documents(s, d)
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        // spreadSmall: see m8 — full-width JPEG round-trip (r16)
+        val payload = Tables.spreadSmall(s, d, "documents", Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
         // stub decode of the raw payload = exact positional byte sums
         val orig = Multimodal.decode(payload, "doc_id", "payload", nFeat = 1).toDF()
           .select(col("id").as("doc_id"), col("featSums")(0).as("orig_sum"))
@@ -2393,9 +2397,10 @@ object PipelineQueries {
       // black image, not an empty payload — m4's emptiness guard
       // must run on the SOURCE side here).
       (s, d) => {
-        val payload = Tables.documents(s, d)
+        // spreadSmall: see m8 — full-width PNG round-trip (r16)
+        val payload = Tables.spreadSmall(s, d, "documents", Tables.documents(s, d)
           .filter(length(col("text")) > 0)
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .select(col("doc_id"), col("text").cast("binary").as("payload")))
         val pngs = Multimodal.encodeGrayPng(payload, "doc_id", "payload", width = 32)
         Multimodal.perceptualHashPairs(pngs, "id", "png", maxHamming = 3,
             codecs = Seq(graft.operators.ImageIoCodec))
