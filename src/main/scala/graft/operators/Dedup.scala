@@ -188,14 +188,24 @@ object Dedup {
           .withColumn("jaccard", col("n").cast("double") / (col("sza") + col("szb") - col("n")))
           .filter(col("jaccard") >= threshold)
       case None =>
+        // per-pair array_intersect over the materialized distinct-
+        // token arrays (r16): |A∩B| is computed in one hashed pass
+        // per candidate pair instead of exploding every pair to its
+        // tokens through a (pairs × set width) shuffle + count
+        // aggregate — the same exact cardinality (arrays hold the
+        // DISTINCT tokens), jaccard arithmetic unchanged. The array
+        // table is one row per distinct set — the representation a
+        // deployment materializes next to the LSH index anyway.
+        val repArr = Ckpt.cutLight(repTok.groupBy("setId")
+          .agg(collect_list(col("tok")).as("toks")))
         cand
-          .join(repTok.select(col("setId").as("sa"), col("tok")), Seq("sa"))
-          .join(repTok.select(col("setId").as("sb"), col("tok")), Seq("sb", "tok"))
-          .groupBy("sa", "sb").agg(count(lit(1)).as("n"))
-          .join(repSize.select(col("setId").as("sa"), col("sz").as("sza")), Seq("sa"))
-          .join(repSize.select(col("setId").as("sb"), col("sz").as("szb")), Seq("sb"))
-          .withColumn("jaccard", col("n").cast("double") / (col("sza") + col("szb") - col("n")))
+          .join(repArr.select(col("setId").as("sa"), col("toks").as("__ta")), Seq("sa"))
+          .join(repArr.select(col("setId").as("sb"), col("toks").as("__tb")), Seq("sb"))
+          .withColumn("n", expr("CAST(size(array_intersect(__ta, __tb)) AS BIGINT)"))
+          .withColumn("jaccard",
+            col("n").cast("double") / (size(col("__ta")) + size(col("__tb")) - col("n")))
           .filter(col("jaccard") >= threshold)
+          .drop("__ta", "__tb")
     }
 
   /** PPJoin prefix-filter candidate generation: tokens ordered
@@ -415,13 +425,27 @@ object Dedup {
       .select(col("sigKey"), col("bs.band").as("band"), col("bs.sig").as("sig")))
 
     val capped = capBuckets(sig, Seq("band", "sig"), "sigKey", maxBucket)
-    val probe = probeGroups.map(p =>
-      capped.join(p.select("sigKey"), Seq("sigKey"), "left_semi")).getOrElse(capped)
-    val candG = probe.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.sigKey") =!= col("b.sigKey"))
-      .select(least(col("a.sigKey"), col("b.sigKey")).as("ga"),
-        greatest(col("a.sigKey"), col("b.sigKey")).as("gb")).distinct()
+    // full run: a strict `<` emits each unordered bucket pair ONCE —
+    // the old `=!=` + least/greatest emitted both orders and doubled
+    // the pre-distinct candidate volume through the dedup exchange
+    // (measured 34.7M rows at sf0.1, the single largest shuffle of
+    // the minhash family; r16). The probed (incremental) path keeps
+    // `=!=`: its asymmetric probe side would miss pairs whose probe
+    // member carries the larger key.
+    val candG = (probeGroups match {
+      case None =>
+        capped.as("a").join(capped.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.sigKey") < col("b.sigKey"))
+          .select(col("a.sigKey").as("ga"), col("b.sigKey").as("gb"))
+      case Some(p) =>
+        capped.join(p.select("sigKey"), Seq("sigKey"), "left_semi")
+          .as("a").join(capped.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.sigKey") =!= col("b.sigKey"))
+          .select(least(col("a.sigKey"), col("b.sigKey")).as("ga"),
+            greatest(col("a.sigKey"), col("b.sigKey")).as("gb"))
+    }).distinct()
     // expand signature-group pairs to set pairs; groups partition the
     // sets, so cross-group + within-group pairs are disjoint — no
     // dedup pass needed
@@ -704,13 +728,22 @@ object Dedup {
         .select(col("fa.doc_id").as("a"), col("fb.doc_id").as("b")),
       Seq("a", "b"), "a", 1)
     val t = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    // THRESHOLDED Levenshtein (r16): dist·denom ≤ mx·num ⟺ dist ≤
+    // ⌊mx·num/denom⌋ (dist integral), so the 3-arg banded form —
+    // O(len·threshold) row work with an early −1 on the length-diff
+    // and band aborts, instead of the full O(len²) matrix — selects
+    // EXACTLY the same pairs and reports the same exact distance for
+    // every kept pair (−1 only marks pairs the old filter dropped).
+    // Measured: the verify stage was 131 s of summed task time at
+    // sf0.1 — the single most compute-bound stage in the suite.
     cand
       .join(t.as("ta"), col("a") === col("ta.id"))
       .join(t.as("tb"), col("b") === col("tb.id"))
       .select(col("a"), col("b"),
-        levenshtein(col("ta.txt"), col("tb.txt")).cast("long").as("dist"),
-        greatest(length(col("ta.txt")), length(col("tb.txt"))).cast("long").as("mx"))
-      .filter(col("dist") * denom <= col("mx") * num)
+        expr(s"levenshtein(ta.txt, tb.txt, " +
+          s"CAST(greatest(length(ta.txt), length(tb.txt)) * $num div $denom AS INT))")
+          .cast("long").as("dist"))
+      .filter(col("dist") >= 0)
       .select("a", "b", "dist")
   }
 
