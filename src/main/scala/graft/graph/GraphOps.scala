@@ -373,8 +373,13 @@ object GraphOps {
     */
   def bubbles(edges: DataFrame): DataFrame = {
     val e = Ckpt.cutLight(edges.select("src", "dst")) // scanned 4×
-    val interior = degrees(e)
-      .filter(col("indeg") === 1 && col("outdeg") === 1).select("node")
+    // interior = indeg 1 AND outdeg 1: two direct aggregates + an
+    // inner join — [[degrees]]' union + full-outer serves absent-side
+    // zeros, which a ==1 filter never selects (r16, as in chainLabels)
+    val interior = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
+      .filter(col("c") === 1).select("node")
+      .join(e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1).select("node"), Seq("node"), "left_semi")
     val arm = e.select(col("src").as("u"), col("dst").as("m"))
       .join(interior.withColumnRenamed("node", "m"), Seq("m"))
       .join(e.select(col("src").as("m"), col("dst").as("w")), Seq("m"))
@@ -527,17 +532,30 @@ object GraphOps {
     * materialization, so a level costs no separate count job.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // the initial edge count rides the sym cut's own materialization
+    // as an observe metric — no separate count() job (r16)
+    val obs0 = org.apache.spark.sql.Observation()
     val sym = Ckpt.cut(edges.select("src", "dst")
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .observe(obs0, count(lit(1)).as("c")))
     var g = sym
-    var edgeCount = g.count()
+    var edgeCount = awaitObserved(obs0).getOrElse(g.count())
     var level = 0
     var mappings = List.empty[DataFrame] // most-contracted level first
     while (edgeCount > 0 && level < 32) {
       level += 1
       val parent = g.groupBy(col("src").as("node")).agg(min("dst").as("nm"))
         .select(col("node"), least(col("node"), col("nm")).as("lbl"))
-      val roots = iterate(parent, maxRounds = 32) { l =>
+      def jump(l: DataFrame): DataFrame =
+        l.as("a").join(l.as("b"), col("a.lbl") === col("b.node"), "left")
+          .select(col("a.node").as("node"),
+            coalesce(col("b.lbl"), col("a.lbl")).as("lbl"))
+      // the FIRST jump rides the iterate's own init materialization
+      // (same one job, one round's head start — a height-2 forest now
+      // converges in one round instead of two; r16). Jumping from a
+      // jumped frame reaches the same roots: a jump only ever moves a
+      // label to another valid ancestor label.
+      val roots = iterate(jump(parent), maxRounds = 32) { l =>
         l.as("a").join(l.as("b"), col("a.lbl") === col("b.node"), "left")
           .select(col("a.node").as("node"),
             coalesce(col("b.lbl"), col("a.lbl")).as("lbl"),

@@ -594,11 +594,16 @@ object Dedup {
           .join(m.select(col("setId").as("so"), col("mask").as("mo")), Seq("so"))
           .withColumn("n", expr("CAST(bit_count(mi & mo) AS BIGINT)"))
       case None =>
+        // per-pair array_intersect over materialized token arrays —
+        // same rewrite as verifySetJaccard's token-join branch (r16)
+        val repArr = Ckpt.cutLight(repTok.groupBy("setId")
+          .agg(collect_list(col("tok")).as("toks")))
         cand
-          .join(repTok.select(col("setId").as("si"), col("tok")), Seq("si"))
-          .join(repTok.select(col("setId").as("so"), col("tok")), Seq("so", "tok"))
-          .groupBy("si", "so").agg(count(lit(1)).as("n"))
-          .join(repSize.select(col("setId").as("si"), col("sz").as("szi")), Seq("si"))
+          .join(repArr.select(col("setId").as("si"), col("toks").as("__ti")), Seq("si"))
+          .join(repArr.select(col("setId").as("so"), col("toks").as("__to")), Seq("so"))
+          .withColumn("n", expr("CAST(size(array_intersect(__ti, __to)) AS BIGINT)"))
+          .withColumn("szi", size(col("__ti")).cast("long"))
+          .drop("__ti", "__to")
     })
       .withColumn("containment", col("n").cast("double") / col("szi"))
       .filter(col("containment") >= threshold)
