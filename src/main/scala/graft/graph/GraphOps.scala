@@ -915,9 +915,20 @@ object GraphOps {
     * size) fixed no matter how deep the 100-TB graph really is.
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
-    val e = Ckpt.cutLight(edges.select("src", "dst"))
+    val e = relaxEdges(edges.select("src", "dst"))
     iterateMonotoneCore(bfsInit(seeds), maxDepth, RelaxSteps)(bfsHop(e))._1
   }
+
+  /** Edge table prepared for a relaxation loop: HASH-PARTITIONED BY
+    * `src` once, under one checkpoint whose LogicalRDD carries the
+    * partitioning — every round's frontier join then satisfies its
+    * edge-side distribution requirement from the materialized layout
+    * (the classic Pregel posture: partition edges once, ship only
+    * messages per round). At 100 TB this removes a full edge-table
+    * exchange (or broadcast build) from EVERY round; locally the
+    * planner may still broadcast the small side, which is free. */
+  private def relaxEdges(e: DataFrame): DataFrame =
+    Ckpt.cut(e.repartition(col("src")))
 
   /** [[bfs]] with FULL-reachability semantics: min hop distance from
     * any seed with no depth bound — iterates to the true fixpoint and
@@ -927,7 +938,7 @@ object GraphOps {
     * fails loudly instead of silently truncating distances.
     */
   def bfsCertified(edges: DataFrame, seeds: DataFrame, safetyCap: Int = 256): DataFrame = {
-    val e = Ckpt.cutLight(edges.select("src", "dst"))
+    val e = relaxEdges(edges.select("src", "dst"))
     val (out, converged) =
       iterateMonotoneCore(bfsInit(seeds), safetyCap, RelaxSteps)(bfsHop(e))
     if (!converged) throw new NotConvergedException(
@@ -976,7 +987,7 @@ object GraphOps {
     * bound is the semantic guard, not just a safety valve.
     */
   def topoLayers(edges: DataFrame, maxDepth: Int): DataFrame = {
-    val e = Ckpt.cutLight(edges.select("src", "dst"))
+    val e = relaxEdges(edges.select("src", "dst"))
     iterateMonotoneCore(topoInit(e), maxDepth, RelaxSteps)(topoHop(e))._1
   }
 
@@ -987,7 +998,7 @@ object GraphOps {
     * variant's semantic guard.
     */
   def topoLayersCertified(edges: DataFrame, safetyCap: Int = 256): DataFrame = {
-    val e = Ckpt.cutLight(edges.select("src", "dst"))
+    val e = relaxEdges(edges.select("src", "dst"))
     val (out, converged) =
       iterateMonotoneCore(topoInit(e), safetyCap, RelaxSteps)(topoHop(e))
     if (!converged) throw new NotConvergedException(
@@ -1096,7 +1107,7 @@ object GraphOps {
     * graphs, exactly as in [[topoLayers]].
     */
   def sssp(edges: DataFrame, seeds: DataFrame, maxRounds: Int): DataFrame = {
-    val e = Ckpt.cutLight(edges.select("src", "dst", "w"))
+    val e = relaxEdges(edges.select("src", "dst", "w"))
     iterateMonotoneCore(ssspInit(seeds), maxRounds, RelaxSteps)(ssspHop(e))._1
   }
 
@@ -1107,7 +1118,7 @@ object GraphOps {
     * plausible distance table).
     */
   def ssspCertified(edges: DataFrame, seeds: DataFrame, safetyCap: Int = 256): DataFrame = {
-    val e = Ckpt.cutLight(edges.select("src", "dst", "w"))
+    val e = relaxEdges(edges.select("src", "dst", "w"))
     val (out, converged) =
       iterateMonotoneCore(ssspInit(seeds), safetyCap, RelaxSteps)(ssspHop(e))
     if (!converged) throw new NotConvergedException(

@@ -105,8 +105,12 @@ object Dedup {
   private def tokenSetGroups(df: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val tok = tokens(df, idCol, textCol)
+    // setId hashes the SORTED token array directly — xxhash64 folds
+    // complex types element-wise, so the to_json string build (one
+    // JSON document per doc per query) was pure overhead; setId stays
+    // a purely internal group key (r16)
     val byDoc = Ckpt.cut(tok.groupBy("id")
-      .agg(xxhash64(to_json(sort_array(collect_list(col("tok"))))).as("setId"),
+      .agg(xxhash64(sort_array(collect_list(col("tok")))).as("setId"),
         count(lit(1)).as("sz")))
     val members = byDoc.select("setId", "id")
     val repIds = byDoc.groupBy("setId").agg(min("id").as("id"), min("sz").as("sz"))
@@ -385,7 +389,7 @@ object Dedup {
     // boilerplate near-dups in one group → 5·10¹¹ pairs). Sets beyond
     // the cap lose LSH candidacy — the documented recall trade; exact
     // clones still collapse via the token-set stage above.
-    val sigged = Ckpt.cut(mins.withColumn("sigKey", xxhash64(to_json(col("mh")))))
+    val sigged = Ckpt.cut(mins.withColumn("sigKey", xxhash64(col("mh"))))
     val cand = sigCandidates(sigged, bands, rows, maxBucket, None)
 
     (members,
@@ -527,7 +531,7 @@ object Dedup {
     // probe output ≡ full output filtered — the oracle's invariant);
     // only signature groups containing a new set probe the band index
     val mins = setMinhashes(repTok, numHashes)
-    val sigged = Ckpt.cut(mins.withColumn("sigKey", xxhash64(to_json(col("mh")))))
+    val sigged = Ckpt.cut(mins.withColumn("sigKey", xxhash64(col("mh"))))
     val probeGroups = sigged
       .join(newSets.filter(col("hasNew") === 1).select("setId"), Seq("setId"), "left_semi")
       .select("sigKey").distinct()

@@ -351,9 +351,15 @@ object Similarity {
     * index ONE time and hands it to both. */
   def lshKnnGraph(corpus: DataFrame, idCol: String, vecCol: String,
                   m: Int = 5, planes: Int = 8, tables: Int = 4,
-                  dims: Int = 64, maxBucket: Int = 4096): DataFrame = {
-    val b = Dedup.capBuckets(lshBucketed(corpus, idCol, vecCol, "c", planes, tables, dims),
-      Seq("table", "bucket"), "cid", maxBucket)
+                  dims: Int = 64, maxBucket: Int = 4096,
+                  prebuiltBuckets: Option[DataFrame] = None): DataFrame = {
+    // graph-tier callers (knnGraph/knnGraphBeam) bucket the corpus
+    // for their query seeds anyway — passing that table in skips a
+    // second full bucketing pass (tables × planes vec_dots per
+    // corpus row) + cap window (r16)
+    val b = prebuiltBuckets.getOrElse(
+      Dedup.capBuckets(lshBucketed(corpus, idCol, vecCol, "c", planes, tables, dims),
+        Seq("table", "bucket"), "cid", maxBucket))
     val cv = withNorm(corpus, idCol, vecCol, "c")
     // dedup the (src, nb) ID pairs first; vectors rejoin once for the
     // scoring — before r16 both sides' vectors rode the self-join AND
@@ -377,10 +383,16 @@ object Similarity {
                k: Int, m: Int = 5, planes: Int = 8, tables: Int = 4,
                dims: Int = 64, maxBucket: Int = 4096,
                prebuiltGraph: Option[DataFrame] = None): DataFrame = {
-    val b = Dedup.capBuckets(lshBucketed(corpus, idCol, vecCol, "c", planes, tables, dims),
+    // one materialized bucket table serves BOTH the query seeds and
+    // the graph build (r16; previously each ran its own full pass).
+    // With a prebuilt graph the buckets are consumed once (seeds), so
+    // the cut would be pure overhead — keep the frame lazy then.
+    val b0 = Dedup.capBuckets(lshBucketed(corpus, idCol, vecCol, "c", planes, tables, dims),
       Seq("table", "bucket"), "cid", maxBucket)
+    val b = if (prebuiltGraph.isDefined) b0 else Ckpt.cut(b0)
     val graph = prebuiltGraph.getOrElse(
-      lshKnnGraph(corpus, idCol, vecCol, m, planes, tables, dims, maxBucket))
+      lshKnnGraph(corpus, idCol, vecCol, m, planes, tables, dims, maxBucket,
+        prebuiltBuckets = Some(b)))
     val q = lshBucketed(queries, idCol, vecCol, "q", planes, tables, dims)
     val seeds = q.join(b.select("table", "bucket", "cid"), Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
@@ -419,12 +431,16 @@ object Similarity {
                    dims: Int = 64, maxBucket: Int = 4096,
                    prebuiltGraph: Option[DataFrame] = None): DataFrame = {
     require(hops >= 1 && beam >= 1, "need at least one hop and a beam")
-    val b = Dedup.capBuckets(lshBucketed(corpus, idCol, vecCol, "c", planes, tables, dims),
+    // one materialized bucket table serves both seeds and the graph
+    // build (r16, as in [[knnGraph]]; lazy when the graph is prebuilt)
+    val b0 = Dedup.capBuckets(lshBucketed(corpus, idCol, vecCol, "c", planes, tables, dims),
       Seq("table", "bucket"), "cid", maxBucket)
+    val b = if (prebuiltGraph.isDefined) b0 else Ckpt.cut(b0)
     // the graph is consumed once per hop — cut it unless the caller
     // already materialized a shared one
     val graph = prebuiltGraph.getOrElse(Ckpt.cut(
-      lshKnnGraph(corpus, idCol, vecCol, m, planes, tables, dims, maxBucket)))
+      lshKnnGraph(corpus, idCol, vecCol, m, planes, tables, dims, maxBucket,
+        prebuiltBuckets = Some(b))))
     val q = lshBucketed(queries, idCol, vecCol, "q", planes, tables, dims)
     val seeds = q.join(b.select("table", "bucket", "cid"), Seq("table", "bucket"))
       .filter(col("qid") =!= col("cid"))
