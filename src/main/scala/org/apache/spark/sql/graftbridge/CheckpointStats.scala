@@ -52,17 +52,64 @@ object CheckpointStats {
       } catch { case _: Throwable => None }
     }
 
-  def withFreshStats(cp: DataFrame): DataFrame = {
+  /** Non-blocking read of the row-count metric [[graft.Ckpt.cut]]
+    * attaches to the checkpoint materialization. The action has
+    * already run eagerly; the completion listener is async, so poll
+    * briefly and fall back to None (→ memSize path) rather than
+    * block the driver. */
+  def observedCount(obs: org.apache.spark.sql.Observation,
+                    timeoutMs: Long = 2000): Option[Long] = {
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    while (System.nanoTime < deadline) {
+      val m = obs.getOrEmpty
+      if (m.nonEmpty) return Some(m("n") match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case other => other.toString.toLong
+      })
+      Thread.sleep(2)
+    }
+    None
+  }
+
+  /** Exact UnsafeRow byte width when EVERY column is a fixed-width
+    * atomic type (stored inline: null bitset word(s) + 8 bytes per
+    * field) — None as soon as any var-width column (string, array,
+    * map, struct, large decimal) could make count×width an
+    * UNDERestimate. Honest small stats must never come from a lower
+    * bound: a spurious broadcast of a big frame is an OOM at scale,
+    * while the inflated memSize fallback only costs a shuffle. */
+  private def fixedRowWidth(output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute]): Option[Long] = {
+    import org.apache.spark.sql.types._
+    val ok = output.forall(_.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType => true
+      case d: DecimalType => d.precision <= Decimal.MAX_LONG_DIGITS
+      case _ => false
+    })
+    if (!ok || output.isEmpty) None
+    else Some(8L * ((output.size + 63) / 64) + 8L * output.size)
+  }
+
+  def withFreshStats(cp: DataFrame, rowCount: Option[Long] = None): DataFrame = {
     val classic = cp.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     classic.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         val spark = classic.sparkSession
-        val measured = spark.sparkContext.getRDDStorageInfo
-          .find(_.id == lr.rdd.id)
-          .map(i => BigInt(i.memSize + i.diskSize))
-          .filter(_ > 0)
+        // exact bytes (count × UnsafeRow width) for fixed-width rows;
+        // the block manager's memSize otherwise (java-object inflated
+        // ~5-10× on narrow rows, but never an underestimate)
+        val exact = for (n <- rowCount; w <- fixedRowWidth(lr.output))
+          yield BigInt(n) * w
+        val measured = exact
+          .orElse(spark.sparkContext.getRDDStorageInfo
+            .find(_.id == lr.rdd.id)
+            .map(i => BigInt(i.memSize + i.diskSize))
+            .filter(_ > 0))
           .orElse(checkpointFileSize(classic, lr))
-        val stats = Statistics(sizeInBytes = measured.getOrElse(Cap).min(Cap).max(1))
+        val stats = Statistics(sizeInBytes = measured.getOrElse(Cap).min(Cap).max(1),
+          rowCount = rowCount.map(BigInt(_)))
         org.apache.spark.sql.classic.Dataset.ofRows(spark,
           new LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
             lr.outputOrdering, lr.isStreaming, lr.stream)(spark, Some(stats), None))
