@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_list, concat, count, element_at, explode, expr, input_file_name, lit, map_from_entries, pmod, posexplode, struct, sum, when, xxhash64}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_list, collect_set, concat, count, element_at, explode, expr, input_file_name, lit, map_from_entries, pmod, posexplode, struct, sum, when, xxhash64}
 import java.nio.charset.StandardCharsets
 
 /** Versioned-manifest table layout — snapshot isolation for the batch
@@ -2750,6 +2750,34 @@ object VersionedTable {
     * exactly the vectors of its version. Same OCC/retry contract as
     * [[merge]]. Returns the committed version — or the CURRENT version
     * unchanged when nothing matches (no empty commits). */
+  /** Non-blocking read of the (row count, distinct-file set) metrics
+    * the DV paths attach to their hits materialization. The eager
+    * localCheckpoint has already run; the completion listener is
+    * async, so poll briefly and return None (→ the pre-r16 fallback
+    * jobs) rather than block the driver. */
+  private def observedCountAndSet(obs: org.apache.spark.sql.Observation,
+                                  timeoutMs: Long = 2000): Option[(Long, Seq[String])] = {
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    while (System.nanoTime < deadline) {
+      val m = org.apache.spark.sql.graftbridge.ObservationBridge.getOrEmpty(obs)
+      if (m.nonEmpty) {
+        val n = m("n") match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => other.toString.toLong
+        }
+        val fs = m("fs") match {
+          case s: scala.collection.Seq[_] => s.map(String.valueOf).toSeq
+          case a: Array[_] => a.map(String.valueOf).toSeq
+          case other => return None // unexpected shape: use the fallback jobs
+        }
+        return Some((n, fs))
+      }
+      Thread.sleep(2)
+    }
+    None
+  }
+
   def deleteWhereDv(spark: SparkSession, root: String, predicate: String,
                     maxRetries: Int = 5): Long = {
     val f = fs(spark, root)
@@ -2770,10 +2798,20 @@ object VersionedTable {
               .map(rel => new Path(root, rel).toString): _*)
             .select(col("file").as("__dvf"), col("pos").as("__dvp")).distinct(),
           Seq("__dvf", "__dvp"), "left_anti")
+      // the hit count and the touched-file set ride the hits
+      // materialization as observe metrics (r16): the count replaces
+      // the separate isEmpty job and collect_set replaces the
+      // distinct().collect() job — both bounded exactly as before
+      // (touched files are manifest-bounded). The old jobs remain as
+      // the listener-timeout fallback.
+      val hitObs = org.apache.spark.sql.Observation()
       val hits = liveRows.filter(predicate)
         .select(col("__dvf").as("file"), col("__dvp").as("pos"))
-        .localCheckpoint(true) // consumed three times below
-      if (hits.isEmpty) return s.version
+        .observe(hitObs, count(lit(1)).as("n"),
+          collect_set(col("file")).as("fs"))
+        .localCheckpoint(true) // consumed twice below
+      val obsHit = observedCountAndSet(hitObs)
+      if (obsHit.map(_._1 == 0L).getOrElse(hits.isEmpty)) return s.version
       val nonce = java.util.UUID.randomUUID.toString.take(8)
       val dvDirRel = s"data/c${s.version + 1}-$nonce-dv"
       val dvDir = new Path(root, dvDirRel)
@@ -2783,8 +2821,9 @@ object VersionedTable {
         .filter(_.getPath.getName.endsWith(".parquet"))
         .map(st => s"$dvDirRel/${st.getPath.getName}").sorted.toSeq
       // touched-file list is manifest-bounded (distinct rel paths)
-      val touched = hits.select("file").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+      val touched = obsHit.map(_._2.sorted).getOrElse(
+        hits.select("file").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq)
       val newDvLines = for (t <- touched; d <- dvRels) yield s"!dv\t$t\t$d"
       val metaLines = manifestMeta(spark, root, s.version).toSeq.sortBy(_._1)
         .map { case (k, v2) => s"#$k=$v2" }
@@ -2851,8 +2890,15 @@ object VersionedTable {
               .map(rel => new Path(root, rel).toString): _*)
             .select(col("file").as("__dvf"), col("pos").as("__dvp")).distinct(),
           Seq("__dvf", "__dvp"), "left_anti")
-      val hits = liveRows.filter(predicate).localCheckpoint(true)
-      if (hits.isEmpty) return s.version
+      // hit count + touched-file set ride the materialization as
+      // observe metrics — see deleteWhereDv (r16)
+      val hitObs = org.apache.spark.sql.Observation()
+      val hits = liveRows.filter(predicate)
+        .observe(hitObs, count(lit(1)).as("n"),
+          collect_set(col("__dvf")).as("fs"))
+        .localCheckpoint(true)
+      val obsHit = observedCountAndSet(hitObs)
+      if (obsHit.map(_._1 == 0L).getOrElse(hits.isEmpty)) return s.version
       val nonce = java.util.UUID.randomUUID.toString.take(8)
       // the matched positions become a deletion vector…
       val dvDirRel = s"data/c${s.version + 1}-$nonce-dv"
@@ -2861,8 +2907,9 @@ object VersionedTable {
       val dvRels = f.listStatus(new Path(root, dvDirRel))
         .filter(_.getPath.getName.endsWith(".parquet"))
         .map(st => s"$dvDirRel/${st.getPath.getName}").sorted.toSeq
-      val touched = hits.select(col("__dvf")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+      val touched = obsHit.map(_._2.sorted).getOrElse(
+        hits.select(col("__dvf")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq)
       val newDvLines = for (t <- touched; d <- dvRels) yield s"!dv\t$t\t$d"
       // …and the updated row versions land as fresh files. All set
       // expressions are evaluated against the PRE-update row in one
