@@ -4292,32 +4292,44 @@ object PipelineQueries {
               (coalesce(col("n_matched"), lit(0L)) * 1000L).as("recall_bp"))
         }
         // EXACT same configurations as the tier queries themselves —
-        // the audit must grade what s2/s3/s5/s13/s10/s14/s8b/s8c ship
-        Seq(
-          recallOf("lsh",
-            Similarity.knnLsh(e, q, "vec_id", "embedding", k = 10), truthCos),
-          recallOf("ivf",
+        // the audit must grade what s2/s3/s5/s13/s10/s14/s8b/s8c ship.
+        // CONSTRUCTION CONCURRENCY (r16, guide §2.6): building a tier
+        // is not lazy — the quantizer/centroid/codebook training and
+        // graph-build actions inside the Similarity constructors run
+        // eagerly, and at round start they were the audit's serial
+        // spine (measured: 8.0 s of construction vs 0.7 s of action).
+        // The tiers are independent given the two cut truths, so each
+        // constructor runs under its own driver thread; the frames,
+        // the final union plan, and the single evaluating action are
+        // byte-identical to the sequential build.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        Seq[Future[DataFrame]](
+          Future(recallOf("lsh",
+            Similarity.knnLsh(e, q, "vec_id", "embedding", k = 10), truthCos)),
+          Future(recallOf("ivf",
             Similarity.knnIvf(e, q, "vec_id", "embedding", k = 10,
-              lloydIters = 0), truthCos),
-          recallOf("pq",
-            Similarity.knnPq(e, q, "vec_id", "embedding", k = 10), truthCos),
-          recallOf("sq",
-            Similarity.knnSq(e, q, "vec_id", "embedding", k = 10), truthCos),
-          recallOf("ivfpq",
+              lloydIters = 0), truthCos)),
+          Future(recallOf("pq",
+            Similarity.knnPq(e, q, "vec_id", "embedding", k = 10), truthCos)),
+          Future(recallOf("sq",
+            Similarity.knnSq(e, q, "vec_id", "embedding", k = 10), truthCos)),
+          Future(recallOf("ivfpq",
             Similarity.knnIvfPq(e, q, "vec_id", "embedding", k = 10,
-              lloydIters = 0), truthCos),
-          recallOf("ivfsq",
-            Similarity.knnIvfSq(e, q, "vec_id", "embedding", k = 10), truthCos),
-          recallOf("mips_lsh",
-            Similarity.knnMipsLsh(e, q, "vec_id", "embedding", k = 10), truthMips),
-          recallOf("mips_mp2",
+              lloydIters = 0), truthCos)),
+          Future(recallOf("ivfsq",
+            Similarity.knnIvfSq(e, q, "vec_id", "embedding", k = 10), truthCos)),
+          Future(recallOf("mips_lsh",
+            Similarity.knnMipsLsh(e, q, "vec_id", "embedding", k = 10), truthMips)),
+          Future(recallOf("mips_mp2",
             Similarity.knnMipsLsh(e, q, "vec_id", "embedding", k = 10,
-              multiProbe = 2), truthMips),
+              multiProbe = 2), truthMips)),
           // round 12: the graph tiers — s21's beam walk must grade ≥
           // s11's single hop here by construction (superset
           // candidates); the expensive kNN graph is built ONCE and
-          // shared by both audits
-          {
+          // shared by both audits (one thread: beam depends on it)
+          Future {
             val lshGraph = graft.Ckpt.cut(
               Similarity.lshKnnGraph(e, "vec_id", "embedding", m = 5))
             recallOf("graph",
@@ -4328,7 +4340,8 @@ object PipelineQueries {
                   m = 5, beam = 4, hops = 2,
                   prebuiltGraph = Some(lshGraph)), truthCos))
           }
-        ).reduce(_.unionByName(_)).orderBy("tier", "query_id")
+        ).map(Await.result(_, Duration.Inf))
+          .reduce(_.unionByName(_)).orderBy("tier", "query_id")
       },
       // each tier's FULL oracle rides as a nested-WITH subquery — the
       // independent replay of the exact arithmetic the tier queries
