@@ -82,19 +82,28 @@ object Bench {
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"interleaved":true,"failures":$fs,"errors":$es}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"interleaved":true,"failures":$fs,"errors":$es}"""
     // COMPACT summary (≤~200 bytes): the driver keeps only a 2 KB
     // stdout tail, and the full per-query record (~6 KB at 175
     // queries) truncates mid-string there — r5 AND r6 both recorded
     // `"parsed": null`. The short line carries the headline numbers
     // whole; the full record rides the file (and mid-stream for
     // humans).
+    // r17 (VERDICT r16 next-round #2): the driver's 8-core scaling leg
+    // re-runs this main with the SAME default outPath and CLOBBERED the
+    // 32-core per-query artifact (PERF_r16 per_query came up empty). A
+    // cpu-count-suffixed copy makes every core-count's full per-query
+    // map survive side by side; the un-suffixed path stays byte-for-byte
+    // what it always was, so nothing downstream changes.
+    val outCpu = (if (outPath.endsWith(".json"))
+        outPath.stripSuffix(".json") else outPath) + s"_c$cpus.json"
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"sf":"$sfDir","runs_per_query":$runs,"full":"$outPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"cpus":$cpus,"sf":"$sfDir","runs_per_query":$runs,"full":"$outPath","full_cpu":"$outCpu"}"""
     println(summary)
     println(json)
-    try Files.writeString(Paths.get(outPath), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    for (p <- Seq(outPath, outCpu))
+      try Files.writeString(Paths.get(p), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
     spark.stop()
     // the record must survive ANY line-oriented harness: re-print as
     // the process's LAST act (after spark.stop()'s shutdown chatter),

@@ -150,13 +150,35 @@ object Dedup {
     // the wire but CPU-heavy downstream (pair enumeration + verify) —
     // left to AQE they collapse to one partition and the verify stage
     // serializes (measured: 4.3s single-task vs 1.3s across 32).
-    // The window and the candidate self-join both reuse this one
+    // The aggregate and the candidate self-join both reuse this one
     // exchange.
-    else df.repartition(df.sparkSession.sparkContext.defaultParallelism,
-        bucketCols.map(col): _*)
-      .withColumn("__bn", row_number().over(
-        Window.partitionBy(bucketCols.map(col): _*).orderBy(ordCol)))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
+    //
+    // r17: the per-bucket row_number window (a full (bucket, ord) sort
+    // of EVERY bucket row) became a bounded-heap aggregate
+    // ([[org.apache.spark.sql.graftbridge.BoundedTopKRows]], guide §2
+    // "aggregate, don't sort"): each group's buffer holds at most
+    // `maxBucket` entries at every stage, so a degenerate million-row
+    // bucket costs k heap entries instead of a million-row sort spill.
+    // Selection is EXACTLY the window's wherever `ordCol` is unique
+    // within its bucket — audited at every call site (ids, setIds,
+    // sigKeys, __ord composites: all unique per bucket by
+    // construction); the struct's remaining fields are a deterministic
+    // total-order tiebreak, never the window's partition-order one.
+    else {
+      val others = df.columns.filterNot(bucketCols.contains).toSeq
+      val fields = // heap key first, each source column exactly once
+        if (others.contains(ordCol)) ordCol +: others.filterNot(_ == ordCol)
+        else ordCol +: others
+      val tk = org.apache.spark.sql.graftbridge.BoundedTopK
+        .bounded_topk(maxBucket, struct(fields.map(col): _*))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+          bucketCols.map(col): _*)
+        .groupBy(bucketCols.map(col): _*)
+        .agg(tk.as("__tk"))
+        .select(bucketCols.map(col) :+ explode(col("__tk")).as("__e"): _*)
+        .select(df.columns.toSeq.map(c =>
+          if (bucketCols.contains(c)) col(c) else col(s"__e.$c").as(c)): _*)
+    }
 
   /** Dictionary-encode each distinct token set as a 64-bit mask when
     * the vocabulary fits (V <= 64): intersection becomes

@@ -4302,10 +4302,16 @@ object PipelineQueries {
         // constructor runs under its own driver thread; the frames,
         // the final union plan, and the single evaluating action are
         // byte-identical to the sequential build.
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        Seq[Future[DataFrame]](
+        // r17 (ADVICE r16): a dedicated pool SIZED TO THE TIER COUNT —
+        // the global ExecutionContext is sized to host cores, so on a
+        // low-core host the heaviest tier queued behind the others and
+        // a hung constructor hung the query forever with no
+        // diagnostic. Finite Await surfaces WHICH tier stalled.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try Seq[Future[DataFrame]](
           Future(recallOf("lsh",
             Similarity.knnLsh(e, q, "vec_id", "embedding", k = 10), truthCos)),
           Future(recallOf("ivf",
@@ -4340,8 +4346,16 @@ object PipelineQueries {
                   m = 5, beam = 4, hops = 2,
                   prebuiltGraph = Some(lshGraph)), truthCos))
           }
-        ).map(Await.result(_, Duration.Inf))
+        ).zip(Seq("lsh", "ivf", "pq", "sq", "ivfpq", "ivfsq", "mips_lsh",
+            "mips_mp2", "graph+beam"))
+          .map { case (fut, tier) =>
+            try Await.result(fut, 10.minutes)
+            catch { case _: java.util.concurrent.TimeoutException =>
+              throw new RuntimeException(
+                s"s9b tier '$tier' construction stalled past 10 minutes") }
+          }
           .reduce(_.unionByName(_)).orderBy("tier", "query_id")
+        finally pool.shutdown()
       },
       // each tier's FULL oracle rides as a nested-WITH subquery — the
       // independent replay of the exact arithmetic the tier queries

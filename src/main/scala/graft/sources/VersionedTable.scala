@@ -1728,6 +1728,13 @@ object VersionedTable {
       case None => df
     }
     val bad = violationCounts(widened, constraints).filter(_._2 > 0)
+    failConstraints(bad, root, what)
+  }
+
+  /** Shared abort for a failed CHECK gate — `bad` is the nonzero slice
+    * of (name, violations, total). */
+  private def failConstraints(bad: Seq[(String, Long, Long)],
+                              root: String, what: String): Unit =
     if (bad.nonEmpty)
       throw new IllegalArgumentException(
         s"$what at $root violates CHECK constraint" +
@@ -1735,7 +1742,6 @@ object VersionedTable {
           bad.map { case (n, v, t) => s"'$n' ($v of $t rows)" }
             .mkString(", ") + " — the commit was aborted, the table is " +
           "unchanged")
-  }
 
   private def validConstraintName(name: String): Unit = {
     require(name.nonEmpty && name.forall(c =>
@@ -2324,6 +2330,71 @@ object VersionedTable {
       }
     }
 
+  /** [[statLines]] + the CHECK-constraint gate in ONE distributed pass
+    * over this commit's files (r17; previously two commit-sized
+    * scans). Stats aggregate the PHYSICAL columns (aliased, so the
+    * min/max strings match [[statLines]] byte-for-byte); constraints
+    * evaluate under LOGICAL names with [[enforceConstraints]]'
+    * missing-column existence-default widening, summed per file and
+    * totaled on the driver. Throws [[failConstraints]]' error on
+    * violation — the caller drops the staged files. */
+  private def fusedStatConstraintLines(spark: SparkSession, root: String,
+      written: Seq[(String, Long)],
+      logicalSchema: org.apache.spark.sql.types.StructType,
+      physSchema: org.apache.spark.sql.types.StructType,
+      cm: Map[String, String], effStats: Seq[String],
+      sizeByName: Map[String, Long],
+      declared: Seq[(String, String)]): Seq[String] = {
+    val raw = spark.read.schema(physSchema)
+      .parquet(written.map(w => new Path(root, w._1).toString): _*)
+    val logicalCols = logicalSchema.fields.zip(physSchema.fields).map {
+      case (lf, pf) =>
+        if (pf.dataType == lf.dataType) topCol(pf.name).as(lf.name)
+        else topCol(pf.name).cast(relaxNullability(lf.dataType)).as(lf.name)
+    }.toSeq
+    val existsKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    val widened = tableSchema(spark, root).toSeq.flatMap(sc =>
+      sc.fields.filterNot(f => logicalSchema.fieldNames.contains(f.name)))
+      .map(f => (if (f.metadata.contains(existsKey))
+          expr(f.metadata.getString(existsKey))
+        else lit(null)).cast(f.dataType).as(f.name))
+    val statCols = effStats.zipWithIndex.map { case (c, i) =>
+      colRef(physSchema, c).as(s"__st_$i") }
+    val combined = raw.select(logicalCols ++ widened ++ statCols: _*)
+    val aggs = effStats.zipWithIndex.flatMap { case (c, i) => Seq(
+        org.apache.spark.sql.functions.min(col(s"__st_$i"))
+          .cast("string").as(s"__mn_$c"),
+        org.apache.spark.sql.functions.max(col(s"__st_$i"))
+          .cast("string").as(s"__mx_$c")) } ++
+      declared.zipWithIndex.map { case ((_, p), i) =>
+        sum(when(expr(p).isNull || expr(p), 0L).otherwise(1L)).as(s"__c$i") } :+
+      org.apache.spark.sql.functions.count(lit(1)).as("__nrows")
+    val rows = combined.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val total = rows.map(_.getAs[Long]("__nrows")).sum
+    failConstraints(declared.zipWithIndex.flatMap { case ((n, _), i) =>
+      val v = rows.map(r =>
+        Option(r.getAs[Any](s"__c$i")).map(_.toString.toLong).getOrElse(0L)).sum
+      if (v > 0) Some((n, v, total)) else None
+    }, root, "write")
+    val byName = rows.map { r =>
+      val name = new Path(r.getString(0)).getName
+      val json = (effStats.map { c =>
+        val mn = r.getAs[String](s"__mn_$c"); val mx = r.getAs[String](s"__mx_$c")
+        val v = if (mn == null || mx == null) "null" else s"[${jesc(mn)},${jesc(mx)}]"
+        s"${jesc(c)}:$v"
+      } :+ s""""#rows":${r.getAs[Long]("__nrows")}"""
+        :+ s""""#bytes":${sizeByName.getOrElse(name, 0L)}""").mkString("{", ",", "}")
+      name -> json
+    }.toMap
+    written.map { case (rel, _) =>
+      val nm = new Path(rel).getName
+      byName.get(nm).map(j => s"$rel\t$j")
+        .getOrElse(s"""$rel\t{"#bytes":${sizeByName(nm)}}""")
+    }
+  }
+
   private def publishStaged(spark: SparkSession, root: String,
                             written: Seq[(String, Long)],
                             logicalSchema: org.apache.spark.sql.types.StructType,
@@ -2342,8 +2413,6 @@ object VersionedTable {
     // RPCs
     val sizeByName = written.map { case (rel, len) =>
       new Path(rel).getName -> len }.toMap
-    val writtenLines: Seq[String] =
-      statLines(spark, root, written, physSchema, effStats, sizeByName)
     def dropStaged(): Unit = cleanupDirs.foreach(d => f.delete(d, true))
     // round 16: declared CHECK constraints gate the publish — one
     // vectorized pass over THIS COMMIT's files only (commit-sized,
@@ -2354,22 +2423,33 @@ object VersionedTable {
     // columns this write omits evaluate as NULL — what the committed
     // files would serve — so `c IS NOT NULL` rightly rejects a write
     // omitting a mandatory column.
-    locally {
-      val declared = constraintsOf(spark, root).toSeq.sortBy(_._1)
-      if (declared.nonEmpty && written.nonEmpty) {
-        val raw = spark.read.schema(physSchema)
-          .parquet(written.map(w => new Path(root, w._1).toString): _*)
-        val logicalView =
-          if (cm.isEmpty) raw
-          else raw.select(logicalSchema.fields.zip(physSchema.fields).map {
-            case (lf, pf) =>
-              if (pf.dataType == lf.dataType) topCol(pf.name).as(lf.name)
-              else topCol(pf.name).cast(relaxNullability(lf.dataType)).as(lf.name)
-          }.toSeq: _*)
-        try enforceConstraints(logicalView, declared,
-          tableSchema(spark, root), root, "write")
+    //
+    // r17 (guide §1.2 — one pass where one pass serves): when the
+    // commit ALSO computes per-file stats, the constraint sums ride
+    // the SAME per-file aggregate scan instead of a second
+    // commit-sized pass; stat strings and violation semantics are
+    // byte-identical to the unfused paths.
+    val declared = constraintsOf(spark, root).toSeq.sortBy(_._1)
+    val fused = declared.nonEmpty && written.nonEmpty && effStats.nonEmpty
+    val writtenLines: Seq[String] =
+      if (fused)
+        try fusedStatConstraintLines(spark, root, written, logicalSchema,
+          physSchema, cm, effStats, sizeByName, declared)
         catch { case e: Throwable => dropStaged(); throw e }
-      }
+      else statLines(spark, root, written, physSchema, effStats, sizeByName)
+    if (!fused && declared.nonEmpty && written.nonEmpty) {
+      val raw = spark.read.schema(physSchema)
+        .parquet(written.map(w => new Path(root, w._1).toString): _*)
+      val logicalView =
+        if (cm.isEmpty) raw
+        else raw.select(logicalSchema.fields.zip(physSchema.fields).map {
+          case (lf, pf) =>
+            if (pf.dataType == lf.dataType) topCol(pf.name).as(lf.name)
+            else topCol(pf.name).cast(relaxNullability(lf.dataType)).as(lf.name)
+        }.toSeq: _*)
+      try enforceConstraints(logicalView, declared,
+        tableSchema(spark, root), root, "write")
+      catch { case e: Throwable => dropStaged(); throw e }
     }
     // commit loop: build the manifest (file list AND schema) against
     // the CURRENT version each attempt, so an append that loses a race
@@ -2604,47 +2684,74 @@ object VersionedTable {
       // UNMATCHED source keys legitimately insert one row each, so
       // they pass through to the insert leg instead of failing the
       // whole statement (round 16; was a global duplicate rejection)
-      val dupKeys = srcPrep.groupBy(keys.map(topCol): _*)
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
-        .filter(col("__n") > 1)
-      val dup = dupKeys.join(
-          curLive.filter(predT).select(keys.map(topCol): _*).distinct(),
-          keys, "left_semi").limit(1).collect()
-      if (dup.nonEmpty) throw new IllegalArgumentException(
-        s"MERGE source has multiple rows for matched key " +
-          keys.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
-            .mkString(", ") + " — reduce the source to one row per key")
       // files holding a live MATCHED row whose key has an APPLICABLE
       // clause — or, with BY SOURCE clauses, an unmatched row an
       // applicable clause hits (file-name collect is manifest-bounded,
       // the documented stats-collect pattern; qualified like vacuum's
       // rule)
-      val actKeys = srcPrep.filter(col("__act") >= 0)
-        .select(keys.map(topCol): _*).distinct()
       val f = fs(spark, root)
-      val touchedMatched = curLive.filter(predT).join(actKeys, keys, "left_semi")
-        .select("__file").distinct()
-      val touchedFiles =
-        if (bySource.isEmpty) touchedMatched
-        else if (targetCond.isEmpty) touchedMatched.unionByName(
-          curLive.join(srcPrep.select(keys.map(topCol): _*).distinct(),
-              keys, "left_anti")
-            .filter(bIdxExpr >= 0)
-            .select("__file").distinct()).distinct()
-        else {
-          // with a residual predicate, "unmatched by source" includes
-          // pred-FALSE rows whose key IS in the source — the anti-join
-          // shape can't express that, so mark and filter
-          val unmatchedRows = curLive.join(
-              srcPrep.select(keys.map(topCol): _*).distinct()
-                .withColumn("__srck", lit(1)), keys, "left")
-            .filter(col("__srck").isNull || !predT)
-          touchedMatched.unionByName(
-            unmatchedRows.filter(bIdxExpr >= 0)
-              .select("__file").distinct()).distinct()
+      val touched: Set[String] = if (bySource.isEmpty) {
+        // r17 (guide §1.2): the cardinality check and the touched-file
+        // collect each scanned the full live table — fold them into
+        // ONE job. Per-key source info (row count, any-applicable-
+        // clause flag) joins the pred-true live rows once; the
+        // touched-file set and one offending duplicate key (if any)
+        // ride back in a single aggregate row. Semantics identical:
+        // dup ⟺ a >1-row source key matches a live pred-true row;
+        // touched ⟺ a live pred-true row's key has an applicable
+        // matched clause.
+        val srcInfo = srcPrep.groupBy(keys.map(topCol): _*).agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("__sn"),
+          org.apache.spark.sql.functions.max(
+            when(col("__act") >= 0, 1).otherwise(0)).as("__sa"))
+        val r = curLive.filter(predT).join(srcInfo, keys, "inner").agg(
+          collect_set(when(col("__sa") === 1, col("__file"))).as("__tf"),
+          org.apache.spark.sql.functions.min(when(col("__sn") > 1,
+            struct(keys.map(topCol): _*))).as("__dup")).head()
+        if (!r.isNullAt(1)) {
+          val dk = r.getStruct(1)
+          throw new IllegalArgumentException(
+            s"MERGE source has multiple rows for matched key " +
+              keys.zip(dk.toSeq).map { case (k, v) => s"$k=$v" }
+                .mkString(", ") + " — reduce the source to one row per key")
         }
-      val touched = touchedFiles.collect()
-        .map(r => f.makeQualified(new Path(r.getString(0))).toString).toSet
+        r.getSeq[String](0).map(p => f.makeQualified(new Path(p)).toString).toSet
+      } else {
+        val dupKeys = srcPrep.groupBy(keys.map(topCol): _*)
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+          .filter(col("__n") > 1)
+        val dup = dupKeys.join(
+            curLive.filter(predT).select(keys.map(topCol): _*).distinct(),
+            keys, "left_semi").limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"MERGE source has multiple rows for matched key " +
+            keys.zip(dup.head.toSeq).map { case (k, v) => s"$k=$v" }
+              .mkString(", ") + " — reduce the source to one row per key")
+        val actKeys = srcPrep.filter(col("__act") >= 0)
+          .select(keys.map(topCol): _*).distinct()
+        val touchedMatched = curLive.filter(predT).join(actKeys, keys, "left_semi")
+          .select("__file").distinct()
+        val touchedFiles =
+          if (targetCond.isEmpty) touchedMatched.unionByName(
+            curLive.join(srcPrep.select(keys.map(topCol): _*).distinct(),
+                keys, "left_anti")
+              .filter(bIdxExpr >= 0)
+              .select("__file").distinct()).distinct()
+          else {
+            // with a residual predicate, "unmatched by source" includes
+            // pred-FALSE rows whose key IS in the source — the anti-join
+            // shape can't express that, so mark and filter
+            val unmatchedRows = curLive.join(
+                srcPrep.select(keys.map(topCol): _*).distinct()
+                  .withColumn("__srck", lit(1)), keys, "left")
+              .filter(col("__srck").isNull || !predT)
+            touchedMatched.unionByName(
+              unmatchedRows.filter(bIdxExpr >= 0)
+                .select("__file").distinct()).distinct()
+          }
+        touchedFiles.collect()
+          .map(r => f.makeQualified(new Path(r.getString(0))).toString).toSet
+      }
       val (touchedAbs, untouchedAbs) =
         s.files.partition(p => touched.contains(f.makeQualified(new Path(p)).toString))
       // rewritten files: per row, the first applicable clause decides —
@@ -2769,7 +2876,7 @@ object VersionedTable {
         val fs = m("fs") match {
           case s: scala.collection.Seq[_] => s.map(String.valueOf).toSeq
           case a: Array[_] => a.map(String.valueOf).toSeq
-          case other => return None // unexpected shape: use the fallback jobs
+          case _ => return None // unexpected shape: use the fallback jobs
         }
         return Some((n, fs))
       }

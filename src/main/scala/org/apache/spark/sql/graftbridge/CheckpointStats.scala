@@ -69,8 +69,20 @@ object CheckpointStats {
       })
       Thread.sleep(2)
     }
+    // r17 (ADVICE r16): the metric normally lands in single-digit ms —
+    // hitting this timeout means the listener bus is lagging/dropping
+    // and stats silently degrade to the memSize path. Log ONCE per JVM
+    // so a bus-lag regression is visible without flooding a loop that
+    // calls this every round.
+    if (timeoutFallbackLogged.compareAndSet(false, true))
+      System.err.println(s"[graft] CheckpointStats.observedCount: observe " +
+        s"metric missing after ${timeoutMs} ms — listener bus lagging; " +
+        "falling back to block-manager sizes (logged once)")
     None
   }
+
+  private val timeoutFallbackLogged =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Exact UnsafeRow byte width when EVERY column is a fixed-width
     * atomic type (stored inline: null bitset word(s) + 8 bytes per
