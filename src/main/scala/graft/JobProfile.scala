@@ -30,6 +30,10 @@ object JobProfile {
     val jobs = new AtomicInteger; val stages = new AtomicInteger
     val tasks = new AtomicInteger; val taskMs = new AtomicLong
     val shufW = new AtomicLong; val shufR = new AtomicLong
+    // per-stage tally for the current pass (GRAFT_PROFILE_STAGES=1):
+    // (stage name head, tasks, taskMs, shW) — names the hot stage
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long)]()
+    val dumpStages = sys.env.get("GRAFT_PROFILE_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -39,6 +43,10 @@ object JobProfile {
         shufW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         shufR.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.remoteBytesRead
           + s.stageInfo.taskMetrics.shuffleReadMetrics.localBytesRead)
+        if (dumpStages) stageRows.add((
+          s.stageInfo.name.takeWhile(_ != '\n').take(90), s.stageInfo.numTasks,
+          s.stageInfo.taskMetrics.executorRunTime,
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten))
       }
     })
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -49,6 +57,7 @@ object JobProfile {
       var bj = 0; var bs = 0; var bt = 0; var btm = 0L; var bw = 0L
       for (_ <- 1 to passes) {
         jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0); shufW.set(0); shufR.set(0)
+        stageRows.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9
@@ -59,6 +68,13 @@ object JobProfile {
           btm = taskMs.get; bw = shufW.get }
       }
       println(f"$name%-28s $best%8.2f $bj%5d $bs%5d $bt%6d ${btm / 1000.0}%7.1f ${bw / 1e6}%7.1f")
+      if (dumpStages) {
+        import scala.jdk.CollectionConverters._
+        stageRows.asScala.toSeq.sortBy(-_._3).take(12).foreach {
+          case (nm, t, ms, w) =>
+            println(f"    [stage] ${ms / 1000.0}%7.2fs $t%5dt ${w / 1e6}%8.2fMB  $nm")
+        }
+      }
     }
     spark.stop()
   }

@@ -3995,8 +3995,14 @@ object PipelineQueries {
       // sampling — the census design whose only hard part at scale IS
       // the global rank; rides Quantiles.globalRank (stats pass, no
       // single-task sort at any SF).
+      // spreadSmall (r17, profiled): the sub-split orders scan is ONE
+      // task, so globalRank's checkpoint + sample + histogram chain
+      // ran serial (~1.1 s single-task of 1.4 s total); a no-op at any
+      // real scale by spreadSmall's input-size gate, and the rank is a
+      // deterministic function of the keys, so output is unchanged.
       (s, d) => Quantiles.globalRank(
-          Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          Tables.spreadSmall(s, d, "orders",
+            Tables.orders(s, d).select("o_orderkey", "o_orderdate")),
           Seq(col("o_orderdate"), col("o_orderkey")), "rk")
         .filter(pmod(col("rk"), lit(200)) === 1)
         .select("o_orderkey", "rk")
@@ -4273,12 +4279,25 @@ object PipelineQueries {
         val s9bQuerySample = 5L // audit query-sample bound (vec_id < N)
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") < s9bQuerySample)
-        val truthCos = graft.Ckpt.cut(
+        // r17 (guide §2.6, VERDICT r16 #5): the two brute-truth cuts
+        // were a serial prefix ahead of the tier threads, but only the
+        // final recallOf plan ASSEMBLY consumes them — tier training
+        // doesn't. They now materialize on the same pool, overlapped
+        // with every tier's eager construction; each tier awaits its
+        // truth only after its own constructor has run (arguments
+        // evaluate left-to-right inside the future).
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(11)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        val truthCosF = Future(graft.Ckpt.cut(
           Similarity.knnBrute(e, q, "vec_id", "embedding", k = 10)
-            .select("query_id", "neighbor_id"))
-        val truthMips = graft.Ckpt.cut(
+            .select("query_id", "neighbor_id")))
+        val truthMipsF = Future(graft.Ckpt.cut(
           Similarity.knnMips(e, q, "vec_id", "embedding", k = 10)
-            .select("query_id", "neighbor_id"))
+            .select("query_id", "neighbor_id")))
+        def truthCos: DataFrame = Await.result(truthCosF, 10.minutes)
+        def truthMips: DataFrame = Await.result(truthMipsF, 10.minutes)
         def recallOf(tier: String, approx: DataFrame, truth: DataFrame): DataFrame = {
           val matched = truth
             .join(approx.select("query_id", "neighbor_id"),
@@ -4302,15 +4321,11 @@ object PipelineQueries {
         // constructor runs under its own driver thread; the frames,
         // the final union plan, and the single evaluating action are
         // byte-identical to the sequential build.
-        // r17 (ADVICE r16): a dedicated pool SIZED TO THE TIER COUNT —
+        // r17 (ADVICE r16): a dedicated pool SIZED TO THE TASK COUNT —
         // the global ExecutionContext is sized to host cores, so on a
         // low-core host the heaviest tier queued behind the others and
         // a hung constructor hung the query forever with no
         // diagnostic. Finite Await surfaces WHICH tier stalled.
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration._
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(9)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
         try Seq[Future[DataFrame]](
           Future(recallOf("lsh",
             Similarity.knnLsh(e, q, "vec_id", "embedding", k = 10), truthCos)),

@@ -2259,7 +2259,58 @@ object VersionedTable {
         .get("statscols").toSeq.flatMap(_.split(",")).filter(_.nonEmpty))
       .filter(p => fieldAtPath(dfPhys.schema, p).isDefined)
     val dataDir = new Path(root, s"data/c${base + 1}-$nonce")
-    dfPhys.write.parquet(dataDir.toString)
+    // r17 (guide §2.6 — don't re-scan what the write already saw):
+    // declared CHECK constraints ride the WRITE action itself as
+    // observe metrics (per-constraint violation sums over the LOGICAL
+    // frame, missing table columns widened to their existence
+    // defaults exactly as enforceConstraints does), replacing the
+    // separate commit-sized read-back scan. The widened helper columns
+    // are projected away before toPhysical, so the written files are
+    // byte-identical. Listener timeout (or a constraint set that
+    // changed under the write) falls back to publishStaged's scan —
+    // never a skipped gate.
+    val declaredAtWrite = constraintsOf(spark, root, base).toSeq.sortBy(_._1)
+    val cObs =
+      if (declaredAtWrite.isEmpty) None
+      else Some(org.apache.spark.sql.Observation())
+    val dfObserved = cObs match {
+      case None => df
+      case Some(obs) =>
+        val existsKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+        val missing = tableSchema(spark, root, base).toSeq.flatMap(sc =>
+          sc.fields.filterNot(f => df.columns.contains(f.name)))
+        val widened = missing.foldLeft(df)((d, fld) => d.withColumn(fld.name,
+          (if (fld.metadata.contains(existsKey))
+             expr(fld.metadata.getString(existsKey))
+           else lit(null)).cast(fld.dataType)))
+        val aggs = declaredAtWrite.zipWithIndex.map { case ((_, p), i) =>
+          sum(when(expr(p).isNull || expr(p), 0L).otherwise(1L)).as(s"__c$i")
+        } :+ org.apache.spark.sql.functions.count(lit(1)).as("__n")
+        widened.observe(obs, aggs.head, aggs.tail: _*)
+          .select(df.columns.toSeq.map(topCol): _*)
+    }
+    val dfPhysW = toPhysical(dfObserved, cm)
+    dfPhysW.write.parquet(dataDir.toString)
+    val preValidated: Option[Map[String, String]] = cObs.flatMap { obs =>
+      awaitObservedMetrics(obs).map { m =>
+        def asLong(v: Any): Long = v match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => other.toString.toLong
+        }
+        val total = asLong(m("__n"))
+        val bad = declaredAtWrite.zipWithIndex.flatMap { case ((n, _), i) =>
+          val v = asLong(m(s"__c$i"))
+          if (v > 0) Some((n, v, total)) else None
+        }
+        if (bad.nonEmpty) {
+          f.delete(dataDir, true)
+          failConstraints(bad, root, "write")
+        }
+        declaredAtWrite.toMap
+      }
+    }
     val writtenStatus = f.listStatus(dataDir)
       .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
     val written = writtenStatus
@@ -2267,7 +2318,7 @@ object VersionedTable {
       .toSeq.zip(writtenStatus.map(_.getLen).toSeq)
     publishStaged(spark, root, written, df.schema, dfPhys.schema, cm,
       meta, expectBase, carriedLines, unionWithPrev, effStats,
-      cleanupDirs = Seq(dataDir))
+      cleanupDirs = Seq(dataDir), constraintsPreValidated = preValidated)
   }
 
   /** Publish ALREADY-WRITTEN parquet files (`written`: (relPath,
@@ -2395,6 +2446,21 @@ object VersionedTable {
     }
   }
 
+  /** Poll an [[org.apache.spark.sql.Observation]] whose observed query
+    * has already executed eagerly (the constraint-on-write fold); the
+    * completion listener is async, so allow a short grace period and
+    * return None (→ the read-back constraint scan) rather than block. */
+  private def awaitObservedMetrics(obs: org.apache.spark.sql.Observation,
+                                   timeoutMs: Long = 2000): Option[Map[String, Any]] = {
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    while (System.nanoTime < deadline) {
+      val m = org.apache.spark.sql.graftbridge.ObservationBridge.getOrEmpty(obs)
+      if (m.nonEmpty) return Some(m)
+      Thread.sleep(2)
+    }
+    None
+  }
+
   private def publishStaged(spark: SparkSession, root: String,
                             written: Seq[(String, Long)],
                             logicalSchema: org.apache.spark.sql.types.StructType,
@@ -2405,7 +2471,8 @@ object VersionedTable {
                             unionWithPrev: Boolean,
                             effStats: Seq[String],
                             cleanupDirs: Seq[Path],
-                            skipIfBatchAtLeast: Option[(String, Long)] = None): Long = {
+                            skipIfBatchAtLeast: Option[(String, Long)] = None,
+                            constraintsPreValidated: Option[Map[String, String]] = None): Long = {
     val f = fs(spark, root)
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     // every committed line records its byte size: [[compactSmall]]
@@ -2430,14 +2497,20 @@ object VersionedTable {
     // commit-sized pass; stat strings and violation semantics are
     // byte-identical to the unfused paths.
     val declared = constraintsOf(spark, root).toSeq.sortBy(_._1)
-    val fused = declared.nonEmpty && written.nonEmpty && effStats.nonEmpty
+    // the write-riding fold (commitCore) already proved THESE
+    // constraints hold over the staged rows — re-validate only if the
+    // declared set changed under the write (racing ADD CONSTRAINT) or
+    // the fold's listener timed out
+    val needGate = declared.nonEmpty && written.nonEmpty &&
+      !constraintsPreValidated.contains(declared.toMap)
+    val fused = needGate && effStats.nonEmpty
     val writtenLines: Seq[String] =
       if (fused)
         try fusedStatConstraintLines(spark, root, written, logicalSchema,
           physSchema, cm, effStats, sizeByName, declared)
         catch { case e: Throwable => dropStaged(); throw e }
       else statLines(spark, root, written, physSchema, effStats, sizeByName)
-    if (!fused && declared.nonEmpty && written.nonEmpty) {
+    if (!fused && needGate) {
       val raw = spark.read.schema(physSchema)
         .parquet(written.map(w => new Path(root, w._1).toString): _*)
       val logicalView =
