@@ -44,8 +44,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // r17 (VERDICT r16 #9, measured on a 20-query subset first): every
+  // spark.read.parquet() pays a driver footer-read JOB to infer the
+  // schema, and the suite re-loads the same immutable test tables
+  // hundreds of times (~2 loads × 246 queries × 3 bench passes). The
+  // inferred schema of a static path is a constant — memoize it per
+  // absolute path and hand it to the reader, which then skips the
+  // inference job. METADATA only, never rows or results; the first
+  // load of each path still infers from the real footers, so a
+  // regenerated test set re-infers on a fresh JVM.
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sc = schemaMemo.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sc).parquet(path)
+  }
 
   /** Parallelism floor for a COMPUTE-HEAVY per-row stage fed by a
     * small table (real codec encode/decode, quantizer encode): when
